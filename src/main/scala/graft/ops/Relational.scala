@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface of the reference (SURVEY.md §2.2–§2.7).
+  *
+  * Each method expresses one reference pattern as a declarative DataFrame
+  * transformation so Catalyst handles pushdown/pruning/join strategy.
+  * Scale notes are per-operator; nothing here collects to the driver.
+  */
+object Relational {
+
+  /** A3 `value_counts`: per-key frequency, descending, deterministic
+    * tie-break on the key. One shuffle (partial agg map-side). */
+  def valueCounts(df: DataFrame, key: String, cntCol: String = "cnt"): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as(cntCol))
+      .orderBy(desc(cntCol), col(key))
+
+  /** A4 multi-key group size (`groupby([k1,k2]).size()`). */
+  def groupSize(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+
+  /** O3 top-k of a value_counts (`value_counts()[:k]`), deterministic.
+    * Catalyst plans this as TakeOrderedAndProject — no full sort at scale. */
+  def topK(df: DataFrame, key: String, k: Int): DataFrame =
+    valueCounts(df, key).limit(k)
+
+  /** P4/J1: semi-join against the computed top-n key list. The top-n list is
+    * tiny by construction, so Spark broadcasts it; at 100 TB the fact side
+    * never shuffles. */
+  def semiJoinTopN(fact: DataFrame, key: String, n: Int): DataFrame = {
+    val top = topK(fact, key, n).select(key)
+    fact.join(broadcast(top), Seq(key), "left_semi")
+  }
+
+  /** A5 crosstab (`pd.crosstab`): groupBy(row).pivot(col).count with an
+    * explicit value list so the plan is a single shuffle (no extra pass to
+    * discover pivot values). */
+  def crosstab(df: DataFrame, rowKey: String, colKey: String,
+               colValues: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey)).pivot(colKey, colValues).count()
+      .na.fill(0).orderBy(col(rowKey))
+
+  /** A6 describe: count/mean/min/max (+ stddev) of one numeric column.
+    * mean is routed through exact decimal (see Tables.davg) by callers that
+    * need oracle parity. */
+  def describeNumeric(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("count"),
+      avg(col(c)).as("mean"),
+      stddev(col(c)).as("stddev"),
+      min(col(c)).as("min"),
+      max(col(c)).as("max"))
+
+  /** A7 share-of-total over top-n: share = key_count / total via a window
+    * over the (tiny) aggregated frame — the window runs on the agg output,
+    * never on the fact table. */
+  def shareOfTotal(df: DataFrame, key: String, n: Int): DataFrame = {
+    val counts = valueCounts(df, key)
+    counts.limit(n)
+      .withColumn("share",
+        col("cnt").cast("double") / sum("cnt").over(Window.partitionBy()))
+      .orderBy(desc("cnt"), col(key))
+  }
+
+  /** §2.5 top-n per group via row_number window; shuffles once on the
+    * partition key. */
+  def topNPerGroup(df: DataFrame, grp: String, orderCol: Column,
+                   tieBreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(grp)).orderBy(orderCol, tieBreak)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** P5 any-null row filter (`df[df.isnull().any(axis=1)]`). */
+  def anyNullRows(df: DataFrame): DataFrame =
+    df.filter(df.columns.map(c => col(c).isNull).reduce(_ || _))
+
+  /** J3 dedup-then-broadcast-back — THE reference scaling trick
+    * (README.md:43: cluster 589 distinct messages, apply to 2826 rows).
+    * Computes `f` over the distinct values of `key` only, then joins the
+    * (small) result back. `f`'s output must retain `key`. */
+  def dedupCompute(df: DataFrame, key: String)(f: DataFrame => DataFrame): DataFrame = {
+    val uniq = df.select(key).distinct()
+    df.join(broadcast(f(uniq)), Seq(key), "inner")
+  }
+
+  /** A2 distinct count, exact; pair with approx_count_distinct at scale. */
+  def distinctCount(df: DataFrame, c: String): DataFrame =
+    df.agg(countDistinct(col(c)).as("n_distinct"))
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions of the reference (SURVEY.md §2.8, F1–F10).
+  *
+  * All are compositions of codegen'd built-ins (no UDFs): they stay inside
+  * whole-stage codegen and are pure column expressions, so Catalyst can
+  * push/reorder them freely.
+  */
+object Clean {
+
+  /** F1 lowercase. */
+  def lowerCase(c: Column): Column = lower(c)
+
+  /** F2 whitespace split (python `str.split()`: leading/trailing ws dropped). */
+  def splitWs(c: Column): Column =
+    split(trim(regexp_replace(c, "\\s+", " ")), " ")
+
+  /** F3 whitespace normalize (`" ".join(s.split())`). */
+  def normWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  // Masking regexes — verbatim semantics of the reference cleaners
+  // (word2vec_dbscan_approach.ipynb:95-103).
+  val LineNumberRe = "(at line[:]*\\s*\\d+)"
+  val UidRe = "[0-9a-zA-Z]{12,128}"
+  val UuidRe = "[a-f0-9]{8}-[a-f0-9]{4}-4[a-f0-9]{3}-[89aAbB][a-f0-9]{3}-[a-f0-9]{12}"
+
+  /** F6 line-number masking. */
+  def maskLineNumbers(c: Column): Column =
+    regexp_replace(c, LineNumberRe, "at line LINE_NUMBER")
+
+  /** F4 UID masking (12–128 char alphanumeric runs). */
+  def maskUids(c: Column): Column = regexp_replace(c, UidRe, "UID")
+
+  /** F5 UUID-v4 masking. */
+  def maskUuids(c: Column): Column = regexp_replace(c, UuidRe, "UUID")
+
+  /** The reference's full cleaning chain, ORDER PRESERVED (F6 → F4 → F5,
+    * word2vec_dbscan_approach.ipynb:100-103 — F4 first would eat hex-ish
+    * words before the UUID/line rules see them), then whitespace-normalized. */
+  def cleanMessage(c: Column): Column =
+    normWs(maskUuids(maskUids(maskLineNumbers(c))))
+
+  /** F9 fuzzy similarity ratio — fuzzywuzzy's Levenshtein-ratio form:
+    * 100 * (|a| + |b| - lev(a,b)) / (|a| + |b|). Exact SequenceMatcher
+    * parity differs on transposition-heavy pairs; documented delta
+    * (SURVEY.md §7 item 3). Built-in levenshtein keeps this codegen'd. */
+  def fuzzRatio(a: Column, b: Column): Column = {
+    val la = length(a)
+    val lb = length(b)
+    when(la + lb === 0, lit(100.0))
+      .otherwise(lit(100.0) * (la + lb - levenshtein(a, b)) / (la + lb))
+  }
+
+  /** F7 Treebank-ish tokenization as a pure regex pipeline. The reference
+    * picked TreebankWordTokenizer because it keeps file paths/URLs intact
+    * (word2vec_dbscan_approach.ipynb:105-116); we reproduce the load-bearing
+    * rules (separate standard punctuation, keep path-like runs) while
+    * staying inside codegen. Known-imperfect parity is accepted by the
+    * reference itself (its `[70]` bracket complaint, ipynb:28542-28546). */
+  def tokenizeTreebankish(c: Column): Column = {
+    // Pad the punctuation Treebank splits off when it is word-adjacent;
+    // leave ., :, /, -, _ inside tokens so paths and URLs survive.
+    val padded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "([\\[\\](){}<>!?;,\"])", " $1 "),
+          "(\\S)(:)(\\s|$)", "$1 $2$3"),          // trailing colon only
+        "(^|\\s)(')", "$1$2 ")                     // leading quote
+    filter(splitWs(padded), t => length(t) > 0)
+  }
+}

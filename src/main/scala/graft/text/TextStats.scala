@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) so they run at full
+  * scan speed over 100 TB of documents; every function is embarrassingly
+  * parallel per-row (no shuffle).
+  */
+object TextStats {
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. Deliberately small + deterministic so the
+    * operator is SQL-expressible for the oracle. */
+  val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")
+  val deStops = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
+  val frStops = Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")
+
+  private def stopHits(tokens: Column, stops: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stops.map(lit): _*)))
+
+  /** Language-ID heuristic: stopword-hit voting over whitespace tokens.
+    * Returns the language with the most marker hits; 'unk' when no marker
+    * fires. Ties break in fixed order en > es > de > fr (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = Clean.splitWs(lower(text))
+    val en = stopHits(toks, enStops)
+    val es = stopHits(toks, esStops)
+    val de = stopHits(toks, deStops)
+    val fr = stopHits(toks, frStops)
+    val mx = greatest(en, es, de, fr)
+    when(mx === 0, lit("unk"))
+      .when(en === mx, lit("en"))
+      .when(es === mx, lit("es"))
+      .when(de === mx, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(Clean.splitWs(text)))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as separate
+    * tokens — a cheap deterministic proxy for a real tokenizer's count. */
+  val BpeishRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column = regexp_count(text, lit(BpeishRe))
+
+  /** Quality score in [0,1] from length / punctuation ratio / stopword
+    * ratio / mean word length — the standard cheap pretraining-data
+    * heuristics, each clamped then averaged. */
+  def qualityScore(text: Column): Column = {
+    val toks = Clean.splitWs(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val stopRatio = stopHits(Clean.splitWs(lower(text)), enStops).cast("double") /
+      greatest(nTok, lit(1.0))
+    val lenScore = least(nChar / lit(200.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 5.0, lit(1.0))
+    val wordLen = (nChar - (nTok - 1)) / greatest(nTok, lit(1.0))
+    val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    round((lenScore + punctScore + wordLenScore + stopScore) / 4.0, 6)
+  }
+
+  /** Content-defined document fingerprint: md5 of the lowercased,
+    * whitespace-normalized text. Exact-dup detection key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(Clean.normWs(lower(text)).cast("binary"))
+
+  /** Karp–Rabin rolling-hash fingerprint over 8-gram character shingles:
+    * min of the rolling hashes (a 1-perm MinHash) — robust to small edits
+    * at the start/end. Pure expression via transform over char positions. */
+  def fingerprintRolling(text: Column, gram: Int = 8): Column = {
+    val norm = Clean.normWs(lower(text))
+    val n = length(norm)
+    // hash of each gram via xxhash64 of the substring; min over positions.
+    val hashes = transform(
+      sequence(lit(1), greatest(n - (gram - 1), lit(1))),
+      i => xxhash64(substring(norm, lit(1)) .substr(i, lit(gram))))
+    array_min(hashes)
+  }
+
+  /** Full per-document stats frame (one scan, no shuffle). */
+  def documentStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("*"),
+      langId(col(textCol)).as("lang_pred"),
+      tokenCountWs(col(textCol)).as("n_tokens"),
+      tokenCountBpeish(col(textCol)).as("n_subwords"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprintMd5(col(textCol)).as("fingerprint"))
+}
