@@ -59,10 +59,14 @@ object Relational {
     * never on the fact table. */
   def shareOfTotal(df: DataFrame, key: String, n: Int): DataFrame = {
     val counts = valueCounts(df, key)
-    counts.limit(n)
+    // Window sum over the FULL aggregated frame (global total), applied
+    // before the top-n limit — reference A7 divides by the sum over ALL
+    // keys, not the top-n sum. The window input is the (small) agg output.
+    counts
       .withColumn("share",
         col("cnt").cast("double") / sum("cnt").over(Window.partitionBy()))
       .orderBy(desc("cnt"), col(key))
+      .limit(n)
   }
 
   /** §2.5 top-n per group via row_number window; shuffles once on the
@@ -70,7 +74,7 @@ object Relational {
   def topNPerGroup(df: DataFrame, grp: String, orderCol: Column,
                    tieBreak: Column, n: Int): DataFrame = {
     val w = Window.partitionBy(col(grp)).orderBy(orderCol, tieBreak)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
 
   /** P5 any-null row filter (`df[df.isnull().any(axis=1)]`). */
@@ -80,10 +84,17 @@ object Relational {
   /** J3 dedup-then-broadcast-back — THE reference scaling trick
     * (README.md:43: cluster 589 distinct messages, apply to 2826 rows).
     * Computes `f` over the distinct values of `key` only, then joins the
-    * (small) result back. `f`'s output must retain `key`. */
-  def dedupCompute(df: DataFrame, key: String)(f: DataFrame => DataFrame): DataFrame = {
+    * (small) result back. `f`'s output must retain `key`.
+    *
+    * No forced broadcast: at reference scale (589 keys) AQE broadcasts the
+    * computed side on its own; at 100 TB the distinct side can be billions
+    * of keys and a forced broadcast would OOM the driver. Callers that KNOW
+    * the distinct side is tiny can pass `hintBroadcast = true`. */
+  def dedupCompute(df: DataFrame, key: String, hintBroadcast: Boolean = false)
+                  (f: DataFrame => DataFrame): DataFrame = {
     val uniq = df.select(key).distinct()
-    df.join(broadcast(f(uniq)), Seq(key), "inner")
+    val computed = f(uniq)
+    df.join(if (hintBroadcast) broadcast(computed) else computed, Seq(key), "inner")
   }
 
   /** A2 distinct count, exact; pair with approx_count_distinct at scale. */

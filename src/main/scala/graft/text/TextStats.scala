@@ -72,16 +72,18 @@ object TextStats {
   def fingerprintMd5(text: Column): Column =
     md5(Clean.normWs(lower(text)).cast("binary"))
 
-  /** Karp–Rabin rolling-hash fingerprint over 8-gram character shingles:
-    * min of the rolling hashes (a 1-perm MinHash) — robust to small edits
-    * at the start/end. Pure expression via transform over char positions. */
-  def fingerprintRolling(text: Column, gram: Int = 8): Column = {
+  /** Near-dup fingerprint over 8-gram character shingles at fixed stride:
+    * min of xxhash64 over sampled shingle positions. Stride bounds the
+    * work/memory to O(len/stride) per row (no per-char array), so the scan
+    * stays full-speed on multi-MB documents; stride 4 still samples every
+    * gram window at gram=8 with 50% overlap. One hash family only — use
+    * [[graft.dedup.Dedup.minHashSignature]] for real banded-LSH dedup. */
+  def fingerprintShingle(text: Column, gram: Int = 8, stride: Int = 4): Column = {
     val norm = Clean.normWs(lower(text))
     val n = length(norm)
-    // hash of each gram via xxhash64 of the substring; min over positions.
     val hashes = transform(
-      sequence(lit(1), greatest(n - (gram - 1), lit(1))),
-      i => xxhash64(substring(norm, lit(1)) .substr(i, lit(gram))))
+      sequence(lit(1), greatest(n - (gram - 1), lit(1)), lit(stride)),
+      i => xxhash64(norm.substr(i, lit(gram))))
     array_min(hashes)
   }
 
