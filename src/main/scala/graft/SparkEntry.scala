@@ -1,13 +1,624 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.ops.Relational
+import graft.text.{Clean, TextStats}
+import graft.ml.{Tfidf, ClusterStats}
+import graft.dedup.{Dedup, Similarity}
+import graft.sources.Sources
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (names carry the survey codes: s=sources, p=projections,
+  * j=joins, a=aggregations, w=windows, o=sorts, f=scalar functions,
+  * llm=training-data-pipeline extensions), each with a DuckDB oracle twin
+  * in `oracleSql` over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout:
+  *  - every aggregate over doubles goes through exact decimal sums
+  *    (Tables.dec) so results are order-independent across engines;
+  *  - column names are aliased identically on both sides;
+  *  - every query is deterministic (explicit orderBy + tie-breaks before
+  *    any limit).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    *
+    * The reference's headline pipeline end-to-end (SURVEY.md §3.3/§7 v1):
+    * load → clean (F3–F6) → blank-filter (P10) → TF-IDF vectorize (M7) →
+    * KMeans (M9) → label attach (J2, via transform) → per-cluster stats
+    * (A13) → sort by aggregate (O5). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", Clean.cleanMessage(col("text")))
+    val clustered = graft.ml.TextPipeline.clusterDocuments(
+      docs.select("doc_id", "text"), "text", k = 5, nInit = 1)
+    ClusterStats.stats(clustered, "cluster", "text", "doc_id")
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Whitespace tokens of the documents table (the corpus test fixture). */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
+
+  /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").join(
+      t(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label")),
+      Seq("doc_id"))
+
+  // DuckDB-side token expression twins (kept adjacent to the Scala so the
+  // two dialects stay in sync).
+  private val sqlToks =
+    """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
+  private val sqlToksLower =
+    """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
+  private val enStopsSql =
+    TextStats.enStops.map(s => s"'$s'").mkString("(", ",", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / sinks --------------------------------------------
+    "s2_multiline_json" -> ((s, dir) => {
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select("doc_id", "lang").orderBy("doc_id").toJSON.collect()
+      val path = Files.createTempDirectory("graft_s2").resolve("pages.json")
+      Files.writeString(path, s"""[{"results":[${rows.mkString(",")}]}]""")
+      Sources.flattenPages(Sources.readMultilineJson(s, path.toString))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "s3_s6_json_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s6").resolve("docs").toString
+      Sources.writeJson(t(s, dir, "documents").select("doc_id", "lang"), tmp)
+      Sources.readJsonLines(s, tmp)
+        .groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
+    }),
+    "s5_text_scan" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
+      t(s, dir, "documents").select("text").write.mode("overwrite").text(tmp)
+      Sources.readTextLog(s, tmp).toDF("line")
+        .agg(count(lit(1)).as("cnt"), sum(length(col("line"))).as("len_sum"))
+    }),
+    "s1_paginated_rest" -> ((s, dir) => {
+      // Offline pager: pages served from the documents table itself (the
+      // reference pager accumulates `results` pages until next==null).
+      val pages = t(s, dir, "documents").filter(col("doc_id") < 9)
+        .select("doc_id", "lang").orderBy("doc_id").toJSON.collect()
+        .grouped(3).map(g => s"""{"results":[${g.mkString(",")}]}""").toVector
+      Sources.paginatedJson(s,
+          i => if (i < pages.size) Some(pages(i)) else None)
+        .select(explode(col("results")).as("r")).select("r.doc_id", "r.lang")
+        .orderBy("doc_id")
+    }),
+    "s4_file_listing" -> ((s, dir) =>
+      Sources.listFiles(s, dir)
+        .select(element_at(split(col("path"), "/"), -1).as("name"), col("is_dir"))
+        .orderBy("name")),
+    "s7_catalog" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      Sources.catalogTables(s).orderBy("name")
+    }),
+
+    // ---- projections / filters --------------------------------------
+    "p1_nested_expand" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("p.*")).orderBy("event_id")),
+    "p3_isin_nested" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .filter(col("k").isin(1, 2, 3, 4, 5))
+        .select("event_id", "k").orderBy("event_id")),
+    "p5_any_null" -> ((s, dir) =>
+      Relational.anyNullRows(t(s, dir, "events"))
+        .select("event_id").orderBy("event_id")),
+    "p6_fillna" -> ((s, dir) =>
+      t(s, dir, "events").na.fill(Map("value" -> 0.0))
+        .select("event_id", "value").orderBy("event_id")),
+    "p7_cast" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        col("user_id").cast("string").as("user_str")).orderBy("event_id")),
+    "p9_positional_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id")) - 1).cast("long").as("rid"))),
+    "p10_blank_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0 &&
+          size(Clean.splitWs(col("text"))) > 0)
+        .agg(count(lit(1)).as("cnt"))),
+
+    // ---- joins -------------------------------------------------------
+    "j1_semi_top" -> ((s, dir) =>
+      Relational.semiJoinTopN(t(s, dir, "events"), "event_type", 2)
+        .select("event_id", "event_type").orderBy("event_id")),
+    "j2_label_attach" -> ((s, dir) =>
+      labeled(s, dir).select("doc_id", "label").orderBy("doc_id")),
+    "j3_dedup_compute" -> ((s, dir) =>
+      Relational.dedupCompute(t(s, dir, "documents"), "lang")(u =>
+          u.withColumn("lang_code_len", length(col("lang")).cast("long")))
+        .select("doc_id", "lang", "lang_code_len").orderBy("doc_id")),
+    "j4_eps_self_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val da = Similarity.dot(col("va"), col("va"))
+      val db = Similarity.dot(col("vb"), col("vb"))
+      val dab = Similarity.dot(col("va"), col("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", sqrt(da - lit(2.0) * dab + db))
+        .filter(col("dist") < 1.3)
+        .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+    }),
+
+    // ---- aggregations ------------------------------------------------
+    "a1_count" -> ((s, dir) =>
+      t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
+    "a2_distinct_count" -> ((s, dir) =>
+      Relational.distinctCount(t(s, dir, "documents"), "text")),
+    "a3_value_counts" -> ((s, dir) =>
+      Relational.valueCounts(t(s, dir, "lineitem"), "l_returnflag")),
+    "a4_group_size" -> ((s, dir) =>
+      Relational.groupSize(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "a5_crosstab" -> ((s, dir) =>
+      Relational.crosstab(t(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus", Seq("F", "O"))),
+    "a6_describe" -> ((s, dir) =>
+      Relational.describeExact(t(s, dir, "lineitem"), "l_extendedprice")),
+    "a7_share_total" -> ((s, dir) =>
+      Relational.shareOfTotal(t(s, dir, "orders"), "o_orderpriority", 3)),
+    "a8_vocab" -> ((s, dir) =>
+      Tfidf.vocab(docTokens(s, dir), "doc_id", "tokens").orderBy("token")),
+    "a9_tf" -> ((s, dir) =>
+      Tfidf.termFreq(docTokens(s, dir), "doc_id", "tokens")
+        .withColumn("doc_len", col("doc_len").cast("long"))
+        .orderBy("doc_id", "token")),
+    "a10_idf" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      Tfidf.docFreqIdf(toks, "doc_id", "tokens", toks.count())
+        .orderBy("token")
+    }),
+    "a11_tfidf" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      Tfidf.tfidf(toks, "doc_id", "tokens", toks.count())
+        .orderBy("doc_id", "token")
+    }),
+    "a12_df_prune" -> ((s, dir) => {
+      val toks = docTokens(s, dir)
+      Tfidf.pruneVocab(toks, "doc_id", "tokens", toks.count())
+        .orderBy("token")
+    }),
+    "a13_cluster_stats" -> ((s, dir) =>
+      ClusterStats.stats(labeled(s, dir), "label", "text", "doc_id")),
+    "a14_cluster_members" -> ((s, dir) =>
+      ClusterStats.members(labeled(s, dir), "label", "text", "doc_id")),
+    "a15_column_stats" -> ((s, dir) =>
+      Relational.describeExact(t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- windows / sorts / limits -----------------------------------
+    "w1_top_per_group" -> ((s, dir) =>
+      Relational.topNPerGroup(t(s, dir, "events"), "event_type",
+          desc("value"), col("event_id"), 3)
+        .select("event_id", "event_type", "value")
+        .orderBy(col("event_type"), desc("value"), col("event_id"))),
+    "o1_sort_full" -> ((s, dir) =>
+      t(s, dir, "events").select("value", "event_id")
+        .orderBy("value", "event_id")),
+    "o3_topk" -> ((s, dir) =>
+      Relational.topK(t(s, dir, "orders"), "o_orderpriority", 3)),
+    "o4_head" -> ((s, dir) =>
+      t(s, dir, "documents").select("doc_id", "lang").orderBy("doc_id").limit(6)),
+    "o5_sort_by_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(Tables.davg(col("value")).as("mean_value"))
+        .orderBy("mean_value", "event_type")),
+
+    // ---- scalar text functions --------------------------------------
+    "f1_f6_clean" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Clean.cleanMessage(col("text")).as("cleaned"))
+        .orderBy("doc_id")),
+    "f7_tokenize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Clean.tokenizeTreebankish(col("text"))))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")),
+    "f8_f10_math" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        sqrt(length(col("text"))).as("sqrt_len"),
+        (round(log(length(col("text"))) * 1e6, 0) / 1e6).as("ln_len")).orderBy("doc_id")),
+    "f9_fuzz_ratio" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          Clean.fuzzRatio(col("a.text"), col("b.text")).as("fuzz"))
+        .orderBy("doc_id")
+    }),
+    "f12_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt")).orderBy("hour")),
+
+    // ---- LLM training-data pipeline operators -----------------------
+    "llm_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "llm_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        TextStats.tokenCountBpeish(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+    "llm_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "llm_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+    "llm_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedupKeepers(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")),
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("norm", Clean.normWs(lower(col("text"))))
+        .withColumn("sh", Dedup.shingleSet(col("norm"), 3))
+        .select("doc_id", "sh")
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          Dedup.jaccardOfSets(col("a.sh"), col("b.sh")).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+    "llm_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+    // Rows-only (hash-based signatures have no SQL twin):
+    "llm_simhash" -> ((s, dir) =>
+      Dedup.simHashFrame(t(s, dir, "documents"), "text")
+        .select("doc_id", "simhash").orderBy("doc_id")),
+    "llm_near_dedup" -> ((s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3).orderBy("id_a", "id_b")),
+    "llm_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.annTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
+    "m1_m2_word2vec" -> ((s, dir) => {
+      val toks = docTokens(s, dir).filter(size(col("tokens")) > 0)
+      val model = graft.ml.Embed.word2vec(toks, "tokens", vectorSize = 32,
+        maxIter = 1)
+      graft.ml.Embed.sentence2vec(model, toks, "tokens")
+        .select(col("doc_id"),
+          graft.ml.VectorOps.dim(col("sent_vec")).as("dim"))
+        .orderBy("doc_id")
+    }),
+    "m3_knn_curve" -> ((s, dir) =>
+      graft.ml.Embed.knnDistanceCurve(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", k = 17)),
+    "m4_kneedle" -> ((s, dir) => {
+      val curve = graft.ml.Embed.knnDistanceCurve(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "vec_id", "embedding", k = 17)
+        .orderBy("i").select("curve")
+        .collect().map(_.getDouble(0))
+      val eps = graft.ml.Kneedle.epsilonSearch(curve)
+      import s.implicits._
+      Seq((eps.getOrElse(-1.0), curve.length)).toDF("epsilon", "n_curve")
+    }),
+    "m5_dbscan" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+      graft.ml.Dbscan.distributed(emb, "vec_id", "features",
+        eps = 1.2, minPts = 5).orderBy("vec_id")
+    }),
+    "m7_m9_cluster_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clustered = graft.ml.TextPipeline.clusterDocuments(
+        docs, "text", k = 5, nInit = 1)
+      ClusterStats.stats(clustered, "cluster", "text", "doc_id")
+    }),
+    "m8_lsa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val feat = graft.ml.TextPipeline.tfidfPipeline(minDF = 1.0, maxDF = 0.95)
+        .fit(docs).transform(docs)
+      graft.ml.TextPipeline.lsa(dim = 10).fit(feat).transform(feat)
+        .select(col("doc_id"),
+          graft.ml.VectorOps.dim(col("lsa_vec")).as("dim"))
+        .orderBy("doc_id")
+    }),
+    "m10_metrics" -> ((s, dir) =>
+      graft.ml.Metrics.externalFrame(
+        labeled(s, dir).withColumn("pred", col("lang")), "label", "pred")),
+
+    // ---- headline pricing aggregate (bench anchor) ------------------
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"),
+          Tables.davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_multiline_json" -> (
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
+    "s3_s6_json_roundtrip" -> (
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
+    "s5_text_scan" -> (
+      "SELECT count(*) AS cnt, sum(length(text)) AS len_sum FROM documents"),
+    "s1_paginated_rest" -> (
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 9 ORDER BY doc_id"),
+    "p1_nested_expand" -> (
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id"),
+    "p3_isin_nested" -> (
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events " +
+        "WHERE CAST(props->>'$.k' AS INTEGER) IN (1,2,3,4,5) ORDER BY event_id"),
+    "p5_any_null" -> (
+      "SELECT event_id FROM events WHERE event_id IS NULL OR ts IS NULL OR " +
+        "user_id IS NULL OR event_type IS NULL OR value IS NULL OR props IS NULL " +
+        "ORDER BY event_id"),
+    "p6_fillna" -> (
+      "SELECT event_id, coalesce(value, 0.0) AS value FROM events ORDER BY event_id"),
+    "p7_cast" -> (
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS user_str FROM events ORDER BY event_id"),
+    "p9_positional_id" -> (
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid FROM documents"),
+    "p10_blank_filter" -> (
+      """SELECT count(*) AS cnt FROM documents WHERE length(trim(text)) > 0 AND len(""" +
+        sqlToks + """) > 0"""),
+    "j1_semi_top" -> (
+      "WITH top2 AS (SELECT event_type FROM events GROUP BY event_type " +
+        "ORDER BY count(*) DESC, event_type LIMIT 2) " +
+        "SELECT event_id, event_type FROM events " +
+        "WHERE event_type IN (SELECT event_type FROM top2) ORDER BY event_id"),
+    "j2_label_attach" -> (
+      "SELECT d.doc_id, e.label FROM documents d JOIN embeddings e " +
+        "ON d.doc_id = e.vec_id ORDER BY d.doc_id"),
+    "j3_dedup_compute" -> (
+      "SELECT doc_id, lang, length(lang)::BIGINT AS lang_code_len FROM documents ORDER BY doc_id"),
+    "j4_eps_self_join" -> (
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "sqrt(list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v) " +
+        "+ list_dot_product(b.v, b.v)) AS dist " +
+        "FROM e a, e b WHERE a.vec_id < b.vec_id AND " +
+        "sqrt(list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v) " +
+        "+ list_dot_product(b.v, b.v)) < 1.3 ORDER BY id_a, id_b"),
+    "a1_count" -> ( "SELECT count(*) AS cnt FROM events"),
+    "a2_distinct_count" -> (
+      "SELECT count(DISTINCT text) AS n_distinct FROM documents"),
+    "a3_value_counts" -> (
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY cnt DESC, l_returnflag"),
+    "a4_group_size" -> (
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "a5_crosstab" -> (
+      "SELECT l_returnflag, count(*) FILTER (WHERE l_linestatus = 'F') AS \"F\", " +
+        "count(*) FILTER (WHERE l_linestatus = 'O') AS \"O\" FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "a6_describe" -> ( describeSql("lineitem", "l_extendedprice")),
+    "a7_share_total" -> (
+      "WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders " +
+        "GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, cnt, cnt::DOUBLE / (SELECT sum(cnt) FROM c) AS share " +
+        "FROM c ORDER BY cnt DESC, o_orderpriority LIMIT 3"),
+    "a8_vocab" -> (
+      s"SELECT DISTINCT unnest($sqlToks) AS token FROM documents ORDER BY token"),
+    "a9_tf" -> (
+      s"WITH lf AS (SELECT doc_id, len($sqlToks) AS doc_len, unnest($sqlToks) AS token " +
+        "FROM documents) " +
+        "SELECT doc_id, token, count(*) AS term_cnt, max(doc_len) AS doc_len, " +
+        "count(*)::DOUBLE / max(doc_len) AS tf FROM lf GROUP BY doc_id, token " +
+        "ORDER BY doc_id, token"),
+    "a10_idf" -> (
+      s"WITH lf AS (SELECT DISTINCT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents) " +
+        "SELECT token, count(*) AS df, round(ln((SELECT n FROM n) / count(*)) * 1e6) / 1e6 AS idf " +
+        "FROM lf GROUP BY token ORDER BY token"),
+    "a11_tfidf" -> (
+      s"WITH lf AS (SELECT doc_id, len($sqlToks) AS doc_len, unnest($sqlToks) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*)::DOUBLE / max(doc_len) AS tf " +
+        "FROM lf GROUP BY doc_id, token), " +
+        s"d AS (SELECT DISTINCT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "idf AS (SELECT token, round(ln((SELECT count(*)::DOUBLE FROM documents) / count(*)) * 1e6) / 1e6 AS idf " +
+        "FROM d GROUP BY token) " +
+        "SELECT tf.doc_id, tf.token, tf.tf, idf.idf, tf.tf * idf.idf AS tf_idf " +
+        "FROM tf JOIN idf ON tf.token = idf.token ORDER BY tf.doc_id, tf.token"),
+    "a12_df_prune" -> (
+      s"WITH d AS (SELECT DISTINCT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "g AS (SELECT token, count(*) AS df, " +
+        "count(*)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents) AS df_ratio " +
+        "FROM d GROUP BY token) " +
+        "SELECT token, df, df_ratio FROM g WHERE df_ratio >= 0.02 AND df_ratio <= 0.8 " +
+        "ORDER BY token"),
+    "a13_cluster_stats" -> ( clusterStatsSql),
+    "a14_cluster_members" -> (
+      "SELECT e.label, array_agg(d.text ORDER BY d.doc_id) AS members " +
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"),
+    "a15_column_stats" -> ( describeSql("orders", "o_totalprice")),
+    "w1_top_per_group" -> (
+      "SELECT event_id, event_type, value FROM (" +
+        "SELECT event_id, event_type, value, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) " +
+        "WHERE rn <= 3 ORDER BY event_type, value DESC, event_id"),
+    "o1_sort_full" -> (
+      "SELECT value, event_id FROM events ORDER BY value, event_id"),
+    "o3_topk" -> (
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority " +
+        "ORDER BY cnt DESC, o_orderpriority LIMIT 3"),
+    "o4_head" -> (
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 6"),
+    "o5_sort_by_agg" -> (
+      "SELECT event_type, (sum(CAST(value AS DECIMAL(18,2)))::VARCHAR)::DOUBLE / count(value) " +
+        "AS mean_value FROM events GROUP BY event_type ORDER BY mean_value, event_type"),
+    "f1_f6_clean" -> (
+      """SELECT doc_id, regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(""" +
+        """text, '(at line[:]*\s*\d+)', 'at line LINE_NUMBER', 'g'), """ +
+        """'[0-9a-zA-Z]{12,128}', 'UID', 'g'), """ +
+        """'[a-f0-9]{8}-[a-f0-9]{4}-4[a-f0-9]{3}-[89aAbB][a-f0-9]{3}-[a-f0-9]{12}', """ +
+        """'UUID', 'g')), '\s+', ' ', 'g') AS cleaned FROM documents ORDER BY doc_id"""),
+    "f7_tokenize" -> ( tokenizeSql),
+    "f8_f10_math" -> (
+      "SELECT doc_id, length(text)::BIGINT AS len, sqrt(length(text)) AS sqrt_len, " +
+        "round(ln(length(text)) * 1e6) / 1e6 AS ln_len FROM documents ORDER BY doc_id"),
+    "f9_fuzz_ratio" -> (
+      "SELECT a.doc_id AS doc_id, CASE WHEN length(a.text) + length(b.text) = 0 " +
+        "THEN 100.0 ELSE 100.0 * (length(a.text) + length(b.text) - " +
+        "levenshtein(a.text, b.text)) / (length(a.text) + length(b.text)) END AS fuzz " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY doc_id"),
+    "f12_hourly" -> (
+      "SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt FROM events " +
+        "GROUP BY 1 ORDER BY hour"),
+    "llm_lang_id" -> ( langIdSql),
+    "llm_token_counts" -> (
+      s"""SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 """ +
+        s"""ELSE len($sqlToks) END::BIGINT AS n_tokens, """ +
+        """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT """ +
+        """AS n_subwords FROM documents ORDER BY doc_id"""),
+    "llm_quality" -> ( qualitySql),
+    "llm_fingerprint" -> (
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
+        """AS fingerprint FROM documents ORDER BY doc_id"""),
+    "llm_exact_dedup" -> (
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint, """ +
+        """min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents """ +
+        """GROUP BY 1 ORDER BY fingerprint"""),
+    "llm_ngram_jaccard" -> ( ngramJaccardSql),
+    "llm_cosine_topk" -> (
+      "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], " +
+        "embedding::DOUBLE[])) = 0 OR sqrt(list_dot_product((SELECT qv FROM q), " +
+        "(SELECT qv FROM q))) = 0 THEN 0.0 ELSE " +
+        "list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)) / " +
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
+        "FROM embeddings) " +
+        "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "q1_pricing" -> (
+      "SELECT l_returnflag, l_linestatus, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty, " +
+        "(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE / count(l_quantity) AS avg_qty, " +
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")
+  )
+
+  /** Oracle twin of Relational.describeExact — exact decimal sums, same
+    * double arithmetic order. */
+  private def describeSql(table: String, c: String): String =
+    s"WITH g AS (SELECT count($c) AS n, sum(CAST($c AS DECIMAL(18,2))) AS s, " +
+      s"sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS sq, " +
+      s"min($c) AS min_v, max($c) AS max_v FROM $table) " +
+      "SELECT n AS count, (s::VARCHAR)::DOUBLE / n::DOUBLE AS mean, " +
+      "CASE WHEN n < 2 THEN NULL ELSE sqrt(greatest(" +
+      "((sq::VARCHAR)::DOUBLE - (s::VARCHAR)::DOUBLE * (s::VARCHAR)::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0), 0.0)) " +
+      "END AS std, min_v AS min, max_v AS max FROM g"
+
+  private def clusterStatsSql: String =
+    "WITH j AS (SELECT d.doc_id, e.label, d.text FROM documents d " +
+      "JOIN embeddings e ON d.doc_id = e.vec_id), " +
+      "wf AS (SELECT label, doc_id, text, first_value(text) OVER (" +
+      "PARTITION BY label ORDER BY doc_id) AS first_msg FROM j), " +
+      "x AS (SELECT label, first_msg, length(text)::BIGINT AS msg_len, " +
+      "CAST(CASE WHEN length(text) + length(first_msg) = 0 THEN 100.0 ELSE " +
+      "100.0 * (length(text) + length(first_msg) - levenshtein(text, first_msg)) " +
+      "/ (length(text) + length(first_msg)) END AS DECIMAL(18,6)) AS fuzz FROM wf), " +
+      "g AS (SELECT label, count(*) AS n, min(first_msg) AS first_msg, " +
+      "sum(msg_len) AS len_sum, sum(msg_len * msg_len) AS len_sq_sum, " +
+      "sum(fuzz) AS fuzz_sum, sum(fuzz * fuzz) AS fuzz_sq_sum FROM x GROUP BY label) " +
+      "SELECT label, n, first_msg, len_sum::DOUBLE / n AS mean_len, " +
+      "CASE WHEN n < 2 THEN NULL ELSE sqrt(greatest((len_sq_sum::DOUBLE - " +
+      "len_sum::DOUBLE * len_sum::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0), 0.0)) " +
+      "END AS std_len, " +
+      "(fuzz_sum::VARCHAR)::DOUBLE / n AS mean_similarity, " +
+      "CASE WHEN n < 2 THEN NULL ELSE sqrt(greatest(((fuzz_sq_sum::VARCHAR)::DOUBLE - " +
+      "(fuzz_sum::VARCHAR)::DOUBLE * (fuzz_sum::VARCHAR)::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0), 0.0)) " +
+      "END AS std_similarity FROM g ORDER BY mean_similarity, label"
+
+  /** Oracle twin of Clean.tokenizeTreebankish + posexplode. Multiple
+    * unnests of equal-length lists zip in DuckDB. */
+  private def tokenizeSql: String =
+    """WITH t3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(""" +
+      """text, '([\[\](){}<>!?;,"])', ' \1 ', 'g'), """ +
+      """'(\S)(:)(\s|$)', '\1 \2\3', 'g'), """ +
+      """'(^|\s)('')', '\1\2 ', 'g') AS p FROM documents), """ +
+      """tk AS (SELECT doc_id, list_filter(string_split(trim(""" +
+      """regexp_replace(p, '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS tks FROM t3) """ +
+      """SELECT doc_id, unnest(generate_series(1, len(tks))) - 1 AS pos, """ +
+      """unnest(tks) AS token FROM tk ORDER BY doc_id, pos"""
+
+  private def langIdSql: String = {
+    def hits(stops: Seq[String]) =
+      s"len(list_filter($sqlToksLower, x -> x IN " +
+        stops.map(s => s"'$s'").mkString("(", ",", ")") + "))"
+    s"WITH t AS (SELECT doc_id, ${hits(TextStats.enStops)} AS en, " +
+      s"${hits(TextStats.esStops)} AS es, ${hits(TextStats.deStops)} AS de, " +
+      s"${hits(TextStats.frStops)} AS fr FROM documents) " +
+      "SELECT doc_id, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'unk' " +
+      "WHEN en = greatest(en, es, de, fr) THEN 'en' " +
+      "WHEN es = greatest(en, es, de, fr) THEN 'es' " +
+      "WHEN de = greatest(en, es, de, fr) THEN 'de' ELSE 'fr' END AS lang_pred " +
+      "FROM t ORDER BY doc_id"
+  }
+
+  /** Oracle twin of TextStats.qualityScore — same IEEE op order. */
+  private def qualitySql: String =
+    s"WITH t AS (SELECT doc_id, len($sqlToks)::DOUBLE AS ntok, " +
+      "length(text)::DOUBLE AS nchar, " +
+      """len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct, """ +
+      s"len(list_filter($sqlToksLower, x -> x IN $enStopsSql))::DOUBLE AS stophits " +
+      "FROM documents) " +
+      "SELECT doc_id, (least(nchar / 200.0, 1.0) + " +
+      "(1.0 - least(punct / greatest(nchar, 1.0) * 5.0, 1.0)) + " +
+      "(CASE WHEN (nchar - (ntok - 1)) / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0 " +
+      "THEN 1.0 ELSE 0.5 END) + " +
+      "least(stophits / greatest(ntok, 1.0) * 4.0, 1.0)) / 4.0 AS quality " +
+      "FROM t ORDER BY doc_id"
+
+  /** Oracle twin of Dedup.ngramJaccard(gram=3): jaccard over distinct
+    * char-3-gram shingles (hashes on the Spark side are collision-free at
+    * these sizes, so set cardinalities match the plain-string sets). */
+  private def ngramJaccardSql: String = {
+    def sh(side: String) =
+      s"list_distinct(list_transform(generate_series(1, " +
+        s"greatest(length(n$side) - 2, 1)), i -> substr(n$side, i, 3)))"
+    """WITH p AS (SELECT a.doc_id, """ +
+      """regexp_replace(trim(lower(a.text)), '\s+', ' ', 'g') AS na, """ +
+      """regexp_replace(trim(lower(b.text)), '\s+', ' ', 'g') AS nb """ +
+      """FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1), """ +
+      s"x AS (SELECT doc_id, ${sh("a")} AS sa, ${sh("b")} AS sb FROM p), " +
+      "y AS (SELECT doc_id, len(list_intersect(sa, sb))::DOUBLE AS inter, " +
+      "len(sa) AS la, len(sb) AS lb FROM x) " +
+      "SELECT doc_id, CASE WHEN la + lb - inter = 0 THEN 1.0 " +
+      "ELSE inter / (la + lb - inter) END AS jaccard FROM y ORDER BY doc_id"
+  }
 }

@@ -18,8 +18,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The events fixture carries TIMESTAMP(NANOS) which Spark reads only as
+    // long (nanosAsLong); normalize to a session-TZ-free timestamp so query
+    // semantics match engines that read nanos natively.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast(LongType)).cast("timestamp_ntz"))
+    else df
+  }
 
   /** Register all tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
@@ -43,6 +51,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

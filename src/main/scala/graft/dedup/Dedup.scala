@@ -1,0 +1,173 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{Clean, TextStats}
+
+/** Corpus deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH banded near-dup, SimHash, and n-gram Jaccard.
+  *
+  * All signatures are pure column expressions (codegen'd, no UDFs) so the
+  * signature pass is a full-speed scan; candidate generation is an
+  * explode + groupBy on (band, bucket) — the standard banded-LSH shuffle
+  * whose fan-in is bounded by bucket size, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * One shuffle on the 128-bit fingerprint; survivors join back is not
+    * needed because min(id) identifies the kept row. */
+  def exactDedupKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup execution: the deduplicated corpus itself. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDedupKeepers(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Character-gram shingle hash array at fixed stride (bounded per-row
+    * work O(len/stride); stride 1 = every window). */
+  def shingleHashes(text: Column, gram: Int = 8, stride: Int = 1): Column = {
+    val norm = Clean.normWs(lower(text))
+    transform(
+      sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1)), lit(stride)),
+      i => xxhash64(norm.substr(i, lit(gram))))
+  }
+
+  /** k-permutation MinHash signature. One xxhash64 pass builds the shingle
+    * hashes; each "permutation" p re-keys them with xxhash64(h, p) and
+    * takes the min — the standard one-pass k-minhash construction. */
+  def minHashSignature(text: Column, k: Int = 32, gram: Int = 8,
+                       stride: Int = 1): Column = {
+    val hs = shingleHashes(text, gram, stride)
+    transform(sequence(lit(0), lit(k - 1)),
+      p => array_min(transform(hs, h => xxhash64(h, p))))
+  }
+
+  /** Banded LSH keys from a MinHash signature: one 64-bit bucket hash per
+    * band (fold of the band's rows). Two docs collide on a band iff that
+    * band of their signatures is identical. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        aggregate(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+          lit(-7046029254386353131L),
+          (acc, x) => xxhash64(acc, x)).as("bucket")))
+
+  /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    * shingle-set Jaccard ≥ `threshold`. Returns (idA, idB, jaccard) with
+    * idA < idB. The candidate join is per-(band,bucket); the verify join
+    * re-reads only candidate rows' shingle sets.
+    *
+    * Each derived value (normalized text, shingle-hash array, signature)
+    * is materialized as its own projected column BEFORE the next lambda
+    * consumes it: Spark's higher-order functions are interpreted, and an
+    * expression nested inside a lambda is re-evaluated per element — with
+    * the projection boundary each stage reads a bound attribute instead
+    * (one evaluation per row, O(len/stride + k·len/stride) total). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+                   gram: Int = 8, stride: Int = 4): DataFrame = {
+    val rows = k / bands
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("norm", Clean.normWs(lower(col("text"))))
+      .withColumn("hs", transform(
+        sequence(lit(1), greatest(length(col("norm")) - (gram - 1), lit(1)),
+          lit(stride)),
+        i => xxhash64(col("norm").substr(i, lit(gram)))))
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
+        p => array_min(transform(col("hs"), h => xxhash64(h, p)))))
+    val keyed = base
+      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rows)))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sh = base.select(col("id"), array_distinct(col("hs")).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dup dedup execution: drop every doc that near-matches a
+    * lower-id doc (greedy keep-first, the common corpus-dedup policy). */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.8): DataFrame = {
+    val drop = nearDupPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes, folded to a long. Shift amounts are Scala-level literals (the
+    * bit loop is unrolled at plan-build time), so everything stays inside
+    * codegen'd built-ins; codegen CSE shares the token-hash array across
+    * the 64 votes. */
+  def simHash64(text: Column): Column = {
+    val hs = transform(Clean.splitWs(lower(text)), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, 1L).otherwise(0L)
+    }
+    bits.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two SimHash values (bit_count of xor). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Frame-level SimHash: materializes the token-hash array once (see
+    * nearDupPairs on why — interpreted HOF lambdas re-evaluate nested
+    * expressions per element), then folds the 64 bit-votes over the bound
+    * attribute. Adds `outCol` (long). */
+  def simHashFrame(df: DataFrame, textCol: String,
+                   outCol: String = "simhash"): DataFrame = {
+    val withHs = df.withColumn("_tok_hs",
+      transform(Clean.splitWs(lower(col(textCol))), t => xxhash64(t)))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(col("_tok_hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, 1L).otherwise(0L)
+    }
+    // shiftleft|or instead of *2+bit: the top bit would overflow ANSI
+    // long arithmetic; bitwise ops wrap as a hash should
+    withHs.withColumn(outCol,
+        bits.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit)))
+      .drop("_tok_hs")
+  }
+
+  /** Distinct char-gram shingle-hash set of an ALREADY-normalized column
+    * (pass an attribute, not a nested expression — see nearDupPairs). */
+  def shingleSet(norm: Column, gram: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(gram)))))
+
+  /** n-gram Jaccard similarity between two pre-computed shingle sets:
+    * |A ∩ B| / |A ∪ B|. */
+  def jaccardOfSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(sa) + size(sb) - inter
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** n-gram Jaccard similarity between two text columns (exact, pairwise):
+    * |A ∩ B| / |A ∪ B| over distinct char-gram shingle hashes. Convenience
+    * form — hot paths should project norm + shingleSet columns first. */
+  def ngramJaccard(a: Column, b: Column, gram: Int = 3): Column =
+    jaccardOfSets(
+      shingleSet(Clean.normWs(lower(a)), gram),
+      shingleSet(Clean.normWs(lower(b)), gram))
+}

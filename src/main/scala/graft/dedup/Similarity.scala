@@ -1,0 +1,104 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one scan +
+  * TakeOrderedAndProject — no shuffle of the vectors themselves); the
+  * scale path buckets both sides with banded random-hyperplane LSH so the
+  * join touches only same-bucket candidates.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns: zip_with + ordered fold
+    * (index order, so the double accumulation is deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm (the reference's
+    * empty-vector guard M11 made structural). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * Plans as scan → project → TakeOrderedAndProject: at 100 TB this is
+    * one pass over the vectors with a k-row result, no shuffle. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-bit of the projection of `vec` onto a pseudo-random hyperplane
+    * derived from (seed, bit, dim) via xxhash64 — deterministic, no
+    * broadcast of plane matrices needed. */
+  private def planeBit(vec: Column, bit: Int, seed: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, i) => v.cast("double") *
+          (pmod(xxhash64(lit(seed), lit(bit) * 4096 + i), lit(2001L)) - 1000L)
+            .cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj > 0, 1L).otherwise(0L)
+  }
+
+  /** Banded random-hyperplane LSH keys: `bands` keys of `bitsPerBand` sign
+    * bits each. Vectors with cosine near 1 agree on most sign bits, so
+    * they collide on at least one band w.h.p. */
+  def rhpBandKeys(vec: Column, bands: Int = 8, bitsPerBand: Int = 4,
+                  seed: Int = 42): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        (0 until bitsPerBand).map(r => planeBit(vec, b * bitsPerBand + r, seed))
+          .reduce((acc, bit) => acc * 2 + bit).as("bucket"))
+    }: _*)
+
+  /** Approximate cosine similarity join: bucket both sides with the same
+    * banded LSH, join per (band, bucket), verify exact cosine ≥ threshold.
+    * Returns (left id, right id, cos_sim) distinct pairs. */
+  def annCosineJoin(left: DataFrame, right: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double, bands: Int = 8,
+                    bitsPerBand: Int = 4): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
+        .withColumn("bk", explode(rhpBandKeys(col(s"vec_$side"), bands, bitsPerBand)))
+        .select(col(s"id_$side"), col(s"vec_$side"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cands = keyed(left, "l").join(keyed(right, "r"), Seq("band", "bucket"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select("id_l", "vec_l", "id_r", "vec_r")
+      .dropDuplicates("id_l", "id_r")
+    cands
+      .withColumn("cos_sim", cosine(col("vec_l"), col("vec_r")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_l", "id_r", "cos_sim")
+  }
+
+  /** Approximate nearest-neighbor top-k for a query vector via the LSH
+    * join (query as a 1-row frame — same bucketing expression both sides,
+    * so no driver-side hashing is needed). Falls back to fewer than k rows
+    * when the buckets don't hold k candidates: that is the ANN contract. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, bands: Int = 8,
+              bitsPerBand: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = Seq((-1L, query)).toDF(idCol, vecCol)
+      .withColumn(vecCol, col(vecCol).cast("array<float>"))
+    annCosineJoin(qdf, df, idCol, vecCol, threshold = -1.0, bands, bitsPerBand)
+      .select(col("id_r").as(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+}

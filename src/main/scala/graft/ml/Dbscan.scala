@@ -1,0 +1,138 @@
+package graft.ml
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** M5 DBSCAN — the reference's single genuinely custom algorithm
+  * (daal4py dbscan(minObservations=5, epsilon), run at ε=20/minPts=5,
+  * word2vec_dbscan_approach.ipynb:223-233, :30081-30092). Labels: 0..C-1
+  * clusters, −1 noise.
+  *
+  * Two paths sharing semantics:
+  *  - [[exact]]: driver-side textbook DBSCAN for parity testing (n ≤ ~2e4;
+  *    the reference scale is n≈2.8e3).
+  *  - [[distributed]]: ε-neighborhood self-join via
+  *    BucketedRandomProjectionLSH.approxSimilarityJoin → core filter
+  *    (|N_ε| ≥ minPts) → GraphX connectedComponents over core–core edges →
+  *    border points attach to any core neighbor's cluster. Scales as the
+  *    LSH join does (bucketed, never all-pairs). Cluster ids are
+  *    renumbered by min member id for determinism, noise = −1.
+  */
+object Dbscan {
+
+  /** Driver-exact DBSCAN. `points` indexed by position; returns labels
+    * aligned to input order, noise = −1, clusters numbered in discovery
+    * order (the classic algorithm, matching sklearn/daal4py semantics). */
+  def exact(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    val n = points.length
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    val eps2 = eps * eps
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def neighbors(i: Int): mutable.ArrayBuffer[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < n) { if (dist2(points(i), points(j)) <= eps2) out += j; j += 1 }
+      out // includes i itself, as in the standard formulation
+    }
+    var cluster = -1
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        val ni = neighbors(i)
+        if (ni.length < minPts) labels(i) = -1
+        else {
+          cluster += 1
+          labels(i) = cluster
+          val queue = mutable.Queue[Int](ni.toSeq: _*)
+          while (queue.nonEmpty) {
+            val q = queue.dequeue()
+            if (labels(q) == -1) labels(q) = cluster // border: claim noise
+            if (labels(q) == -2) {
+              labels(q) = cluster
+              val nq = neighbors(q)
+              if (nq.length >= minPts) queue.enqueueAll(nq)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    labels
+  }
+
+  /** Distributed DBSCAN. Input: (id: Long, features: ml Vector). Output:
+    * (id, label) with label = min core-member id per cluster (stable,
+    * partition-independent), −1 for noise. */
+  def distributed(df: DataFrame, idCol: String, featuresCol: String,
+                  eps: Double, minPts: Int,
+                  bucketLength: Double = 2.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(featuresCol).as("features"))
+
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(42L)
+    val model = lsh.fit(pts)
+    // ε-self-join (distCol is exact Euclidean, verified post-bucket join)
+    val joined = model.approxSimilarityJoin(pts, pts, eps, "dist")
+      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"))
+      .filter(col("a") =!= col("b"))
+    // neighbor counts (self counts once, matching |N_ε(p)| ≥ minPts with
+    // p ∈ N_ε(p))
+    val degrees = joined.groupBy("a").agg((count(lit(1)) + 1).as("deg"))
+    val core = degrees.filter(col("deg") >= minPts).select(col("a").as("id"))
+    // connected components over core–core ε-edges
+    val coreSet = core.withColumn("is_core", lit(true))
+    val coreEdges = joined
+      .join(coreSet.select(col("id").as("a")), "a")
+      .join(coreSet.select(col("id").as("b")), "b")
+      .select("a", "b")
+    val edgeRdd = coreEdges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertRdd = core.as[Long].rdd.map(id => (id, ()))
+    val cc = Graph(vertRdd, edgeRdd).connectedComponents()
+      .vertices.toDF("id", "label") // label = min vertex id in component
+    // border points: any non-core point with a core ε-neighbor joins that
+    // cluster (lowest label for determinism); everything else is noise
+    val borderLabels = joined
+      .join(cc.withColumnRenamed("id", "b"), "b")
+      .groupBy(col("a").as("id")).agg(min("label").as("border_label"))
+    pts.select("id")
+      .join(cc, Seq("id"), "left")
+      .join(borderLabels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("border_label"), lit(-1L)).as("label"))
+  }
+
+  /** Helper: exact path over a DataFrame, for parity tests and reference-
+    * scale runs. Collects (id, vec) to the driver — guarded. */
+  def exactOnFrame(df: DataFrame, idCol: String, vecCol: String,
+                   eps: Double, minPts: Int, maxN: Int = 20000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.length <= maxN,
+      s"exact DBSCAN capped at $maxN rows (got ${rows.length}); use distributed()")
+    val ids = rows.map(_.getLong(0))
+    val pts = rows.map(r => r.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val labels = exact(pts, eps, minPts)
+    // renumber clusters by min member id for cross-path determinism
+    val byCluster = ids.zip(labels).filter(_._2 >= 0).groupBy(_._2)
+    val renum = byCluster.map { case (c, members) => c -> members.map(_._1).min }
+    spark.createDataset(ids.zip(labels).toSeq.map { case (id, l) =>
+      (id, if (l < 0) -1L else renum(l))
+    }).toDF(idCol, "label")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{Word2Vec, Word2VecModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Word-embedding operators (SURVEY.md §2.9 M1–M3).
+  *
+  * M1 gensim Word2Vec(size=200, window=5, min_count=1, iter=1000)
+  * (word2vec_dbscan_approach.ipynb:28587) → ml.feature.Word2Vec. Documented
+  * delta: gensim default CBOW vs Spark skip-gram-HS — downstream clustering
+  * tolerates it (SURVEY.md §7 item 3).
+  *
+  * M2 sentence2vec = mean of member-token vectors with OOV skipped
+  * (:147-170) — exactly what Word2VecModel.transform computes.
+  */
+object Embed {
+
+  /** M1: train word2vec over a token-array column. */
+  def word2vec(df: DataFrame, tokensCol: String, vectorSize: Int = 200,
+               windowSize: Int = 5, minCount: Int = 1, maxIter: Int = 10,
+               seed: Long = 42L): Word2VecModel =
+    new Word2Vec()
+      .setInputCol(tokensCol).setOutputCol("sent_vec")
+      .setVectorSize(vectorSize).setWindowSize(windowSize)
+      .setMinCount(minCount).setMaxIter(maxIter).setSeed(seed)
+      .fit(df)
+
+  /** M2: sentence vectors (token-vector averaging) with the blank guard
+    * (P10/M11) applied first — the reference's 38-empty-message trap. */
+  def sentence2vec(model: Word2VecModel, df: DataFrame,
+                   tokensCol: String): DataFrame =
+    model.transform(df.filter(size(col(tokensCol)) > 0))
+
+  /** M3 kNN average-distance curve, distributed, reproducing the
+    * reference's column-sort-then-row-mean quirk
+    * (word2vec_dbscan_approach.ipynb:172-189): for each point take its
+    * k nearest distances (rank j = 1..k); sort each rank's distances
+    * ascending over all points (position i); curve[i] = mean over j of the
+    * i-th smallest distance of rank j. k > 2 averages; k ≤ 2 uses the
+    * 2nd-NN column alone, as the reference does.
+    *
+    * Input: (id, vec: Array[Float|Double]). All-pairs + per-point top-k via
+    * window — O(n²) shuffle; callers at scale should pre-bucket (LSH) and
+    * call this per bucket. Returns (i, curve) with i = 0-based position. */
+  def knnDistanceCurve(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val diff2 = aggregate(
+      zip_with(col("va"), col("vb"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .withColumn("dist", sqrt(diff2))
+    val wNeighbors = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
+    val topK = pairs
+      .withColumn("j", row_number().over(wNeighbors))
+      .filter(col("j") <= k)
+    val useCols = if (k > 2) topK else topK.filter(col("j") === 2)
+    val wRank = Window.partitionBy("j").orderBy(col("dist"), col("id_a"))
+    useCols
+      .withColumn("i", row_number().over(wRank) - 1)
+      .groupBy("i").agg(avg("dist").as("curve"))
+      .orderBy("i")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus the Spark-side plumbing for decode / feature
+  * extraction / frame sampling.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` derives deterministic fake metadata from the
+  * bytes so the schema, partitioning, batch shape and operator wiring are
+  * real and testable; swap `decodeStub`/`featuresStub` for a real codec UDF
+  * (or an Arrow-batched mapInPandas on the PySpark side) in production.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + modality tag + payload + metadata. */
+  val schema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Wrap a text/blob frame into the multimodal shape (payload = utf-8
+    * bytes) — the fixture generator for tests and demos. */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+               modality: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(modality).as("modality"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** DECODE STUB — deterministic fake dimensions from the payload hash.
+    * Real implementation: a codec UDF or Arrow-batched python decode; the
+    * surrounding plumbing (schema, null payloads, partition preservation)
+    * is what this operator contracts. */
+  def decodeStub(df: DataFrame): DataFrame = {
+    val h = xxhash64(col("payload"))
+    df.withColumn("meta", struct(
+      col("meta.mime").as("mime"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .otherwise((pmod(h, lit(1920L)) + 1).cast("int")).as("width"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .otherwise((pmod(h, lit(1080L)) + 1).cast("int")).as("height"),
+      when(col("payload").isNull, lit(null).cast("long"))
+        .otherwise(pmod(h, lit(600000L))).as("duration_ms")))
+  }
+
+  /** FEATURE STUB — fixed-width float features derived deterministically
+    * from payload bytes (per-position byte hash scaled to [0,1);
+    * zero-padded past the payload end). Pure-expression, so the feature
+    * pass is a full-speed scan; a real extractor swaps in at this exact
+    * signature (binary → Array[Float] `features`). */
+  def featuresStub(df: DataFrame, dim: Int = 16): DataFrame =
+    df.withColumn("features",
+      transform(sequence(lit(1), lit(dim)), i =>
+        when(col("payload").isNotNull && i <= octet_length(col("payload")),
+          (pmod(xxhash64(col("payload").substr(i.cast("int"), lit(1))),
+            lit(256L)).cast("double") / 256.0).cast("float"))
+          .otherwise(lit(0.0f))))
+
+  /** Frame sampling: split a (video) payload into `n` evenly-spaced
+    * fixed-size byte windows — the partition/batch shape of real frame
+    * sampling, with slicing as the stand-in decode. */
+  def frameSample(df: DataFrame, n: Int, frameBytes: Int = 64): DataFrame =
+    df.withColumn("frames",
+      when(col("payload").isNull, lit(null))
+        .otherwise(transform(sequence(lit(0), lit(n - 1)), k => {
+          val len = octet_length(col("payload"))
+          val step = greatest((len / n).cast("long"), lit(1L))
+          substring(col("payload"), (k.cast("long") * step + 1).cast("int"),
+            lit(frameBytes))
+        })))
+
+  /** Per-modality partition routing: repartition by modality so downstream
+    * per-modality decode stages are co-located (the real-cluster layout:
+    * image/audio/video executors hold only their modality's partitions). */
+  def partitionByModality(df: DataFrame, parts: Int): DataFrame =
+    df.repartition(parts, col("modality"))
+}

@@ -54,6 +54,31 @@ object Relational {
       min(col(c)).as("min"),
       max(col(c)).as("max"))
 
+  /** A6 describe, oracle-parity variant: count/mean/std/min/max where mean
+    * and std come from EXACT decimal sums (the input is 2-decimal money
+    * data) so the result is order-independent and identical across
+    * engines — a streaming stddev would not hash-match the oracle. */
+  def describeExact(df: DataFrame, c: String): DataFrame = {
+    import graft.core.Tables.dec
+    val agg = df.agg(
+      count(col(c)).as("n"),
+      sum(dec(col(c))).as("s"),
+      sum(dec(col(c)) * dec(col(c))).as("sq"),
+      min(col(c)).as("min_v"),
+      max(col(c)).as("max_v"))
+    val n = col("n").cast("double")
+    val s = col("s").cast("double")
+    val sq = col("sq").cast("double")
+    agg.select(
+      col("n").as("count"),
+      (s / n).as("mean"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(sqrt(greatest((sq - s * s / n) / (n - lit(1.0)), lit(0.0))))
+        .as("std"),
+      col("min_v").as("min"),
+      col("max_v").as("max"))
+  }
+
   /** A7 share-of-total over top-n: share = key_count / total via a window
     * over the (tiny) aggregated frame — the window runs on the agg output,
     * never on the fact table. */

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.annotation.tailrec
+
+/** Source/sink surface (SURVEY.md §2.1 S1–S8).
+  *
+  * Everything file-shaped goes through Spark's distributed readers so scans
+  * parallelize per file-split; only the REST pager (S1) is driver-side by
+  * nature (the reference's `fetch_issues.py:29-39` pagination protocol is
+  * sequential: each page links the next).
+  */
+object Sources {
+
+  /** S1 paginated REST source: pull pages while `fetch` yields one, then
+    * parallelize the page bodies and JSON-parse them on executors.
+    * `fetch(i)` returns the raw JSON body of page i or None when the pager
+    * is exhausted (the reference stops when `next` is null,
+    * fetch_issues.py:33-38). HTTP itself is injected so the pager is
+    * testable offline; `maxPages` guards a runaway API. */
+  def paginatedJson(spark: SparkSession, fetch: Int => Option[String],
+                    maxPages: Int = 100000): DataFrame = {
+    import spark.implicits._
+    @tailrec def loop(i: Int, acc: List[String]): List[String] =
+      if (i >= maxPages) acc.reverse
+      else fetch(i) match {
+        case Some(body) => loop(i + 1, body :: acc)
+        case None => acc.reverse
+      }
+    val pages = loop(0, Nil)
+    spark.read.json(spark.createDataset(pages))
+  }
+
+  /** S2 multiline-JSON scan (whole-file JSON documents, e.g. the issues
+    * dump: an array of pages each holding a `results` array —
+    * rucio_data_exploration.ipynb:149-164). */
+  def readMultilineJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** S2 helper: flatten the issues-dump shape (array of pages, each with a
+    * `results` array of records) to one row per record. */
+  def flattenPages(pages: DataFrame, resultsCol: String = "results"): DataFrame =
+    pages.select(explode(col(resultsCol)).as("r")).select(col("r.*"))
+
+  /** S3 JSON-lines scan with path glob (day-partition pruning happens in
+    * the glob, rucio_data_access_HDfs.ipynb:152-158). Schemas of part-files
+    * are union-merged by the reader, missing fields null-filled. */
+  def readJsonLines(spark: SparkSession, glob: String): DataFrame =
+    spark.read.json(glob)
+
+  /** S4 filesystem listing source: enumerate files under a directory as a
+    * DataFrame(path, size, mtime). Driver-side Hadoop FS call (same as the
+    * reference's py4j listStatus, :203-208) — listings are small. */
+  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = if (fs.exists(p))
+      fs.listStatus(p).toSeq.map(s =>
+        (s.getPath.toString, s.getLen, s.getModificationTime, s.isDirectory))
+    else Seq.empty
+    rows.toDF("path", "size", "mtime_ms", "is_dir").orderBy("path")
+  }
+
+  /** S5 plain-text log scan: one row per line, trailing newline stripped
+    * (readlines+rstrip, word2vec_dbscan_approach.ipynb:68-76). */
+  def readTextLog(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path).map(_.stripLineEnd.stripTrailing())
+  }
+
+  /** S6 JSON sink (fetch_issues.py:42-43). One file per partition; callers
+    * coalesce(1) only for driver-local dumps. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S7 catalog listing. */
+  def catalogTables(spark: SparkSession): DataFrame =
+    spark.catalog.listTables().toDF.select("name", "tableType", "isTemporary")
+
+  /** S8 collect-to-local bridge: head / full collect / sampled collect
+    * (`showDf`, rucio_data_access_HDFS.ipynb:1262-1294). The sample runs
+    * distributed; only the sampled slice crosses to the driver. */
+  def headLocal(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] =
+    df.head(n)
+  def sampleLocal(df: DataFrame, fraction: Double,
+                  seed: Long = 42L): Array[org.apache.spark.sql.Row] =
+    df.sample(withReplacement = false, fraction, seed).collect()
+}

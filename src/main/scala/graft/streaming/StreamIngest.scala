@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingestion path (SURVEY.md §2.10): the reference's batch
+  * Kafka→HDFS archive scan (S3+P3+P1) re-expressed as Structured
+  * Streaming — file-source JSON with an explicit schema (streaming readers
+  * must not infer), event-time windowed counts with a watermark, and a
+  * mapGroupsWithState sessionizer for custom state.
+  *
+  * The clustering stages stay batch jobs over micro-batch output, exactly
+  * as planned in the survey (post-parity extension, not reference
+  * semantics).
+  */
+object StreamIngest {
+
+  /** S3-streaming: watch a directory of JSON-lines files. */
+  def readJsonStream(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** P3+P1 on the stream: filter error-ish event types and flatten. */
+  def errorEvents(stream: DataFrame, typeCol: String,
+                  errorTypes: Seq[String]): DataFrame =
+    stream.filter(col(typeCol).isin(errorTypes: _*))
+
+  /** Windowed error counts with a watermark: the streaming twin of the
+    * per-day/value_counts aggregations (A3/A4). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+
+  final case class SessionEvent(userId: Long, tsMs: Long)
+  final case class SessionState(n: Long, startMs: Long, lastMs: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, durationMs: Long,
+                              closed: Boolean)
+
+  /** Custom stateful op: per-user sessionization with an idle gap, via
+    * mapGroupsWithState (processing-time timeout). Demonstrates the
+    * KeyValueGroupedDataset state API the engine exposes for operators
+    * windows/aggregations can't express. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.n, s.lastMs - s.startMs, closed = true)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption
+            val start = prev.map(_.startMs)
+              .getOrElse(evs.map(_.tsMs).min)
+            val last = (prev.map(_.lastMs).toSeq ++ evs.map(_.tsMs)).max
+            val n = prev.map(_.n).getOrElse(0L) + evs.size
+            state.update(SessionState(n, start, last))
+            state.setTimeoutDuration(gapMs)
+            SessionOut(userId, n, last - start, closed = false)
+          }
+      }
+  }
+
+  /** Sink helper: append stream to parquet with a checkpoint. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint).start()
+}

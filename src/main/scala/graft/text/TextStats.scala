@@ -64,7 +64,7 @@ object TextStats {
     val wordLen = (nChar - (nTok - 1)) / greatest(nTok, lit(1.0))
     val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
     val stopScore = least(stopRatio * lit(4.0), lit(1.0))
-    round((lenScore + punctScore + wordLenScore + stopScore) / 4.0, 6)
+    (lenScore + punctScore + wordLenScore + stopScore) / 4.0
   }
 
   /** Content-defined document fingerprint: md5 of the lowercased,

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "THE  QUICK brown fox jumps over the lazy dog near the river bank today"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized fingerprint") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // doc 3 is a case/whitespace variant of doc 0 → dropped
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("minhash signature: near-identical docs share most components") {
+    val sigs = docs.filter($"doc_id" < 3)
+      .select($"doc_id", Dedup.minHashSignature($"text", k = 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }
+    assert(overlap(sigs(0L), sigs(1L)) > overlap(sigs(0L), sigs(2L)))
+    assert(overlap(sigs(0L), sigs(1L)) >= 16) // one-word tail change
+  }
+
+  test("nearDupPairs finds the near-pair, not the unrelated one") {
+    val pairs = Dedup.nearDupPairs(docs.filter($"doc_id" < 3), "doc_id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("nearDedup drops the higher-id near-duplicate") {
+    val kept = Dedup.nearDedup(docs.filter($"doc_id" < 3), "doc_id", "text",
+      threshold = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L))
+  }
+
+  test("simhash: hamming distance small for near-dups, large for different") {
+    val sh = docs.filter($"doc_id" < 3)
+      .select($"doc_id", Dedup.simHash64($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("ngramJaccard: identity 1, near-dup high, distinct low") {
+    val r = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") === 0)
+      .select(col("b.doc_id"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) == 1.0)
+    assert(r(1L) > 0.7)
+    assert(r(2L) < 0.3)
+  }
+}

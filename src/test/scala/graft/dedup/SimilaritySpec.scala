@@ -1,0 +1,42 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal 0, parallel 1, zero-vector guard 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(2.0f, 2.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(r(2) == 0.0)
+  }
+
+  test("bruteForceTopK returns self first on the embeddings fixture") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last)) // sorted desc
+  }
+
+  test("annTopK recall vs brute force is reasonable on the fixture") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 7).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+      bands = 12, bitsPerBand = 3)
+      .select("vec_id").as[Long].collect().toSet
+    // ANN contract: most of the true top-k in the candidate buckets
+    assert(approx.intersect(exact).size >= 3,
+      s"recall too low: ${approx.intersect(exact).size}/10")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated blobs + one far outlier
+  private val pts: Seq[(Long, Array[Double])] =
+    (0 until 10).map(i => (i.toLong, Array(0.0 + i * 0.1, 0.0))) ++
+    (0 until 10).map(i => (100L + i, Array(50.0 + i * 0.1, 0.0))) ++
+    Seq((999L, Array(500.0, 500.0)))
+
+  test("exact DBSCAN finds 2 clusters + 1 noise") {
+    val labels = Dbscan.exact(pts.map(_._2).toArray, eps = 0.5, minPts = 3)
+    assert(labels.count(_ == -1) == 1)
+    assert(labels.distinct.count(_ >= 0) == 2)
+    assert(labels.last == -1)
+  }
+
+  test("distributed DBSCAN label partition equals exact labels") {
+    val df = pts.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val dist = Dbscan.distributed(df, "id", "features", eps = 0.5, minPts = 3)
+      .as[(Long, Long)].collect().toMap
+    val exactDf = Dbscan.exactOnFrame(
+      pts.map { case (id, a) => (id, a.toSeq) }.toDF("id", "vec"),
+      "id", "vec", eps = 0.5, minPts = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(dist.keySet == exactDf.keySet)
+    // same partition: noise sets equal; clusters equal as min-id-labeled sets
+    assert(dist.filter(_._2 == -1L).keySet == exactDf.filter(_._2 == -1L).keySet)
+    assert(dist == exactDf)
+  }
+
+  test("kneedle finds the knee of a hockey-stick curve") {
+    // flat then sharp rise: knee near the bend
+    val curve = (0 until 50).map(i =>
+      if (i < 40) 1.0 + i * 0.01 else 1.4 + (i - 40) * 2.0).toArray
+    val eps = Kneedle.epsilonSearch(curve)
+    assert(eps.isDefined)
+    assert(eps.get >= 1.0 && eps.get <= 3.5)
+  }
+
+  test("external metrics: perfect clustering scores 1/1/1/1") {
+    val df = Seq((0, 0), (0, 0), (1, 1), (1, 1), (2, 2))
+      .toDF("label", "prediction")
+    val m = Metrics.external(df, "label", "prediction")
+    assert(math.abs(m.homogeneity - 1.0) < 1e-12)
+    assert(math.abs(m.completeness - 1.0) < 1e-12)
+    assert(math.abs(m.vMeasure - 1.0) < 1e-12)
+    assert(math.abs(m.adjustedRand - 1.0) < 1e-12)
+  }
+
+  test("external metrics: single cluster has completeness 1, low homogeneity") {
+    val df = Seq((0, 0), (0, 0), (1, 0), (1, 0)).toDF("label", "prediction")
+    val m = Metrics.external(df, "label", "prediction")
+    assert(math.abs(m.completeness - 1.0) < 1e-12)
+    assert(m.homogeneity < 0.01)
+  }
+}

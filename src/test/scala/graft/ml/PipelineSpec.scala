@@ -1,0 +1,50 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagship: cluster the documents fixture end-to-end (M7+M9+A13)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val clustered = TextPipeline.clusterDocuments(docs, "text", k = 5, nInit = 1)
+    assert(clustered.columns.contains("cluster"))
+    val n = clustered.count()
+    assert(n == docs.filter(length(trim($"text")) > 0).count())
+    val stats = ClusterStats.stats(clustered, "cluster", "text", "doc_id")
+    val rows = stats.collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    assert(stats.columns.toSeq == Seq("cluster", "n", "first_msg", "mean_len",
+      "std_len", "mean_similarity", "std_similarity"))
+    // row-count conservation (the reference's 2926≠2826 alert, inverted)
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("word2vec + sentence2vec + knn curve on a tiny corpus (M1-M3)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(60)
+      .select($"doc_id", graft.text.Clean.splitWs(lower($"text")).as("tokens"))
+    val model = Embed.word2vec(docs, "tokens", vectorSize = 16,
+      maxIter = 1, minCount = 1)
+    val vecs = Embed.sentence2vec(model, docs, "tokens")
+    assert(vecs.columns.contains("sent_vec"))
+    assert(vecs.count() == 60)
+    // curve over the vectors (as float arrays)
+    val arr = vecs.select($"doc_id",
+      VectorOps.toArray($"sent_vec").as("v"))
+    val curve = Embed.knnDistanceCurve(arr, "doc_id", "v", k = 8)
+      .as[(Int, Double)].collect()
+    assert(curve.length == 60)
+    // column-sorted: curve must be non-decreasing in i
+    assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12))
+  }
+
+  test("external metrics on the labeled embeddings fixture (M10)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // predict = label → perfect scores; shuffle labels → lower
+    val m = Metrics.external(emb.withColumn("pred", $"label"), "label", "pred")
+    assert(m.vMeasure == 1.0 && m.adjustedRand == 1.0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assets = Multimodal.fromText(
+    Seq((1L, "hello world payload"), (2L, ""), (3L, "another binary blob"))
+      .toDF("id", "txt"), "id", "txt")
+
+  test("fromText produces the canonical multimodal schema") {
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "modality", "payload", "meta"))
+    assert(assets.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("decodeStub fills deterministic dimensions; null payload stays null") {
+    val d1 = Multimodal.decodeStub(assets).select("asset_id", "meta.width")
+      .as[(Long, Option[Int])].collect().toMap
+    val d2 = Multimodal.decodeStub(assets).select("asset_id", "meta.width")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(d1 == d2) // deterministic
+    assert(d1(1L).isDefined && d1(1L).get >= 1 && d1(1L).get <= 1920)
+  }
+
+  test("featuresStub: fixed width, [0,1), zero-padded") {
+    val f = Multimodal.featuresStub(assets, dim = 8)
+      .select("asset_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f.values.forall(_.length == 8))
+    assert(f(1L).forall(v => v >= 0.0f && v < 1.0f))
+    assert(f(2L).forall(_ == 0.0f)) // empty payload → all padding
+  }
+
+  test("frameSample yields n frames per asset") {
+    val fr = Multimodal.frameSample(assets.filter($"asset_id" === 1), n = 4)
+      .select("frames").as[Seq[Array[Byte]]].head()
+    assert(fr.length == 4)
+  }
+
+  test("partitionByModality co-locates modalities") {
+    val parted = Multimodal.partitionByModality(assets, 2)
+    assert(parted.rdd.getNumPartitions == 2)
+  }
+}

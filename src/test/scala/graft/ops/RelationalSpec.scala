@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sales = Seq(
+    ("a", "x", 10), ("a", "y", 20), ("a", "x", 30),
+    ("b", "x", 40), ("b", "y", 50), ("c", "x", 60)).toDF("k", "g", "v")
+
+  test("valueCounts: descending with deterministic tie-break") {
+    val r = Relational.valueCounts(sales, "k").as[(String, Long)].collect()
+    assert(r.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("topK plans as TakeOrderedAndProject (no full sort at scale)") {
+    val plan = Relational.topK(sales, "k", 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
+
+  test("semiJoinTopN keeps only rows of top-n keys") {
+    val r = Relational.semiJoinTopN(sales, "k", 2)
+      .select("k").distinct().as[String].collect().sorted
+    assert(r.toSeq == Seq("a", "b"))
+  }
+
+  test("shareOfTotal divides by the GLOBAL total, not the top-n total") {
+    val r = Relational.shareOfTotal(sales, "k", 2)
+      .select("k", "share").as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 3.0 / 6.0) < 1e-12)
+    assert(math.abs(r("b") - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("topNPerGroup drops the helper column and keeps n per group") {
+    val r = Relational.topNPerGroup(sales, "g", desc("v"), col("k"), 2)
+    assert(!r.columns.contains("rn"))
+    val counts = r.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 2))
+  }
+
+  test("dedupCompute equals direct compute (inner-join identity)") {
+    val direct = sales.withColumn("kl", length($"k"))
+      .select("k", "g", "v", "kl").orderBy("k", "g", "v")
+    val viaDedup = Relational.dedupCompute(sales, "k")(u =>
+        u.withColumn("kl", length($"k")))
+      .select("k", "g", "v", "kl").orderBy("k", "g", "v")
+    assert(direct.collect().toSeq == viaDedup.collect().toSeq)
+  }
+
+  test("describeExact matches hand computation") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Relational.describeExact(df, "x").head()
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
+  }
+
+  test("crosstab counts match groupBy pairs") {
+    val ct = Relational.crosstab(sales, "k", "g", Seq("x", "y"))
+      .orderBy("k").collect()
+    assert(ct.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(ct(0).getLong(1) == 2L && ct(0).getLong(2) == 1L) // a: x=2, y=1
+    assert(ct(2).getLong(1) == 1L && ct(2).getLong(2) == 0L) // c: x=1, y=0
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamSpec extends SparkSpec {
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF.toDF("ts", "event_type")
+    val agg = StreamIngest.windowedCounts(df, "ts", "event_type",
+      window = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "error"),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "error"),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select($"event_type", $"cnt").as[(String, Long)].collect().toMap
+      assert(rows("error") == 2L)
+      assert(rows("click") == 1L)
+    } finally q.stop()
+  }
+
+  test("file-source json stream ingests the error filter path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, event_type STRING")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part1.json"),
+      """{"event_id":1,"event_type":"error"}
+        |{"event_id":2,"event_type":"click"}
+        |{"event_id":3,"event_type":"error"}""".stripMargin)
+    val stream = StreamIngest.readJsonStream(spark, dir, schema)
+    val errs = StreamIngest.errorEvents(stream, "event_type", Seq("error"))
+    val q = StreamIngest.writeParquetStream(errs, out, chk)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+}

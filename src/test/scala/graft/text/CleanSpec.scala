@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanMessage masks in reference order: line, uid, uuid, ws-norm") {
+    val in = Seq(
+      "error at line: 42  in job",
+      "token d41d8cd98f00b204e980 found",
+      "id 123e4567-e89b-42d3-a456-426614174000 gone",
+      "  spaced   out  ").toDF("t")
+    val out = in.select(Clean.cleanMessage($"t").as("c")).as[String].collect()
+    assert(out(0) == "error at line LINE_NUMBER in job")
+    assert(out(1) == "token UID found")
+    // the uuid's 12-char tail is UID-masked first (reference order quirk,
+    // applied faithfully): full uuid no longer matches the UUID regex
+    assert(out(2).contains("UID"))
+    assert(out(3) == "spaced out")
+  }
+
+  test("fuzzRatio: symmetric, 100 on equal, bounded [0,100]") {
+    val df = Seq(("kitten", "sitting"), ("same", "same"), ("", "")).toDF("a", "b")
+    val r = df.select(
+      Clean.fuzzRatio($"a", $"b").as("ab"),
+      Clean.fuzzRatio($"b", $"a").as("ba")).collect()
+    r.foreach { row =>
+      val (ab, ba) = (row.getDouble(0), row.getDouble(1))
+      assert(ab == ba)
+      assert(ab >= 0 && ab <= 100)
+    }
+    assert(r(1).getDouble(0) == 100.0)
+    assert(r(2).getDouble(0) == 100.0)
+  }
+
+  test("tokenizeTreebankish splits punctuation, keeps paths") {
+    val out = Seq("read /a/b/c.log failed [io error], retry!")
+      .toDF("t").select(Clean.tokenizeTreebankish($"t").as("tk"))
+      .as[Seq[String]].head()
+    assert(out.contains("/a/b/c.log"))
+    assert(out.contains("["))
+    assert(out.contains("]"))
+    assert(out.contains(","))
+    assert(out.contains("!"))
+    assert(!out.contains(""))
+  }
+
+  test("splitWs matches python str.split semantics") {
+    val out = Seq("  a  b\tc  ").toDF("t")
+      .select(Clean.splitWs($"t").as("tk")).as[Seq[String]].head()
+    assert(out == Seq("a", "b", "c"))
+  }
+}

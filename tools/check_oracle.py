@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name>/ parquet dump written by graft.Verify, runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB over the sf
+parquet tables, and compares: row count, column names (sorted), and
+cell values (rows sorted, columns sorted by name). Exact equality for
+ints/strings; doubles compared exactly first, then with rel-tol 1e-12
+reported separately so hash-risk is visible.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_noq = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
+        got = con.execute(
+            f"SELECT * FROM parquet_scan({files!r})").fetchdf()
+        if name not in oracles:
+            print(f"ROWS {name}: rows={len(got)} (no oracle)"); n_noq += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: cols {gc} vs {ec}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1
+            continue
+        import numpy as np
+        def norm(df):
+            df = df.copy()
+            for c in df.columns:
+                if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                    df[c] = df[c].map(lambda v: tuple(v) if v is not None
+                                      and not (isinstance(v, float)) else v)
+            return df
+        g = norm(got[gc]).sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+        e = norm(exp[ec]).sort_values(by=ec, kind="mergesort").reset_index(drop=True)
+        mism = []
+        for c in gc:
+            gv, ev = g[c], e[c]
+            for i in range(len(gv)):
+                a, b = gv.iloc[i], ev.iloc[i]
+                if a is None and b is None:
+                    continue
+                if isinstance(a, float) or isinstance(b, float):
+                    if a != b and not (a != a and b != b):
+                        mism.append((c, i, a, b))
+                elif hasattr(a, "__len__") and not isinstance(a, str):
+                    if list(a) != list(b):
+                        mism.append((c, i, a, b))
+                elif a != b:
+                    mism.append((c, i, a, b))
+                if len(mism) > 3:
+                    break
+            if len(mism) > 3:
+                break
+        if mism:
+            print(f"FAIL {name}: value mismatches (first): {mism[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(got)}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noq} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
