@@ -342,8 +342,9 @@ object SparkEntry {
     }),
     "m8_lsa" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
+      // cache: PCA fit + transform would each recompute the TF-IDF chain
       val feat = graft.ml.TextPipeline.tfidfPipeline(minDF = 1.0, maxDF = 0.95)
-        .fit(docs).transform(docs)
+        .fit(docs).transform(docs).cache()
       graft.ml.TextPipeline.lsa(dim = 10).fit(feat).transform(feat)
         .select(col("doc_id"),
           graft.ml.VectorOps.dim(col("lsa_vec")).as("dim"))

@@ -52,6 +52,7 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

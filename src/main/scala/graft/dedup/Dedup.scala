@@ -75,14 +75,18 @@ object Dedup {
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
                    gram: Int = 8, stride: Int = 4): DataFrame = {
     val rows = k / bands
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm", Clean.normWs(lower(col("text"))))
+      // native codegen'd signature (graft.expr.MinHashSig) — the
+      // interpreted transform/aggregate formulation profiled 40s+ at
+      // sf0.1; the compiled kernel is a single byte pass
+      .withColumn("sig", call_function("graft_minhash",
+        col("norm"), lit(k), lit(gram), lit(stride)))
       .withColumn("hs", transform(
         sequence(lit(1), greatest(length(col("norm")) - (gram - 1), lit(1)),
           lit(stride)),
         i => xxhash64(col("norm").substr(i, lit(gram)))))
-      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
-        p => array_min(transform(col("hs"), h => xxhash64(h, p)))))
     val keyed = base
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rows)))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))

@@ -1,0 +1,50 @@
+package graft.expr
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine extensions: native expressions registered into the session's
+  * function registry, so SQL and the Column API (`call_function`) reach
+  * them. Install with `spark.sql.extensions=graft.expr.GraftExtensions`,
+  * or imperatively via [[GraftFunctions.ensureRegistered]] (operators do
+  * this on first use, so an unconfigured session still works).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val minHash: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s) => MinHashSig(s, 32, 8, 4)
+      case Seq(s, k, g, st) =>
+        MinHashSig(s, intLit(k, "k"), intLit(g, "gram"), intLit(st, "stride"))
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash(text[, k, gram, stride])")
+    })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash)
+
+  /** Idempotently register the engine functions in `spark`'s session
+    * registry (for sessions built without the extensions config). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -68,11 +68,21 @@ object TextPipeline {
                        useLsa: Boolean = false, nInit: Int = 2): DataFrame = {
     val txt = docs.withColumn("text", col(textCol))
       .filter(length(trim(col("text"))) > 0)
+    // Cache the vectorized frame: KMeans iterates (maxIter up to 500) and
+    // each iteration would otherwise recompute the whole tokenize→TF-IDF
+    // chain from the scan — the single biggest wall-clock lever here.
     val feat = tfidfPipeline().fit(txt).transform(txt)
     val (clusterInput, featCol) =
-      if (useLsa) (lsa().fit(feat).transform(feat), "lsa_vec")
+      if (useLsa) (lsa().fit(feat.cache()).transform(feat), "lsa_vec")
       else (feat, "features")
-    val km = kmeansBest(clusterInput, featCol, k, nInit = nInit)
-    km.transform(clusterInput).withColumnRenamed("prediction", "cluster")
+    clusterInput.cache()
+    try {
+      val km = kmeansBest(clusterInput, featCol, k, nInit = nInit)
+      // materialize the labels before unpersisting the iteration cache
+      val out = km.transform(clusterInput)
+        .withColumnRenamed("prediction", "cluster")
+      out.cache().count()
+      out
+    } finally clusterInput.unpersist()
   }
 }

@@ -43,6 +43,19 @@ object Relational {
     df.groupBy(col(rowKey)).pivot(colKey, colValues).count()
       .na.fill(0).orderBy(col(rowKey))
 
+  /** A5 crosstab with pandas-style value discovery: one extra distinct
+    * pass finds the pivot columns (capped — a pivot wider than `maxCols`
+    * is a misuse of crosstab, not a bigger crosstab), then the single
+    * pivot shuffle as above. */
+  def crosstabDiscover(df: DataFrame, rowKey: String, colKey: String,
+                       maxCols: Int = 10000): DataFrame = {
+    val values = df.select(col(colKey).cast("string")).distinct()
+      .limit(maxCols + 1).collect().map(_.getString(0)).sorted
+    require(values.length <= maxCols,
+      s"crosstab: more than $maxCols distinct values in $colKey")
+    crosstab(df, rowKey, colKey, values.toSeq)
+  }
+
   /** A6 describe: count/mean/min/max (+ stddev) of one numeric column.
     * mean is routed through exact decimal (see Tables.davg) by callers that
     * need oracle parity. */

@@ -44,15 +44,19 @@ object StreamIngest {
                               closed: Boolean)
 
   /** Custom stateful op: per-user sessionization with an idle gap, via
-    * mapGroupsWithState (processing-time timeout). Demonstrates the
-    * KeyValueGroupedDataset state API the engine exposes for operators
-    * windows/aggregations can't express. */
+    * mapGroupsWithState (processing-time timeout; pass gapMs <= 0 for
+    * NoTimeout — sessions then never auto-close, which is also what
+    * deterministic tests need, since a pending processing-time timeout
+    * keeps `processAllAvailable` from ever seeing an idle stream).
+    * Demonstrates the KeyValueGroupedDataset state API the engine exposes
+    * for operators windows/aggregations can't express. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeout = if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionOut](timeout) {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -66,7 +70,7 @@ object StreamIngest {
             val last = (prev.map(_.lastMs).toSeq ++ evs.map(_.tsMs)).max
             val n = prev.map(_.n).getOrElse(0L) + evs.size
             state.update(SessionState(n, start, last))
-            state.setTimeoutDuration(gapMs)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
             SessionOut(userId, n, last - start, closed = false)
           }
       }

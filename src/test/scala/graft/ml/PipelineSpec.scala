@@ -41,6 +41,15 @@ class PipelineSpec extends SparkSpec {
     assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12))
   }
 
+  test("silhouette on the labeled embeddings fixture (M10)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label",
+        VectorOps.toMlVector($"embedding").as("features"))
+      .withColumn("prediction", $"label")
+    val s = Metrics.silhouette(emb, "features", "prediction")
+    assert(s >= -1.0 && s <= 1.0)
+  }
+
   test("external metrics on the labeled embeddings fixture (M10)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // predict = label → perfect scores; shuffle labels → lower

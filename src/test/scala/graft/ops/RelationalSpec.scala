@@ -58,6 +58,13 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
   }
 
+  test("crosstabDiscover finds pivot values itself (pandas parity)") {
+    val auto = Relational.crosstabDiscover(sales, "k", "g").orderBy("k")
+    val explicit = Relational.crosstab(sales, "k", "g", Seq("x", "y")).orderBy("k")
+    assert(auto.columns.toSeq == explicit.columns.toSeq)
+    assert(auto.collect().toSeq == explicit.collect().toSeq)
+  }
+
   test("crosstab counts match groupBy pairs") {
     val ct = Relational.crosstab(sales, "k", "g", Seq("x", "y"))
       .orderBy("k").collect()

@@ -29,6 +29,27 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: per-user counts and duration via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.SessionEvent]
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapMs = 0)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        StreamIngest.SessionEvent(1L, 1000L),
+        StreamIngest.SessionEvent(1L, 5000L),
+        StreamIngest.SessionEvent(2L, 2000L))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[StreamIngest.SessionOut].collect().map(s => s.userId -> s).toMap
+      assert(rows(1L).nEvents == 2L && rows(1L).durationMs == 4000L)
+      assert(rows(2L).nEvents == 1L && rows(2L).durationMs == 0L)
+      assert(!rows(1L).closed)
+    } finally q.stop()
+  }
+
   test("file-source json stream ingests the error filter path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
