@@ -39,30 +39,23 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-bit of the projection of `vec` onto a pseudo-random hyperplane
-    * derived from (seed, bit, dim) via xxhash64 — deterministic, no
-    * broadcast of plane matrices needed. */
-  private def planeBit(vec: Column, bit: Int, seed: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, i) => v.cast("double") *
-          (pmod(xxhash64(lit(seed), lit(bit) * 4096 + i), lit(2001L)) - 1000L)
-            .cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj > 0, 1L).otherwise(0L)
-  }
-
   /** Banded random-hyperplane LSH keys: `bands` keys of `bitsPerBand` sign
-    * bits each. Vectors with cosine near 1 agree on most sign bits, so
-    * they collide on at least one band w.h.p. */
+    * bits each, sliced from one packed-bits code computed by the native
+    * graft_rhp_bits expression (graft.expr.RhpBits — one compiled loop
+    * instead of interpreted per-element lambdas). Vectors with cosine near
+    * 1 agree on most sign bits, so they collide on ≥1 band w.h.p. */
   def rhpBandKeys(vec: Column, bands: Int = 8, bitsPerBand: Int = 4,
-                  seed: Int = 42): Column =
+                  seed: Int = 42): Column = {
+    require(bands * bitsPerBand <= 64, "bands*bitsPerBand must be <= 64")
+    val code = call_function("graft_rhp_bits", vec,
+      lit(bands * bitsPerBand), lit(seed))
+    val mask = (1L << bitsPerBand) - 1
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        (0 until bitsPerBand).map(r => planeBit(vec, b * bitsPerBand + r, seed))
-          .reduce((acc, bit) => acc * 2 + bit).as("bucket"))
+        shiftright(code, b * bitsPerBand).bitwiseAND(mask).as("bucket"))
     }: _*)
+  }
 
   /** Approximate cosine similarity join: bucket both sides with the same
     * banded LSH, join per (band, bucket), verify exact cosine ≥ threshold.
@@ -70,6 +63,7 @@ object Similarity {
   def annCosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, bands: Int = 8,
                     bitsPerBand: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(left.sparkSession)
     def keyed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
         .withColumn("bk", explode(rhpBandKeys(col(s"vec_$side"), bands, bitsPerBand)))

@@ -36,8 +36,19 @@ object GraftFunctions {
         "graft_minhash(text[, k, gram, stride])")
     })
 
+  private val rhpBits: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_rhp_bits"),
+    new ExpressionInfo(classOf[RhpBits].getName, "graft_rhp_bits"),
+    (args: Seq[Expression]) => args match {
+      case Seq(v) => RhpBits(v, 32, 42)
+      case Seq(v, b, s) => RhpBits(v, intLit(b, "bits"), intLit(s, "seed"))
+      case _ => throw new IllegalArgumentException(
+        "graft_rhp_bits(vec[, bits, seed])")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
-      FunctionRegistry.FunctionBuilder)] = Seq(minHash)
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits)
 
   /** Idempotently register the engine functions in `spark`'s session
     * registry (for sessions built without the extensions config). */
