@@ -302,6 +302,16 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.annTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    "llm_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = 8)
+      search(q)(10)
+    }),
+    "a2_distinct_approx" -> ((s, dir) =>
+      Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
     "m1_m2_word2vec" -> ((s, dir) => {
@@ -353,6 +363,63 @@ object SparkEntry {
     "m10_metrics" -> ((s, dir) =>
       graft.ml.Metrics.externalFrame(
         labeled(s, dir).withColumn("pred", col("lang")), "label", "pred")),
+    // The reference's §3.2 flagship traced end-to-end: clean → tokenize →
+    // word2vec → sentence2vec (blank-guarded) → kNN curve → Kneedle ε →
+    // DBSCAN → per-cluster stats. Rows-only (stochastic embedding).
+    "m_flagship_w2v_dbscan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").limit(500)
+        .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
+      val toks = docs.select(col("doc_id"), col("text"),
+          Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
+        .filter(size(col("tokens")) > 0)
+      val model = graft.ml.Embed.word2vec(toks, "tokens", vectorSize = 16,
+        maxIter = 1)
+      val vecs = graft.ml.Embed.sentence2vec(model, toks, "tokens")
+        .select(col("doc_id"), col("text"),
+          graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
+        .cache()
+      val curve = graft.ml.Embed
+        .knnDistanceCurve(vecs, "doc_id", "v", k = 10)
+        .orderBy("i").select("curve").collect().map(_.getDouble(0))
+      val eps = graft.ml.Kneedle.epsilonSearch(curve)
+        .getOrElse(curve(curve.length / 2))
+      val labels = graft.ml.Dbscan.distributed(
+        vecs.select(col("doc_id"),
+          graft.ml.VectorOps.toMlVector(col("v")).as("features")),
+        "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
+      ClusterStats.stats(vecs.join(labels, "doc_id"),
+        "label", "text", "doc_id")
+    }),
+    // Streaming ingest of the events table via the file source with an
+    // availableNow-style bounded run: same aggregation as the batch twin,
+    // so it gets a REAL correctness row (the streaming plan must produce
+    // the batch answer).
+    "st1_stream_hourly" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // watermarks require TIMESTAMP (not NTZ); session is UTC so the
+      // wall-clock matches — NTZ conversion happens on the output side
+      // the file stream source monitors a DIRECTORY; expose the single
+      // parquet fixture through a temp dir symlink
+      val streamDir = Files.createTempDirectory("graft_st1")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val qname = "st1_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("window.start").cast("timestamp_ntz").as("hour"),
+          col("event_type"), col("cnt"))
+        .orderBy("hour", "event_type")
+    }),
 
     // ---- headline pricing aggregate (bench anchor) ------------------
     "q1_pricing" -> ((s, dir) =>
@@ -499,6 +566,9 @@ object SparkEntry {
     "f12_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt FROM events " +
         "GROUP BY 1 ORDER BY hour"),
+    "st1_stream_hourly" -> (
+      "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
     "llm_lang_id" -> ( langIdSql),
     "llm_token_counts" -> (
       s"""SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 """ +

@@ -79,6 +79,42 @@ object Similarity {
       .select("id_l", "id_r", "cos_sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: partition vectors into nlist
+    * KMeans cells once (the "index"), then search only the nprobe cells
+    * whose centroids are nearest the query. The scale path when LSH recall
+    * is too coarse: cell assignment is one narrow column, candidates are
+    * nprobe/nlist of the data, and the final ranking is exact cosine.
+    * Returns (model to reuse, search function). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L)
+      : (DataFrame, Seq[Float] => Int => DataFrame) = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol), col(vecCol),
+      graft.ml.VectorOps.toMlVector(col(vecCol)).as("_mlvec"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("_mlvec")
+      .setPredictionCol("_cell").fit(vecs)
+    val assigned = km.transform(vecs).drop("_mlvec").cache()
+    val centroids = km.clusterCenters.map(_.toArray)
+    val search: Seq[Float] => Int => DataFrame = q => k => {
+      val qa = q.map(_.toDouble).toArray
+      def d2(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - qa(i); s += d * d; i += 1 }
+        s
+      }
+      val nprobe = math.max(1, nlist / 4)
+      val cells = centroids.zipWithIndex.sortBy(p => d2(p._1))
+        .take(nprobe).map(_._2)
+      val qc = array(q.map(v => lit(v)): _*)
+      assigned.filter(col("_cell").isin(cells: _*))
+        .select(col(idCol), cosine(col(vecCol), qc).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col(idCol))
+        .limit(k)
+    }
+    (assigned, search)
+  }
+
   /** Approximate nearest-neighbor top-k for a query vector via the LSH
     * join (query as a 1-row frame — same bucketing expression both sides,
     * so no driver-side hashing is needed). Falls back to fewer than k rows

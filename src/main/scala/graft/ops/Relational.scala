@@ -138,4 +138,11 @@ object Relational {
   /** A2 distinct count, exact; pair with approx_count_distinct at scale. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))
+
+  /** A2 scale variant: HyperLogLog++ distinct count — one pass, no
+    * shuffle of the values themselves, bounded memory at any cardinality
+    * (the exact form shuffles every distinct value). */
+  def distinctCountApprox(df: DataFrame, c: String,
+                          rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
 }

@@ -76,6 +76,18 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** One-pass JSON→Parquet ingest (SURVEY.md §4: JSON scans can't push
+    * predicates into the parser; converting once buys columnar reads,
+    * stats-based pruning and pushdown for every later query). Partition
+    * columns (e.g. day) become directory-level pruning. */
+  def convertJsonToParquet(spark: SparkSession, jsonGlob: String,
+                           outPath: String,
+                           partitionBy: Seq[String] = Nil): Unit = {
+    val w = spark.read.json(jsonGlob).write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(outPath)
+  }
+
   /** S7 catalog listing. */
   def catalogTables(spark: SparkSession): DataFrame =
     spark.catalog.listTables().toDF.select("name", "tableType", "isTemporary")

@@ -27,6 +27,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last)) // sorted desc
   }
 
+  test("ivfTopK: self is top hit; recall vs brute force reasonable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0)
+    val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val top = search(q)(10).as[(Long, Double)].collect()
+    assert(top.head._1 == 3L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.map(_._1).toSet.intersect(exact).size >= 3)
+  }
+
   test("annTopK recall vs brute force is reasonable on the fixture") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter($"vec_id" === 7).select("embedding").head().getSeq[Float](0)
