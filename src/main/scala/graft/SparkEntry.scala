@@ -205,6 +205,14 @@ object SparkEntry {
       Relational.describeExact(t(s, dir, "orders"), "o_totalprice")),
 
     // ---- windows / sorts / limits -----------------------------------
+    // Same semantics and ORACLE as w1, but through the custom
+    // LogicalPlan + SparkStrategy + SparkPlan (graft.plans.TopKPerGroup):
+    // a k-bounded heap per group instead of a full window sort.
+    "w1_native_topk" -> ((s, dir) =>
+      graft.plans.TopKPerGroup(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          Seq("event_type"), Seq(("value", false), ("event_id", true)), 3)
+        .orderBy(col("event_type"), desc("value"), col("event_id"))),
     "w1_top_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(t(s, dir, "events"), "event_type",
           desc("value"), col("event_id"), 3)
@@ -533,6 +541,11 @@ object SparkEntry {
         "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
         "GROUP BY e.label ORDER BY e.label"),
     "a15_column_stats" -> ( describeSql("orders", "o_totalprice")),
+    "w1_native_topk" -> (
+      "SELECT event_id, event_type, value FROM (" +
+        "SELECT event_id, event_type, value, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) " +
+        "WHERE rn <= 3 ORDER BY event_type, value DESC, event_id"),
     "w1_top_per_group" -> (
       "SELECT event_id, event_type, value FROM (" +
         "SELECT event_id, event_type, value, row_number() OVER (" +

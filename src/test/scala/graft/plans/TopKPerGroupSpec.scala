@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+    .select($"event_id", $"event_type", $"value")
+
+  test("custom physical operator matches the window formulation exactly") {
+    val native = TopKPerGroup(events, Seq("event_type"),
+        Seq(("value", false), ("event_id", true)), k = 3)
+      .orderBy($"event_type", desc("value"), $"event_id")
+    val window = Relational.topNPerGroup(events, "event_type",
+        desc("value"), $"event_id", 3)
+      .select("event_id", "event_type", "value")
+      .orderBy($"event_type", desc("value"), $"event_id")
+    assert(native.columns.toSeq == Seq("event_id", "event_type", "value"))
+    assert(native.collect().toSeq == window.collect().toSeq)
+  }
+
+  test("plan uses TopKPerGroupExec, not Window+Sort") {
+    val df = TopKPerGroup(events, Seq("event_type"),
+      Seq(("value", false), ("event_id", true)), k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"plan was:\n$plan")
+    assert(!plan.contains("Window"), s"plan was:\n$plan")
+  }
+
+  test("k larger than any group returns everything") {
+    val n = events.count()
+    val all = TopKPerGroup(events, Seq("event_type"),
+      Seq(("event_id", true)), k = n.toInt + 10)
+    assert(all.count() == n)
+  }
+
+  test("unknown column fails with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup(events, Seq("nope"), Seq(("value", true)), 1)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
