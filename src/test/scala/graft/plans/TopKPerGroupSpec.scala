@@ -30,6 +30,25 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"plan was:\n$plan")
   }
 
+  test("optimizer rule rewrites the window row_number<=k pattern") {
+    // the standard window formulation, written blind to the custom op
+    val windowForm = Relational.topNPerGroup(events, "event_type",
+      desc("value"), $"event_id", 3)
+    val plan = windowForm.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"window still present:\n$plan")
+  }
+
+  test("rule leaves non-top-k windows alone (global row_number, first_value)") {
+    val globalRn = events.select($"event_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("event_id")).as("rn")).filter($"rn" <= 5)
+    assert(globalRn.count() == 5) // still correct, not rewritten (no partition)
+    val plan = globalRn.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerGroup"))
+  }
+
   test("k larger than any group returns everything") {
     val n = events.count()
     val all = TopKPerGroup(events, Seq("event_type"),
