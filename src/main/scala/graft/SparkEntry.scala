@@ -158,6 +158,15 @@ object SparkEntry {
         .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
     }),
 
+    "jx_skew_safe_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nk"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      Relational.skewSafeJoin(cust, nat, "nk", salt = 4)
+        .select("c_custkey", "n_name").orderBy("c_custkey")
+    }),
+
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
@@ -331,6 +340,12 @@ object SparkEntry {
           graft.ml.VectorOps.dim(col("sent_vec")).as("dim"))
         .orderBy("doc_id")
     }),
+    "a6_quantiles" -> ((s, dir) =>
+      Relational.quantiles(t(s, dir, "orders"), "o_totalprice")),
+    "m3_knn_curve_approx" -> ((s, dir) =>
+      graft.ml.Embed.knnDistanceCurveApprox(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", k = 17)),
     "m3_knn_curve" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurve(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
@@ -487,6 +502,9 @@ object SparkEntry {
         "sqrt(list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v) " +
         "+ list_dot_product(b.v, b.v)) < 1.3 ORDER BY id_a, id_b"),
     "a1_count" -> ( "SELECT count(*) AS cnt FROM events"),
+    "jx_skew_safe_join" -> (
+      "SELECT c_custkey, n_name FROM customer JOIN nation " +
+        "ON c_nationkey = n_nationkey ORDER BY c_custkey"),
     "a2_distinct_count" -> (
       "SELECT count(DISTINCT text) AS n_distinct FROM documents"),
     "a3_value_counts" -> (

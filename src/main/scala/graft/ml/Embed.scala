@@ -48,15 +48,38 @@ object Embed {
                        k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+    curveFromPairs(pairs, k)
+  }
+
+  /** Scale path for M3: candidate pairs come from the banded
+    * random-hyperplane LSH join instead of the n² cross join, then the
+    * same rank/column-sort/row-mean. Approximate exactly where ANN is:
+    * a point's j-th neighbor may be its j-th nearest CANDIDATE. At 100 TB
+    * the exact curve is unobtainable; the knee only needs the curve's
+    * shape. */
+  def knnDistanceCurveApprox(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, bands: Int = 12, bitsPerBand: Int = 3)
+      : DataFrame = {
+    val cands = graft.dedup.Similarity.annCosineJoin(
+        df.select(col(idCol), col(vecCol)),
+        df.select(col(idCol), col(vecCol)),
+        idCol, vecCol, threshold = -1.0, bands, bitsPerBand)
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    curveFromPairs(cands.join(va, "id_a").join(vb, "id_b"), k)
+  }
+
+  private def curveFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     val diff2 = aggregate(
       zip_with(col("va"), col("vb"),
         (x, y) => (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
-    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
-      .withColumn("dist", sqrt(diff2))
+    val withDist = pairs.withColumn("dist", sqrt(diff2))
     val wNeighbors = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
-    val topK = pairs
+    val topK = withDist
       .withColumn("j", row_number().over(wNeighbors))
       .filter(col("j") <= k)
     val useCols = if (k > 2) topK else topK.filter(col("j") === 2)

@@ -135,6 +135,31 @@ object Relational {
     df.join(if (hintBroadcast) broadcast(computed) else computed, Seq(key), "inner")
   }
 
+  /** Skew-safe equi-join: salt the (skewed) fact side into `salt`
+    * sub-keys and replicate the dim side once per sub-key, so a hot key's
+    * rows spread over `salt` tasks instead of one straggler. AQE's skew
+    * handling covers sort-merge joins after the fact; explicit salting is
+    * the deterministic fix when the hot keys are known to be extreme
+    * (the 100 TB case: one error message = 30% of the corpus). */
+  def skewSafeJoin(fact: DataFrame, dim: DataFrame, key: String,
+                   salt: Int = 8): DataFrame = {
+    require(salt > 1)
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** A6 pandas-variant quantiles: approx percentiles of a numeric column
+    * (exact percentile requires a full sort; approx_percentile is the
+    * one-pass scale form — accuracy parameter trades memory for error). */
+  def quantiles(df: DataFrame, c: String,
+                probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(c),
+      array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
   /** A2 distinct count, exact; pair with approx_count_distinct at scale. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))

@@ -73,19 +73,14 @@ object TextStats {
     md5(Clean.normWs(lower(text)).cast("binary"))
 
   /** Near-dup fingerprint over 8-gram character shingles at fixed stride:
-    * min of xxhash64 over sampled shingle positions. Stride bounds the
-    * work/memory to O(len/stride) per row (no per-char array), so the scan
-    * stays full-speed on multi-MB documents; stride 4 still samples every
-    * gram window at gram=8 with 50% overlap. One hash family only — use
-    * [[graft.dedup.Dedup.minHashSignature]] for real banded-LSH dedup. */
-  def fingerprintShingle(text: Column, gram: Int = 8, stride: Int = 4): Column = {
-    val norm = Clean.normWs(lower(text))
-    val n = length(norm)
-    val hashes = transform(
-      sequence(lit(1), greatest(n - (gram - 1), lit(1)), lit(stride)),
-      i => xxhash64(norm.substr(i, lit(gram))))
-    array_min(hashes)
-  }
+    * a 1-permutation MinHash via the native graft_minhash expression (one
+    * compiled byte pass — the interpreted transform form re-evaluated the
+    * normalization per element). One hash family only — use
+    * [[graft.dedup.Dedup.nearDupPairs]] for real banded-LSH dedup.
+    * Requires an engine session (GraftExtensions / ensureRegistered). */
+  def fingerprintShingle(text: Column, gram: Int = 8, stride: Int = 4): Column =
+    element_at(call_function("graft_minhash",
+      Clean.normWs(lower(text)), lit(1), lit(gram), lit(stride)), 1)
 
   /** Full per-document stats frame (one scan, no shuffle). */
   def documentStats(df: DataFrame, textCol: String): DataFrame =

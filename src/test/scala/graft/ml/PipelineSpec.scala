@@ -41,6 +41,18 @@ class PipelineSpec extends SparkSpec {
     assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12))
   }
 
+  test("knnDistanceCurveApprox tracks the exact curve's scale") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(60)
+    val exact = Embed.knnDistanceCurve(emb, "vec_id", "embedding", k = 5)
+      .agg(avg("curve")).head().getDouble(0)
+    val approx = Embed.knnDistanceCurveApprox(emb, "vec_id", "embedding",
+      k = 5, bands = 12, bitsPerBand = 2)
+      .agg(avg("curve")).head().getDouble(0)
+    // candidates are a subset => per-point j-th candidate distance >= exact
+    assert(approx >= exact - 1e-9)
+    assert(approx <= exact * 2.0, s"approx=$approx exact=$exact")
+  }
+
   test("silhouette on the labeled embeddings fixture (M10)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"label",

@@ -58,6 +58,30 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
   }
 
+  test("skewSafeJoin equals the plain join result") {
+    val dim = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "dimv")
+    val plain = sales.join(dim, "k").select("k", "g", "v", "dimv")
+      .orderBy("k", "g", "v").collect().toSeq
+    val salted = Relational.skewSafeJoin(sales, dim, "k", salt = 4)
+      .select("k", "g", "v", "dimv").orderBy("k", "g", "v").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("quantiles returns monotone approx percentiles") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val q = Relational.quantiles(df, "x").head().getSeq[Double](0)
+    assert(q.length == 3)
+    assert(q(0) <= q(1) && q(1) <= q(2))
+    assert(math.abs(q(1) - 500.0) < 20)
+  }
+
+  test("typed Dataset loaders expose the fixed schemas") {
+    val docs = graft.core.Schemas.documents(spark, sfDir)
+    val first = docs.head()
+    assert(first.n_chars == first.text.length)
+    assert(graft.core.Schemas.embeddings(spark, sfDir).head().embedding.nonEmpty)
+  }
+
   test("crosstabDiscover finds pivot values itself (pandas parity)") {
     val auto = Relational.crosstabDiscover(sales, "k", "g").orderBy("k")
     val explicit = Relational.crosstab(sales, "k", "g", Seq("x", "y")).orderBy("k")
