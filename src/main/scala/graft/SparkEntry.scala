@@ -390,7 +390,7 @@ object SparkEntry {
     // word2vec → sentence2vec (blank-guarded) → kNN curve → Kneedle ε →
     // DBSCAN → per-cluster stats. Rows-only (stochastic embedding).
     "m_flagship_w2v_dbscan" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").limit(500)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
       val toks = docs.select(col("doc_id"), col("text"),
           Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
@@ -442,6 +442,13 @@ object SparkEntry {
         .select(col("window.start").cast("timestamp_ntz").as("hour"),
           col("event_type"), col("cnt"))
         .orderBy("hour", "event_type")
+    }),
+
+    // ---- SQL surface: the same portable ANSI string runs on both
+    // engines (spark.sql over registered views IS the oracle SQL) ------
+    "sql_pricing" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PortablePricingSql)
     }),
 
     // ---- headline pricing aggregate (bench anchor) ------------------
@@ -625,6 +632,7 @@ object SparkEntry {
         "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
         "FROM embeddings) " +
         "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "sql_pricing" -> PortablePricingSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
         "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty, " +
@@ -633,6 +641,14 @@ object SparkEntry {
         "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus")
   )
+
+  /** One portable ANSI string, executed verbatim by BOTH spark.sql and
+    * the DuckDB oracle — the SQL-surface parity demonstration. */
+  private val PortablePricingSql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+      "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"
 
   /** Oracle twin of Relational.describeExact — exact decimal sums, same
     * double arithmetic order. */
