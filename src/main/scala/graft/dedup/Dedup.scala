@@ -70,10 +70,17 @@ object Dedup {
     * consumes it: Spark's higher-order functions are interpreted, and an
     * expression nested inside a lambda is re-evaluated per element — with
     * the projection boundary each stage reads a bound attribute instead
-    * (one evaluation per row, O(len/stride + k·len/stride) total). */
+    * (one evaluation per row, O(len/stride + k·len/stride) total).
+    *
+    * `maxBucketSize` caps the per-(band,bucket) candidate fan-in: a hot
+    * bucket (e.g. thousands of identical boilerplate docs) would create a
+    * quadratic join. Overflowing buckets are dropped from CANDIDATE
+    * GENERATION only — their members still pair through their other
+    * bands, and truly identical docs belong to exact dedup anyway. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-                   gram: Int = 8, stride: Int = 4): DataFrame = {
+                   gram: Int = 8, stride: Int = 4,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -87,9 +94,13 @@ object Dedup {
         sequence(lit(1), greatest(length(col("norm")) - (gram - 1), lit(1)),
           lit(stride)),
         i => xxhash64(col("norm").substr(i, lit(gram)))))
-    val keyed = base
+    val keyedRaw = base
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rows)))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val okBuckets = keyedRaw.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
+      .select("band", "bucket")
+    val keyed = keyedRaw.join(okBuckets, Seq("band", "bucket"), "left_semi")
     val cands = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -62,14 +62,25 @@ object Similarity {
     * Returns (left id, right id, cos_sim) distinct pairs. */
   def annCosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, bands: Int = 8,
-                    bitsPerBand: Int = 4): DataFrame = {
+                    bitsPerBand: Int = 4,
+                    maxBucketSize: Int = 100000): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(left.sparkSession)
     def keyed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
         .withColumn("bk", explode(rhpBandKeys(col(s"vec_$side"), bands, bitsPerBand)))
         .select(col(s"id_$side"), col(s"vec_$side"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cands = keyed(left, "l").join(keyed(right, "r"), Seq("band", "bucket"))
+    // Hot-bucket guard (quadratic-join cap): prune buckets whose RIGHT
+    // side exceeds maxBucketSize — their members still match via other
+    // bands. With 2^bitsPerBand buckets per band, skewed embedding
+    // distributions (all-zero vectors, boilerplate) otherwise join n².
+    val rightKeyed = keyed(right, "r")
+    val okBuckets = rightKeyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
+      .select("band", "bucket")
+    val cands = keyed(left, "l")
+      .join(rightKeyed.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
       .filter(col("id_l") =!= col("id_r"))
       .select("id_l", "vec_l", "id_r", "vec_r")
       .dropDuplicates("id_l", "id_r")

@@ -12,22 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** A3 `value_counts`: per-key frequency, descending, deterministic
+  /** A3 `value_counts` (rucio_data_exploration.ipynb:800-801): per-key
+    * frequency, descending, deterministic
     * tie-break on the key. One shuffle (partial agg map-side). */
   def valueCounts(df: DataFrame, key: String, cntCol: String = "cnt"): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as(cntCol))
       .orderBy(desc(cntCol), col(key))
 
-  /** A4 multi-key group size (`groupby([k1,k2]).size()`). */
+  /** A4 multi-key group size (`groupby([k1,k2]).size()`,
+    * rucio_data_exploration.ipynb:1185-1186). */
   def groupSize(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
 
-  /** O3 top-k of a value_counts (`value_counts()[:k]`), deterministic.
+  /** O3 top-k of a value_counts (`value_counts()[:k]`,
+    * rucio_data_exploration.ipynb:860-865), deterministic.
     * Catalyst plans this as TakeOrderedAndProject — no full sort at scale. */
   def topK(df: DataFrame, key: String, k: Int): DataFrame =
     valueCounts(df, key).limit(k)
 
-  /** P4/J1: semi-join against the computed top-n key list. The top-n list is
+  /** P4/J1 (rucio_data_exploration.ipynb:1057): semi-join against the
+    * computed top-n key list. The top-n list is
     * tiny by construction, so Spark broadcasts it; at 100 TB the fact side
     * never shuffles. */
   def semiJoinTopN(fact: DataFrame, key: String, n: Int): DataFrame = {
@@ -35,7 +39,8 @@ object Relational {
     fact.join(broadcast(top), Seq(key), "left_semi")
   }
 
-  /** A5 crosstab (`pd.crosstab`): groupBy(row).pivot(col).count with an
+  /** A5 crosstab (`pd.crosstab`, rucio_data_exploration.ipynb:1487-1490):
+    * groupBy(row).pivot(col).count with an
     * explicit value list so the plan is a single shuffle (no extra pass to
     * discover pivot values). */
   def crosstab(df: DataFrame, rowKey: String, colKey: String,
@@ -56,7 +61,9 @@ object Relational {
     crosstab(df, rowKey, colKey, values.toSeq)
   }
 
-  /** A6 describe: count/mean/min/max (+ stddev) of one numeric column.
+  /** A6 describe (rucio_data_exploration.ipynb:607;
+    * rucio_data_access_HDFS.ipynb:2320-2325): count/mean/min/max
+    * (+ stddev) of one numeric column.
     * mean is routed through exact decimal (see Tables.davg) by callers that
     * need oracle parity. */
   def describeNumeric(df: DataFrame, c: String): DataFrame =
@@ -92,7 +99,8 @@ object Relational {
       col("max_v").as("max"))
   }
 
-  /** A7 share-of-total over top-n: share = key_count / total via a window
+  /** A7 share-of-total over top-n (rucio_data_exploration.ipynb:860-865):
+    * share = key_count / total via a window
     * over the (tiny) aggregated frame — the window runs on the agg output,
     * never on the fact table. */
   def shareOfTotal(df: DataFrame, key: String, n: Int): DataFrame = {
@@ -115,12 +123,14 @@ object Relational {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
 
-  /** P5 any-null row filter (`df[df.isnull().any(axis=1)]`). */
+  /** P5 any-null row filter (`df[df.isnull().any(axis=1)]`,
+    * rucio_data_exploration.ipynb:727). */
   def anyNullRows(df: DataFrame): DataFrame =
     df.filter(df.columns.map(c => col(c).isNull).reduce(_ || _))
 
   /** J3 dedup-then-broadcast-back — THE reference scaling trick
-    * (README.md:43: cluster 589 distinct messages, apply to 2826 rows).
+    * (README.md:43, word2vec_dbscan_approach.ipynb:328-329: cluster 589
+    * distinct messages, apply to 2826 rows).
     * Computes `f` over the distinct values of `key` only, then joins the
     * (small) result back. `f`'s output must retain `key`.
     *
@@ -160,7 +170,7 @@ object Relational {
     df.agg(percentile_approx(col(c),
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
-  /** A2 distinct count, exact; pair with approx_count_distinct at scale. */
+  /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))
 
