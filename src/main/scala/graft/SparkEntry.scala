@@ -310,6 +310,12 @@ object SparkEntry {
     "llm_simhash" -> ((s, dir) =>
       Dedup.simHashFrame(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
+    // tight budget: the synthetic docs share a small vocabulary, so
+    // their simhashes cluster — hamming<=6 over 16-bit bands keeps the
+    // candidate join bounded at bench scale
+    "llm_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6, bands = 4).orderBy("id_a", "id_b")),
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3).orderBy("id_a", "id_b")),

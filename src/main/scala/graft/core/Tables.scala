@@ -19,6 +19,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // defensive: a caller-supplied session may not have the conf the
+      // engine sessions set at build time (runtime-settable legacy conf)
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => }
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // The events fixture carries TIMESTAMP(NANOS) which Spark reads only as
     // long (nanosAsLong); normalize to a session-TZ-free timestamp so query

@@ -163,6 +163,35 @@ object Dedup {
       .drop("_tok_hs")
   }
 
+  /** SimHash near-dup pairs: candidates collide on at least one of
+    * `bands` exact-match 16-bit slices of the 64-bit simhash (any pair
+    * within hamming distance `bands-1` is guaranteed caught — pigeonhole;
+    * closer pairs collide on more bands), then verified by full hamming
+    * distance ≤ `maxHamming`. Same banded-join shape as MinHash LSH:
+    * per-bucket shuffle, never all-pairs. */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0)
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val hashed = simHashFrame(df.select(col(idCol).as("id"),
+      col(textCol).as("text")), "text")
+    val keyed = hashed.select(col("id"), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bits).bitwiseAND(mask).as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Distinct char-gram shingle-hash set of an ALREADY-normalized column
     * (pass an attribute, not a nested expression — see nearDupPairs). */
   def shingleSet(norm: Column, gram: Int = 3): Column =

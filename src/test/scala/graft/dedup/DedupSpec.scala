@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
   }
 
+  test("simHashNearDup finds the near pair within hamming budget") {
+    // one-word tail difference flips ~10 of 64 bits on this tiny corpus;
+    // 16 bands of 4 bits guarantee a collision up to hamming 15
+    val pairs = Dedup.simHashNearDup(docs.filter($"doc_id" < 3),
+        "doc_id", "text", maxHamming = 15, bands = 16)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L),
+      s"expected (0,1) in ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("ngramJaccard: identity 1, near-dup high, distinct low") {
     val r = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") === 0)
