@@ -76,6 +76,42 @@ object StreamIngest {
       }
   }
 
+  final case class TimedEvent(userId: Long, ts: java.sql.Timestamp)
+
+  /** flatMapGroupsWithState variant: emit a session record ONLY when it
+    * closes (0 outputs while open, 1 when the event-time watermark passes
+    * the idle gap) — the shape for sinks that must see each session
+    * exactly once. EVENT-time timeout, not processing-time: closure is a
+    * function of the data (watermark), so replays and tests are
+    * deterministic. Append-mode compatible. */
+  def sessionizeOnClose(events: Dataset[TimedEvent], gapMs: Long,
+                        watermark: String = "0 seconds")
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.lastMs - s.startMs, closed = true))
+          } else {
+            val evs = it.toSeq
+            val ts = evs.map(_.ts.getTime)
+            val prev = state.getOption
+            val start = prev.map(_.startMs).getOrElse(ts.min)
+            val last = (prev.map(_.lastMs).toSeq ++ ts).max
+            val n = prev.map(_.n).getOrElse(0L) + evs.size
+            state.update(SessionState(n, start, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

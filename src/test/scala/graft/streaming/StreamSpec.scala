@@ -50,6 +50,31 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeOnClose emits exactly once, when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[StreamIngest.TimedEvent]
+    val sessions = StreamIngest.sessionizeOnClose(mem.toDS(), gapMs = 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess_close")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamIngest.TimedEvent(7L, t(1000)),
+        StreamIngest.TimedEvent(7L, t(2500)))
+      q.processAllAvailable()
+      assert(spark.table("sess_close").isEmpty) // open session: no output
+      // a much-later event advances the event-time watermark past
+      // last(7) + gap -> user 7's session closes deterministically
+      mem.addData(StreamIngest.TimedEvent(8L, t(100000)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_close")
+        .as[StreamIngest.SessionOut].collect()
+      assert(closed.exists(s => s.userId == 7L && s.nEvents == 2L &&
+        s.durationMs == 1500L && s.closed))
+      assert(!closed.exists(_.userId == 8L)) // still open
+    } finally q.stop()
+  }
+
   test("file-source json stream ingests the error filter path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
