@@ -330,7 +330,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nlist = 8)
+        nlist = 8, cache = false)
       search(q)(10)
     }),
     "a2_distinct_approx" -> ((s, dir) =>
@@ -433,7 +433,7 @@ object SparkEntry {
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact int div
       val agg = stream
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

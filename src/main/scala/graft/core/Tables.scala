@@ -29,9 +29,12 @@ object Tables {
     // The events fixture carries TIMESTAMP(NANOS) which Spark reads only as
     // long (nanosAsLong); normalize to a session-TZ-free timestamp so query
     // semantics match engines that read nanos natively.
+    // `div` = integer division: Spark's `/` casts longs to double, and
+    // epoch nanos (~1.7e18) exceed double's 53-bit mantissa — the double
+    // path corrupts ~2% of timestamps by 1µs
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast(LongType)).cast("timestamp_ntz"))
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
 

@@ -81,6 +81,8 @@ object Dedup {
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
                    gram: Int = 8, stride: Int = 4,
                    maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
     val rows = k / bands
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))

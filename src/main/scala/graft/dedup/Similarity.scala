@@ -63,7 +63,8 @@ object Similarity {
   def annCosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, bands: Int = 8,
                     bitsPerBand: Int = 4,
-                    maxBucketSize: Int = 100000): DataFrame = {
+                    maxBucketSize: Int = 100000,
+                    excludeSelf: Boolean = true): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(left.sparkSession)
     def keyed(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
@@ -81,7 +82,7 @@ object Similarity {
     val cands = keyed(left, "l")
       .join(rightKeyed.join(okBuckets, Seq("band", "bucket"), "left_semi"),
         Seq("band", "bucket"))
-      .filter(col("id_l") =!= col("id_r"))
+      .filter(if (excludeSelf) col("id_l") =!= col("id_r") else lit(true))
       .select("id_l", "vec_l", "id_r", "vec_r")
       .dropDuplicates("id_l", "id_r")
     cands
@@ -97,7 +98,7 @@ object Similarity {
     * nprobe/nlist of the data, and the final ranking is exact cosine.
     * Returns (model to reuse, search function). */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16, seed: Long = 42L)
+               nlist: Int = 16, seed: Long = 42L, cache: Boolean = true)
       : (DataFrame, Seq[Float] => Int => DataFrame) = {
     val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol),
@@ -105,7 +106,10 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_mlvec")
       .setPredictionCol("_cell").fit(vecs)
-    val assigned = km.transform(vecs).drop("_mlvec").cache()
+    // cache only when the caller will issue repeated searches — a cached
+    // frame with no owner to unpersist it leaks executor storage
+    val assignedRaw = km.transform(vecs).drop("_mlvec")
+    val assigned = if (cache) assignedRaw.cache() else assignedRaw
     val centroids = km.clusterCenters.map(_.toArray)
     val search: Seq[Float] => Int => DataFrame = q => k => {
       val qa = q.map(_.toDouble).toArray
@@ -135,9 +139,14 @@ object Similarity {
               bitsPerBand: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // excludeSelf=false: the left side is the query frame, not the
+    // corpus — id-based self-exclusion would silently drop a legitimate
+    // corpus row sharing the sentinel id (and brute force includes the
+    // query's own row when it is in the corpus)
     val qdf = Seq((-1L, query)).toDF(idCol, vecCol)
       .withColumn(vecCol, col(vecCol).cast("array<float>"))
-    annCosineJoin(qdf, df, idCol, vecCol, threshold = -1.0, bands, bitsPerBand)
+    annCosineJoin(qdf, df, idCol, vecCol, threshold = -1.0, bands,
+      bitsPerBand, excludeSelf = false)
       .select(col("id_r").as(idCol), col("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)

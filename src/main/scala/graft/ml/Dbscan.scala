@@ -26,10 +26,21 @@ object Dbscan {
 
   /** Driver-exact DBSCAN. `points` indexed by position; returns labels
     * aligned to input order, noise = −1, clusters numbered in discovery
-    * order (the classic algorithm, matching sklearn/daal4py semantics). */
-  def exact(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    * order. ε-neighborhood uses STRICT `dist < eps` to match the
+    * distributed path (approxSimilarityJoin keeps dist < threshold) —
+    * documented delta vs the textbook `<=`; boundary-exact pairs are
+    * measure-zero on real embeddings. */
+  def exact(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] =
+    exactWithCore(points, eps, minPts)._1
+
+  /** As [[exact]], additionally returning the core-point mask (needed for
+    * cross-path label renumbering: the distributed path labels clusters
+    * by min CORE member id). */
+  def exactWithCore(points: Array[Array[Double]], eps: Double,
+                    minPts: Int): (Array[Int], Array[Boolean]) = {
     val n = points.length
     val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    val core = new Array[Boolean](n)
     val eps2 = eps * eps
     def dist2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -39,7 +50,7 @@ object Dbscan {
     def neighbors(i: Int): mutable.ArrayBuffer[Int] = {
       val out = mutable.ArrayBuffer.empty[Int]
       var j = 0
-      while (j < n) { if (dist2(points(i), points(j)) <= eps2) out += j; j += 1 }
+      while (j < n) { if (dist2(points(i), points(j)) < eps2) out += j; j += 1 }
       out // includes i itself, as in the standard formulation
     }
     var cluster = -1
@@ -51,6 +62,7 @@ object Dbscan {
         else {
           cluster += 1
           labels(i) = cluster
+          core(i) = true
           val queue = mutable.Queue[Int](ni.toSeq: _*)
           while (queue.nonEmpty) {
             val q = queue.dequeue()
@@ -58,14 +70,14 @@ object Dbscan {
             if (labels(q) == -2) {
               labels(q) = cluster
               val nq = neighbors(q)
-              if (nq.length >= minPts) queue.enqueueAll(nq)
+              if (nq.length >= minPts) { core(q) = true; queue.enqueueAll(nq) }
             }
           }
         }
       }
       i += 1
     }
-    labels
+    (labels, core)
   }
 
   /** Distributed DBSCAN. Input: (id: Long, features: ml Vector). Output:
@@ -83,7 +95,8 @@ object Dbscan {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(pts)
-    // ε-self-join (distCol is exact Euclidean, verified post-bucket join)
+    // ε-self-join (distCol is exact Euclidean, verified post-bucket
+    // join; keeps dist < eps STRICTLY — exact() matches)
     val joined = model.approxSimilarityJoin(pts, pts, eps, "dist")
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"))
       .filter(col("a") =!= col("b"))
@@ -127,10 +140,14 @@ object Dbscan {
       case f: Float => f.toDouble
       case d: Double => d
     }.toArray)
-    val labels = exact(pts, eps, minPts)
-    // renumber clusters by min member id for cross-path determinism
-    val byCluster = ids.zip(labels).filter(_._2 >= 0).groupBy(_._2)
-    val renum = byCluster.map { case (c, members) => c -> members.map(_._1).min }
+    val (labels, core) = exactWithCore(pts, eps, minPts)
+    // renumber clusters by min CORE member id — matching distributed(),
+    // where the GraphX component id is the min core vertex and border
+    // points attach to it (a border point can have the lowest raw id)
+    val byCluster = ids.indices.filter(labels(_) >= 0).groupBy(labels(_))
+    val renum = byCluster.map { case (c, idxs) =>
+      c -> idxs.filter(core(_)).map(ids(_)).min
+    }
     spark.createDataset(ids.zip(labels).toSeq.map { case (id, l) =>
       (id, if (l < 0) -1L else renum(l))
     }).toDF(idCol, "label")

@@ -46,10 +46,14 @@ object Embed {
     * call this per bucket. Returns (i, curve) with i = 0-based position. */
   def knnDistanceCurve(df: DataFrame, idCol: String, vecCol: String,
                        k: Int): DataFrame = {
+    // self-pairs INCLUDED: sklearn's kneighbors over the training set
+    // returns self as column 0 (distance 0); the reference's k<=2 branch
+    // (distances[:,1]) is therefore the FIRST non-self neighbor, and the
+    // k>2 row-mean averages the zero self-column in. Excluding self here
+    // would shift every rank by one.
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
-    curveFromPairs(pairs, k)
+    curveFromPairs(a.crossJoin(b), k)
   }
 
   /** Scale path for M3: candidate pairs come from the banded
@@ -66,9 +70,13 @@ object Embed {
         df.select(col(idCol), col(vecCol)),
         idCol, vecCol, threshold = -1.0, bands, bitsPerBand)
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+    // re-add the self-pairs the ANN join excludes (see knnDistanceCurve:
+    // the reference counts self as neighbor column 0)
+    val selfPairs = df.select(col(idCol).as("id_a"), col(idCol).as("id_b"))
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    curveFromPairs(cands.join(va, "id_a").join(vb, "id_b"), k)
+    curveFromPairs(
+      cands.union(selfPairs).join(va, "id_a").join(vb, "id_b"), k)
   }
 
   private def curveFromPairs(pairs: DataFrame, k: Int): DataFrame = {

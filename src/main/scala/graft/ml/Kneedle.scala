@@ -37,10 +37,12 @@ object Kneedle {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (m <- lmx) {
       val t = yd(m) - sensitivity * meanDx
-      // elbow confirmed if yd drops below T before the next local max
+      // elbow confirmed only if yd drops below T before the next local
+      // max (or curve end) — canonical Kneedle; an unconfirmed final
+      // local max is NOT auto-accepted, so sensitivity stays meaningful
       val nextLmx = lmx.find(_ > m).getOrElse(n - 1)
       val confirmed = ((m + 1) to nextLmx).exists(i => yd(i) < t)
-      if (confirmed || nextLmx == n - 1) out += m
+      if (confirmed) out += m
     }
     out.toSeq
   }

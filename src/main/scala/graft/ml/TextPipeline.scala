@@ -78,11 +78,17 @@ object TextPipeline {
     clusterInput.cache()
     try {
       val km = kmeansBest(clusterInput, featCol, k, nInit = nInit)
-      // materialize the labels before unpersisting the iteration cache
-      val out = km.transform(clusterInput)
+      // localCheckpoint: materialize labels eagerly (while the iteration
+      // cache is alive) and truncate lineage — unlike an unowned .cache()
+      // the checkpoint blocks are released by the ContextCleaner when the
+      // returned frame is garbage-collected, so repeated pipeline runs in
+      // one JVM don't accumulate storage
+      km.transform(clusterInput)
         .withColumnRenamed("prediction", "cluster")
-      out.cache().count()
-      out
-    } finally clusterInput.unpersist()
+        .localCheckpoint(true)
+    } finally {
+      clusterInput.unpersist()
+      if (useLsa) feat.unpersist()
+    }
   }
 }

@@ -54,7 +54,9 @@ object Relational {
     * pivot shuffle as above. */
   def crosstabDiscover(df: DataFrame, rowKey: String, colKey: String,
                        maxCols: Int = 10000): DataFrame = {
-    val values = df.select(col(colKey).cast("string")).distinct()
+    // drop null keys (pandas crosstab does; String.sorted would NPE)
+    val values = df.select(col(colKey).cast("string"))
+      .filter(col(colKey).isNotNull).distinct()
       .limit(maxCols + 1).collect().map(_.getString(0)).sorted
     require(values.length <= maxCols,
       s"crosstab: more than $maxCols distinct values in $colKey")

@@ -57,6 +57,7 @@ def main():
         g = norm(got[gc]).sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         e = norm(exp[ec]).sort_values(by=ec, kind="mergesort").reset_index(drop=True)
         mism = []
+        near = []
         for c in gc:
             gv, ev = g[c], e[c]
             for i in range(len(gv)):
@@ -65,7 +66,12 @@ def main():
                     continue
                 if isinstance(a, float) or isinstance(b, float):
                     if a != b and not (a != a and b != b):
-                        mism.append((c, i, a, b))
+                        scale = max(abs(a or 0.0), abs(b or 0.0), 1e-300)
+                        if a is not None and b is not None and \
+                                abs(a - b) / scale < 1e-12:
+                            near.append((c, i, a, b))
+                        else:
+                            mism.append((c, i, a, b))
                 elif hasattr(a, "__len__") and not isinstance(a, str):
                     if list(a) != list(b):
                         mism.append((c, i, a, b))
@@ -77,6 +83,12 @@ def main():
                 break
         if mism:
             print(f"FAIL {name}: value mismatches (first): {mism[:3]}")
+            n_fail += 1
+        elif near:
+            # within rel-tol 1e-12 but NOT bit-identical: would fail a
+            # hash compare - surfaced loudly so float-parity rot is visible
+            print(f"FAIL {name}: {len(near)} values within 1e-12 but not "
+                  f"exact (hash-risk), first: {near[:3]}")
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(got)}")
