@@ -408,7 +408,8 @@ object SparkEntry {
           graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
         .cache()
       val curve = graft.ml.Embed
-        .knnDistanceCurve(vecs, "doc_id", "v", k = 10)
+        .knnDistanceCurve(vecs, "doc_id", "v",
+          k = graft.ml.Embed.defaultK(vecs.count())) // reference k=⌈√n⌉
         .orderBy("i").select("curve").collect().map(_.getDouble(0))
       val eps = graft.ml.Kneedle.epsilonSearch(curve)
         .getOrElse(curve(curve.length / 2))

@@ -33,6 +33,10 @@ object Embed {
                    tokensCol: String): DataFrame =
     model.transform(df.filter(size(col(tokensCol)) > 0))
 
+  /** The reference's k convention for the distance curve:
+    * k = round(sqrt(n)) (word2vec_dbscan_approach.ipynb:28782). */
+  def defaultK(n: Long): Int = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** M3 kNN average-distance curve, distributed, reproducing the
     * reference's column-sort-then-row-mean quirk
     * (word2vec_dbscan_approach.ipynb:172-189): for each point take its
