@@ -35,7 +35,12 @@ object Bench {
       }
       val (t1, ok1) = once()
       if (!ok1) (name, t1, false)
-      else { val (t2, _) = once(); (name, math.min(t1, t2), true) }
+      else {
+        // both runs must succeed: a second-run failure marks the query
+        // failed rather than letting the abort-time duration join the min
+        val (t2, ok2) = once()
+        if (!ok2) (name, t1, false) else (name, math.min(t1, t2), true)
+      }
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")

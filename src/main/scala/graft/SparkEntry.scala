@@ -81,7 +81,12 @@ object SparkEntry {
     }),
     "s5_text_scan" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
-      t(s, dir, "documents").select("text").write.mode("overwrite").text(tmp)
+      // a text-file row IS a line: embedded newlines would split one row
+      // into several on the write/read roundtrip, so they are replaced at
+      // write time (the oracle mirrors the same replace + trailing-ws trim)
+      t(s, dir, "documents")
+        .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("text"))
+        .write.mode("overwrite").text(tmp)
       Sources.readTextLog(s, tmp).toDF("line")
         .agg(count(lit(1)).as("cnt"), sum(length(col("line"))).as("len_sum"))
     }),
@@ -208,8 +213,11 @@ object SparkEntry {
     }),
     "a13_cluster_stats" -> ((s, dir) =>
       ClusterStats.stats(labeled(s, dir), "label", "text", "doc_id")),
+    // members joined to one string (unit separator): the driver's pandas
+    // comparator can't sort/hash array-typed cells
     "a14_cluster_members" -> ((s, dir) =>
-      ClusterStats.members(labeled(s, dir), "label", "text", "doc_id")),
+      ClusterStats.members(labeled(s, dir), "label", "text", "doc_id")
+        .withColumn("members", array_join(col("members"), "\u001f"))),
     "a15_column_stats" -> ((s, dir) =>
       Relational.describeExact(t(s, dir, "orders"), "o_totalprice")),
 
@@ -310,12 +318,13 @@ object SparkEntry {
     "llm_simhash" -> ((s, dir) =>
       Dedup.simHashFrame(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
-    // tight budget: the synthetic docs share a small vocabulary, so
-    // their simhashes cluster — hamming<=6 over 16-bit bands keeps the
-    // candidate join bounded at bench scale
+    // 8 bands of 8 bits: pigeonhole guarantees every pair at hamming<=7
+    // lands in at least one shared bucket, so hamming<=6 has FULL recall
+    // (4x16 only guaranteed <=3); smaller slices also mean smaller
+    // candidate buckets on the clustered synthetic vocabulary
     "llm_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6, bands = 4).orderBy("id_a", "id_b")),
+        maxHamming = 6, bands = 8).orderBy("id_a", "id_b")),
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3).orderBy("id_a", "id_b")),
@@ -389,9 +398,15 @@ object SparkEntry {
           graft.ml.VectorOps.dim(col("lsa_vec")).as("dim"))
         .orderBy("doc_id")
     }),
-    "m10_metrics" -> ((s, dir) =>
-      graft.ml.Metrics.externalFrame(
-        labeled(s, dir).withColumn("pred", col("lang")), "label", "pred")),
+    "m10_metrics" -> ((s, dir) => {
+      // all five reference metrics: H/C/V/ARI vs the label column plus
+      // silhouette over the embedding geometry of the same prediction
+      val withFeat = labeled(s, dir).withColumn("pred", col("lang"))
+        .join(t(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+          graft.ml.VectorOps.toMlVector(col("embedding")).as("features")),
+          "doc_id")
+      graft.ml.Metrics.allFrame(withFeat, "label", "pred", "features")
+    }),
     // The reference's §3.2 flagship traced end-to-end: clean → tokenize →
     // word2vec → sentence2vec (blank-guarded) → kNN curve → Kneedle ε →
     // DBSCAN → per-cluster stats. Rows-only (stochastic embedding).
@@ -475,8 +490,14 @@ object SparkEntry {
       "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
     "s3_s6_json_roundtrip" -> (
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
+    // BIGINT cast: DuckDB sum() of integers is HUGEINT, which hash-differs
+    // from Spark's BIGINT even at equal values. rtrim mirrors readTextLog's
+    // stripTrailing; the regexp mirrors the write-side newline replace.
     "s5_text_scan" -> (
-      "SELECT count(*) AS cnt, sum(length(text)) AS len_sum FROM documents"),
+      "SELECT count(*) AS cnt, sum(length(rtrim(" +
+        "regexp_replace(text, '[\r\n]', ' ', 'g'), " +
+        "' ' || chr(9) || chr(11) || chr(12))))::BIGINT AS len_sum " +
+        "FROM documents"),
     "s1_paginated_rest" -> (
       "SELECT doc_id, lang FROM documents WHERE doc_id < 9 ORDER BY doc_id"),
     "p1_nested_expand" -> (
@@ -569,8 +590,8 @@ object SparkEntry {
         "ORDER BY token"),
     "a13_cluster_stats" -> ( clusterStatsSql),
     "a14_cluster_members" -> (
-      "SELECT e.label, array_agg(d.text ORDER BY d.doc_id) AS members " +
-        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
+      "SELECT e.label, array_to_string(array_agg(d.text ORDER BY d.doc_id), chr(31)) " +
+        "AS members FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
         "GROUP BY e.label ORDER BY e.label"),
     "a15_column_stats" -> ( describeSql("orders", "o_totalprice")),
     "w1_native_topk" -> (

@@ -166,14 +166,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates collide on at least one of
-    * `bands` exact-match 16-bit slices of the 64-bit simhash (any pair
-    * within hamming distance `bands-1` is guaranteed caught — pigeonhole;
+    * `bands` exact-match (64/bands)-bit slices of the 64-bit simhash (any
+    * pair within hamming distance `bands-1` is guaranteed caught —
+    * pigeonhole: ≤ bands-1 flipped bits can dirty at most bands-1 slices;
     * closer pairs collide on more bands), then verified by full hamming
     * distance ≤ `maxHamming`. Same banded-join shape as MinHash LSH:
-    * per-bucket shuffle, never all-pairs. */
+    * per-bucket shuffle, never all-pairs.
+    *
+    * RECALL CONTRACT: `maxHamming < bands` is required — with fewer bands
+    * a pair at distance ≥ bands can have every slice dirtied and be
+    * silently missed, making the result set incomplete relative to the
+    * stated hamming bound. Smaller slices also mean smaller (cheaper)
+    * candidate buckets, so more bands is the right direction at scale. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                     maxHamming: Int = 3, bands: Int = 8): DataFrame = {
     require(bands > 0 && 64 % bands == 0)
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands): banded exact-match " +
+        "only guarantees candidate collision up to hamming bands-1")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val hashed = simHashFrame(df.select(col(idCol).as("id"),

@@ -82,10 +82,21 @@ object Dbscan {
 
   /** Distributed DBSCAN. Input: (id: Long, features: ml Vector). Output:
     * (id, label) with label = min core-member id per cluster (stable,
-    * partition-independent), −1 for noise. */
+    * partition-independent), −1 for noise.
+    *
+    * APPROXIMATE RECALL: the ε-self-join is LSH-bucketed, so true
+    * ε-neighbors can be missed (false negatives only — distances are
+    * verified exactly post-bucket). Missed edges undercount degrees and can
+    * drop core–core links, so labels match [[exact]] only probabilistically
+    * on boundary-dense data. `numHashTables` is the recall knob: each extra
+    * table is another independent chance for a near pair to share a bucket
+    * (more recall, more join cost). Parity with exact() is asserted on
+    * separated blobs in the spec; raise numHashTables when clusters sit
+    * near the ε boundary. */
   def distributed(df: DataFrame, idCol: String, featuresCol: String,
                   eps: Double, minPts: Int,
-                  bucketLength: Double = 2.0): DataFrame = {
+                  bucketLength: Double = 2.0,
+                  numHashTables: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts = df.select(col(idCol).cast("long").as("id"),
@@ -93,7 +104,7 @@ object Dbscan {
 
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(42L)
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(pts)
     // ε-self-join (distCol is exact Euclidean, verified post-bucket
     // join; keeps dist < eps STRICTLY — exact() matches)

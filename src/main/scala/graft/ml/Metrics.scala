@@ -68,4 +68,22 @@ object Metrics {
     Seq((m.homogeneity, m.completeness, m.vMeasure, m.adjustedRand))
       .toDF("homogeneity", "completeness", "v_measure", "adjusted_rand")
   }
+
+  /** All five reference metrics as a 1-row DataFrame: H/C/V/ARI plus
+    * silhouette (`TF-IDF_K-Means_approach.ipynb:8152-8156` reports the full
+    * set). The evaluator needs a NUMERIC prediction column; a string
+    * prediction is hashed to a stable code (silhouette only reads group
+    * identity, not the value). */
+  def allFrame(df: DataFrame, labelCol: String, predCol: String,
+               featuresCol: String): DataFrame = {
+    val m = external(df, labelCol, predCol)
+    val sil = silhouette(
+      df.withColumn("_pred_code", xxhash64(col(predCol).cast("string"))),
+      featuresCol, "_pred_code")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((m.homogeneity, m.completeness, m.vMeasure, m.adjustedRand, sil))
+      .toDF("homogeneity", "completeness", "v_measure", "adjusted_rand",
+        "silhouette")
+  }
 }
