@@ -23,7 +23,13 @@ object Bench {
     // min of 2 runs per query: the first run pays one-off codegen/JIT
     // compilation (measured ~7x inflation on small inputs), which is not
     // the operator's steady-state cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run to named queries (local
+    // iteration aid; the driver leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

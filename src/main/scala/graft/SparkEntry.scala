@@ -355,22 +355,36 @@ object SparkEntry {
           graft.ml.VectorOps.dim(col("sent_vec")).as("dim"))
         .orderBy("doc_id")
     }),
-    "a6_quantiles" -> ((s, dir) =>
+    // exact interpolated percentiles (one column each — the comparator
+    // can't hash array cells); quantized 1e-6 because Spark's
+    // lower+(hi-lo)*frac and DuckDB's interpolation differ in FP op order
+    "a6_quantiles" -> ((s, dir) => {
+      def p(q: Double, n: String) =
+        (round(percentile(col("o_totalprice"), lit(q)) * 1e6) / 1e6).as(n)
+      t(s, dir, "orders").agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"))
+    }),
+    // one-pass approximate variant — the 100-TB path (exact percentile
+    // needs a full sort; approx is single-pass with bounded memory)
+    "a6_quantiles_approx" -> ((s, dir) =>
       Relational.quantiles(t(s, dir, "orders"), "o_totalprice")),
     "m3_knn_curve_approx" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurveApprox(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", k = 17)),
+    // curve quantized 1e-6: avg() sums 17 doubles in shuffle-arrival
+    // order, so the last ulp is nondeterministic vs the oracle
     "m3_knn_curve" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurve(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", k = 17)),
+        "vec_id", "embedding", k = 17)
+        .withColumn("curve", round(col("curve") * 1e6) / 1e6)),
     "m4_kneedle" -> ((s, dir) => {
-      val curve = graft.ml.Embed.knnDistanceCurve(
+      // collectCurve decimates distributively before the driver collect:
+      // the curve is n rows (one per point), unbounded in n otherwise
+      val curve = graft.ml.Embed.collectCurve(
+        graft.ml.Embed.knnDistanceCurve(
           t(s, dir, "embeddings").filter(col("vec_id") < 300),
-          "vec_id", "embedding", k = 17)
-        .orderBy("i").select("curve")
-        .collect().map(_.getDouble(0))
+          "vec_id", "embedding", k = 17))
       val eps = graft.ml.Kneedle.epsilonSearch(curve)
       import s.implicits._
       Seq((eps.getOrElse(-1.0), curve.length)).toDF("epsilon", "n_curve")
@@ -410,8 +424,12 @@ object SparkEntry {
     // The reference's §3.2 flagship traced end-to-end: clean → tokenize →
     // word2vec → sentence2vec (blank-guarded) → kNN curve → Kneedle ε →
     // DBSCAN → per-cluster stats. Rows-only (stochastic embedding).
+    // No doc cap: above ~2000 points the kNN curve switches to the
+    // banded-LSH candidate path (no cross join in the plan) and the
+    // Kneedle collect is rank-decimated — the same pipeline shape that
+    // runs at 100 TB.
     "m_flagship_w2v_dbscan" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
       val toks = docs.select(col("doc_id"), col("text"),
           Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
@@ -422,16 +440,38 @@ object SparkEntry {
         .select(col("doc_id"), col("text"),
           graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
         .cache()
-      val curve = graft.ml.Embed
-        .knnDistanceCurve(vecs, "doc_id", "v",
-          k = graft.ml.Embed.defaultK(vecs.count())) // reference k=⌈√n⌉
-        .orderBy("i").select("curve").collect().map(_.getDouble(0))
+      val n = vecs.count()
+      // ε is a GLOBAL statistic (the knee of the sorted kNN-distance
+      // curve), so past a cap the curve is computed on a seeded uniform
+      // sample: cost O(n) + O(cap²) regardless of n, with the cross join
+      // bounded at cap² native-kernel distances. Banded LSH is NOT used
+      // here — w2v vectors of templated corpora concentrate in a few
+      // directions, so sign-pattern buckets collapse and the candidate
+      // join degenerates toward n² (measured: a spilling 10⁸-row sort at
+      // n=5000). Sampling sidesteps the degeneracy instead of tuning it.
+      val curveCap = 2000L
+      val curveInput =
+        if (n > curveCap) vecs.sample(withReplacement = false,
+          curveCap.toDouble / n, seed = 42L)
+        else vecs
+      val nCurve = if (n > curveCap) curveInput.count() else n
+      val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
+      val curve = graft.ml.Embed.collectCurve(
+        graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k))
       val eps = graft.ml.Kneedle.epsilonSearch(curve)
         .getOrElse(curve(curve.length / 2))
-      val labels = graft.ml.Dbscan.distributed(
-        vecs.select(col("doc_id"),
-          graft.ml.VectorOps.toMlVector(col("v")).as("features")),
-        "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
+      // past the cap: sample-based DBSCAN (broadcast core-attach, no
+      // pairwise shuffle) — the full LSH ε-self-join degenerates on
+      // templated-corpus vectors (see Dbscan.sampled scaladoc)
+      val labels =
+        if (n > curveCap)
+          graft.ml.Dbscan.sampled(vecs.select(col("doc_id"), col("v")),
+            "doc_id", "v", eps = math.max(eps, 1e-3), minPts = 5,
+            sampleCap = curveCap.toInt)
+        else graft.ml.Dbscan.distributed(
+          vecs.select(col("doc_id"),
+            graft.ml.VectorOps.toMlVector(col("v")).as("features")),
+          "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
       ClusterStats.stats(vecs.join(labels, "doc_id"),
         "label", "text", "doc_id")
     }),
@@ -553,6 +593,12 @@ object SparkEntry {
         "count(*) FILTER (WHERE l_linestatus = 'O') AS \"O\" FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a6_describe" -> ( describeSql("lineitem", "l_extendedprice")),
+    // quantile_cont uses the same p*(n-1) interpolation index as Spark's
+    // exact percentile; 1e-6 quantization absorbs the FP-op-order ulp
+    "a6_quantiles" -> (
+      "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5)*1e6)/1e6 AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.75)*1e6)/1e6 AS p75 FROM orders"),
     "a7_share_total" -> (
       "WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders " +
         "GROUP BY o_orderpriority) " +
@@ -650,6 +696,41 @@ object SparkEntry {
         """min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents """ +
         """GROUP BY 1 ORDER BY fingerprint"""),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
+    // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
+    // this gates LSH recall: a pair the banded join misses is a red row.
+    // Substring sets stand in for the xxhash64 shingle sets (Jaccard is
+    // identical absent hash collisions). Bit-exact: jaccard is a single
+    // int/int division on both sides.
+    "llm_near_dedup" -> (
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(""" +
+        """generate_series(1, greatest(length(norm)-7, 1), 4), """ +
+        """i -> substr(norm, i, 8))) AS sh FROM """ +
+        """(SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') """ +
+        """AS norm FROM documents)) """ +
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b, """ +
+        """len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
+        """AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id """ +
+        """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
+        """>= 0.3 ORDER BY id_a, id_b"""),
+    // mirrors knnDistanceCurve exactly: per-element double diffs summed in
+    // array order, per-point rank j (ties by id_b), per-rank position i
+    // (ties by id_a), row-mean over the 17 rank columns; 1e-6 quantized
+    // on both sides (avg sum order is engine-dependent in the last ulp)
+    "m3_knn_curve" -> (
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
+        "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), " +
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) " +
+        "* (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS dist " +
+        "FROM e a, e b), " +
+        "topk AS (SELECT *, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY dist, id_b) AS j FROM d QUALIFY j <= 17), " +
+        "ranked AS (SELECT j, dist, row_number() OVER (PARTITION BY j " +
+        "ORDER BY dist, id_a) - 1 AS i FROM topk) " +
+        "SELECT i::INTEGER AS i, round(avg(dist)*1e6)/1e6 AS curve FROM ranked " +
+        "GROUP BY i ORDER BY i"),
     "llm_cosine_topk" -> (
       "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], " +

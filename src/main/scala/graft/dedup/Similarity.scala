@@ -12,27 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns: zip_with + ordered fold
-    * (index order, so the double accumulation is deterministic). */
+  /** Dot product of two float/double-array columns — the native
+    * graft.expr.GraftDot kernel (ordered double accumulation, so results
+    * are bit-identical to the interpreted zip_with fold it replaced; the
+    * HOF form dominated flagship profiles with per-element lambda
+    * dispatch). Caller's session must have the graft functions registered
+    * (extensions config or ensureRegistered — all DataFrame-level entry
+    * points here do it). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either side has zero norm (the reference's
-    * empty-vector guard M11 made structural). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+    * empty-vector guard M11 made structural). Single fused native loop. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cos_sim", a, b)
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * Plans as scan → project → TakeOrderedAndProject: at 100 TB this is
     * one pass over the vectors with a k-row result, no shuffle. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val q = array(query.map(v => lit(v)): _*)
     df.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
@@ -101,6 +103,7 @@ object Similarity {
                nlist: Int = 16, seed: Long = 42L, cache: Boolean = true)
       : (DataFrame, Seq[Float] => Int => DataFrame) = {
     val spark = df.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val vecs = df.select(col(idCol), col(vecCol),
       graft.ml.VectorOps.toMlVector(col(vecCol)).as("_mlvec"))
     val km = new org.apache.spark.ml.clustering.KMeans()

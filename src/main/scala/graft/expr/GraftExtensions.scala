@@ -50,8 +50,20 @@ object GraftFunctions {
         "graft_rhp_bits(vec[, bits, seed])")
     })
 
+  private def binaryVec(name: String, make: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(make(Literal(0), Literal(0)).getClass.getName, name),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => make(a, b)
+      case _ => throw new IllegalArgumentException(s"$name(vecA, vecB)")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
-      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits)
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits,
+    binaryVec("graft_dot", GraftDot(_, _)),
+    binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
+    binaryVec("graft_cos_sim", GraftCosSim(_, _)))
 
   /** Idempotently register the engine functions in `spark`'s session
     * registry (for sessions built without the extensions config). */

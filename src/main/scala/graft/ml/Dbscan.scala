@@ -137,6 +137,70 @@ object Dbscan {
         coalesce(col("label"), col("border_label"), lit(-1L)).as("label"))
   }
 
+  /** Sample-based DBSCAN (the DBSCAN++ pattern) — the bounded-cost scale
+    * path for dense or clustered data, where the full ε-self-join
+    * degenerates toward n² candidate pairs (measured: the sf0.1 flagship's
+    * LSH join spilled a 10⁸-row shuffle at n=5000 because templated-corpus
+    * vectors concentrate into a few hash buckets).
+    *
+    *  1. A seeded uniform sample of ≤ `sampleCap` points is clustered
+    *     exactly (driver-side, cap-bounded); `minPts` is scaled by the
+    *     sample fraction so the density threshold keeps its meaning.
+    *  2. The sample's CORE points (label, vector) are BROADCAST — at most
+    *     sampleCap tiny rows — and every input point attaches to the
+    *     cluster of its nearest core within ε, else noise (−1).
+    *
+    * Cost: O(sampleCap²) on the driver + one broadcast scan of
+    * O(n · #cores) native-kernel distances — no pairwise shuffle at ANY n,
+    * which is the property that survives 100 TB. Labels are approximate vs
+    * full DBSCAN: sampling can miss thin bridges between clusters and
+    * clusters sparser than the sample rate (that is the documented
+    * DBSCAN++ trade). Input vectors are an array<float|double> column;
+    * cluster ids are min-core-id as in the other paths. */
+  def sampled(df: DataFrame, idCol: String, vecCol: String,
+              eps: Double, minPts: Int, sampleCap: Int = 2000,
+              seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val base = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val n = base.count()
+    val frac = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
+    val samp =
+      if (frac >= 1.0) base
+      else base.sample(withReplacement = false, frac, seed)
+    val rows = samp.collect()
+    val ids = rows.map(_.getLong(0))
+    val pts = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val scaledMinPts = math.max(1, math.round(minPts * frac).toInt)
+    val (labels, core) = exactWithCore(pts, eps, scaledMinPts)
+    val byCluster = ids.indices.filter(labels(_) >= 0).groupBy(labels(_))
+    val renum = byCluster.map { case (c, idxs) =>
+      c -> idxs.filter(core(_)).map(ids(_)).min
+    }
+    val cores = ids.indices.filter(core(_)).map { i =>
+      (renum(labels(i)), pts(i).toSeq)
+    }
+    val coresDf = cores.toDF("core_label", "core_vec")
+    // broadcast nested-loop + native kernel: scan-local, no shuffle of
+    // the input; the per-id min is a narrow partial-agg shuffle
+    val attached = base
+      .crossJoin(broadcast(coresDf))
+      .withColumn("dist",
+        call_function("graft_l2_dist", col(vecCol), col("core_vec")))
+      .filter(col("dist") < eps)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("core_label"))).as("best"))
+      .select(col(idCol), col("best.core_label").as("attach_label"))
+    base.select(col(idCol))
+      .join(attached, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("attach_label"), lit(-1L)).as("label"))
+  }
+
   /** Helper: exact path over a DataFrame, for parity tests and reference-
     * scale runs. Collects (id, vec) to the driver — guarded. */
   def exactOnFrame(df: DataFrame, idCol: String, vecCol: String,

@@ -83,13 +83,34 @@ object Embed {
       cands.union(selfPairs).join(va, "id_a").join(vb, "id_b"), k)
   }
 
+  /** Driver-safe collect of a (i, curve) frame: uniform rank-decimation
+    * (every step-th point, plus the last) bounds the driver array at
+    * ~maxPoints rows no matter how large n grows — the curve has one row
+    * per INPUT POINT, so an uncapped collect is a driver OOM at 100×
+    * scale. The knee is a property of the curve's shape, which survives
+    * uniform decimation; the ε read off the kept points is within one
+    * step of the exact knee's value. The frame is cached around the
+    * count+collect pair so the upstream kNN pipeline runs once. */
+  def collectCurve(curveDf: DataFrame, maxPoints: Int = 10000): Array[Double] = {
+    val cached = curveDf.cache()
+    try {
+      val n = cached.count()
+      val step = math.max(1L, n / maxPoints)
+      val kept =
+        if (step == 1L) cached
+        else cached.filter(col("i") % step === 0 || col("i") === (n - 1))
+      kept.orderBy("i").select("curve").collect().map(_.getDouble(0))
+    } finally cached.unpersist()
+  }
+
   private def curveFromPairs(pairs: DataFrame, k: Int): DataFrame = {
-    val diff2 = aggregate(
-      zip_with(col("va"), col("vb"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    val withDist = pairs.withColumn("dist", sqrt(diff2))
+    // native Euclidean kernel (graft.expr.GraftL2Dist): bit-identical to
+    // the interpreted zip_with/aggregate fold it replaced, but one
+    // compiled loop — the HOF form was the whole-profile hotspot once the
+    // flagship's candidate set grew past ~10⁶ pairs
+    graft.expr.GraftFunctions.ensureRegistered(pairs.sparkSession)
+    val withDist = pairs.withColumn("dist",
+      call_function("graft_l2_dist", col("va"), col("vb")))
     val wNeighbors = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
     val topK = withDist
       .withColumn("j", row_number().over(wNeighbors))

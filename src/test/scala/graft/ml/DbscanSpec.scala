@@ -35,6 +35,31 @@ class DbscanSpec extends SparkSpec {
     assert(dist == exactDf)
   }
 
+  test("sampled DBSCAN: full-sample run equals exact; sub-sample keeps blobs") {
+    val df = pts.map { case (id, a) => (id, a.toSeq) }.toDF("id", "vec")
+    // cap ≥ n ⇒ the sample IS the data: labels equal the exact path
+    val full = Dbscan.sampled(df, "id", "vec", eps = 0.5, minPts = 3,
+        sampleCap = 100)
+      .as[(Long, Long)].collect().toMap
+    val exactDf = Dbscan.exactOnFrame(df, "id", "vec", eps = 0.5, minPts = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == exactDf)
+    // sub-sampled: dense blobs (300 pts each) survive; partition matches
+    val blobs = (0 until 300).map(i => (i.toLong, Seq(i % 10 * 0.1, 0.0))) ++
+      (0 until 300).map(i => (1000L + i, Seq(50.0 + i % 10 * 0.1, 0.0))) ++
+      Seq((9999L, Seq(500.0, 500.0)))
+    val bdf = blobs.toDF("id", "vec")
+    val got = Dbscan.sampled(bdf, "id", "vec", eps = 0.5, minPts = 5,
+        sampleCap = 100)
+      .as[(Long, Long)].collect().toMap
+    val clusterOf = got.filter(_._2 >= 0).groupBy(_._2).values
+      .map(_.keySet).toSet
+    assert(got(9999L) == -1L) // far outlier can never attach
+    assert(clusterOf.size == 2, s"expected 2 clusters, got $clusterOf")
+    assert(clusterOf.exists(_.forall(_ < 1000L)))
+    assert(clusterOf.exists(s => s.forall(id => id >= 1000L && id < 2000L)))
+  }
+
   test("kneedle finds the knee of a hockey-stick curve") {
     // flat then sharp rise: knee near the bend
     val curve = (0 until 50).map(i =>
