@@ -41,6 +41,49 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** REAL image decode via `javax.imageio` (JDK-built-in: PNG, JPEG, GIF,
+    * BMP, WBMP) — replaces [[decodeStub]] for the image modality. Width /
+    * height come from the actual bytes; mime from magic-byte sniffing;
+    * undecodable or null payloads keep null dimensions. duration_ms stays
+    * null (images). Audio/video decode remains stubbed by declared
+    * necessity (no media libraries in this environment).
+    *
+    * Scale shape: a deserializing per-row codec is inherently black-box
+    * work — same boundary as an Arrow-batched `mapInPandas` decode; the
+    * UDF preserves partitioning (no shuffle) and runs where the payload
+    * partition lives. */
+  def decodeImage(df: DataFrame): DataFrame = {
+    val decode = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else {
+        val mime =
+          if (payload.length >= 4 && payload(0) == 0x89.toByte &&
+            payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+            "image/png"
+          else if (payload.length >= 2 && payload(0) == 0xFF.toByte &&
+            payload(1) == 0xD8.toByte) "image/jpeg"
+          else if (payload.length >= 3 && payload(0) == 'G' &&
+            payload(1) == 'I' && payload(2) == 'F') "image/gif"
+          else if (payload.length >= 2 && payload(0) == 'B' &&
+            payload(1) == 'M') "image/bmp"
+          else "application/octet-stream"
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null) Some((mime, Option.empty[Int], Option.empty[Int]))
+        else Some((mime, Some(img.getWidth), Some(img.getHeight)))
+      }
+    }
+    df.withColumn("_dec", decode(col("payload")))
+      .withColumn("meta", struct(
+        coalesce(col("_dec._1"), col("meta.mime")).as("mime"),
+        col("_dec._2").as("width"),
+        col("_dec._3").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+      .drop("_dec")
+  }
+
   /** DECODE STUB — deterministic fake dimensions from the payload hash.
     * Real implementation: a codec UDF or Arrow-batched python decode; the
     * surrounding plumbing (schema, null payloads, partition preservation)

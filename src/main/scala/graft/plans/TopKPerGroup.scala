@@ -29,7 +29,9 @@ import scala.collection.mutable
   * are oracle-verified against the same DuckDB SQL as the window form.
   */
 case class TopKPerGroupNode(groupCols: Seq[Attribute], order: Seq[SortOrder],
-                            k: Int, child: LogicalPlan) extends UnaryNode {
+                            k: Int, child: LogicalPlan,
+                            maxBufferedRows: Int = TopKPerGroup.DefaultMaxBufferedRows)
+  extends UnaryNode {
   require(k > 0)
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
@@ -37,7 +39,9 @@ case class TopKPerGroupNode(groupCols: Seq[Attribute], order: Seq[SortOrder],
 }
 
 case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
-                            k: Int, child: SparkPlan) extends UnaryExecNode {
+                            k: Int, child: SparkPlan,
+                            maxBufferedRows: Int = TopKPerGroup.DefaultMaxBufferedRows)
+  extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   /** One hash-partition shuffle on the group keys — shared with (not
@@ -45,34 +49,113 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
 
+  /** Group-explosion guard: the in-memory state is k rows per DISTINCT
+    * group per partition — unbounded in the group count. When buffered
+    * rows exceed `maxBufferedRows`, the current heaps are spilled to a
+    * local sorted run (sorted by group-key bytes) and the map is cleared;
+    * at partition end the runs plus the in-memory remainder are k-way
+    * merged per key. Top-k heaps of the same group MERGE EXACTLY (top-k
+    * is a semilattice: topk(A ∪ B) = topk(topk(A) ∪ topk(B))), so the
+    * spill path returns the identical result — it only trades memory for
+    * sequential disk I/O, the same trade hash-aggregation spill makes. */
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val grpExprs = groupCols
     val sortOrder = order
     val kk = k
+    val budget = maxBufferedRows
+    val nFields = schema.size
     child.execute().mapPartitions ({ iter =>
       val grpProj = UnsafeProjection.create(grpExprs, schema)
       val ordering = RowOrdering.create(sortOrder, schema)
       // PriorityQueue dequeues the LARGEST under `ordering` = the current
       // worst of the kept k — exactly the eviction candidate.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      var buffered = 0
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        spills.foreach(f => if (f.exists()) f.delete())
+      }
+
+      def newHeap() = mutable.PriorityQueue.empty[InternalRow](
+        ordering.asInstanceOf[Ordering[InternalRow]])
+
+      def offer(heap: mutable.PriorityQueue[InternalRow], row: InternalRow,
+                copied: Boolean): Boolean =
+        if (heap.size < kk) {
+          heap.enqueue(if (copied) row else row.copy()); true
+        } else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(if (copied) row else row.copy())
+          false
+        } else false
+
+      val offerFn = (h: mutable.PriorityQueue[InternalRow], r: InternalRow) =>
+        { offer(h, r, copied = true); () }
+
+      def writeRun(entries: Iterator[(Array[Byte], Seq[UnsafeRow])])
+          : java.io.File = {
+        val f = java.io.File.createTempFile("graft_topk_spill", ".run")
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f)))
+        try entries.foreach { case (kb, rows) =>
+          out.writeInt(kb.length); out.write(kb)
+          out.writeInt(rows.length)
+          rows.foreach { r =>
+            val rb = r.getBytes
+            out.writeInt(rb.length); out.write(rb)
+          }
+        } finally out.close()
+        f
+      }
+
+      def spill(): Unit = {
+        spills += writeRun(heaps.toSeq
+          .sortBy(_._1.getBytes)(TopKPerGroup.BytesOrdering)
+          .iterator
+          .map { case (key, heap) =>
+            (key.getBytes, heap.toSeq.map(_.asInstanceOf[UnsafeRow]))
+          })
+        heaps.clear()
+        buffered = 0
+        // run-count cap: fold all runs into one before the file-descriptor
+        // budget is at risk (k-way merge opens every run at once)
+        if (spills.length >= TopKPerGroup.MaxOpenRuns) {
+          val merged = writeRun(
+            TopKPerGroup.mergeRunEntries(spills.toSeq, nFields, newHeap _,
+                offerFn)
+              .map { case (kb, heap) =>
+                (kb, heap.toSeq.map(_.asInstanceOf[UnsafeRow]))
+              })
+          spills.foreach(f => if (f.exists()) f.delete())
+          spills.clear()
+          spills += merged
+        }
+      }
+
       iter.foreach { row =>
         val key = grpProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](
-              ordering.asInstanceOf[Ordering[InternalRow]])
+            val h = newHeap()
             heaps.put(key.copy(), h)
             h
         }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        if (offer(heap, row, copied = false)) {
+          buffered += 1
+          if (buffered > budget) spill()
         }
       }
-      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+
+      if (spills.isEmpty)
+        heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      else {
+        if (heaps.nonEmpty) spill() // final in-memory state → last run
+        TopKPerGroup.mergeRunEntries(spills.toSeq, nFields, newHeap _, offerFn)
+          .flatMap(_._2.dequeueAll.reverseIterator)
+      }
     }, preservesPartitioning = true)
   }
 
@@ -82,18 +165,96 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
 
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroupNode(g, o, k, child, budget) =>
+      TopKPerGroupExec(g, o, k, planLater(child), budget) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerGroup {
+
+  /** Per-partition buffered-row cap before heaps spill to a sorted run.
+    * 4M rows ≈ tens-to-hundreds of MB of UnsafeRows — the same order as a
+    * hash aggregate's pre-spill budget. */
+  val DefaultMaxBufferedRows: Int = 4 * 1024 * 1024
+
+  /** Lexicographic unsigned byte-array order (UnsafeRow key bytes —
+    * equality matches UnsafeRow.equals, which is all the merge needs). */
+  object BytesOrdering extends Ordering[Array[Byte]] {
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Sequential reader over one spilled run ([keyLen key nRows [rowLen
+    * rowBytes]*]* — entries sorted by key bytes). `key == null` ⇒ EOF. */
+  private final class RunReader(f: java.io.File, nFields: Int) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+    var key: Array[Byte] = _
+    var rows: Array[UnsafeRow] = _
+    advance()
+    def advance(): Unit =
+      try {
+        val kl = in.readInt()
+        key = new Array[Byte](kl); in.readFully(key)
+        val n = in.readInt()
+        rows = Array.fill(n) {
+          val rl = in.readInt()
+          val rb = new Array[Byte](rl); in.readFully(rb)
+          val r = new UnsafeRow(nFields)
+          r.pointTo(rb, rl)
+          r
+        }
+      } catch {
+        case _: java.io.EOFException => key = null; rows = null; in.close()
+      }
+  }
+
+  /** Maximum simultaneously-open spill runs; past this the runs are
+    * compacted into one (bounds file descriptors per task). */
+  val MaxOpenRuns: Int = 32
+
+  /** K-way merge of sorted runs: equal keys across runs pool their rows
+    * through `offer` into one fresh heap (exact — top-k is a semilattice).
+    * Streams (keyBytes, merged heap) per distinct key in key order. */
+  private[plans] def mergeRunEntries(files: Seq[java.io.File], nFields: Int,
+      newHeap: () => mutable.PriorityQueue[InternalRow],
+      offer: (mutable.PriorityQueue[InternalRow], InternalRow) => Unit)
+      : Iterator[(Array[Byte], mutable.PriorityQueue[InternalRow])] = {
+    val readers = mutable.ArrayBuffer.from(
+      files.map(new RunReader(_, nFields)).filter(_.key != null))
+    new scala.collection.AbstractIterator[
+        (Array[Byte], mutable.PriorityQueue[InternalRow])] {
+      override def hasNext: Boolean = readers.nonEmpty
+      override def next(): (Array[Byte], mutable.PriorityQueue[InternalRow]) = {
+        val minKey = readers.map(_.key).min(BytesOrdering)
+        val heap = newHeap()
+        readers.foreach { r =>
+          if (BytesOrdering.compare(r.key, minKey) == 0) {
+            r.rows.foreach(offer(heap, _))
+            r.advance()
+          }
+        }
+        readers.filterInPlace(_.key != null)
+        (minKey, heap)
+      }
+    }
+  }
+
   /** Public entry: top-k rows per group of `df`, ordered by the named
     * columns (`(name, ascending)`); resolution is by name against the
     * analyzed child plan, so the node is born resolved. */
   def apply(df: DataFrame, groupCols: Seq[String],
-            orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+            orderBy: Seq[(String, Boolean)], k: Int,
+            maxBufferedRows: Int = DefaultMaxBufferedRows): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
@@ -104,6 +265,6 @@ object TopKPerGroup {
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr), order, k, analyzed))
+      TopKPerGroupNode(groupCols.map(attr), order, k, analyzed, maxBufferedRows))
   }
 }

@@ -44,4 +44,34 @@ class MultimodalSpec extends SparkSpec {
     val parted = Multimodal.partitionByModality(assets, 2)
     assert(parted.rdd.getNumPartitions == 2)
   }
+
+  test("decodeImage reads real PNG/JPEG dimensions from bytes") {
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode(2, 2, "png")),
+      (2L, encode(3, 5, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val out = Multimodal.decodeImage(df)
+      .select($"asset_id", $"meta.mime", $"meta.width", $"meta.height")
+      .as[(Long, String, Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("image/png", Some(2), Some(2))))
+    assert(out(2L) == (("image/jpeg", Some(3), Some(5))))
+    // undecodable bytes: octet-stream mime, null dims
+    assert(out(3L)._1 == "application/octet-stream" && out(3L)._2.isEmpty)
+    // null payload: dims stay null, original mime kept
+    assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty)
+  }
 }

@@ -56,6 +56,24 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(all.count() == n)
   }
 
+  test("group explosion spills to sorted runs and merges exactly") {
+    // 100k groups × 3 rows on a 4-row budget per partition: every
+    // partition spills many runs; result must equal the unlimited path
+    val wide = spark.range(300000)
+      .select(($"id" % 100000).as("g"), ($"id" % 7).cast("double").as("v"),
+        $"id".as("tie"))
+    // budget 1000 → ~75 spills per partition → crosses MaxOpenRuns twice,
+    // exercising both the spill and the run-compaction paths
+    val spilled = TopKPerGroup(wide, Seq("g"),
+        Seq(("v", false), ("tie", true)), k = 2, maxBufferedRows = 1000)
+      .orderBy("g", "tie").collect().toSeq
+    val unlimited = TopKPerGroup(wide, Seq("g"),
+        Seq(("v", false), ("tie", true)), k = 2)
+      .orderBy("g", "tie").collect().toSeq
+    assert(spilled.size == 200000)
+    assert(spilled == unlimited)
+  }
+
   test("unknown column fails with a named error") {
     val e = intercept[IllegalArgumentException] {
       TopKPerGroup(events, Seq("nope"), Seq(("value", true)), 1)
