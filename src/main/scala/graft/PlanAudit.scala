@@ -91,8 +91,19 @@ object PlanAudit {
       SparkEntry.queries("llm_near_dedup")(spark, dir))
 
     audit("llm_cosine_topk (scan + TakeOrdered, no shuffle of vectors)", Seq(
-      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject"))))(
+      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+      "native fused cosine kernel" -> (_.contains("graft_cos_sim")),
+      "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_cosine_topk")(spark, dir))
+
+    audit("m3_knn_curve (native l2 kernel)", Seq(
+      "native graft_l2_dist in plan" -> (_.contains("graft_l2_dist")),
+      "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
+      SparkEntry.queries("m3_knn_curve")(spark, dir))
+
+    audit("j4_eps_self_join (native dot kernel)", Seq(
+      "native graft_dot in plan" -> (_.contains("graft_dot"))))(
+      SparkEntry.queries("j4_eps_self_join")(spark, dir))
 
     spark.stop()
   }

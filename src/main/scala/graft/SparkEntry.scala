@@ -48,6 +48,60 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
+  /** The reference's §3.2 flagship pipeline, end-to-end over a
+    * (doc_id, text) frame: clean → tokenize → word2vec → sentence2vec
+    * (blank-guarded, M11/P10 — the reference's 38-empty-message trap) →
+    * kNN-distance curve → Kneedle ε → DBSCAN → per-doc (doc_id, text,
+    * label). Package-private so the reference-parity spec can drive it
+    * with a synthetic corpus at the reference's cardinalities.
+    *
+    * Scale plan (the shape that survives 100 TB):
+    *  - ε is a GLOBAL statistic (the knee of the sorted kNN-distance
+    *    curve), so past `curveCap` points the curve is computed on a
+    *    seeded uniform sample: cost O(n) + O(cap²), with the cross join
+    *    bounded at cap² native-kernel distances. Banded LSH is NOT used
+    *    here — w2v vectors of templated corpora concentrate in a few
+    *    directions, so sign-pattern buckets collapse and the candidate
+    *    join degenerates toward n² (measured: a spilling 10⁸-row sort at
+    *    n=5000). Sampling sidesteps the degeneracy instead of tuning it.
+    *  - past the cap, labels come from sample-based DBSCAN (broadcast
+    *    core-attach, no pairwise shuffle — see Dbscan.sampled). */
+  private[graft] def flagshipLabels(docs0: DataFrame,
+                                    curveCap: Long = 2000L): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
+    val toks = docs.select(col("doc_id"), col("text"),
+        Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+    val model = graft.ml.Embed.word2vec(toks, "tokens", vectorSize = 16,
+      maxIter = 1)
+    val vecs = graft.ml.Embed.sentence2vec(model, toks, "tokens")
+      .select(col("doc_id"), col("text"),
+        graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
+      .cache()
+    val n = vecs.count()
+    val curveInput =
+      if (n > curveCap) vecs.sample(withReplacement = false,
+        curveCap.toDouble / n, seed = 42L)
+      else vecs
+    val nCurve = if (n > curveCap) curveInput.count() else n
+    val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
+    val curve = graft.ml.Embed.collectCurve(
+      graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k))
+    val eps = graft.ml.Kneedle.epsilonSearch(curve)
+      .getOrElse(curve(curve.length / 2))
+    val labels =
+      if (n > curveCap)
+        graft.ml.Dbscan.sampled(vecs.select(col("doc_id"), col("v")),
+          "doc_id", "v", eps = math.max(eps, 1e-3), minPts = 5,
+          sampleCap = curveCap.toInt)
+      else graft.ml.Dbscan.distributed(
+        vecs.select(col("doc_id"),
+          graft.ml.VectorOps.toMlVector(col("v")).as("features")),
+        "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
+    vecs.join(labels, "doc_id").select("doc_id", "text", "label")
+  }
+
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
   private def labeled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").join(
@@ -421,60 +475,12 @@ object SparkEntry {
           "doc_id")
       graft.ml.Metrics.allFrame(withFeat, "label", "pred", "features")
     }),
-    // The reference's §3.2 flagship traced end-to-end: clean → tokenize →
-    // word2vec → sentence2vec (blank-guarded) → kNN curve → Kneedle ε →
-    // DBSCAN → per-cluster stats. Rows-only (stochastic embedding).
-    // No doc cap: above ~2000 points the kNN curve switches to the
-    // banded-LSH candidate path (no cross join in the plan) and the
-    // Kneedle collect is rank-decimated — the same pipeline shape that
-    // runs at 100 TB.
-    "m_flagship_w2v_dbscan" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
-      val toks = docs.select(col("doc_id"), col("text"),
-          Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
-        .filter(size(col("tokens")) > 0)
-      val model = graft.ml.Embed.word2vec(toks, "tokens", vectorSize = 16,
-        maxIter = 1)
-      val vecs = graft.ml.Embed.sentence2vec(model, toks, "tokens")
-        .select(col("doc_id"), col("text"),
-          graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
-        .cache()
-      val n = vecs.count()
-      // ε is a GLOBAL statistic (the knee of the sorted kNN-distance
-      // curve), so past a cap the curve is computed on a seeded uniform
-      // sample: cost O(n) + O(cap²) regardless of n, with the cross join
-      // bounded at cap² native-kernel distances. Banded LSH is NOT used
-      // here — w2v vectors of templated corpora concentrate in a few
-      // directions, so sign-pattern buckets collapse and the candidate
-      // join degenerates toward n² (measured: a spilling 10⁸-row sort at
-      // n=5000). Sampling sidesteps the degeneracy instead of tuning it.
-      val curveCap = 2000L
-      val curveInput =
-        if (n > curveCap) vecs.sample(withReplacement = false,
-          curveCap.toDouble / n, seed = 42L)
-        else vecs
-      val nCurve = if (n > curveCap) curveInput.count() else n
-      val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
-      val curve = graft.ml.Embed.collectCurve(
-        graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k))
-      val eps = graft.ml.Kneedle.epsilonSearch(curve)
-        .getOrElse(curve(curve.length / 2))
-      // past the cap: sample-based DBSCAN (broadcast core-attach, no
-      // pairwise shuffle) — the full LSH ε-self-join degenerates on
-      // templated-corpus vectors (see Dbscan.sampled scaladoc)
-      val labels =
-        if (n > curveCap)
-          graft.ml.Dbscan.sampled(vecs.select(col("doc_id"), col("v")),
-            "doc_id", "v", eps = math.max(eps, 1e-3), minPts = 5,
-            sampleCap = curveCap.toInt)
-        else graft.ml.Dbscan.distributed(
-          vecs.select(col("doc_id"),
-            graft.ml.VectorOps.toMlVector(col("v")).as("features")),
-          "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
-      ClusterStats.stats(vecs.join(labels, "doc_id"),
-        "label", "text", "doc_id")
-    }),
+    // The reference's §3.2 flagship (see flagshipLabels for the pipeline
+    // and its scale plan). Rows-only (stochastic embedding); no doc cap.
+    "m_flagship_w2v_dbscan" -> ((s, dir) =>
+      ClusterStats.stats(
+        flagshipLabels(t(s, dir, "documents").select("doc_id", "text")),
+        "label", "text", "doc_id")),
     // Streaming ingest of the events table via the file source with an
     // availableNow-style bounded run: same aggregation as the batch twin,
     // so it gets a REAL correctness row (the streaming plan must produce

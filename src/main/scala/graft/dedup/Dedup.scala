@@ -200,8 +200,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: the xor-popcount filter is codegen'd and
+      // kills most candidates, so the distinct digests survivors only
+      // (near pairs collide in many of the `bands` buckets — the raw
+      // candidate stream is ~bands× the distinct pair count)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Distinct char-gram shingle-hash set of an ALREADY-normalized column

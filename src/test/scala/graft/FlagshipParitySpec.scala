@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Reference-parity run of the flagship pipeline at the reference's own
+  * corpus cardinalities (`rucio_data_exploration.ipynb:143,437-448`;
+  * `word2vec_dbscan_approach.ipynb:328-329,28860,30109`): 2,826 messages,
+  * 589 unique, 38 blank after cleaning; their DBSCAN run yielded a small
+  * cluster count ({−1,0,1,2}) with 127 noise points (~4.5%).
+  *
+  * The corpus is synthetic (the real one is not available), so the
+  * assertions are SHAPE, not values: the blank guard drops exactly the
+  * blank docs, every survivor is labeled, the cluster count stays small,
+  * and noise is a minority fraction — the same qualitative outcome the
+  * reference reports for ε chosen from the kNN curve's knee.
+  */
+class FlagshipParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagship at 2826 docs / 589 distinct / 38 blank: few clusters, minority noise") {
+    val families = Seq(
+      "transfer failed for file %s at line %d connection timeout to remote storage endpoint",
+      "checksum mismatch detected on replica %s expected value differs at line %d during validation",
+      "authentication error user credential %s rejected by the identity provider at line %d",
+      "disk quota exceeded while staging dataset %s on pool node at line %d cleanup scheduled")
+    // 589 distinct raw messages spread over 4 template families
+    val distinctMsgs = (0 until 589).map { i =>
+      val fam = families(i % families.length)
+      fam.format(f"f${i}%04d", 100 + i)
+    }
+    // duplicate skewed to 2788 non-blank docs (reference: 2826 − 38 blank)
+    val nonBlankTotal = 2788
+    val base = nonBlankTotal / 589
+    val extra = nonBlankTotal - base * 589
+    val texts = distinctMsgs.zipWithIndex.flatMap { case (m, i) =>
+      Seq.fill(base + (if (i < extra) 1 else 0))(m)
+    }
+    assert(texts.length == nonBlankTotal)
+    val blanks = Seq.fill(38)("   ")
+    val docs = (texts ++ blanks).zipWithIndex
+      .map { case (txt, id) => (id.toLong, txt) }
+      .toDF("doc_id", "text")
+    assert(docs.count() == 2826)
+
+    val labeled = SparkEntry.flagshipLabels(docs).cache()
+    val n = labeled.count()
+    assert(n == nonBlankTotal.toLong,
+      s"blank guard should drop exactly 38 docs, kept $n")
+    val byLabel = labeled.groupBy("label").count()
+      .as[(Long, Long)].collect().toMap
+    val clusters = byLabel.keySet.filter(_ >= 0)
+    val noise = byLabel.getOrElse(-1L, 0L)
+    // reference shape: a handful of clusters, minority noise (~4.5%)
+    assert(clusters.nonEmpty && clusters.size <= 60,
+      s"expected a small cluster count, got ${clusters.size}")
+    assert(noise.toDouble / n < 0.3,
+      s"expected minority noise, got $noise/$n")
+    labeled.unpersist()
+  }
+}
