@@ -421,6 +421,31 @@ object SparkEntry {
     // needs a full sort; approx is single-pass with bounded memory)
     "a6_quantiles_approx" -> ((s, dir) =>
       Relational.quantiles(t(s, dir, "orders"), "o_totalprice")),
+    // pandas describe(include='all'): mixed numeric + string columns
+    "a6_describe_all" -> ((s, dir) =>
+      Relational.describeAll(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_custkey", "o_totalprice"))),
+    // full Treebank cascade; Spark chain and DuckDB twin generated from
+    // the same rule table (Clean.TreebankRules) so they cannot drift;
+    // tokens US-joined (array cells don't hash in the comparator)
+    "f7_tokenize_full" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        array_join(Clean.tokenizeTreebankFull(col("text")), "")
+          .as("tokens"))
+        .orderBy("doc_id")),
+    // exact difflib/fuzzywuzzy parity form (native kernel; DuckDB has no
+    // SequenceMatcher, so this is rows-only — parity is spec-gated
+    // against captured difflib ground truth in SeqRatioSpec)
+    "f9_fuzz_ratio_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("text"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("text_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          Clean.fuzzRatioExact(col("text"), col("text_b")).as("fuzz"))
+        .orderBy("doc_id")
+    }),
     "m3_knn_curve_approx" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurveApprox(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
@@ -512,6 +537,39 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // Gap-split sessionization (30-min idle gap) run as a STREAM over the
+    // events fixture; the oracle is the batch lag+cumsum sessionization
+    // restricted to watermark-closed sessions (end + gap strictly before
+    // the stream's max event time) — the exact closure rule the
+    // event-time timeout implements, so the streaming plan must produce
+    // the batch answer. Closure needs post-watermark no-data batches,
+    // which AvailableNow runs (same machinery st1/sessionizeOnClose use).
+    "st2_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st2")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(pmod(col("event_id"), lit(50L)).as("userId"), col("ts"))
+        .as[graft.streaming.StreamIngest.TimedEvent]
+      val sessions = graft.streaming.StreamIngest.sessionizeGaps(
+        stream, gapMs = 30L * 60 * 1000)
+      val qname = "st2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("userId").as("user_id"),
+          col("sessionStartMs").as("session_start_ms"),
+          col("nEvents").as("n_events"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("user_id", "session_start_ms")
+    }),
+
     // ---- SQL surface: the same portable ANSI string runs on both
     // engines (spark.sql over registered views IS the oracle SQL) ------
     "sql_pricing" -> ((s, dir) => {
@@ -599,6 +657,14 @@ object SparkEntry {
         "count(*) FILTER (WHERE l_linestatus = 'O') AS \"O\" FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "a6_describe" -> ( describeSql("lineitem", "l_extendedprice")),
+    // one UNION ALL block per described column, mirroring describeAll:
+    // exact decimal sums, quantile_cont 1e-6-quantized, deterministic
+    // mode tie-break (count desc, value asc)
+    "a6_describe_all" -> (
+      describeAllNumSql("orders", "o_custkey") + " UNION ALL " +
+        describeAllStrSql("orders", "o_orderpriority") + " UNION ALL " +
+        describeAllNumSql("orders", "o_totalprice") +
+        " ORDER BY \"column\""),
     // quantile_cont uses the same p*(n-1) interpolation index as Spark's
     // exact percentile; 1e-6 quantization absorbs the FP-op-order ulp
     "a6_quantiles" -> (
@@ -673,6 +739,10 @@ object SparkEntry {
         """'[a-f0-9]{8}-[a-f0-9]{4}-4[a-f0-9]{3}-[89aAbB][a-f0-9]{3}-[a-f0-9]{12}', """ +
         """'UUID', 'g')), '\s+', ' ', 'g') AS cleaned FROM documents ORDER BY doc_id"""),
     "f7_tokenize" -> ( tokenizeSql),
+    "f7_tokenize_full" -> (
+      "SELECT doc_id, array_to_string(" +
+        Clean.tokenizeTreebankFullSql("text") +
+        ", chr(31)) AS tokens FROM documents ORDER BY doc_id"),
     "f8_f10_math" -> (
       "SELECT doc_id, length(text)::BIGINT AS len, sqrt(length(text)) AS sqrt_len, " +
         "round(ln(length(text)) * 1e6) / 1e6 AS ln_len FROM documents ORDER BY doc_id"),
@@ -687,6 +757,24 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // batch twin of the streaming gap sessionizer: lag+cumsum session ids,
+    // then keep only sessions the 0s-watermark stream has provably CLOSED
+    // (strictly: max event time > session end + gap)
+    "st2_sessionize" -> (
+      "WITH x AS (SELECT event_id % 50 AS user_id, ts FROM events), " +
+        "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts) AS prev FROM x), " +
+        "g AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR " +
+        "epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS brk " +
+        "FROM l), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms, " +
+        "count(*) AS n_events, " +
+        "(epoch_ms(max(ts)) - epoch_ms(min(ts)))::BIGINT AS duration_ms " +
+        "FROM s GROUP BY user_id, sid " +
+        "HAVING (SELECT max(epoch_ms(ts)) FROM x) > epoch_ms(max(ts)) + 1800000 " +
+        "ORDER BY user_id, session_start_ms"),
     "llm_lang_id" -> ( langIdSql),
     "llm_token_counts" -> (
       s"""SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 """ +
@@ -775,6 +863,38 @@ object SparkEntry {
       "CASE WHEN n < 2 THEN NULL ELSE sqrt(greatest(" +
       "((sq::VARCHAR)::DOUBLE - (s::VARCHAR)::DOUBLE * (s::VARCHAR)::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0), 0.0)) " +
       "END AS std, min_v AS min, max_v AS max FROM g"
+
+  /** One describeAll row for a NUMERIC column (exact decimal sums; DuckDB
+    * decimal→double goes through VARCHAR — its direct cast is not
+    * correctly rounded). */
+  private def describeAllNumSql(table: String, c: String): String =
+    s"SELECT * FROM (WITH g AS (SELECT count($c) AS n, " +
+      s"count(DISTINCT $c) AS u, " +
+      s"sum(CAST($c AS DECIMAL(18,2))) AS s, " +
+      s"sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS sq, " +
+      s"min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx, " +
+      s"round(quantile_cont($c, 0.25)*1e6)/1e6 AS p25, " +
+      s"round(quantile_cont($c, 0.5)*1e6)/1e6 AS p50, " +
+      s"round(quantile_cont($c, 0.75)*1e6)/1e6 AS p75 FROM $table) " +
+      s"SELECT '$c' AS \"column\", n AS count, u AS \"unique\", " +
+      "NULL::VARCHAR AS top, NULL::BIGINT AS freq, " +
+      "(s::VARCHAR)::DOUBLE / n::DOUBLE AS mean, " +
+      "CASE WHEN n < 2 THEN NULL ELSE sqrt(greatest(" +
+      "((sq::VARCHAR)::DOUBLE - (s::VARCHAR)::DOUBLE * (s::VARCHAR)::DOUBLE" +
+      " / n::DOUBLE) / (n::DOUBLE - 1.0), 0.0)) END AS std, " +
+      "mn AS min_v, p25, p50, p75, mx AS max_v FROM g)"
+
+  /** One describeAll row for a STRING column (count/unique/top/freq). */
+  private def describeAllStrSql(table: String, c: String): String =
+    s"SELECT * FROM (WITH cn AS (SELECT count($c) AS n, " +
+      s"count(DISTINCT $c) AS u FROM $table), " +
+      s"m AS (SELECT $c::VARCHAR AS top, count(*) AS freq FROM $table " +
+      s"WHERE $c IS NOT NULL GROUP BY 1 ORDER BY freq DESC, top LIMIT 1) " +
+      s"SELECT '$c' AS \"column\", cn.n AS count, cn.u AS \"unique\", " +
+      "m.top, m.freq, NULL::DOUBLE AS mean, NULL::DOUBLE AS std, " +
+      "NULL::DOUBLE AS min_v, NULL::DOUBLE AS p25, NULL::DOUBLE AS p50, " +
+      "NULL::DOUBLE AS p75, NULL::DOUBLE AS max_v " +
+      "FROM cn LEFT JOIN m ON true)"
 
   private def clusterStatsSql: String =
     "WITH j AS (SELECT d.doc_id, e.label, d.text FROM documents d " +

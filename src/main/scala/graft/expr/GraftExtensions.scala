@@ -63,7 +63,8 @@ object GraftFunctions {
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
-    binaryVec("graft_cos_sim", GraftCosSim(_, _)))
+    binaryVec("graft_cos_sim", GraftCosSim(_, _)),
+    binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)))
 
   /** Idempotently register the engine functions in `spark`'s session
     * registry (for sessions built without the extensions config). */

@@ -101,6 +101,71 @@ object Relational {
       col("max_v").as("max"))
   }
 
+  /** A6 full-frame describe — the pandas `describe(include='all')` shape
+    * (`rucio_data_exploration.ipynb:607`): one ROW per column with
+    * count / unique / top / freq (all columns) plus mean / std / min /
+    * quartiles / max (numeric columns; exact decimal sums and exact
+    * interpolated percentiles, 1e-6-quantized, so the row hash-matches
+    * the DuckDB oracle). `top` is the modal value with a deterministic
+    * tie-break (highest count, then smallest value) — pandas leaves the
+    * tie unspecified.
+    *
+    * Scale shape: one aggregation pass per described column (exploration
+    * operator — the caller names the columns, k passes for k columns;
+    * the mode is a groupBy on that single column, shuffling one narrow
+    * (value, count) pair per distinct value). */
+  def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.core.Tables.dec
+    import org.apache.spark.sql.types.NumericType
+    val parts = cols.map { c =>
+      val nulls = Seq(
+        lit(null).cast("double").as("mean"),
+        lit(null).cast("double").as("std"),
+        lit(null).cast("double").as("min_v"),
+        lit(null).cast("double").as("p25"),
+        lit(null).cast("double").as("p50"),
+        lit(null).cast("double").as("p75"),
+        lit(null).cast("double").as("max_v"))
+      df.schema(c).dataType match {
+        case _: NumericType =>
+          def q(p: Double, n: String) =
+            (round(percentile(col(c), lit(p)) * 1e6) / 1e6).as(n)
+          val agg = df.agg(
+            count(col(c)).as("count"),
+            countDistinct(col(c)).as("unique"),
+            sum(dec(col(c))).as("s"),
+            sum(dec(col(c)) * dec(col(c))).as("sq"),
+            min(col(c)).cast("double").as("min_v"),
+            max(col(c)).cast("double").as("max_v"),
+            q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"))
+          val n = col("count").cast("double")
+          val s = col("s").cast("double")
+          val sq = col("sq").cast("double")
+          agg.select(
+            lit(c).as("column"), col("count"), col("unique"),
+            lit(null).cast("string").as("top"),
+            lit(null).cast("long").as("freq"),
+            (s / n).as("mean"),
+            when(col("count") < 2, lit(null).cast("double"))
+              .otherwise(sqrt(greatest((sq - s * s / n) / (n - lit(1.0)),
+                lit(0.0)))).as("std"),
+            col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+        case _ =>
+          val cnts = df.agg(
+            count(col(c)).as("count"),
+            countDistinct(col(c)).as("unique"))
+          val mode = df.filter(col(c).isNotNull)
+            .groupBy(col(c).cast("string").as("top"))
+            .agg(count(lit(1)).as("freq"))
+            .orderBy(desc("freq"), col("top")).limit(1)
+          cnts.join(mode, lit(true), "left")
+            .select(Seq(lit(c).as("column"), col("count"), col("unique"),
+              col("top"), col("freq")) ++ nulls: _*)
+      }
+    }
+    parts.reduce(_ unionByName _).orderBy("column")
+  }
+
   /** A7 share-of-total over top-n (rucio_data_exploration.ipynb:860-865):
     * share = key_count / total via a window
     * over the (tiny) aggregated frame — the window runs on the agg output,

@@ -112,6 +112,71 @@ object StreamIngest {
       }
   }
 
+  final case class GapState(times: Seq[Long])
+  final case class GapSession(userId: Long, sessionStartMs: Long,
+                              nEvents: Long, durationMs: Long)
+
+  /** TRUE gap-splitting sessionization: within a user's stream, an idle
+    * gap > `gapMs` starts a new session; every session is emitted exactly
+    * once, when the event-time watermark proves no more events can join
+    * (watermark > last event + gap — Spark fires event-time timeouts
+    * strictly after the set timestamp). Events buffer in state until
+    * closure, so out-of-order arrivals within the watermark sort
+    * correctly and the result is bit-equal to the batch lag+cumsum
+    * answer over the closed prefix — which is exactly what the
+    * `st2_sessionize` DuckDB oracle computes. State per user is the
+    * open-horizon event-time list (bounded by per-user volume inside the
+    * gap window at steady state, since closure clears it). */
+  def sessionizeGaps(events: Dataset[TimedEvent], gapMs: Long,
+                     watermark: String = "0 seconds")
+      : Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    // split sorted times into (start, n, end) runs with gap > gapMs
+    def split(ts: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts.head; var prev = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - prev > gapMs) { out += ((start, n, prev)); start = t; n = 1L }
+        else n += 1
+        prev = t
+      }
+      out += ((start, n, prev))
+      out.toSeq
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[GapState, GapSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[GapState]) =>
+          // one flush rule for both data and timeout invocations: a
+          // session is CLOSED iff watermark > end + gap (mirrors Spark's
+          // strict event-time-timeout firing rule); closed sessions emit
+          // now, open ones stay buffered with the timeout re-armed at the
+          // earliest open session's closing time, so an old session still
+          // emits even while the user keeps producing new ones
+          val wm = state.getCurrentWatermarkMs()
+          val buf = (state.getOption.map(_.times).getOrElse(Seq.empty) ++
+            it.map(_.ts.getTime)).sorted
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val sessions = split(buf)
+            val (closed, open) = sessions.partition { case (_, _, end) =>
+              wm > end + gapMs
+            }
+            if (open.isEmpty) state.remove()
+            else {
+              val keepFrom = open.head._1
+              state.update(GapState(buf.filter(_ >= keepFrom)))
+              state.setTimeoutTimestamp(
+                math.max(open.map(_._3).min + gapMs, wm + 1))
+            }
+            closed.iterator.map { case (start, n, end) =>
+              GapSession(userId, start, n, end - start)
+            }
+          }
+      }
+  }
+
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -54,6 +54,88 @@ object Clean {
       .otherwise(lit(100.0) * (la + lb - levenshtein(a, b)) / (la + lb))
   }
 
+  /** The Treebank rule cascade, defined ONCE as (java pattern, java
+    * replacement, RE2/DuckDB pattern, DuckDB replacement) so the Column
+    * chain and the DuckDB oracle twin are generated from the same table
+    * and cannot drift. Patterns are the published TreebankWordTokenizer
+    * regex cascade (starting quotes → punctuation → parens/dashes → pad →
+    * ending quotes → MacIntyre contractions); the NLTK lookahead in the
+    * `wanna` rule is expressed as a captured whitespace (RE2 has no
+    * lookahead — token output is identical after whitespace split). */
+  private[text] val TreebankRules: Seq[(String, String, String, String)] = {
+    def same(p: String, jRepl: String, dRepl: String) = (p, jRepl, p, dRepl)
+    Seq(
+      // STARTING_QUOTES
+      same("^\"", "``", "``"),
+      same("(``)", " $1 ", " \\1 "),
+      same("([ \\(\\[{<])(\"|'{2})", "$1 `` ", "\\1 `` "),
+      // PUNCTUATION
+      same("([:,])([^\\d])", " $1 $2", " \\1 \\2"),
+      same("([:,])$", " $1 ", " \\1 "),
+      same("\\.\\.\\.", " ... ", " ... "),
+      same("([;@#$%&])", " $1 ", " \\1 "),
+      same("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$", "$1 $2$3 ", "\\1 \\2\\3 "),
+      same("([?!])", " $1 ", " \\1 "),
+      same("([^'])' ", "$1 ' ", "\\1 ' "),
+      // PARENS_BRACKETS + DOUBLE DASHES
+      same("([\\]\\[\\(\\)\\{\\}<>])", " $1 ", " \\1 "),
+      same("(--)", " $1 ", " \\1 "),
+      // ---- pad marker: " " + text + " " happens between these ----
+      ("<PAD>", "", "<PAD>", ""),
+      // ENDING_QUOTES
+      same("\"", " '' ", " '' "),
+      same("(\\S)('')", "$1 $2 ", "\\1 \\2 "),
+      same("([^' ])('[sS]|'[mM]|'[dD]|') ", "$1 $2 ", "\\1 \\2 "),
+      same("([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", "$1 $2 ",
+        "\\1 \\2 "),
+      // MacIntyre CONTRACTIONS2/3
+      same("(?i)\\b(can)(not)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(d)('ye)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(gim)(me)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(gon)(na)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(got)(ta)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(lem)(me)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(mor)('n)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i)\\b(wan)(na)(\\s)", " $1 $2$3", " \\1 \\2\\3"),
+      same("(?i) ('t)(is)\\b", " $1 $2 ", " \\1 \\2 "),
+      same("(?i) ('t)(was)\\b", " $1 $2 ", " \\1 \\2 "))
+  }
+
+  /** F7 full Treebank tokenization — the whole published rule cascade as
+    * nested codegen'd regexp_replace (no UDF). See [[TreebankRules]];
+    * [[tokenizeTreebankish]] remains the cheaper path-preserving variant
+    * the reference's own notes accept. */
+  def tokenizeTreebankFull(c: Column): Column = {
+    val full = TreebankRules.foldLeft(c) {
+      case (acc, ("<PAD>", _, _, _)) => concat(lit(" "), acc, lit(" "))
+      case (acc, (p, r, _, _)) => regexp_replace(acc, p, r)
+    }
+    filter(splitWs(full), t => length(t) > 0)
+  }
+
+  /** DuckDB twin of [[tokenizeTreebankFull]] over column expression
+    * `inner`: the same cascade, emitted as nested regexp_replace SQL. */
+  def tokenizeTreebankFullSql(inner: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val full = TreebankRules.foldLeft(inner) {
+      case (acc, ("<PAD>", _, _, _)) => s"(' ' || $acc || ' ')"
+      case (acc, (_, _, p, r)) =>
+        s"regexp_replace($acc, '${q(p)}', '${q(r)}', 'g')"
+    }
+    s"list_filter(string_split(trim(regexp_replace($full, '\\s+', ' ', 'g'))," +
+      " ' '), t -> t != '')"
+  }
+
+  /** F9 EXACT parity form: difflib `SequenceMatcher.ratio()` scaled to
+    * 0–100 with Python-3 (banker's) rounding — bit-for-bit what
+    * fuzzywuzzy's `fuzz.ratio` computes on its difflib path, including
+    * autojunk (see graft.expr.SeqRatio). Session must have the graft
+    * functions registered. [[fuzzRatio]] remains the cheaper
+    * Levenshtein-ratio variant (codegen'd builtin, no per-row kernel). */
+  def fuzzRatioExact(a: Column, b: Column): Column =
+    bround(call_function("graft_seq_ratio", a, b) * 100)
+      .cast("int") // bround = HALF_EVEN, matching Python-3 round
+
   /** F7 Treebank-ish tokenization as a pure regex pipeline. The reference
     * picked TreebankWordTokenizer because it keeps file paths/URLs intact
     * (word2vec_dbscan_approach.ipynb:105-116); we reproduce the load-bearing

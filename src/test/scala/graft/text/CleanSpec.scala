@@ -47,6 +47,31 @@ class CleanSpec extends SparkSpec {
     assert(!out.contains(""))
   }
 
+  test("tokenizeTreebankFull: published Treebank cascade behavior") {
+    def tok(s: String): Seq[String] =
+      Seq(s).toDF("t").select(Clean.tokenizeTreebankFull($"t").as("tk"))
+        .as[Seq[String]].head()
+    // commas/colons split unless followed by a digit (times/numbers kept)
+    assert(tok("hello, world") == Seq("hello", ",", "world"))
+    assert(tok("at 5:30 sharp") == Seq("at", "5:30", "sharp"))
+    assert(tok("fields: a b") == Seq("fields", ":", "a", "b"))
+    // only the FINAL period splits; interior dots (paths, versions) stay
+    assert(tok("see /var/log/x.log.") ==
+      Seq("see", "/var/log/x.log", "."))
+    assert(tok("v1.2.3 ok") == Seq("v1.2.3", "ok"))
+    // ellipsis, ?!, brackets, double-dash
+    assert(tok("wait... what?!") == Seq("wait", "...", "what", "?", "!"))
+    assert(tok("(a) [b] -- c") == Seq("(", "a", ")", "[", "b", "]", "--", "c"))
+    // quotes become ``/'' pairs
+    assert(tok("\"quoted\"") == Seq("``", "quoted", "''"))
+    // contractions: n't / 's / MacIntyre pairs
+    assert(tok("can't stop") == Seq("ca", "n't", "stop"))
+    assert(tok("it's fine") == Seq("it", "'s", "fine"))
+    assert(tok("cannot gonna wanna go") ==
+      Seq("can", "not", "gon", "na", "wan", "na", "go"))
+    assert(tok("") == Seq.empty)
+  }
+
   test("splitWs matches python str.split semantics") {
     val out = Seq("  a  b\tc  ").toDF("t")
       .select(Clean.splitWs($"t").as("tk")).as[Seq[String]].head()
