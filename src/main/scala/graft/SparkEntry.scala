@@ -99,7 +99,13 @@ object SparkEntry {
         vecs.select(col("doc_id"),
           graft.ml.VectorOps.toMlVector(col("v")).as("features")),
         "doc_id", "features", eps = math.max(eps, 1e-3), minPts = 5)
-    vecs.join(labels, "doc_id").select("doc_id", "text", "label")
+    // materialize the result (lineage truncated, storage auto-cleaned by
+    // the ContextCleaner once unreferenced), then release the pipeline
+    // cache — repeated invocations must not accumulate executor storage
+    val out = vecs.join(labels, "doc_id").select("doc_id", "text", "label")
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
@@ -483,13 +489,18 @@ object SparkEntry {
     }),
     "m8_lsa" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      // cache: PCA fit + transform would each recompute the TF-IDF chain
+      // cache: PCA fit + transform would each recompute the TF-IDF chain;
+      // released after the result materializes (no storage leak across
+      // repeated invocations)
       val feat = graft.ml.TextPipeline.tfidfPipeline(minDF = 1.0, maxDF = 0.95)
         .fit(docs).transform(docs).cache()
-      graft.ml.TextPipeline.lsa(dim = 10).fit(feat).transform(feat)
+      val out = graft.ml.TextPipeline.lsa(dim = 10).fit(feat).transform(feat)
         .select(col("doc_id"),
           graft.ml.VectorOps.dim(col("lsa_vec")).as("dim"))
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      feat.unpersist()
+      out
     }),
     "m10_metrics" -> ((s, dir) => {
       // all five reference metrics: H/C/V/ARI vs the label column plus
