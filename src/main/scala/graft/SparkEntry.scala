@@ -474,7 +474,16 @@ object SparkEntry {
       import s.implicits._
       Seq((eps.getOrElse(-1.0), curve.length)).toDF("epsilon", "n_curve")
     }),
-    "m5_dbscan" -> ((s, dir) => {
+    // exact path (driver twin, cap-guarded) — oracled against an
+    // independent exact DBSCAN in DuckDB (recursive-CTE connected
+    // components); the LSH scale path is the _dist variant below, kept
+    // rows-only because its recall is intentionally approximate
+    "m5_dbscan" -> ((s, dir) =>
+      graft.ml.Dbscan.exactOnFrame(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", eps = 1.2, minPts = 5).orderBy("vec_id")),
+    "m5_dbscan_dist" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
         .select(col("vec_id"),
           graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
@@ -768,6 +777,42 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // INDEPENDENT exact DBSCAN: ε-pairs (strict <), degree≥minPts cores,
+    // connected components via recursive min-label propagation (UNION
+    // dedups; labels decrease monotonically → fixpoint), border points
+    // take the min core-neighbor label, −1 noise — the same semantics
+    // Dbscan.exactOnFrame implements, derived in pure SQL so the gate is
+    // a genuine cross-engine check of the clustering itself
+    "m5_dbscan" -> (
+      "WITH RECURSIVE " +
+        "e AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 300), " +
+        "p AS (SELECT a.id AS a, b.id AS b, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), " +
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) " +
+        "* (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS dist " +
+        "FROM e a, e b WHERE a.id <> b.id), " +
+        "nb AS (SELECT a, b FROM p WHERE dist < 1.2), " +
+        "deg AS (SELECT a AS id, count(*) + 1 AS d FROM nb GROUP BY a), " +
+        "core AS (SELECT id FROM deg WHERE d >= 5), " +
+        "ce AS (SELECT nb.a, nb.b FROM nb " +
+        "JOIN core ca ON ca.id = nb.a JOIN core cb ON cb.id = nb.b), " +
+        "lbl AS (SELECT id, id AS l FROM core " +
+        "UNION SELECT ce.b AS id, lbl.l FROM lbl JOIN ce ON ce.a = lbl.id), " +
+        "comp AS (SELECT id, min(l) AS label FROM lbl GROUP BY id), " +
+        "border AS (SELECT nb.a AS id, min(comp.label) AS blabel FROM nb " +
+        "JOIN comp ON comp.id = nb.b " +
+        "WHERE nb.a NOT IN (SELECT id FROM core) GROUP BY nb.a) " +
+        "SELECT e.id AS vec_id, " +
+        "coalesce(comp.label, border.blabel, -1)::BIGINT AS label " +
+        "FROM e LEFT JOIN comp ON comp.id = e.id " +
+        "LEFT JOIN border ON border.id = e.id ORDER BY vec_id"),
+    // the w2v/LSA queries emit (doc_id, dim) — the embedding VALUES are
+    // stochastic, but the row set and dimensionality are contracts worth
+    // gating (blank-guard row drops would show here)
+    "m1_m2_word2vec" -> (
+      "SELECT doc_id, 32::BIGINT AS dim FROM documents ORDER BY doc_id"),
+    "m8_lsa" -> (
+      "SELECT doc_id, 10::BIGINT AS dim FROM documents ORDER BY doc_id"),
     // batch twin of the streaming gap sessionizer: lag+cumsum session ids,
     // then keep only sessions the 0s-watermark stream has provably CLOSED
     // (strictly: max event time > session end + gap)
