@@ -472,7 +472,10 @@ object SparkEntry {
           "vec_id", "embedding", k = 17))
       val eps = graft.ml.Kneedle.epsilonSearch(curve)
       import s.implicits._
-      Seq((eps.getOrElse(-1.0), curve.length)).toDF("epsilon", "n_curve")
+      // ε quantized 1e-6: it is a curve VALUE, and curve values carry the
+      // avg() sum-order ulp (see m3_knn_curve)
+      Seq((eps.map(e => math.round(e * 1e6) / 1e6).getOrElse(-1.0),
+        curve.length)).toDF("epsilon", "n_curve")
     }),
     // exact path (driver twin, cap-guarded) — oracled against an
     // independent exact DBSCAN in DuckDB (recursive-CTE connected
@@ -510,6 +513,16 @@ object SparkEntry {
         .localCheckpoint(true)
       feat.unpersist()
       out
+    }),
+    // the four sklearn-semantics external metrics alone, 1e-6-quantized
+    // (driver entropy sums run in collect order; ln is 1-ulp across
+    // libms) — SQL-oracled, unlike the 5-metric frame whose silhouette
+    // has no SQL twin
+    "m10_metrics_external" -> ((s, dir) => {
+      val m = graft.ml.Metrics.externalFrame(
+        labeled(s, dir).withColumn("pred", col("lang")), "label", "pred")
+      m.select(m.columns.toSeq.map(c =>
+        (round(col(c) * 1e6) / 1e6).as(c)): _*)
     }),
     "m10_metrics" -> ((s, dir) => {
       // all five reference metrics: H/C/V/ARI vs the label column plus
@@ -806,6 +819,70 @@ object SparkEntry {
         "coalesce(comp.label, border.blabel, -1)::BIGINT AS label " +
         "FROM e LEFT JOIN comp ON comp.id = e.id " +
         "LEFT JOIN border ON border.id = e.id ORDER BY vec_id"),
+    // the FULL Kneedle algorithm in SQL over the same kNN curve: unit-
+    // square normalize, difference curve yd = x − yn, local maxima
+    // (strict left / non-strict right), per-max threshold yd − S·mean(dx)
+    // with S=1, confirmation before the next local max, ε = curve value
+    // at the LAST confirmed elbow — mirroring ml/Kneedle line by line
+    "m4_kneedle" -> (
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
+        "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), " +
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) " +
+        "* (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS dist " +
+        "FROM e a, e b), " +
+        "topk AS (SELECT *, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY dist, id_b) AS j FROM d QUALIFY j <= 17), " +
+        "ranked AS (SELECT j, dist, row_number() OVER (PARTITION BY j " +
+        "ORDER BY dist, id_a) - 1 AS i FROM topk), " +
+        "c AS (SELECT i, avg(dist) AS y FROM ranked GROUP BY i), " +
+        "st AS (SELECT count(*) AS n, min(y) AS mn, max(y) AS mx FROM c), " +
+        "norm AS (SELECT c.i, c.y, c.i::DOUBLE/(st.n-1) - " +
+        "(c.y - st.mn)/(st.mx - st.mn) AS yd FROM c, st), " +
+        "w AS (SELECT i, yd, lag(yd) OVER (ORDER BY i) AS p, " +
+        "lead(yd) OVER (ORDER BY i) AS nx FROM norm), " +
+        "lm AS (SELECT i, yd FROM w, st WHERE i >= 1 AND i <= st.n-2 " +
+        "AND yd > p AND yd >= nx), " +
+        "nxt AS (SELECT lm.i AS m, lm.yd, " +
+        "coalesce(lead(lm.i) OVER (ORDER BY lm.i), (SELECT n-1 FROM st)) " +
+        "AS nx FROM lm), " +
+        "conf AS (SELECT m FROM nxt WHERE EXISTS (" +
+        "SELECT 1 FROM norm, st WHERE norm.i > nxt.m AND norm.i <= nxt.nx " +
+        "AND norm.yd < nxt.yd - 1.0/(st.n-1))) " +
+        "SELECT coalesce(round((SELECT y FROM c WHERE i = " +
+        "(SELECT max(m) FROM conf))*1e6)/1e6, -1.0) AS epsilon, " +
+        "(SELECT n FROM st)::INTEGER AS n_curve"),
+    // homogeneity/completeness/V/ARI from the contingency table, sklearn
+    // semantics mirrored from ml/Metrics.external: H = 1 − H(L|P)/H(L),
+    // C = 1 − H(P|L)/H(P), V = 2HC/(H+C), ARI via pairwise-comb sums
+    "m10_metrics_external" -> (
+      "WITH j AS (SELECT e.label AS l, d.lang AS p FROM documents d " +
+        "JOIN embeddings e ON d.doc_id = e.vec_id), " +
+        "cont AS (SELECT l, p, count(*)::DOUBLE AS c FROM j GROUP BY l, p), " +
+        "tot AS (SELECT sum(c) AS n FROM cont), " +
+        "bl AS (SELECT l, sum(c) AS cl FROM cont GROUP BY l), " +
+        "bp AS (SELECT p, sum(c) AS cp FROM cont GROUP BY p), " +
+        "ent AS (SELECT " +
+        "(SELECT -sum((cl/n)*ln(cl/n)) FROM bl, tot) AS hl, " +
+        "(SELECT -sum((cp/n)*ln(cp/n)) FROM bp, tot) AS hp, " +
+        "(SELECT -sum((c/n)*ln(c/cp)) FROM cont JOIN bp USING(p), tot) AS hlgp, " +
+        "(SELECT -sum((c/n)*ln(c/cl)) FROM cont JOIN bl USING(l), tot) AS hpgl), " +
+        "hc AS (SELECT " +
+        "CASE WHEN hl = 0 THEN 1.0 ELSE 1.0 - hlgp/hl END AS h, " +
+        "CASE WHEN hp = 0 THEN 1.0 ELSE 1.0 - hpgl/hp END AS cm FROM ent), " +
+        "ari AS (SELECT " +
+        "(SELECT sum(c*(c-1)/2.0) FROM cont) AS sc, " +
+        "(SELECT sum(cl*(cl-1)/2.0) FROM bl) AS scl, " +
+        "(SELECT sum(cp*(cp-1)/2.0) FROM bp) AS scp, " +
+        "(SELECT n*(n-1)/2.0 FROM tot) AS cn) " +
+        "SELECT round(h*1e6)/1e6 AS homogeneity, " +
+        "round(cm*1e6)/1e6 AS completeness, " +
+        "round(CASE WHEN h + cm = 0 THEN 0.0 " +
+        "ELSE 2*h*cm/(h+cm) END*1e6)/1e6 AS v_measure, " +
+        "round(CASE WHEN (scl+scp)/2.0 = scl*scp/cn THEN 0.0 " +
+        "ELSE (sc - scl*scp/cn) / ((scl+scp)/2.0 - scl*scp/cn) " +
+        "END*1e6)/1e6 AS adjusted_rand " +
+        "FROM hc, ari"),
     // the w2v/LSA queries emit (doc_id, dim) — the embedding VALUES are
     // stochastic, but the row set and dimensionality are contracts worth
     // gating (blank-guard row drops would show here)
