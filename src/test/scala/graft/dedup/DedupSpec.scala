@@ -62,6 +62,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simHashNearDup has FULL recall vs brute-force hamming (8 bands)") {
+    // the pigeonhole contract made empirical: every pair a brute-force
+    // 64-bit hamming scan finds at hamming<=6 must come out of the
+    // banded join — over the real corpus fixture, not a planted pair
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val hashed = Dedup.simHashFrame(
+      corpus.select($"doc_id".as("id"), $"text"), "text")
+      .select("id", "simhash")
+    val a = hashed.select($"id".as("ia"), $"simhash".as("ha"))
+    val b = hashed.select($"id".as("ib"), $"simhash".as("hb"))
+    val brute = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("ham", Dedup.hammingDist($"ha", $"hb"))
+      .filter($"ham" <= 6)
+      .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simHashNearDup(corpus, "doc_id", "text",
+        maxHamming = 6, bands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
   test("ngramJaccard: identity 1, near-dup high, distinct low") {
     val r = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") === 0)
