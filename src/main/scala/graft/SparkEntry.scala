@@ -374,6 +374,24 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // embedding-cosine near-dup pairs, EXACT bounded form: scan × scan
+    // with the fused native cosine kernel, threshold chosen where the
+    // fixture has real pairs (its cosines top out ~0.5 — no planted
+    // embedding dups). The LSH path (annCosineJoin) is the scale variant
+    // for genuine near-dup regimes (cosine→1, where banding has recall);
+    // at cosine 0.4 banding is the wrong tool and exact is the contract.
+    "llm_cosine_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val a = e.select(col("vec_id").as("id_l"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_r"), col("embedding").as("vb"))
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      a.crossJoin(b).filter(col("id_l") < col("id_r"))
+        .withColumn("cos_sim",
+          call_function("graft_cos_sim", col("va"), col("vb")))
+        .filter(col("cos_sim") >= 0.4)
+        .select("id_l", "id_r", "cos_sim")
+        .orderBy("id_l", "id_r")
+    }),
     // Rows-only (hash-based signatures have no SQL twin):
     "llm_simhash" -> ((s, dir) =>
       Dedup.simHashFrame(t(s, dir, "documents"), "text")
@@ -968,6 +986,16 @@ object SparkEntry {
         "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
         "FROM embeddings) " +
         "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "llm_cosine_neardup" -> (
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+        "WHERE vec_id < 1000) " +
+        "SELECT a.vec_id AS id_l, b.vec_id AS id_r, " +
+        "list_dot_product(a.v, b.v) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
+        "AS cos_sim FROM e a, e b WHERE a.vec_id < b.vec_id " +
+        "AND list_dot_product(a.v, b.v) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
+        ">= 0.4 ORDER BY id_l, id_r"),
     "sql_pricing" -> PortablePricingSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
