@@ -582,10 +582,15 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qname)
+      // materialize, then drop the memory-sink view — leaked per-run
+      // views would make the catalog listing (S7) nondeterministic
+      val out = s.table(qname)
         .select(col("window.start").cast("timestamp_ntz").as("hour"),
           col("event_type"), col("cnt"))
         .orderBy("hour", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
     }),
 
     // Gap-split sessionization (30-min idle gap) run as a STREAM over the
@@ -613,12 +618,15 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qname)
+      val out = s.table(qname)
         .select(col("userId").as("user_id"),
           col("sessionStartMs").as("session_start_ms"),
           col("nEvents").as("n_events"),
           col("durationMs").as("duration_ms"))
         .orderBy("user_id", "session_start_ms")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
     }),
 
     // ---- SQL surface: the same portable ANSI string runs on both
@@ -808,6 +816,14 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // the catalog listing is deterministic now that the streaming queries
+    // drop their memory-sink views: exactly the ten registered fixtures
+    "s7_catalog" -> (
+      "SELECT * FROM (VALUES " +
+        Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier")
+          .map(t => s"('$t', 'TEMPORARY', true)").mkString(", ") +
+        ") AS t(name, \"tableType\", \"isTemporary\") ORDER BY name"),
     // INDEPENDENT exact DBSCAN: ε-pairs (strict <), degree≥minPts cores,
     // connected components via recursive min-label propagation (UNION
     // dedups; labels decrease monotonically → fixpoint), border points

@@ -76,6 +76,42 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Partitioned parquet sink, file-count and file-size disciplined — the
+    * layout that keeps a 100-TB table queryable:
+    *  - `repartition(partCols)` BEFORE `partitionBy(partCols)`: without
+    *    it every task holds rows of every partition value, so the job
+    *    writes tasks × partitions files — the small-file problem at its
+    *    worst. With it, each partition directory is written by the tasks
+    *    that own that key.
+    *  - `maxRecordsPerFile` bounds the other failure mode: a hot
+    *    partition value producing one unsplittable giant file.
+    * Directory-level partition pruning then serves every later query
+    * that filters on the layout columns. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partCols: Seq[String],
+                              maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetFileBytes⌉ files (plan-statistics estimate). Long-
+    * running ingest (streaming sinks, micro-batches, per-task writers)
+    * accretes thousands of small files whose per-file open/footer cost
+    * eventually dominates scans; periodic compaction is standard table
+    * maintenance. Returns the target file count. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes)
+      .max(1).min(10000).toInt
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** One-pass JSON→Parquet ingest (SURVEY.md §4: JSON scans can't push
     * predicates into the parser; converting once buys columnar reads,
     * stats-based pruning and pushdown for every later query). Partition

@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partitioned-write + compaction sinks: the table-layout maintenance
+  * operators a long-lived 100-TB dataset needs. */
+class SinkSpec extends SparkSpec {
+
+  private def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+  }
+
+  test("writePartitionedParquet: directory layout, pruning, bounded files") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_partwrite")
+    Sources.writePartitionedParquet(events, out.toString,
+      Seq("event_type"), maxRecordsPerFile = 100L)
+    // layout: one directory per event_type value
+    val dirs = out.toFile.listFiles().filter(_.isDirectory).map(_.getName)
+    val types = events.select("event_type").distinct()
+      .collect().map(r => s"event_type=${r.getString(0)}").toSet
+    assert(dirs.toSet == types, s"dirs=${dirs.toSeq} types=$types")
+    // maxRecordsPerFile honored: no file exceeds the record cap
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == events.count())
+    val perFile = back.select(input_file_name().as("f"))
+      .groupBy("f").count().select(max("count")).head().getLong(0)
+    assert(perFile <= 100L, s"a file holds $perFile rows")
+    // partition pruning: a filter on the layout column reads one dir
+    val one = back.filter(col("event_type") === "click")
+    val scanned = one.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.forall(_.contains("event_type=click")))
+  }
+
+  test("compactParquet: many small files become few, rows preserved") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val scattered = java.nio.file.Files.createTempDirectory("graft_scatter")
+    events.repartition(64).write.mode("overwrite")
+      .parquet(scattered.toString)
+    assert(listParquet(scattered).size >= 32)
+    val compacted = java.nio.file.Files.createTempDirectory("graft_compact")
+    val n = Sources.compactParquet(spark, scattered.toString,
+      compacted.toString)
+    val files = listParquet(compacted)
+    assert(files.size == n, s"expected $n files, got ${files.size}")
+    assert(files.size < 8) // tiny input → a handful of target files
+    assert(spark.read.parquet(compacted.toString).count() == events.count())
+  }
+}
