@@ -629,6 +629,31 @@ object SparkEntry {
       out
     }),
 
+    // Streaming exact dedup over the documents fixture: distinct
+    // normalized fingerprints emitted exactly once across micro-batches;
+    // the batch DISTINCT is the oracle (dedup-in-flight must lose
+    // nothing and invent nothing)
+    "st3_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st3")
+      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(graft.text.TextStats.fingerprintMd5(col("text"))
+          .as("fingerprint"))
+      val deduped = graft.streaming.StreamIngest.streamingDedup(
+        stream, Seq("fingerprint"))
+      val qname = "st3_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname).orderBy("fingerprint").localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- SQL surface: the same portable ANSI string runs on both
     // engines (spark.sql over registered views IS the oracle SQL) ------
     "sql_pricing" -> ((s, dir) => {
@@ -816,6 +841,9 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    "st3_stream_dedup" -> (
+      """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
+        """AS fingerprint FROM documents ORDER BY fingerprint"""),
     // the catalog listing is deterministic now that the streaming queries
     // drop their memory-sink views: exactly the ten registered fixtures
     "s7_catalog" -> (

@@ -177,6 +177,17 @@ object StreamIngest {
       }
   }
 
+  /** Streaming exact dedup: emit each distinct key once, across
+    * micro-batches (state = seen-key set; pass a watermark column +
+    * delay upstream via `withWatermark` to bound state at true stream
+    * scale — without one, state grows with distinct keys, which is the
+    * batch-parity mode the bounded fixtures use). First-occurrence row
+    * choice within a batch is arbitrary, so callers that need
+    * deterministic output dedup on (and emit) the KEY alone — the
+    * distinct-key SET is deterministic and batch-equal. */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -95,4 +95,27 @@ class StreamSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(got.toSeq == Seq(1L, 3L))
   }
+
+  test("streamingDedup suppresses duplicates ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val deduped = StreamIngest.streamingDedup(
+      mem.toDF.toDF("fingerprint"), Seq("fingerprint"))
+    val qn = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      // 'a' arrives again in a LATER batch: state must remember it
+      mem.addData("a", "c")
+      q.processAllAvailable()
+      val got = spark.table(qn).as[String].collect().sorted
+      assert(got.toSeq == Seq("a", "b", "c"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
 }
