@@ -629,6 +629,19 @@ object SparkEntry {
       out
     }),
 
+    // keyed MERGE: every 100th order gets a doubled totalprice "update"
+    // plus one synthetic new-key row; result = updates win, rest intact
+    "r1_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(s.range(1).select(
+          lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+          lit(9.99).as("o_totalprice")))
+      Relational.upsert(base, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
     // Streaming exact dedup over the documents fixture: distinct
     // normalized fingerprints emitted exactly once across micro-batches;
     // the batch DISTINCT is the oracle (dedup-in-flight must lose
@@ -844,6 +857,14 @@ object SparkEntry {
     "st3_stream_dedup" -> (
       """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
         """AS fingerprint FROM documents ORDER BY fingerprint"""),
+    "r1_upsert" -> (
+      "WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
+        "u AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice " +
+        "FROM b WHERE o_orderkey % 100 = 0 " +
+        "UNION ALL SELECT -1::BIGINT, -1::BIGINT, 9.99) " +
+        "SELECT * FROM u " +
+        "UNION ALL SELECT b.* FROM b ANTI JOIN u USING (o_orderkey) " +
+        "ORDER BY o_orderkey"),
     // the catalog listing is deterministic now that the streaming queries
     // drop their memory-sink views: exactly the ten registered fixtures
     "s7_catalog" -> (

@@ -237,6 +237,18 @@ object Relational {
     df.agg(percentile_approx(col(c),
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
+  /** Keyed upsert (MERGE): rows of `updates` replace same-key rows of
+    * `base`; new keys append. Plans as updates ∪ (base ⟕̸ updates); the
+    * anti-join's key list broadcasts whenever updates are small (AQE /
+    * autoBroadcastJoinThreshold) — the common incremental-batch shape: a
+    * day's changes against a 100-TB table reads the base ONCE with a
+    * broadcast filter and never shuffles it. Schemas must match
+    * (enforced by unionByName). */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
   /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))

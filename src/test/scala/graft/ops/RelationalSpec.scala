@@ -96,4 +96,13 @@ class RelationalSpec extends SparkSpec {
     assert(ct(0).getLong(1) == 2L && ct(0).getLong(2) == 1L) // a: x=2, y=1
     assert(ct(2).getLong(1) == 1L && ct(2).getLong(2) == 0L) // c: x=1, y=0
   }
+
+  test("upsert: updates win on key clash, new keys append, rest intact") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Relational.upsert(base, updates, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
 }
