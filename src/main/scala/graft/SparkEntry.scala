@@ -350,6 +350,23 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    // the actual curation FILTER a pretraining pipeline runs: keep docs
+    // above a quality floor in an allowed language — pure codegen'd
+    // predicate, pushes to the scan wherever columns are materialized
+    "llm_quality_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+        .filter(col("quality") >= 0.7 && col("lang_pred") === "en")
+        .select("doc_id", "quality")
+        .orderBy("doc_id")),
+    // corpus length histogram (100-char buckets) — the shape check every
+    // curation run reports
+    "llm_len_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy((floor(length(col("text")) / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
     "llm_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -998,6 +1015,14 @@ object SparkEntry {
         """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT """ +
         """AS n_subwords FROM documents ORDER BY doc_id"""),
     "llm_quality" -> ( qualitySql),
+    // filter twin: same quality + langId expressions, predicate applied
+    "llm_quality_filter" -> (
+      s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
+        "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
+        "WHERE q.quality >= 0.7 AND l.lang_pred = 'en' ORDER BY q.doc_id"),
+    "llm_len_histogram" -> (
+      "SELECT (length(text) // 100 * 100)::BIGINT AS bucket, " +
+        "count(*) AS cnt FROM documents GROUP BY 1 ORDER BY bucket"),
     "llm_fingerprint" -> (
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
         """AS fingerprint FROM documents ORDER BY doc_id"""),
