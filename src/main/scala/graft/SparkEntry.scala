@@ -882,6 +882,13 @@ object SparkEntry {
         "SELECT * FROM u " +
         "UNION ALL SELECT b.* FROM b ANTI JOIN u USING (o_orderkey) " +
         "ORDER BY o_orderkey"),
+    // the testdata dir holds exactly the ten fixture tables at every SF
+    "s4_file_listing" -> (
+      "SELECT * FROM (VALUES " +
+        Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier")
+          .map(t => s"('$t.parquet', false)").mkString(", ") +
+        ") AS t(name, is_dir) ORDER BY name"),
     // the catalog listing is deterministic now that the streaming queries
     // drop their memory-sink views: exactly the ten registered fixtures
     "s7_catalog" -> (
