@@ -60,6 +60,27 @@ class DbscanSpec extends SparkSpec {
     assert(clusterOf.exists(s => s.forall(id => id >= 1000L && id < 2000L)))
   }
 
+  test("sampled DBSCAN edge cases: empty input, single point") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+    assert(Dbscan.sampled(empty, "id", "vec", eps = 1.0, minPts = 3)
+      .count() == 0)
+    val one = Seq((7L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val got = Dbscan.sampled(one, "id", "vec", eps = 1.0, minPts = 1)
+      .as[(Long, Long)].collect().toMap
+    // minPts=1: the lone point is its own core → its own cluster
+    assert(got == Map(7L -> 7L))
+  }
+
+  test("collectCurve decimates long curves and keeps short ones whole") {
+    val short = (0 until 50).map(i => (i, i.toDouble)).toDF("i", "curve")
+    assert(Embed.collectCurve(short).length == 50)
+    val long = (0 until 5000).map(i => (i, i.toDouble)).toDF("i", "curve")
+    val dec = Embed.collectCurve(long, maxPoints = 1000)
+    assert(dec.length <= 2501 && dec.length >= 1000) // step=5 → 1000+last
+    assert(dec.head == 0.0 && dec.last == 4999.0)    // endpoints survive
+    assert(dec.sameElements(dec.sorted))             // order preserved
+  }
+
   test("kneedle finds the knee of a hockey-stick curve") {
     // flat then sharp rise: knee near the bend
     val curve = (0 until 50).map(i =>
