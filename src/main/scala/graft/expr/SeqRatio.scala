@@ -79,7 +79,13 @@ object SeqRatio {
       if (arr != null) { val k = fill.get(c); arr(k) = j; fill.put(c, k + 1) }
       j += 1
     }
-    def isJunk(c: Char): Boolean = popular.contains(c)
+    // IMPORTANT difflib distinction: bpopular (autojunk) chars are only
+    // excluded from SEED matches (b2j); the extension loops' isbjunk
+    // tests the EXPLICIT junk set, which is empty for
+    // SequenceMatcher(None, ...) — popular chars therefore extend in the
+    // primary loops. Treating popular as junk diverged from difflib on
+    // ~1% of random ≥200-char pairs (verified differentially).
+    def isJunk(c: Char): Boolean = false
 
     // difflib find_longest_match over [alo,ahi) × [blo,bhi):
     // returns (besti, bestj, size)

@@ -15,9 +15,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and stay inside whole-stage codegen — the same playbook as
   * [[MinHashSig]] (44 s → 0.8 s).
   *
-  * Bit-compat contract: each accumulator sums in ARRAY ORDER with plain
+  * Bit-compat contract (WELL-FORMED inputs: equal-length arrays, no null
+  * elements): each accumulator sums in ARRAY ORDER with plain
   * left-associated double adds, exactly like the HOF fold it replaces, so
   * every DuckDB oracle built against the HOF results still hash-matches.
+  * Degenerate inputs differ DELIBERATELY from the HOF form: a length
+  * mismatch fails fast with IllegalArgumentException (the HOF null-padded
+  * and returned NULL — silently hiding ragged embeddings), and null
+  * ELEMENTS are not supported (ArrayData.toDoubleArray reads them as 0.0;
+  * validate upstream — null top-level arrays still propagate NULL).
   */
 abstract class VecBinaryKernel extends BinaryExpression {
 

@@ -163,7 +163,11 @@ object Dbscan {
     val spark = df.sparkSession
     import spark.implicits._
     graft.expr.GraftFunctions.ensureRegistered(spark)
+    // cache: the input lineage is read four times (count, sample
+    // collect, broadcast-attach scan, final id join) — without this an
+    // expensive upstream pipeline would recompute each time
     val base = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .cache()
     val n = base.count()
     val frac = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
     val samp =
@@ -195,10 +199,15 @@ object Dbscan {
       .groupBy(col(idCol))
       .agg(min(struct(col("dist"), col("core_label"))).as("best"))
       .select(col(idCol), col("best.core_label").as("attach_label"))
-    base.select(col(idCol))
+    // materialize (lineage truncated, blocks auto-cleaned once the
+    // result is unreferenced), then release the input cache
+    val out = base.select(col(idCol))
       .join(attached, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("attach_label"), lit(-1L)).as("label"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** Helper: exact path over a DataFrame, for parity tests and reference-

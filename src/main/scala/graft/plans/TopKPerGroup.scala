@@ -68,6 +68,12 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
     child.execute().mapPartitions ({ iter =>
       val grpProj = UnsafeProjection.create(grpExprs, schema)
       val ordering = RowOrdering.create(sortOrder, schema)
+      // the spill format serializes UnsafeRow bytes, but execute() only
+      // guarantees InternalRow — normalize non-unsafe rows up front (a
+      // child that already satisfies the distribution may emit
+      // GenericInternalRow; the identity projection is skipped per-row
+      // when the input is already unsafe)
+      val toUnsafe = UnsafeProjection.create(schema.map(_.dataType).toArray)
       // PriorityQueue dequeues the LARGEST under `ordering` = the current
       // worst of the kept k — exactly the eviction candidate.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
@@ -134,7 +140,9 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
         }
       }
 
-      iter.foreach { row =>
+      iter.foreach { raw =>
+        val row: InternalRow =
+          if (raw.isInstanceOf[UnsafeRow]) raw else toUnsafe(raw)
         val key = grpProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h

@@ -178,15 +178,29 @@ object StreamIngest {
   }
 
   /** Streaming exact dedup: emit each distinct key once, across
-    * micro-batches (state = seen-key set; pass a watermark column +
-    * delay upstream via `withWatermark` to bound state at true stream
-    * scale — without one, state grows with distinct keys, which is the
-    * batch-parity mode the bounded fixtures use). First-occurrence row
-    * choice within a batch is arbitrary, so callers that need
-    * deterministic output dedup on (and emit) the KEY alone — the
-    * distinct-key SET is deterministic and batch-equal. */
-  def streamingDedup(stream: DataFrame, keyCols: Seq[String]): DataFrame =
-    stream.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    * micro-batches. Two modes:
+    *  - `withinWatermark = false` (default): global dedup — state is the
+    *    full seen-key set and grows with distinct keys. This is the
+    *    batch-parity mode (st3's oracle is batch DISTINCT) for bounded
+    *    replays.
+    *  - `withinWatermark = true`: `dropDuplicatesWithinWatermark` — the
+    *    stream must carry `withWatermark` upstream; duplicate keys are
+    *    suppressed only within the watermark delay, and state for keys
+    *    older than the watermark is EVICTED. The 100-TB steady-state
+    *    mode: bounded state, with the (standard) relaxation that a dup
+    *    arriving after the delay re-emits. The dedup runs BEFORE the key
+    *    projection (projecting first would drop the event-time column
+    *    and silently disable eviction).
+    * First-occurrence row choice within a batch is arbitrary, so only
+    * the KEY columns are emitted — the distinct-key set is deterministic
+    * and batch-equal. */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+                     withinWatermark: Boolean = false): DataFrame = {
+    val deduped =
+      if (withinWatermark) stream.dropDuplicatesWithinWatermark(keyCols)
+      else stream.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    deduped.select(keyCols.map(col): _*)
+  }
 
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)

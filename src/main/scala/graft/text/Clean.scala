@@ -95,7 +95,8 @@ object Clean {
       same("(?i)\\b(gon)(na)\\b", " $1 $2 ", " \\1 \\2 "),
       same("(?i)\\b(got)(ta)\\b", " $1 $2 ", " \\1 \\2 "),
       same("(?i)\\b(lem)(me)\\b", " $1 $2 ", " \\1 \\2 "),
-      same("(?i)\\b(mor)('n)\\b", " $1 $2 ", " \\1 \\2 "),
+      // tokenizer.sed: s=\b\([Mm]\)ore'n\b=\1ore 'n=g → "more" + "'n"
+      same("(?i)\\b(more)('n)\\b", " $1 $2 ", " \\1 \\2 "),
       same("(?i)\\b(wan)(na)(\\s)", " $1 $2$3", " \\1 \\2\\3"),
       same("(?i) ('t)(is)\\b", " $1 $2 ", " \\1 \\2 "),
       same("(?i) ('t)(was)\\b", " $1 $2 ", " \\1 \\2 "))

@@ -23,9 +23,33 @@ class SeqRatioSpec extends SparkSpec {
     ("ab" * 150, "ba" * 150, 0.0, 0),              // autojunk: all chars popular
     ("x" * 250, "x" * 199 + "y" * 51, 0.796, 80))  // popular-char extension
 
+  // ≥200-char word-soup pairs where spaces are autojunk-POPULAR but must
+  // still extend as non-junk (difflib's isbjunk tests the explicit junk
+  // set, empty for None — treating popular as junk diverged ~1% of pairs)
+  private val interleaved: Seq[(String, String, Double)] = Seq(
+      ("auth x auth auth x retry timeout error x auth checksum retry error failed auth disk error failed x checksum transfer retry node auth checksum retry checksum error retry transfer x failed transfer transfer timeout timeout retry transfer auth quota",
+       "auth retry timeout x timeout checksum disk auth transfer checksum failed auth checksum disk node x failed disk quota timeout x disk transfer failed retry failed node failed disk node failed transfer checksum transfer timeout timeout transfer auth node node",
+       0.06374501992031872),
+      ("node failed retry checksum timeout checksum disk quota failed disk quota transfer node failed error timeout failed transfer transfer auth auth error checksum x timeout auth x timeout error node checksum node failed node node timeout transfer disk retry disk",
+       "transfer timeout error node retry checksum retry failed transfer error timeout auth disk transfer retry quota disk node failed failed failed timeout retry checksum timeout transfer retry quota quota retry auth error retry auth retry error node error checksum error",
+       0.053742802303262956),
+      ("disk timeout retry timeout timeout error checksum x timeout checksum node auth retry failed node transfer failed failed transfer x disk timeout node disk node retry auth disk x error failed error timeout auth x checksum retry retry failed disk",
+       "timeout timeout transfer failed disk node auth timeout transfer transfer error disk quota x retry error failed quota error auth quota checksum x retry error retry transfer transfer auth quota disk transfer transfer retry checksum failed auth failed disk quota",
+       0.02390438247011952),
+      ("error failed failed auth x quota transfer error quota quota failed checksum auth failed node transfer auth retry transfer retry checksum node node retry transfer retry failed failed failed checksum failed disk node quota node retry auth auth auth x",
+       "error failed failed auth x quota transfre error quota quota failed checksum auth failed node transfre auth retry transfre retry checksum node node retry transfer retry failed failed failed checksum failed disk node quota node retry auth auth auth x",
+       0.9032258064516129))
+
   test("kernel matches difflib bit-for-bit, incl. autojunk") {
     truth.foreach { case (a, b, r, _) =>
       assert(SeqRatio.ratio(a, b) == r, s"ratio('$a','$b')")
+    }
+  }
+
+  test("autojunk-popular chars still extend matches (difflib parity >=200 chars)") {
+    interleaved.foreach { case (a, b, r) =>
+      assert(SeqRatio.ratio(a, b) == r,
+        s"ratio mismatch: got ${SeqRatio.ratio(a, b)}, difflib $r")
     }
   }
 

@@ -118,4 +118,28 @@ class StreamSpec extends SparkSpec {
       spark.catalog.dropTempView(qn)
     }
   }
+
+  test("streamingDedup withinWatermark: dups suppressed, state evictable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = StreamIngest.streamingDedup(
+      mem.toDF.toDF("ts", "fingerprint").withWatermark("ts", "10 minutes"),
+      Seq("fingerprint"), withinWatermark = true)
+    val qn = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "a"), // dup within delay
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "b"))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[String].collect().sorted
+      assert(got.toSeq == Seq("a", "b"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
 }
