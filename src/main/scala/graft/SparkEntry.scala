@@ -40,6 +40,20 @@ object SparkEntry {
     ClusterStats.stats(clustered, "cluster", "text", "doc_id")
   }
 
+  /** Bounded streaming runs pay per-micro-batch per-partition state-store
+    * overhead (a delta + commit file per HDFS-backed store instance per
+    * batch): 32 shuffle partitions means 32 store instances doing file
+    * I/O for a few thousand keys. Scope the streaming query to a small
+    * state partitioning (the partition count is pinned into the query's
+    * offset log at start, so this only affects the stream), restore after.
+    * On a real cluster the same knob is sized to key cardinality, not
+    * core count. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -413,13 +427,14 @@ object SparkEntry {
     "llm_simhash" -> ((s, dir) =>
       Dedup.simHashFrame(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
-    // 8 bands of 8 bits: pigeonhole guarantees every pair at hamming<=7
-    // lands in at least one shared bucket, so hamming<=6 has FULL recall
-    // (4x16 only guaranteed <=3); smaller slices also mean smaller
-    // candidate buckets on the clustered synthetic vocabulary
+    // 8 slices of 8 bits keyed on all C(8,2)=28 slice-PAIRS (16-bit
+    // buckets): pigeonhole still guarantees FULL recall at hamming<=6
+    // (>=2 clean slices exist), and the wider keys shatter the hot
+    // buckets the clustered vocabulary produces — 6.76M -> 1.98M
+    // candidate pairs, hottest bucket 1460 -> 458 docs (quadratic win)
     "llm_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6, bands = 8).orderBy("id_a", "id_b")),
+        maxHamming = 6, bands = 8, combine = 2).orderBy("id_a", "id_b")),
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3).orderBy("id_a", "id_b")),
@@ -578,7 +593,7 @@ object SparkEntry {
     // availableNow-style bounded run: same aggregation as the batch twin,
     // so it gets a REAL correctness row (the streaming plan must produce
     // the batch answer).
-    "st1_stream_hourly" -> ((s, dir) => {
+    "st1_stream_hourly" -> ((s, dir) => withStreamShuffle(s) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // watermarks require TIMESTAMP (not NTZ); session is UTC so the
       // wall-clock matches — NTZ conversion happens on the output side
@@ -617,7 +632,7 @@ object SparkEntry {
     // event-time timeout implements, so the streaming plan must produce
     // the batch answer. Closure needs post-watermark no-data batches,
     // which AvailableNow runs (same machinery st1/sessionizeOnClose use).
-    "st2_sessionize" -> ((s, dir) => {
+    "st2_sessionize" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st2")
@@ -663,7 +678,7 @@ object SparkEntry {
     // normalized fingerprints emitted exactly once across micro-batches;
     // the batch DISTINCT is the oracle (dedup-in-flight must lose
     // nothing and invent nothing)
-    "st3_stream_dedup" -> ((s, dir) => {
+    "st3_stream_dedup" -> ((s, dir) => withStreamShuffle(s) {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st3")
       Files.createSymbolicLink(streamDir.resolve("documents.parquet"),

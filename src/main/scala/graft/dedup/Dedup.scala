@@ -165,33 +165,47 @@ object Dedup {
       .drop("_tok_hs")
   }
 
-  /** SimHash near-dup pairs: candidates collide on at least one of
-    * `bands` exact-match (64/bands)-bit slices of the 64-bit simhash (any
-    * pair within hamming distance `bands-1` is guaranteed caught —
-    * pigeonhole: ≤ bands-1 flipped bits can dirty at most bands-1 slices;
-    * closer pairs collide on more bands), then verified by full hamming
-    * distance ≤ `maxHamming`. Same banded-join shape as MinHash LSH:
-    * per-bucket shuffle, never all-pairs.
+  /** SimHash near-dup pairs: candidates collide on at least one of the
+    * C(bands, combine) exact-match keys formed by concatenating `combine`
+    * of the `bands` (64/bands)-bit slices of the 64-bit simhash, then get
+    * verified by full hamming distance ≤ `maxHamming`. Same banded-join
+    * shape as MinHash LSH: per-bucket shuffle, never all-pairs.
     *
-    * RECALL CONTRACT: `maxHamming < bands` is required — with fewer bands
-    * a pair at distance ≥ bands can have every slice dirtied and be
-    * silently missed, making the result set incomplete relative to the
-    * stated hamming bound. Smaller slices also mean smaller (cheaper)
-    * candidate buckets, so more bands is the right direction at scale. */
+    * RECALL CONTRACT (pigeonhole): ≤ maxHamming flipped bits dirty at most
+    * maxHamming slices, so `maxHamming ≤ bands - combine` guarantees a
+    * fully-clean `combine`-subset of slices that both docs key on —
+    * FULL recall. `combine` trades explode fan-out (C(bands,combine) rows
+    * per doc — cheap) against bucket width (combine·64/bands key bits):
+    * wider keys shatter the hot buckets a clustered corpus produces under
+    * single-slice keys, and in-bucket candidate expansion is QUADRATIC, so
+    * combine=2 cuts candidate pairs ~3.4× on the synthetic corpus
+    * (6.76M → 1.98M, hottest bucket 1460 → 458 docs) at identical recall.
+    * This is Manku et al.'s multi-block permutation scheme (WWW'07)
+    * expressed as an explode + equi-join. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, bands: Int = 8): DataFrame = {
+                     maxHamming: Int = 3, bands: Int = 8,
+                     combine: Int = 1): DataFrame = {
     require(bands > 0 && 64 % bands == 0)
-    require(maxHamming < bands,
-      s"maxHamming ($maxHamming) must be < bands ($bands): banded exact-match " +
-        "only guarantees candidate collision up to hamming bands-1")
+    require(combine >= 1 && combine <= bands)
+    require(maxHamming <= bands - combine,
+      s"maxHamming ($maxHamming) must be <= bands - combine " +
+        s"(${bands - combine}): banded exact-match only guarantees candidate " +
+        "collision when a fully-clean combine-subset of slices exists")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def slice(b: Int): Column =
+      shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+    val combos = (0 until bands).combinations(combine).toSeq
+    // the simhash (64 bit-vote folds) feeds BOTH sides of the self-join;
+    // materialize once (5k rows/doc-batch — tiny) instead of recomputing
     val hashed = simHashFrame(df.select(col(idCol).as("id"),
       col(textCol).as("text")), "text")
+      .select("id", "simhash").localCheckpoint(true)
     val keyed = hashed.select(col("id"), col("simhash"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * bits).bitwiseAND(mask).as("bucket"))
+        explode(array(combos.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("band"),
+            c.map(slice).reduce((hi, lo) =>
+              shiftleft(hi, bits).bitwiseOR(lo)).as("bucket"))
         }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))

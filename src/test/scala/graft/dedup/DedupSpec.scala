@@ -78,7 +78,7 @@ class DedupSpec extends SparkSpec {
       .filter($"ham" <= 6)
       .select($"ia", $"ib").as[(Long, Long)].collect().toSet
     val banded = Dedup.simHashNearDup(corpus, "doc_id", "text",
-        maxHamming = 6, bands = 8)
+        maxHamming = 6, bands = 8, combine = 2)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(banded == brute,
       s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
