@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.ops.Relational
 import graft.text.{Clean, TextStats}
 import graft.ml.{Tfidf, ClusterStats}
-import graft.dedup.{Dedup, Similarity}
+import graft.dedup.{Curation, Dedup, Similarity}
 import graft.sources.Sources
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -454,6 +454,33 @@ object SparkEntry {
     }),
     "a2_distinct_approx" -> ((s, dir) =>
       Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
+
+    // ---- curation layer (post-dedup pipeline stages) ----------------
+    // Gopher-style repetition signals (top-bigram char coverage +
+    // duplicated-5gram position fraction)
+    "llm_repetition" -> ((s, dir) =>
+      graft.text.Repetition.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // benchmark decontamination: eval set = every 97th doc; any train doc
+    // sharing an 8-token gram with it is flagged
+    "llm_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8).orderBy("doc_id")
+    }),
+    // duplicate-group resolution: connected components over the SAME
+    // near-dup pair relation llm_near_dedup gates (LSH candidates,
+    // exactly verified), labeled min-doc-id, one keeper per group
+    "llm_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      Curation.dupGroups(docs.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+    // content-stable train/val/test assignment (90/5/5 via md5 buckets)
+    "llm_hash_split" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
     "m1_m2_word2vec" -> ((s, dir) => {
@@ -1071,6 +1098,10 @@ object SparkEntry {
         """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
         """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
         """>= 0.3 ORDER BY id_a, id_b"""),
+    "llm_repetition" -> ( repetitionSql),
+    "llm_decontaminate" -> ( decontaminateSql),
+    "llm_dup_groups" -> ( dupGroupsSql),
+    "llm_hash_split" -> ( hashSplitSql),
     // mirrors knnDistanceCurve exactly: per-element double diffs summed in
     // array order, per-point rank j (ties by id_b), per-rank position i
     // (ties by id_a), row-mean over the 17 rank columns; 1e-6 quantized
@@ -1233,6 +1264,91 @@ object SparkEntry {
   /** Oracle twin of Dedup.ngramJaccard(gram=3): jaccard over distinct
     * char-3-gram shingles (hashes on the Spark side are collision-free at
     * these sizes, so set cardinalities match the plain-string sets). */
+  /** Oracle twin of Repetition.repetitionStats (topN=2, dupN=5). Word
+    * n-grams via list_transform over 1-based positions; top gram picked by
+    * ORDER BY cnt DESC, gram DESC — the same total order as Spark's
+    * max(struct(cnt, gram)). Fractions are single divisions of exact
+    * integers by a double, so both engines round identically. */
+  private def repetitionSql: String = {
+    def grams(n: Int) =
+      s"list_transform(range(1, greatest(len(toks)-${n - 1}, 0)+1), " +
+        s"i -> array_to_string(toks[i:i+${n - 1}], ' '))"
+    "WITH t AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      s"$sqlToksLower AS toks FROM documents), " +
+      s"g2 AS (SELECT doc_id, n_chars, unnest(${grams(2)}) AS gram FROM t), " +
+      "c2 AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g2 " +
+      "GROUP BY doc_id, n_chars, gram), " +
+      "r2 AS (SELECT doc_id, gram, cnt, n_chars, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c2), " +
+      "top AS (SELECT doc_id, gram, (cnt*length(gram))/n_chars AS frac " +
+      "FROM r2 WHERE rn = 1), " +
+      s"g5 AS (SELECT doc_id, unnest(${grams(5)}) AS gram FROM t), " +
+      "c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 " +
+      "GROUP BY doc_id, gram), " +
+      "d5 AS (SELECT doc_id, CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) " +
+      "AS DOUBLE) / sum(cnt) AS dup_frac FROM c5 GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(top.gram, '') AS top_2gram, " +
+      "coalesce(top.frac, 0.0) AS top_2gram_frac, " +
+      "coalesce(d5.dup_frac, 0.0) AS dup_5gram_frac " +
+      "FROM documents d LEFT JOIN top USING (doc_id) " +
+      "LEFT JOIN d5 USING (doc_id) ORDER BY doc_id"
+  }
+
+  /** Oracle twin of Curation.decontaminate (n=8, eval = doc_id % 97 = 0):
+    * distinct word 8-grams per doc, count of grams shared with the eval
+    * set's union. */
+  private def decontaminateSql: String =
+    "WITH t AS (SELECT doc_id, " + sqlToksLower + " AS toks FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(toks)-7, 0)+1), " +
+      "i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM t), " +
+      "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), " +
+      "hits AS (SELECT g.doc_id, count(*) AS n_shared FROM g " +
+      "JOIN ev USING (gram) GROUP BY g.doc_id) " +
+      "SELECT d.doc_id, coalesce(hits.n_shared, 0) AS n_shared, " +
+      "coalesce(hits.n_shared, 0) > 0 AS contaminated " +
+      "FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
+
+  /** Oracle twin of Curation.dupGroups over the SAME pair relation as
+    * llm_near_dedup (8-gram stride-4 shingle Jaccard >= 0.3): component
+    * ids via a recursive min-label reachability CTE — an INDEPENDENT
+    * connected-components formulation gating the GraphX one. */
+  private def dupGroupsSql: String =
+    "WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(length(norm)-7, 1), 4), " +
+      "i -> substr(norm, i, 8))) AS sh FROM " +
+      "(SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') " +
+      "AS norm FROM documents)), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a " +
+      "JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) " +
+      ">= 0.3), " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM p " +
+      "UNION ALL SELECT id_b, id_a FROM p), " +
+      "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id), " +
+      "cc AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id), " +
+      "sz AS (SELECT group_id, count(*) AS group_size FROM cc GROUP BY group_id) " +
+      "SELECT cc.doc_id, cc.group_id, sz.group_size, " +
+      "cc.doc_id = cc.group_id AS is_keeper " +
+      "FROM cc JOIN sz USING (group_id) ORDER BY cc.doc_id"
+
+  /** Oracle twin of Curation.hashSplit: md5-of-decimal-string is the one
+    * hash both engines share; the first 4 hex chars are parsed by digit
+    * position (DuckDB has no hex-string-to-int cast). */
+  private def hashSplitSql: String = {
+    val digits = "0123456789abcdef"
+    val parse = (1 to 4).map { i =>
+      s"(strpos('$digits', substr(h, $i, 1))-1)*${1L << ((4 - i) * 4)}"
+    }.mkString(" + ")
+    "WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents), " +
+      s"b AS (SELECT doc_id, CAST(($parse) % 100 AS INTEGER) AS bucket FROM h) " +
+      "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' " +
+      "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+      "FROM b ORDER BY doc_id"
+  }
+
   private def ngramJaccardSql: String = {
     def sh(side: String) =
       s"list_distinct(list_transform(generate_series(1, " +

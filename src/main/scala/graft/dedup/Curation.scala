@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{Clean, Repetition}
+
+/** Corpus-curation operators a pretraining pipeline runs after dedup:
+  * benchmark decontamination, duplicate-group resolution, and
+  * deterministic train/val/test splitting.
+  *
+  * Everything here is deterministic (no RNG, no approximate sketches) so
+  * each operator carries an exact DuckDB oracle. */
+object Curation {
+
+  /** Benchmark decontamination (GPT-3 appendix C / PaLM style): a train
+    * document is contaminated when it shares at least one word n-gram
+    * with any document in the evaluation/benchmark set. Returns one row
+    * per input doc: (doc_id, n_shared = distinct shared grams,
+    * contaminated).
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct-gram set
+    * is broadcast and the train side never shuffles — gram explode +
+    * broadcast semi-ish join + per-doc count, all linear in corpus size. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Repetition.wordNgrams(
+          Clean.splitWs(lower(col(textCol))), n))).as("gram"))
+    val evalGrams = grams(evalDocs).select("gram").distinct()
+    val hits = grams(docs)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Duplicate-group resolution: given near-dup pairs (id_a, id_b), every
+    * document gets the id of its duplicate CLUSTER (connected component,
+    * labeled by the component's min doc id — so keep_id = group_id keeps
+    * exactly one doc per group) and the group size. Docs in no pair are
+    * their own singleton group.
+    *
+    * Pairs come from any candidate generator — exact Jaccard at test
+    * scale, [[Dedup.nearDupPairs]] (banded LSH) at corpus scale. The CC
+    * itself is GraphX Pregel (O(log n) supersteps over the edge list),
+    * the same machinery the distributed DBSCAN uses. */
+  def dupGroups(allIds: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val spark = allIds.sparkSession
+    import spark.implicits._
+    val edgeRdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertRdd = allIds.select(col(idCol).cast("long")).as[Long].rdd
+      .map(id => (id, ()))
+    val cc = Graph(vertRdd, edgeRdd).connectedComponents()
+      .vertices.toDF("doc_id", "group_id") // group_id = min id in component
+    val sizes = cc.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    cc.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        (col("doc_id") === col("group_id")).as("is_keeper"))
+  }
+
+  /** Deterministic content-stable split bucket in [0, buckets): the first
+    * 16 bits of md5(key) parsed as an integer, mod buckets. md5 of the
+    * decimal string form is engine-portable (identical in Spark and
+    * DuckDB), unlike xxhash64/murmur — this is the one hash both the
+    * engine and the oracle share, and 16 bits is plenty for percent-level
+    * split resolution. Pure per-row expression: scan speed, no shuffle,
+    * and the assignment is stable under corpus growth (a doc's split
+    * never changes when other docs are added — the property random
+    * splits lack). */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Train/val/test assignment from the md5 bucket: bucket < trainPct →
+    * train, < trainPct+valPct → val, else test. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = md5Bucket(col(idCol), 100)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+}

@@ -59,8 +59,18 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(s"$name(vecA, vecB)")
     })
 
+  private val nnTopK: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_nn_topk"),
+    new ExpressionInfo(classOf[NnTopK].getName, "graft_nn_topk"),
+    (args: Seq[Expression]) => args match {
+      case Seq(v, m, k) => NnTopK(v, m, intLit(k, "k"))
+      case _ => throw new IllegalArgumentException(
+        "graft_nn_topk(vec, matrixLiteral, k)")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
-      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits,
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),

@@ -188,17 +188,33 @@ object Dbscan {
     val cores = ids.indices.filter(core(_)).map { i =>
       (renum(labels(i)), pts(i).toSeq)
     }
-    val coresDf = cores.toDF("core_label", "core_vec")
-    // broadcast nested-loop + native kernel: scan-local, no shuffle of
-    // the input; the per-id min is a narrow partial-agg shuffle
-    val attached = base
-      .crossJoin(broadcast(coresDf))
-      .withColumn("dist",
-        call_function("graft_l2_dist", col(vecCol), col("core_vec")))
-      .filter(col("dist") < eps)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist"), col("core_label"))).as("best"))
-      .select(col(idCol), col("best.core_label").as("attach_label"))
+    // identical core VECTORS carry identical labels (distance 0 < eps and
+    // both core => same cluster), and templated corpora collapse many
+    // cores onto few distinct sentence vectors — dedupe so the attach
+    // scan pays one kernel eval per DISTINCT core. Sorted by label: the
+    // nn-topk expression breaks distance ties by matrix idx, so idx
+    // order == label order reproduces min(struct(dist, label)) exactly.
+    val distinctCores = cores.groupBy(_._2).iterator
+      .map { case (v, xs) => (xs.iterator.map(_._1).min, v) }
+      .toSeq.sortBy(_._1)
+    // nearest distinct core per row via the compiled graft_nn_topk kernel
+    // against the core matrix literal: scan-local, zero joined-row
+    // materialization (the BroadcastNestedLoopJoin form copied n·cores
+    // rows just to min them away), no shuffle of the input at all
+    val attached =
+      if (distinctCores.isEmpty) base.select(col(idCol)).limit(0)
+        .withColumn("attach_label", lit(null).cast("long"))
+      else {
+        val labelsLit = typedlit(distinctCores.map(_._1))
+        val matLit = typedlit(distinctCores.map(_._2.toSeq): Seq[Seq[Double]])
+        base
+          .select(col(idCol), element_at(
+            call_function("graft_nn_topk", col(vecCol), matLit, lit(1)), 1)
+            .as("nn"))
+          .filter(col("nn.dist") < eps)
+          .select(col(idCol),
+            element_at(labelsLit, col("nn.idx") + 1).as("attach_label"))
+      }
     // materialize (lineage truncated, blocks auto-cleaned once the
     // result is unreferenced), then release the input cache
     val out = base.select(col(idCol))

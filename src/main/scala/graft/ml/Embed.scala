@@ -45,19 +45,40 @@ object Embed {
     * i-th smallest distance of rank j. k > 2 averages; k ≤ 2 uses the
     * 2nd-NN column alone, as the reference does.
     *
-    * Input: (id, vec: Array[Float|Double]). All-pairs + per-point top-k via
-    * window — O(n²) shuffle; callers at scale should pre-bucket (LSH) and
-    * call this per bucket. Returns (i, curve) with i = 0-based position. */
+    * Input: (id, vec: Array[Float|Double]). The reference set is collected
+    * to the driver (callers bound n by construction — a curve sample, a
+    * sub-300 fixture) and rides the plan as ONE matrix literal; each row
+    * then runs the compiled graft_nn_topk heap-select — O(n·d + n·log k)
+    * per row, NO n²-row join materialization, no shuffle until the tiny
+    * n·k rank stage. Callers at true scale pre-bucket (LSH) and use
+    * [[knnDistanceCurveApprox]]. Returns (i, curve), i = 0-based. */
   def knnDistanceCurve(df: DataFrame, idCol: String, vecCol: String,
                        k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     // self-pairs INCLUDED: sklearn's kneighbors over the training set
     // returns self as column 0 (distance 0); the reference's k<=2 branch
     // (distances[:,1]) is therefore the FIRST non-self neighbor, and the
     // k>2 row-mean averages the zero self-column in. Excluding self here
     // would shift every rank by one.
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    curveFromPairs(a.crossJoin(b), k)
+    // matrix rows sorted by id: the expression breaks distance ties by
+    // idx, so idx order == id order reproduces the (dist, id_b) contract
+    val ref = df.select(col(idCol).cast("long").as("id"), col(vecCol))
+      .orderBy("id").collect()
+    val mat: Seq[Seq[Double]] = ref.toSeq.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    })
+    val topK = df.select(col(idCol).as("id_a"),
+        posexplode(call_function("graft_nn_topk", col(vecCol),
+          typedlit(mat), lit(k))))
+      .select(col("id_a"), (col("pos") + 1).as("j"),
+        col("col.dist").as("dist"))
+    val useCols = if (k > 2) topK else topK.filter(col("j") === 2)
+    val wRank = Window.partitionBy("j").orderBy(col("dist"), col("id_a"))
+    useCols
+      .withColumn("i", row_number().over(wRank) - 1)
+      .groupBy("i").agg(avg("dist").as("curve"))
+      .orderBy("i")
   }
 
   /** Scale path for M3: candidate pairs come from the banded
@@ -109,8 +130,11 @@ object Embed {
     // compiled loop — the HOF form was the whole-profile hotspot once the
     // flagship's candidate set grew past ~10⁶ pairs
     graft.expr.GraftFunctions.ensureRegistered(pairs.sparkSession)
-    val withDist = pairs.withColumn("dist",
-      call_function("graft_l2_dist", col("va"), col("vb")))
+    // project the vectors AWAY before the window: the per-group sort
+    // otherwise drags both 16-float payloads through an n²-row sort
+    // (~200 bytes/row instead of 20)
+    val withDist = pairs.select(col("id_a"), col("id_b"),
+      call_function("graft_l2_dist", col("va"), col("vb")).as("dist"))
     val wNeighbors = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
     val topK = withDist
       .withColumn("j", row_number().over(wNeighbors))

@@ -1,0 +1,51 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags docs sharing an n-gram with the eval set") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // eval doc
+      (1L, "zzz alpha beta gamma delta qqq"), // shares the 3-gram
+      (2L, "totally unrelated words here now"),
+      (3L, "alpha beta gamma delta epsilon")) // exact copy of eval doc
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminate(docs, docs.filter($"doc_id" === 0),
+        "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L)._3 && r(3L)._3) // eval doc + its copy
+    assert(r(1L)._3 && r(1L)._2 >= 1)
+    assert(!r(2L)._3 && r(2L)._2 == 0)
+  }
+
+  test("dupGroups: components labeled by min id, singletons kept") {
+    val ids = (0L to 5L).toDF("doc_id")
+    // 0-1, 1-2 chain one group; 3-4 another; 5 singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Curation.dupGroups(ids, pairs, "doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(Seq(0L, 1L, 2L).forall(r(_)._2 == 0L))
+    assert(Seq(3L, 4L).forall(r(_)._2 == 3L))
+    assert(r(5L)._2 == 5L && r(5L)._3 == 1L && r(5L)._4)
+    assert(r(0L)._3 == 3L && r(0L)._4 && !r(1L)._4)
+  }
+
+  test("hashSplit is deterministic, content-stable, ~90/5/5") {
+    val df = spark.range(0, 2000).toDF("doc_id")
+    val r = Curation.hashSplit(df, "doc_id")
+    val counts = r.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("train") > 1600 && counts("train") < 1990)
+    assert(counts.getOrElse("val", 0L) > 40)
+    assert(counts.getOrElse("test", 0L) > 40)
+    // stability: the same id gets the same bucket in a different frame
+    val b1 = r.filter($"doc_id" === 7).select("bucket").head().getInt(0)
+    val b2 = Curation.hashSplit(spark.range(7, 8).toDF("doc_id"), "doc_id")
+      .select("bucket").head().getInt(0)
+    assert(b1 == b2)
+  }
+}
