@@ -481,6 +481,20 @@ object SparkEntry {
     "llm_hash_split" -> ((s, dir) =>
       Curation.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // token-budget shard packing via the two-pass distributed prefix sum
+    "llm_token_pack" -> ((s, dir) =>
+      Curation.tokenPack(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextStats.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1024).orderBy("doc_id")),
+    // deterministic stratified sample: 10 docs per source in md5 order
+    // (pseudo-random but content-stable; W1 top-k machinery per stratum)
+    "llm_stratified_sample" -> ((s, dir) =>
+      Relational.topNPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h")),
+        "source", col("h"), col("doc_id"), 10)
+        .select("source", "doc_id", "h").orderBy("source", "doc_id")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
     "m1_m2_word2vec" -> ((s, dir) => {
@@ -1099,6 +1113,21 @@ object SparkEntry {
         """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
         """>= 0.3 ORDER BY id_a, id_b"""),
     "llm_repetition" -> ( repetitionSql),
+    "llm_token_pack" -> (
+      "WITH t AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len($sqlToks) END)::BIGINT AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "0)::BIGINT AS token_start FROM t) " +
+        "SELECT doc_id, n_tokens, token_start, " +
+        "(token_start // 1024)::BIGINT AS shard_id FROM c ORDER BY doc_id"),
+    "llm_stratified_sample" -> (
+      "WITH t AS (SELECT source, doc_id, md5(doc_id::VARCHAR) AS h " +
+        "FROM documents), " +
+        "r AS (SELECT source, doc_id, h, row_number() OVER " +
+        "(PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) " +
+        "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
+        "ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),

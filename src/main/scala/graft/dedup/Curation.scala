@@ -78,6 +78,47 @@ object Curation {
     (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("long") % buckets).cast("int")
 
+  /** Token-budget shard packing: assign documents, in deterministic
+    * doc-id order, to fixed token-budget shards — the sequence-packing
+    * pass that turns a curated corpus into training shards. A document is
+    * never split: it lands in the shard where its running token total
+    * starts (shard_id = exclusive-prefix-sum / budget).
+    *
+    * Scale shape: a naive global window (`sum over (order by id)`) plans
+    * as a SINGLE partition — a non-starter at corpus scale. This is the
+    * classic two-pass distributed prefix sum instead: range-partition by
+    * id + local sort, pass 1 reduces each partition to ONE subtotal row
+    * (collected — P rows, not n), pass 2 streams each partition once with
+    * its broadcast base offset. Per-partition imperative accumulation is
+    * the rare case where RDD mapPartitions is the right tool. */
+  def tokenPack(df: DataFrame, idCol: String, tokensCol: String,
+                budget: Long): DataFrame = {
+    require(budget > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val subtotals = data.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    data.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, nt) =>
+          val start = cum; cum += nt; (id, nt, start, start / budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "token_start", "shard_id")
+  }
+
   /** Train/val/test assignment from the md5 bucket: bucket < trainPct →
     * train, < trainPct+valPct → val, else test. */
   def hashSplit(df: DataFrame, idCol: String,

@@ -34,6 +34,25 @@ class CurationSpec extends SparkSpec {
     assert(r(0L)._3 == 3L && r(0L)._4 && !r(1L)._4)
   }
 
+  test("tokenPack: exclusive-prefix shard assignment, docs never split") {
+    // force several range partitions so the two-pass offsets are exercised
+    val df = spark.range(0, 100).toDF("doc_id")
+      .withColumn("n_tokens", lit(30L))
+      .repartition(7)
+    val r = Curation.tokenPack(df, "doc_id", "n_tokens", budget = 100)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    r.zipWithIndex.foreach { case ((id, nt, start, shard), i) =>
+      assert(id == i && nt == 30L && start == 30L * i)
+      assert(shard == (30L * i) / 100)
+    }
+    // doc 3 starts at 90 -> lands in shard 0 even though it crosses 100
+    assert(r(3)._4 == 0L && r(4)._4 == 1L)
+    // empty input
+    assert(Curation.tokenPack(df.limit(0), "doc_id", "n_tokens", 10)
+      .count() == 0L)
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")
