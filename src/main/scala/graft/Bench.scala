@@ -29,6 +29,19 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Previous-round per-query times (from the latest BENCH_r*.json in the
+    // cwd, if any) drive the outlier re-run policy below: a shared host can
+    // hand a query two loaded-window runs in a row, and min-of-2 then
+    // reports a phantom regression (observed: 2.5s query measured 15s).
+    val prevTimes: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.lastOption.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -45,7 +58,21 @@ object Bench {
         // both runs must succeed: a second-run failure marks the query
         // failed rather than letting the abort-time duration join the min
         val (t2, ok2) = once()
-        if (!ok2) (name, t1, false) else (name, math.min(t1, t2), true)
+        if (!ok2) (name, t1, false)
+        else {
+          val m = math.min(t1, t2)
+          // outlier arbitration: a third trial when the two runs disagree
+          // >3x (one run hit a noise window) or the min itself is >3x the
+          // previous round's time (both runs hit one). Sub-second numbers
+          // carry ~2x inherent jitter, so only arbitrate above 1s.
+          val suspect = (math.max(t1, t2) > 3 * m && math.max(t1, t2) > 1.0) ||
+            prevTimes.get(name).exists(p => m > 3 * p && m > 1.0)
+          if (!suspect) (name, m, true)
+          else {
+            val (t3, ok3) = once()
+            if (!ok3) (name, m, false) else (name, math.min(m, t3), true)
+          }
+        }
       }
     }
     val qs = results.map { case (k, v, ok) =>

@@ -597,7 +597,7 @@ object SparkEntry {
       // repeated invocations)
       val feat = graft.ml.TextPipeline.tfidfPipeline(minDF = 1.0, maxDF = 0.95)
         .fit(docs).transform(docs).cache()
-      val out = graft.ml.TextPipeline.lsa(dim = 10).fit(feat).transform(feat)
+      val out = graft.ml.TextPipeline.lsaProject(feat, dim = 10)
         .select(col("doc_id"),
           graft.ml.VectorOps.dim(col("lsa_vec")).as("dim"))
         .orderBy("doc_id")

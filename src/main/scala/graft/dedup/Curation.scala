@@ -22,15 +22,24 @@ object Curation {
     * Scale shape: the eval side is tiny by construction (benchmarks are
     * thousands of docs, the corpus is billions), so its distinct-gram set
     * is broadcast and the train side never shuffles — gram explode +
-    * broadcast semi-ish join + per-doc count, all linear in corpus size. */
+    * broadcast semi-ish join + per-doc count, all linear in corpus size.
+    * The join key is `xxhash64(gram)`, not the 8-token string: an 8-byte
+    * hash instead of a ~50-byte string shrinks the broadcast table and
+    * every exploded train row ~5-10×, and a 64-bit collision flipping a
+    * doc's verdict is negligible (P ≈ grams²/2⁶⁴; re-verify on strings if
+    * a flagged doc matters). */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
+    // distinct on the STRING grams per doc first (array_distinct), then
+    // hash: a collision can only create a false cross-set match, never
+    // merge a doc's own distinct grams before the count
     def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(Repetition.wordNgrams(
           Clean.splitWs(lower(col(textCol))), n))).as("gram"))
-    val evalGrams = grams(evalDocs).select("gram").distinct()
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+    val evalGrams = grams(evalDocs).select("gram_h").distinct()
     val hits = grams(docs)
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(broadcast(evalGrams), Seq("gram_h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
     docs.select(col(idCol).as("doc_id"))
@@ -90,17 +99,32 @@ object Curation {
     * id + local sort, pass 1 reduces each partition to ONE subtotal row
     * (collected — P rows, not n), pass 2 streams each partition once with
     * its broadcast base offset. Per-partition imperative accumulation is
-    * the rare case where RDD mapPartitions is the right tool. */
+    * the rare case where RDD mapPartitions is the right tool.
+    *
+    * Determinism contract: pass-1 offsets are only valid against the EXACT
+    * partitioning pass 2 reads, so the range partitioning is (a) pinned to
+    * an explicit partition count (a column-only `repartitionByRange` lets
+    * the planner — and AQE — pick, independently per action) and (b)
+    * materialized ONCE via an eager `localCheckpoint`: both passes then
+    * read the same checkpointed partitions instead of re-running the range
+    * sampler per job. On a real cluster the checkpoint blocks live on
+    * executors (lost-executor recompute is the documented localCheckpoint
+    * tradeoff; persist(DISK) is the belt-and-braces variant) and are
+    * released by the ContextCleaner once the result frame is unreferenced. */
   def tokenPack(df: DataFrame, idCol: String, tokensCol: String,
-                budget: Long): DataFrame = {
+                budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0)
     val spark = df.sparkSession
     import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
     val data = df
       .select(col(idCol).cast("long").as("doc_id"),
         col(tokensCol).cast("long").as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
+      .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
+      .localCheckpoint(true) // pin partitions: both passes read these blocks
       .as[(Long, Long)]
     val subtotals = data.rdd
       .mapPartitionsWithIndex { (i, it) =>

@@ -51,9 +51,13 @@ object Embed {
     * then runs the compiled graft_nn_topk heap-select — O(n·d + n·log k)
     * per row, NO n²-row join materialization, no shuffle until the tiny
     * n·k rank stage. Callers at true scale pre-bucket (LSH) and use
-    * [[knnDistanceCurveApprox]]. Returns (i, curve), i = 0-based. */
+    * [[knnDistanceCurveApprox]]. The reference-set collect is structurally
+    * bounded: at most `maxN`+1 rows ever reach the driver (limit-pushed),
+    * and past `maxN` the call refuses — sample the input or switch to the
+    * approx path rather than growing the cap. Returns (i, curve), i =
+    * 0-based. */
   def knnDistanceCurve(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, maxN: Int = 5000): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     // self-pairs INCLUDED: sklearn's kneighbors over the training set
     // returns self as column 0 (distance 0); the reference's k<=2 branch
@@ -63,7 +67,11 @@ object Embed {
     // matrix rows sorted by id: the expression breaks distance ties by
     // idx, so idx order == id order reproduces the (dist, id_b) contract
     val ref = df.select(col(idCol).cast("long").as("id"), col(vecCol))
-      .orderBy("id").collect()
+      .orderBy("id").limit(maxN + 1).collect()
+    require(ref.length <= maxN,
+      s"knnDistanceCurve rides the reference set as a plan literal and is " +
+        s"capped at maxN=$maxN rows (got more); sample the input or use " +
+        "knnDistanceCurveApprox at scale")
     val mat: Seq[Seq[Double]] = ref.toSeq.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d

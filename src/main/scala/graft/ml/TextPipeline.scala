@@ -37,16 +37,48 @@ object TextPipeline {
     new Pipeline().setStages(Array(tok, stop, cv, idf, norm))
   }
 
-  /** M8 LSA: project `features` to `dim` components and L2-renormalize
-    * (the spherical-KMeans trick). PCA here = TruncatedSVD on centered
-    * data; dims are small (25) so the driver-side eigendecomposition of
-    * the d×d Gramian is trivial while the data pass is distributed. */
-  def lsa(dim: Int = 25): Pipeline = {
-    val pca = new PCA().setInputCol("features").setOutputCol("pca_vec")
-      .setK(dim)
-    val norm = new Normalizer().setInputCol("pca_vec").setOutputCol("lsa_vec")
-      .setP(2.0)
-    new Pipeline().setStages(Array(pca, norm))
+  /** M8 LSA: project `inputCol` onto the top-`dim` right singular vectors
+    * of the TF-IDF matrix and L2-renormalize (the spherical-KMeans trick;
+    * TruncatedSVD + Normalizer, TF-IDF_K-Means_approach.ipynb:7840-7844 —
+    * sklearn's TruncatedSVD does NOT center, and neither does this, so the
+    * semantics match the reference exactly, unlike a PCA stand-in).
+    *
+    * Scale shape: `RowMatrix.computeSVD(k, computeU=false)` — for small
+    * vocabularies the d×d Gramian is local, past MLlib's ~17.5k-column line
+    * it switches to distributed ARPACK (matrix-vector passes over the
+    * rows), so there is no O(d²) driver allocation and no 65,535-feature
+    * cap (the `ml.feature.PCA` limits this replaces; `tfidfPipeline`
+    * permits vocabSize up to 1<<18). Driver/broadcast state is V alone:
+    * O(d·k) ≈ 52 MB at the full 1<<18 vocab × k=25. The projection is a
+    * single map over the rows — x·V at O(nnz·k) per doc, no shuffle. */
+  def lsaProject(df: DataFrame, inputCol: String = "features",
+                 outputCol: String = "lsa_vec", dim: Int = 25): DataFrame = {
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    val vecRdd = df.select(col(inputCol)).rdd.map(r =>
+      org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0)))
+    val svd = new RowMatrix(vecRdd).computeSVD(dim, computeU = false)
+    val v = svd.V // d×k, column-major
+    val d = v.numRows
+    val k = v.numCols
+    val bc = spark.sparkContext.broadcast(v.toArray)
+    val project = udf { x: org.apache.spark.ml.linalg.Vector =>
+      val vv = bc.value
+      val out = new Array[Double](k)
+      x.foreachActive { (i, value) =>
+        var j = 0
+        while (j < k) { out(j) += value * vv(j * d + i); j += 1 }
+      }
+      var norm = 0.0
+      var j = 0
+      while (j < k) { norm += out(j) * out(j); j += 1 }
+      val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+      j = 0
+      while (j < k) { out(j) *= inv; j += 1 }
+      org.apache.spark.ml.linalg.Vectors.dense(out)
+    }
+    df.withColumn(outputCol, project(col(inputCol)))
   }
 
   /** M9 KMeans with best-of-seeds restarts (sklearn n_init semantics):
@@ -73,7 +105,7 @@ object TextPipeline {
     // chain from the scan — the single biggest wall-clock lever here.
     val feat = tfidfPipeline().fit(txt).transform(txt)
     val (clusterInput, featCol) =
-      if (useLsa) (lsa().fit(feat.cache()).transform(feat), "lsa_vec")
+      if (useLsa) (lsaProject(feat.cache()), "lsa_vec")
       else (feat, "features")
     clusterInput.cache()
     try {

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the Spark-side plumbing for decode / feature
   * extraction / frame sampling.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake metadata from the
-  * bytes so the schema, partitioning, batch shape and operator wiring are
-  * real and testable; swap `decodeStub`/`featuresStub` for a real codec UDF
-  * (or an Arrow-batched mapInPandas on the PySpark side) in production.
+  * Image decode ([[decodeImage]], `javax.imageio`) and audio decode
+  * ([[decodeAudio]], `javax.sound.sampled`) are REAL — JDK-built-in codecs,
+  * actual bytes in, actual dimensions/durations out. Video is the one
+  * remaining STUB (`decodeStub`): no video codec ships with the JDK or this
+  * environment, so it derives deterministic fake metadata from the bytes —
+  * the schema, partitioning, batch shape and operator wiring stay real and
+  * testable; swap it for a codec UDF (or an Arrow-batched mapInPandas on
+  * the PySpark side) in production.
   */
 object Multimodal {
 
@@ -81,6 +84,57 @@ object Multimodal {
         col("_dec._2").as("width"),
         col("_dec._3").as("height"),
         lit(null).cast("long").as("duration_ms")))
+      .drop("_dec")
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-built-in: WAV, AIFF,
+    * AU) — replaces [[decodeStub]] for the audio modality. duration_ms is
+    * computed from the actual frame count / frame rate in the byte stream;
+    * mime from magic-byte sniffing (RIFF/WAVE, FORM/AIFF, .snd);
+    * undecodable or null payloads keep a null duration. Width/height stay
+    * null (audio). Video decode remains stubbed by declared necessity (no
+    * video codec libraries ship with the JDK or this environment).
+    *
+    * Same scale shape as [[decodeImage]]: per-row black-box codec work,
+    * partition-preserving, runs where the payload partition lives. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val decode = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else {
+        val mime =
+          if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+            payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+            payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+            "audio/wav"
+          else if (payload.length >= 12 && payload(0) == 'F' &&
+            payload(1) == 'O' && payload(2) == 'R' && payload(3) == 'M' &&
+            payload(8) == 'A' && payload(9) == 'I' && payload(10) == 'F')
+            "audio/aiff"
+          else if (payload.length >= 4 && payload(0) == '.' &&
+            payload(1) == 's' && payload(2) == 'n' && payload(3) == 'd')
+            "audio/basic"
+          else "application/octet-stream"
+        val dur: Option[Long] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              if (frames >= 0 && fmt.getFrameRate > 0)
+                Some(math.round(frames * 1000.0 / fmt.getFrameRate))
+              else None
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        Some((mime, dur))
+      }
+    }
+    df.withColumn("_dec", decode(col("payload")))
+      .withColumn("meta", struct(
+        coalesce(col("_dec._1"), col("meta.mime")).as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        col("_dec._2").as("duration_ms")))
       .drop("_dec")
   }
 

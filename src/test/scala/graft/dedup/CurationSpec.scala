@@ -53,6 +53,35 @@ class CurationSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("tokenPack with AQE + skewed tokens: token_start == driver cumsum") {
+    // the round-4 hazard: two .rdd actions over an unpinned
+    // repartitionByRange could see different partitionings under AQE and
+    // misapply pass-1 offsets. Run with AQE explicitly on, a heavily
+    // skewed token distribution (every 13th doc is ~100x the median, so
+    // range-sampler boundaries are skew-sensitive), scrambled input
+    // partitions, and a partition count that divides nothing evenly.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val n = 5000
+      val rows = (0 until n).map { i =>
+        (i.toLong, if (i % 13 == 0) 4000L + i % 7 else (i % 50 + 1).toLong)
+      }
+      val df = rows.toDF("doc_id", "n_tokens").repartition(11)
+      val r = Curation.tokenPack(df, "doc_id", "n_tokens", budget = 10000,
+          numPartitions = 9)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+      assert(r.length == n)
+      var cum = 0L
+      rows.zipWithIndex.foreach { case ((id, nt), i) =>
+        assert(r(i)._1 == id && r(i)._2 == nt)
+        assert(r(i)._3 == cum, s"token_start mismatch at doc $id")
+        assert(r(i)._4 == cum / 10000, s"shard mismatch at doc $id")
+        cum += nt
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")

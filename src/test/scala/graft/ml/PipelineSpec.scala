@@ -41,6 +41,18 @@ class PipelineSpec extends SparkSpec {
     assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12))
   }
 
+  test("knnDistanceCurve refuses to collect past maxN (driver-matrix guard)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(30)
+    val e = intercept[IllegalArgumentException] {
+      Embed.knnDistanceCurve(emb, "vec_id", "embedding", k = 3, maxN = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("knnDistanceCurveApprox"))
+    // at the boundary it still runs
+    assert(Embed.knnDistanceCurve(emb, "vec_id", "embedding", k = 3,
+      maxN = 30).count() == 30)
+  }
+
   test("knnDistanceCurveApprox tracks the exact curve's scale") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(60)
     val exact = Embed.knnDistanceCurve(emb, "vec_id", "embedding", k = 5)
@@ -51,6 +63,41 @@ class PipelineSpec extends SparkSpec {
     // candidates are a subset => per-point j-th candidate distance >= exact
     assert(approx >= exact - 1e-9)
     assert(approx <= exact * 2.0, s"approx=$approx exact=$exact")
+  }
+
+  test("lsaProject fits d > 70k features (past ml.feature.PCA's 65535 cap)") {
+    // synthetic sparse TF-IDF-like rows over a 70,001-term vocabulary:
+    // two planted "topics" (disjoint heavy index blocks) + per-doc noise
+    // terms, so the top singular directions are well-defined
+    val d = 70001
+    val rows = (0 until 60).map { i =>
+      val topic = if (i % 2 == 0) 0 else 35000
+      val idx = Array(topic, topic + 1, topic + 2,
+        10000 + (i * 1543) % 20000, 69000 + i).distinct.sorted
+      (i.toLong, org.apache.spark.ml.linalg.Vectors.sparse(
+        d, idx, idx.map(_ => 1.0)))
+    }
+    val out = TextPipeline.lsaProject(rows.toDF("doc_id", "features"), dim = 5)
+      .select($"doc_id", $"lsa_vec")
+      .as[(Long, org.apache.spark.ml.linalg.Vector)].collect()
+    assert(out.length == 60)
+    assert(out.forall(_._2.size == 5))
+    // projections are L2-renormalized
+    out.foreach { case (_, v) =>
+      val n2 = v.toArray.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9 || n2 == 0.0)
+    }
+    // the two planted topics must separate in LSA space: same-topic docs
+    // sit closer than cross-topic docs on average
+    val byTopic = out.groupBy(_._1 % 2 == 0).map { case (k, vs) =>
+      k -> vs.map(_._2.toArray)
+    }
+    def centroid(vs: Seq[Array[Double]]) =
+      vs.transpose.map(_.sum / vs.size).toArray
+    val c0 = centroid(byTopic(true)); val c1 = centroid(byTopic(false))
+    val cross = math.sqrt(c0.zip(c1).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    assert(cross > 0.1, s"topic centroids should separate, dist=$cross")
   }
 
   test("silhouette on the labeled embeddings fixture (M10)") {

@@ -74,4 +74,43 @@ class MultimodalSpec extends SparkSpec {
     // null payload: dims stay null, original mime kept
     assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty)
   }
+
+  test("decodeAudio reads real WAV duration from bytes") {
+    import javax.sound.sampled._
+    def wav(sampleRate: Float, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < nFrames) { // quiet sine so the payload isn't all zeros
+        val v = (math.sin(i * 0.05) * 2000).toInt
+        pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(8000f, 4000)),   // 500 ms
+      (2L, wav(16000f, 24000)), // 1500 ms
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt",
+        modality = "audio")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val out = Multimodal.decodeAudio(df)
+      .select($"asset_id", $"meta.mime", $"meta.duration_ms", $"meta.width")
+      .as[(Long, String, Option[Long], Option[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("audio/wav", Some(500L), None)))
+    assert(out(2L) == (("audio/wav", Some(1500L), None)))
+    // undecodable bytes: octet-stream mime, null duration
+    assert(out(3L)._1 == "application/octet-stream" && out(3L)._2.isEmpty)
+    // null payload: duration stays null, original mime kept
+    assert(out(4L)._2.isEmpty)
+  }
 }
