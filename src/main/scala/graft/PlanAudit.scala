@@ -96,14 +96,58 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_cosine_topk")(spark, dir))
 
-    audit("m3_knn_curve (native l2 kernel)", Seq(
-      "native graft_l2_dist in plan" -> (_.contains("graft_l2_dist")),
+    // round 4 rewrote the curve onto the graft_nn_topk matrix-literal
+    // heap-select (no n²-row join); the old graft_l2_dist check was stale
+    audit("m3_knn_curve (native matrix heap-select kernel)", Seq(
+      "native graft_nn_topk in plan" -> (_.contains("graft_nn_topk")),
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("m3_knn_curve")(spark, dir))
 
     audit("j4_eps_self_join (native dot kernel)", Seq(
       "native graft_dot in plan" -> (_.contains("graft_dot"))))(
       SparkEntry.queries("j4_eps_self_join")(spark, dir))
+
+    // ---- round-4 curation layer ------------------------------------
+    audit("llm_decontaminate (eval grams broadcast, train side unshuffled)", Seq(
+      "eval-gram side is a BroadcastExchange" ->
+        (_.contains("BroadcastExchange")),
+      "gram join is broadcast, not sort-merge" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin(gram")),
+      "8-byte hash join key (xxhash64), not gram strings" ->
+        (_.contains("xxhash64")))) (
+      SparkEntry.queries("llm_decontaminate")(spark, dir))
+
+    audit("llm_token_pack (two-pass prefix sum, no global window)", Seq(
+      "no single-partition Window operator" -> (p => !p.contains("Window")),
+      "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->
+        (_.contains("mapPartitionsWithIndex at Curation.scala"))))(
+      SparkEntry.queries("llm_token_pack")(spark, dir))
+
+    audit("llm_dup_groups (distributed CC, no driver edge collect)", Seq(
+      "edges stay distributed (no LocalTableScan literal)" ->
+        (p => !p.contains("LocalTableScan")),
+      "group sizes aggregated with a hash-partitioned exchange" ->
+        (_.contains("hashpartitioning"))))(
+      SparkEntry.queries("llm_dup_groups")(spark, dir))
+
+    audit("llm_repetition (partial agg before exchange)", Seq(
+      "map-side partial aggregation" -> (_.contains("partial_")),
+      "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
+      SparkEntry.queries("llm_repetition")(spark, dir))
+
+    // hashSplit itself (the registered query adds a presentation orderBy —
+    // audited WITHOUT it: the operator must be a pure scan-speed projection)
+    audit("llm_hash_split core (pure projection, zero shuffle)", Seq(
+      "no Exchange anywhere" -> (p => !p.contains("Exchange")),
+      "no Window" -> (p => !p.contains("Window"))))(
+      graft.dedup.Curation.hashSplit(
+        Tables.table(spark, dir, "documents").select("doc_id"), "doc_id"))
+
+    audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
+      "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
+      "no global Sort of the corpus" ->
+        (p => !p.contains("Sort [h"))))(
+      SparkEntry.queries("llm_stratified_sample")(spark, dir))
 
     spark.stop()
   }

@@ -50,11 +50,27 @@ class FlagshipParitySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val clusters = byLabel.keySet.filter(_ >= 0)
     val noise = byLabel.getOrElse(-1L, 0L)
-    // reference shape: a handful of clusters, minority noise (~4.5%)
-    assert(clusters.nonEmpty && clusters.size <= 60,
-      s"expected a small cluster count, got ${clusters.size}")
-    assert(noise.toDouble / n < 0.3,
-      s"expected minority noise, got $noise/$n")
+    info(s"clusters=${clusters.size} noise=$noise/$n byLabel=${byLabel.toSeq.sortBy(_._1)}")
+    // reference shape, pinned to the recorded run (ε=7.55 from the knee,
+    // labels {−1,0,1,2}, 127/2788 ≈ 4.5% noise —
+    // word2vec_dbscan_approach.ipynb:30025,30109): a few clusters, not a
+    // fragment cloud (observed here: 4, one per template family), and
+    // noise at or below the reference's minority fraction (observed: 0 —
+    // the synthetic families are cleanly separable)
+    assert(clusters.size >= 2 && clusters.size <= 12,
+      s"expected a handful of clusters (reference: 3+noise), got ${clusters.size}")
+    assert(noise.toDouble / n <= 0.1,
+      s"expected <=10% noise (reference: 4.5%), got $noise/$n")
+    // quality pin: clusters must track the planted template families —
+    // per-cluster majority-family purity, the label-free analogue of the
+    // reference's homogeneity-vs-category check
+    val purity = labeled
+      .withColumn("fam", split(col("text"), " ").getItem(0))
+      .groupBy("label", "fam").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._3).max).sum.toDouble / n
+    assert(purity >= 0.9,
+      f"clusters should track template families, purity=$purity%.3f")
     labeled.unpersist()
   }
 }

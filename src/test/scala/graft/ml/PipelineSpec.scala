@@ -22,6 +22,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == n)
   }
 
+  test("m7_m9: cluster-size multiset is deterministic and matches the frozen golden") {
+    // the closest honest analogue of the reference's recorded sizes
+    // {3:652, 2:462, ...} (TF-IDF_K-Means_approach.ipynb:7983): with a
+    // fixed seed and fixed partitioning, the KMeans outcome is
+    // deterministic, and the SORTED size multiset is invariant to label
+    // permutation — so it can be frozen as a golden. If this fails after
+    // an intentional pipeline change, re-freeze ONLY after two
+    // consecutive runs agree (the in-JVM double run below guards that).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    def sizes(): Seq[Long] = {
+      val clustered = TextPipeline.clusterDocuments(docs, "text", k = 5,
+        nInit = 1)
+      val s = clustered.groupBy("cluster").count()
+        .as[(Int, Long)].collect().map(_._2).sorted.toSeq
+      clustered.unpersist()
+      s
+    }
+    val s1 = sizes()
+    val s2 = sizes()
+    assert(s1 == s2, s"KMeans run not deterministic: $s1 vs $s2")
+    info(s"cluster-size multiset: $s1")
+    val golden = Seq(25L, 101L, 111L, 123L, 140L)
+    assert(s1 == golden, s"multiset drifted from golden: $s1 != $golden")
+  }
+
   test("word2vec + sentence2vec + knn curve on a tiny corpus (M1-M3)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(60)
