@@ -35,7 +35,8 @@ object Bench {
     // reports a phantom regression (observed: 2.5s query measured 15s).
     val prevTimes: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt) // numeric: r10 > r9
       files.lastOption.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
         "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
@@ -61,16 +62,20 @@ object Bench {
         if (!ok2) (name, t1, false)
         else {
           val m = math.min(t1, t2)
-          // outlier arbitration: a third trial when the two runs disagree
-          // >3x (one run hit a noise window) or the min itself is >3x the
-          // previous round's time (both runs hit one). Sub-second numbers
-          // carry ~2x inherent jitter, so only arbitrate above 1s.
-          val suspect = (math.max(t1, t2) > 3 * m && math.max(t1, t2) > 1.0) ||
+          // outlier arbitration: a third trial when the SECOND run is >3x
+          // the first (warm-up makes t2 <= t1 the normal profile, so a
+          // slower t2 means run 2 hit a noise window — t1 >> t2 is just
+          // JIT and must NOT trigger), or the min is >3x the previous
+          // round's time for this query (both runs hit one). Sub-second
+          // numbers carry ~2x inherent jitter: only arbitrate above 1s.
+          val suspect = (t2 > 3 * t1 && t2 > 1.0) ||
             prevTimes.get(name).exists(p => m > 3 * p && m > 1.0)
           if (!suspect) (name, m, true)
           else {
+            // two successful measurements already exist: a failed third
+            // run can't unmeasure them — it just doesn't improve the min
             val (t3, ok3) = once()
-            if (!ok3) (name, m, false) else (name, math.min(m, t3), true)
+            (name, if (ok3) math.min(m, t3) else m, true)
           }
         }
       }

@@ -111,8 +111,11 @@ object PlanAudit {
     audit("llm_decontaminate (eval grams broadcast, train side unshuffled)", Seq(
       "eval-gram side is a BroadcastExchange" ->
         (_.contains("BroadcastExchange")),
+      // both joins (gram-hash inner, doc-id left-outer) must broadcast —
+      // ANY SortMergeJoin in this plan means a big side shuffled
       "gram join is broadcast, not sort-merge" ->
-        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin(gram")),
+        (p => p.contains("BroadcastHashJoin Inner") &&
+          !p.contains("SortMergeJoin")),
       "8-byte hash join key (xxhash64), not gram strings" ->
         (_.contains("xxhash64")))) (
       SparkEntry.queries("llm_decontaminate")(spark, dir))
@@ -145,8 +148,11 @@ object PlanAudit {
 
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
-      "no global Sort of the corpus" ->
-        (p => !p.contains("Sort [h"))))(
+      // a global sort by the md5 key would plan rangepartitioning(h#...);
+      // the presentation orderBy keys on (source, doc_id), so this
+      // pattern only matches a real regression
+      "no global Sort of the corpus by the md5 key" ->
+        (p => !p.contains("rangepartitioning(h#"))))(
       SparkEntry.queries("llm_stratified_sample")(spark, dir))
 
     spark.stop()

@@ -59,13 +59,19 @@ object TextPipeline {
       org.apache.spark.mllib.linalg.Vectors.fromML(
         r.getAs[org.apache.spark.ml.linalg.Vector](0)))
     val svd = new RowMatrix(vecRdd).computeSVD(dim, computeU = false)
-    val v = svd.V // d×k, column-major
+    val v = svd.V // d×k, column-major; k may be < dim on rank deficiency
     val d = v.numRows
     val k = v.numCols
     val bc = spark.sparkContext.broadcast(v.toArray)
     val project = udf { x: org.apache.spark.ml.linalg.Vector =>
       val vv = bc.value
-      val out = new Array[Double](k)
+      // output is ALWAYS `dim` wide: computeSVD drops singular values
+      // below rCond·σ₁, so k can come back < dim on a rank-deficient
+      // corpus — the missing components are zero-padded (their true
+      // projection is onto the null space, where 0 is the honest value)
+      // so downstream schemas/oracles see a fixed width like sklearn's
+      // TruncatedSVD
+      val out = new Array[Double](dim)
       x.foreachActive { (i, value) =>
         var j = 0
         while (j < k) { out(j) += value * vv(j * d + i); j += 1 }

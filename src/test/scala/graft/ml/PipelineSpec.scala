@@ -126,6 +126,22 @@ class PipelineSpec extends SparkSpec {
     assert(cross > 0.1, s"topic centroids should separate, dist=$cross")
   }
 
+  test("lsaProject pads to dim on a rank-deficient corpus (fixed width)") {
+    // rank-2 data (two distinct rows repeated): computeSVD retains < dim
+    // singular values; output must still be `dim` wide, zero-padded
+    val rows = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 2.0, 0.0, 1.0)
+        else Array(0.0, 1.0, 3.0, 0.0)
+      (i.toLong, org.apache.spark.ml.linalg.Vectors.dense(base))
+    }
+    val out = TextPipeline.lsaProject(rows.toDF("doc_id", "features"), dim = 4)
+      .select($"lsa_vec").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(out.forall(_.size == 4))
+    assert(out.forall(v => math.abs(
+      v.toArray.map(x => x * x).sum - 1.0) < 1e-9))
+  }
+
   test("silhouette on the labeled embeddings fixture (M10)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"label",
