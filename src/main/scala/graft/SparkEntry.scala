@@ -6,7 +6,7 @@ import java.nio.file.Files
 
 import graft.core.Tables
 import graft.ops.Relational
-import graft.text.{Clean, TextStats}
+import graft.text.{Clean, Filters, TextStats}
 import graft.ml.{Tfidf, ClusterStats}
 import graft.dedup.{Curation, Dedup, Similarity}
 import graft.sources.Sources
@@ -487,6 +487,28 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextStats.tokenCountWs(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 1024).orderBy("doc_id")),
+    // Gopher rule battery (Rae et al. 2021 A1.1): per-doc signals + rule
+    // verdicts + keep conjunction, all pure scan-speed expressions
+    "llm_gopher_filter" -> ((s, dir) =>
+      Filters.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // C4 line-level cleaning (Raffel et al. 2020 2.2): terminal-punct +
+    // min-words line filter, lorem-ipsum / curly-brace document drop
+    "llm_c4_clean" -> ((s, dir) =>
+      Filters.c4Clean(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // PII masking over documents with deterministically injected PII
+    // (every 7th doc an email+IP, every 11th a phone) so the regexes are
+    // exercised, not vacuously green
+    "llm_pii_mask" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact admin@example.com from 10.0.0.1"))
+            .when(col("doc_id") % 11 === 0, lit(" call 555-123-4567 now"))
+            .otherwise(lit(""))).as("text"))
+      Filters.maskPii(docs, "doc_id", "text").orderBy("doc_id")
+    }),
     // deterministic stratified sample: 10 docs per source in md5 order
     // (pseudo-random but content-stable; W1 top-k machinery per stratum)
     "llm_stratified_sample" -> ((s, dir) =>
@@ -1131,6 +1153,9 @@ object SparkEntry {
     "llm_decontaminate" -> ( decontaminateSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
+    "llm_gopher_filter" -> ( gopherSql),
+    "llm_c4_clean" -> ( c4CleanSql),
+    "llm_pii_mask" -> ( piiMaskSql),
     // mirrors knnDistanceCurve exactly: per-element double diffs summed in
     // array order, per-point rank j (ties by id_b), per-rank position i
     // (ties by id_a), row-mean over the 17 rank columns; 1e-6 quantized
@@ -1321,6 +1346,70 @@ object SparkEntry {
       "coalesce(d5.dup_frac, 0.0) AS dup_5gram_frac " +
       "FROM documents d LEFT JOIN top USING (doc_id) " +
       "LEFT JOIN d5 USING (doc_id) ORDER BY doc_id"
+  }
+
+  /** Oracle twin of Filters.gopherRules (defaults 50..100000). Every
+    * signal is a single division of exact integers, so the doubles are
+    * bit-identical across engines; list lambdas mirror the Spark HOFs. */
+  private def gopherSql: String =
+    s"WITH t AS (SELECT doc_id, text, $sqlToks AS toks, " +
+      s"$sqlToksLower AS toks_lc, string_split(text, chr(10)) AS lines " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, " +
+      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::BIGINT " +
+      "AS n_tokens, " +
+      "length(array_to_string(toks, ''))::DOUBLE / " +
+      "greatest(len(toks), 1)::DOUBLE AS mean_word_len, " +
+      "(len(regexp_extract_all(text, '#')) + " +
+      """len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / """ +
+      "greatest(len(toks), 1)::DOUBLE AS sym_ratio, " +
+      "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN " +
+      "('-', '*', '•')))::DOUBLE / len(lines)::DOUBLE AS bullet_frac, " +
+      "len(list_filter(lines, l -> substr(rtrim(l), -3, 3) = '...'))::DOUBLE " +
+      "/ len(lines)::DOUBLE AS ellipsis_frac, " +
+      "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / " +
+      "greatest(len(toks), 1)::DOUBLE AS alpha_frac, " +
+      s"len(list_filter(toks_lc, x -> x IN $enStopsSql))::BIGINT AS stop_hits " +
+      "FROM t) " +
+      "SELECT doc_id, n_tokens, mean_word_len, sym_ratio, bullet_frac, " +
+      "ellipsis_frac, alpha_frac, stop_hits, " +
+      "(n_tokens BETWEEN 50 AND 100000) AND " +
+      "(mean_word_len BETWEEN 3.0 AND 10.0) AND sym_ratio < 0.1 AND " +
+      "bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 " +
+      "AND stop_hits >= 2 AS keep FROM s ORDER BY doc_id"
+
+  /** Oracle twin of Filters.c4Clean (minLineWords=5). */
+  private def c4CleanSql: String =
+    "WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines " +
+      "FROM documents), " +
+      "k AS (SELECT doc_id, text, list_filter(lines, l -> " +
+      "substr(rtrim(l), -1, 1) IN ('.', '!', '?', '\"', '''') AND " +
+      """len(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) """ +
+      ">= 5) AS kept FROM t) " +
+      "SELECT doc_id, " +
+      "CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{') " +
+      "THEN 0 ELSE len(kept) END::BIGINT AS n_lines_kept, " +
+      "CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{') " +
+      "THEN '' ELSE array_to_string(kept, chr(10)) END AS cleaned " +
+      "FROM k ORDER BY doc_id"
+
+  /** Oracle twin of llm_pii_mask: same injected PII, same portable
+    * regexes (no backreferences/lookaround — Java and RE2 agree). */
+  private def piiMaskSql: String = {
+    val e = Filters.EmailRe
+    val ip = Filters.Ipv4Re
+    val ph = Filters.PhoneRe
+    "WITH t AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' contact admin@example.com from 10.0.0.1' " +
+      "WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 now' ELSE '' END " +
+      "AS text FROM documents) " +
+      "SELECT doc_id, " +
+      s"regexp_replace(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), " +
+      s"'$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS masked, " +
+      s"len(regexp_extract_all(text, '$e'))::BIGINT AS n_email, " +
+      s"len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ip, " +
+      s"len(regexp_extract_all(text, '$ph'))::BIGINT AS n_phone " +
+      "FROM t ORDER BY doc_id"
   }
 
   /** Oracle twin of Curation.decontaminate (n=8, eval = doc_id % 97 = 0):

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level curation filters a pretraining pipeline runs between
+  * text extraction and dedup: Gopher's rule battery, C4's line-level
+  * cleaning, and PII masking.
+  *
+  * All three are pure per-row column expressions (no UDFs, no shuffle) —
+  * they run at scan speed over the corpus, and every rule is deterministic
+  * and SQL-expressible so the operators carry exact DuckDB oracles.
+  *
+  * Sources are the published heuristics (Gopher: Rae et al. 2021 §A1.1;
+  * C4: Raffel et al. 2020 §2.2) — the reference corpus has no equivalent
+  * (builder-brief north-star operators).
+  */
+object Filters {
+
+  /** Gopher rule battery: one row per doc with each signal, each rule's
+    * verdict, and the conjunction `keep`. Thresholds are the published
+    * defaults, parameterized where pipelines commonly tune them.
+    *
+    * Signals (all single divisions of exact integers, so the doubles are
+    * bit-identical across engines):
+    *  - word count ∈ [minTokens, maxTokens]
+    *  - mean word length ∈ [3, 10]
+    *  - symbol-to-word ratio (# and ...) < 0.1
+    *  - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 English stopword hits
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      Clean.splitWs(col(textCol)).as("toks"),
+      Clean.splitWs(lower(col(textCol))).as("toks_lc"),
+      split(col(textCol), "\n").as("lines"))
+    val stats = base.select(
+      col("doc_id"),
+      TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+      // sum of word lengths = chars of the concatenated tokens (exact,
+      // no per-token aggregate needed)
+      (length(concat_ws("", col("toks"))).cast("double") /
+        greatest(size(col("toks")), lit(1)).cast("double"))
+        .as("mean_word_len"),
+      ((regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+        greatest(size(col("toks")), lit(1)).cast("double")).as("sym_ratio"),
+      (size(filter(col("lines"), l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+        size(col("lines")).cast("double")).as("bullet_frac"),
+      (size(filter(col("lines"), l =>
+        substring(rtrim(l), -3, 3) === "...")).cast("double") /
+        size(col("lines")).cast("double")).as("ellipsis_frac"),
+      (size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
+        greatest(size(col("toks")), lit(1)).cast("double")).as("alpha_frac"),
+      size(filter(col("toks_lc"),
+        t => t.isin(TextStats.enStops.map(lit): _*))).cast("long")
+        .as("stop_hits"))
+    stats.withColumn("keep",
+      col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("sym_ratio") < 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2L)
+  }
+
+  /** C4 line-level cleaning: keep only lines that end in terminal
+    * punctuation (after right-trim) AND contain ≥ `minLineWords` words;
+    * drop the whole document (empty `cleaned`) when it contains
+    * "lorem ipsum" (case-insensitive) or a curly brace — the published
+    * boilerplate/code tells. Returns (doc_id, n_lines_kept, cleaned). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"", "'") &&
+        size(Clean.splitWs(l)) >= minLineWords
+    val kept = filter(lines, keepLine)
+    val bad = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{")
+    df.select(
+      col(idCol).as("doc_id"),
+      when(bad, lit(0L)).otherwise(size(kept).cast("long"))
+        .as("n_lines_kept"),
+      when(bad, lit("")).otherwise(concat_ws("\n", kept)).as("cleaned"))
+  }
+
+  /** PII patterns — the portable regex subset (no backreferences, no
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB oracle) agree. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII masking: emails → <EMAIL>, IPv4 → <IP>, phone-shaped numbers →
+    * <PHONE>, applied in that order; per-kind match counts (on the
+    * original text, so the counts are order-independent) ride along.
+    * Returns (doc_id, masked, n_email, n_ip, n_phone). */
+  def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("masked"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"))
+}
