@@ -7,6 +7,38 @@ import org.apache.spark.sql.SparkSession
   * deflate the headline number.
   */
 object Bench {
+
+  /** Per-query times from a BENCH_r*.json file's text. The driver stores the
+    * bench stdout as a JSON-ESCAPED string field ("tail"), so in the raw file
+    * every per-query entry reads `\"name\":0.123` — a plain `"name":t` regex
+    * finds zero matches there (the round-5 dead-arbitration bug). Unescape
+    * `\"` first, then match; `null` times (failed queries) are skipped by the
+    * numeric pattern.
+    */
+  def parsePrevTimes(raw: String): Map[String, Double] = {
+    val txt = raw.replace("\\\"", "\"")
+    "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** The newest BENCH_r*.json strictly older than the in-flight round, so a
+    * re-run inside a round that already wrote its own BENCH file never
+    * arbitrates against itself. The in-flight round is SPARK_GRAFT_ROUND if
+    * the driver sets it, else inferred as (max CORRECTNESS_r*.json round)+1 —
+    * a round's CORRECTNESS file only exists once that round completed.
+    */
+  def prevBenchFile(files: Array[java.io.File],
+                    roundEnv: Option[String] = sys.env.get("SPARK_GRAFT_ROUND"))
+      : Option[java.io.File] = {
+    def num(n: String): Int = n.replaceAll("\\D", "").toInt
+    val inFlight: Int = roundEnv.flatMap(_.trim.toIntOption).getOrElse {
+      val corr = files.map(_.getName).filter(_.matches("CORRECTNESS_r\\d+\\.json"))
+      if (corr.isEmpty) Int.MaxValue else corr.map(num).max + 1
+    }
+    files.filter(f => f.getName.matches("BENCH_r\\d+\\.json") && num(f.getName) < inFlight)
+      .sortBy(f => num(f.getName)).lastOption // numeric: r10 > r9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,18 +61,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Previous-round per-query times (from the latest BENCH_r*.json in the
-    // cwd, if any) drive the outlier re-run policy below: a shared host can
-    // hand a query two loaded-window runs in a row, and min-of-2 then
-    // reports a phantom regression (observed: 2.5s query measured 15s).
+    // Previous-round per-query times (from the latest completed-round
+    // BENCH_r*.json in the cwd, if any) drive the outlier re-run policy
+    // below: a shared host can hand a query two loaded-window runs in a
+    // row, and min-of-2 then reports a phantom regression (observed: 2.5s
+    // query measured 15s; round 5 recorded three phantom 3-5x regressions
+    // because this parser was dead — see BenchParseSpec).
     val prevTimes: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => f.getName.replaceAll("\\D", "").toInt) // numeric: r10 > r9
-      files.lastOption.map { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cwd = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      prevBenchFile(cwd).map { f =>
+        parsePrevTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)))
       }.getOrElse(Map.empty)
     }
     val results = selected.map { case (name, fn) =>

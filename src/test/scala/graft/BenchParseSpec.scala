@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the cross-round outlier-arbitration inputs. Round 5's parser was
+  * dead code — the per-query times in a real BENCH_r*.json sit inside the
+  * JSON-escaped "tail" string as `\"name\":0.123`, which the old plain-quote
+  * regex never matched, so `prevTimes` was always empty and the ">3x previous
+  * round" re-run trigger could not fire (BENCH_r05 shipped three phantom
+  * regressions). These tests feed the REAL file format.
+  */
+class BenchParseSpec extends AnyFunSuite {
+
+  // verbatim shape of a driver-written BENCH file: escaped tail, null parsed
+  private val fixture =
+    """{
+      |  "n": 5,
+      |  "rc": 0,
+      |  "cpus": 32,
+      |  "sf": 0.1,
+      |  "tail": "t\":0.121,\"a3_value_counts\":0.209,\"m3_knn_curve\":0.790,\"m3_approx\":1.860,\"st1_hourly\":null,\"total_ok\":57.7",
+      |  "parsed": null
+      |}""".stripMargin
+
+  test("parsePrevTimes matches escaped tail entries") {
+    val t = Bench.parsePrevTimes(fixture)
+    assert(t("a3_value_counts") == 0.209)
+    assert(t("m3_knn_curve") == 0.79)
+    assert(t("m3_approx") == 1.86)
+    assert(!t.contains("st1_hourly")) // null time → skipped
+  }
+
+  test("parsePrevTimes is non-empty on the actual BENCH_r05.json") {
+    val p = java.nio.file.Paths.get("BENCH_r05.json")
+    assume(java.nio.file.Files.exists(p), "repo-root BENCH_r05.json present")
+    val t = Bench.parsePrevTimes(new String(java.nio.file.Files.readAllBytes(p)))
+    assert(t.size > 50, s"expected the full per-query map, got ${t.size}")
+    assert(t.contains("llm_dup_groups"))
+  }
+
+  test("prevBenchFile picks newest file strictly older than in-flight round") {
+    def f(n: String) = new java.io.File(n)
+    val files = Array(f("BENCH_r04.json"), f("BENCH_r05.json"), f("BENCH_r06.json"),
+      f("CORRECTNESS_r04.json"), f("CORRECTNESS_r05.json"), f("other.txt"))
+    // env override wins
+    assert(Bench.prevBenchFile(files, Some("6")).map(_.getName).contains("BENCH_r05.json"))
+    assert(Bench.prevBenchFile(files, Some("5")).map(_.getName).contains("BENCH_r04.json"))
+    // inferred: max CORRECTNESS round 5 → in-flight 6 → exclude r06 (self)
+    assert(Bench.prevBenchFile(files, None).map(_.getName).contains("BENCH_r05.json"))
+    // numeric ordering, not lexicographic: r10 beats r9
+    val many = Array(f("BENCH_r09.json"), f("BENCH_r10.json"))
+    assert(Bench.prevBenchFile(many, Some("11")).map(_.getName).contains("BENCH_r10.json"))
+    // no files → None
+    assert(Bench.prevBenchFile(Array(f("CORRECTNESS_r05.json")), None).isEmpty)
+  }
+}
