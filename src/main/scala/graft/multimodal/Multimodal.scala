@@ -8,14 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the Spark-side plumbing for decode / feature
   * extraction / frame sampling.
   *
-  * Image decode ([[decodeImage]], `javax.imageio`) and audio decode
-  * ([[decodeAudio]], `javax.sound.sampled`) are REAL — JDK-built-in codecs,
-  * actual bytes in, actual dimensions/durations out. Video is the one
-  * remaining STUB (`decodeStub`): no video codec ships with the JDK or this
-  * environment, so it derives deterministic fake metadata from the bytes —
-  * the schema, partitioning, batch shape and operator wiring stay real and
-  * testable; swap it for a codec UDF (or an Arrow-batched mapInPandas on
-  * the PySpark side) in production.
+  * All three decoders are REAL — actual bytes in, actual metadata out, no
+  * external dependencies: image ([[decodeImage]], `javax.imageio`), audio
+  * ([[decodeAudio]], `javax.sound.sampled`), and video ([[decodeVideo]],
+  * an ISO-BMFF box parser reading `mvhd` duration and `tkhd` display size
+  * straight from the container bytes — metadata needs no codec). Pixel /
+  * sample CONTENT decode for video would need a codec library and slots in
+  * at the same UDF boundary (or an Arrow-batched mapInPandas pythonside).
   */
 object Multimodal {
 
@@ -45,11 +44,9 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
   /** REAL image decode via `javax.imageio` (JDK-built-in: PNG, JPEG, GIF,
-    * BMP, WBMP) — replaces [[decodeStub]] for the image modality. Width /
-    * height come from the actual bytes; mime from magic-byte sniffing;
-    * undecodable or null payloads keep null dimensions. duration_ms stays
-    * null (images). Audio/video decode remains stubbed by declared
-    * necessity (no media libraries in this environment).
+    * BMP, WBMP). Width / height come from the actual bytes; mime from
+    * magic-byte sniffing; undecodable or null payloads keep null
+    * dimensions. duration_ms stays null (images).
     *
     * Scale shape: a deserializing per-row codec is inherently black-box
     * work — same boundary as an Arrow-batched `mapInPandas` decode; the
@@ -88,12 +85,10 @@ object Multimodal {
   }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK-built-in: WAV, AIFF,
-    * AU) — replaces [[decodeStub]] for the audio modality. duration_ms is
-    * computed from the actual frame count / frame rate in the byte stream;
-    * mime from magic-byte sniffing (RIFF/WAVE, FORM/AIFF, .snd);
-    * undecodable or null payloads keep a null duration. Width/height stay
-    * null (audio). Video decode remains stubbed by declared necessity (no
-    * video codec libraries ship with the JDK or this environment).
+    * AU). duration_ms is computed from the actual frame count / frame rate
+    * in the byte stream; mime from magic-byte sniffing (RIFF/WAVE,
+    * FORM/AIFF, .snd); undecodable or null payloads keep a null duration.
+    * Width/height stay null (audio).
     *
     * Same scale shape as [[decodeImage]]: per-row black-box codec work,
     * partition-preserving, runs where the payload partition lives. */
@@ -138,20 +133,89 @@ object Multimodal {
       .drop("_dec")
   }
 
-  /** DECODE STUB — deterministic fake dimensions from the payload hash.
-    * Real implementation: a codec UDF or Arrow-batched python decode; the
-    * surrounding plumbing (schema, null payloads, partition preservation)
-    * is what this operator contracts. */
-  def decodeStub(df: DataFrame): DataFrame = {
-    val h = xxhash64(col("payload"))
-    df.withColumn("meta", struct(
-      col("meta.mime").as("mime"),
-      when(col("payload").isNull, lit(null).cast("int"))
-        .otherwise((pmod(h, lit(1920L)) + 1).cast("int")).as("width"),
-      when(col("payload").isNull, lit(null).cast("int"))
-        .otherwise((pmod(h, lit(1080L)) + 1).cast("int")).as("height"),
-      when(col("payload").isNull, lit(null).cast("long"))
-        .otherwise(pmod(h, lit(600000L))).as("duration_ms")))
+  /** REAL video metadata decode via ISO-BMFF (MP4/MOV/M4V) box parsing —
+    * no codec needed: the container carries duration and display size as
+    * plain big-endian integers. `mvhd` (ISO/IEC 14496-12 §8.2.2) holds
+    * movie timescale + duration; `tkhd` (§8.3.2) holds per-track display
+    * width/height as 16.16 fixed-point. The walker descends `moov`→`trak`
+    * and takes the first track with a nonzero size (audio tracks are 0×0).
+    * Non-BMFF or malformed payloads keep null metadata; mime comes from
+    * the `ftyp` magic. Same scale shape as [[decodeImage]]: per-row
+    * black-box byte work, partition-preserving, no shuffle. */
+  def decodeVideo(df: DataFrame): DataFrame = {
+    val decode = udf { payload: Array[Byte] =>
+      if (payload == null) None else Some(Bmff.parse(payload))
+    }
+    df.withColumn("_dec", decode(col("payload")))
+      .withColumn("meta", struct(
+        coalesce(col("_dec._1"), col("meta.mime")).as("mime"),
+        col("_dec._2").as("width"),
+        col("_dec._3").as("height"),
+        col("_dec._4").as("duration_ms")))
+      .drop("_dec")
+  }
+
+  /** ISO-BMFF box walker for [[decodeVideo]] — pure byte arithmetic over
+    * the box grammar `[u32 size][4cc type][body]` (size==1 → u64 largesize
+    * follows; size==0 → box runs to end of enclosure). */
+  private[multimodal] object Bmff {
+    /** (mime, width, height, durationMs) — all-None metadata if not BMFF. */
+    def parse(b: Array[Byte]): (String, Option[Int], Option[Int], Option[Long]) =
+      try parse0(b) catch { case _: Exception =>
+        ("application/octet-stream", None, None, None)
+      }
+
+    private def parse0(b: Array[Byte])
+        : (String, Option[Int], Option[Int], Option[Long]) = {
+      def u32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      def u64(o: Int): Long =
+        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
+      def fourcc(o: Int): String = new String(b, o + 4, 4, "ISO-8859-1")
+      val isBmff = b.length >= 12 && fourcc(0) == "ftyp"
+      val mime = if (isBmff) "video/mp4" else "application/octet-stream"
+      var width, height = Option.empty[Int]
+      var dur = Option.empty[Long]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var sane = true
+        while (sane && o + 8 <= end) {
+          val size0 = u32(o)
+          val (hdr, size) =
+            if (size0 == 1 && o + 16 <= end) (16L, u64(o + 8))
+            else if (size0 == 0) (8L, (end - o).toLong)
+            else (8L, size0)
+          if (size < hdr || o + size > end) sane = false
+          else {
+            val body = (o + hdr).toInt
+            val bodyEnd = (o + size).toInt
+            fourcc(o) match {
+              case "moov" | "trak" => walk(body, bodyEnd)
+              case "mvhd" if dur.isEmpty && body < bodyEnd =>
+                val v = b(body) & 0xFF
+                val (ts, d) =
+                  if (v == 1 && body + 32 <= bodyEnd) (u32(body + 20), u64(body + 24))
+                  else if (v == 0 && body + 20 <= bodyEnd) (u32(body + 12), u32(body + 16))
+                  else (0L, 0L)
+                if (ts > 0) dur = Some(math.round(d * 1000.0 / ts))
+              case "tkhd" if width.isEmpty && body < bodyEnd =>
+                val v = b(body) & 0xFF
+                val wOff = body + (if (v == 1) 88 else 76)
+                if (wOff + 8 <= bodyEnd) {
+                  val w = (u32(wOff) >> 16).toInt // 16.16 fixed-point
+                  val h = (u32(wOff + 4) >> 16).toInt
+                  if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
+                }
+              case _ => ()
+            }
+            o = (o + size).toInt
+          }
+        }
+      }
+      if (isBmff) walk(0, b.length)
+      (mime, width, height, dur)
+    }
   }
 
   /** FEATURE STUB — fixed-width float features derived deterministically

@@ -17,13 +17,88 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
   }
 
-  test("decodeStub fills deterministic dimensions; null payload stays null") {
-    val d1 = Multimodal.decodeStub(assets).select("asset_id", "meta.width")
-      .as[(Long, Option[Int])].collect().toMap
-    val d2 = Multimodal.decodeStub(assets).select("asset_id", "meta.width")
-      .as[(Long, Option[Int])].collect().toMap
-    assert(d1 == d2) // deterministic
-    assert(d1(1L).isDefined && d1(1L).get >= 1 && d1(1L).get <= 1920)
+  // --- minimal ISO-BMFF fixture builders (real box grammar, no codec) ---
+  private def box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+    bb.putInt(body.length + 8).put(typ.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+  private def ftyp: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12)
+    bb.put("isom".getBytes("ISO-8859-1")).putInt(512)
+      .put("mp41".getBytes("ISO-8859-1"))
+    box("ftyp", bb.array())
+  }
+  private def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(100) // full v0 body incl. matrix
+    bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+    box("mvhd", bb.array())
+  }
+  private def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(112) // v1: 64-bit times
+    bb.putInt(0x01000000).putLong(0L).putLong(0L).putInt(timescale)
+      .putLong(duration)
+    box("mvhd", bb.array())
+  }
+  private def tkhdV0(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(84)
+    bb.putInt(0x00000007).putInt(0).putInt(0).putInt(1).putInt(0).putInt(0)
+    bb.position(76)
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point display size
+    box("tkhd", bb.array())
+  }
+  private def mp4(w: Int, h: Int, timescale: Int, duration: Int,
+                  v1: Boolean = false): Array[Byte] = {
+    val mvhd = if (v1) mvhdV1(timescale, duration.toLong)
+               else mvhdV0(timescale, duration)
+    val audioTrak = box("trak", tkhdV0(0, 0)) // audio tracks are 0x0
+    val videoTrak = box("trak", tkhdV0(w, h))
+    ftyp ++ box("moov", mvhd ++ audioTrak ++ videoTrak)
+  }
+
+  test("decodeVideo reads mvhd duration and tkhd size from real BMFF bytes") {
+    val rows = Seq(
+      (1L, mp4(640, 360, 1000, 5000)),            // 5 s, v0 boxes
+      (2L, mp4(1920, 1080, 90000, 90000 * 7, v1 = true)), // 7 s, v1 mvhd
+      (3L, "definitely not a video".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt",
+        modality = "video")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val out = Multimodal.decodeVideo(df)
+      .select($"asset_id", $"meta.mime", $"meta.width", $"meta.height",
+        $"meta.duration_ms")
+      .as[(Long, String, Option[Int], Option[Int], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == (("video/mp4", Some(640), Some(360), Some(5000L))))
+    assert(out(2L) == (("video/mp4", Some(1920), Some(1080), Some(7000L))))
+    // non-BMFF bytes: octet-stream mime, all metadata null
+    assert(out(3L)._1 == "application/octet-stream" && out(3L)._2.isEmpty &&
+      out(3L)._4.isEmpty)
+    // null payload: metadata stays null, original mime kept
+    assert(out(4L)._2.isEmpty && out(4L)._4.isEmpty)
+  }
+
+  test("decodeVideo survives malformed/truncated boxes without throwing") {
+    val truncated = mp4(640, 360, 1000, 5000).take(40) // cut mid-moov
+    val lyingSize = {
+      val b = mp4(640, 360, 1000, 5000)
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.putInt(20, Int.MaxValue) // moov (at 20, after 20-byte ftyp) claims a size past the buffer
+      b
+    }
+    val rows = Seq((1L, truncated), (2L, lyingSize))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt",
+        modality = "video")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val out = Multimodal.decodeVideo(df)
+      .select($"asset_id", $"meta.mime").as[(Long, String)].collect().toMap
+    assert(out(1L) == "video/mp4") // ftyp intact → mime still sniffed
+    assert(out(2L) == "video/mp4")
   }
 
   test("featuresStub: fixed width, [0,1), zero-padded") {
