@@ -423,7 +423,8 @@ object SparkEntry {
         .select("id_l", "id_r", "cos_sim")
         .orderBy("id_l", "id_r")
     }),
-    // Rows-only (hash-based signatures have no SQL twin):
+    // md5-derived token hashes (Dedup.md5Hash64) make these oracle-able:
+    // the DuckDB twin re-derives every bit from the same md5 hex chars
     "llm_simhash" -> ((s, dir) =>
       Dedup.simHashFrame(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -1153,6 +1154,8 @@ object SparkEntry {
     "llm_decontaminate" -> ( decontaminateSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
+    "llm_simhash" -> ( simhashSql),
+    "llm_simhash_neardup" -> ( simhashNearDupSql),
     "llm_gopher_filter" -> ( gopherSql),
     "llm_c4_clean" -> ( c4CleanSql),
     "llm_pii_mask" -> ( piiMaskSql),
@@ -1466,6 +1469,46 @@ object SparkEntry {
       "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
       "FROM b ORDER BY doc_id"
   }
+
+  /** DuckDB twin of [[graft.dedup.Dedup.simHashFrame]]. Per-token 64-bit
+    * hash = first 16 hex chars of md5 (Spark assembles it with two 32-bit
+    * `conv` parses; DuckDB has no hex cast, so each bit is re-derived
+    * digit-by-digit via strpos). Spark's MSB-first fold puts token-hash
+    * bit b at output position 63-b, mirrored here; the p=63 term is the
+    * signed-long MIN_VALUE (2^63 itself overflows BIGINT). */
+  private def simhashSelect: String = {
+    val digits = "0123456789abcdef"
+    def bitExpr(b: Int): String = {
+      val i = 16 - b / 4 // 1-based hex char index holding bit b
+      s"((strpos('$digits', substr(h, $i, 1))-1) // ${1 << (b % 4)}) % 2"
+    }
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN ${bitExpr(b)} = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val fold = (0 until 64).map { b =>
+      val p = 63 - b
+      val term = if (p == 63) "(-9223372036854775807 - 1)" else s"${1L << p}"
+      s"CASE WHEN v$b > 0 THEN $term ELSE 0 END"
+    }.mkString(" + ")
+    s"WITH tok AS (SELECT doc_id, unnest($sqlToksLower) AS t FROM documents), " +
+      "th AS (SELECT doc_id, md5(t) AS h FROM tok), " +
+      s"v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id) " +
+      s"SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v"
+  }
+
+  private def simhashSql: String =
+    s"WITH s AS ($simhashSelect) SELECT doc_id, simhash FROM s ORDER BY doc_id"
+
+  /** Brute-force twin of simHashNearDup: full recall is structural at
+    * maxHamming=6 ≤ bands-combine (the pigeonhole `require`), so the banded
+    * operator's output equals all-pairs hamming ≤ 6 exactly. */
+  private def simhashNearDupSql: String =
+    s"WITH s AS ($simhashSelect) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 " +
+      "ORDER BY id_a, id_b"
 
   private def ngramJaccardSql: String = {
     def sh(side: String) =

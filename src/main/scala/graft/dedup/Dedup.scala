@@ -127,13 +127,26 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Engine-portable 64-bit token hash: the first 16 hex chars of md5,
+    * assembled from two 32-bit `conv` parses so ANSI long arithmetic never
+    * overflows (an unsigned 64-bit parse can exceed Long.MaxValue). md5 is
+    * the one hash Spark and DuckDB share bit-for-bit — SimHash runs on it
+    * (not xxhash64) precisely so its queries carry a SQL oracle; the
+    * DuckDB twin parses the same hex chars digit-by-digit. */
+  def md5Hash64(t: Column): Column = {
+    val hex = md5(t.cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, folded to a long. Shift amounts are Scala-level literals (the
     * bit loop is unrolled at plan-build time), so everything stays inside
     * codegen'd built-ins; codegen CSE shares the token-hash array across
     * the 64 votes. */
   def simHash64(text: Column): Column = {
-    val hs = transform(Clean.splitWs(lower(text)), t => xxhash64(t))
+    val hs = transform(Clean.splitWs(lower(text)), t => md5Hash64(t))
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -152,7 +165,7 @@ object Dedup {
   def simHashFrame(df: DataFrame, textCol: String,
                    outCol: String = "simhash"): DataFrame = {
     val withHs = df.withColumn("_tok_hs",
-      transform(Clean.splitWs(lower(col(textCol))), t => xxhash64(t)))
+      transform(Clean.splitWs(lower(col(textCol))), t => md5Hash64(t)))
     val bits = (0 until 64).map { b =>
       val vote = aggregate(col("_tok_hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
