@@ -136,6 +136,8 @@ object SparkEntry {
     """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
   private val enStopsSql =
     TextStats.enStops.map(s => s"'$s'").mkString("(", ",", ")")
+  private val gopherStopsSql =
+    TextStats.gopherStops.map(s => s"'$s'").mkString("(", ",", ")")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / sinks --------------------------------------------
@@ -1372,7 +1374,7 @@ object SparkEntry {
       "/ len(lines)::DOUBLE AS ellipsis_frac, " +
       "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / " +
       "greatest(len(toks), 1)::DOUBLE AS alpha_frac, " +
-      s"len(list_filter(toks_lc, x -> x IN $enStopsSql))::BIGINT AS stop_hits " +
+      s"len(list_filter(toks_lc, x -> x IN $gopherStopsSql))::BIGINT AS stop_hits " +
       "FROM t) " +
       "SELECT doc_id, n_tokens, mean_word_len, sym_ratio, bullet_frac, " +
       "ellipsis_frac, alpha_frac, stop_hits, " +

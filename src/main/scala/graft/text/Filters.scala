@@ -58,7 +58,7 @@ object Filters {
       (size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
         greatest(size(col("toks")), lit(1)).cast("double")).as("alpha_frac"),
       size(filter(col("toks_lc"),
-        t => t.isin(TextStats.enStops.map(lit): _*))).cast("long")
+        t => t.isin(TextStats.gopherStops.map(lit): _*))).cast("long")
         .as("stop_hits"))
     stats.withColumn("keep",
       col("n_tokens").between(minTokens, maxTokens) &&

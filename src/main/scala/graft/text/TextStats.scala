@@ -16,6 +16,11 @@ object TextStats {
     * language-ID heuristic. Deliberately small + deterministic so the
     * operator is SQL-expressible for the oracle. */
   val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /** Gopher's published stop-word list (Rae et al. 2021 §A1.1) — used by
+    * the ≥2-stop-hits rule in [[Filters.gopherRules]]. Distinct from
+    * [[enStops]], which is the language-ID marker list. */
+  val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
   val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")
   val deStops = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
   val frStops = Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")
