@@ -100,8 +100,12 @@ object SparkEntry {
       else vecs
     val nCurve = if (n > curveCap) curveInput.count() else n
     val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
+    // maxN tied to curveCap, not the default: the Bernoulli sample lands
+    // near curveCap rows (2× covers its jitter), so SF growth can never
+    // flip this call from slow to hard-failure
     val curve = graft.ml.Embed.collectCurve(
-      graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k))
+      graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k,
+        maxN = (curveCap * 2).toInt))
     val eps = graft.ml.Kneedle.epsilonSearch(curve)
       .getOrElse(curve(curve.length / 2))
     val labels =
@@ -573,7 +577,10 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", k = 17)),
     // curve quantized 1e-6: avg() sums 17 doubles in shuffle-arrival
-    // order, so the last ulp is nondeterministic vs the oracle
+    // order, so the last ulp is nondeterministic vs the oracle.
+    // vec_id < 300 bounds the input independent of SF, so the default
+    // maxN=5000 reference-set cap can never trip here (same for
+    // m3_knn_curve_approx above and m4_kneedle below)
     "m3_knn_curve" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurve(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),

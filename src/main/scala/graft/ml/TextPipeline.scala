@@ -52,7 +52,16 @@ object TextPipeline {
     * O(d·k) ≈ 52 MB at the full 1<<18 vocab × k=25. The projection is a
     * single map over the rows — x·V at O(nnz·k) per doc, no shuffle. */
   def lsaProject(df: DataFrame, inputCol: String = "features",
-                 outputCol: String = "lsa_vec", dim: Int = 25): DataFrame = {
+                 outputCol: String = "lsa_vec", dim: Int = 25): DataFrame =
+    lsaProjectTracked(df, inputCol, outputCol, dim)._1
+
+  /** As [[lsaProject]], but also returns the V broadcast handle (up to
+    * ~52 MB at the full 1<<18 vocab) so long-lived callers can
+    * `unpersist(blocking = false)` it once the projection is
+    * materialized, instead of leaving cleanup to the ContextCleaner. */
+  def lsaProjectTracked(df: DataFrame, inputCol: String = "features",
+                        outputCol: String = "lsa_vec", dim: Int = 25)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Double]]) = {
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
     val spark = df.sparkSession
     val vecRdd = df.select(col(inputCol)).rdd.map(r =>
@@ -84,7 +93,7 @@ object TextPipeline {
       while (j < k) { out(j) *= inv; j += 1 }
       org.apache.spark.ml.linalg.Vectors.dense(out)
     }
-    df.withColumn(outputCol, project(col(inputCol)))
+    (df.withColumn(outputCol, project(col(inputCol))), bc)
   }
 
   /** M9 KMeans with best-of-seeds restarts (sklearn n_init semantics):
@@ -110,9 +119,11 @@ object TextPipeline {
     // each iteration would otherwise recompute the whole tokenize→TF-IDF
     // chain from the scan — the single biggest wall-clock lever here.
     val feat = tfidfPipeline().fit(txt).transform(txt)
-    val (clusterInput, featCol) =
-      if (useLsa) (lsaProject(feat.cache()), "lsa_vec")
-      else (feat, "features")
+    val (clusterInput, featCol, lsaBc) =
+      if (useLsa) {
+        val (proj, bc) = lsaProjectTracked(feat.cache())
+        (proj, "lsa_vec", Some(bc))
+      } else (feat, "features", None)
     clusterInput.cache()
     try {
       val km = kmeansBest(clusterInput, featCol, k, nInit = nInit)
@@ -127,6 +138,9 @@ object TextPipeline {
     } finally {
       clusterInput.unpersist()
       if (useLsa) feat.unpersist()
+      // the checkpointed result no longer references V; don't let the
+      // broadcast accumulate across repeated pipeline runs in one JVM
+      lsaBc.foreach(_.unpersist(false))
     }
   }
 }
