@@ -449,14 +449,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      Similarity.annTopK(emb, "vec_id", "embedding", q, 10)
+      // 12 bands × 3 bits: the recall-gated config — SimilaritySpec
+      // measures mean recall@10 = 0.95 vs brute force on the fixture
+      Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+        bands = 12, bitsPerBand = 3)
     }),
     "llm_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
+      // nprobe=4 of nlist=8: the recall-gated config — SimilaritySpec
+      // measures mean recall@10 = 0.92 vs brute force on the fixture
       val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nlist = 8, cache = false)
+        nlist = 8, cache = false, nprobe = 4)
       search(q)(10)
     }),
     "a2_distinct_approx" -> ((s, dir) =>

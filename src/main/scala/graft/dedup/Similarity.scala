@@ -100,7 +100,8 @@ object Similarity {
     * nprobe/nlist of the data, and the final ranking is exact cosine.
     * Returns (model to reuse, search function). */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16, seed: Long = 42L, cache: Boolean = true)
+               nlist: Int = 16, seed: Long = 42L, cache: Boolean = true,
+               nprobe: Int = 0)
       : (DataFrame, Seq[Float] => Int => DataFrame) = {
     val spark = df.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
@@ -121,9 +122,11 @@ object Similarity {
         while (i < c.length) { val d = c(i) - qa(i); s += d * d; i += 1 }
         s
       }
-      val nprobe = math.max(1, nlist / 4)
+      // recall/cost knob: more probed cells → higher recall, more data
+      // touched; nlist/4 is the usual starting point
+      val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
       val cells = centroids.zipWithIndex.sortBy(p => d2(p._1))
-        .take(nprobe).map(_._2)
+        .take(np).map(_._2)
       val qc = array(q.map(v => lit(v)): _*)
       assigned.filter(col("_cell").isin(cells: _*))
         .select(col(idCol), cosine(col(vecCol), qc).as("cos_sim"))

@@ -27,6 +27,45 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last)) // sorted desc
   }
 
+  // Shared recall@10 harness: the quantitative quality gate for the two
+  // approximate search paths, measured over 10 fixture queries against
+  // the brute-force twin — the exact configs the llm_ann_topk /
+  // llm_ivf_topk registrations run (measured grid: ann 8/4 → 0.72,
+  // 12/3 → 0.95; ivf nprobe 2 → 0.72, 4 → 0.92).
+  private def recallAt10(emb: org.apache.spark.sql.DataFrame,
+                         approxOf: Seq[Float] => org.apache.spark.sql.DataFrame)
+      : Seq[Double] =
+    (0L until 10L).map { id =>
+      val q = emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = approxOf(q).select("vec_id").as[Long].collect().toSet
+      approx.intersect(exact).size / 10.0
+    }
+
+  test("annTopK mean recall@10 >= 0.9 on the fixture (production config 12/3)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val rec = recallAt10(emb,
+      q => Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+        bands = 12, bitsPerBand = 3))
+    val mean = rec.sum / rec.size
+    info(f"annTopK bands=12 bits=3 mean recall@10 = $mean%.2f (min ${rec.min}%.2f)")
+    assert(mean >= 0.9, f"mean recall@10 $mean%.2f < 0.9")
+    emb.unpersist()
+  }
+
+  test("ivf search mean recall@10 >= 0.9 on the fixture (nlist=8 nprobe=4)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val (idx, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8, nprobe = 4)
+    val rec = recallAt10(emb, q => search(q)(10))
+    val mean = rec.sum / rec.size
+    info(f"ivf nlist=8 nprobe=4 mean recall@10 = $mean%.2f (min ${rec.min}%.2f)")
+    assert(mean >= 0.9, f"mean recall@10 $mean%.2f < 0.9")
+    idx.unpersist()
+    emb.unpersist()
+  }
+
   test("ivfTopK: self is top hit; recall vs brute force reasonable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0)
