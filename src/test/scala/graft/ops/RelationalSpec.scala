@@ -75,6 +75,34 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(q(1) - 500.0) < 20)
   }
 
+  test("distinctCountApprox within the HLL rsd=5% bound of exact (fixture)") {
+    // the a2_distinct_approx registration's exact input: documents.text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Relational.distinctCount(docs, "text").head().getLong(0)
+    val approx = Relational.distinctCountApprox(docs, "text").head().getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    info(f"HLL distinct: exact=$exact approx=$approx relErr=$relErr%.4f")
+    assert(relErr <= 0.05, f"HLL relative error $relErr%.4f exceeds rsd=0.05")
+  }
+
+  test("quantiles rank error within accuracy bound (eps = 1/accuracy)") {
+    // on x = 1..n the value AT rank r is r, so the Greenwald-Khanna
+    // guarantee |rank(approx) - rank(exact)| <= eps*n reads directly as
+    // a value bound: |approx - exact_quantile| <= n/accuracy (+1 slack)
+    val n = 100000
+    val accuracy = 10000
+    val df = (1 to n).map(_.toDouble).toDF("x")
+    val q = Relational.quantiles(df, "x", accuracy = accuracy)
+      .head().getSeq[Double](0)
+    val eps = n.toDouble / accuracy
+    val exact = Seq(0.25, 0.5, 0.75).map(_ * n)
+    q.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= eps + 1,
+        f"quantile $a%.1f off exact $e%.1f by more than eps*n=$eps%.1f")
+    }
+    info(f"quantile abs errors: ${q.zip(exact).map(p => math.abs(p._1 - p._2)).mkString(", ")} (bound ${eps + 1}%.1f)")
+  }
+
   test("typed Dataset loaders expose the fixed schemas") {
     val docs = graft.core.Schemas.documents(spark, sfDir)
     val first = docs.head()
