@@ -654,12 +654,16 @@ object SparkEntry {
     }),
     "m10_metrics" -> ((s, dir) => {
       // all five reference metrics: H/C/V/ARI vs the label column plus
-      // silhouette over the embedding geometry of the same prediction
+      // silhouette over the embedding geometry of the same prediction.
+      // 1e-6-quantized like the external sibling: the evaluator's
+      // distributed sums and driver entropy sums carry ulp order noise
       val withFeat = labeled(s, dir).withColumn("pred", col("lang"))
         .join(t(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
           graft.ml.VectorOps.toMlVector(col("embedding")).as("features")),
           "doc_id")
-      graft.ml.Metrics.allFrame(withFeat, "label", "pred", "features")
+      val m = graft.ml.Metrics.allFrame(withFeat, "label", "pred", "features")
+      m.select(m.columns.toSeq.map(c =>
+        (round(col(c) * 1e6) / 1e6).as(c)): _*)
     }),
     // The reference's §3.2 flagship (see flagshipLabels for the pipeline
     // and its scale plan). Rows-only (stochastic embedding); no doc cap.
@@ -1055,33 +1059,31 @@ object SparkEntry {
     // homogeneity/completeness/V/ARI from the contingency table, sklearn
     // semantics mirrored from ml/Metrics.external: H = 1 − H(L|P)/H(L),
     // C = 1 − H(P|L)/H(P), V = 2HC/(H+C), ARI via pairwise-comb sums
-    "m10_metrics_external" -> (
-      "WITH j AS (SELECT e.label AS l, d.lang AS p FROM documents d " +
-        "JOIN embeddings e ON d.doc_id = e.vec_id), " +
-        "cont AS (SELECT l, p, count(*)::DOUBLE AS c FROM j GROUP BY l, p), " +
-        "tot AS (SELECT sum(c) AS n FROM cont), " +
-        "bl AS (SELECT l, sum(c) AS cl FROM cont GROUP BY l), " +
-        "bp AS (SELECT p, sum(c) AS cp FROM cont GROUP BY p), " +
-        "ent AS (SELECT " +
-        "(SELECT -sum((cl/n)*ln(cl/n)) FROM bl, tot) AS hl, " +
-        "(SELECT -sum((cp/n)*ln(cp/n)) FROM bp, tot) AS hp, " +
-        "(SELECT -sum((c/n)*ln(c/cp)) FROM cont JOIN bp USING(p), tot) AS hlgp, " +
-        "(SELECT -sum((c/n)*ln(c/cl)) FROM cont JOIN bl USING(l), tot) AS hpgl), " +
-        "hc AS (SELECT " +
-        "CASE WHEN hl = 0 THEN 1.0 ELSE 1.0 - hlgp/hl END AS h, " +
-        "CASE WHEN hp = 0 THEN 1.0 ELSE 1.0 - hpgl/hp END AS cm FROM ent), " +
-        "ari AS (SELECT " +
-        "(SELECT sum(c*(c-1)/2.0) FROM cont) AS sc, " +
-        "(SELECT sum(cl*(cl-1)/2.0) FROM bl) AS scl, " +
-        "(SELECT sum(cp*(cp-1)/2.0) FROM bp) AS scp, " +
-        "(SELECT n*(n-1)/2.0 FROM tot) AS cn) " +
-        "SELECT round(h*1e6)/1e6 AS homogeneity, " +
-        "round(cm*1e6)/1e6 AS completeness, " +
-        "round(CASE WHEN h + cm = 0 THEN 0.0 " +
-        "ELSE 2*h*cm/(h+cm) END*1e6)/1e6 AS v_measure, " +
-        "round(CASE WHEN (scl+scp)/2.0 = scl*scp/cn THEN 0.0 " +
-        "ELSE (sc - scl*scp/cn) / ((scl+scp)/2.0 - scl*scp/cn) " +
-        "END*1e6)/1e6 AS adjusted_rand " +
+    "m10_metrics_external" ->
+      s"WITH $m10ExternalCtes SELECT $m10ExternalSelect FROM hc, ari",
+    // the full 5-metric frame: the same four external metrics plus the
+    // squared-Euclidean silhouette exactly as ml.ClusteringEvaluator
+    // defines it — a(i) over OTHER own-cluster points (singleton → 0),
+    // b(i) = min other-cluster mean, s = (b−a)/max(a,b). All-pairs is
+    // the oracle's luxury at fixture n; Spark's side is the one-pass
+    // norm-formula form. Verified to agree to ~1e-16 before quantizing.
+    "m10_metrics" -> (
+      s"WITH $m10ExternalCtes, " +
+        "jj AS (SELECT e.vec_id AS id, d.lang AS p, " +
+        "list_transform(e.embedding, x -> x::DOUBLE) AS v " +
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
+        "pairs AS (SELECT a.id AS ia, a.p AS pa, b.p AS pb, " +
+        "list_sum(list_transform(range(1, len(a.v)+1), " +
+        "i -> (a.v[i] - b.v[i])^2)) AS d2 " +
+        "FROM jj a JOIN jj b ON a.id <> b.id), " +
+        "percl AS (SELECT ia, pa, pb, avg(d2) AS md FROM pairs " +
+        "GROUP BY ia, pa, pb), " +
+        "ab AS (SELECT ia, max(CASE WHEN pb = pa THEN md END) AS a, " +
+        "min(CASE WHEN pb <> pa THEN md END) AS b FROM percl GROUP BY ia), " +
+        "sil AS (SELECT CASE WHEN a IS NULL THEN 0.0 " +
+        "ELSE (b - a)/greatest(a, b) END AS s FROM ab) " +
+        s"SELECT $m10ExternalSelect, " +
+        "round((SELECT avg(s) FROM sil)*1e6)/1e6 AS silhouette " +
         "FROM hc, ari"),
     // the w2v/LSA queries emit (doc_id, dim) — the embedding VALUES are
     // stochastic, but the row set and dimensionality are contracts worth
@@ -1364,6 +1366,39 @@ object SparkEntry {
       "FROM documents d LEFT JOIN top USING (doc_id) " +
       "LEFT JOIN d5 USING (doc_id) ORDER BY doc_id"
   }
+
+  /** Shared CTE block for the m10 oracles: contingency table → entropies
+    * → H/C and the ARI comb sums (kept in one place so the external and
+    * 5-metric twins cannot drift). */
+  private def m10ExternalCtes: String =
+    "j AS (SELECT e.label AS l, d.lang AS p FROM documents d " +
+      "JOIN embeddings e ON d.doc_id = e.vec_id), " +
+      "cont AS (SELECT l, p, count(*)::DOUBLE AS c FROM j GROUP BY l, p), " +
+      "tot AS (SELECT sum(c) AS n FROM cont), " +
+      "bl AS (SELECT l, sum(c) AS cl FROM cont GROUP BY l), " +
+      "bp AS (SELECT p, sum(c) AS cp FROM cont GROUP BY p), " +
+      "ent AS (SELECT " +
+      "(SELECT -sum((cl/n)*ln(cl/n)) FROM bl, tot) AS hl, " +
+      "(SELECT -sum((cp/n)*ln(cp/n)) FROM bp, tot) AS hp, " +
+      "(SELECT -sum((c/n)*ln(c/cp)) FROM cont JOIN bp USING(p), tot) AS hlgp, " +
+      "(SELECT -sum((c/n)*ln(c/cl)) FROM cont JOIN bl USING(l), tot) AS hpgl), " +
+      "hc AS (SELECT " +
+      "CASE WHEN hl = 0 THEN 1.0 ELSE 1.0 - hlgp/hl END AS h, " +
+      "CASE WHEN hp = 0 THEN 1.0 ELSE 1.0 - hpgl/hp END AS cm FROM ent), " +
+      "ari AS (SELECT " +
+      "(SELECT sum(c*(c-1)/2.0) FROM cont) AS sc, " +
+      "(SELECT sum(cl*(cl-1)/2.0) FROM bl) AS scl, " +
+      "(SELECT sum(cp*(cp-1)/2.0) FROM bp) AS scp, " +
+      "(SELECT n*(n-1)/2.0 FROM tot) AS cn)"
+
+  private def m10ExternalSelect: String =
+    "round(h*1e6)/1e6 AS homogeneity, " +
+      "round(cm*1e6)/1e6 AS completeness, " +
+      "round(CASE WHEN h + cm = 0 THEN 0.0 " +
+      "ELSE 2*h*cm/(h+cm) END*1e6)/1e6 AS v_measure, " +
+      "round(CASE WHEN (scl+scp)/2.0 = scl*scp/cn THEN 0.0 " +
+      "ELSE (sc - scl*scp/cn) / ((scl+scp)/2.0 - scl*scp/cn) " +
+      "END*1e6)/1e6 AS adjusted_rand"
 
   /** Oracle twin of Filters.gopherRules (defaults 50..100000). Every
     * signal is a single division of exact integers, so the doubles are
