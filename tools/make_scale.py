@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build scaled-up documents tables for local scaling measurements.
+
+Each copy of sf0.1 gets a distinct seeded 26-letter permutation applied
+via translate(): a per-copy bijection on characters preserves the
+within-copy duplicate/shingle structure exactly (shingle sets map 1:1)
+while making text across copies mutually dissimilar, so the corpus
+scales the way a genuinely larger crawl would — same dup rate, larger n,
+larger vocabulary. doc_id is offset per copy; n_chars is preserved
+(translate is length-preserving).
+
+Output goes under benchdata/ (gitignored). Usage:
+    python3 tools/make_scale.py sf1 10
+    python3 tools/make_scale.py sf10 100
+"""
+import duckdb
+import os
+import random
+import string
+import sys
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+N = duckdb.sql(f"SELECT count(*) FROM '{SRC}'").fetchone()[0]
+
+
+def perm(i: int) -> str:
+    if i == 0:
+        return string.ascii_lowercase
+    rng = random.Random(42 + i)
+    letters = list(string.ascii_lowercase)
+    rng.shuffle(letters)
+    return "".join(letters)
+
+
+def build(name: str, copies: int) -> None:
+    out = f"benchdata/{name}"
+    os.makedirs(out, exist_ok=True)
+    selects = []
+    for i in range(copies):
+        p = perm(i).replace("'", "''")
+        selects.append(
+            f"SELECT doc_id + {i * N} AS doc_id, "
+            f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{p}') AS text, "
+            f"lang, source, n_chars FROM src"
+        )
+    q = (
+        f"COPY (WITH src AS (SELECT * FROM '{SRC}') "
+        + " UNION ALL ".join(selects)
+        + f") TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(q)
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{out}/documents.parquet'"
+    ).fetchone()
+    assert got[0] == got[1] == N * copies, got
+    print(f"{name}: {got[0]} docs -> {out}/documents.parquet")
+
+
+if __name__ == "__main__":
+    build(sys.argv[1], int(sys.argv[2]))
