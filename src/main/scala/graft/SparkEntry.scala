@@ -506,9 +506,20 @@ object SparkEntry {
         .orderBy("doc_id")),
     // C4 line-level cleaning (Raffel et al. 2020 2.2): terminal-punct +
     // min-words line filter, lorem-ipsum / curly-brace document drop
-    "llm_c4_clean" -> ((s, dir) =>
-      Filters.c4Clean(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+    // deterministic line structure injected (fixture docs are single-line
+    // with no terminal punctuation, so the line filter was vacuously
+    // green): every doc gains one keepable sentence line and one
+    // droppable short line; every 13th doc gains the lorem-ipsum
+    // boilerplate tell that drops the whole doc
+    "llm_c4_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nThis injected sentence has exactly seven words."),
+          lit("\ntoo short."),
+          when(col("doc_id") % 13 === 0, lit("\nlorem ipsum boilerplate"))
+            .otherwise(lit(""))).as("text"))
+      Filters.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+    }),
     // PII masking over documents with deterministically injected PII
     // (every 7th doc an email+IP, every 11th a phone) so the regexes are
     // exercised, not vacuously green
@@ -1432,8 +1443,12 @@ object SparkEntry {
 
   /** Oracle twin of Filters.c4Clean (minLineWords=5). */
   private def c4CleanSql: String =
-    "WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines " +
-      "FROM documents), " +
+    "WITH d AS (SELECT doc_id, text || chr(10) || " +
+      "'This injected sentence has exactly seven words.' || chr(10) || " +
+      "'too short.' || CASE WHEN doc_id % 13 = 0 THEN chr(10) || " +
+      "'lorem ipsum boilerplate' ELSE '' END AS text FROM documents), " +
+      "t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines " +
+      "FROM d), " +
       "k AS (SELECT doc_id, text, list_filter(lines, l -> " +
       "substr(rtrim(l), -1, 1) IN ('.', '!', '?', '\"', '''') AND " +
       """len(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) """ +
@@ -1441,9 +1456,11 @@ object SparkEntry {
       "SELECT doc_id, " +
       "CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{') " +
       "THEN 0 ELSE len(kept) END::BIGINT AS n_lines_kept, " +
+      // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+      // concat_ws is '' — the empty-kept doc must read '' in both engines
       "CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{') " +
-      "THEN '' ELSE array_to_string(kept, chr(10)) END AS cleaned " +
-      "FROM k ORDER BY doc_id"
+      "THEN '' ELSE coalesce(array_to_string(kept, chr(10)), '') END " +
+      "AS cleaned FROM k ORDER BY doc_id"
 
   /** Oracle twin of llm_pii_mask: same injected PII, same portable
     * regexes (no backreferences/lookaround — Java and RE2 agree). */
