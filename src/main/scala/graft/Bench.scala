@@ -77,8 +77,15 @@ object Bench {
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
+          // noop sink, NOT count(): under count() the optimizer prunes
+          // every column, which collapses projection-only queries to a
+          // parquet metadata count and deletes sorts (EliminateSorts) —
+          // the round-5 scan-battery numbers measured nothing. The noop
+          // writer executes the full plan and discards rows.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -1123,7 +1123,7 @@ object SparkEntry {
         "ORDER BY user_id, session_start_ms"),
     "llm_lang_id" -> ( langIdSql),
     "llm_token_counts" -> (
-      s"""SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 """ +
+      s"""SELECT doc_id, CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 """ +
         s"""ELSE len($sqlToks) END::BIGINT AS n_tokens, """ +
         """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT """ +
         """AS n_subwords FROM documents ORDER BY doc_id"""),
@@ -1164,7 +1164,8 @@ object SparkEntry {
         """>= 0.3 ORDER BY id_a, id_b"""),
     "llm_repetition" -> ( repetitionSql),
     "llm_token_pack" -> (
-      "WITH t AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "WITH t AS (SELECT doc_id, (CASE WHEN " +
+        """trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0 """ +
         s"ELSE len($sqlToks) END)::BIGINT AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
@@ -1419,7 +1420,8 @@ object SparkEntry {
       s"$sqlToksLower AS toks_lc, string_split(text, chr(10)) AS lines " +
       "FROM documents), " +
       "s AS (SELECT doc_id, " +
-      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::BIGINT " +
+      "(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' " +
+      "THEN 0 ELSE len(toks) END)::BIGINT " +
       "AS n_tokens, " +
       "length(array_to_string(toks, ''))::DOUBLE / " +
       "greatest(len(toks), 1)::DOUBLE AS mean_word_len, " +

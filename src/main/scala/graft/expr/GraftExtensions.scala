@@ -69,12 +69,44 @@ object GraftFunctions {
         "graft_nn_topk(vec, matrixLiteral, k)")
     })
 
+  private def unaryText(name: String, make: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(make(Literal(0)).getClass.getName, name),
+    (args: Seq[Expression]) => args match {
+      case Seq(a) => make(a)
+      case _ => throw new IllegalArgumentException(s"$name(text)")
+    })
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private val stopHits: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_stop_hits"),
+    new ExpressionInfo(classOf[StopHits].getName, "graft_stop_hits"),
+    (args: Seq[Expression]) => args match {
+      case text +: stops if stops.nonEmpty =>
+        StopHits(text, stops.map(strLit(_, "stop word")))
+      case _ => throw new IllegalArgumentException(
+        "graft_stop_hits(text, stop1[, stop2, ...])")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
-    binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)))
+    binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)),
+    unaryText("graft_ws_token_count", WsTokenCount(_)),
+    unaryText("graft_nonws_char_count", NonWsCharCount(_)),
+    unaryText("graft_non_alnum_count", NonAlnumCount(_)),
+    unaryText("graft_letter_token_count", LetterTokenCount(_)),
+    unaryText("graft_bpeish_count", BpeishCount(_)),
+    stopHits)
 
   /** Idempotently register the engine functions in `spark`'s session
     * registry (for sessions built without the extensions config). */

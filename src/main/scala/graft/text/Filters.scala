@@ -32,34 +32,38 @@ object Filters {
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    // token-level signals run on the native single-pass kernels
+    // (graft.expr.TextKernels — compiled, no token-array materialization);
+    // greatest(·,1) in the denominators reproduces the old
+    // size(splitWs) ≥ 1 semantics exactly. Line-level signals keep the
+    // HOF form: docs have few lines, and the line array is one split.
     val base = df.select(
       col(idCol).as("doc_id"),
       col(textCol).as("text"),
-      Clean.splitWs(col(textCol)).as("toks"),
-      Clean.splitWs(lower(col(textCol))).as("toks_lc"),
       split(col(textCol), "\n").as("lines"))
+    val nTokD = greatest(call_function("graft_ws_token_count", col("text")),
+      lit(1)).cast("double")
     val stats = base.select(
       col("doc_id"),
       TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-      // sum of word lengths = chars of the concatenated tokens (exact,
+      // sum of word lengths = count of non-whitespace chars (exact,
       // no per-token aggregate needed)
-      (length(concat_ws("", col("toks"))).cast("double") /
-        greatest(size(col("toks")), lit(1)).cast("double"))
-        .as("mean_word_len"),
+      (call_function("graft_nonws_char_count", col("text")).cast("double") /
+        nTokD).as("mean_word_len"),
       ((regexp_count(col("text"), lit("#")) +
         regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
-        greatest(size(col("toks")), lit(1)).cast("double")).as("sym_ratio"),
+        nTokD).as("sym_ratio"),
       (size(filter(col("lines"), l =>
         substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
         size(col("lines")).cast("double")).as("bullet_frac"),
       (size(filter(col("lines"), l =>
         substring(rtrim(l), -3, 3) === "...")).cast("double") /
         size(col("lines")).cast("double")).as("ellipsis_frac"),
-      (size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
-        greatest(size(col("toks")), lit(1)).cast("double")).as("alpha_frac"),
-      size(filter(col("toks_lc"),
-        t => t.isin(TextStats.gopherStops.map(lit): _*))).cast("long")
-        .as("stop_hits"))
+      (call_function("graft_letter_token_count", col("text")).cast("double") /
+        nTokD).as("alpha_frac"),
+      TextStats.stopHitCount(lower(col("text")), TextStats.gopherStops)
+        .cast("long").as("stop_hits"))
     stats.withColumn("keep",
       col("n_tokens").between(minTokens, maxTokens) &&
         col("mean_word_len").between(3.0, 10.0) &&

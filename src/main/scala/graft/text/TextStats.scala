@@ -25,18 +25,26 @@ object TextStats {
   val deStops = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
   val frStops = Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que")
 
-  private def stopHits(tokens: Column, stops: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(stops.map(lit): _*)))
+  /** Stopword-hit count over the whitespace tokens of `text` — the
+    * native single-pass kernel (graft.expr.StopHits): byte-equal to
+    * `size(filter(splitWs(text), _.isin(stops)))` but compiled, with no
+    * token-array materialization and no per-element lambda dispatch
+    * (HOFs never enter whole-stage codegen). Caller lowercases first
+    * when case-insensitive hits are wanted. Requires an engine session
+    * (GraftExtensions config or GraftFunctions.ensureRegistered — every
+    * DataFrame-level entry point and all the mains do one of the two). */
+  def stopHitCount(text: Column, stops: Seq[String]): Column =
+    call_function("graft_stop_hits", (text +: stops.map(lit)): _*)
 
   /** Language-ID heuristic: stopword-hit voting over whitespace tokens.
     * Returns the language with the most marker hits; 'unk' when no marker
     * fires. Ties break in fixed order en > es > de > fr (deterministic). */
   def langId(text: Column): Column = {
-    val toks = Clean.splitWs(lower(text))
-    val en = stopHits(toks, enStops)
-    val es = stopHits(toks, esStops)
-    val de = stopHits(toks, deStops)
-    val fr = stopHits(toks, frStops)
+    val lowered = lower(text)
+    val en = stopHitCount(lowered, enStops)
+    val es = stopHitCount(lowered, esStops)
+    val de = stopHitCount(lowered, deStops)
+    val fr = stopHitCount(lowered, frStops)
     val mx = greatest(en, es, de, fr)
     when(mx === 0, lit("unk"))
       .when(en === mx, lit("en"))
@@ -45,28 +53,35 @@ object TextStats {
       .otherwise(lit("fr"))
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count — native non-ws-run counter (0 for blank
+    * input by construction, matching the old blank guard). */
   def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(Clean.splitWs(text)))
+    call_function("graft_ws_token_count", text)
 
   /** BPE-ish subword count: word pieces + digits + punctuation as separate
-    * tokens — a cheap deterministic proxy for a real tokenizer's count. */
+    * tokens — a cheap deterministic proxy for a real tokenizer's count.
+    * Native single-pass form of the regex [A-Za-z]+|[0-9]|[^A-Za-z0-9\s],
+    * per-CODEPOINT like the RE2 oracle (Java regexp_count counted 4-byte
+    * codepoints twice — see TextKernels.bpeishCount). */
   val BpeishRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
-  def tokenCountBpeish(text: Column): Column = regexp_count(text, lit(BpeishRe))
+  def tokenCountBpeish(text: Column): Column =
+    call_function("graft_bpeish_count", text)
 
   /** Quality score in [0,1] from length / punctuation ratio / stopword
     * ratio / mean word length — the standard cheap pretraining-data
     * heuristics, each clamped then averaged. */
   def qualityScore(text: Column): Column = {
-    val toks = Clean.splitWs(text)
-    val nTok = size(toks).cast("double")
+    // native kernels; greatest(·,1) reproduces the old size(splitWs)
+    // value EXACTLY in every position (split-of-blank yielded 1 where
+    // the run counter yields 0; all other inputs agree), so scores are
+    // bit-identical to the interpreted form this replaces
+    val nTok = greatest(tokenCountWs(text), lit(1)).cast("double")
     val nChar = length(text).cast("double")
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val stopRatio = stopHits(Clean.splitWs(lower(text)), enStops).cast("double") /
-      greatest(nTok, lit(1.0))
+    val punct = call_function("graft_non_alnum_count", text).cast("double")
+    val stopRatio = stopHitCount(lower(text), enStops).cast("double") / nTok
     val lenScore = least(nChar / lit(200.0), lit(1.0))
     val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 5.0, lit(1.0))
-    val wordLen = (nChar - (nTok - 1)) / greatest(nTok, lit(1.0))
+    val wordLen = (nChar - (nTok - 1)) / nTok
     val wordLenScore = when(wordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
     val stopScore = least(stopRatio * lit(4.0), lit(1.0))
     (lenScore + punctScore + wordLenScore + stopScore) / 4.0
