@@ -396,13 +396,16 @@ object SparkEntry {
       Dedup.exactDedupKeepers(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")),
     "llm_ngram_jaccard" -> ((s, dir) => {
+      // adjacent-pair join carries the ~300-byte norm strings (lighter
+      // than the old per-doc hash arrays) and the compiled kernel does
+      // shingle+distinct+intersect in one pass per pair
+      graft.expr.GraftFunctions.ensureRegistered(s)
       val d = t(s, dir, "documents")
-        .withColumn("norm", Clean.normWs(lower(col("text"))))
-        .withColumn("sh", Dedup.shingleSet(col("norm"), 3))
-        .select("doc_id", "sh")
+        .select(col("doc_id"), Clean.normWs(lower(col("text"))).as("norm"))
       d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_id"),
-          Dedup.jaccardOfSets(col("a.sh"), col("b.sh")).as("jaccard"))
+          call_function("graft_ngram_jaccard",
+            col("a.norm"), col("b.norm"), lit(3)).as("jaccard"))
         .orderBy("doc_id")
     }),
     "llm_cosine_topk" -> ((s, dir) => {

@@ -145,37 +145,19 @@ object Dedup {
     * bit loop is unrolled at plan-build time), so everything stays inside
     * codegen'd built-ins; codegen CSE shares the token-hash array across
     * the 64 votes. */
-  def simHash64(text: Column): Column = {
-    val hs = transform(Clean.splitWs(lower(text)), t => md5Hash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, 1L).otherwise(0L)
-    }
-    bits.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
-  }
+  def simHash64(text: Column): Column =
+    call_function("graft_simhash_md5", lower(text))
 
   /** Hamming distance between two SimHash values (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Frame-level SimHash: materializes the token-hash array once (see
-    * nearDupPairs on why — interpreted HOF lambdas re-evaluate nested
-    * expressions per element), then folds the 64 bit-votes over the bound
-    * attribute. Adds `outCol` (long). */
+  /** Frame-level SimHash via the native one-pass kernel
+    * (graft.expr.SimHashMd5 — the interpreted 64-fold expression form it
+    * replaces is parity-gated in TextKernelsSpec). Adds `outCol` (long). */
   def simHashFrame(df: DataFrame, textCol: String,
                    outCol: String = "simhash"): DataFrame = {
-    val withHs = df.withColumn("_tok_hs",
-      transform(Clean.splitWs(lower(col(textCol))), t => md5Hash64(t)))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(col("_tok_hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, 1L).otherwise(0L)
-    }
-    // shiftleft|or instead of *2+bit: the top bit would overflow ANSI
-    // long arithmetic; bitwise ops wrap as a hash should
-    withHs.withColumn(outCol,
-        bits.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit)))
-      .drop("_tok_hs")
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(outCol, simHash64(col(textCol)))
   }
 
   /** SimHash near-dup pairs: candidates collide on at least one of the
@@ -251,10 +233,11 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity between two text columns (exact, pairwise):
-    * |A ∩ B| / |A ∪ B| over distinct char-gram shingle hashes. Convenience
-    * form — hot paths should project norm + shingleSet columns first. */
+    * |A ∩ B| / |A ∪ B| over distinct char-gram shingle hashes — the
+    * native one-pass kernel (graft.expr.NgramJaccard), value-identical
+    * to `jaccardOfSets(shingleSet(a), shingleSet(b))` (spec-gated).
+    * Requires an engine session (GraftExtensions / ensureRegistered). */
   def ngramJaccard(a: Column, b: Column, gram: Int = 3): Column =
-    jaccardOfSets(
-      shingleSet(Clean.normWs(lower(a)), gram),
-      shingleSet(Clean.normWs(lower(b)), gram))
+    call_function("graft_ngram_jaccard",
+      Clean.normWs(lower(a)), Clean.normWs(lower(b)), lit(gram))
 }

@@ -106,7 +106,16 @@ object GraftFunctions {
     unaryText("graft_non_alnum_count", NonAlnumCount(_)),
     unaryText("graft_letter_token_count", LetterTokenCount(_)),
     unaryText("graft_bpeish_count", BpeishCount(_)),
-    stopHits)
+    unaryText("graft_simhash_md5", SimHashMd5(_)),
+    stopHits,
+    (new FunctionIdentifier("graft_ngram_jaccard"),
+      new ExpressionInfo(classOf[NgramJaccard].getName, "graft_ngram_jaccard"),
+      ((args: Seq[Expression]) => args match {
+        case Seq(a, b) => NgramJaccard(a, b, 3)
+        case Seq(a, b, g) => NgramJaccard(a, b, intLit(g, "gram"))
+        case _ => throw new IllegalArgumentException(
+          "graft_ngram_jaccard(a, b[, gram])")
+      }): FunctionRegistry.FunctionBuilder))
 
   /** Idempotently register the engine functions in `spark`'s session
     * registry (for sessions built without the extensions config). */

@@ -101,6 +101,46 @@ class TextKernelsSpec extends SparkSpec {
     assert(emoji == 5, s"a,😀,b,😀,😀 should be 5 per-codepoint tokens, got $emoji")
   }
 
+  test("ngramJaccard kernel == shingleSet/array_intersect chain") {
+    import graft.dedup.Dedup
+    // adjacent fixture pairs plus adversarial short/empty/multibyte pairs
+    val pairs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", Clean.normWs(lower($"text")).as("na"))
+      .withColumn("nb", lead($"na", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .filter($"nb".isNotNull)
+      .union(Seq((9001L, "", ""), (9002L, "ab", "ab"), (9003L, "a", "xyz"),
+        (9004L, "café 你好", "café 你好 extra"), (9005L, "aaaa", "aaab"))
+        .toDF("doc_id", "na", "nb"))
+    val bad = pairs.select($"doc_id",
+        call_function("graft_ngram_jaccard", $"na", $"nb", lit(3)).as("k"),
+        Dedup.jaccardOfSets(
+          Dedup.shingleSet($"na", 3), Dedup.shingleSet($"nb", 3)).as("o"))
+      .filter($"k" =!= $"o").collect()
+    assert(bad.isEmpty,
+      s"ngramJaccard diverges on ${bad.length} pairs: ${bad.take(3).mkString(";")}")
+  }
+
+  test("simHashMd5 kernel == the 64-fold md5 expression chain") {
+    import graft.dedup.Dedup
+    // the pre-kernel interpreted form, reproduced verbatim
+    def oldSimHash(text: Column): Column = {
+      val hs = transform(Clean.splitWs(lower(text)), t => Dedup.md5Hash64(t))
+      val bits = (0 until 64).map { b =>
+        val vote = aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, 1L).otherwise(0L)
+      }
+      bits.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+    }
+    val bad = docs.select($"doc_id",
+        call_function("graft_simhash_md5", lower($"text")).as("k"),
+        oldSimHash($"text").as("o"))
+      .filter($"k" =!= $"o").collect()
+    assert(bad.isEmpty,
+      s"simhash diverges on ${bad.length} rows: ${bad.take(3).mkString(";")}")
+  }
+
   test("qualityScore and langId survive the kernel swap (fixture parity)") {
     // the composed scores, old-form twins rebuilt inline
     val toks = Clean.splitWs($"text")

@@ -20,7 +20,10 @@ import string
 import sys
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
+EMB = "/root/testdata/sf0.1/embeddings.parquet"
 N = duckdb.sql(f"SELECT count(*) FROM '{SRC}'").fetchone()[0]
+NE = duckdb.sql(f"SELECT count(*) FROM '{EMB}'").fetchone()[0]
+DIM = duckdb.sql(f"SELECT len(embedding) FROM '{EMB}' LIMIT 1").fetchone()[0]
 
 
 def perm(i: int) -> str:
@@ -30,6 +33,22 @@ def perm(i: int) -> str:
     letters = list(string.ascii_lowercase)
     rng.shuffle(letters)
     return "".join(letters)
+
+
+def emb_expr(i: int) -> str:
+    """Per-copy signed dimension permutation: an orthogonal transform, so
+    within-copy cosines/norms are preserved exactly while cross-copy
+    vectors decorrelate (copy 0 stays the identity)."""
+    if i == 0:
+        return "embedding"
+    rng = random.Random(1042 + i)
+    order = list(range(1, DIM + 1))
+    rng.shuffle(order)
+    signs = [rng.choice((-1, 1)) for _ in range(DIM)]
+    parts = ", ".join(
+        f"(embedding[{p}] * {s1})::FLOAT" for p, s1 in zip(order, signs)
+    )
+    return f"[{parts}]"
 
 
 def build(name: str, copies: int) -> None:
@@ -54,6 +73,23 @@ def build(name: str, copies: int) -> None:
     ).fetchone()
     assert got[0] == got[1] == N * copies, got
     print(f"{name}: {got[0]} docs -> {out}/documents.parquet")
+
+    eselects = [
+        f"SELECT vec_id + {i * NE} AS vec_id, {emb_expr(i)} AS embedding, "
+        f"label FROM esrc"
+        for i in range(copies)
+    ]
+    eq = (
+        f"COPY (WITH esrc AS (SELECT * FROM '{EMB}') "
+        + " UNION ALL ".join(eselects)
+        + f") TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(eq)
+    egot = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT vec_id) FROM '{out}/embeddings.parquet'"
+    ).fetchone()
+    assert egot[0] == egot[1] == NE * copies, egot
+    print(f"{name}: {egot[0]} vecs -> {out}/embeddings.parquet")
 
 
 if __name__ == "__main__":
