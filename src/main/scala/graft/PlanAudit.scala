@@ -146,6 +146,19 @@ object PlanAudit {
       graft.dedup.Curation.hashSplit(
         Tables.table(spark, dir, "documents").select("doc_id"), "doc_id"))
 
+    // round-7: the A6 family's exact quartiles must come from ONE shared
+    // array-form percentile buffer per column — the pre-r7 form built
+    // three independent full-column TypedImperativeAggregate buffers per
+    // column (23.3 s at sf0.1; 3× the single-task final-merge payload)
+    audit("a6_describe_all (shared array-form percentile buffer)", Seq(
+      "array-form percentile [0.25,0.5,0.75] in plan" ->
+        (_.contains("[0.25,0.5,0.75]")),
+      // a scalar second argument (percentile(c, 0.25, ...)) means an
+      // independent buffer per quartile — the regression this guards
+      "no scalar-literal percentile buffers" ->
+        (p => !"percentile\\([^,]*, 0\\.\\d".r.findFirstIn(p).isDefined)))(
+      SparkEntry.queries("a6_describe_all")(spark, dir))
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);

@@ -554,13 +554,19 @@ object SparkEntry {
           graft.ml.VectorOps.dim(col("sent_vec")).as("dim"))
         .orderBy("doc_id")
     }),
-    // exact interpolated percentiles (one column each — the comparator
-    // can't hash array cells); quantized 1e-6 because Spark's
-    // lower+(hi-lo)*frac and DuckDB's interpolation differ in FP op order
+    // exact interpolated percentiles — ONE array-form percentile buffer
+    // (not three independent ones), unpacked to scalar columns because
+    // the comparator can't hash array cells; quantized 1e-6 because
+    // Spark's lower+(hi-lo)*frac and DuckDB's interpolation differ in FP
+    // op order. Exact form = fixture contract; a6_quantiles_approx below
+    // is the 100-TB path (see Relational.describeAll scaladoc).
     "a6_quantiles" -> ((s, dir) => {
-      def p(q: Double, n: String) =
-        (round(percentile(col("o_totalprice"), lit(q)) * 1e6) / 1e6).as(n)
-      t(s, dir, "orders").agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"))
+      def p(i: Int, n: String) =
+        (round(element_at(col("qs"), i) * 1e6) / 1e6).as(n)
+      t(s, dir, "orders")
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(p(1, "p25"), p(2, "p50"), p(3, "p75"))
     }),
     // one-pass approximate variant — the 100-TB path (exact percentile
     // needs a full sort; approx is single-pass with bounded memory)

@@ -113,7 +113,16 @@ object Relational {
     * Scale shape: one aggregation pass per described column (exploration
     * operator — the caller names the columns, k passes for k columns;
     * the mode is a groupBy on that single column, shuffling one narrow
-    * (value, count) pair per distinct value). */
+    * (value, count) pair per distinct value).
+    *
+    * SCALE BOUNDARY (exact percentiles): the three quartiles come from ONE
+    * `percentile(col, array(0.25,0.5,0.75))` aggregate — a single shared
+    * TypedImperativeAggregate buffer per column (not three independent
+    * ones). That buffer still holds every distinct (value,count) pair of
+    * the column and merges in one final task, so this EXACT form is the
+    * fixture/oracle contract only. The 100-TB contract is [[quantiles]]
+    * (one-pass `approx_percentile`, bounded memory at any cardinality);
+    * see PLANS.md §A6. */
   def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
     import graft.core.Tables.dec
     import org.apache.spark.sql.types.NumericType
@@ -128,8 +137,6 @@ object Relational {
         lit(null).cast("double").as("max_v"))
       df.schema(c).dataType match {
         case _: NumericType =>
-          def q(p: Double, n: String) =
-            (round(percentile(col(c), lit(p)) * 1e6) / 1e6).as(n)
           val agg = df.agg(
             count(col(c)).as("count"),
             countDistinct(col(c)).as("unique"),
@@ -137,7 +144,10 @@ object Relational {
             sum(dec(col(c)) * dec(col(c))).as("sq"),
             min(col(c)).cast("double").as("min_v"),
             max(col(c)).cast("double").as("max_v"),
-            q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"))
+            percentile(col(c),
+              array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+          def q(i: Int, name: String) =
+            (round(element_at(col("qs"), i) * 1e6) / 1e6).as(name)
           val n = col("count").cast("double")
           val s = col("s").cast("double")
           val sq = col("sq").cast("double")
@@ -149,7 +159,8 @@ object Relational {
             when(col("count") < 2, lit(null).cast("double"))
               .otherwise(sqrt(greatest((sq - s * s / n) / (n - lit(1.0)),
                 lit(0.0)))).as("std"),
-            col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+            col("min_v"), q(1, "p25"), q(2, "p50"), q(3, "p75"),
+            col("max_v"))
         case _ =>
           val cnts = df.agg(
             count(col(c)).as("count"),
