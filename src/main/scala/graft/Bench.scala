@@ -21,6 +21,21 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The measurement action this bench uses (stamped into the output JSON). */
+  val Action = "noop"
+
+  /** Era tag of a prior BENCH file: the `action` field if present, else
+    * "count" — every pre-r7 file predates the tag and was measured with the
+    * `count()` action, whose column pruning / EliminateSorts made its times
+    * incomparable to noop-sink times (r6 saw spurious ">3x prev" third
+    * trials for every query whose honest cost exceeds 3x its pruned cost).
+    */
+  def parsePrevAction(raw: String): String = {
+    val txt = raw.replace("\\\"", "\"")
+    "\"action\":\"([A-Za-z0-9_]+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("count")
+  }
+
   /** The newest BENCH_r*.json strictly older than the in-flight round, so a
     * re-run inside a round that already wrote its own BENCH file never
     * arbitrates against itself. The in-flight round is SPARK_GRAFT_ROUND if
@@ -67,10 +82,15 @@ object Bench {
     // row, and min-of-2 then reports a phantom regression (observed: 2.5s
     // query measured 15s; round 5 recorded three phantom 3-5x regressions
     // because this parser was dead — see BenchParseSpec).
+    // Cross-era guard: prev times only arbitrate if they were measured
+    // with the SAME action — comparing noop-sink times against count()-era
+    // times fired a spurious third trial per honest query in round 6.
     val prevTimes: Map[String, Double] = {
       val cwd = Option(new java.io.File(".").listFiles()).getOrElse(Array())
       prevBenchFile(cwd).map { f =>
-        parsePrevTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        if (parsePrevAction(raw) == Action) parsePrevTimes(raw)
+        else Map.empty[String, Double]
       }.getOrElse(Map.empty)
     }
     val results = selected.map { case (name, fn) =>
@@ -123,7 +143,7 @@ object Bench {
     val okTimes = results.collect { case (_, v, true) => v }
     val total = okTimes.sum
     val nFail = results.count(!_._3)
-    println(s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_ok","value":$total,"unit":"sec","action":"$Action","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

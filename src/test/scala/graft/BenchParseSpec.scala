@@ -38,6 +38,22 @@ class BenchParseSpec extends AnyFunSuite {
     assert(t.contains("llm_dup_groups"))
   }
 
+  test("parsePrevAction distinguishes bench eras (mixed-era fixture)") {
+    // pre-r7 file: no action field anywhere → count era, incomparable
+    assert(Bench.parsePrevAction(fixture) == "count")
+    // r7+ file: the action tag rides inside the escaped tail like the times
+    val noopFixture = fixture.replace(
+      "t\\\":0.121", "action\\\":\\\"noop\\\",\\\"t\\\":0.121")
+    assert(Bench.parsePrevAction(noopFixture) == "noop")
+    // unescaped (self-written) JSON works too
+    assert(Bench.parsePrevAction("""{"action":"noop","queries":{}}""") == "noop")
+    // the real BENCH_r06.json predates the tag → count era
+    val p = java.nio.file.Paths.get("BENCH_r06.json")
+    if (java.nio.file.Files.exists(p))
+      assert(Bench.parsePrevAction(
+        new String(java.nio.file.Files.readAllBytes(p))) == "count")
+  }
+
   test("prevBenchFile picks newest file strictly older than in-flight round") {
     def f(n: String) = new java.io.File(n)
     val files = Array(f("BENCH_r04.json"), f("BENCH_r05.json"), f("BENCH_r06.json"),
