@@ -101,6 +101,7 @@ object GraftFunctions {
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
     binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)),
+    binaryVec("graft_levenshtein", GraftLevenshtein(_, _)),
     unaryText("graft_ws_token_count", WsTokenCount(_)),
     unaryText("graft_nonws_char_count", NonWsCharCount(_)),
     unaryText("graft_non_alnum_count", NonAlnumCount(_)),

@@ -46,12 +46,17 @@ object Clean {
   /** F9 fuzzy similarity ratio — fuzzywuzzy's Levenshtein-ratio form:
     * 100 * (|a| + |b| - lev(a,b)) / (|a| + |b|). Exact SequenceMatcher
     * parity differs on transposition-heavy pairs; documented delta
-    * (SURVEY.md §7 item 3). Built-in levenshtein keeps this codegen'd. */
+    * (SURVEY.md §7 item 3). The distance comes from the bit-parallel
+    * graft_levenshtein kernel — same value as the built-in `levenshtein`
+    * (differentially spec-gated, LevSpec) at ~64× fewer word ops per
+    * pair (6.9 s → ~1 s on the sf0.1 adjacent-pair fixture); the session
+    * must have the graft functions registered. */
   def fuzzRatio(a: Column, b: Column): Column = {
     val la = length(a)
     val lb = length(b)
     when(la + lb === 0, lit(100.0))
-      .otherwise(lit(100.0) * (la + lb - levenshtein(a, b)) / (la + lb))
+      .otherwise(lit(100.0) * (la + lb -
+        call_function("graft_levenshtein", a, b)) / (la + lb))
   }
 
   /** The Treebank rule cascade, defined ONCE as (java pattern, java
