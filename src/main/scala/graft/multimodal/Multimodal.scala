@@ -218,11 +218,109 @@ object Multimodal {
     }
   }
 
-  /** FEATURE STUB — fixed-width float features derived deterministically
-    * from payload bytes (per-position byte hash scaled to [0,1);
-    * zero-padded past the payload end). Pure-expression, so the feature
-    * pass is a full-speed scan; a real extractor swaps in at this exact
-    * signature (binary → Array[Float] `features`). */
+  /** REAL image feature extraction: 64-bit DCT perceptual hash (pHash)
+    * over the ImageIO-decoded pixels — pure JDK math, no codec library:
+    * BT.601 luminance → 32×32 area-average downsample → 2-D DCT-II →
+    * top-left 8×8 low-frequency block → bit k = coefficient k > block
+    * median (the convention of the public python `imagehash` library).
+    * Lossless re-encodes (PNG ↔ BMP) decode to identical pixels and hash
+    * IDENTICALLY; lossy re-encodes (JPEG) perturb high frequencies only
+    * and land within a few bits of Hamming distance — the near-dup-image
+    * contract. Null/undecodable payloads get a null hash.
+    *
+    * Same scale shape as [[decodeImage]]: per-row black-box pixel work,
+    * partition-preserving, no shuffle; the 64-bit hash then feeds the
+    * same banded/bucketed dedup joins as SimHash (Dedup.scala). */
+  def imagePhash(df: DataFrame, outCol: String = "phash"): DataFrame = {
+    val ph = udf { payload: Array[Byte] => PHash.compute(payload) }
+    df.withColumn(outCol, ph(col("payload")))
+  }
+
+  private[multimodal] object PHash {
+    private val N = 32
+    // DCT-II basis, cos((2x+1)·u·π / 2N); orthonormal scaling is
+    // irrelevant under a median threshold
+    private val cosT: Array[Array[Double]] =
+      Array.tabulate(N, N)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+
+    def compute(payload: Array[Byte]): Option[Long] = {
+      if (payload == null) return None
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      // area-average (box) downsample of BT.601 luminance to N×N —
+      // deterministic integer binning, no Graphics2D resampler in play
+      val acc = Array.ofDim[Double](N, N)
+      val cnt = Array.ofDim[Int](N, N)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * N / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * N / w).toInt
+          val rgb = img.getRGB(x, y)
+          acc(gy)(gx) += 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          cnt(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val g = Array.tabulate(N, N)((i, j) =>
+        if (cnt(i)(j) > 0) acc(i)(j) / cnt(i)(j) else 0.0)
+      // separable 2-D DCT-II: rows then columns
+      val t1 = Array.ofDim[Double](N, N)
+      var yy = 0
+      while (yy < N) {
+        var u = 0
+        while (u < N) {
+          var s = 0.0
+          var x = 0
+          while (x < N) { s += g(yy)(x) * cosT(u)(x); x += 1 }
+          t1(yy)(u) = s
+          u += 1
+        }
+        yy += 1
+      }
+      val block = new Array[Double](64) // dct(v)(u), u,v in 0..7
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var k = 0
+          while (k < N) { s += t1(k)(u) * cosT(v)(k); k += 1 }
+          block(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      val sorted = block.clone().sorted
+      val med = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (block(i) > med) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** FEATURE STUB — now scoped to AUDIO/VIDEO embeddings only (image
+    * features are real: [[imagePhash]]). A learned audio/video embedding
+    * needs an ML codec/model runtime that is out of scope in this
+    * environment; this stub keeps the Spark-side plumbing real and
+    * tested — fixed-width float features derived deterministically from
+    * payload bytes (per-position byte hash scaled to [0,1); zero-padded
+    * past the payload end). Pure-expression, so the feature pass is a
+    * full-speed scan; a real extractor swaps in at this exact signature
+    * (binary → Array[Float] `features`). */
   def featuresStub(df: DataFrame, dim: Int = 16): DataFrame =
     df.withColumn("features",
       transform(sequence(lit(1), lit(dim)), i =>

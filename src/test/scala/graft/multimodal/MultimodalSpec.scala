@@ -101,6 +101,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == "video/mp4")
   }
 
+  test("imagePhash: stable across lossless re-encode, near across JPEG, " +
+    "distant across different images, null on junk") {
+    // structured fixture: smooth gradient + a dark block (JPEG preserves
+    // the low frequencies pHash reads)
+    def scene(block: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        96, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 96) {
+        val base = (x * 255) / 95
+        val v = if (block && x > 50 && y > 30) base / 4 else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val a = scene(block = true)
+    val rows = Seq(
+      (1L, enc(a, "png")),
+      (2L, enc(a, "bmp")),            // lossless re-encode of the SAME pixels
+      (3L, enc(a, "jpg")),            // lossy re-encode
+      (4L, enc(scene(false), "png")), // different image
+      (5L, "junk".getBytes("UTF-8")),
+      (6L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val ph = Multimodal.imagePhash(df)
+      .select("asset_id", "phash").as[(Long, Option[Long])].collect().toMap
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    // lossless: identical pixels → identical hash
+    assert(ph(1L).get == ph(2L).get)
+    // lossy: same scene → within a few bits
+    assert(ham(ph(1L).get, ph(3L).get) <= 6,
+      s"jpeg hamming ${ham(ph(1L).get, ph(3L).get)}")
+    // different scene → far
+    assert(ham(ph(1L).get, ph(4L).get) >= 10,
+      s"distinct-image hamming ${ham(ph(1L).get, ph(4L).get)}")
+    // junk / null payloads → null hash
+    assert(ph(5L).isEmpty && ph(6L).isEmpty)
+  }
+
   test("featuresStub: fixed width, [0,1), zero-padded") {
     val f = Multimodal.featuresStub(assets, dim = 8)
       .select("asset_id", "features").as[(Long, Seq[Float])].collect().toMap
