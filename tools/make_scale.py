@@ -21,6 +21,7 @@ import sys
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
 EMB = "/root/testdata/sf0.1/embeddings.parquet"
+ORD = "/root/testdata/sf0.1/orders.parquet"
 N = duckdb.sql(f"SELECT count(*) FROM '{SRC}'").fetchone()[0]
 NE = duckdb.sql(f"SELECT count(*) FROM '{EMB}'").fetchone()[0]
 DIM = duckdb.sql(f"SELECT len(embedding) FROM '{EMB}' LIMIT 1").fetchone()[0]
@@ -74,8 +75,11 @@ def build(name: str, copies: int) -> None:
     assert got[0] == got[1] == N * copies, got
     print(f"{name}: {got[0]} docs -> {out}/documents.parquet")
 
+    # vec_id is offset by i*N (the DOCUMENT stride, not i*NE): the fixture
+    # joins doc_id = vec_id, so each copy's vectors must keep joining their
+    # own copy's (identically permuted) documents. Ids need not be dense.
     eselects = [
-        f"SELECT vec_id + {i * NE} AS vec_id, {emb_expr(i)} AS embedding, "
+        f"SELECT vec_id + {i * N} AS vec_id, {emb_expr(i)} AS embedding, "
         f"label FROM esrc"
         for i in range(copies)
     ]
@@ -92,5 +96,29 @@ def build(name: str, copies: int) -> None:
     print(f"{name}: {egot[0]} vecs -> {out}/embeddings.parquet")
 
 
+def build_orders(name: str, copies: int) -> None:
+    """Scaled orders for the a6 family: row duplication with offset keys
+    preserves every per-column value distribution (percentile work grows
+    linearly in n, which is the thing being measured)."""
+    out = f"benchdata/{name}"
+    no = duckdb.sql(f"SELECT count(*) FROM '{ORD}'").fetchone()[0]
+    selects = [
+        f"SELECT * REPLACE (o_orderkey + {i * no} AS o_orderkey) FROM osrc"
+        for i in range(copies)
+    ]
+    q = (
+        f"COPY (WITH osrc AS (SELECT * FROM '{ORD}') "
+        + " UNION ALL ".join(selects)
+        + f") TO '{out}/orders.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(q)
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT o_orderkey) FROM '{out}/orders.parquet'"
+    ).fetchone()
+    assert got[0] == got[1] == no * copies, got
+    print(f"{name}: {got[0]} orders -> {out}/orders.parquet")
+
+
 if __name__ == "__main__":
     build(sys.argv[1], int(sys.argv[2]))
+    build_orders(sys.argv[1], int(sys.argv[2]))
