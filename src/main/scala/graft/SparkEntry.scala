@@ -568,10 +568,16 @@ object SparkEntry {
           array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
         .select(p(1, "p25"), p(2, "p50"), p(3, "p75"))
     }),
-    // one-pass approximate variant — the 100-TB path (exact percentile
-    // needs a full sort; approx is single-pass with bounded memory)
+    // one-pass approximate variant — the bounded-memory one-pass path
     "a6_quantiles_approx" -> ((s, dir) =>
       Relational.quantiles(t(s, dir, "orders"), "o_totalprice")),
+    // distributed EXACT variant — iterated histogram refinement: exact
+    // percentile values (same oracle as a6_quantiles) in ≤ ~4 pruned
+    // single-column scans with NO single-task column materialization;
+    // the 100-TB path when exactness is non-negotiable (DistQuantile)
+    "a6_quantiles_exact_dist" -> ((s, dir) =>
+      graft.ops.DistQuantile.quantiles(s, t(s, dir, "orders"),
+        "o_totalprice")),
     // pandas describe(include='all'): mixed numeric + string columns
     "a6_describe_all" -> ((s, dir) =>
       Relational.describeAll(t(s, dir, "orders"),
@@ -899,6 +905,11 @@ object SparkEntry {
     // quantile_cont uses the same p*(n-1) interpolation index as Spark's
     // exact percentile; 1e-6 quantization absorbs the FP-op-order ulp
     "a6_quantiles" -> (
+      "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5)*1e6)/1e6 AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.75)*1e6)/1e6 AS p75 FROM orders"),
+    // the distributed exact path must land on the SAME numbers
+    "a6_quantiles_exact_dist" -> (
       "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
         "round(quantile_cont(o_totalprice, 0.5)*1e6)/1e6 AS p50, " +
         "round(quantile_cont(o_totalprice, 0.75)*1e6)/1e6 AS p75 FROM orders"),
