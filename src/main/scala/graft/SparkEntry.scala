@@ -483,6 +483,13 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // explode-free scan-kernel form — the 100-TB path (same oracle; the
+    // train side is a single projection pass, no gram rows ever exist)
+    "llm_decontaminate_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateScan(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8).orderBy("doc_id")
+    }),
     // duplicate-group resolution: connected components over the SAME
     // near-dup pair relation llm_near_dedup gates (LSH candidates,
     // exactly verified), labeled min-doc-id, one keeper per group
@@ -1200,6 +1207,7 @@ object SparkEntry {
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
+    "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),

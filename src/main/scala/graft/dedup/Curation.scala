@@ -49,6 +49,64 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]] without the train-side gram EXPLODE — the 100-TB
+    * form. The explode materializes ~one row per train token (at 100 TB,
+    * tens of trillions of rows into the broadcast join); this variant
+    * broadcasts the eval gram hashes as ONE sorted long array and slides
+    * the n-gram window per document inside a scan-side kernel — the train
+    * side is a pure one-pass projection (no explode, no join, no shuffle
+    * except the caller's output ordering). Identical semantics: grams are
+    * string-deduped per doc before hashing (XxHash64, seed 42 — the same
+    * `xxhash64(gram)` bytes the join form keys on), so both forms count
+    * the same distinct shared grams and carry the same DuckDB oracle.
+    *
+    * Driver/broadcast boundary: the eval side is collected (8 bytes per
+    * distinct eval gram — the same order of memory the join form already
+    * broadcast as a table); binary search per train gram makes the
+    * per-doc cost O(tokens · log evalGrams). */
+  def decontaminateScan(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    val evalHashes: Array[Long] = evalDocs
+      .select(explode(array_distinct(Repetition.wordNgrams(
+        Clean.splitWs(lower(col(textCol))), n))).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val bc = spark.sparkContext.broadcast(evalHashes)
+    val hitCount = udf { tokens: Seq[String] =>
+      val set = bc.value
+      if (tokens == null || tokens.length < n || set.isEmpty) 0L
+      else {
+        val seen = new java.util.HashSet[String]()
+        val sb = new java.lang.StringBuilder
+        var cnt = 0L
+        var i = 0
+        while (i + n <= tokens.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tokens(i + j))
+            j += 1
+          }
+          val g = sb.toString
+          if (seen.add(g) &&
+            java.util.Arrays.binarySearch(set,
+              XxHash64Function.hash(
+                UTF8String.fromString(g), StringType, 42L)) >= 0) cnt += 1
+          i += 1
+        }
+        cnt
+      }
+    }
+    docs.select(col(idCol).as("doc_id"),
+        hitCount(Clean.splitWs(lower(col(textCol)))).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   /** Duplicate-group resolution: given near-dup pairs (id_a, id_b), every
     * document gets the id of its duplicate CLUSTER (connected component,
     * labeled by the component's min doc id — so keep_id = group_id keeps

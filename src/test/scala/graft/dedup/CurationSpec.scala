@@ -21,6 +21,26 @@ class CurationSpec extends SparkSpec {
     assert(!r(2L)._3 && r(2L)._2 == 0)
   }
 
+  test("decontaminateScan matches the join form on adversarial inputs") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // eval doc
+      (1L, "zzz  alpha   beta\tgamma delta qqq"),  // messy whitespace, shares gram
+      (2L, "totally unrelated words here now"),
+      (3L, "ALPHA Beta GAMMA delta epsilon"),      // case-folded match
+      (4L, "alpha beta"),                          // shorter than n
+      (5L, ""),                                    // empty
+      (6L, "alpha beta gamma alpha beta gamma delta epsilon x")) // repeated grams
+      .toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" === 0)
+    val join = Curation.decontaminate(docs, evalDocs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val scan = Curation.decontaminateScan(docs, evalDocs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(scan == join)
+    assert(scan.find(_._1 == 1L).get._3)  // sanity: the match is real
+    assert(!scan.find(_._1 == 4L).get._3) // too short → clean
+  }
+
   test("dupGroups: components labeled by min id, singletons kept") {
     val ids = (0L to 5L).toDF("doc_id")
     // 0-1, 1-2 chain one group; 3-4 another; 5 singleton
