@@ -312,14 +312,204 @@ object Multimodal {
     }
   }
 
-  /** FEATURE STUB — now scoped to AUDIO/VIDEO embeddings only (image
-    * features are real: [[imagePhash]]). A learned audio/video embedding
-    * needs an ML codec/model runtime that is out of scope in this
-    * environment; this stub keeps the Spark-side plumbing real and
-    * tested — fixed-width float features derived deterministically from
-    * payload bytes (per-position byte hash scaled to [0,1); zero-padded
-    * past the payload end). Pure-expression, so the feature pass is a
-    * full-speed scan; a real extractor swaps in at this exact signature
+  /** REAL audio feature extraction: deterministic spectral features over
+    * the `javax.sound.sampled`-decoded PCM — pure JDK math, no codec
+    * library. Downmixes to mono, takes up to 65536 samples, Hann-windows,
+    * radix-2 FFT, and emits a 12-dim vector:
+    * [rms, zero-crossing rate, spectral centroid (fraction of Nyquist),
+    * 85% rolloff (fraction of Nyquist), 8 log-power octave-ish band
+    * energies]. Bit-identical across container re-encodes that preserve
+    * samples (WAV ↔ AIFF — both PCM; only byte order differs). Null for
+    * null/undecodable payloads.
+    *
+    * Same scale shape as [[decodeAudio]]: per-row black-box sample work,
+    * partition-preserving; the fixed-width vector feeds the same ANN /
+    * cosine operators as text embeddings (Similarity.scala). */
+  def audioFeatures(df: DataFrame, outCol: String = "features"): DataFrame = {
+    val f = udf { payload: Array[Byte] => AudioFeat.compute(payload) }
+    df.withColumn(outCol, f(col("payload")))
+  }
+
+  private[multimodal] object AudioFeat {
+    private val MaxSamples = 65536
+
+    /** Decode PCM to a mono double array in [-1,1], plus the sample rate. */
+    private def pcm(payload: Array[Byte]): Option[(Array[Double], Float)] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => return None }
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)
+        if (!ok) return None
+        val ch = fmt.getChannels
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val frameBytes = bytesPerSample * ch
+        val buf = ais.readNBytes(MaxSamples * frameBytes)
+        val nFrames = buf.length / frameBytes
+        if (nFrames == 0) return None
+        val out = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var sum = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = i * frameBytes + c * bytesPerSample
+            val v =
+              if (bytesPerSample == 1) {
+                if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+                  ((buf(o) & 0xFF) - 128) / 128.0
+                else buf(o) / 128.0
+              } else {
+                val lo = if (fmt.isBigEndian) buf(o + 1) else buf(o)
+                val hi = if (fmt.isBigEndian) buf(o) else buf(o + 1)
+                val s = ((hi & 0xFF) << 8) | (lo & 0xFF)
+                val signed = if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
+                  s - 32768 else s.toShort.toInt
+                signed / 32768.0
+              }
+            sum += v
+            c += 1
+          }
+          out(i) = sum / ch
+          i += 1
+        }
+        Some((out, fmt.getSampleRate))
+      } catch { case _: Exception => None }
+      finally ais.close()
+    }
+
+    /** In-place iterative radix-2 Cooley–Tukey FFT (re, im). */
+    private def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      var j = 0
+      var i = 1
+      while (i < n) { // bit reversal
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var s = 0
+        while (s < n) {
+          var cr = 1.0
+          var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(s + k); val ui = im(s + k)
+            val vr = re(s + k + len / 2) * cr - im(s + k + len / 2) * ci
+            val vi = re(s + k + len / 2) * ci + im(s + k + len / 2) * cr
+            re(s + k) = ur + vr; im(s + k) = ui + vi
+            re(s + k + len / 2) = ur - vr; im(s + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr
+            cr = ncr
+            k += 1
+          }
+          s += len
+        }
+        len <<= 1
+      }
+    }
+
+    def compute(payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null) return None
+      pcm(payload).map { case (samples, _) =>
+        val n = samples.length
+        var rms = 0.0
+        var zc = 0
+        var i = 0
+        while (i < n) {
+          rms += samples(i) * samples(i)
+          if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        rms = math.sqrt(rms / n)
+        val zcr = if (n > 1) zc.toDouble / (n - 1) else 0.0
+        // power spectrum of a Hann-windowed power-of-two slice
+        var fftN = 1
+        while (fftN * 2 <= math.min(n, 16384)) fftN *= 2
+        val re = new Array[Double](fftN)
+        val im = new Array[Double](fftN)
+        i = 0
+        while (i < fftN) {
+          val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (fftN - 1)))
+          re(i) = samples(i) * w
+          i += 1
+        }
+        fft(re, im)
+        val half = fftN / 2
+        val pow = new Array[Double](half)
+        var total = 0.0
+        i = 0
+        while (i < half) {
+          pow(i) = re(i) * re(i) + im(i) * im(i)
+          total += pow(i)
+          i += 1
+        }
+        // centroid + 85% rolloff as fractions of Nyquist
+        var centroid = 0.0
+        if (total > 0) {
+          i = 0
+          while (i < half) { centroid += i.toDouble / half * pow(i); i += 1 }
+          centroid /= total
+        }
+        var rolloff = 0.0
+        if (total > 0) {
+          var cum = 0.0
+          i = 0
+          while (i < half && cum < 0.85 * total) { cum += pow(i); i += 1 }
+          rolloff = i.toDouble / half
+        }
+        // 8 octave-ish log-power bands: [0,h/128),[h/128,h/64)…[h/2,h)
+        val bands = new Array[Double](8)
+        i = 0
+        while (i < half) {
+          var b = 0
+          var edge = half / 128
+          while (b < 7 && i >= edge) { b += 1; edge *= 2 }
+          bands(b) += pow(i)
+          i += 1
+        }
+        val out = new Array[Float](12)
+        out(0) = rms.toFloat
+        out(1) = zcr.toFloat
+        out(2) = centroid.toFloat
+        out(3) = rolloff.toFloat
+        var b = 0
+        while (b < 8) {
+          out(4 + b) = math.log1p(bands(b)).toFloat
+          b += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** FEATURE STUB — now scoped to VIDEO embeddings only (image features
+    * are real: [[imagePhash]]; audio features are real:
+    * [[audioFeatures]]). A video embedding needs frame-pixel access and
+    * hence a video CODEC, which neither the JDK nor this environment
+    * provides ([[decodeVideo]] reads container metadata, which needs no
+    * codec); this stub keeps the Spark-side plumbing real and tested —
+    * fixed-width float features derived deterministically from payload
+    * bytes (per-position byte hash scaled to [0,1); zero-padded past the
+    * payload end). Pure-expression, so the feature pass is a full-speed
+    * scan; a real extractor swaps in at this exact signature
     * (binary → Array[Float] `features`). */
   def featuresStub(df: DataFrame, dim: Int = 16): DataFrame =
     df.withColumn("features",

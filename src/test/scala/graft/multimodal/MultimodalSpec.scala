@@ -147,6 +147,50 @@ class MultimodalSpec extends SparkSpec {
     assert(ph(5L).isEmpty && ph(6L).isEmpty)
   }
 
+  test("audioFeatures: spectral centroid tracks the tone, stable across " +
+    "WAV/AIFF re-encode, null on junk") {
+    import javax.sound.sampled._
+    val rate = 16000f
+    def tone(hz: Double, fileType: AudioFileFormat.Type): Array[Byte] = {
+      val n = 16384
+      val samples = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * hz * i / rate) * 12000).toInt
+        samples(i * 2) = (v & 0xFF).toByte        // little-endian source
+        samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, fileType, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, tone(1000, AudioFileFormat.Type.WAVE)),
+      (2L, tone(1000, AudioFileFormat.Type.AIFF)),  // same samples, other container
+      (3L, tone(4000, AudioFileFormat.Type.WAVE)),  // higher tone
+      (4L, "junk".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt",
+        modality = "audio")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val f = Multimodal.audioFeatures(df)
+      .select("asset_id", "features").as[(Long, Option[Seq[Float]])]
+      .collect().toMap
+    assert(f(1L).get.length == 12)
+    // centroid is a fraction of Nyquist (8 kHz): 1 kHz tone → ~0.125
+    val c1k = f(1L).get(2)
+    assert(math.abs(c1k - 0.125) < 0.02, s"centroid $c1k")
+    val c4k = f(3L).get(2)
+    assert(math.abs(c4k - 0.5) < 0.04, s"centroid $c4k")
+    // same samples in a different PCM container → identical features
+    assert(f(1L).get == f(2L).get)
+    assert(f(4L).isEmpty && f(5L).isEmpty)
+  }
+
   test("featuresStub: fixed width, [0,1), zero-padded") {
     val f = Multimodal.featuresStub(assets, dim = 8)
       .select("asset_id", "features").as[(Long, Seq[Float])].collect().toMap
