@@ -120,6 +120,22 @@ object PlanAudit {
         (_.contains("xxhash64")))) (
       SparkEntry.queries("llm_decontaminate")(spark, dir))
 
+    // round-7: the scan-kernel decontamination must stay explode-free —
+    // no Generate (the gram explode it replaces) and no join of any kind
+    // (membership is a broadcast array inside the kernel); audited
+    // WITHOUT the registered query's presentation orderBy
+    audit("llm_decontaminate_scan (kernel form: no explode, no join)", Seq(
+      "no Generate (gram explode) anywhere" -> (p => !p.contains("Generate")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      // formatted explain prints each scan twice (tree + detail section)
+      "single scan of documents" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 2)))(
+      graft.dedup.Curation.decontaminateScan(
+        Tables.table(spark, dir, "documents"),
+        Tables.table(spark, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8))
+
     audit("llm_token_pack (two-pass prefix sum, no global window)", Seq(
       "no single-partition Window operator" -> (p => !p.contains("Window")),
       "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->
