@@ -70,6 +70,14 @@ object SparkEntry {
     * with a synthetic corpus at the reference's cardinalities.
     *
     * Scale plan (the shape that survives 100 TB):
+    *  - the word2vec MODEL is a global statistic too: past `fitCap` docs
+    *    the fit runs on a seeded uniform sample and only the (broadcast
+    *    embedding matrix) TRANSFORM touches the full corpus — the same
+    *    train-on-few / apply-to-all move the reference itself makes
+    *    (README.md:43: cluster 589 distinct messages, apply to 2826).
+    *    Measured (r7): the full-corpus fit was the flagship's ONLY
+    *    remaining linear-heavy stage — 259 of its 277 s at the ×100
+    *    corpus was the embed stage (m1_m2 probe, exponent ~1.0).
     *  - ε is a GLOBAL statistic (the knee of the sorted kNN-distance
     *    curve), so past `curveCap` points the curve is computed on a
     *    seeded uniform sample: cost O(n) + O(cap²), with the cross join
@@ -81,13 +89,20 @@ object SparkEntry {
     *  - past the cap, labels come from sample-based DBSCAN (broadcast
     *    core-attach, no pairwise shuffle — see Dbscan.sampled). */
   private[graft] def flagshipLabels(docs0: DataFrame,
-                                    curveCap: Long = 2000L): DataFrame = {
+                                    curveCap: Long = 2000L,
+                                    fitCap: Long = 20000L): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
     val toks = docs.select(col("doc_id"), col("text"),
         Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
       .filter(size(col("tokens")) > 0)
-    val model = graft.ml.Embed.word2vec(toks, "tokens", vectorSize = 16,
+    // cheap pre-clean count (parquet metadata / cached) gates the fit cap
+    val n0 = docs0.count()
+    val fitToks =
+      if (n0 > fitCap)
+        toks.sample(withReplacement = false, fitCap.toDouble / n0, seed = 43L)
+      else toks
+    val model = graft.ml.Embed.word2vec(fitToks, "tokens", vectorSize = 16,
       maxIter = 1)
     val vecs = graft.ml.Embed.sentence2vec(model, toks, "tokens")
       .select(col("doc_id"), col("text"),

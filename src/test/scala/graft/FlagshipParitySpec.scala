@@ -73,4 +73,28 @@ class FlagshipParitySpec extends SparkSpec {
       f"clusters should track template families, purity=$purity%.3f")
     labeled.unpersist()
   }
+
+  test("sampled-fit path (n > fitCap): every doc labeled, clusters still " +
+    "track families") {
+    val families = Seq(
+      "transfer failed for file %s at line %d connection timeout",
+      "checksum mismatch detected on replica %s at line %d validation",
+      "authentication error user credential %s rejected at line %d")
+    val docs = (0 until 600).map { i =>
+      (i.toLong, families(i % 3).format(f"f$i%04d", 100 + i))
+    }.toDF("doc_id", "text")
+    // fitCap=150 forces the w2v fit onto a ~25% sample; curveCap=150
+    // forces the sampled curve + DBSCAN++ path in the same run
+    val labeled = SparkEntry
+      .flagshipLabels(docs, curveCap = 150L, fitCap = 150L).cache()
+    assert(labeled.count() == 600) // transform covers ALL docs, not the sample
+    val purity = labeled
+      .withColumn("fam", split(col("text"), " ").getItem(0))
+      .groupBy("label", "fam").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._3).max).sum.toDouble / 600
+    assert(purity >= 0.85,
+      f"sample-fit clusters should still track families, purity=$purity%.3f")
+    labeled.unpersist()
+  }
 }
