@@ -498,6 +498,15 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
+    // window-min md5 gram hashes per doc — the local, position-robust
+    // overlap primitive (two docs sharing a k+w-1 substring share a
+    // fingerprint); exact DuckDB window-function twin
+    "llm_winnow_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(call_function("graft_winnow",
+          col("text"), lit(8), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")),
     // explode-free scan-kernel form — the 100-TB path (same oracle; the
     // train side is a single projection pass, no gram rows ever exist)
     "llm_decontaminate_scan" -> ((s, dir) => {
@@ -1223,6 +1232,7 @@ object SparkEntry {
         "ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
     "llm_decontaminate_scan" -> ( decontaminateSql),
+    "llm_winnow_fingerprint" -> ( winnowSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),
@@ -1569,6 +1579,28 @@ object SparkEntry {
   /** Oracle twin of Curation.hashSplit: md5-of-decimal-string is the one
     * hash both engines share; the first 4 hex chars are parsed by digit
     * position (DuckDB has no hex-string-to-int cast). */
+  /** Winnowing twin: per-position md5 gram hashes (first 15 hex digits
+    * parsed positionally — same no-hex-cast workaround as hashSplitSql),
+    * window MIN over w=4 consecutive positions, DISTINCT selected values.
+    * The selected-hash SET is tie-break-invariant, so plain window min
+    * reproduces the kernel's monotonic-deque selection exactly. */
+  private def winnowSql: String = {
+    val digits = "0123456789abcdef"
+    val parse = (1 to 15).map { j =>
+      s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
+    }.mkString(" + ")
+    "WITH pos AS (SELECT doc_id, text, " +
+      "unnest(generate_series(1, length(text) - 7)) AS i FROM documents), " +
+      "g AS (SELECT doc_id, i, md5(substr(text, i::INTEGER, 8)) AS h " +
+      "FROM pos), " +
+      s"p AS (SELECT doc_id, i, CAST($parse AS BIGINT) AS hv FROM g), " +
+      "w AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
+      "count(*) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt FROM p) " +
+      "SELECT DISTINCT doc_id, fp FROM w WHERE cnt = 4 ORDER BY doc_id, fp"
+  }
+
   private def hashSplitSql: String = {
     val digits = "0123456789abcdef"
     val parse = (1 to 4).map { i =>

@@ -95,8 +95,20 @@ object GraftFunctions {
         "graft_stop_hits(text, stop1[, stop2, ...])")
     })
 
+  private val winnow: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => GraftWinnow(t, 8, 4)
+      case Seq(t, k, w) =>
+        GraftWinnow(t, intLit(k, "k"), intLit(w, "window"))
+      case _ => throw new IllegalArgumentException(
+        "graft_winnow(text[, k, window])")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
-      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK, winnow,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
