@@ -507,6 +507,12 @@ object SparkEntry {
         explode(call_function("graft_winnow",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
+    // MOSS-style overlap pairs: docs sharing >=3 winnowing fingerprints
+    // after dropping hot (df>50) boilerplate fingerprints — bounded
+    // fan-in self-join, exact SQL twin
+    "llm_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     // explode-free scan-kernel form — the 100-TB path (same oracle; the
     // train side is a single projection pass, no gram rows ever exist)
     "llm_decontaminate_scan" -> ((s, dir) => {
@@ -1233,6 +1239,7 @@ object SparkEntry {
     "llm_decontaminate" -> ( decontaminateSql),
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
+    "llm_winnow_overlap" -> ( winnowOverlapSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),
@@ -1579,12 +1586,13 @@ object SparkEntry {
   /** Oracle twin of Curation.hashSplit: md5-of-decimal-string is the one
     * hash both engines share; the first 4 hex chars are parsed by digit
     * position (DuckDB has no hex-string-to-int cast). */
-  /** Winnowing twin: per-position md5 gram hashes (first 15 hex digits
-    * parsed positionally — same no-hex-cast workaround as hashSplitSql),
-    * window MIN over w=4 consecutive positions, DISTINCT selected values.
-    * The selected-hash SET is tie-break-invariant, so plain window min
+  /** Winnowing CTE chain shared by both winnow oracles: per-position md5
+    * gram hashes (first 15 hex digits parsed positionally — same
+    * no-hex-cast workaround as hashSplitSql), window MIN over w=4
+    * consecutive positions, DISTINCT selected values per doc. The
+    * selected-hash SET is tie-break-invariant, so plain window min
     * reproduces the kernel's monotonic-deque selection exactly. */
-  private def winnowSql: String = {
+  private def winnowCte: String = {
     val digits = "0123456789abcdef"
     val parse = (1 to 15).map { j =>
       s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
@@ -1597,9 +1605,23 @@ object SparkEntry {
       "w AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY i " +
       "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
       "count(*) OVER (PARTITION BY doc_id ORDER BY i " +
-      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt FROM p) " +
-      "SELECT DISTINCT doc_id, fp FROM w WHERE cnt = 4 ORDER BY doc_id, fp"
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt FROM p), " +
+      "fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE cnt = 4)"
   }
+
+  private def winnowSql: String =
+    winnowCte + " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+  /** Overlap twin: same df-capped shared-fingerprint join as
+    * Dedup.winnowOverlapPairs (df in [2, 50], ≥3 shared). */
+  private def winnowOverlapSql: String =
+    winnowCte +
+      ", rare AS (SELECT fp FROM fps GROUP BY fp " +
+      "HAVING count(*) >= 2 AND count(*) <= 50), " +
+      "k AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+      "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"
 
   private def hashSplitSql: String = {
     val digits = "0123456789abcdef"

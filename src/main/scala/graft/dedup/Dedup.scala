@@ -23,6 +23,44 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Winnowing fingerprints (Schleimer et al. SIGMOD'03 — see
+    * graft.expr.GraftWinnow): one (doc, fingerprint) row per distinct
+    * selected window-min gram hash. Pure codegen'd expression + explode;
+    * the fingerprint pass is a full-speed scan. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(call_function("graft_winnow",
+        col(textCol), lit(k), lit(w))).as("fp"))
+
+  /** Winnow-overlap candidate pairs: documents sharing ≥ `minShared`
+    * winnowing fingerprints — the MOSS-style local-overlap detector
+    * (robust to reordering and padding, unlike whole-doc hashes; the
+    * winnowing guarantee makes any shared run of k+w−1 chars produce a
+    * shared fingerprint).
+    *
+    * Scale shape: self-join keyed on the fingerprint — the same bounded
+    * fan-in story as banded LSH, PROVIDED hot fingerprints are dropped:
+    * a boilerplate substring shared by f docs would alone contribute
+    * f·(f−1)/2 pairs, so fingerprints with document frequency > `maxDf`
+    * are excluded first (the standard winnowing-index move; exact-oracle
+    * portable because the filter is itself relational). */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, maxDf: Int = 50,
+                         minShared: Int = 3): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("fp")
+    val keyed = fps.join(rare, "fp")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup execution: the deduplicated corpus itself. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactDedupKeepers(df, idCol, textCol)
