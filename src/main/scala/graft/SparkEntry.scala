@@ -498,6 +498,16 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // char-trigram LM quality score (CCNet-style perplexity filter):
+    // model trained on the even-doc_id half, every length>=3 doc scored;
+    // alphabet-bounded model tables broadcast at any corpus size
+    "llm_charlm_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (tri, pre, a) =
+        graft.text.CharLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
+        .orderBy("doc_id")
+    }),
     // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
@@ -1240,6 +1250,30 @@ object SparkEntry {
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
     "llm_winnow_overlap" -> ( winnowOverlapSql),
+    // add-one-smoothed conditional trigram NLL; same position explode,
+    // same coalesce fallbacks, same 1e-6 quantization as CharLm
+    "llm_charlm_nll" -> (
+      "WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0 " +
+        "AND length(text) >= 3), " +
+        "tp AS (SELECT text, unnest(generate_series(1, length(text) - 2)) " +
+        "AS i FROM tr), " +
+        "tg AS (SELECT substr(text, i::INTEGER, 3) AS tri, " +
+        "substr(text, i::INTEGER, 2) AS pre FROM tp), " +
+        "tric AS (SELECT tri, count(*) AS n_tri FROM tg GROUP BY tri), " +
+        "prec AS (SELECT pre, count(*) AS n_pre FROM tg GROUP BY pre), " +
+        "alpha AS (SELECT count(DISTINCT ch) AS a FROM " +
+        "(SELECT unnest(string_split(text, '')) AS ch FROM tr) " +
+        "WHERE ch <> ''), " +
+        "sp AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, length(text) - 2)) AS i FROM documents " +
+        "WHERE length(text) >= 3), " +
+        "sg AS (SELECT doc_id, substr(text, i::INTEGER, 3) AS tri, " +
+        "substr(text, i::INTEGER, 2) AS pre FROM sp), " +
+        "lp AS (SELECT doc_id, ln((coalesce(n_tri, 0) + 1.0) / " +
+        "(coalesce(n_pre, 0) + (SELECT a FROM alpha))) AS logp " +
+        "FROM sg LEFT JOIN tric USING (tri) LEFT JOIN prec USING (pre)) " +
+        "SELECT doc_id, round(avg(-logp) * 1e6) / 1e6 AS nll FROM lp " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),
