@@ -410,6 +410,16 @@ object SparkEntry {
     "llm_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedupKeepers(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")),
+    // incremental exact dedup: the doc_id%10==0 slice plays the daily
+    // batch, the rest the existing corpus; keep batch rows that are
+    // first-in-batch AND unseen in the corpus
+    "llm_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       // adjacent-pair join carries the ~300-byte norm strings (lighter
       // than the old per-doc hash arrays) and the compiled kernel does
@@ -1210,6 +1220,14 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint, """ +
         """min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents """ +
         """GROUP BY 1 ORDER BY fingerprint"""),
+    "llm_incremental_dedup" -> (
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), """ +
+        """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 = 0), """ +
+        """seen AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), """ +
+        """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 <> 0), """ +
+        "first AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) " +
+        "SELECT doc_id FROM first WHERE fp NOT IN (SELECT fp FROM seen) " +
+        "ORDER BY doc_id"),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
     // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
     // this gates LSH recall: a pair the banded join misses is a red row.

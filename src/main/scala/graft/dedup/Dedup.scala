@@ -61,6 +61,28 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental exact dedup — the daily-batch shape: keep only the rows
+    * of `fresh` whose normalized-text fingerprint does not already occur
+    * in `corpus` AND is the first occurrence (lowest id) within the batch
+    * itself. The corpus side reduces to its distinct fingerprint set
+    * before the anti-join; when the daily batch is small relative to the
+    * corpus, flip the join so the BATCH fingerprints broadcast and the
+    * 100-TB corpus is filtered in one scan with no shuffle (this
+    * formulation keeps the declarative anti-join and lets AQE pick —
+    * both sides are single-column fingerprint projections). */
+  def incrementalDedup(fresh: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+    val newFirst = exactDedupKeepers(fresh, idCol, textCol)
+      .select(col("fingerprint"), col("keep_id").as(idCol))
+    fresh.join(
+        newFirst.join(seen, Seq("fingerprint"), "left_anti")
+          .select(idCol),
+        Seq(idCol), "left_semi")
+  }
+
   /** Exact dedup execution: the deduplicated corpus itself. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactDedupKeepers(df, idCol, textCol)
