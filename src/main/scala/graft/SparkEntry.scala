@@ -518,6 +518,15 @@ object SparkEntry {
       graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
         .orderBy("doc_id")
     }),
+    // scan-kernel form — broadcast model maps, single projection pass,
+    // no explode/joins (same oracle)
+    "llm_charlm_nll_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (tri, pre, a) =
+        graft.text.CharLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
+        .orderBy("doc_id")
+    }),
     // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
@@ -1270,28 +1279,8 @@ object SparkEntry {
     "llm_winnow_overlap" -> ( winnowOverlapSql),
     // add-one-smoothed conditional trigram NLL; same position explode,
     // same coalesce fallbacks, same 1e-6 quantization as CharLm
-    "llm_charlm_nll" -> (
-      "WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0 " +
-        "AND length(text) >= 3), " +
-        "tp AS (SELECT text, unnest(generate_series(1, length(text) - 2)) " +
-        "AS i FROM tr), " +
-        "tg AS (SELECT substr(text, i::INTEGER, 3) AS tri, " +
-        "substr(text, i::INTEGER, 2) AS pre FROM tp), " +
-        "tric AS (SELECT tri, count(*) AS n_tri FROM tg GROUP BY tri), " +
-        "prec AS (SELECT pre, count(*) AS n_pre FROM tg GROUP BY pre), " +
-        "alpha AS (SELECT count(DISTINCT ch) AS a FROM " +
-        "(SELECT unnest(string_split(text, '')) AS ch FROM tr) " +
-        "WHERE ch <> ''), " +
-        "sp AS (SELECT doc_id, text, " +
-        "unnest(generate_series(1, length(text) - 2)) AS i FROM documents " +
-        "WHERE length(text) >= 3), " +
-        "sg AS (SELECT doc_id, substr(text, i::INTEGER, 3) AS tri, " +
-        "substr(text, i::INTEGER, 2) AS pre FROM sp), " +
-        "lp AS (SELECT doc_id, ln((coalesce(n_tri, 0) + 1.0) / " +
-        "(coalesce(n_pre, 0) + (SELECT a FROM alpha))) AS logp " +
-        "FROM sg LEFT JOIN tric USING (tri) LEFT JOIN prec USING (pre)) " +
-        "SELECT doc_id, round(avg(-logp) * 1e6) / 1e6 AS nll FROM lp " +
-        "GROUP BY doc_id ORDER BY doc_id"),
+    "llm_charlm_nll_scan" -> ( charlmSql),
+    "llm_charlm_nll" -> ( charlmSql),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),
@@ -1660,6 +1649,31 @@ object SparkEntry {
       "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt FROM p), " +
       "fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE cnt = 4)"
   }
+
+  /** Char-LM twin shared by the join and scan forms: add-one-smoothed
+    * conditional trigram NLL, trained on the even-doc_id half. */
+  private def charlmSql: String =
+    "WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0 " +
+      "AND length(text) >= 3), " +
+      "tp AS (SELECT text, unnest(generate_series(1, length(text) - 2)) " +
+      "AS i FROM tr), " +
+      "tg AS (SELECT substr(text, i::INTEGER, 3) AS tri, " +
+      "substr(text, i::INTEGER, 2) AS pre FROM tp), " +
+      "tric AS (SELECT tri, count(*) AS n_tri FROM tg GROUP BY tri), " +
+      "prec AS (SELECT pre, count(*) AS n_pre FROM tg GROUP BY pre), " +
+      "alpha AS (SELECT count(DISTINCT ch) AS a FROM " +
+      "(SELECT unnest(string_split(text, '')) AS ch FROM tr) " +
+      "WHERE ch <> ''), " +
+      "sp AS (SELECT doc_id, text, " +
+      "unnest(generate_series(1, length(text) - 2)) AS i FROM documents " +
+      "WHERE length(text) >= 3), " +
+      "sg AS (SELECT doc_id, substr(text, i::INTEGER, 3) AS tri, " +
+      "substr(text, i::INTEGER, 2) AS pre FROM sp), " +
+      "lp AS (SELECT doc_id, ln((coalesce(n_tri, 0) + 1.0) / " +
+      "(coalesce(n_pre, 0) + (SELECT a FROM alpha))) AS logp " +
+      "FROM sg LEFT JOIN tric USING (tri) LEFT JOIN prec USING (pre)) " +
+      "SELECT doc_id, round(avg(-logp) * 1e6) / 1e6 AS nll FROM lp " +
+      "GROUP BY doc_id ORDER BY doc_id"
 
   private def winnowSql: String =
     winnowCte + " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"

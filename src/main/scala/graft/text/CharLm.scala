@@ -45,6 +45,49 @@ object CharLm {
     (triCounts, preCounts, alphabet)
   }
 
+  /** [[nllScore]] without the position EXPLODE — the scan form: the
+    * (alphabet-bounded) count tables broadcast as plain hash maps and a
+    * per-row kernel slides the trigram window, so scoring is a single
+    * projection pass with no joins and no position rows (same trade as
+    * Curation.decontaminateScan; same oracle — the sequential kernel sum
+    * and the join form's aggregation agree far inside the shared 1e-6
+    * quantization). Driver/broadcast boundary: ≤ A³ + A² map entries —
+    * bounded by the alphabet, not the corpus. */
+  def nllScoreScan(docs: DataFrame, idCol: String, textCol: String,
+                   triCounts: DataFrame, preCounts: DataFrame,
+                   alphabet: Long): DataFrame = {
+    val spark = docs.sparkSession
+    def toMap(df: DataFrame): java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long]()
+      df.collect().foreach(r => m.put(r.getString(0), r.getLong(1)))
+      m
+    }
+    val triB = spark.sparkContext.broadcast(toMap(triCounts))
+    val preB = spark.sparkContext.broadcast(toMap(preCounts))
+    val a = alphabet.toDouble
+    val score = udf { text: String =>
+      if (text == null || text.length < 3) None
+      else {
+        val tri = triB.value
+        val pre = preB.value
+        var s = 0.0
+        var i = 0
+        val n = text.length - 2
+        while (i < n) {
+          val t3 = text.substring(i, i + 3)
+          val t2 = text.substring(i, i + 2)
+          val nt = tri.getOrDefault(t3, 0L)
+          val np = pre.getOrDefault(t2, 0L)
+          s -= math.log((nt + 1.0) / (np + a))
+          i += 1
+        }
+        Some(math.round(s / n * 1e6) / 1e6)
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), score(col(textCol)).as("nll"))
+      .filter(col("nll").isNotNull)
+  }
+
   /** Mean −ln p(c₃|c₁c₂) per document under the trained tables — the
     * negative log-likelihood quality score (lower = more fluent under
     * the reference corpus). Documents shorter than 3 chars are excluded
