@@ -60,6 +60,12 @@ object DistQuantile {
     ranks.foreach(r => require(r >= 0 && r < n, s"rank $r out of [0,$n)"))
     val globalLo = head.getDouble(1)
     val globalHi = head.getDouble(2)
+    // ±Inf breaks equal-width bucketing (every value lands in bucket 0 and
+    // the range never narrows) — fail fast with a actionable message
+    // instead of a non-convergence error 8 levels later
+    require(!globalLo.isInfinite && !globalHi.isInfinite,
+      s"$c contains infinite values; DistQuantile requires finite input " +
+        "(filter infinities first, as with nulls/NaN)")
 
     // bucket index of a value within [lo,hi]: equal-width floor division,
     // top edge clamped into the last bin. The SAME expression narrows the

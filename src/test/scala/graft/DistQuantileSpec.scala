@@ -80,6 +80,14 @@ class DistQuantileSpec extends SparkSpec {
       Seq.fill(250)(rnd.nextGaussian() * 1e-3))
   }
 
+  test("infinite values fail fast with an actionable message") {
+    val df = Seq(1.0, 2.0, Double.PositiveInfinity).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      DistQuantile.valuesAtRanks(df, "v", Seq(1L))
+    }
+    assert(e.getMessage.contains("infinite"))
+  }
+
   test("valuesAtRanks hits exact order statistics at the extremes") {
     val values = new scala.util.Random(15).shuffle((1 to 1000).toList)
       .map(_.toDouble)
