@@ -136,6 +136,20 @@ object PlanAudit {
           .filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8))
 
+    // round-7 late additions: winnowing runs the native kernel (the
+    // fingerprint pass must be scan+explode of kernel output, no join),
+    // and the charlm scan form must stay explode-free like decontaminate
+    audit("llm_winnow_fingerprint (native kernel, no join)", Seq(
+      "native graft_winnow in plan" -> (_.contains("graft_winnow")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
+      SparkEntry.queries("llm_winnow_fingerprint")(spark, dir))
+
+    audit("llm_charlm_nll_scan (kernel form: no explode, no join)", Seq(
+      "no Generate (position explode) in the scoring plan" ->
+        (p => !p.contains("Generate")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
+      SparkEntry.queries("llm_charlm_nll_scan")(spark, dir))
+
     audit("llm_token_pack (two-pass prefix sum, no global window)", Seq(
       "no single-partition Window operator" -> (p => !p.contains("Window")),
       "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->
