@@ -508,6 +508,20 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // Unicode NFC canonicalization: the fixture text is ASCII (already
+    // NFC), so the query first INJECTS decomposed accents ('o' → o +
+    // U+0308 combining diaeresis) identically in both engines — the
+    // normalizer then must COMPOSE them back to precomposed ö, shrinking
+    // the codepoint count (len_after < len_dec proves the op ran)
+    "llm_nfc_normalize" -> ((s, dir) => {
+      val dec = regexp_replace(col("text"), "o", "o\u0308")
+      val norm = call_function("graft_nfc", dec)
+      t(s, dir, "documents").select(col("doc_id"),
+          length(dec).cast("long").as("len_dec"),
+          length(norm).cast("long").as("len_nfc"),
+          norm.as("text_nfc"))
+        .orderBy("doc_id")
+    }),
     // char-trigram LM quality score (CCNet-style perplexity filter):
     // model trained on the even-doc_id half, every length>=3 doc scored;
     // alphabet-bounded model tables broadcast at any corpus size
@@ -1281,6 +1295,14 @@ object SparkEntry {
     // same coalesce fallbacks, same 1e-6 quantization as CharLm
     "llm_charlm_nll_scan" -> ( charlmSql),
     "llm_charlm_nll" -> ( charlmSql),
+    // same injection (replace, not regexp — literal 'o'), then DuckDB's
+    // own nfc_normalize; both engines count codepoints in length()
+    "llm_nfc_normalize" -> (
+      "WITH d AS (SELECT doc_id, replace(text, 'o', 'o' || chr(776)) AS dec " +
+        "FROM documents) " +
+        "SELECT doc_id, length(dec)::BIGINT AS len_dec, " +
+        "length(nfc_normalize(dec))::BIGINT AS len_nfc, " +
+        "nfc_normalize(dec) AS text_nfc FROM d ORDER BY doc_id"),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_simhash" -> ( simhashSql),

@@ -120,6 +120,7 @@ object GraftFunctions {
     unaryText("graft_letter_token_count", LetterTokenCount(_)),
     unaryText("graft_bpeish_count", BpeishCount(_)),
     unaryText("graft_simhash_md5", SimHashMd5(_)),
+    unaryText("graft_nfc", NfcNormalize(_)),
     stopHits,
     (new FunctionIdentifier("graft_ngram_jaccard"),
       new ExpressionInfo(classOf[NgramJaccard].getName, "graft_ngram_jaccard"),
