@@ -236,6 +236,83 @@ object Multimodal {
     df.withColumn(outCol, ph(col("payload")))
   }
 
+  /** REAL image resize: decode (ImageIO) → deterministic area-average
+    * resample to (width × height) — the same integer box binning the
+    * pHash downsampler uses, per channel, no platform-dependent
+    * Graphics2D resampler — → re-encode as PNG (lossless, JDK-built-in).
+    * The payload is REPLACED by the resized PNG bytes and meta reflects
+    * the new dimensions; null/undecodable payloads pass through with
+    * their payload nulled (a resize that failed must not masquerade as
+    * the original bytes).
+    *
+    * Same scale shape as [[decodeImage]]: per-row pixel work,
+    * partition-preserving, no shuffle. */
+  def resizeImage(df: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0)
+    val rz = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+        else {
+          val w0 = img.getWidth
+          val h0 = img.getHeight
+          // per-DEST-pixel source box (clamped non-empty), so upscales
+          // have no unfilled cells and downscales area-average exactly
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var gy = 0
+          while (gy < height) {
+            val y0 = (gy.toLong * h0 / height).toInt
+            val y1 = math.max((((gy + 1).toLong * h0 + height - 1) / height).toInt, y0 + 1)
+            var gx = 0
+            while (gx < width) {
+              val x0 = (gx.toLong * w0 / width).toInt
+              val x1 = math.max((((gx + 1).toLong * w0 + width - 1) / width).toInt, x0 + 1)
+              var r, g, b = 0L
+              var n = 0
+              var y = y0
+              while (y < y1 && y < h0) {
+                var x = x0
+                while (x < x1 && x < w0) {
+                  val rgb = img.getRGB(x, y)
+                  r += (rgb >> 16) & 0xFF
+                  g += (rgb >> 8) & 0xFF
+                  b += rgb & 0xFF
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              if (n == 0) n = 1
+              out.setRGB(gx, gy,
+                (((r / n).toInt & 0xFF) << 16) |
+                  (((g / n).toInt & 0xFF) << 8) |
+                  ((b / n).toInt & 0xFF))
+              gx += 1
+            }
+            gy += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    }
+    df.withColumn("payload", rz(col("payload")))
+      .withColumn("meta", struct(
+        when(col("payload").isNotNull, lit("image/png"))
+          .otherwise(col("meta.mime")).as("mime"),
+        when(col("payload").isNotNull, lit(width))
+          .otherwise(lit(null).cast("int")).as("width"),
+        when(col("payload").isNotNull, lit(height))
+          .otherwise(lit(null).cast("int")).as("height"),
+        col("meta.duration_ms").as("duration_ms")))
+  }
+
   private[multimodal] object PHash {
     private val N = 32
     // DCT-II basis, cos((2x+1)·u·π / 2N); orthonormal scaling is

@@ -147,6 +147,52 @@ class MultimodalSpec extends SparkSpec {
     assert(ph(5L).isEmpty && ph(6L).isEmpty)
   }
 
+  test("resizeImage: output decodes at target dims, junk/null pass as null") {
+    def enc(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(w - 1, 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, enc(96, 64)),
+      (2L, enc(8, 8)),   // upscale path
+      (3L, "junk".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val out = Multimodal.resizeImage(df, 32, 16)
+      .select($"asset_id", $"payload", $"meta.width", $"meta.height")
+      .as[(Long, Array[Byte], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (_, bytes, w, h) = out(id)
+      assert(w.contains(32) && h.contains(16))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 32 && img.getHeight == 16)
+    }
+    // the gradient survives the resample: left edge darker than right —
+    // in BOTH directions (the upscale path must leave no unfilled cells)
+    for (id <- Seq(1L, 2L)) {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id)._2))
+      assert((im.getRGB(0, 8) & 0xFF) < (im.getRGB(31, 8) & 0xFF),
+        s"asset $id gradient lost")
+      // no black holes mid-gradient on the upscale
+      assert((im.getRGB(16, 8) & 0xFF) > 0, s"asset $id unfilled cell")
+    }
+    assert(out(3L)._2 == null && out(3L)._3.isEmpty)
+    assert(out(4L)._2 == null)
+  }
+
   test("audioFeatures: spectral centroid tracks the tone, stable across " +
     "WAV/AIFF re-encode, null on junk") {
     import javax.sound.sampled._
