@@ -603,6 +603,17 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       Filters.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
     }),
+    // corpus-wide line dedup (RefinedWeb-style): the same injected line
+    // structure as c4 — the injected sentences are shared by EVERY doc,
+    // so only the first doc keeps them; duplicated source docs lose all
+    // their lines to their earlier twin and drop out
+    "llm_global_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nThis injected sentence has exactly seven words."),
+          lit("\ntoo short.")).as("text"))
+      Filters.globalLineDedup(docs, "doc_id", "text").orderBy("doc_id")
+    }),
     // PII masking over documents with deterministically injected PII
     // (every 7th doc an email+IP, every 11th a phone) so the regexes are
     // exercised, not vacuously green
@@ -1309,6 +1320,20 @@ object SparkEntry {
     "llm_simhash_neardup" -> ( simhashNearDupSql),
     "llm_gopher_filter" -> ( gopherSql),
     "llm_c4_clean" -> ( c4CleanSql),
+    // same injection; first occurrence = row_number over (doc_id, pos)
+    // per line; docs reassemble via ordered string_agg
+    "llm_global_line_dedup" -> (
+      "WITH d AS (SELECT doc_id, text || chr(10) || " +
+        "'This injected sentence has exactly seven words.' || chr(10) || " +
+        "'too short.' AS text FROM documents), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), " +
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, " +
+        "ls FROM s), " +
+        "l2 AS (SELECT doc_id, pos, ls[pos::INTEGER] AS line FROM l), " +
+        "r AS (SELECT doc_id, pos, line, row_number() OVER " +
+        "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l2) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup " +
+        "FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
     "llm_pii_mask" -> ( piiMaskSql),
     // mirrors knnDistanceCurve exactly: per-element double diffs summed in
     // array order, per-point rank j (ties by id_b), per-rank position i

@@ -105,6 +105,34 @@ object Filters {
     * <PHONE>, applied in that order; per-kind match counts (on the
     * original text, so the counts are order-independent) ride along.
     * Returns (doc_id, masked, n_email, n_ip, n_phone). */
+  /** Global (corpus-wide) line dedup — the RefinedWeb/Gopher move C4's
+    * per-doc cleaning doesn't make: a line that occurs ANYWHERE else in
+    * the corpus is removed everywhere except its first occurrence
+    * (ordered by doc id, then position — deterministic), and documents
+    * are reassembled from their surviving lines in order. Kills
+    * cross-site boilerplate (nav bars, cookie banners, license footers)
+    * that per-doc rules cannot see.
+    *
+    * Scale shape: one shuffle keyed on the line (the window partition);
+    * rank-1 selection per line is a single pass over each partition. At
+    * 100 TB the partition key would be `xxhash64(line)` (8 bytes instead
+    * of the line string through the exchange — same move as
+    * decontaminate's gram keys); the string form is kept here so the
+    * operator carries an exact DuckDB twin. Documents whose every line
+    * was a later duplicate drop out of the result (same as the twin). */
+  def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    lines.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("text_dedup"))
+  }
+
   def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
