@@ -150,6 +150,14 @@ object PlanAudit {
       "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
       SparkEntry.queries("llm_charlm_nll_scan")(spark, dir))
 
+    // global line dedup: first-occurrence via min-struct AGGREGATION —
+    // a row_number window would funnel a corpus-wide hot line (cookie
+    // banner) into one partition; partial_min must appear, Window must not
+    audit("llm_global_line_dedup (agg first-occurrence, no hot-line window)", Seq(
+      "map-side partial min before exchange" -> (_.contains("partial_min")),
+      "no Window operator" -> (p => !p.contains("Window"))))(
+      SparkEntry.queries("llm_global_line_dedup")(spark, dir))
+
     audit("llm_token_pack (two-pass prefix sum, no global window)", Seq(
       "no single-partition Window operator" -> (p => !p.contains("Window")),
       "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->

@@ -113,25 +113,30 @@ object Filters {
     * cross-site boilerplate (nav bars, cookie banners, license footers)
     * that per-doc rules cannot see.
     *
-    * Scale shape: one shuffle keyed on the line (the window partition);
-    * rank-1 selection per line is a single pass over each partition. At
-    * 100 TB the partition key would be `xxhash64(line)` (8 bytes instead
-    * of the line string through the exchange — same move as
-    * decontaminate's gram keys); the string form is kept here so the
-    * operator carries an exact DuckDB twin. Documents whose every line
-    * was a later duplicate drop out of the result (same as the twin). */
-  def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lines = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    lines.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    * Scale shape: first-occurrence selection is an AGGREGATION —
+    * `min(struct(doc_id, pos))` per line — not a window: map-side
+    * partial combine collapses every partition's occurrences of a hot
+    * line (a cookie banner in a billion docs) to ONE candidate row
+    * before the exchange, where a `row_number` window would funnel all
+    * of them into a single partition and straggle. The aggregate result
+    * IS the kept set (one row per distinct line), so no join back is
+    * needed — two partial-agg shuffles total (by line, then by doc). At
+    * 100 TB the first exchange would key on `xxhash64(line)` (8 bytes
+    * through the shuffle — same move as decontaminate's gram keys); the
+    * string form is kept so the operator carries an exact DuckDB twin.
+    * Documents whose every line was a later duplicate drop out of the
+    * result (same as the twin). */
+  def globalLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+        col("line"))
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
         s => s.getField("line")), "\n").as("text_dedup"))
-  }
 
   def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
