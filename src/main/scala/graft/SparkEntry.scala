@@ -508,6 +508,14 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // vocabulary drift: JSD between the token distributions of the two
+    // md5-split halves of the corpus — the data-mixture health check
+    "llm_vocab_jsd" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.VocabDrift.jsd(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
     // Unicode NFC canonicalization: the fixture text is ASCII (already
     // NFC), so the query first INJECTS decomposed accents ('o' → o +
     // U+0308 combining diaeresis) identically in both engines — the
@@ -1302,6 +1310,26 @@ object SparkEntry {
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
     "llm_winnow_overlap" -> ( winnowOverlapSql),
+    // add-one-smoothed JSD over the union vocab; same tokenization,
+    // same 1e-6 quantization as VocabDrift.jsd
+    "llm_vocab_jsd" -> (
+      "WITH ta AS (SELECT unnest(" + sqlToksLower + ") AS token " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(" + sqlToksLower + ") AS token " +
+        "FROM documents WHERE doc_id % 2 <> 0), " +
+        "ca AS (SELECT token, count(*) AS na FROM ta WHERE token <> '' " +
+        "GROUP BY token), " +
+        "cb AS (SELECT token, count(*) AS nb FROM tb WHERE token <> '' " +
+        "GROUP BY token), " +
+        "j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb " +
+        "FROM ca FULL OUTER JOIN cb USING (token)), " +
+        "t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM j), " +
+        "p AS (SELECT (na + 1.0) / (ta + v) AS pa, " +
+        "(nb + 1.0) / (tb + v) AS pb, ta, tb, v FROM j, t) " +
+        "SELECT round((sum(pa * ln(pa / ((pa + pb) / 2))) * 0.5 + " +
+        "sum(pb * ln(pb / ((pa + pb) / 2))) * 0.5) * 1e6) / 1e6 AS jsd, " +
+        "max(v) AS vocab_union, max(ta) AS tokens_a, max(tb) AS tokens_b " +
+        "FROM p"),
     // add-one-smoothed conditional trigram NLL; same position explode,
     // same coalesce fallbacks, same 1e-6 quantization as CharLm
     "llm_charlm_nll_scan" -> ( charlmSql),
