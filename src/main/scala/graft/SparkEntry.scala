@@ -558,6 +558,15 @@ object SparkEntry {
         explode(call_function("graft_winnow",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
+    // Karp-Rabin rolling-hash winnow — the production-constant variant
+    // (O(1) per slide vs O(k) md5 digest); rows-only: a rolling
+    // polynomial state has no relational SQL twin, gated by WinnowSpec's
+    // guarantee + brute-force parity instead
+    "llm_winnow_kr_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(call_function("graft_winnow_kr",
+          col("text"), lit(8), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")),
     // MOSS-style overlap pairs: docs sharing >=3 winnowing fingerprints
     // after dropping hot (df>50) boilerplate fingerprints — bounded
     // fan-in self-join, exact SQL twin

@@ -107,8 +107,21 @@ object GraftFunctions {
         "graft_winnow(text[, k, window])")
     })
 
+  private val winnowKr: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_winnow_kr"),
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow_kr"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => GraftWinnow(t, 8, 4, kr = true)
+      case Seq(t, k, w) =>
+        GraftWinnow(t, intLit(k, "k"), intLit(w, "window"), kr = true)
+      case _ => throw new IllegalArgumentException(
+        "graft_winnow_kr(text[, k, window])")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
-      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK, winnow,
+      FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
+    winnow, winnowKr,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),

@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Character positions are UTF-16 units (fixture text is ASCII; the
   * oracle twin counts codepoints — identical on ASCII).
   */
-case class GraftWinnow(child: Expression, k: Int, w: Int)
+case class GraftWinnow(child: Expression, k: Int, w: Int,
+                       kr: Boolean = false)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -38,14 +39,18 @@ case class GraftWinnow(child: Expression, k: Int, w: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_winnow"
+  override def prettyName: String = if (kr) "graft_winnow_kr" else "graft_winnow"
 
   override protected def nullSafeEval(input: Any): Any =
-    Winnow.fingerprints(input.asInstanceOf[UTF8String].toString, k, w)
+    if (kr) Winnow.fingerprintsKr(input.asInstanceOf[UTF8String].toString, k, w)
+    else Winnow.fingerprints(input.asInstanceOf[UTF8String].toString, k, w)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.Winnow.fingerprints($c.toString(), $k, $w);")
+      if (kr)
+        s"${ev.value} = graft.expr.Winnow.fingerprintsKr($c.toString(), $k, $w);"
+      else
+        s"${ev.value} = graft.expr.Winnow.fingerprints($c.toString(), $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): GraftWinnow =
     copy(child = newChild)
@@ -75,10 +80,45 @@ object Winnow {
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) { hashes(i) = gramHash(md, text, i, k); i += 1 }
+    select(hashes, w)
+  }
+
+  /** The PRODUCTION-scale hash variant the md5 form's scaladoc promises:
+    * Karp–Rabin polynomial rolling hash (base 1000003, 64-bit
+    * wraparound) — O(1) per slide instead of O(k) digest work, same
+    * winnowing structure and guarantee. No SQL twin exists (rolling
+    * polynomial state isn't relationally expressible), so the registered
+    * query is rows-only and the selection structure is gated by the
+    * shared-substring guarantee + brute-force specs instead. */
+  def fingerprintsKr(text: String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1)
+    val nGrams = text.length - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    var bk = 1L // B^(k-1)
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - text.charAt(i - 1) * bk) * B + text.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    select(hashes, w)
+  }
+
+  /** Shared winnowing selection: distinct sliding-window minima. */
+  private def select(hashes: Array[Long], w: Int): ArrayData = {
+    val nGrams = hashes.length
     val selected = new java.util.TreeSet[java.lang.Long]()
     // sliding-window minimum via monotonic deque of indices
     val deque = new java.util.ArrayDeque[Int]()
-    i = 0
+    var i = 0
     while (i < nGrams) {
       while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i))
         deque.pollLast()

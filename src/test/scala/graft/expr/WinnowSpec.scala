@@ -60,6 +60,36 @@ class WinnowSpec extends AnyFunSuite {
     assert(fp("12345678901").size == 1)         // exactly w grams → 1 window
   }
 
+  private def fpKr(text: String, k: Int = 8, w: Int = 4): Set[Long] =
+    Winnow.fingerprintsKr(text, k, w) match {
+      case a: ArrayData => a.toLongArray().toSet
+    }
+
+  test("KR variant: brute parity, same guarantee, same edge contract") {
+    def bruteKr(text: String, k: Int, w: Int): Set[Long] = {
+      def h(g: String): Long =
+        g.foldLeft(0L)((a, c) => a * 1000003L + c)
+      val grams = text.sliding(k).toArray.map(h)
+      if (grams.length < w) Set.empty
+      else grams.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(123)
+    for (_ <- 1 to 100) {
+      val s = Array.fill(rnd.nextInt(200))(('a' + rnd.nextInt(4)).toChar).mkString
+      assert(fpKr(s) == bruteKr(s, 8, 4), s"text=$s")
+    }
+    val shared = "the quick brown fox jumps over it"
+    for (_ <- 1 to 30) {
+      def noise(n: Int) =
+        Array.fill(n)(('A' + rnd.nextInt(26)).toChar).mkString
+      val a = noise(rnd.nextInt(60)) + shared + noise(rnd.nextInt(60))
+      val b = noise(rnd.nextInt(60)) + shared + noise(rnd.nextInt(60))
+      assert(fpKr(a).intersect(fpKr(b)).nonEmpty)
+    }
+    assert(fpKr("1234567890") == Set.empty)
+    assert(fpKr("12345678901").size == 1)
+  }
+
   test("position-shift robustness: fingerprints are content-local") {
     val doc = "error transfer failed at node alpha checksum mismatch detected"
     assert(fp("PREFIX " + doc) != fp(doc)) // sets differ at boundaries...
