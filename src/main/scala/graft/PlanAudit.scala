@@ -144,10 +144,23 @@ object PlanAudit {
       "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
       SparkEntry.queries("llm_winnow_fingerprint")(spark, dir))
 
-    audit("llm_charlm_nll_scan (kernel form: no explode, no join)", Seq(
+    // round-8: the Karp-Rabin core form must be a pure scan+explode —
+    // zero Exchange (no global sort of ~n·fingerprint rows), so its bench
+    // time measures the O(1)-per-slide kernel, not a presentation orderBy
+    audit("llm_winnow_kr_core (rolling-hash kernel, zero shuffle)", Seq(
+      "native graft_winnow_kr in plan" -> (_.contains("graft_winnow_kr")),
+      "no Exchange anywhere" -> (p => !p.contains("Exchange")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
+      SparkEntry.queries("llm_winnow_kr_core")(spark, dir))
+
+    audit("llm_charlm_nll_scan (kernel form: no explode, no join, no UDF)", Seq(
       "no Generate (position explode) in the scoring plan" ->
         (p => !p.contains("Generate")),
-      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join"))))(
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      // round-8: the scoring kernel is the codegen'd native expression,
+      // not a ScalaUDF closure (the one hot-path UDF the r7 verdict flagged)
+      "native graft_charlm_nll in plan" -> (_.contains("graft_charlm_nll")),
+      "no ScalaUDF in the scoring plan" -> (p => !p.contains("ScalaUDF"))))(
       SparkEntry.queries("llm_charlm_nll_scan")(spark, dir))
 
     // global line dedup: first-occurrence via min-struct AGGREGATION —

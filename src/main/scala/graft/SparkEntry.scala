@@ -567,6 +567,15 @@ object SparkEntry {
         explode(call_function("graft_winnow_kr",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
+    // the KR kernel WITHOUT the presentation sort (llm_hash_split
+    // precedent): pure scan+explode, zero Exchange — this is the form
+    // whose time reflects the O(1)-per-slide kernel rather than a global
+    // orderBy of ~n·fingerprint rows; the sorted sibling stays as the
+    // deterministic row-dump
+    "llm_winnow_kr_core" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(call_function("graft_winnow_kr",
+          col("text"), lit(8), lit(4))).as("fp"))),
     // MOSS-style overlap pairs: docs sharing >=3 winnowing fingerprints
     // after dropping hot (df>50) boilerplate fingerprints — bounded
     // fan-in self-join, exact SQL twin
@@ -690,6 +699,13 @@ object SparkEntry {
     "a6_describe_all" -> ((s, dir) =>
       Relational.describeAll(t(s, dir, "orders"),
         Seq("o_orderpriority", "o_custkey", "o_totalprice"))),
+    // same surface with quartiles sourced from DistQuantile — the
+    // bounded-memory exact path for the FULL describe surface (same
+    // oracle; bit-identical under the shared 1e-6 quantization)
+    "a6_describe_all_dist" -> ((s, dir) =>
+      Relational.describeAll(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_custkey", "o_totalprice"),
+        distQuartiles = true)),
     // full Treebank cascade; Spark chain and DuckDB twin generated from
     // the same rule table (Clean.TreebankRules) so they cannot drift;
     // tokens US-joined (array cells don't hash in the comparator)
@@ -1005,6 +1021,11 @@ object SparkEntry {
     // one UNION ALL block per described column, mirroring describeAll:
     // exact decimal sums, quantile_cont 1e-6-quantized, deterministic
     // mode tie-break (count desc, value asc)
+    "a6_describe_all_dist" -> (
+      describeAllNumSql("orders", "o_custkey") + " UNION ALL " +
+        describeAllStrSql("orders", "o_orderpriority") + " UNION ALL " +
+        describeAllNumSql("orders", "o_totalprice") +
+        " ORDER BY \"column\""),
     "a6_describe_all" -> (
       describeAllNumSql("orders", "o_custkey") + " UNION ALL " +
         describeAllStrSql("orders", "o_orderpriority") + " UNION ALL " +
@@ -1277,7 +1298,8 @@ object SparkEntry {
         """seen AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), """ +
         """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 <> 0), """ +
         "first AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) " +
-        "SELECT doc_id FROM first WHERE fp NOT IN (SELECT fp FROM seen) " +
+        "SELECT doc_id FROM first WHERE NOT EXISTS " +
+        "(SELECT 1 FROM seen s WHERE s.fp = first.fp) " +
         "ORDER BY doc_id"),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
     // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
@@ -1337,8 +1359,8 @@ object SparkEntry {
         "(nb + 1.0) / (tb + v) AS pb, ta, tb, v FROM j, t) " +
         "SELECT round((sum(pa * ln(pa / ((pa + pb) / 2))) * 0.5 + " +
         "sum(pb * ln(pb / ((pa + pb) / 2))) * 0.5) * 1e6) / 1e6 AS jsd, " +
-        "max(v) AS vocab_union, max(ta) AS tokens_a, max(tb) AS tokens_b " +
-        "FROM p"),
+        "max(v)::BIGINT AS vocab_union, max(ta)::BIGINT AS tokens_a, " +
+        "max(tb)::BIGINT AS tokens_b FROM p"),
     // add-one-smoothed conditional trigram NLL; same position explode,
     // same coalesce fallbacks, same 1e-6 quantization as CharLm
     "llm_charlm_nll_scan" -> ( charlmSql),

@@ -119,9 +119,19 @@ object GraftFunctions {
         "graft_winnow_kr(text[, k, window])")
     })
 
+  private val charLmNll: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_charlm_nll"),
+    new ExpressionInfo(classOf[CharLmNll].getName, "graft_charlm_nll"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t, tk, tc, pk, pc, a) => CharLmNll(t, tk, tc, pk, pc, a)
+      case _ => throw new IllegalArgumentException(
+        "graft_charlm_nll(text, triKeys, triCounts, preKeys, preCounts, alphabet)")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
-    winnow, winnowKr,
+    winnow, winnowKr, charLmNll,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),

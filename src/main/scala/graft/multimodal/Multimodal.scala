@@ -522,9 +522,12 @@ object Multimodal {
         while (fftN * 2 <= math.min(n, 16384)) fftN *= 2
         val re = new Array[Double](fftN)
         val im = new Array[Double](fftN)
+        // max(.,1) denominator: a single-frame clip (fftN=1) would
+        // otherwise divide 0/0 and NaN-poison the whole vector
+        val hannDen = math.max(fftN - 1, 1)
         i = 0
         while (i < fftN) {
-          val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (fftN - 1)))
+          val w = 0.5 * (1 - math.cos(2 * math.Pi * i / hannDen))
           re(i) = samples(i) * w
           i += 1
         }
@@ -553,12 +556,13 @@ object Multimodal {
           rolloff = i.toDouble / half
         }
         // 8 octave-ish log-power bands: [0,h/128),[h/128,h/64)…[h/2,h)
+        // edge clamped to >=1: for clips under 256 samples half/128
+        // floors to 0 and every bin would land in band 7
         val bands = new Array[Double](8)
         i = 0
         while (i < half) {
           var b = 0
-          var edge = half / 128
-          while (b < 7 && i >= edge) { b += 1; edge *= 2 }
+          while (b < 7 && i >= math.max(half >> (7 - b), 1)) b += 1
           bands(b) += pow(i)
           i += 1
         }

@@ -120,10 +120,16 @@ object Relational {
     * TypedImperativeAggregate buffer per column (not three independent
     * ones). That buffer still holds every distinct (value,count) pair of
     * the column and merges in one final task, so this EXACT form is the
-    * fixture/oracle contract only. The 100-TB contract is [[quantiles]]
-    * (one-pass `approx_percentile`, bounded memory at any cardinality);
+    * fixture/oracle contract only. At 100 TB choose per column:
+    * `distQuartiles = true` sources the quartiles from
+    * [[graft.ops.DistQuantile]] instead — EXACT (bit-identical after the
+    * shared 1e-6 quantization, same oracle) with bounded memory via
+    * iterated histogram refinement (a few extra pruned single-column
+    * passes; eager, driver-coordinated) — or [[quantiles]]
+    * (one-pass `approx_percentile`, bounded memory, approximate);
     * see PLANS.md §A6. */
-  def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describeAll(df: DataFrame, cols: Seq[String],
+                  distQuartiles: Boolean = false): DataFrame = {
     import graft.core.Tables.dec
     import org.apache.spark.sql.types.NumericType
     val parts = cols.map { c =>
@@ -137,17 +143,26 @@ object Relational {
         lit(null).cast("double").as("max_v"))
       df.schema(c).dataType match {
         case _: NumericType =>
-          val agg = df.agg(
+          val baseAggs = Seq(
             count(col(c)).as("count"),
             countDistinct(col(c)).as("unique"),
             sum(dec(col(c))).as("s"),
             sum(dec(col(c)) * dec(col(c))).as("sq"),
             min(col(c)).cast("double").as("min_v"),
-            max(col(c)).cast("double").as("max_v"),
-            percentile(col(c),
-              array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+            max(col(c)).cast("double").as("max_v"))
+          // quartile source: the single-buffer exact percentile (fixture
+          // contract) or DistQuantile's bounded-memory exact refinement —
+          // same values bit-for-bit after the shared 1e-6 quantization
+          val agg =
+            if (distQuartiles)
+              df.agg(baseAggs.head, baseAggs.tail: _*).crossJoin(
+                DistQuantile.quantiles(df.sparkSession, df, c))
+            else df.agg(baseAggs.head, (baseAggs.tail :+
+              percentile(col(c),
+                array(lit(0.25), lit(0.5), lit(0.75))).as("qs")): _*)
           def q(i: Int, name: String) =
-            (round(element_at(col("qs"), i) * 1e6) / 1e6).as(name)
+            if (distQuartiles) col(name)
+            else (round(element_at(col("qs"), i) * 1e6) / 1e6).as(name)
           val n = col("count").cast("double")
           val s = col("s").cast("double")
           val sq = col("sq").cast("double")

@@ -40,51 +40,46 @@ object CharLm {
     val pos = positions(df.select(col(textCol).as("text")), Nil)
     val triCounts = pos.groupBy("tri").agg(count(lit(1)).as("n_tri"))
     val preCounts = pos.groupBy("pre").agg(count(lit(1)).as("n_pre"))
-    val alphabet = df.select(explode(split(col(textCol), "")).as("ch"))
+    // alphabet over the SAME length>=3 frame the positions come from —
+    // a sub-trigram doc carrying a unique char must not change A (the
+    // DuckDB twin derives A from its length-filtered tr CTE)
+    val alphabet = df.filter(length(col(textCol)) >= 3)
+      .select(explode(split(col(textCol), "")).as("ch"))
       .filter(col("ch") =!= "").distinct().count()
     (triCounts, preCounts, alphabet)
   }
 
   /** [[nllScore]] without the position EXPLODE — the scan form: the
-    * (alphabet-bounded) count tables broadcast as plain hash maps and a
-    * per-row kernel slides the trigram window, so scoring is a single
-    * projection pass with no joins and no position rows (same trade as
-    * Curation.decontaminateScan; same oracle — the sequential kernel sum
-    * and the join form's aggregation agree far inside the shared 1e-6
-    * quantization). Driver/broadcast boundary: ≤ A³ + A² map entries —
-    * bounded by the alphabet, not the corpus. */
+    * (alphabet-bounded) count tables ride the plan as packed-long
+    * literals and a codegen'd kernel (graft.expr.CharLmNll) slides the
+    * trigram window, so scoring is a single whole-stage-codegen
+    * projection with no joins, no position rows, and no ScalaUDF (same
+    * trade as Curation.decontaminateScan; same oracle — the sequential
+    * kernel sum and the join form's aggregation agree far inside the
+    * shared 1e-6 quantization). Plan-shipped state: ≤ A³ + A² packed
+    * (key, count) longs — bounded by the alphabet, not the corpus. */
   def nllScoreScan(docs: DataFrame, idCol: String, textCol: String,
                    triCounts: DataFrame, preCounts: DataFrame,
                    alphabet: Long): DataFrame = {
-    val spark = docs.sparkSession
-    def toMap(df: DataFrame): java.util.HashMap[String, Long] = {
-      val m = new java.util.HashMap[String, Long]()
-      df.collect().foreach(r => m.put(r.getString(0), r.getLong(1)))
-      m
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // pack "abc" -> (a<<32)|(b<<16)|c (UTF-16 units, injective), sort by
+    // key with counts in lockstep for the kernel's binary search
+    def packed(df: DataFrame): (Array[Long], Array[Long]) = {
+      val rows = df.collect().map { r =>
+        val s = r.getString(0)
+        var k = 0L
+        var j = 0
+        while (j < s.length) { k = (k << 16) | s.charAt(j); j += 1 }
+        (k, r.getLong(1))
+      }.sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
     }
-    val triB = spark.sparkContext.broadcast(toMap(triCounts))
-    val preB = spark.sparkContext.broadcast(toMap(preCounts))
-    val a = alphabet.toDouble
-    val score = udf { text: String =>
-      if (text == null || text.length < 3) None
-      else {
-        val tri = triB.value
-        val pre = preB.value
-        var s = 0.0
-        var i = 0
-        val n = text.length - 2
-        while (i < n) {
-          val t3 = text.substring(i, i + 3)
-          val t2 = text.substring(i, i + 2)
-          val nt = tri.getOrDefault(t3, 0L)
-          val np = pre.getOrDefault(t2, 0L)
-          s -= math.log((nt + 1.0) / (np + a))
-          i += 1
-        }
-        Some(math.round(s / n * 1e6) / 1e6)
-      }
-    }
-    docs.select(col(idCol).as("doc_id"), score(col(textCol)).as("nll"))
+    val (tk, tc) = packed(triCounts)
+    val (pk, pc) = packed(preCounts)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("graft_charlm_nll", col(textCol),
+          typedlit(tk), typedlit(tc), typedlit(pk), typedlit(pc),
+          lit(alphabet.toDouble)).as("nll"))
       .filter(col("nll").isNotNull)
   }
 

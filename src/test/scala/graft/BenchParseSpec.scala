@@ -39,19 +39,23 @@ class BenchParseSpec extends AnyFunSuite {
   }
 
   test("parsePrevAction distinguishes bench eras (mixed-era fixture)") {
-    // pre-r7 file: no action field anywhere → count era, incomparable
-    assert(Bench.parsePrevAction(fixture) == "count")
+    // untagged file + round < 7 → count era, incomparable
+    assert(Bench.parsePrevAction(fixture, round = 5) == "count")
+    // untagged file + round >= 7 → noop era: r7 stamped the tag at the
+    // FRONT of the JSON line, where the driver's tail-capture truncated
+    // it away — the round number is the only surviving era witness
+    assert(Bench.parsePrevAction(fixture, round = 7) == "noop")
     // r7+ file: the action tag rides inside the escaped tail like the times
     val noopFixture = fixture.replace(
       "t\\\":0.121", "action\\\":\\\"noop\\\",\\\"t\\\":0.121")
-    assert(Bench.parsePrevAction(noopFixture) == "noop")
+    assert(Bench.parsePrevAction(noopFixture, round = 5) == "noop")
     // unescaped (self-written) JSON works too
     assert(Bench.parsePrevAction("""{"action":"noop","queries":{}}""") == "noop")
-    // the real BENCH_r06.json predates the tag → count era
+    // the real BENCH_r06.json predates the tag → count era at its round
     val p = java.nio.file.Paths.get("BENCH_r06.json")
     if (java.nio.file.Files.exists(p))
       assert(Bench.parsePrevAction(
-        new String(java.nio.file.Files.readAllBytes(p))) == "count")
+        new String(java.nio.file.Files.readAllBytes(p)), round = 6) == "count")
   }
 
   test("prevBenchFile picks newest file strictly older than in-flight round") {

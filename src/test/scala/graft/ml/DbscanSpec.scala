@@ -35,6 +35,56 @@ class DbscanSpec extends SparkSpec {
     assert(dist == exactDf)
   }
 
+  test("distributed DBSCAN quality gate: ARI vs exact on border-heavy data") {
+    // Adversarial fixture for the LSH path (the r7 verdict's missing
+    // contract): two gaussian clusters whose tails approach the eps
+    // boundary, plus a sparse sub-density bridge between them — exactly
+    // the data where a dropped bucket-join edge flips border labels or
+    // splits a cluster. Same knobs as the registered m5_dbscan_dist
+    // config (bucketLength 2.0, numHashTables 3, minPts 5).
+    // 8-dim (not 2): in low dimensions few random projections already
+    // separate everything and the gate cannot fail; at the registered
+    // workload's geometry (64-dim embeddings) LSH genuinely drops edges
+    val dim = 8
+    val rng = new scala.util.Random(7)
+    def blob(cx: Double, n: Int, base: Long): Seq[(Long, Array[Double])] =
+      (0 until n).map { i =>
+        val a = Array.fill(dim)(rng.nextGaussian() * 0.35)
+        a(0) += cx
+        (base + i, a)
+      }
+    val bridge = (0 until 20).map { i =>
+      val a = Array.fill(dim)(rng.nextDouble() * 0.5)
+      a(0) = 2.0 + rng.nextDouble() * 2.0
+      (5000L + i, a)
+    }
+    val all = blob(0.0, 150, 0L) ++ blob(6.0, 150, 1000L) ++ bridge
+    val eps = 0.55 // near the NN-distance scale: the eps-graph is SPARSE,
+                   // so one dropped LSH edge can demote cores / flip labels
+    val fdf = all.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val exactL = Dbscan.exactOnFrame(
+      all.map { case (id, a) => (id, a.toSeq) }.toDF("id", "vec"),
+      "id", "vec", eps = eps, minPts = 5)
+      .as[(Long, Long)].collect().toMap
+    def ariAt(tables: Int): Double = {
+      val dist = Dbscan.distributed(fdf, "id", "features", eps = eps,
+        minPts = 5, numHashTables = tables)
+        .as[(Long, Long)].collect().toMap
+      assert(dist.keySet == exactL.keySet)
+      Metrics.external(all.map(_._1).map(id => (exactL(id), dist(id)))
+        .toDF("label", "prediction"), "label", "prediction").adjustedRand
+    }
+    // the measured numbers at this seed/config are recorded below; the
+    // floor mirrors the ANN recall gates (r6). The 1-table run documents
+    // that the fixture CAN distinguish recall levels (gate sensitivity).
+    val ari = ariAt(3) // the registered config
+    val ariDegraded = ariAt(1)
+    info(f"distributed-vs-exact ARI (3 tables, registered): $ari%.4f; " +
+      f"degraded 1-table: $ariDegraded%.4f")
+    assert(ari >= 0.85, s"distributed-vs-exact ARI = $ari (floor 0.85)")
+  }
+
   test("sampled DBSCAN: full-sample run equals exact; sub-sample keeps blobs") {
     val df = pts.map { case (id, a) => (id, a.toSeq) }.toDF("id", "vec")
     // cap ≥ n ⇒ the sample IS the data: labels equal the exact path
