@@ -127,6 +127,9 @@ object PlanAudit {
     audit("llm_decontaminate_scan (kernel form: no explode, no join)", Seq(
       "no Generate (gram explode) anywhere" -> (p => !p.contains("Generate")),
       "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      // r8: the window kernel is the native expression, not a UDF closure
+      "native graft_gram_hits in plan" -> (_.contains("graft_gram_hits")),
+      "no ScalaUDF in the scan plan" -> (p => !p.contains("ScalaUDF")),
       // formatted explain prints each scan twice (tree + detail section)
       "single scan of documents" ->
         (p => "Scan parquet".r.findAllIn(p).size <= 2)))(

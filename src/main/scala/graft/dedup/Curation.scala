@@ -66,44 +66,20 @@ object Curation {
     * per-doc cost O(tokens · log evalGrams). */
   def decontaminateScan(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                         textCol: String, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
-    val spark = docs.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
     val evalHashes: Array[Long] = evalDocs
       .select(explode(array_distinct(Repetition.wordNgrams(
         Clean.splitWs(lower(col(textCol))), n))).as("gram"))
       .select(xxhash64(col("gram")).as("gram_h")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val bc = spark.sparkContext.broadcast(evalHashes)
-    val hitCount = udf { tokens: Seq[String] =>
-      val set = bc.value
-      if (tokens == null || tokens.length < n || set.isEmpty) 0L
-      else {
-        val seen = new java.util.HashSet[String]()
-        val sb = new java.lang.StringBuilder
-        var cnt = 0L
-        var i = 0
-        while (i + n <= tokens.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(tokens(i + j))
-            j += 1
-          }
-          val g = sb.toString
-          if (seen.add(g) &&
-            java.util.Arrays.binarySearch(set,
-              XxHash64Function.hash(
-                UTF8String.fromString(g), StringType, 42L)) >= 0) cnt += 1
-          i += 1
-        }
-        cnt
-      }
-    }
+    // the sliding-window kernel is the codegen'd native graft_gram_hits
+    // (it was a ScalaUDF closure until r8 — the per-row Catalyst
+    // array→Seq conversion was the scan's hottest non-kernel cost); the
+    // sorted hash set rides the plan as a foldable literal
     docs.select(col(idCol).as("doc_id"),
-        hitCount(Clean.splitWs(lower(col(textCol)))).as("n_shared"))
+        call_function("graft_gram_hits",
+          Clean.splitWs(lower(col(textCol))),
+          typedlit(evalHashes), lit(n)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
   }
 

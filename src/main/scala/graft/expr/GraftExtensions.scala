@@ -129,9 +129,19 @@ object GraftFunctions {
         "graft_charlm_nll(text, triKeys, triCounts, preKeys, preCounts, alphabet)")
     })
 
+  private val gramHits: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_gram_hits"),
+    new ExpressionInfo(classOf[GramHits].getName, "graft_gram_hits"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t, h, n) => GramHits(t, h, intLit(n, "n"))
+      case _ => throw new IllegalArgumentException(
+        "graft_gram_hits(tokens, sortedHashes, n)")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
-    winnow, winnowKr, charLmNll,
+    winnow, winnowKr, charLmNll, gramHits,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),

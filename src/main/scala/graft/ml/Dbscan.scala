@@ -107,10 +107,17 @@ object Dbscan {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(pts)
     // ε-self-join (distCol is exact Euclidean, verified post-bucket
-    // join; keeps dist < eps STRICTLY — exact() matches)
+    // join; keeps dist < eps STRICTLY — exact() matches). PERSISTED: the
+    // edge relation feeds three consumers (degree counts, the core-core
+    // edge list that GraphX materializes as its own job, and the
+    // border-attach join) — without the persist each one re-executes the
+    // whole LSH bucket join, the most expensive stage in the operator,
+    // at any scale. Unpersisted by the caller's GC; edges are two longs
+    // per ε-pair, orders smaller than the input vectors.
     val joined = model.approxSimilarityJoin(pts, pts, eps, "dist")
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"))
       .filter(col("a") =!= col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // neighbor counts (self counts once, matching |N_ε(p)| ≥ minPts with
     // p ∈ N_ε(p))
     val degrees = joined.groupBy("a").agg((count(lit(1)) + 1).as("deg"))
