@@ -420,6 +420,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    // bloom-prefilter twin — EXACT same rows (bloom misses are
+    // definitely new; fpp-sized remainder exact-checked), same oracle;
+    // the plan for a corpus whose fingerprint set outgrows broadcast
+    "llm_incremental_dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedupBloom(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       // adjacent-pair join carries the ~300-byte norm strings (lighter
       // than the old per-doc hash arrays) and the compiled kernel does
@@ -1292,15 +1302,9 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint, """ +
         """min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents """ +
         """GROUP BY 1 ORDER BY fingerprint"""),
-    "llm_incremental_dedup" -> (
-      """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), """ +
-        """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 = 0), """ +
-        """seen AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), """ +
-        """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 <> 0), """ +
-        "first AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) " +
-        "SELECT doc_id FROM first WHERE NOT EXISTS " +
-        "(SELECT 1 FROM seen s WHERE s.fp = first.fp) " +
-        "ORDER BY doc_id"),
+    "llm_incremental_dedup" -> ( incrementalDedupSql),
+    // the bloom-prefilter plan is exact — identical rows, same twin
+    "llm_incremental_dedup_bloom" -> ( incrementalDedupSql),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
     // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
     // this gates LSH recall: a pair the banded join misses is a red row.
@@ -1689,6 +1693,20 @@ object SparkEntry {
       s"len(regexp_extract_all(text, '$ph'))::BIGINT AS n_phone " +
       "FROM t ORDER BY doc_id"
   }
+
+  /** Oracle twin of Dedup.incrementalDedup AND its bloom-prefilter plan
+    * (both return the identical exact row set): batch = doc_id % 10 = 0,
+    * corpus = the rest; keep first-in-batch fingerprints absent from the
+    * corpus. NOT EXISTS (not NOT IN): null-robust like the anti-join. */
+  private def incrementalDedupSql: String =
+    """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), """ +
+      """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 = 0), """ +
+      """seen AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), """ +
+      """'\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 10 <> 0), """ +
+      "first AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) " +
+      "SELECT doc_id FROM first WHERE NOT EXISTS " +
+      "(SELECT 1 FROM seen s WHERE s.fp = first.fp) " +
+      "ORDER BY doc_id"
 
   /** Oracle twin of Curation.decontaminate (n=8, eval = doc_id % 97 = 0):
     * distinct word 8-grams per doc, count of grams shared with the eval

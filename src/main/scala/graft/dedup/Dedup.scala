@@ -83,6 +83,55 @@ object Dedup {
         Seq(idCol), "left_semi")
   }
 
+  /** [[incrementalDedup]] with a BLOOM PREFILTER — the shape for when the
+    * corpus fingerprint set is too large to broadcast (the plain form
+    * broadcasts the BATCH side, which already avoids shuffling the
+    * corpus; this form additionally avoids the per-batch corpus
+    * ANTI-JOIN entirely for the common case). One corpus scan folds the
+    * fingerprints into a driver-side bloom sketch (~9.6 bits per item at
+    * fpp 0.01 — 13× smaller than the raw 64-bit hashes, ~120 MB per 100M
+    * corpus docs; shard the sketch by fingerprint range past that). The
+    * batch's first-occurrence rows then split on a codegen'd bloom probe:
+    * misses are DEFINITELY new (no false negatives — kept with zero join
+    * work), and the fpp-sized candidate remainder is exact-checked with
+    * one broadcast semi-join against the corpus scan. Result is
+    * EXACT — identical rows to [[incrementalDedup]], same DuckDB oracle —
+    * only the plan changes. Scale shape: corpus is scanned (never
+    * shuffled, never broadcast), join traffic is fpp × batch.
+    *
+    * The sketch is rebuilt per call here; a production daily pipeline
+    * would persist it and fold each day's accepted fingerprints in
+    * (BloomFilter.mergeInPlace) instead of rescanning the corpus. */
+  def incrementalDedupBloom(fresh: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            fpp: Double = 0.01): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(fresh.sparkSession)
+    val corpusFp = corpus
+      .select(xxhash64(TextStats.fingerprintMd5(col(textCol))).as("fp_h"))
+    // expectedNumItems from a parquet metadata-only count; stat.bloomFilter
+    // is one treeAggregate pass over the single hashed column
+    val bloom = corpusFp.stat.bloomFilter("fp_h",
+      math.max(corpus.count(), 1L), fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val newFirst = exactDedupKeepers(fresh, idCol, textCol)
+      .select(col("fingerprint"), col("keep_id").as(idCol),
+        call_function("graft_bloom_contains",
+          xxhash64(col("fingerprint")), lit(bloomBytes)).as("maybe_seen"))
+    val definiteNew = newFirst.filter(!col("maybe_seen")).select(idCol)
+    val candidates = newFirst.filter(col("maybe_seen"))
+    // exact check for the fpp-sized remainder: corpus scanned once more,
+    // candidate fingerprints broadcast (fpp × batch rows)
+    val trulyNew = candidates.join(
+        corpus.select(TextStats.fingerprintMd5(col(textCol)).as("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select(idCol)
+    fresh.join(definiteNew.union(trulyNew), Seq(idCol), "left_semi")
+  }
+
   /** Exact dedup execution: the deduplicated corpus itself. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactDedupKeepers(df, idCol, textCol)

@@ -139,9 +139,19 @@ object GraftFunctions {
         "graft_gram_hits(tokens, sortedHashes, n)")
     })
 
+  private val bloomContains: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+    (args: Seq[Expression]) => args match {
+      case Seq(v, b) => BloomContains(v, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_contains(hash, bloomBytes)")
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
-    winnow, winnowKr, charLmNll, gramHits,
+    winnow, winnowKr, charLmNll, gramHits, bloomContains,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),

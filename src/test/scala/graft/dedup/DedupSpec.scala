@@ -20,6 +20,32 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("bloom-prefilter incremental dedup equals the broadcast form") {
+    // a corpus large enough that the bloom actually carries state, a
+    // batch with (a) exact dups of corpus docs, (b) in-batch dups, and
+    // (c) genuinely new rows — the three-way split the operator makes
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (0 until 30).map(i => (1000L + i, s"corpus document number ${i * 3}")) ++ // dups of corpus
+      Seq((2000L, "fresh new content alpha"), (2001L, "fresh new content alpha"), // in-batch dup
+          (2002L, "fresh new content beta"))
+    ).toDF("doc_id", "text")
+    val plain = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloom = Dedup.incrementalDedupBloom(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(2000L, 2002L))
+    assert(bloom == plain) // exact: bloom only prunes, never decides
+    // a high-fpp sketch forces MANY false positives through the exact
+    // check — the result must still be identical (fpp is a cost knob,
+    // never a correctness knob)
+    val noisy = Dedup.incrementalDedupBloom(batch, corpus, "doc_id", "text",
+        fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noisy == plain)
+  }
+
   test("minhash signature: near-identical docs share most components") {
     val sigs = docs.filter($"doc_id" < 3)
       .select($"doc_id", Dedup.minHashSignature($"text", k = 32).as("sig"))
