@@ -22,10 +22,19 @@ final class CharLmModel(val triKeys: Array[Long], val triCnt: Array[Long],
                         val alphabet: Double) extends Serializable {
   require(triKeys.length == triCnt.length && preKeys.length == preCnt.length)
 
+  // open-addressing linear-probe tables (count 0 = empty slot — a real
+  // entry always has count >= 1): O(1) per lookup vs O(log T) binary
+  // search, rebuilt once per task deserialization (@transient), so only
+  // the compact sorted arrays ride the plan
+  @transient private lazy val triTable = CharLmModel.build(triKeys, triCnt)
+  @transient private lazy val preTable = CharLmModel.build(preKeys, preCnt)
+
   /** Mean −ln p(c₃|c₁c₂), add-one smoothed, 1e-6-quantized — the exact
     * sum the join form aggregates, evaluated as one sliding pass with no
     * per-position allocation (the packed window rolls: c0←c1←c2). */
   def score(s: String): Double = {
+    val (tk, tc, tm) = triTable
+    val (pk, pc, pm) = preTable
     val n = s.length - 2
     var c0 = s.charAt(0).toLong
     var c1 = s.charAt(1).toLong
@@ -33,15 +42,51 @@ final class CharLmModel(val triKeys: Array[Long], val triCnt: Array[Long],
     var i = 0
     while (i < n) {
       val c2 = s.charAt(i + 2).toLong
-      val ti = java.util.Arrays.binarySearch(triKeys, (c0 << 32) | (c1 << 16) | c2)
-      val pi = java.util.Arrays.binarySearch(preKeys, (c0 << 16) | c1)
-      val nt = if (ti >= 0) triCnt(ti) else 0L
-      val np = if (pi >= 0) preCnt(pi) else 0L
+      val nt = CharLmModel.lookup(tk, tc, tm, (c0 << 32) | (c1 << 16) | c2)
+      val np = CharLmModel.lookup(pk, pc, pm, (c0 << 16) | c1)
       sum -= math.log((nt + 1.0) / (np + alphabet))
       c0 = c1; c1 = c2
       i += 1
     }
     math.round(sum / n * 1e6) / 1e6
+  }
+}
+
+object CharLmModel {
+  /** splitmix64 finalizer — full-avalanche scramble of the packed key. */
+  private def mix(h: Long): Long = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** (keys, counts, mask) at ≤ 50% load, power-of-two capacity. */
+  private[expr] def build(ks: Array[Long], cs: Array[Long])
+      : (Array[Long], Array[Long], Int) = {
+    var cap = 16
+    while (cap < ks.length * 2) cap <<= 1
+    val tk = new Array[Long](cap)
+    val tc = new Array[Long](cap)
+    val m = cap - 1
+    var i = 0
+    while (i < ks.length) {
+      var idx = (mix(ks(i)) & m).toInt
+      while (tc(idx) != 0L) idx = (idx + 1) & m
+      tk(idx) = ks(i); tc(idx) = cs(i)
+      i += 1
+    }
+    (tk, tc, m)
+  }
+
+  private[expr] def lookup(tk: Array[Long], tc: Array[Long], m: Int,
+                           key: Long): Long = {
+    var idx = (mix(key) & m).toInt
+    while (tc(idx) != 0L) {
+      if (tk(idx) == key) return tc(idx)
+      idx = (idx + 1) & m
+    }
+    0L
   }
 }
 
