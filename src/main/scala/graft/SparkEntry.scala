@@ -540,6 +540,23 @@ object SparkEntry {
           norm.as("text_nfc"))
         .orderBy("doc_id")
     }),
+    // URL canonicalization (crawl-dedup pre-pass): the fixture has no URL
+    // column, so deterministic MESSY urls (mixed-case host, default port,
+    // trailing slash, utm params, fragment; every 10th doc has no path)
+    // are built identically in both engines — the canonicalizer must
+    // collapse the variants (nfc-normalize injection precedent)
+    "llm_url_canonical" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.text.Clean.canonicalUrl(col("url")).as("url_canon"))
+        .orderBy("doc_id")),
+    // dedup on the canonical form: doc_id%50 path × %3 host → collision
+    // groups the RAW urls would never form (ports/slash/utm differ)
+    "llm_url_dedup" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url"))
+        .groupBy(graft.text.Clean.canonicalUrl(col("url")).as("url_canon"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("url_canon")),
     // char-trigram LM quality score (CCNet-style perplexity filter):
     // model trained on the even-doc_id half, every length>=3 doc scored;
     // alphabet-bounded model tables broadcast at any corpus size
@@ -1305,6 +1322,11 @@ object SparkEntry {
     "llm_incremental_dedup" -> ( incrementalDedupSql),
     // the bloom-prefilter plan is exact — identical rows, same twin
     "llm_incremental_dedup_bloom" -> ( incrementalDedupSql),
+    "llm_url_canonical" -> (
+      urlCanonCte + "SELECT doc_id, url, url_canon FROM c ORDER BY doc_id"),
+    "llm_url_dedup" -> (
+      urlCanonCte + "SELECT url_canon, min(doc_id) AS keep_id, " +
+        "count(*) AS dup_cnt FROM c GROUP BY 1 ORDER BY url_canon"),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
     // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
     // this gates LSH recall: a pair the banded join misses is a red row.
@@ -1693,6 +1715,51 @@ object SparkEntry {
       s"len(regexp_extract_all(text, '$ph'))::BIGINT AS n_phone " +
       "FROM t ORDER BY doc_id"
   }
+
+  /** Deterministic MESSY url per doc (no URL column in the fixture; built
+    * identically in the DuckDB twin): rotating mixed-case hosts with
+    * default ports, every-10th-doc bare host, trailing slash on even
+    * docs, utm params flanking a real one, a fragment. */
+  private def messyUrl: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://ExAmple.COM:80"))
+        .when(col("doc_id") % 3 === 1, lit("https://CDN.Example.com:443"))
+        .otherwise(lit("http://mirror.example.net")),
+      when(col("doc_id") % 10 === 0, lit(""))
+        .otherwise(concat(lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")))),
+      lit("?utm_source=feed&id="), (col("doc_id") % 25).cast("string"),
+      lit("&utm_campaign=x#sec-"), col("doc_id").cast("string"))
+
+  /** DuckDB CTE producing (doc_id, url, url_canon) — the twin of
+    * [[messyUrl]] + Clean.canonicalUrl: same regexes, list_filter ↔
+    * filter, starts_with for the utm_ prefix (LIKE's `_` wildcard would
+    * silently over-match in both engines). */
+  private def urlCanonCte: String =
+    "WITH m AS (SELECT doc_id, " +
+      "CASE doc_id % 3 WHEN 0 THEN 'HTTP://ExAmple.COM:80' " +
+      "WHEN 1 THEN 'https://CDN.Example.com:443' " +
+      "ELSE 'http://mirror.example.net' END || " +
+      "CASE WHEN doc_id % 10 = 0 THEN '' ELSE '/Docs/' || " +
+      "(doc_id % 50)::VARCHAR || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END END || " +
+      "'?utm_source=feed&id=' || (doc_id % 25)::VARCHAR || " +
+      "'&utm_campaign=x#sec-' || doc_id::VARCHAR AS url FROM documents), " +
+      "x AS (SELECT doc_id, url, " +
+      """lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme, """ +
+      """lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport, """ +
+      """regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath, """ +
+      """regexp_extract(url, '\?([^#]*)', 1) AS q FROM m), """ +
+      "n AS (SELECT doc_id, url, scheme, " +
+      "CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') " +
+      "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') " +
+      "ELSE hostport END AS host, " +
+      "CASE WHEN rawpath = '' THEN '/' WHEN rawpath = '/' THEN '/' " +
+      "ELSE regexp_replace(rawpath, '/+$', '') END AS path, " +
+      "array_to_string(list_filter(string_split(q, '&'), " +
+      "x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS kept FROM x), " +
+      "c AS (SELECT doc_id, url, scheme || '://' || host || path || " +
+      "CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS url_canon FROM n) "
 
   /** Oracle twin of Dedup.incrementalDedup AND its bloom-prefilter plan
     * (both return the identical exact row set): batch = doc_id % 10 = 0,

@@ -142,6 +142,34 @@ object Clean {
     bround(call_function("graft_seq_ratio", a, b) * 100)
       .cast("int") // bround = HALF_EVEN, matching Python-3 round
 
+  /** URL canonicalization — the pre-pass of every crawl-dedup pipeline
+    * (two fetches of one resource must collide BEFORE content dedup ever
+    * runs): lowercase scheme+host, strip the scheme's default port
+    * (:80/:443), strip trailing path slashes (bare host → "/"), drop
+    * `utm_*` tracking params and empty params (other params kept in
+    * order), drop the fragment. Pure builtin regexp/string/HOF chain —
+    * codegen'd, embarrassingly parallel, and expressible 1:1 in the
+    * DuckDB twin (same regexes, list_filter ↔ filter). */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/"))
+      .when(rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(q, "&"), p => !p.startsWith("utm_") && p =!= ""), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** F7 Treebank-ish tokenization as a pure regex pipeline. The reference
     * picked TreebankWordTokenizer because it keeps file paths/URLs intact
     * (word2vec_dbscan_approach.ipynb:105-116); we reproduce the load-bearing

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class CleanSpec extends SparkSpec {
   import spark.implicits._
 
+  test("canonicalUrl: case, ports, slashes, utm params, fragments") {
+    val in = Seq(
+      "HTTP://ExAmple.COM:80/Docs/7/?utm_source=a&id=3&utm_x=b#frag",
+      "http://example.com/Docs/7?id=3",          // canonical twin of ^
+      "https://Host.NET:443",                    // default port + bare host
+      "https://host.net:8443/",                  // NON-default port kept
+      "http://h.io/a//",                         // run of trailing slashes
+      "http://h.io/?utm_only=1#x",               // all params dropped
+      "ftp://Host.org:80/file"                   // :80 NOT http's default? kept
+    ).toDF("u")
+    val got = in.select(Clean.canonicalUrl($"u").as("c")).as[String].collect()
+    assert(got(0) == "http://example.com/Docs/7?id=3")
+    assert(got(1) == got(0)) // messy and clean forms collide
+    assert(got(2) == "https://host.net/")
+    assert(got(3) == "https://host.net:8443/")
+    assert(got(4) == "http://h.io/a")
+    assert(got(5) == "http://h.io/")
+    assert(got(6) == "ftp://host.org:80/file") // non-http scheme keeps :80
+  }
+
   test("cleanMessage masks in reference order: line, uid, uuid, ws-norm") {
     val in = Seq(
       "error at line: 42  in job",
