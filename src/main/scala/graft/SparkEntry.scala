@@ -449,6 +449,16 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
+    // codes, integer-MAC cosine kernel; rows-only (quantization rounding
+    // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
+    "llm_cosine_topk_i8" -> ((s, dir) => {
+      val quant = Similarity.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      val q = quant.filter(col("vec_id") === 0)
+        .select("codes").head().getSeq[Byte](0)
+      Similarity.quantizedTopK(quant, "vec_id", "codes", q, 10)
+    }),
     // embedding-cosine near-dup pairs, EXACT bounded form: scan × scan
     // with the fused native cosine kernel, threshold chosen where the
     // fixture has real pairs (its cosines top out ~0.5 — no planted

@@ -41,6 +41,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector symmetric int8 quantization: codes = round(x/s) with
+    * s = max|x|/127, emitted as `array<tinyint>` (+ the scale, for
+    * callers that reconstruct magnitudes). 4× less storage/shuffle/cache
+    * than float32 — the standard embedding-serving trade. COSINE needs no
+    * dequantization at all (per-vector scales cancel), so quantized
+    * search is [[quantizedTopK]]'s integer kernel over the codes; recall
+    * vs float brute-force is spec-gated, not assumed (QuantizeSpec).
+    * All-zero vectors quantize to all-zero codes (scale 0 guard). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val s = array_max(transform(col(vecCol), x => abs(x))) / lit(127.0f)
+    df.select(col(idCol), col(vecCol),
+        s.cast("float").as("q_scale"))
+      .select(col(idCol),
+        when(col("q_scale") === 0.0f,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol),
+            x => round(x / col("q_scale")).cast("byte"))).as("codes"),
+        col("q_scale"))
+  }
+
+  /** Exact brute-force cosine top-k over int8 codes — the same
+    * scan → TakeOrderedAndProject shape as [[bruteForceTopK]], but the
+    * scan reads 4×-smaller vectors and the kernel is integer MAC
+    * (graft_cos_sim_i8). Approximate only through quantization rounding
+    * (recall@10 spec-gated ≥ 0.9 vs the float path). */
+  def quantizedTopK(df: DataFrame, idCol: String, codesCol: String,
+                    queryCodes: Seq[Byte], k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    val q = array(queryCodes.map(v => lit(v)): _*)
+    df.select(col(idCol),
+        call_function("graft_cos_sim_i8", col(codesCol), q).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Banded random-hyperplane LSH keys: `bands` keys of `bitsPerBand` sign
     * bits each, sliced from one packed-bits code computed by the native
     * graft_rhp_bits expression (graft.expr.RhpBits — one compiled loop

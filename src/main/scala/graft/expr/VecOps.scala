@@ -96,6 +96,38 @@ case class GraftCosSim(left: Expression, right: Expression)
       : GraftCosSim = copy(left = l, right = r)
 }
 
+/** Cosine over int8-quantized code arrays (`array<tinyint>`) — the
+  * serving-side kernel for 4×-compressed embeddings ([[graft.dedup
+  * .Similarity.quantizeInt8]]): integer multiply-accumulate (a 64-dim
+  * dot of ±127 codes peaks at ~10⁶ per term — long accumulators never
+  * overflow), one divide at the end. Per-vector symmetric quantization
+  * scales cancel in the cosine, so no scale column is needed here. Same
+  * zero-norm guard as [[GraftCosSim]]. */
+case class GraftCosSimI8(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def prettyName: String = "graft_cos_sim_i8"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> args, " +
+        s"got (${left.dataType}, ${right.dataType})")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosSimI8(a.asInstanceOf[ArrayData].toByteArray(),
+      b.asInstanceOf[ArrayData].toByteArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VecKernels.cosSimI8(" +
+        s"$a.toByteArray(), $b.toByteArray());")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : GraftCosSimI8 = copy(left = l, right = r)
+}
+
 object VecKernels {
 
   /** Normalize an ArrayData to double[] (float→double is exact). */
@@ -127,6 +159,20 @@ object VecKernels {
     var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     Math.sqrt(s)
+  }
+
+  def cosSimI8(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.length} vs ${b.length}")
+    var ab = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    while (i < a.length) {
+      ab += a(i).toLong * b(i); aa += a(i).toLong * a(i)
+      bb += b(i).toLong * b(i); i += 1
+    }
+    if (aa == 0L || bb == 0L) 0.0
+    else ab / (Math.sqrt(aa.toDouble) * Math.sqrt(bb.toDouble))
   }
 
   def cosSim(a: Array[Double], b: Array[Double]): Double = {

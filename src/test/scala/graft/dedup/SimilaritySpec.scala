@@ -43,6 +43,32 @@ class SimilaritySpec extends SparkSpec {
       approx.intersect(exact).size / 10.0
     }
 
+  test("int8 quantization: recall@10 >= 0.9 vs float brute force; guards") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
+    val queries = Seq(0L, 7L, 23L, 101L, 200L)
+    val recalls = queries.map { qid =>
+      val qf = emb.filter($"vec_id" === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val qc = quant.filter($"vec_id" === qid)
+        .select("codes").head().getSeq[Byte](0)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.quantizedTopK(quant, "vec_id", "codes", qc, 10)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 quantized mean recall@10 on fixture: $mean%.3f")
+    assert(mean >= 0.9, s"recalls=$recalls")
+    // zero-vector guard: all-zero float vector → all-zero codes, cosine 0
+    val z = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding")
+      .select("codes").as[Seq[Byte]].head()
+    assert(zq.forall(_ == 0))
+    quant.unpersist()
+  }
+
   test("annTopK mean recall@10 >= 0.9 on the fixture (production config 12/3)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     val rec = recallAt10(emb,
