@@ -1,0 +1,89 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge-input contracts of the round-8 native kernels: null/short text,
+  * empty membership sets, zero-length token arrays, probe-table
+  * collision behavior. */
+class KernelEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_charlm_nll: null and sub-trigram text score NULL; probe table exact") {
+    GraftFunctions.ensureRegistered(spark)
+    // tiny model: trained on "abcabc" → trigrams abc/bca/cab, prefixes
+    val tri = Seq(("abc", 2L), ("bca", 1L), ("cab", 1L)).toDF("tri", "n_tri")
+    val pre = Seq(("ab", 2L), ("bc", 2L), ("ca", 1L)).toDF("pre", "n_pre")
+    val docs = Seq((1L, "abcabc"), (2L, "ab"), (3L, null: String),
+      (4L, "zzz")).toDF("doc_id", "text")
+    val got = graft.text.CharLm.nllScoreScan(docs, "doc_id", "text",
+      tri, pre, alphabet = 3L).as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 4L)) // null + short filtered
+    // positions abc|bca|cab|abc with prefixes ab|bc|ca|ab:
+    // -[ln(3/5)+ln(2/5)+ln(2/4)+ln(3/5)]/4 (cab's prefix ca has count 1)
+    val expected1 = -(math.log(3.0 / 5) + math.log(2.0 / 5) +
+      math.log(2.0 / 4) + math.log(3.0 / 5)) / 4
+    assert(math.abs(got(1L) - math.round(expected1 * 1e6) / 1e6) < 1e-9)
+    // unseen trigram/prefix: p = 1/A per position
+    val expected4 = -math.log(1.0 / 3)
+    assert(math.abs(got(4L) - math.round(expected4 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("CharLmModel probe table: collision-heavy keys all resolve") {
+    // sequential keys stress linear probing (mix() scatters them)
+    val ks = (0L until 1000L).toArray
+    val cs = ks.map(_ + 1)
+    val (tk, tc, m) = CharLmModel.build(ks, cs)
+    ks.foreach(k => assert(CharLmModel.lookup(tk, tc, m, k) == k + 1))
+    (1000L until 1100L).foreach(k =>
+      assert(CharLmModel.lookup(tk, tc, m, k) == 0L))
+    val _ = (tk, tc, m)
+  }
+
+  test("graft_gram_hits: null/short token arrays and empty set return 0") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a")),            // shorter than n
+      (3L, null: Seq[String])
+    ).toDF("id", "toks")
+    // membership set containing xxhash64 of "a b" (seed 42)
+    val h = spark.sql("SELECT xxhash64('a b')").head().getLong(0)
+    val got = df.select(col("id"), call_function("graft_gram_hits",
+        col("toks"), typedlit(Array(h).sorted), lit(2)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+    val empty = df.select(call_function("graft_gram_hits",
+        col("toks"), typedlit(Array.empty[Long]), lit(2)).as("n"))
+      .as[Long].collect()
+    assert(empty.forall(_ == 0L))
+  }
+
+  test("graft_cos_sim_i8: parity with float cosine on exact-representable codes") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Seq[Byte](127, 0), Seq[Byte](0, 127)),   // orthogonal
+      (Seq[Byte](3, 4), Seq[Byte](6, 8)),       // parallel
+      (Seq[Byte](0, 0), Seq[Byte](5, 5))        // zero-norm guard
+    ).toDF("a", "b")
+    val r = df.select(call_function("graft_cos_sim_i8", col("a"), col("b"))
+      .as("c")).as[Double].collect()
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(r(2) == 0.0)
+  }
+
+  test("graft_bloom_contains: no false negatives; null propagates") {
+    GraftFunctions.ensureRegistered(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 100L).foreach(bf.putLong)
+    val bytes = { val o = new java.io.ByteArrayOutputStream()
+      bf.writeTo(o); o.toByteArray }
+    val df = Seq(Some(5L), Some(999L), None).toDF("v")
+    val got = df.select(call_function("graft_bloom_contains",
+        col("v"), lit(bytes)).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got(0) == true)  // inserted → always true
+    assert(got(2) == null)  // null in → null out
+  }
+}

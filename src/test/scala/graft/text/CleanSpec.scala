@@ -26,6 +26,17 @@ class CleanSpec extends SparkSpec {
     assert(got(6) == "ftp://host.org:80/file") // non-http scheme keeps :80
   }
 
+  test("canonicalUrl is idempotent (canonical output re-canonicalizes to itself)") {
+    val in = Seq(
+      "HTTP://ExAmple.COM:80/Docs/7/?utm_source=a&id=3#frag",
+      "https://Host.NET:443",
+      "http://h.io/a//?x=1&y=2",
+      "ftp://Host.org:80/file").toDF("u")
+    val once = in.select(Clean.canonicalUrl($"u").as("c"))
+    val twice = once.select(Clean.canonicalUrl($"c").as("c"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
   test("cleanMessage masks in reference order: line, uid, uuid, ws-norm") {
     val in = Seq(
       "error at line: 42  in job",
