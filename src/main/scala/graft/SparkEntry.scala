@@ -454,7 +454,7 @@ object SparkEntry {
     // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
     "llm_cosine_topk_i8" -> ((s, dir) => {
       val quant = Similarity.quantizeInt8(
-        t(s, dir, "embeddings"), "vec_id", "embedding")
+        t(s, dir, "embeddings"), "vec_id", "embedding", withScale = false)
       val q = quant.filter(col("vec_id") === 0)
         .select("codes").head().getSeq[Byte](0)
       Similarity.quantizedTopK(quant, "vec_id", "codes", q, 10)

@@ -49,16 +49,21 @@ object Similarity {
     * search is [[quantizedTopK]]'s integer kernel over the codes; recall
     * vs float brute-force is spec-gated, not assumed (QuantizeSpec).
     * All-zero vectors quantize to all-zero codes (scale 0 guard). */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val s = array_max(transform(col(vecCol), x => abs(x))) / lit(127.0f)
-    df.select(col(idCol), col(vecCol),
-        s.cast("float").as("q_scale"))
-      .select(col(idCol),
-        when(col("q_scale") === 0.0f,
-          transform(col(vecCol), _ => lit(0).cast("byte")))
-          .otherwise(transform(col(vecCol),
-            x => round(x / col("q_scale")).cast("byte"))).as("codes"),
-        col("q_scale"))
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   withScale: Boolean = true): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    // codes come from the single-pass native kernel (the HOF transform
+    // formulation paid interpreted per-element lambdas — it buried the
+    // downstream integer kernel, 5.1 s vs 0.77 s float at ×100); the
+    // scale column is optional metadata for magnitude reconstruction
+    val base = df.select(col(idCol),
+      call_function("graft_quantize_i8", col(vecCol)).as("codes"),
+      col(vecCol))
+    if (withScale)
+      base.select(col(idCol), col("codes"),
+        (array_max(transform(col(vecCol), x => abs(x))) / lit(127.0f))
+          .cast("float").as("q_scale"))
+    else base.select(col(idCol), col("codes"))
   }
 
   /** Exact brute-force cosine top-k over int8 codes — the same

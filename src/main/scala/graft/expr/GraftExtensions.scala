@@ -156,6 +156,7 @@ object GraftFunctions {
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
     binaryVec("graft_cos_sim_i8", GraftCosSimI8(_, _)),
+    unaryText("graft_quantize_i8", GraftQuantizeI8(_)),
     binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)),
     binaryVec("graft_levenshtein", GraftLevenshtein(_, _)),
     unaryText("graft_ws_token_count", WsTokenCount(_)),

@@ -96,6 +96,38 @@ case class GraftCosSim(left: Expression, right: Expression)
       : GraftCosSim = copy(left = l, right = r)
 }
 
+/** Per-vector symmetric int8 quantization as ONE compiled pass:
+  * codes = round(x / (max|x|/127)), all-zero input → all-zero codes.
+  * The HOF formulation (`transform(vec, x -> round(x/scale))` plus an
+  * `array_max(transform(abs))` for the scale) dispatches interpreted
+  * lambdas per element — measured 5.1 s vs 0.77 s for the FLOAT scan at
+  * the ×100 corpus, i.e. the prep cost buried the kernel it feeds. */
+case class GraftQuantizeI8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_quantize_i8"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.quantizeI8(
+      VecKernels.asDoubles(input.asInstanceOf[ArrayData], isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.VecKernels.quantizeI8(" +
+        s"graft.expr.VecKernels.asDoubles($c, $isFloat));")
+  override protected def withNewChildInternal(newChild: Expression)
+      : GraftQuantizeI8 = copy(child = newChild)
+}
+
 /** Cosine over int8-quantized code arrays (`array<tinyint>`) — the
   * serving-side kernel for 4×-compressed embeddings ([[graft.dedup
   * .Similarity.quantizeInt8]]): integer multiply-accumulate (a 64-dim
@@ -159,6 +191,21 @@ object VecKernels {
     var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     Math.sqrt(s)
+  }
+
+  def quantizeI8(v: Array[Double]): ArrayData = {
+    var mx = 0.0
+    var i = 0
+    while (i < v.length) { val a = Math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val out = new Array[Byte](v.length)
+    if (mx > 0.0) {
+      val s = mx / 127.0
+      i = 0
+      // Math.rint = HALF_EVEN, matching Spark's round() on doubles closely
+      // enough for codes; exact tie behavior is irrelevant post-gate
+      while (i < v.length) { out(i) = Math.rint(v(i) / s).toByte; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def cosSimI8(a: Array[Byte], b: Array[Byte]): Double = {
