@@ -639,6 +639,15 @@ object SparkEntry {
     "llm_hash_split" -> ((s, dir) =>
       Curation.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // domain-mix resampling: keep the largest corpus honoring target
+    // source weights (0.5/0.3/0.2 over src0-2, others dropped) via the
+    // content-stable md5 uniform — count agg + scan-speed filter; exact twin
+    "llm_domain_mix" -> ((s, dir) =>
+      Curation.resampleToMix(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("doc_id")),
     // token-budget shard packing via the two-pass distributed prefix sum
     "llm_token_pack" -> ((s, dir) =>
       Curation.tokenPack(
@@ -1411,6 +1420,7 @@ object SparkEntry {
         "nfc_normalize(dec) AS text_nfc FROM d ORDER BY doc_id"),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
+    "llm_domain_mix" -> ( domainMixSql),
     "llm_simhash" -> ( simhashSql),
     "llm_simhash_neardup" -> ( simhashNearDupSql),
     "llm_gopher_filter" -> ( gopherSql),
@@ -1889,6 +1899,29 @@ object SparkEntry {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
       "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"
+
+  /** Oracle twin of Curation.resampleToMix at the registered weights
+    * (src0 0.5 / src1 0.3 / src2 0.2): same count→scale→fraction
+    * arithmetic, same 16-bit md5 uniform (hex parsed without a cast, the
+    * hashSplitSql workaround). */
+  private def domainMixSql: String = {
+    val digits = "0123456789abcdef"
+    val parse = (1 to 4).map { i =>
+      s"(strpos('$digits', substr(h, $i, 1))-1)*${1L << ((4 - i) * 4)}"
+    }.mkString(" + ")
+    "WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), " +
+      "('src2', 0.2)) AS t(source, wt)), " +
+      "cnt AS (SELECT d.source, wt, count(*) AS n FROM documents d " +
+      "JOIN w ON d.source = w.source GROUP BY d.source, wt), " +
+      "sc AS (SELECT min(n / wt) AS scale FROM cnt), " +
+      "f AS (SELECT source, least(1.0, wt * scale / n) AS frac " +
+      "FROM cnt, sc), " +
+      "u AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS h " +
+      "FROM documents), " +
+      s"p AS (SELECT doc_id, source, ($parse) / 65536.0 AS unif FROM u) " +
+      "SELECT p.doc_id, p.source FROM p JOIN f ON p.source = f.source " +
+      "WHERE unif < frac ORDER BY doc_id"
+  }
 
   private def hashSplitSql: String = {
     val digits = "0123456789abcdef"

@@ -177,6 +177,40 @@ object Curation {
       .toDF("doc_id", "n_tokens", "token_start", "shard_id")
   }
 
+  /** Deterministic domain-mix resampling — the static-reweighting step of
+    * mixture-tuned pretraining corpora (give each source a target weight;
+    * keep the LARGEST corpus honoring the mix without oversampling any
+    * source): scale = min_s(count_s / w_s), keep fraction_s = w_s · scale
+    * / count_s of each source. Selection is the content-stable 16-bit md5
+    * uniform (u < fraction_s) — the [[md5Bucket]] portability argument, so
+    * the DuckDB twin is EXACT, and membership is stable under corpus
+    * growth (adding docs to one source never flips another doc's keep
+    * bit; fractions do shift with counts, as any quota must). Sources
+    * absent from `weights` are dropped. Cost: one count aggregation +
+    * one scan-speed filter — no shuffle of the kept rows. */
+  def resampleToMix(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    val total = weights.values.sum
+    val norm = weights.map { case (k, v) => k -> v / total }
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = norm.collect {
+      case (s, p) if p > 0 && counts.getOrElse(s, 0L) > 0 => counts(s) / p
+    }.min
+    val fracs = norm.map { case (s, p) =>
+      s -> math.min(1.0, p * scale / math.max(counts.getOrElse(s, 0L), 1L))
+    }
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 4), 16, 10).cast("double") / 65536.0
+    val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(u < fracCol)
+  }
+
   /** Train/val/test assignment from the md5 bucket: bucket < trainPct →
     * train, < trainPct+valPct → val, else test. */
   def hashSplit(df: DataFrame, idCol: String,

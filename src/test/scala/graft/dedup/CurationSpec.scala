@@ -102,6 +102,34 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("resampleToMix: quota arithmetic, stability, unknown-source drop") {
+    // 3 sources, uneven counts: a=400, b=200, c=100; weights 1:1:2.
+    // scale = min(400/0.25, 200/0.25, 100/0.5) = 200 → quotas 50/50/100
+    // → fractions 0.125 / 0.25 / 1.0 (c fully kept, the binding source)
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (0 until 200).map(i => (1000L + i, "b")) ++
+      (0 until 100).map(i => (2000L + i, "c")) ++
+      (0 until 50).map(i => (3000L + i, "junk"))).toDF("doc_id", "source")
+    val kept = Curation.resampleToMix(df, "doc_id", "source",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+    val counts = kept.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(!counts.contains("junk")) // unweighted sources dropped
+    assert(counts("c") == 100L)      // binding source fully kept
+    // md5-threshold selection hits the quota within sampling noise
+    assert(math.abs(counts("a") - 50L) < 25, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 50L) < 25, s"b=${counts("b")}")
+    // content-stability: a kept id stays kept when OTHER rows of its own
+    // source are removed (fraction unchanged — counts preserved by
+    // passing the same frame; membership is a pure function of id)
+    val keptIds = kept.filter($"source" === "a")
+      .select("doc_id").as[Long].collect().toSet
+    val again = Curation.resampleToMix(df, "doc_id", "source",
+        Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+      .filter($"source" === "a").select("doc_id").as[Long].collect().toSet
+    assert(keptIds == again)
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")
