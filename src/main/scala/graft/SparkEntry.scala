@@ -385,6 +385,15 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    // compression-ratio quality signal (repetitive/templated text
+    // compresses far below prose): native deflate kernel, rows-only —
+    // the oracle engine has no zlib; ordering semantics spec-gated
+    "llm_compression_ratio" -> ((s, dir) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents").select(col("doc_id"),
+          call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))
+        .orderBy("doc_id")
+    }),
     // the actual curation FILTER a pretraining pipeline runs: keep docs
     // above a quality floor in an allowed language — pure codegen'd
     // predicate, pushes to the scan wherever columns are materialized

@@ -160,6 +160,7 @@ object GraftFunctions {
     binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)),
     binaryVec("graft_levenshtein", GraftLevenshtein(_, _)),
     unaryText("graft_ws_token_count", WsTokenCount(_)),
+    unaryText("graft_deflate_ratio", DeflateRatio(_)),
     unaryText("graft_nonws_char_count", NonWsCharCount(_)),
     unaryText("graft_non_alnum_count", NonAlnumCount(_)),
     unaryText("graft_letter_token_count", LetterTokenCount(_)),

@@ -34,6 +34,22 @@ object TextKernels {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
+  /** deflate(bytes).length / bytes.length (level 6, raw). 1.0 for empty
+    * input. A fresh Deflater per call: no shared state across rows or
+    * threads; `end()` releases the native buffer eagerly. */
+  def deflateRatio(bytes: Array[Byte]): Double = {
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** Count of maximal non-whitespace runs (== size(splitWs(text)) for
     * non-blank text, 0 for blank — the tokenCountWs contract). */
   def wsTokenCount(bytes: Array[Byte]): Int = {
@@ -176,6 +192,31 @@ abstract class TextKernelExpr extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string input, got ${child.dataType}")
   override def dataType: DataType = IntegerType
+}
+
+/** `graft_deflate_ratio(text)` — deflated-size / raw-size of the UTF-8
+  * bytes (level 6, raw deflate): the compression-ratio quality signal of
+  * published pretraining filters — boilerplate/template text compresses
+  * far below prose, machine noise compresses worse. DOUBLE in (0, ~1.1];
+  * empty text → 1.0. No SQL twin exists (no zlib in the oracle engine) —
+  * the registered query is rows-only, semantics spec-gated on
+  * repetitive ≪ prose < random orderings. Per-row cost is the deflate
+  * of one document's bytes; kernel state is per-call (thread-safe). */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TextKernels.deflateRatio($c.getBytes());")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
 }
 
 case class WsTokenCount(child: Expression) extends TextKernelExpr {

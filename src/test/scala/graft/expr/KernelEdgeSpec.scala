@@ -73,6 +73,24 @@ class KernelEdgeSpec extends SparkSpec {
     assert(r(2) == 0.0)
   }
 
+  test("graft_deflate_ratio: repetitive << prose < random; empty = 1.0") {
+    GraftFunctions.ensureRegistered(spark)
+    val rng = new scala.util.Random(3)
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders through the quiet forest looking for something to eat " * 5
+    val rows = Seq(
+      ("rep", "spam ham " * 200),
+      ("prose", prose),
+      ("rand", Seq.fill(1000)(rng.nextPrintableChar()).mkString),
+      ("empty", "")).toDF("k", "t")
+    val got = rows.select(col("k"), call_function("graft_deflate_ratio",
+        col("t")).as("r")).as[(String, Double)].collect().toMap
+    assert(got("rep") < 0.1, s"repetitive ${got("rep")}")
+    assert(got("rep") < got("prose") && got("prose") < got("rand"),
+      s"ordering: $got")
+    assert(got("empty") == 1.0)
+  }
+
   test("graft_bloom_contains: no false negatives; null propagates") {
     GraftFunctions.ensureRegistered(spark)
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
