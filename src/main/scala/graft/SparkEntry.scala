@@ -385,6 +385,37 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    // END-TO-END curation pipeline — the composed run a pretraining team
+    // does daily: Gopher rule gate → exact dedup (first occurrence) →
+    // 8-gram decontamination vs the benchmark set → content-stable train
+    // split → token-budget shard packing → per-shard stats. Every stage
+    // reuses a registered operator with its own oracle, and the twin
+    // composes those five proven SQL fragments — so the END-TO-END answer
+    // is hash-gated, not just the parts
+    "llm_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        Filters.gopherRules(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+      val clean = deduped.join(
+        Curation.decontaminate(deduped,
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+          .filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val train = clean.join(
+        Curation.hashSplit(clean.select("doc_id"), "doc_id")
+          .filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Curation.tokenPack(
+          train.select(col("doc_id"),
+            TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 1024)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("shard_id")
+    }),
     // compression-ratio quality signal (repetitive/templated text
     // compresses far below prose): native deflate kernel, rows-only —
     // the oracle engine has no zlib; ordering semantics spec-gated
@@ -1430,6 +1461,7 @@ object SparkEntry {
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_domain_mix" -> ( domainMixSql),
+    "llm_curation_pipeline" -> ( curationPipelineSql),
     "llm_simhash" -> ( simhashSql),
     "llm_simhash_neardup" -> ( simhashNearDupSql),
     "llm_gopher_filter" -> ( gopherSql),
@@ -1908,6 +1940,69 @@ object SparkEntry {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
       "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"
+
+  /** Oracle twin of the END-TO-END curation pipeline: the five proven
+    * stage twins (gopher gate, exact-dedup first occurrence, 8-gram
+    * decontamination, md5 train split, prefix-sum shard packing)
+    * composed as one CTE chain. Every `sum` that DuckDB would widen to
+    * HUGEINT is cast ::BIGINT (the vocab-jsd dtype lesson). */
+  private def curationPipelineSql: String = {
+    val digits = "0123456789abcdef"
+    val parse = (1 to 4).map { i =>
+      s"(strpos('$digits', substr(h, $i, 1))-1)*${1L << ((4 - i) * 4)}"
+    }.mkString(" + ")
+    s"WITH g0 AS (SELECT doc_id, text, $sqlToks AS toks, " +
+      s"$sqlToksLower AS toks_lc, string_split(text, chr(10)) AS lines " +
+      "FROM documents), " +
+      "sig AS (SELECT doc_id, text, " +
+      "(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' " +
+      "THEN 0 ELSE len(toks) END)::BIGINT AS n_tokens, " +
+      "length(array_to_string(toks, ''))::DOUBLE / " +
+      "greatest(len(toks), 1)::DOUBLE AS mean_word_len, " +
+      "(len(regexp_extract_all(text, '#')) + " +
+      """len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / """ +
+      "greatest(len(toks), 1)::DOUBLE AS sym_ratio, " +
+      "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN " +
+      "('-', '*', '•')))::DOUBLE / len(lines)::DOUBLE AS bullet_frac, " +
+      "len(list_filter(lines, l -> substr(rtrim(l), -3, 3) = '...'))::DOUBLE " +
+      "/ len(lines)::DOUBLE AS ellipsis_frac, " +
+      "len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / " +
+      "greatest(len(toks), 1)::DOUBLE AS alpha_frac, " +
+      s"len(list_filter(toks_lc, x -> x IN $gopherStopsSql))::BIGINT " +
+      "AS stop_hits FROM g0), " +
+      "keep0 AS (SELECT doc_id, text FROM sig WHERE " +
+      "(n_tokens BETWEEN 50 AND 100000) AND " +
+      "(mean_word_len BETWEEN 3.0 AND 10.0) AND sym_ratio < 0.1 AND " +
+      "bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 " +
+      "AND stop_hits >= 2), " +
+      """ded AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, """ +
+      """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpr """ +
+      "FROM keep0) GROUP BY fpr), " +
+      "dg AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(toks)-7, 0)+1), " +
+      "i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM " +
+      s"(SELECT d.doc_id, $sqlToksLower AS toks FROM documents d " +
+      "JOIN ded USING (doc_id))), " +
+      "evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(toks)-7, 0)+1), " +
+      "i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM " +
+      s"(SELECT $sqlToksLower AS toks FROM documents " +
+      "WHERE doc_id % 97 = 0)), " +
+      "clean AS (SELECT doc_id FROM ded WHERE NOT EXISTS (SELECT 1 " +
+      "FROM dg JOIN evg USING (gram) WHERE dg.doc_id = ded.doc_id)), " +
+      "spl AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM clean), " +
+      s"train AS (SELECT doc_id FROM spl WHERE ($parse) % 100 < 90), " +
+      "tok AS (SELECT d.doc_id, (CASE WHEN " +
+      """trim(regexp_replace(d.text, '\s+', ' ', 'g')) = '' THEN 0 """ +
+      s"ELSE len($sqlToks) END)::BIGINT AS n_tokens " +
+      "FROM (SELECT doc_id, text FROM documents) d JOIN train USING (doc_id)), " +
+      "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+      "0)::BIGINT AS token_start FROM tok) " +
+      "SELECT (token_start // 1024)::BIGINT AS shard_id, " +
+      "count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS shard_tokens " +
+      "FROM c GROUP BY 1 ORDER BY shard_id"
+  }
 
   /** Oracle twin of Curation.resampleToMix at the registered weights
     * (src0 0.5 / src1 0.3 / src2 0.2): same count→scale→fraction
