@@ -213,6 +213,17 @@ object PlanAudit {
         (p => !"percentile\\([^,]*, 0\\.\\d".r.findFirstIn(p).isDefined)))(
       SparkEntry.queries("a6_describe_all")(spark, dir))
 
+    // round-8 capstone: the composed curation pipeline must inherit its
+    // stages' scale shapes — in particular tokenPack's two-pass prefix
+    // sum (a Window here would mean the single-partition cliff returned)
+    audit("llm_curation_pipeline (composed stages keep their shapes)", Seq(
+      "no single-partition Window operator" -> (p => !p.contains("Window")),
+      "shard packing is the pinned mapPartitions pass" ->
+        (_.contains("mapPartitionsWithIndex at Curation.scala")),
+      "per-shard stats aggregate behind a hash exchange" ->
+        (_.contains("hashpartitioning"))))(
+      SparkEntry.queries("llm_curation_pipeline")(spark, dir))
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);
