@@ -15,10 +15,33 @@ object Bench {
     * `\"` first, then match; `null` times (failed queries) are skipped by the
     * numeric pattern.
     */
+  /** Top-level numeric fields that are NOT query times. `value` (the
+    * headline total) matches the same `"k":1.23` shape as a query entry
+    * and was silently captured as a phantom query named "value" — benign
+    * only while no real query shares the name. Key exclusion (rather than
+    * extracting the `queries` object) keeps the parser robust to the
+    * driver's front-truncated tails, where the `"queries":{` marker may
+    * be cut off. */
+  private val ReservedKeys = Set("value", "n_ok", "n_fail", "sf", "action")
+
   def parsePrevTimes(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
     "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot { case (k, _) => ReservedKeys.contains(k) }.toMap
+  }
+
+  /** Per-query MEDIAN across several prior runs — the closing-sweep
+    * reference. A single prior time can itself be an outlier (the exact
+    * failure mode round 8 shipped: m3_knn_curve stamped at 10.6x its
+    * same-session norm); the median over the recent same-sf, same-action
+    * history is stable against any one noisy run. */
+  def medianTimes(runs: Seq[Map[String, Double]]): Map[String, Double] = {
+    runs.flatMap(_.toSeq).groupBy(_._1).map { case (k, kvs) =>
+      val v = kvs.map(_._2).sorted
+      k -> (if (v.size % 2 == 1) v(v.size / 2)
+            else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0)
+    }
   }
 
   /** The measurement action this bench uses (stamped into the output JSON). */
@@ -95,15 +118,20 @@ object Bench {
     // every full-suite run — complete and untruncated, unlike the driver's
     // tail-captured BENCH_r file (see parsePrevAction). Falls back to the
     // newest prior-round BENCH_r*.json when no same-sf history exists yet.
-    val prevTimes: Map[String, Double] = {
+    // all comparable history runs, newest last (same sf + same action);
+    // Using closes the file handle (FileWriter-append below reopens it)
+    val historyRuns: Seq[Map[String, Double]] = {
       val hist = new java.io.File("bench_history.jsonl")
-      val fromHistory: Option[Map[String, Double]] =
-        if (!hist.exists()) None
-        else scala.io.Source.fromFile(hist).getLines().toSeq.reverseIterator
-          .find(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
+      if (!hist.exists()) Seq.empty
+      else scala.util.Using(scala.io.Source.fromFile(hist)) { src =>
+        src.getLines()
+          .filter(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
             l.contains("\"action\":\"" + Action + "\""))
-          .map(parsePrevTimes)
-      fromHistory.orElse {
+          .map(parsePrevTimes).toSeq
+      }.getOrElse(Seq.empty)
+    }
+    val prevTimes: Map[String, Double] =
+      historyRuns.lastOption.orElse {
         val cwd = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         prevBenchFile(cwd).map { f =>
           def num(n: String): Int = n.replaceAll("\\D", "").toInt
@@ -112,24 +140,29 @@ object Bench {
           else Map.empty[String, Double]
         }
       }.getOrElse(Map.empty)
+    // same-session reference for the closing sweep: median over the most
+    // recent comparable runs (5 covers a working day of full-suite runs)
+    val sessionMedian: Map[String, Double] = medianTimes(historyRuns.takeRight(5))
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        // noop sink, NOT count(): under count() the optimizer prunes
+        // every column, which collapses projection-only queries to a
+        // parquet metadata count and deletes sorts (EliminateSorts) —
+        // the round-5 scan-battery numbers measured nothing. The noop
+        // writer executes the full plan and discards rows.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = selected.map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          // noop sink, NOT count(): under count() the optimizer prunes
-          // every column, which collapses projection-only queries to a
-          // parquet metadata count and deletes sorts (EliminateSorts) —
-          // the round-5 scan-battery numbers measured nothing. The noop
-          // writer executes the full plan and discards rows.
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+    val measured = selected.map { case (name, fn) =>
+      def once(): (Double, Boolean) = runOnce(name, fn)
       val (t1, ok1) = once()
       if (!ok1) (name, t1, false)
       else {
@@ -156,6 +189,24 @@ object Bench {
           }
         }
       }
+    }
+    // CLOSING SWEEP (round-9, VERDICT #4): before stamping the line that
+    // becomes the round's official record, re-run any query whose final
+    // time is still >3x its same-session median — the per-query
+    // arbitration above can itself land in a contention window (round 8
+    // shipped m3_knn_curve at 10.6x its same-session norm that way). Two
+    // attempts, min wins; a query with no history arbitrates against
+    // nothing and keeps its time.
+    val fnByName = selected.toMap
+    val results = measured.map {
+      case r @ (name, t, true)
+          if t > 1.0 && sessionMedian.get(name).exists(med => t > 3 * med) =>
+        System.err.println(f"[bench] closing sweep: $name $t%.3f s > 3x " +
+          f"session median ${sessionMedian(name)}%.3f s — re-running")
+        val retries = (1 to 2).map(_ => runOnce(name, fnByName(name)))
+          .collect { case (rt, true) => rt }
+        (name, (t +: retries).min, true)
+      case r => r
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")

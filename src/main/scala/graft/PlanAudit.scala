@@ -215,14 +215,36 @@ object PlanAudit {
 
     // round-8 capstone: the composed curation pipeline must inherit its
     // stages' scale shapes — in particular tokenPack's two-pass prefix
-    // sum (a Window here would mean the single-partition cliff returned)
-    audit("llm_curation_pipeline (composed stages keep their shapes)", Seq(
+    // sum (a Window here would mean the single-partition cliff returned).
+    audit("llm_curation_pipeline (packing stage keeps its shape)", Seq(
       "no single-partition Window operator" -> (p => !p.contains("Window")),
       "shard packing is the pinned mapPartitions pass" ->
         (_.contains("mapPartitionsWithIndex at Curation.scala")),
       "per-shard stats aggregate behind a hash exchange" ->
         (_.contains("hashpartitioning"))))(
       SparkEntry.queries("llm_curation_pipeline")(spark, dir))
+
+    // round-9: the registered query's FINAL plan starts at tokenPack's
+    // pinned RDD — the upstream stages execute eagerly inside the prefix
+    // sum and are invisible above (any upstream check there is vacuous).
+    // Gate the PRE-PACK frame directly: the decontamination stage must be
+    // the SCAN form — a Generate (gram explode) or a gram-hash join here
+    // means the 100-TB-killer join form crept back in.
+    audit("llm_curation_pipeline pre-pack stages (scan-form decontamination)", Seq(
+      "decontamination is the scan kernel (gram_hits in plan)" ->
+        (_.contains("gram_hits")),
+      "no gram explode (Generate) anywhere in the composed stages" ->
+        (p => !p.contains("Generate")),
+      // the join form keys on a gram_h attribute (gram_h#NNN); the scan
+      // kernel's name graft_gram_hits must not trip this, so match the
+      // attribute-reference form only
+      "no gram-hash join (the only joins are the doc_id semi-joins)" ->
+        (p => !p.contains("gram_h#")),
+      "no Window operator in the composed stages" ->
+        (p => !p.contains("Window")),
+      "doc_id semi-joins broadcast (no shuffle of the corpus side)" ->
+        (_.contains("BroadcastHashJoin"))))(
+      SparkEntry.curationPipelineTrain(spark, dir))
 
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),

@@ -392,30 +392,12 @@ object SparkEntry {
     // reuses a registered operator with its own oracle, and the twin
     // composes those five proven SQL fragments — so the END-TO-END answer
     // is hash-gated, not just the parts
-    "llm_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val kept = docs.join(
-        Filters.gopherRules(docs, "doc_id", "text")
-          .filter(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
-      val clean = deduped.join(
-        Curation.decontaminate(deduped,
-            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
-          .filter(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val train = clean.join(
-        Curation.hashSplit(clean.select("doc_id"), "doc_id")
-          .filter(col("split") === "train").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      Curation.tokenPack(
-          train.select(col("doc_id"),
-            TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+    "llm_curation_pipeline" -> ((s, dir) =>
+      Curation.tokenPack(curationPipelineTrain(s, dir),
           "doc_id", "n_tokens", budget = 1024)
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
-        .orderBy("shard_id")
-    }),
+        .orderBy("shard_id")),
     // compression-ratio quality signal (repetitive/templated text
     // compresses far below prose): native deflate kernel, rows-only —
     // the oracle engine has no zlib; ordering semantics spec-gated
@@ -1777,6 +1759,42 @@ object SparkEntry {
       "FROM t ORDER BY doc_id"
   }
 
+  /** The composed curation pipeline UP TO token packing: gopher gate →
+    * exact dedup → decontamination → train split, yielding
+    * (doc_id, n_tokens). Exposed (package-private) because the registered
+    * query's FINAL plan starts from tokenPack's pinned RDD — the upstream
+    * stages execute eagerly inside the two-pass prefix sum and are
+    * invisible to a plan audit of the query result. PlanAudit gates THIS
+    * frame for the stage shapes (scan-form decontamination: gram_hits
+    * kernel, no Generate, no gram join) and the query result for the
+    * packing shape.
+    *
+    * Decontamination rides the SCAN form — the 100-TB plan (no train-side
+    * gram explode, no join: the eval gram set is a sorted-long-array
+    * literal probed by the codegen'd graft_gram_hits kernel). Semantically
+    * identical to the join form by construction (same string-dedup-then-
+    * xxhash64 grams), so the composed five-stage oracle stays hash-green. */
+  private[graft] def curationPipelineTrain(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = docs.join(
+      Filters.gopherRules(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    val clean = deduped.join(
+      Curation.decontaminateScan(deduped,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val train = clean.join(
+      Curation.hashSplit(clean.select("doc_id"), "doc_id")
+        .filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    train.select(col("doc_id"),
+      TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic MESSY url per doc (no URL column in the fixture; built
     * identically in the DuckDB twin): rotating mixed-case hosts with
     * default ports, every-10th-doc bare host, trailing slash on even
@@ -1815,7 +1833,7 @@ object SparkEntry {
       "CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') " +
       "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') " +
       "ELSE hostport END AS host, " +
-      "CASE WHEN rawpath = '' THEN '/' WHEN rawpath = '/' THEN '/' " +
+      "CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' " +
       "ELSE regexp_replace(rawpath, '/+$', '') END AS path, " +
       "array_to_string(list_filter(string_split(q, '&'), " +
       "x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS kept FROM x), " +

@@ -197,9 +197,14 @@ object Curation {
     val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val scale = norm.collect {
+    val scaleCandidates = norm.collect {
       case (s, p) if p > 0 && counts.getOrElse(s, 0L) > 0 => counts(s) / p
-    }.min
+    }
+    // no positively-weighted source has any rows (empty frame or disjoint
+    // source names): the mix is trivially satisfied by the empty corpus —
+    // return it rather than throwing a bare `empty.min`
+    if (scaleCandidates.isEmpty) return df.limit(0)
+    val scale = scaleCandidates.min
     val fracs = norm.map { case (s, p) =>
       s -> math.min(1.0, p * scale / math.max(counts.getOrElse(s, 0L), 1L))
     }

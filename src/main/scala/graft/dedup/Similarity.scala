@@ -141,15 +141,25 @@ object Similarity {
     * Returns (model to reuse, search function). */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, seed: Long = 42L, cache: Boolean = true,
-               nprobe: Int = 0)
+               nprobe: Int = 0, fitCap: Long = 100000L)
       : (DataFrame, Seq[Float] => Int => DataFrame) = {
     val spark = df.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val vecs = df.select(col(idCol), col(vecCol),
       graft.ml.VectorOps.toMlVector(col(vecCol)).as("_mlvec"))
+    // Centroid fit is capped to a seeded sample (Embed.word2vec / the
+    // standard IVF practice — faiss trains on ~max(10k·nlist, sample)):
+    // KMeans.fit is an iterative FULL scan per iteration, so an uncapped
+    // fit makes the index build the corpus-scale bottleneck. Cell
+    // ASSIGNMENT below stays full-corpus — one linear transform pass.
+    val n0 = vecs.count()
+    val fitVecs =
+      if (n0 > fitCap)
+        vecs.sample(withReplacement = false, fitCap.toDouble / n0, seed = seed + 1)
+      else vecs
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_mlvec")
-      .setPredictionCol("_cell").fit(vecs)
+      .setPredictionCol("_cell").fit(fitVecs)
     // cache only when the caller will issue repeated searches — a cached
     // frame with no owner to unpersist it leaks executor storage
     val assignedRaw = km.transform(vecs).drop("_mlvec")

@@ -75,7 +75,10 @@ object GramHits {
     * Grams are string-deduped BEFORE hashing (a hash collision can only
     * create a false membership hit, never merge two distinct grams of
     * one doc) — the same order of operations as the join form's
-    * array_distinct-then-xxhash64. */
+    * array_distinct-then-xxhash64. Windows containing a null element are
+    * skipped (defined contract: a null token is not part of any gram —
+    * the registered SQL function accepts arbitrary arrays, and the
+    * in-tree tokenizers never emit nulls). */
   def count(tokens: ArrayData, set: Array[Long], n: Int): Long = {
     val len = tokens.numElements()
     if (len < n || set.length == 0) return 0L
@@ -86,16 +89,22 @@ object GramHits {
     while (i + n <= len) {
       sb.setLength(0)
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+        }
         j += 1
       }
-      val g = sb.toString
-      if (seen.add(g) &&
-        java.util.Arrays.binarySearch(set,
-          XxHash64Function.hash(
-            UTF8String.fromString(g), StringType, 42L)) >= 0) cnt += 1
+      if (!hasNull) {
+        val g = sb.toString
+        if (seen.add(g) &&
+          java.util.Arrays.binarySearch(set,
+            XxHash64Function.hash(
+              UTF8String.fromString(g), StringType, 42L)) >= 0) cnt += 1
+      }
       i += 1
     }
     cnt

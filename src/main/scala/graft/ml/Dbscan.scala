@@ -112,8 +112,8 @@ object Dbscan {
     // edge list that GraphX materializes as its own job, and the
     // border-attach join) — without the persist each one re-executes the
     // whole LSH bucket join, the most expensive stage in the operator,
-    // at any scale. Unpersisted by the caller's GC; edges are two longs
-    // per ε-pair, orders smaller than the input vectors.
+    // at any scale. Explicitly unpersisted below, right after the last
+    // consumer (borderLabels) materializes.
     val joined = model.approxSimilarityJoin(pts, pts, eps, "dist")
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"))
       .filter(col("a") =!= col("b"))
@@ -137,6 +137,16 @@ object Dbscan {
     val borderLabels = joined
       .join(cc.withColumnRenamed("id", "b"), "b")
       .groupBy(col("a").as("id")).agg(min("label").as("border_label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // borderLabels is the LAST consumer of the ε-edge relation: force it
+    // now (count), then drop the edge blocks promptly — leaving them to
+    // "the caller's GC" let MEMORY_AND_DISK blocks accumulate across
+    // repeated calls in a long-lived session (the bench runs every query
+    // twice-plus). The lingering footprint shrinks from O(ε-edges) to
+    // O(points-with-a-core-neighbor) rows of two longs; on executor block
+    // loss the lineage is intact, so recompute stays correct (just slow).
+    borderLabels.count()
+    joined.unpersist(blocking = false)
     pts.select("id")
       .join(cc, Seq("id"), "left")
       .join(borderLabels, Seq("id"), "left")

@@ -160,9 +160,12 @@ object Clean {
       .otherwise(hostport)
     val rawPath = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(rawPath === "", lit("/"))
-      .when(rawPath === "/", lit("/"))
-      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    // strip trailing slashes FIRST, then map the empty result to "/":
+    // an all-slash path ("//") must land on "/" like "" and "/" do —
+    // stripping inside an otherwise-branch left it as "" (non-idempotent
+    // output, and the very collisions this pre-pass exists for missed)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
     val q = regexp_extract(u, "\\?([^#]*)", 1)
     val kept = array_join(
       filter(split(q, "&"), p => !p.startsWith("utm_") && p =!= ""), "&")

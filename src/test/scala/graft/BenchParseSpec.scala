@@ -73,4 +73,30 @@ class BenchParseSpec extends AnyFunSuite {
     // no files → None
     assert(Bench.prevBenchFile(Array(f("CORRECTNESS_r05.json")), None).isEmpty)
   }
+
+  test("parsePrevTimes excludes reserved top-level numerics (the value phantom)") {
+    // a self-written history line: the headline "value" pair matches the
+    // same "k":1.23 shape as a query entry and must NOT become a phantom
+    // query time (it would arbitrate any future query named 'value', and
+    // bloat the median map)
+    val line = """{"metric":"total_ok","value":484.123,"unit":"sec",""" +
+      """"queries":{"q1_pricing":1.063,"o4_head":0.115},"n_ok":111,""" +
+      """"n_fail":0,"sf":"/root/testdata/sf0.1","action":"noop"}"""
+    val t = Bench.parsePrevTimes(line)
+    assert(t == Map("q1_pricing" -> 1.063, "o4_head" -> 0.115))
+    assert(!t.contains("value"))
+  }
+
+  test("medianTimes is per-query median, robust to one outlier run") {
+    val runs = Seq(
+      Map("a" -> 0.5, "b" -> 2.0),
+      Map("a" -> 0.55, "b" -> 2.2),
+      Map("a" -> 5.79, "b" -> 2.1), // the r8 m3-style contention outlier
+      Map("a" -> 0.52))
+    val med = Bench.medianTimes(runs)
+    // even-count median of a: (0.52+0.55)/2; the 5.79 outlier cannot move it
+    assert(math.abs(med("a") - 0.535) < 1e-9)
+    assert(math.abs(med("b") - 2.1) < 1e-9)
+    assert(Bench.medianTimes(Seq.empty).isEmpty)
+  }
 }

@@ -130,6 +130,19 @@ class CurationSpec extends SparkSpec {
     assert(keptIds == again)
   }
 
+  test("resampleToMix: empty frame / disjoint sources return empty, not throw") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    // disjoint source names: no positively-weighted source has rows
+    val disjoint = Curation.resampleToMix(df, "doc_id", "source",
+      Map("x" -> 1.0, "y" -> 2.0))
+    assert(disjoint.count() == 0L)
+    assert(disjoint.columns.toSeq == df.columns.toSeq)
+    // empty input frame
+    val empty = Curation.resampleToMix(df.limit(0), "doc_id", "source",
+      Map("a" -> 1.0))
+    assert(empty.count() == 0L)
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")

@@ -59,6 +59,24 @@ class KernelEdgeSpec extends SparkSpec {
     assert(empty.forall(_ == 0L))
   }
 
+  test("graft_gram_hits: windows containing a null element are skipped, not NPE") {
+    GraftFunctions.ensureRegistered(spark)
+    // the registered SQL function is user-reachable with arbitrary arrays
+    // (containsNull=true); the in-tree tokenizers never emit nulls, but a
+    // null element must not crash the kernel — defined contract: a null
+    // token is part of no gram
+    val df = Seq(
+      (1L, Seq("a", null, "b", "a", "b")), // windows: (a,null)(null,b)(b,a)(a,b)
+      (2L, Seq(null: String, null: String)),
+      (3L, Seq("a", "b"))
+    ).toDF("id", "toks")
+    val h = spark.sql("SELECT xxhash64('a b')").head().getLong(0)
+    val got = df.select(col("id"), call_function("graft_gram_hits",
+        col("toks"), typedlit(Array(h).sorted), lit(2)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("graft_cos_sim_i8: parity with float cosine on exact-representable codes") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq(

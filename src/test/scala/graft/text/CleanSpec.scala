@@ -14,7 +14,9 @@ class CleanSpec extends SparkSpec {
       "https://host.net:8443/",                  // NON-default port kept
       "http://h.io/a//",                         // run of trailing slashes
       "http://h.io/?utm_only=1#x",               // all params dropped
-      "ftp://Host.org:80/file"                   // :80 NOT http's default? kept
+      "ftp://Host.org:80/file",                  // :80 NOT http's default? kept
+      "http://h.io//",                           // ALL-slash path → "/"
+      "http://h.io///"                           // longer all-slash run
     ).toDF("u")
     val got = in.select(Clean.canonicalUrl($"u").as("c")).as[String].collect()
     assert(got(0) == "http://example.com/Docs/7?id=3")
@@ -24,6 +26,10 @@ class CleanSpec extends SparkSpec {
     assert(got(4) == "http://h.io/a")
     assert(got(5) == "http://h.io/")
     assert(got(6) == "ftp://host.org:80/file") // non-http scheme keeps :80
+    // the r8 advisor bug: '//' stripped to '' (not '/') and missed the
+    // collision with the bare-host form — the whole point of the pre-pass
+    assert(got(7) == "http://h.io/")
+    assert(got(8) == "http://h.io/")
   }
 
   test("canonicalUrl is idempotent (canonical output re-canonicalizes to itself)") {
@@ -31,6 +37,7 @@ class CleanSpec extends SparkSpec {
       "HTTP://ExAmple.COM:80/Docs/7/?utm_source=a&id=3#frag",
       "https://Host.NET:443",
       "http://h.io/a//?x=1&y=2",
+      "http://h.io//",
       "ftp://Host.org:80/file").toDF("u")
     val once = in.select(Clean.canonicalUrl($"u").as("c"))
     val twice = once.select(Clean.canonicalUrl($"c").as("c"))
