@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale measurements.
+  *
+  * 1. `llm_decontaminate_scan` with a FIXED eval set: the registered
+  *    query's eval side is `doc_id % 97 == 0`, which GROWS with the
+  *    corpus — so the ×100 exponent (0.71, PLANS.md) measured a broadcast
+  *    gram array growing 100×, an artifact real decontamination doesn't
+  *    have (benchmarks are fixed). Here the eval set is pinned to the
+  *    BASE sf0.1 table's every-97th doc at every scale, so only the scan
+  *    side grows — the honest corpus-scaling exponent.
+  *
+  * 2. IVF index build with the capped vs uncapped KMeans fit at the
+  *    largest local scale: the uncapped fit is an iterative full scan per
+  *    iteration (the corpus-scale index-build bottleneck); the capped fit
+  *    samples centroids and pays one linear assignment pass.
+  */
+object Scale9 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Tables.session("graft-scale9",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale9] $name%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    val base = "/root/testdata/sf0.1"
+    val evalDocs = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id") % 97 === 0)
+
+    for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for (round <- 1 to 2)
+        timed(s"decontaminate_scan fixed-eval $dir r$round") {
+          graft.dedup.Curation
+            .decontaminateScan(docs, evalDocs, "doc_id", "text", n = 8)
+            .write.format("noop").mode("overwrite").save()
+        }
+    }
+
+    val emb = spark.read.parquet("benchdata/sf10/embeddings.parquet").cache()
+    println(s"[scale9] x100 embeddings n=${emb.count()}")
+    for (round <- 1 to 2) {
+      timed(s"ivf build UNCAPPED fit nlist=16 r$round") {
+        val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
+          "embedding", nlist = 16, fitCap = Long.MaxValue)
+        idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
+      }
+      timed(s"ivf build capped fit (cap=5000) nlist=16 r$round") {
+        val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
+          "embedding", nlist = 16, fitCap = 5000L)
+        idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
+      }
+    }
+    emb.unpersist()
+    spark.stop()
+  }
+}

@@ -92,6 +92,26 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("ivf sampled-fit (corpus-scale plan) recall@10 >= 0.9 with nprobe+1") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    // Force the SAMPLED centroid fit (the corpus-scale plan: the default
+    // cap of 100k never binds on this 500-vector fixture) with cap=n/2 —
+    // a far harsher sample ratio than production (100k cap / nlist=16 ≈
+    // 6k points per centroid vs ~31 here). Sampled centroids are noisier,
+    // so the recall knob compensates: one extra probed cell (nprobe 5 of
+    // 8). Measured grid at cap=n/2: nprobe=4 → 0.85, nprobe=5 → 0.92.
+    val n = emb.count()
+    val (idx, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8, nprobe = 5, fitCap = math.max(64L, n / 2))
+    val rec = recallAt10(emb, q => search(q)(10))
+    val mean = rec.sum / rec.size
+    info(f"ivf sampled-fit cap=n/2 nlist=8 nprobe=5 mean recall@10 = " +
+      f"$mean%.2f (min ${rec.min}%.2f)")
+    assert(mean >= 0.9, f"mean recall@10 $mean%.2f < 0.9")
+    idx.unpersist()
+    emb.unpersist()
+  }
+
   test("ivfTopK: self is top hit; recall vs brute force reasonable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0)

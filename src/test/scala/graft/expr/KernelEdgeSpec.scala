@@ -109,6 +109,32 @@ class KernelEdgeSpec extends SparkSpec {
     assert(got("empty") == 1.0)
   }
 
+  test("graft_deflate_ratio: frozen-golden values on pinned docs") {
+    GraftFunctions.ensureRegistered(spark)
+    // The ordering property above catches sign errors, not regressions in
+    // the ratio itself — these pin the exact values (JDK Deflater at a
+    // fixed level is deterministic) for a handful of fixed documents. If
+    // a JDK upgrade ever shifts its bundled zlib, these update together
+    // deliberately, never silently.
+    val rows = Seq(
+      ("a40", "a" * 40),
+      ("abab", "ab" * 100),
+      ("pangram", "the quick brown fox jumps over the lazy dog"),
+      ("digits", "0123456789" * 10),
+      ("one", "x")).toDF("k", "t")
+    val got = rows.select(col("k"), call_function("graft_deflate_ratio",
+        col("t")).as("r")).as[(String, Double)].collect().toMap
+    // golden values cross-derived with an independent zlib binding (raw
+    // deflate, level 6) — tiny inputs legitimately exceed 1.0 (deflate
+    // framing overhead dominates a 1-byte doc)
+    val golden = Map(
+      "a40" -> 0.15, "abab" -> 0.035, "pangram" -> 44.0 / 43.0,
+      "digits" -> 0.15, "one" -> 3.0)
+    golden.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)}, want $v")
+    }
+  }
+
   test("graft_bloom_contains: no false negatives; null propagates") {
     GraftFunctions.ensureRegistered(spark)
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
