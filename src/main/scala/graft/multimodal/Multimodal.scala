@@ -144,7 +144,13 @@ object Multimodal {
     * black-box byte work, partition-preserving, no shuffle. */
   def decodeVideo(df: DataFrame): DataFrame = {
     val decode = udf { payload: Array[Byte] =>
-      if (payload == null) None else Some(Bmff.parse(payload))
+      if (payload == null) None
+      else if (Riff.isAvi(payload)) {
+        // RIFF/AVI (round 9): width/height/duration from the avih main
+        // header — same no-codec metadata contract as the BMFF branch
+        val (w, h, d) = Riff.aviMeta(payload)
+        Some(("video/x-msvideo", w, h, d))
+      } else Some(Bmff.parse(payload))
     }
     df.withColumn("_dec", decode(col("payload")))
       .withColumn("meta", struct(
@@ -328,6 +334,23 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         catch { case _: Exception => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+      val block = dctBlock(img)
+      val sorted = block.clone().sorted
+      val med = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (block(i) > med) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+
+    /** The top-left 8×8 low-frequency DCT block (64 doubles) of the
+      * BT.601-luminance 32×32 area-average downsample — the shared
+      * pixel→frequency front half of [[compute]], also the per-frame
+      * descriptor [[Multimodal.videoFeatures]] mean-pools over time. */
+    def dctBlock(img: java.awt.image.BufferedImage): Array[Double] = {
       val w = img.getWidth
       val h = img.getHeight
       // area-average (box) downsample of BT.601 luminance to N×N —
@@ -377,15 +400,7 @@ object Multimodal {
         }
         v += 1
       }
-      val sorted = block.clone().sorted
-      val med = (sorted(31) + sorted(32)) / 2.0
-      var bits = 0L
-      var i = 0
-      while (i < 64) {
-        if (block(i) > med) bits |= 1L << i
-        i += 1
-      }
-      Some(bits)
+      block
     }
   }
 
@@ -581,17 +596,171 @@ object Multimodal {
     }
   }
 
-  /** FEATURE STUB — now scoped to VIDEO embeddings only (image features
-    * are real: [[imagePhash]]; audio features are real:
-    * [[audioFeatures]]). A video embedding needs frame-pixel access and
-    * hence a video CODEC, which neither the JDK nor this environment
-    * provides ([[decodeVideo]] reads container metadata, which needs no
-    * codec); this stub keeps the Spark-side plumbing real and tested —
+  /** RIFF/AVI container walker — pure byte arithmetic over the RIFF
+    * grammar `[4cc][u32le size][body][pad-to-even]`, the little-endian
+    * sibling of [[Bmff]]. MJPEG-in-AVI is the one video format whose
+    * frames need NO codec: each `##dc` chunk in `LIST movi` is a complete
+    * baseline JPEG, decodable by the JDK's ImageIO — which is what makes
+    * [[videoFrames]]/[[videoFeatures]] fully real for this container. */
+  private[multimodal] object Riff {
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    def isAvi(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+        fourcc(b, 8) == "AVI "
+
+    /** All MJPEG frame payloads (`##dc` chunks whose bytes start with the
+      * JPEG SOI marker) in stream order; empty if not AVI or no such
+      * frames. `rec ` LISTs (interleave groups) are descended. */
+    def mjpegFrames(b: Array[Byte]): Vector[Array[Byte]] = {
+      if (!isAvi(b)) return Vector.empty
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var o = start
+        var sane = true
+        while (sane && o + 8 <= end) {
+          val id = fourcc(b, o)
+          val size = u32le(b, o + 4)
+          val body = o + 8
+          if (size < 0 || body + size > end) sane = false
+          else {
+            val bodyEnd = (body + size).toInt
+            if (id == "LIST" && size >= 4) {
+              val listType = fourcc(b, body)
+              if (listType == "movi" || (inMovi && listType == "rec "))
+                walk(body + 4, bodyEnd, inMovi = true)
+              else if (!inMovi) walk(body + 4, bodyEnd, inMovi = false)
+            } else if (inMovi && id.length == 4 && id.endsWith("dc") &&
+              size >= 2 && b(body) == 0xFF.toByte && b(body + 1) == 0xD8.toByte)
+              frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+            o = bodyEnd + (size.toInt & 1) // chunks pad to even offsets
+          }
+        }
+      }
+      try walk(12, b.length, inMovi = false) catch { case _: Exception => () }
+      frames.result()
+    }
+
+    /** (width, height, durationMs) from the `avih` main AVI header
+      * (dwMicroSecPerFrame at +0, dwTotalFrames at +16, dwWidth/dwHeight
+      * at +32/+36) — all-None if not AVI / header absent. */
+    def aviMeta(b: Array[Byte]): (Option[Int], Option[Int], Option[Long]) = {
+      if (!isAvi(b)) return (None, None, None)
+      var res: (Option[Int], Option[Int], Option[Long]) = (None, None, None)
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var sane = true
+        while (sane && o + 8 <= end && res._1.isEmpty) {
+          val id = fourcc(b, o)
+          val size = u32le(b, o + 4)
+          val body = o + 8
+          if (size < 0 || body + size > end) sane = false
+          else {
+            val bodyEnd = (body + size).toInt
+            if (id == "LIST" && size >= 4) walk(body + 4, bodyEnd)
+            else if (id == "avih" && size >= 40) {
+              val usPerFrame = u32le(b, body)
+              val totalFrames = u32le(b, body + 16)
+              val w = u32le(b, body + 32).toInt
+              val h = u32le(b, body + 36).toInt
+              res = (
+                if (w > 0) Some(w) else None,
+                if (h > 0) Some(h) else None,
+                if (usPerFrame > 0 && totalFrames > 0)
+                  Some(usPerFrame * totalFrames / 1000) else None)
+            }
+            o = bodyEnd + (size.toInt & 1)
+          }
+        }
+      }
+      try walk(12, b.length) catch { case _: Exception => () }
+      res
+    }
+
+    /** Up to `n` evenly-spaced picks of `xs` (all of them when ≤ n). */
+    def sampleEvenly[A](xs: Vector[A], n: Int): Vector[A] =
+      if (xs.size <= n) xs
+      else (0 until n).map(k => xs((k.toLong * xs.size / n).toInt)).toVector
+  }
+
+  /** REAL video frame extraction for MJPEG-in-AVI: the container's `##dc`
+    * chunks ARE complete JPEGs, so frame access is pure byte arithmetic
+    * ([[Riff]]) + the same ImageIO decode every image operator uses — no
+    * codec library. Emits `frames`: up to `n` evenly-time-spaced JPEG
+    * payloads (array<binary>); empty array for non-AVI/frameless
+    * payloads, null for null payloads. Each element feeds the existing
+    * image path ([[imagePhash]], [[resizeImage]]) unchanged.
+    *
+    * Same scale shape as [[decodeImage]]: per-row black-box byte work,
+    * partition-preserving, no shuffle. */
+  def videoFrames(df: DataFrame, n: Int = 8): DataFrame = {
+    val fx = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else Some(Riff.sampleEvenly(Riff.mjpegFrames(payload), n))
+    }
+    df.withColumn("frames", fx(col("payload")))
+  }
+
+  /** REAL video feature extraction for MJPEG-in-AVI (supersedes
+    * [[featuresStub]] for this container): decode up to `maxFrames`
+    * evenly-spaced MJPEG frames and mean-pool each frame's 8×8
+    * low-frequency DCT block ([[PHash.dctBlock]] — the pHash front half)
+    * over time → a 64-dim float video embedding. Temporal mean pooling of
+    * per-frame frequency descriptors is the classic codec-free video
+    * signature: near-duplicate videos (re-muxed, trimmed, lightly
+    * re-encoded) land nearby in cosine space, and the vector feeds the
+    * embedding dedup/ANN operators (Similarity) directly. Null features
+    * for null, non-AVI, or undecodable-frame payloads — a feature vector
+    * never fabricates content ([[featuresStub]] remains, declared, for
+    * codec-bearing containers like H.264-in-MP4). */
+  def videoFeatures(df: DataFrame, maxFrames: Int = 8,
+                    outCol: String = "features"): DataFrame = {
+    val fx = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else {
+        val blocks = Riff.sampleEvenly(Riff.mjpegFrames(payload), maxFrames)
+          .flatMap { jpeg =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(jpeg))
+              catch { case _: Exception => null }
+            if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+            else Some(PHash.dctBlock(img))
+          }
+        if (blocks.isEmpty) None
+        else {
+          val out = new Array[Float](64)
+          var i = 0
+          while (i < 64) {
+            var s = 0.0
+            blocks.foreach(bl => s += bl(i))
+            out(i) = (s / blocks.size).toFloat
+            i += 1
+          }
+          Some(out)
+        }
+      }
+    }
+    df.withColumn(outCol, fx(col("payload")))
+  }
+
+  /** FEATURE STUB — now scoped to CODEC-BEARING video containers only
+    * (image features are real: [[imagePhash]]; audio features are real:
+    * [[audioFeatures]]; MJPEG-in-AVI video features are real:
+    * [[videoFeatures]], round 9). An H.264/H.265-in-MP4 embedding needs
+    * frame-pixel access and hence a codec the JDK doesn't provide
+    * ([[decodeVideo]] reads container metadata, which needs no codec);
+    * this stub keeps the Spark-side plumbing real and tested —
     * fixed-width float features derived deterministically from payload
     * bytes (per-position byte hash scaled to [0,1); zero-padded past the
     * payload end). Pure-expression, so the feature pass is a full-speed
     * scan; a real extractor swaps in at this exact signature
-    * (binary → Array[Float] `features`). */
+    * (binary → Array[Float] `features`), exactly as [[videoFeatures]]
+    * did for the codec-free container. */
   def featuresStub(df: DataFrame, dim: Int = 16): DataFrame =
     df.withColumn("features",
       transform(sequence(lit(1), lit(dim)), i =>

@@ -237,6 +237,123 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4L).isEmpty && f(5L).isEmpty)
   }
 
+  // --- minimal MJPEG-in-AVI fixture builder (real RIFF grammar: little-
+  // endian sizes, even-offset padding, LIST hdrl with avih + LIST movi
+  // with 00dc JPEG chunks — the layout a real muxer writes) ---
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    bb.array()
+  }
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ body)
+  private def avih(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0).putInt(frames)
+    bb.position(32); bb.putInt(w).putInt(h)
+    riffChunk("avih", bb.array())
+  }
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       usPerFrame: Int = 40000): Array[Byte] = {
+    val hdrl = riffList("hdrl", avih(w, h, usPerFrame, frames.size))
+    val movi = riffList("movi",
+      frames.flatMap(f => riffChunk("00dc", f)).toArray)
+    "RIFF".getBytes("ISO-8859-1") ++ {
+      val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(body.length).array() ++ body
+    }
+  }
+  private def solidJpeg(rgb: Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rgb + ((x * 80 / w) << 16)) // gradient: non-trivial DCT
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  test("videoFrames extracts the MJPEG JPEGs; each feeds imagePhash") {
+    val f1 = solidJpeg(0x000040); val f2 = solidJpeg(0x004000)
+    val f3 = solidJpeg(0x400000)
+    val avi = mjpegAvi(Seq(f1, f2, f3), 64, 48)
+    val rows = Seq((1L, avi), (2L, "not a container".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val got = Multimodal.videoFrames(df, n = 8)
+      .select("asset_id", "frames")
+      .as[(Long, Option[Seq[Array[Byte]]])].collect().toMap
+    assert(got(1L).get.size == 3)
+    assert(got(1L).get.map(_.toSeq) == Seq(f1, f2, f3).map(_.toSeq))
+    assert(got(2L).get.isEmpty) // non-AVI → empty, declared
+    assert(got(3L).isEmpty)     // null payload → null
+    // an extracted frame IS a JPEG: the image path hashes it directly
+    val frameDf = Seq((10L, got(1L).get.head)).toDF("asset_id", "payload")
+    val ph = Multimodal.imagePhash(frameDf)
+      .select("phash").as[Option[Long]].head()
+    assert(ph.isDefined)
+    // even sampling caps the frame count
+    val two = Multimodal.videoFrames(df, n = 2)
+      .select("asset_id", "frames")
+      .as[(Long, Option[Seq[Array[Byte]]])].collect().toMap
+    assert(two(1L).get.size == 2)
+  }
+
+  test("videoFeatures: real 64-dim MJPEG embedding — deterministic, " +
+    "discriminative, null off-contract") {
+    val aviA = mjpegAvi(Seq(solidJpeg(0x000040), solidJpeg(0x000060)), 64, 48)
+    val aviA2 = mjpegAvi( // re-mux with an extra near-identical frame
+      Seq(solidJpeg(0x000040), solidJpeg(0x000060), solidJpeg(0x000050)), 64, 48)
+    val aviB = mjpegAvi(Seq(solidJpeg(0xC0C0C0), solidJpeg(0xF0F0F0)), 64, 48)
+    val rows = Seq((1L, aviA), (2L, aviA2), (3L, aviB),
+      (4L, "junk".getBytes("UTF-8")), (5L, null.asInstanceOf[Array[Byte]]))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val feats = Multimodal.videoFeatures(df)
+      .select("asset_id", "features")
+      .as[(Long, Option[Seq[Float]])].collect().toMap
+    assert(feats(1L).get.size == 64)
+    assert(feats(4L).isEmpty && feats(5L).isEmpty) // no fabricated vectors
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map(p => p._1.toDouble * p._2).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // near-dup videos (same scene, re-muxed) ≫ different scenes in cosine
+    val near = cos(feats(1L).get, feats(2L).get)
+    val far = cos(feats(1L).get, feats(3L).get)
+    assert(near > 0.99, s"near-dup cosine $near")
+    assert(near > far, s"near $near !> far $far")
+    // deterministic: same payload → identical vector
+    val again = Multimodal.videoFeatures(df).filter($"asset_id" === 1L)
+      .select("features").as[Option[Seq[Float]]].head()
+    assert(again.get == feats(1L).get)
+  }
+
+  test("decodeVideo reads AVI avih width/height/duration via the RIFF walker") {
+    val avi = mjpegAvi(Seq(solidJpeg(0x102030)), 64, 48, usPerFrame = 40000)
+    val rows = Seq((1L, avi))
+    val df = Multimodal.fromText(
+        rows.map { case (id, _) => (id, "") }.toDF("id", "txt"), "id", "txt")
+      .drop("payload")
+      .join(rows.toDF("asset_id", "payload"), "asset_id")
+    val meta = Multimodal.decodeVideo(df)
+      .select("meta.mime", "meta.width", "meta.height", "meta.duration_ms")
+      .as[(String, Option[Int], Option[Int], Option[Long])].head()
+    assert(meta == (("video/x-msvideo", Some(64), Some(48), Some(40L))))
+  }
+
   test("featuresStub: fixed width, [0,1), zero-padded") {
     val f = Multimodal.featuresStub(assets, dim = 8)
       .select("asset_id", "features").as[(Long, Seq[Float])].collect().toMap
