@@ -536,6 +536,18 @@ object SparkEntry {
     }),
     "a2_distinct_approx" -> ((s, dir) =>
       Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
+    // SemDeDup semantic dedup: cluster-scoped near-dup groups over the
+    // embedding table (rows-only — the KMeans cells have no SQL twin;
+    // SemanticDedupSpec gates exact-duplicate catch = deterministic,
+    // keeper uniqueness, and measured dropped-set recall 1.00 vs the
+    // exact all-pairs answer with planted near-dups)
+    "llm_semantic_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+          k = 16, threshold = 0.9)
+        .orderBy("vec_id")
+    }),
 
     // ---- curation layer (post-dedup pipeline stages) ----------------
     // Gopher-style repetition signals (top-bigram char coverage +

@@ -186,6 +186,48 @@ object Similarity {
     (assigned, search)
   }
 
+  /** Semantic dedup — the SemDeDup pattern (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a (sample-fit)
+    * KMeans, then search for near-duplicate pairs ONLY within each
+    * cluster (cos ≥ threshold) and keep one document per duplicate group
+    * (lowest id — the same keeper convention as every dedup here, via
+    * the GraphX connected-components resolver, since near-dup is not
+    * transitive). Returns (id, group_id, group_size, is_keeper).
+    *
+    * Scale shape: the pair search is a self-join KEYED ON THE CLUSTER id
+    * — quadratic only within a cluster, never across the corpus; the
+    * centroid fit is the capped one-pass-assignment [[ivfIndex]] build.
+    * Clusters larger than `maxClusterSize` are EXCLUDED from the pair
+    * search (their members all stay keepers — the conservative direction
+    * for a dedup: nothing is dropped by an unverified pair), mirroring
+    * [[annCosineJoin]]'s hot-bucket guard; raise k (more, smaller
+    * clusters) rather than the cap when that triggers. Cross-cluster
+    * near-dup pairs are missed BY DESIGN — that is SemDeDup's documented
+    * recall trade (quality-gated against the exact all-pairs answer in
+    * SemanticDedupSpec, not assumed). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 16, threshold: Double = 0.95,
+                    fitCap: Long = 100000L, maxClusterSize: Int = 100000,
+                    seed: Long = 42L): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    val (assigned, _) = ivfIndex(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nlist = k, seed = seed, cache = true, fitCap = fitCap)
+    val okCells = assigned.groupBy("_cell")
+      .agg(count(lit(1)).as("_cn")).filter(col("_cn") <= maxClusterSize)
+      .select("_cell")
+    val inPlay = assigned.join(okCells, Seq("_cell"), "left_semi")
+    def side(s: String) = inPlay.select(col("_cell"),
+      col(idCol).as(s"id_$s"), col(vecCol).as(s"vec_$s"))
+    val pairs = side("a").join(side("b"), Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    val groups = Curation.dupGroups(df.select(col(idCol)), pairs, idCol)
+      .withColumnRenamed("doc_id", idCol)
+    assigned.unpersist(blocking = false)
+    groups
+  }
+
   /** Approximate nearest-neighbor top-k for a query vector via the LSH
     * join (query as a 1-row frame — same bucketing expression both sides,
     * so no driver-side hashing is needed). Falls back to fewer than k rows
