@@ -28,11 +28,15 @@ object Scale9 {
       println(f"[scale9] $name%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
+    // optional section filter: `runMain graft.tools.Scale9 semdedup`
+    val sections = if (args.isEmpty) Set("decon", "ivf", "semdedup")
+                   else args.toSet
     val base = "/root/testdata/sf0.1"
     val evalDocs = spark.read.parquet(s"$base/documents.parquet")
       .filter(col("doc_id") % 97 === 0)
 
-    for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")) {
+    for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")
+         if sections("decon")) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       for (round <- 1 to 2)
         timed(s"decontaminate_scan fixed-eval $dir r$round") {
@@ -44,7 +48,7 @@ object Scale9 {
 
     val emb = spark.read.parquet("benchdata/sf10/embeddings.parquet").cache()
     println(s"[scale9] x100 embeddings n=${emb.count()}")
-    for (round <- 1 to 2) {
+    for (round <- 1 to 2 if sections("ivf")) {
       timed(s"ivf build UNCAPPED fit nlist=16 r$round") {
         val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
           "embedding", nlist = 16, fitCap = Long.MaxValue)
@@ -57,6 +61,22 @@ object Scale9 {
       }
     }
     emb.unpersist()
+
+    // semanticDedup with k ∝ n (the published SemDeDup practice — cluster
+    // count grows with the corpus so per-cluster quadratic work stays
+    // bounded: n/k ≈ 1000 here)
+    for ((dir, k) <- Seq(("/root/testdata/sf0.1", 2),
+                         ("benchdata/sf1", 20), ("benchdata/sf10", 200))
+         if sections("semdedup")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      for (round <- 1 to 2)
+        timed(s"semanticDedup $dir k=$k r$round") {
+          graft.dedup.Similarity.semanticDedup(e, "vec_id", "embedding",
+              k = k, threshold = 0.9)
+            .write.format("noop").mode("overwrite").save()
+        }
+    }
     spark.stop()
   }
 }
