@@ -246,6 +246,27 @@ object PlanAudit {
         (_.contains("BroadcastHashJoin"))))(
       SparkEntry.curationPipelineTrain(spark, dir))
 
+    // round-9: semanticDedup's pair search — like the curation pipeline's
+    // pre-pack stages, the public operator's final plan starts at the
+    // GraphX CC RDD, so the audit targets the pair-stage frame directly.
+    // The join MUST key on the KMeans cell: a nested-loop/cartesian plan
+    // here is the corpus-wide all-pairs search the operator exists to
+    // avoid.
+    {
+      val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val (assigned, pairs) = graft.dedup.Similarity.semanticDedupPairs(
+        embDf, "vec_id", "embedding", k = 16, threshold = 0.9,
+        fitCap = 100000L, maxClusterSize = 100000, seed = 42L)
+      audit("llm_semantic_dedup pair stage (cluster-keyed, never all-pairs)", Seq(
+        "pair join keys on the cluster id (_cell hash exchange)" ->
+          (_.contains("hashpartitioning(_cell")),
+        "no cartesian / nested-loop join" ->
+          (p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"))))(pairs)
+      assigned.unpersist(blocking = false)
+    }
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);

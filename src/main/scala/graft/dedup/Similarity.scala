@@ -209,6 +209,26 @@ object Similarity {
                     k: Int = 16, threshold: Double = 0.95,
                     fitCap: Long = 100000L, maxClusterSize: Int = 100000,
                     seed: Long = 42L): DataFrame = {
+    val (assigned, pairs) = semanticDedupPairs(df, idCol, vecCol, k,
+      threshold, fitCap, maxClusterSize, seed)
+    val groups = Curation.dupGroups(df.select(col(idCol)), pairs, idCol)
+      .withColumnRenamed("doc_id", idCol)
+    assigned.unpersist(blocking = false)
+    groups
+  }
+
+  /** The cluster-scoped pair-search stage of [[semanticDedup]], exposed
+    * (package-private) because the public operator's FINAL plan starts at
+    * the GraphX CC RDD — the pair search executes inside `dupGroups` and
+    * is invisible to a plan audit of the result (the same reason
+    * SparkEntry.curationPipelineTrain exists). PlanAudit gates THIS
+    * frame: the join must key on the cluster id (hash exchange on _cell,
+    * no CartesianProduct / BroadcastNestedLoopJoin — a corpus-wide
+    * all-pairs plan is exactly what the operator exists to avoid). */
+  private[graft] def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double, fitCap: Long, maxClusterSize: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val (assigned, _) = ivfIndex(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, nlist = k, seed = seed, cache = true, fitCap = fitCap)
@@ -222,10 +242,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select("id_a", "id_b")
-    val groups = Curation.dupGroups(df.select(col(idCol)), pairs, idCol)
-      .withColumnRenamed("doc_id", idCol)
-    assigned.unpersist(blocking = false)
-    groups
+    (assigned, pairs)
   }
 
   /** Approximate nearest-neighbor top-k for a query vector via the LSH
