@@ -390,7 +390,7 @@ object SparkEntry {
     // 8-gram decontamination vs the benchmark set → content-stable train
     // split → token-budget shard packing → per-shard stats. Every stage
     // reuses a registered operator with its own oracle, and the twin
-    // composes those five proven SQL fragments — so the END-TO-END answer
+    // composes those six proven SQL fragments — so the END-TO-END answer
     // is hash-gated, not just the parts
     "llm_curation_pipeline" -> ((s, dir) =>
       Curation.tokenPack(curationPipelineTrain(s, dir),
@@ -1785,7 +1785,7 @@ object SparkEntry {
     * gram explode, no join: the eval gram set is a sorted-long-array
     * literal probed by the codegen'd graft_gram_hits kernel). Semantically
     * identical to the join form by construction (same string-dedup-then-
-    * xxhash64 grams), so the composed five-stage oracle stays hash-green. */
+    * xxhash64 grams), so the composed six-stage oracle stays hash-green. */
   private[graft] def curationPipelineTrain(s: SparkSession, dir: String)
       : DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1793,7 +1793,16 @@ object SparkEntry {
       Filters.gopherRules(docs, "doc_id", "text")
         .filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    // stage 2 (r9): the quality/language gate — the same codegen'd
+    // predicate as llm_quality_filter, composed so the END-TO-END answer
+    // stays hash-gated through six stages
+    val quality = kept.join(
+      docs.withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+        .filter(col("quality") >= 0.7 && col("lang_pred") === "en")
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactDedup(quality, "doc_id", "text")
     val clean = deduped.join(
       Curation.decontaminateScan(deduped,
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
@@ -1971,7 +1980,7 @@ object SparkEntry {
       "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"
 
-  /** Oracle twin of the END-TO-END curation pipeline: the five proven
+  /** Oracle twin of the END-TO-END curation pipeline: the six proven
     * stage twins (gopher gate, exact-dedup first occurrence, 8-gram
     * decontamination, md5 train split, prefix-sum shard packing)
     * composed as one CTE chain. Every `sum` that DuckDB would widen to
@@ -2005,9 +2014,15 @@ object SparkEntry {
       "(mean_word_len BETWEEN 3.0 AND 10.0) AND sym_ratio < 0.1 AND " +
       "bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 " +
       "AND stop_hits >= 2), " +
+      // stage 2 (r9): quality/language gate — the llm_quality_filter
+      // fragments verbatim (nested WITH in a CTE is fine in DuckDB)
+      s"qq AS ($qualitySql), ll AS ($langIdSql), " +
+      "keepq AS (SELECT keep0.doc_id, keep0.text FROM keep0 " +
+      "JOIN qq USING (doc_id) JOIN ll USING (doc_id) " +
+      "WHERE qq.quality >= 0.7 AND ll.lang_pred = 'en'), " +
       """ded AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, """ +
       """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpr """ +
-      "FROM keep0) GROUP BY fpr), " +
+      "FROM keepq) GROUP BY fpr), " +
       "dg AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "range(1, greatest(len(toks)-7, 0)+1), " +
       "i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM " +
