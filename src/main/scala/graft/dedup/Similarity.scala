@@ -178,7 +178,7 @@ object Similarity {
       val cells = centroids.zipWithIndex.sortBy(p => d2(p._1))
         .take(np).map(_._2)
       val qc = array(q.map(v => lit(v)): _*)
-      assigned.filter(col("_cell").isin(cells: _*))
+      assigned.filter(col("_cell").isin(cells.toIndexedSeq: _*))
         .select(col(idCol), cosine(col(vecCol), qc).as("cos_sim"))
         .orderBy(desc("cos_sim"), col(idCol))
         .limit(k)

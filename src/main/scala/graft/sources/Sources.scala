@@ -126,7 +126,7 @@ object Sources {
 
   /** S7 catalog listing. */
   def catalogTables(spark: SparkSession): DataFrame =
-    spark.catalog.listTables().toDF.select("name", "tableType", "isTemporary")
+    spark.catalog.listTables().toDF().select("name", "tableType", "isTemporary")
 
   /** S8 collect-to-local bridge: head / full collect / sampled collect
     * (`showDf`, rucio_data_access_HDFS.ipynb:1262-1294). The sample runs
