@@ -407,6 +407,17 @@ object SparkEntry {
           call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))
         .orderBy("doc_id")
     }),
+    // percentile-threshold filter: keep the top quartile by quality —
+    // the exact threshold comes from the bounded-memory DistQuantile
+    // (a global statistic feeding a scan-speed filter, the 100-TB shape);
+    // both sides quantize score and threshold to the shared 1e-6 grid
+    "llm_quality_percentile" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      Curation.percentileFilter(scored, "quality", 0.75)
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
     // the actual curation FILTER a pretraining pipeline runs: keep docs
     // above a quality floor in an allowed language — pure codegen'd
     // predicate, pushes to the scan wherever columns are materialized
@@ -1362,6 +1373,11 @@ object SparkEntry {
       s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
         "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
         "WHERE q.quality >= 0.7 AND l.lang_pred = 'en' ORDER BY q.doc_id"),
+    "llm_quality_percentile" -> (
+      s"WITH q AS ($qualitySql), " +
+        "t AS (SELECT round(quantile_cont(quality, 0.75), 6) AS thr FROM q) " +
+        "SELECT q.doc_id, round(q.quality, 6) AS quality FROM q, t " +
+        "WHERE round(q.quality, 6) >= t.thr ORDER BY q.doc_id"),
     "llm_len_histogram" -> (
       "SELECT (length(text) // 100 * 100)::BIGINT AS bucket, " +
         "count(*) AS cnt FROM documents GROUP BY 1 ORDER BY bucket"),

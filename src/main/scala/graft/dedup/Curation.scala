@@ -216,6 +216,32 @@ object Curation {
     df.filter(u < fracCol)
   }
 
+  /** Percentile-threshold filter — the "keep the top (1−pct) of the
+    * corpus by score" curation step (quality floor, perplexity ceiling):
+    * the threshold is the EXACT pct-quantile of `scoreCol`, computed with
+    * the bounded-memory distributed [[graft.ops.DistQuantile]] (iterated
+    * histogram refinement — never a single-task column materialization),
+    * then applied as a scan-speed filter. A global statistic feeding a
+    * pure filter is the 100-TB shape: ~5 pruned single-column passes for
+    * the threshold + one filter scan, no shuffle of kept rows.
+    *
+    * Determinism contract: both the threshold and the compared score are
+    * 1e-6-quantized (the DistQuantile/`quantile_cont` shared grid), so
+    * the kept set is engine-portable — the DuckDB twin computes
+    * `round(quantile_cont(score, pct), 6)` and compares the same
+    * quantized score. Ties AT the threshold are kept: "at least the top
+    * (1−pct) fraction", the only exact definition a value threshold can
+    * give under duplicates. */
+  def percentileFilter(df: DataFrame, scoreCol: String, pct: Double,
+                       keepUpper: Boolean = true): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")
+    val thr = graft.ops.DistQuantile
+      .quantiles(df.sparkSession, df, scoreCol, Seq(pct -> "p"))
+      .head().getDouble(0) // already 1e-6-quantized
+    val q = round(col(scoreCol).cast("double"), 6)
+    df.filter(if (keepUpper) q >= thr else q <= thr)
+  }
+
   /** Train/val/test assignment from the md5 bucket: bucket < trainPct →
     * train, < trainPct+valPct → val, else test. */
   def hashSplit(df: DataFrame, idCol: String,

@@ -143,6 +143,23 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("percentileFilter: exact interpolated threshold, ties kept, " +
+    "lower-tail mode") {
+    // scores 1..100 (doubles): p75 over n=100 is rank 0.75*(99)=74.25 →
+    // interpolated 75.25; kept upper set = scores >= 75.25 → 76..100 (25)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val up = Curation.percentileFilter(df, "s", 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(up == (76 to 100).map(_.toLong).toSet, s"got ${up.size}")
+    // ties AT the threshold are kept: all-equal column keeps everything
+    val ties = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "s")
+    assert(Curation.percentileFilter(ties, "s", 0.75).count() == 10L)
+    // keepUpper=false keeps the lower tail (perplexity-ceiling mode)
+    val lo = Curation.percentileFilter(df, "s", 0.25, keepUpper = false)
+      .select("id").as[Long].collect().toSet
+    assert(lo == (1 to 25).map(_.toLong).toSet, s"got ${lo.size}")
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")
