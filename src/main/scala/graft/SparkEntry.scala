@@ -573,6 +573,16 @@ object SparkEntry {
       Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8).orderBy("doc_id")
     }),
+    // contamination report (inverse decontaminate): per EVAL doc, how
+    // many train docs share a gram and how many of its grams leaked —
+    // phase-1 scan-kernel flagging, gram join only over the flagged
+    // subset (exact same answer: clean docs contribute nothing)
+    "llm_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationReport(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+        .orderBy("eval_id")
+    }),
     // vocabulary drift: JSD between the token distributions of the two
     // md5-split halves of the corpus — the data-mixture health check
     "llm_vocab_jsd" -> ((s, dir) => {
@@ -1433,6 +1443,21 @@ object SparkEntry {
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
+    "llm_contamination_report" -> (
+      "WITH t AS (SELECT doc_id, " + sqlToksLower + " AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks)-7, 0)+1), " +
+        "i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM t), " +
+        "ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0), " +
+        "m AS (SELECT g.doc_id, ev.eval_id, ev.gram FROM g " +
+        "JOIN ev ON g.gram = ev.gram), " +
+        "agg AS (SELECT eval_id, count(DISTINCT doc_id) AS n_train_docs, " +
+        "count(DISTINCT gram) AS n_leaked_grams FROM m GROUP BY eval_id) " +
+        "SELECT d.doc_id AS eval_id, " +
+        "coalesce(agg.n_train_docs, 0)::BIGINT AS n_train_docs, " +
+        "coalesce(agg.n_leaked_grams, 0)::BIGINT AS n_leaked_grams " +
+        "FROM documents d LEFT JOIN agg ON d.doc_id = agg.eval_id " +
+        "WHERE d.doc_id % 97 = 0 ORDER BY eval_id"),
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
     "llm_winnow_overlap" -> ( winnowOverlapSql),

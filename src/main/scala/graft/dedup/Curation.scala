@@ -83,6 +83,46 @@ object Curation {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** Contamination REPORT — the inverse direction of [[decontaminate]]:
+    * per EVAL document, how badly did it leak into the training corpus
+    * (n_train_docs sharing ≥1 word n-gram, n_leaked_grams of its distinct
+    * grams found anywhere in train). The question a benchmark owner asks
+    * after decontamination flags hits.
+    *
+    * Scale shape — two phases, same exact answer as the naive gram join:
+    * clean train docs contribute NOTHING to the report, so phase 1 flags
+    * contaminated docs with the explode-free [[decontaminateScan]] (one
+    * kernel pass over the corpus), and phase 2 runs the gram-level
+    * attribution join ONLY over that flagged subset (contamination is
+    * rare by construction — the explode that is a corpus-scale killer on
+    * ALL of train is negligible on the hits). Eval grams broadcast both
+    * phases; train is never shuffled. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val hits = decontaminateScan(docs, evalDocs, idCol, textCol, n)
+      .filter(col("contaminated")).select("doc_id")
+    val flagged = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(hits, Seq("doc_id"), "left_semi")
+    def grams(df: DataFrame, id: String) = df.select(col(id),
+        explode(array_distinct(Repetition.wordNgrams(
+          Clean.splitWs(lower(col(textCol))), n))).as("gram"))
+      .select(col(id), xxhash64(col("gram")).as("gram_h"))
+    val evalGrams = grams(
+      evalDocs.select(col(idCol).as("eval_id"), col(textCol)), "eval_id")
+      .distinct()
+    val matches = grams(flagged, "doc_id")
+      .join(broadcast(evalGrams), Seq("gram_h"))
+    val agg = matches.groupBy("eval_id").agg(
+      countDistinct(col("doc_id")).as("n_train_docs"),
+      countDistinct(col("gram_h")).as("n_leaked_grams"))
+    evalDocs.select(col(idCol).as("eval_id"))
+      .join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+  }
+
   /** Duplicate-group resolution: given near-dup pairs (id_a, id_b), every
     * document gets the id of its duplicate CLUSTER (connected component,
     * labeled by the component's min doc id — so keep_id = group_id keeps

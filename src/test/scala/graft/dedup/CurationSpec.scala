@@ -160,6 +160,27 @@ class CurationSpec extends SparkSpec {
     assert(lo == (1 to 25).map(_.toLong).toSet, s"got ${lo.size}")
   }
 
+  test("contaminationReport: per-eval leak attribution; clean eval rows zero") {
+    // eval doc 100: "a b c d e f" (grams at n=3: abc bcd cde def)
+    // train doc 1 contains "a b c d" (shares abc, bcd), doc 2 contains
+    // "c d e f" (shares cde, def), doc 3 is clean; eval doc 200 never leaks
+    val docs = Seq(
+      (1L, "x a b c d y"), (2L, "z c d e f w"), (3L, "totally clean text"),
+      (100L, "a b c d e f"), (200L, "never leaked anywhere at all")
+    ).toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" >= 100L)
+    val got = Curation.contaminationReport(docs, evalDocs, "doc_id", "text",
+        n = 3).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // eval 100: train partners = docs 1, 2, and itself (eval docs are in
+    // the corpus frame); leaked grams = all 4 of its grams
+    assert(got(100L) == ((3L, 4L)), s"got ${got(100L)}")
+    // eval 200: shares grams only with itself
+    assert(got(200L)._1 == 1L)
+    // report covers every eval doc exactly once
+    assert(got.keySet == Set(100L, 200L))
+  }
+
   test("hashSplit is deterministic, content-stable, ~90/5/5") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val r = Curation.hashSplit(df, "doc_id")
