@@ -1032,6 +1032,33 @@ object SparkEntry {
       out
     }),
 
+    // streaming decontamination AT INGEST — the extra virtue of the
+    // scan-kernel form: it is a stateless per-row projection (the eval
+    // gram set is a batch-side driver literal), so the SAME operator
+    // rides Structured Streaming unchanged — no state store, no
+    // watermark, append mode. Real pipelines decontaminate on arrival;
+    // the batch twin (llm_decontaminate's oracle) gates exactness.
+    "st4_stream_decontaminate" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st4")
+      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val evalDocs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 97 === 0)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val scored = Curation.decontaminateScan(
+        stream, evalDocs, "doc_id", "text", n = 8)
+      val qname = "st4_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = scored.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname).orderBy("doc_id").localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- SQL surface: the same portable ANSI string runs on both
     // engines (spark.sql over registered views IS the oracle SQL) ------
     "sql_pricing" -> ((s, dir) => {
@@ -1443,6 +1470,8 @@ object SparkEntry {
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
+    // the streaming form is the same stateless projection → same twin
+    "st4_stream_decontaminate" -> ( decontaminateSql),
     "llm_contamination_report" -> (
       "WITH t AS (SELECT doc_id, " + sqlToksLower + " AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
