@@ -1059,6 +1059,31 @@ object SparkEntry {
       out
     }),
 
+    // streaming quality FILTER at ingest — the most common streaming
+    // curation op, same stateless-kernel argument as st4: the composed
+    // quality/language predicate is pure codegen'd per-row work, so the
+    // batch llm_quality_filter twin gates the streaming answer exactly
+    "st5_stream_quality_filter" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st5")
+      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val filtered = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+        .filter(col("quality") >= 0.7 && col("lang_pred") === "en")
+        .select("doc_id", "quality")
+      val qname = "st5_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = filtered.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname).orderBy("doc_id").localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- SQL surface: the same portable ANSI string runs on both
     // engines (spark.sql over registered views IS the oracle SQL) ------
     "sql_pricing" -> ((s, dir) => {
@@ -1407,6 +1432,11 @@ object SparkEntry {
     "llm_quality" -> ( qualitySql),
     // filter twin: same quality + langId expressions, predicate applied
     "llm_quality_filter" -> (
+      s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
+        "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
+        "WHERE q.quality >= 0.7 AND l.lang_pred = 'en' ORDER BY q.doc_id"),
+    // streaming form: same stateless predicate → same twin
+    "st5_stream_quality_filter" -> (
       s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
         "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
         "WHERE q.quality >= 0.7 AND l.lang_pred = 'en' ORDER BY q.doc_id"),
