@@ -271,7 +271,13 @@ object Curation {
     * `round(quantile_cont(score, pct), 6)` and compares the same
     * quantized score. Ties AT the threshold are kept: "at least the top
     * (1−pct) fraction", the only exact definition a value threshold can
-    * give under duplicates. */
+    * give under duplicates.
+    *
+    * PERSIST THE SCORED FRAME when `scoreCol` is computed (not stored):
+    * the threshold passes each re-execute the score's lineage (~5 pruned
+    * scans), so an expensive kernel upstream is paid ~6×. Measured at
+    * ×100 local: 12.8 s recomputing a kernel score vs 1.7 s with the
+    * score persisted (Scale9 / PLANS.md). */
   def percentileFilter(df: DataFrame, scoreCol: String, pct: Double,
                        keepUpper: Boolean = true): DataFrame = {
     require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")

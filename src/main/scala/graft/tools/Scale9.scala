@@ -77,6 +77,41 @@ object Scale9 {
             .write.format("noop").mode("overwrite").save()
         }
     }
+    // contamination report: phase-1 scan flagging + flagged-subset gram
+    // join — eval set pinned to the base table (fixed benchmark)
+    for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")
+         if sections("report")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for (round <- 1 to 2)
+        timed(s"contaminationReport fixed-eval $dir r$round") {
+          graft.dedup.Curation
+            .contaminationReport(docs, evalDocs, "doc_id", "text", n = 8)
+            .write.format("noop").mode("overwrite").save()
+        }
+    }
+
+    // percentile filter over the quality score: DistQuantile threshold
+    // passes recompute the score kernel unless the caller materializes —
+    // measure both forms to quantify the persist advice
+    for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")
+         if sections("pctl")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val scored = docs.select(col("doc_id"),
+        graft.text.TextStats.qualityScore(col("text")).as("quality"))
+      for (round <- 1 to 2) {
+        timed(s"percentileFilter recompute $dir r$round") {
+          graft.dedup.Curation.percentileFilter(scored, "quality", 0.75)
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed(s"percentileFilter persisted-score $dir r$round") {
+          val mat = scored.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try graft.dedup.Curation.percentileFilter(mat, "quality", 0.75)
+            .write.format("noop").mode("overwrite").save()
+          finally mat.unpersist(blocking = true)
+        }
+      }
+    }
     spark.stop()
   }
 }
