@@ -267,6 +267,36 @@ object PlanAudit {
       assigned.unpersist(blocking = false)
     }
 
+    // round-9: the contamination report's two-phase shape — phase 1 is
+    // the explode-free scan kernel over the whole corpus; the ONLY gram
+    // explode (Generate) allowed is phase 2's, over the flagged subset,
+    // joined against a broadcast eval-gram table
+    audit("llm_contamination_report (scan-flag first, explode only on hits)", Seq(
+      "phase-1 flagging is the scan kernel (gram_hits in plan)" ->
+        (_.contains("gram_hits")),
+      // two Generates are the contract: the flagged-subset explode and
+      // the tiny eval-side explode (building the broadcast gram table);
+      // the train-side explode must sit ABOVE the LeftSemi flag join —
+      // an unguarded full-corpus explode would have no semi-join below it
+      "exactly two Generates (flagged subset + eval side)" ->
+        (p => "\\(\\d+\\) Generate".r.findAllIn(p).size == 2),
+      "train-side explode is gated by the LeftSemi flag join" ->
+        (_.contains("LeftSemi")),
+      "eval grams broadcast (BroadcastHashJoin on gram_h)" ->
+        (_.contains("BroadcastHashJoin"))))(
+      SparkEntry.queries("llm_contamination_report")(spark, dir))
+
+    // round-9: the percentile filter is a threshold literal applied at
+    // scan speed — no join, no Window; the only Exchange permitted is the
+    // registered query's presentation sort
+    audit("llm_quality_percentile (global statistic -> scan filter)", Seq(
+      "no join operator anywhere" ->
+        (p => !p.toLowerCase.contains("join")),
+      "no Window operator" -> (p => !p.contains("Window")),
+      "threshold applied as a Filter (no aggregation in the final plan)" ->
+        (_.contains("Filter"))))(
+      SparkEntry.queries("llm_quality_percentile")(spark, dir))
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);
