@@ -294,7 +294,7 @@ object PlanAudit {
         (p => !p.toLowerCase.contains("join")),
       "no Window operator" -> (p => !p.contains("Window")),
       "threshold applied as a Filter (no aggregation in the final plan)" ->
-        (_.contains("Filter"))))(
+        (p => p.contains("Filter") && !p.contains("Aggregate"))))(
       SparkEntry.queries("llm_quality_percentile")(spark, dir))
 
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(

@@ -54,6 +54,33 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared scaffold of the documents-table streaming queries (st3-st5):
+    * symlink the fixture into a fresh temp dir (a parquet file source
+    * needs a directory), readStream with the batch schema, run the
+    * transform to an append-mode memory sink under AvailableNow, and
+    * return the drained table ordered + localCheckpoint'ed (the temp
+    * view is dropped so S7's catalog listing stays deterministic). One
+    * place owns the contract; the per-query bodies are just the
+    * transform. */
+  private def streamDocuments(s: SparkSession, dir: String, tag: String,
+                              orderCol: String)
+                             (transform: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = Files.createTempDirectory(s"graft_$tag")
+    Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+    val qname = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(stream).writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(qname).orderBy(orderCol).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    out
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -412,11 +439,18 @@ object SparkEntry {
     // (a global statistic feeding a scan-speed filter, the 100-TB shape);
     // both sides quantize score and threshold to the shared 1e-6 grid
     "llm_quality_percentile" -> ((s, dir) => {
+      // the score is computed, so PERSIST it for the threshold passes
+      // (percentileFilter's contract — ~6x kernel recompute otherwise);
+      // unpersisted once the eager threshold is in hand: the returned
+      // frame then recomputes the score exactly once, in its filter scan
       val scored = t(s, dir, "documents").select(col("doc_id"),
-        TextStats.qualityScore(col("text")).as("quality"))
-      Curation.percentileFilter(scored, "quality", 0.75)
+          TextStats.qualityScore(col("text")).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Curation.percentileFilter(scored, "quality", 0.75)
         .select(col("doc_id"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
+      scored.unpersist(blocking = false)
+      out
     }),
     // the actual curation FILTER a pretraining pipeline runs: keep docs
     // above a quality floor in an allowed language — pure codegen'd
@@ -1012,24 +1046,12 @@ object SparkEntry {
     // the batch DISTINCT is the oracle (dedup-in-flight must lose
     // nothing and invent nothing)
     "st3_stream_dedup" -> ((s, dir) => withStreamShuffle(s) {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val streamDir = Files.createTempDirectory("graft_st3")
-      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .select(graft.text.TextStats.fingerprintMd5(col("text"))
-          .as("fingerprint"))
-      val deduped = graft.streaming.StreamIngest.streamingDedup(
-        stream, Seq("fingerprint"))
-      val qname = "st3_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(qname).orderBy("fingerprint").localCheckpoint(true)
-      s.catalog.dropTempView(qname)
-      out
+      streamDocuments(s, dir, "st3", "fingerprint") { stream =>
+        graft.streaming.StreamIngest.streamingDedup(
+          stream.select(graft.text.TextStats.fingerprintMd5(col("text"))
+            .as("fingerprint")),
+          Seq("fingerprint"))
+      }
     }),
 
     // streaming decontamination AT INGEST — the extra virtue of the
@@ -1039,24 +1061,11 @@ object SparkEntry {
     // watermark, append mode. Real pipelines decontaminate on arrival;
     // the batch twin (llm_decontaminate's oracle) gates exactness.
     "st4_stream_decontaminate" -> ((s, dir) => withStreamShuffle(s) {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val streamDir = Files.createTempDirectory("graft_st4")
-      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val evalDocs = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 97 === 0)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      val scored = Curation.decontaminateScan(
-        stream, evalDocs, "doc_id", "text", n = 8)
-      val qname = "st4_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = scored.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(qname).orderBy("doc_id").localCheckpoint(true)
-      s.catalog.dropTempView(qname)
-      out
+      streamDocuments(s, dir, "st4", "doc_id") { stream =>
+        Curation.decontaminateScan(stream, evalDocs, "doc_id", "text", n = 8)
+      }
     }),
 
     // streaming quality FILTER at ingest — the most common streaming
@@ -1064,24 +1073,13 @@ object SparkEntry {
     // quality/language predicate is pure codegen'd per-row work, so the
     // batch llm_quality_filter twin gates the streaming answer exactly
     "st5_stream_quality_filter" -> ((s, dir) => withStreamShuffle(s) {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val streamDir = Files.createTempDirectory("graft_st5")
-      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val filtered = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("quality", TextStats.qualityScore(col("text")))
-        .withColumn("lang_pred", TextStats.langId(col("text")))
-        .filter(col("quality") >= 0.7 && col("lang_pred") === "en")
-        .select("doc_id", "quality")
-      val qname = "st5_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = filtered.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(qname).orderBy("doc_id").localCheckpoint(true)
-      s.catalog.dropTempView(qname)
-      out
+      streamDocuments(s, dir, "st5", "doc_id") { stream =>
+        stream
+          .withColumn("quality", TextStats.qualityScore(col("text")))
+          .withColumn("lang_pred", TextStats.langId(col("text")))
+          .filter(col("quality") >= 0.7 && col("lang_pred") === "en")
+          .select("doc_id", "quality")
+      }
     }),
 
     // ---- SQL surface: the same portable ANSI string runs on both

@@ -152,11 +152,17 @@ object Similarity {
     // KMeans.fit is an iterative FULL scan per iteration, so an uncapped
     // fit makes the index build the corpus-scale bottleneck. Cell
     // ASSIGNMENT below stays full-corpus — one linear transform pass.
-    val n0 = vecs.count()
+    // (fitCap = Long.MaxValue means explicitly uncapped: skip the sizing
+    // count entirely — the cap statically cannot bind.)
     val fitVecs =
-      if (n0 > fitCap)
-        vecs.sample(withReplacement = false, fitCap.toDouble / n0, seed = seed + 1)
-      else vecs
+      if (fitCap == Long.MaxValue) vecs
+      else {
+        val n0 = vecs.count()
+        if (n0 > fitCap)
+          vecs.sample(withReplacement = false, fitCap.toDouble / n0,
+            seed = seed + 1)
+        else vecs
+      }
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_mlvec")
       .setPredictionCol("_cell").fit(fitVecs)

@@ -139,19 +139,24 @@ object Dbscan {
       .groupBy(col("a").as("id")).agg(min("label").as("border_label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // borderLabels is the LAST consumer of the ε-edge relation: force it
-    // now (count), then drop the edge blocks promptly — leaving them to
-    // "the caller's GC" let MEMORY_AND_DISK blocks accumulate across
+    // now, drop the edge blocks, materialize the final (id, label) frame
+    // via eager localCheckpoint — truncating its lineage off every
+    // intermediate cache — and then drop borderLabels too. Leaving blocks
+    // to "the caller's GC" let MEMORY_AND_DISK storage accumulate across
     // repeated calls in a long-lived session (the bench runs every query
-    // twice-plus). The lingering footprint shrinks from O(ε-edges) to
-    // O(points-with-a-core-neighbor) rows of two longs; on executor block
-    // loss the lineage is intact, so recompute stays correct (just slow).
+    // twice-plus); after this, the only executor-resident state is the
+    // checkpointed result itself (n rows of two longs — the data the
+    // caller holds), reclaimed by the ContextCleaner when it drops.
     borderLabels.count()
     joined.unpersist(blocking = false)
-    pts.select("id")
+    val result = pts.select("id")
       .join(cc, Seq("id"), "left")
       .join(borderLabels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("label"), col("border_label"), lit(-1L)).as("label"))
+      .localCheckpoint(true)
+    borderLabels.unpersist(blocking = false)
+    result
   }
 
   /** Sample-based DBSCAN (the DBSCAN++ pattern) — the bounded-cost scale

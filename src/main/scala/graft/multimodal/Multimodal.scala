@@ -670,7 +670,11 @@ object Multimodal {
               res = (
                 if (w > 0) Some(w) else None,
                 if (h > 0) Some(h) else None,
-                if (usPerFrame > 0 && totalFrames > 0)
+                // overflow guard: both operands are unvalidated u32s (up
+                // to ~4.3e9 each) — a corrupt header must yield None, not
+                // a wrapped-negative duration
+                if (usPerFrame > 0 && totalFrames > 0 &&
+                    usPerFrame <= Long.MaxValue / totalFrames)
                   Some(usPerFrame * totalFrames / 1000) else None)
             }
             o = bodyEnd + (size.toInt & 1)

@@ -29,8 +29,9 @@ object Scale9 {
       r
     }
     // optional section filter: `runMain graft.tools.Scale9 semdedup`
-    val sections = if (args.isEmpty) Set("decon", "ivf", "semdedup")
-                   else args.toSet
+    val sections =
+      if (args.isEmpty) Set("decon", "ivf", "semdedup", "report", "pctl")
+      else args.toSet
     val base = "/root/testdata/sf0.1"
     val evalDocs = spark.read.parquet(s"$base/documents.parquet")
       .filter(col("doc_id") % 97 === 0)
@@ -46,21 +47,23 @@ object Scale9 {
         }
     }
 
-    val emb = spark.read.parquet("benchdata/sf10/embeddings.parquet").cache()
-    println(s"[scale9] x100 embeddings n=${emb.count()}")
-    for (round <- 1 to 2 if sections("ivf")) {
-      timed(s"ivf build UNCAPPED fit nlist=16 r$round") {
-        val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
-          "embedding", nlist = 16, fitCap = Long.MaxValue)
-        idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
+    if (sections("ivf")) {
+      val emb = spark.read.parquet("benchdata/sf10/embeddings.parquet").cache()
+      println(s"[scale9] x100 embeddings n=${emb.count()}")
+      for (round <- 1 to 2) {
+        timed(s"ivf build UNCAPPED fit nlist=16 r$round") {
+          val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
+            "embedding", nlist = 16, fitCap = Long.MaxValue)
+          idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
+        }
+        timed(s"ivf build capped fit (cap=5000) nlist=16 r$round") {
+          val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
+            "embedding", nlist = 16, fitCap = 5000L)
+          idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
+        }
       }
-      timed(s"ivf build capped fit (cap=5000) nlist=16 r$round") {
-        val (idx, _) = graft.dedup.Similarity.ivfIndex(emb, "vec_id",
-          "embedding", nlist = 16, fitCap = 5000L)
-        idx.write.format("noop").mode("overwrite").save(); idx.unpersist()
-      }
+      emb.unpersist()
     }
-    emb.unpersist()
 
     // semanticDedup with k ∝ n (the published SemDeDup practice — cluster
     // count grows with the corpus so per-cluster quadratic work stays

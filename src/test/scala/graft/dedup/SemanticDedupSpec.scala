@@ -67,27 +67,22 @@ class SemanticDedupSpec extends SparkSpec {
           v.map(x => x + (rng.nextDouble() * 2 - 1).toFloat * eps.toFloat))
       }.toSeq.toDF("vec_id", "embedding")
     val emb = base.union(perturbed).cache()
-    val exact = exactGroups(emb)
-      .select(col("doc_id").as("vec_id"), col("is_keeper"))
-      .as[(Long, Boolean)].collect().toMap
-    val exactDropped = exact.filter(!_._2).keySet
+    // one crossJoin + CC pass feeds both views of the exact answer
+    val exactRows = exactGroups(emb)
+      .select(col("doc_id").as("vec_id"), col("is_keeper"),
+        col("group_size"))
+      .as[(Long, Boolean, Long)].collect()
+    val exactDropped = exactRows.collect { case (id, false, _) => id }.toSet
+    val exactGrouped = exactRows.collect { case (id, _, sz) if sz > 1 => id }.toSet
     info(s"exact all-pairs non-keepers at tau=$Tau: ${exactDropped.size}")
     val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
         k = 16, threshold = Tau)
       .select("vec_id", "is_keeper").as[(Long, Boolean)].collect().toMap
     val gotDropped = got.filter(!_._2).keySet
-    // cluster scoping can only MISS pairs, never invent them: everything
-    // semanticDedup drops, the exact answer also drops... except where
-    // group-min keepers differ because a missed cross-cluster edge split
-    // an exact group. Gate the two directions separately:
-    val invented = gotDropped.diff(exactDropped)
-    assert(invented.isEmpty ||
-      invented.forall(id => exact.contains(id)), s"unknown ids: $invented")
+    // cluster scoping can only MISS pairs, never invent them. Gate both
+    // directions:
     // (a) no doc is dropped unless the exact answer puts it in SOME group
     //     (i.e. it has at least one true near-dup partner)
-    val exactGrouped = exactGroups(emb)
-      .filter($"group_size" > 1).select(col("doc_id"))
-      .as[Long].collect().toSet
     assert(gotDropped.subsetOf(exactGrouped),
       s"dropped docs with no exact near-dup: ${gotDropped.diff(exactGrouped)}")
     // (b) recall of the exact dropped set — SemDeDup's documented trade,
