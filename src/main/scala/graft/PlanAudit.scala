@@ -174,6 +174,19 @@ object PlanAudit {
       "no Window operator" -> (p => !p.contains("Window"))))(
       SparkEntry.queries("llm_global_line_dedup")(spark, dir))
 
+    // boilerplate strip: the over-threshold line set must come from a
+    // map-side-combining count (hot boilerplate collapses before the
+    // exchange) and join back as a BROADCAST — the corpus side must not
+    // reshuffle on the line key, and no window anywhere
+    audit("llm_boilerplate_strip (partial count + broadcast boiler set)", Seq(
+      "map-side partial count before exchange" -> (_.contains("partial_count")),
+      "boilerplate set joins back as broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no Window operator" -> (p => !p.contains("Window")),
+      "no sort-merge join of the corpus on the line key" ->
+        (p => !p.contains("SortMergeJoin"))))(
+      SparkEntry.queries("llm_boilerplate_strip")(spark, dir))
+
     audit("llm_token_pack (two-pass prefix sum, no global window)", Seq(
       "no single-partition Window operator" -> (p => !p.contains("Window")),
       "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->

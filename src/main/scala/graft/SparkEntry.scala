@@ -775,6 +775,20 @@ object SparkEntry {
           lit("\ntoo short.")).as("text"))
       Filters.globalLineDedup(docs, "doc_id", "text").orderBy("doc_id")
     }),
+    // frequency-threshold boilerplate strip: one line injected in EVERY
+    // doc and one in every 5th (both far over maxCount=3 → stripped
+    // everywhere, including first occurrences), one in exactly docs
+    // 1,2,3 (count 3 ≤ 3 → kept) so the threshold edge is exercised
+    "llm_boilerplate_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nSubscribe to our newsletter"),
+          when(col("doc_id") % 5 === 0, lit("\nCookie policy applies."))
+            .otherwise(lit("")),
+          when(col("doc_id").isin(1L, 2L, 3L),
+            lit("\nRare survey notice")).otherwise(lit(""))).as("text"))
+      Filters.boilerplateStrip(docs, "doc_id", "text").orderBy("doc_id")
+    }),
     // PII masking over documents with deterministically injected PII
     // (every 7th doc an email+IP, every 11th a phone) so the regexes are
     // exercised, not vacuously green
@@ -1572,6 +1586,27 @@ object SparkEntry {
         "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l2) " +
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup " +
         "FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
+    // same explode; boilerplate = corpus frequency > 3; every doc keeps
+    // a row (fully-stripped docs get '' / 0 via COALESCE + FILTER)
+    "llm_boilerplate_strip" -> (
+      "WITH d AS (SELECT doc_id, text || chr(10) || " +
+        "'Subscribe to our newsletter' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Cookie policy applies.' " +
+        "ELSE '' END || " +
+        "CASE WHEN doc_id IN (1,2,3) THEN chr(10) || 'Rare survey notice' " +
+        "ELSE '' END AS text FROM documents), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), " +
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, " +
+        "ls FROM s), " +
+        "l2 AS (SELECT doc_id, pos, ls[pos::INTEGER] AS line FROM l), " +
+        "f AS (SELECT line, count(*) AS c FROM l2 GROUP BY line), " +
+        "j AS (SELECT doc_id, pos, l2.line AS line, c > 3 AS bp " +
+        "FROM l2 JOIN f USING (line)) " +
+        "SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY pos) " +
+        "FILTER (WHERE NOT bp), '') AS text_clean, " +
+        "count(*) FILTER (WHERE NOT bp) AS n_kept, " +
+        "count(*) FILTER (WHERE bp) AS n_stripped " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"),
     "llm_pii_mask" -> ( piiMaskSql),
     // mirrors knnDistanceCurve exactly: per-element double diffs summed in
     // array order, per-point rank j (ties by id_b), per-rank position i

@@ -138,6 +138,44 @@ object Filters {
         array_sort(collect_list(struct(col("pos"), col("line")))),
         s => s.getField("line")), "\n").as("text_dedup"))
 
+  /** Boilerplate strip — the frequency-threshold companion to
+    * [[globalLineDedup]]: a line occurring MORE than `maxCount` times
+    * corpus-wide is boilerplate (nav bars, cookie banners, subscribe
+    * prompts) and is removed from EVERY document — including the first
+    * occurrence, which first-occurrence dedup would keep. Documents are
+    * reassembled from surviving lines in order; every input doc keeps a
+    * row (fully-stripped docs surface with empty text and n_kept = 0, so
+    * a downstream emptiness filter is an explicit decision, not a silent
+    * drop). Returns (doc_id, text_clean, n_kept, n_stripped).
+    *
+    * Scale shape: the frequency pass is the same map-side-combining
+    * aggregate as [[globalLineDedup]] (hot boilerplate collapses to one
+    * row per partition before the exchange), and only lines OVER the
+    * threshold survive its filter — the join back to the exploded corpus
+    * therefore carries the (small, by construction ≤ total/maxCount
+    * lines) boilerplate set, broadcast so the corpus side never
+    * reshuffles on the line key. At 100 TB both sides would key on
+    * `xxhash64(line)` (8-byte shuffle keys) and an over-broadcast-size
+    * boilerplate set would fall back to a shuffle join; the string form
+    * is kept so the operator carries an exact DuckDB twin. */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       maxCount: Long = 3L): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = exploded.groupBy("line")
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > maxCount)
+      .select(col("line"), lit(true).as("_bp"))
+    exploded.join(broadcast(boiler), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_bp").isNull, struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        count(when(col("_bp").isNull, lit(1))).as("n_kept"),
+        count(col("_bp")).as("n_stripped"))
+  }
+
   def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),

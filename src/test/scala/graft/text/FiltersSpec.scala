@@ -66,4 +66,31 @@ class FiltersSpec extends SparkSpec {
     assert(r(3L)._2 == "nothing sensitive here" &&
       r(3L)._3 + r(3L)._4 + r(3L)._5 == 0L)
   }
+
+  test("boilerplateStrip removes over-threshold lines everywhere, keeps at-threshold") {
+    // "boiler" appears 3 times with maxCount=2 -> stripped from ALL
+    // three docs (first occurrence included — the contrast with
+    // globalLineDedup); "edge" appears exactly 2 times = maxCount -> kept
+    val docs = Seq(
+      (0L, "unique zero\nboiler\nedge"),
+      (1L, "boiler\nedge\nunique one"),
+      (2L, "boiler"),
+      (3L, "all mine\nonly here"))
+      .toDF("doc_id", "text")
+    val r = Filters.boilerplateStrip(docs, "doc_id", "text", maxCount = 2L)
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 4) // every doc keeps a row
+    assert(r(0L) == ((0L, "unique zero\nedge", 2L, 1L)))
+    assert(r(1L) == ((1L, "edge\nunique one", 2L, 1L)))
+    assert(r(2L) == ((2L, "", 0L, 1L))) // fully stripped, still present
+    assert(r(3L) == ((3L, "all mine\nonly here", 2L, 0L)))
+  }
+
+  test("boilerplateStrip with no over-threshold lines is identity on text") {
+    val docs = Seq((0L, "a\nb"), (1L, "c")).toDF("doc_id", "text")
+    val r = Filters.boilerplateStrip(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L) == ((0L, "a\nb", 2L, 0L)))
+    assert(r(1L) == ((1L, "c", 1L, 0L)))
+  }
 }
