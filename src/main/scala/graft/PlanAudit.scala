@@ -96,6 +96,18 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_cosine_topk")(spark, dir))
 
+    // PQ serving: encode is the graft_nn_topk kernel against literal
+    // sub-codebooks, ADC+rerank is two TakeOrdereds — the whole search
+    // must stay a per-row scan (no join, no shuffle of the vectors)
+    audit("llm_pq_topk (kernel encode + ADC scan, no join)", Seq(
+      "TakeOrderedAndProject (ADC/rerank top-k)" ->
+        (_.contains("TakeOrderedAndProject")),
+      "native nn_topk encode kernel in plan" -> (_.contains("graft_nn_topk")),
+      "native fused cosine rerank kernel" -> (_.contains("graft_cos_sim")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no ScalaUDF" -> (p => !p.contains("ScalaUDF"))))(
+      SparkEntry.queries("llm_pq_topk")(spark, dir))
+
     // round 4 rewrote the curve onto the graft_nn_topk matrix-literal
     // heap-select (no n²-row join); the old graft_l2_dist check was stale
     audit("m3_knn_curve (native matrix heap-select kernel)", Seq(

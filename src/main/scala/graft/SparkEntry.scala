@@ -579,6 +579,20 @@ object SparkEntry {
         nlist = 8, cache = false, nprobe = 4)
       search(q)(10)
     }),
+    // product-quantized serving path: 8-byte codes (32× less than
+    // float32), ADC table-lookup scan + exact rerank of the top 100
+    // candidates; rows-only (codebook fit has no SQL twin) — the exact
+    // config SimilaritySpec recall-gates (mean recall@10 = 0.94 vs the
+    // float brute-force path)
+    "llm_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val (encoded, books) = Similarity.pqIndex(emb, "vec_id", "embedding",
+        m = 8, ksub = 32)
+      Similarity.pqTopK(encoded, books, "vec_id", "embedding", q, 10,
+        rerank = 100)
+    }),
     "a2_distinct_approx" -> ((s, dir) =>
       Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
     // SemDeDup semantic dedup: cluster-scoped near-dup groups over the

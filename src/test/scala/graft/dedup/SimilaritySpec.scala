@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("pq ADC+rerank mean recall@10 >= 0.9 on the fixture (m=8 ksub=32 rerank=100)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val (encoded, books) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val enc = encoded.cache()
+    // codes are genuinely m bytes and within [0, ksub)
+    val c0 = enc.filter($"vec_id" === 0).select("codes")
+      .as[Seq[Byte]].head()
+    assert(c0.length == 8 && c0.forall(b => b >= 0 && b < 32))
+    val rec = recallAt10(emb,
+      q => Similarity.pqTopK(enc, books, "vec_id", "embedding", q, 10,
+        rerank = 100))
+    val mean = rec.sum / rec.size
+    info(f"pq m=8 ksub=32 rerank=100 mean recall@10 = $mean%.2f (min ${rec.min}%.2f)")
+    assert(mean >= 0.9, f"mean recall@10 $mean%.2f < 0.9")
+    // determinism: a second fit from the same seed reproduces the codes
+    val (encoded2, _) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    assert(encoded2.filter($"vec_id" === 0).select("codes")
+      .as[Seq[Byte]].head() == c0)
+    enc.unpersist()
+    emb.unpersist()
+  }
+
   test("ivf sampled-fit (corpus-scale plan) recall@10 >= 0.9 with nprobe+1") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     // Force the SAMPLED centroid fit (the corpus-scale plan: the default
