@@ -1096,6 +1096,22 @@ object SparkEntry {
       }
     }),
 
+    // streaming MinHash NEAR-dedup at ingest: stateful LSH-bucket
+    // matching (flatMapGroupsWithState) flags each doc that near-matches
+    // an earlier-seen doc; kept set = docs minus flagged. Same banding/
+    // verify math as llm_near_dedup, so the exact all-pairs DuckDB twin
+    // gates it (id-ordered arrival == the batch nearDedup drop policy)
+    "st6_stream_near_dedup" -> ((s, dir) => withStreamShuffle(s) {
+      val hits = streamDocuments(s, dir, "st6", "id") { stream =>
+        graft.streaming.StreamIngest.streamingNearDup(
+          stream, "doc_id", "text", threshold = 0.3).toDF()
+      }
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(hits.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -1508,6 +1524,21 @@ object SparkEntry {
         """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
         """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
         """>= 0.3 ORDER BY id_a, id_b"""),
+    // kept set after streaming near-dedup = docs minus any id_b of the
+    // same exact all-pairs Jaccard join llm_near_dedup's twin runs
+    "st6_stream_near_dedup" -> (
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(""" +
+        """generate_series(1, greatest(length(norm)-7, 1), 4), """ +
+        """i -> substr(norm, i, 8))) AS sh FROM """ +
+        """(SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') """ +
+        """AS norm FROM documents)), """ +
+        """p AS (SELECT b.doc_id AS id_b FROM s a JOIN s b """ +
+        """ON a.doc_id < b.doc_id """ +
+        """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
+        """>= 0.3) """ +
+        """SELECT doc_id FROM documents WHERE doc_id NOT IN """ +
+        """(SELECT id_b FROM p) ORDER BY doc_id"""),
     "llm_repetition" -> ( repetitionSql),
     "llm_token_pack" -> (
       "WITH t AS (SELECT doc_id, (CASE WHEN " +

@@ -202,6 +202,91 @@ object StreamIngest {
     deduped.select(keyCols.map(col): _*)
   }
 
+  final case class BandDoc(band: Int, bucket: Long, id: Long, sh: Seq[Long])
+  final case class SeenDoc(id: Long, sh: Seq[Long])
+  final case class BucketState(docs: Seq[SeenDoc])
+  final case class NearDupHit(id: Long, matchId: Long, jaccard: Double)
+
+  /** Streaming MinHash NEAR-dedup at ingest — the stateful companion to
+    * [[streamingDedup]]'s exact distinct: each arriving doc is checked
+    * against every doc seen EARLIER in its LSH band buckets (same
+    * banding as the batch `Dedup.nearDupPairs`: identical band of the
+    * k-minhash signature → same bucket), verified by exact shingle-set
+    * Jaccard, and emitted as a hit (id, lowest matching earlier id,
+    * jaccard) when ≥ `threshold`. State per (band, bucket) is the seen
+    * docs' shingle sets — the streaming twin of the batch candidate
+    * join, with the same hot-bucket guard: once a bucket holds
+    * `maxBucketSize` docs it stops matching AND growing (members still
+    * pair via their other bands).
+    *
+    * Arrival-order greedy: a doc is a dup iff it matches something seen
+    * BEFORE it (within a micro-batch, "before" = ascending id — the
+    * deterministic tiebreak). When arrival order is id-ordered (replays,
+    * backfills, the AvailableNow harness) the flagged set equals the
+    * batch `nearDedup` drop set exactly — that is st6's DuckDB-oracled
+    * contract. Out-of-order production arrival keeps first-seen-wins,
+    * the standard ingest-dedup relaxation (same trade
+    * `dropDuplicatesWithinWatermark` makes for exact dedup).
+    *
+    * At 100 TB the per-bucket shingle-set state gives way to
+    * signature-only verification (estimated Jaccard from the k minhash
+    * rows already in hand — state shrinks to k longs per doc) plus state
+    * TTL via event-time timeout; both relax recall, neither changes the
+    * operator shape. */
+  def streamingNearDup(stream: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8, k: Int = 32,
+                       bands: Int = 8, gram: Int = 8, stride: Int = 4,
+                       maxBucketSize: Int = 1000): Dataset[NearDupHit] = {
+    require(bands > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val rows = k / bands
+    // identical derivations to the batch nearDupPairs base (projection
+    // boundaries between HOF stages, native minhash kernel)
+    val base = stream.select(col(idCol).cast("long").as("id"),
+        graft.text.Clean.normWs(lower(col(textCol))).as("norm"))
+      .withColumn("sig", call_function("graft_minhash",
+        col("norm"), lit(k), lit(gram), lit(stride)))
+      .withColumn("hs", array_distinct(transform(
+        sequence(lit(1), greatest(length(col("norm")) - (gram - 1), lit(1)),
+          lit(stride)),
+        i => xxhash64(col("norm").substr(i, lit(gram))))))
+    val keyed = base
+      .withColumn("bk", explode(graft.dedup.Dedup.lshBandKeys(
+        col("sig"), bands, rows)))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("hs").as("sh"))
+      .as[BandDoc]
+    keyed.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty).toVector
+          val hits = Vector.newBuilder[NearDupHit]
+          it.toSeq.sortBy(_.id).foreach { d =>
+            if (seen.length < maxBucketSize) {
+              val ds = d.sh.toSet
+              var best: Option[NearDupHit] = None
+              seen.foreach { s =>
+                if (best.forall(_.matchId > s.id)) {
+                  val inter = s.sh.count(ds.contains).toDouble
+                  val jac = inter / (ds.size + s.sh.size - inter)
+                  if (jac >= threshold &&
+                      best.forall(b => s.id < b.matchId))
+                    best = Some(NearDupHit(d.id, s.id, jac))
+                }
+              }
+              best.foreach(hits += _)
+              seen = seen :+ SeenDoc(d.id, d.sh)
+            }
+          }
+          state.update(BucketState(seen))
+          hits.result().iterator
+      }
+  }
+
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

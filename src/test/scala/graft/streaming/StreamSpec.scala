@@ -142,4 +142,64 @@ class StreamSpec extends SparkSpec {
       spark.catalog.dropTempView(qn)
     }
   }
+
+  test("streamingNearDup flags near-matches of earlier docs, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val textA = "the quick brown fox jumps over the lazy dog " * 4
+    val textB = textA + "and then some extra trailing words here"
+    val textC = "completely different content about spark structured " +
+      "streaming state stores and watermark semantics in general " * 3
+    val hits = StreamIngest.streamingNearDup(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.3)
+    val qn = "snd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = hits.toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, textA), (1L, textC))
+      q.processAllAvailable()
+      // near-dup of doc 0 arrives in a LATER batch: bucket state must
+      // remember doc 0's shingles; exact dup of doc 1 likewise
+      mem.addData((2L, textB), (3L, textC))
+      q.processAllAvailable()
+      val got = spark.table(qn)
+        .select("id", "matchId").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 0L), (3L, 1L)), s"got $got")
+      // jaccard of the exact dup is 1.0
+      val j3 = spark.table(qn).filter($"id" === 3L)
+        .select("jaccard").as[Double].head()
+      assert(j3 == 1.0)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("streamingNearDup matches the batch nearDedup drop set on the fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchDropped = graft.dedup.Dedup.nearDupPairs(
+        docs, "doc_id", "text", threshold = 0.3)
+      .select($"id_b").distinct().as[Long].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val hits = StreamIngest.streamingNearDup(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.3)
+    val qn = "sndf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = hits.toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(qn).select("id").as[Long].collect().toSet
+      assert(streamed == batchDropped,
+        s"stream-only=${streamed -- batchDropped} " +
+          s"batch-only=${batchDropped -- streamed}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
 }
