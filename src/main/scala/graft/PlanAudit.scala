@@ -322,6 +322,17 @@ object PlanAudit {
         (p => p.contains("Filter") && !p.contains("Aggregate"))))(
       SparkEntry.queries("llm_quality_percentile")(spark, dir))
 
+    // perplexity bucketing: tercile thresholds are driver literals, so
+    // the final plan must be one kernel projection — no join of docs to
+    // thresholds, no position explode, no ScalaUDF
+    audit("llm_perplexity_buckets (global terciles -> one kernel scan)", Seq(
+      "native graft_charlm_nll kernel in plan" ->
+        (_.contains("graft_charlm_nll")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no Generate (position explode)" -> (p => !p.contains("Generate")),
+      "no ScalaUDF" -> (p => !p.contains("ScalaUDF"))))(
+      SparkEntry.queries("llm_perplexity_buckets")(spark, dir))
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);

@@ -689,6 +689,30 @@ object SparkEntry {
       graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
         .orderBy("doc_id")
     }),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    // doc with the CharLm scan kernel, then head/middle/tail by the
+    // corpus NLL terciles — two global statistics (exact bounded-memory
+    // DistQuantile) feeding one scan-speed projection, the same
+    // shape as llm_quality_percentile. Scored frame persisted across
+    // the threshold passes (percentileFilter's measured contract).
+    "llm_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (tri, pre, a) =
+        graft.text.CharLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = graft.text.CharLm
+        .nllScoreScan(docs, "doc_id", "text", tri, pre, a)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = graft.ops.DistQuantile.quantiles(s, scored, "nll",
+        Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2")).head()
+      val (th1, th2) = (thr.getDouble(0), thr.getDouble(1))
+      val out = scored.select(col("doc_id"), col("nll"),
+          when(col("nll") <= th1, lit("head"))
+            .when(col("nll") <= th2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
+      scored.unpersist(blocking = false)
+      out
+    }),
     // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
@@ -1600,6 +1624,16 @@ object SparkEntry {
     // add-one-smoothed conditional trigram NLL; same position explode,
     // same coalesce fallbacks, same 1e-6 quantization as CharLm
     "llm_charlm_nll_scan" -> ( charlmSql),
+    // terciles of the same NLL derivation; quantile_cont == the exact
+    // p*(n-1) linear-interpolation semantics DistQuantile implements,
+    // both sides on the shared 1e-6 grid
+    "llm_perplexity_buckets" -> (
+      s"WITH n AS ($charlmSql), " +
+        "t AS (SELECT round(quantile_cont(nll, 1.0/3), 6) AS t1, " +
+        "round(quantile_cont(nll, 2.0/3), 6) AS t2 FROM n) " +
+        "SELECT n.doc_id, n.nll, CASE WHEN n.nll <= t.t1 THEN 'head' " +
+        "WHEN n.nll <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM n, t ORDER BY n.doc_id"),
     "llm_charlm_nll" -> ( charlmSql),
     // same injection (replace, not regexp — literal 'o'), then DuckDB's
     // own nfc_normalize; both engines count codepoints in length()
