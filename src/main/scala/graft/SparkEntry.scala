@@ -689,6 +689,23 @@ object SparkEntry {
       graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
         .orderBy("doc_id")
     }),
+    // trained quality classifier: logistic regression on hashed
+    // bag-of-token features, weak-supervised by the Gopher rule verdicts
+    // on the even-id half, scored over the whole corpus. Rows-only (an
+    // L-BFGS fit has no SQL twin) — held-out AUC vs the weak labels is
+    // spec-gated in QualityClassifierSpec
+    "llm_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Filters.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("double").as("label"))
+      val toks = docs.select(col("doc_id"),
+        Clean.splitWs(lower(col("text"))).as("tokens"))
+      val model = graft.ml.QualityClassifier.fit(
+        toks.join(labels, "doc_id").filter(col("doc_id") % 2 === 0),
+        "tokens", "label")
+      graft.ml.QualityClassifier.score(model, toks, "doc_id", "tokens")
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     // doc with the CharLm scan kernel, then head/middle/tail by the
     // corpus NLL terciles — two global statistics (exact bounded-memory
