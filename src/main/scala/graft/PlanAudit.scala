@@ -333,6 +333,25 @@ object PlanAudit {
       "no ScalaUDF" -> (p => !p.contains("ScalaUDF"))))(
       SparkEntry.queries("llm_perplexity_buckets")(spark, dir))
 
+    // DSIR: the two model aggregations are collected during construction
+    // (≤4096 rows each); the returned frames must be pure scans — the
+    // ratio array is a foldable literal, never a joined relation
+    audit("llm_dsir_weights core (model as literal -> pure projection)", Seq(
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no Generate (gram explode) in the scoring pass" ->
+        (p => !p.contains("Generate")),
+      "no Exchange anywhere (zero shuffle)" -> (p => !p.contains("Exchange"))))(
+      { val docs = Tables.table(spark, dir, "documents")
+        graft.dedup.Curation.dsirWeights(docs,
+          docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+          "doc_id", "text") })
+
+    audit("llm_dsir_select (Gumbel top-k, no global sort)", Seq(
+      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no Exchange anywhere (zero shuffle)" -> (p => !p.contains("Exchange"))))(
+      SparkEntry.queries("llm_dsir_select")(spark, dir))
+
     audit("llm_stratified_sample (native per-group heap, no full sort)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
       // a global sort by the md5 key would plan rangepartitioning(h#...);

@@ -792,6 +792,21 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // DSIR hashed-n-gram importance weights (target = src0 docs, raw =
+    // whole corpus): two bounded model aggregations collected to 4096
+    // doubles, then one pure scan-speed projection — no join, no explode
+    "llm_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.dsirWeights(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+    // DSIR Gumbel-top-k selection (k=100): one TakeOrderedAndProject
+    // over the weights projection, noise from the content-stable md5
+    "llm_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.dsirSelect(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 100)
+    }),
     // token-budget shard packing via the two-pass distributed prefix sum
     "llm_token_pack" -> ((s, dir) =>
       Curation.tokenPack(
@@ -1663,6 +1678,8 @@ object SparkEntry {
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_domain_mix" -> ( domainMixSql),
+    "llm_dsir_weights" -> ( dsirWeightsSql),
+    "llm_dsir_select" -> ( dsirSelectSql),
     "llm_curation_pipeline" -> ( curationPipelineSql),
     "llm_simhash" -> ( simhashSql),
     "llm_simhash_neardup" -> ( simhashNearDupSql),
@@ -2299,6 +2316,54 @@ object SparkEntry {
       s"p AS (SELECT doc_id, source, ($parse) / 65536.0 AS unif FROM u) " +
       "SELECT p.doc_id, p.source FROM p JOIN f ON p.source = f.source " +
       "WHERE unif < frac ORDER BY doc_id"
+  }
+
+  /** Oracle twins of Curation.dsirWeights / dsirSelect at the registered
+    * config (target = src0 docs, raw = whole corpus, 4096 buckets, α=1):
+    * same nonempty-token unigram+bigram grams, same 12-bit md5 bucket
+    * (hex parsed digit-by-digit — the hashSplitSql workaround), same
+    * add-one-smoothed log ratio, 1e-6-quantized sums. The select twin
+    * re-derives the Gumbel noise from the same 32-bit md5 uniform. */
+  private def dsirCte: String = {
+    val digits = "0123456789abcdef"
+    val parse3 = (1 to 3).map { i =>
+      s"(strpos('$digits', substr(h, $i, 1))-1)*${1L << ((3 - i) * 4)}"
+    }.mkString(" + ")
+    "WITH t AS (SELECT doc_id, source, list_filter(" + sqlToksLower +
+      ", x -> x <> '') AS toks FROM documents), " +
+      "g AS (SELECT doc_id, source, unnest(list_concat(toks, " +
+      "list_transform(range(1, greatest(len(toks)-1, 0)+1), " +
+      "i -> toks[i] || ' ' || toks[i+1]))) AS gram FROM t), " +
+      "hb AS (SELECT doc_id, source, md5(gram) AS h FROM g), " +
+      s"b AS (SELECT doc_id, source, ($parse3) AS b FROM hb), " +
+      "cnt AS (SELECT b, count(*) AS nr, " +
+      "count(*) FILTER (WHERE source = 'src0') AS nt FROM b GROUP BY b), " +
+      "tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM cnt), " +
+      "r AS (SELECT b, ln((nt + 1.0) / (tt + 4096.0)) - " +
+      "ln((nr + 1.0) / (tr + 4096.0)) AS lr FROM cnt, tot), " +
+      "w AS (SELECT b.doc_id, sum(lr) AS s FROM b JOIN r USING (b) " +
+      "GROUP BY b.doc_id), " +
+      "w2 AS (SELECT d.doc_id, coalesce(w.s, 0.0) AS s " +
+      "FROM documents d LEFT JOIN w USING (doc_id))"
+  }
+
+  private def dsirWeightsSql: String =
+    dsirCte + " SELECT doc_id, round(s * 1e6) / 1e6 AS logw " +
+      "FROM w2 ORDER BY doc_id"
+
+  private def dsirSelectSql: String = {
+    val digits = "0123456789abcdef"
+    val parse8 = (1 to 8).map { i =>
+      s"(strpos('$digits', substr(h, $i, 1))-1)*${1L << ((8 - i) * 4)}"
+    }.mkString(" + ")
+    dsirCte + ", u AS (SELECT doc_id, md5('g' || doc_id::VARCHAR) AS h " +
+      "FROM documents), " +
+      s"p AS (SELECT doc_id, (($parse8) + 0.5) / 4294967296.0 AS unif " +
+      "FROM u) " +
+      "SELECT w2.doc_id, round(s * 1e6) / 1e6 AS logw, " +
+      "round((s + -ln(-ln(unif))) * 1e6) / 1e6 AS sel_key " +
+      "FROM w2 JOIN p USING (doc_id) " +
+      "ORDER BY sel_key DESC, w2.doc_id LIMIT 100"
   }
 
   private def hashSplitSql: String = {

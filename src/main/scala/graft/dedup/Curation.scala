@@ -299,4 +299,104 @@ object Curation {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
   }
+
+  // ---- DSIR: data selection via importance resampling -----------------
+
+  /** Hashed-n-gram feature stream for DSIR: nonempty lowercase
+    * whitespace tokens plus their space-joined bigrams (Xie et al. 2023,
+    * arXiv:2302.03169 §3 — "hashed n-gram features", unigrams+bigrams). */
+  private def dsirGrams(textCol: Column): Column = {
+    val toks = filter(Clean.splitWs(lower(textCol)), t => t =!= "")
+    concat(toks, Repetition.wordNgrams(toks, 2))
+  }
+
+  /** Engine-portable feature bucket: the first 3 hex chars of md5 parse
+    * to exactly 12 bits, so `buckets` = 4096 gives a perfectly uniform
+    * assignment (any divisor of 4096 stays uniform via the mod). */
+  private def dsirBucket(gram: Column, buckets: Int): Column =
+    (conv(substring(md5(gram.cast("binary")), 1, 3), 16, 10)
+      .cast("int") % buckets)
+
+  /** Per-bucket gram counts of one corpus, as a dense driver-side array
+    * (`buckets` longs). The explode feeds a partial-aggregating groupBy
+    * whose result set is at most `buckets` rows, so the shuffle carries
+    * ≤ buckets rows per map partition regardless of corpus size. */
+  private def dsirBucketCounts(df: DataFrame, textCol: String,
+                               buckets: Int): Array[Long] = {
+    val out = new Array[Long](buckets)
+    df.select(explode(dsirGrams(col(textCol))).as("g"))
+      .select(dsirBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** Per-bucket log importance ratio ln p_target(b) − ln p_raw(b) under
+    * add-`alpha`-smoothed bag-of-hashed-gram unigram models — the DSIR
+    * feature-space density ratio. Driver state is 2·`buckets` longs. */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                    buckets: Int = 4096, alpha: Double = 1.0): Array[Double] = {
+    require(buckets >= 1 && 4096 % buckets == 0,
+      s"buckets must divide 4096 for a uniform md5 assignment, got $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val ct = dsirBucketCounts(target, textCol, buckets)
+    val cr = dsirBucketCounts(raw, textCol, buckets)
+    val (tt, tr) = (ct.sum.toDouble, cr.sum.toDouble)
+    Array.tabulate(buckets) { b =>
+      math.log((ct(b) + alpha) / (tt + alpha * buckets)) -
+        math.log((cr(b) + alpha) / (tr + alpha * buckets))
+    }
+  }
+
+  /** DSIR log importance weight per document: Σ over the doc's hashed
+    * grams of the bucket log ratio (Xie et al. 2023 — select raw docs
+    * whose hashed-gram profile looks like the target distribution).
+    * Returns (doc_id, logw), logw on the shared 1e-6 grid.
+    *
+    * Scale shape: the models are two bounded aggregations (≤ `buckets`
+    * rows each, map-side combined) collected to `buckets` doubles; the
+    * scoring pass is then a PURE PROJECTION — the ratio array rides the
+    * plan as one foldable literal (32 KB at 4096 buckets) and each doc
+    * folds its own gram list against it. No join, no explode, no shuffle
+    * anywhere in the returned frame: the 100-TB form of "score every doc
+    * against a global model". A gram-less doc scores 0 (= the models'
+    * shared prior contributes nothing to the ratio sum). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096,
+                  alpha: Double = 1.0): DataFrame = {
+    val ratios = dsirLogRatios(raw, target, textCol, buckets, alpha)
+    val ratioLit = typedLit(ratios)
+    raw.select(col(idCol).as("doc_id"),
+      (round(aggregate(dsirGrams(col(textCol)), lit(0.0),
+        (acc, g) => acc + element_at(ratioLit, dsirBucket(g, buckets) + 1))
+        * 1e6) / 1e6).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling of `k` raw documents with
+    * probability ∝ exp(logw) — the published without-replacement sampler
+    * (add Gumbel(0,1) noise to each log weight, take the top k). The
+    * Gumbel variate derives from the content-stable md5 uniform
+    * (`-ln(-ln(u))`, u = (32-bit md5 of 'g'||doc_id + 0.5)/2³², strictly
+    * inside (0,1)), so selection is deterministic, engine-portable, and
+    * stable under partitioning. Plans as one TakeOrderedAndProject over
+    * the [[dsirWeights]] projection — no global sort, no shuffle; ties on
+    * the 1e-6-quantized key break by doc_id. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096,
+                 alpha: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ratios = dsirLogRatios(raw, target, textCol, buckets, alpha)
+    val ratioLit = typedLit(ratios)
+    val logw = aggregate(dsirGrams(col(textCol)), lit(0.0),
+      (acc, g) => acc + element_at(ratioLit, dsirBucket(g, buckets) + 1))
+    val u = (conv(substring(md5(concat(lit("g"),
+      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    val gumbel = -log(-log(u))
+    raw.select(col(idCol).as("doc_id"),
+        (round(logw * 1e6) / 1e6).as("logw"),
+        (round((logw + gumbel) * 1e6) / 1e6).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -195,4 +195,43 @@ class CurationSpec extends SparkSpec {
       .select("bucket").head().getInt(0)
     assert(b1 == b2)
   }
+
+  // two disjoint vocabularies: "target-like" raw docs should importance-
+  // weight above off-target raw docs under a target model fit on the
+  // target vocabulary
+  private def dsirFixture = {
+    val targetText = "zebra quartz fjord nymph waltz glyph vex jump"
+    val offText = "plain common words about ordinary boring things here"
+    val target = (100L to 109L)
+      .map(i => (i, (targetText + " ") * 4 + s"t$i")).toDF("doc_id", "text")
+    val raw = ((0L to 9L).map(i => (i, (targetText + " ") * 4 + s"r$i")) ++
+      (10L to 19L).map(i => (i, (offText + " ") * 4 + s"o$i")) ++
+      Seq((20L, ""))).toDF("doc_id", "text")
+    (raw, target)
+  }
+
+  test("dsirWeights: target-like docs outscore off-target; empty doc = 0") {
+    val (raw, target) = dsirFixture
+    val w = Curation.dsirWeights(raw, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val targetLike = (0L to 9L).map(w)
+    val offTarget = (10L to 19L).map(w)
+    assert(targetLike.min > offTarget.max,
+      s"expected separation, got ${targetLike.min} vs ${offTarget.max}")
+    assert(w(20L) == 0.0)
+  }
+
+  test("dsirSelect is the deterministic top-k prefix of the full ordering") {
+    val (raw, target) = dsirFixture
+    def sel(k: Int) = Curation.dsirSelect(raw, target, "doc_id", "text", k)
+      .as[(Long, Double, Double)].collect().toSeq
+    val all = sel(21)
+    assert(all.size == 21)
+    // keys are sorted desc with doc_id tiebreak
+    assert(all == all.sortBy(r => (-r._3, r._1)))
+    assert(sel(5) == all.take(5)) // prefix property
+    assert(sel(5) == sel(5))      // deterministic across invocations
+    // with this separation the top 5 must all be target-like raw docs
+    assert(sel(5).forall(_._1 <= 9L))
+  }
 }
