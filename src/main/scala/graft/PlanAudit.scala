@@ -333,6 +333,14 @@ object PlanAudit {
       "no ScalaUDF" -> (p => !p.contains("ScalaUDF"))))(
       SparkEntry.queries("llm_perplexity_buckets")(spark, dir))
 
+    audit("llm_exact_substr (window count partial-aggregated, linear rebuild)", Seq(
+      "map-side partial aggregation on the window hash" ->
+        (_.contains("partial_")),
+      "no Window operator (rebuild is a fold projection)" ->
+        (p => !p.contains("WindowExec") && !p.contains("Window ")),
+      "windows keyed on xxhash64, not the string" -> (_.contains("xxhash64"))))(
+      SparkEntry.queries("llm_exact_substr")(spark, dir))
+
     // DSIR: the two model aggregations are collected during construction
     // (≤4096 rows each); the returned frames must be pure scans — the
     // ratio array is a foldable literal, never a joined relation

@@ -792,6 +792,13 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // exact repeated-substring stripping (Lee et al. 2022 char-window
+    // form): 40-char windows occurring >=2 times corpus-wide are cut
+    // from every occurrence; one window-count shuffle + one linear
+    // interval-merge fold per doc
+    "llm_exact_substr" -> ((s, dir) =>
+      Dedup.repeatedSpanStrip(t(s, dir, "documents"), "doc_id", "text",
+        win = 40).orderBy("doc_id")),
     // DSIR hashed-n-gram importance weights (target = src0 docs, raw =
     // whole corpus): two bounded model aggregations collected to 4096
     // doubles, then one pure scan-speed projection — no join, no explode
@@ -1680,6 +1687,27 @@ object SparkEntry {
     "llm_domain_mix" -> ( domainMixSql),
     "llm_dsir_weights" -> ( dsirWeightsSql),
     "llm_dsir_select" -> ( dsirSelectSql),
+    // same 40-char windows counted as STRINGS (the Spark side keys on
+    // xxhash64 — a collision only ever creates a false duplicate);
+    // covered chars = any position within 39 of a duplicated start
+    "llm_exact_substr" -> (
+      "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "w AS (SELECT doc_id, i AS pos, substr(text, i, 40) AS g " +
+        "FROM d, unnest(generate_series(1, greatest(n - 39, 0))) AS t(i)), " +
+        "dup AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2), " +
+        "ds AS (SELECT doc_id, pos FROM w JOIN dup USING (g)), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + j AS i FROM ds, " +
+        "unnest(generate_series(0, 39)) AS t(j)), " +
+        "ch AS (SELECT doc_id, i FROM d, " +
+        "unnest(generate_series(1, n)) AS t(i)), " +
+        "keep AS (SELECT c.doc_id, c.i FROM ch c LEFT JOIN cov " +
+        "ON cov.doc_id = c.doc_id AND cov.i = c.i WHERE cov.i IS NULL), " +
+        "o AS (SELECT k.doc_id, string_agg(substr(d.text, k.i, 1), '' " +
+        "ORDER BY k.i) AS tk FROM keep k JOIN d USING (doc_id) " +
+        "GROUP BY k.doc_id) " +
+        "SELECT d.doc_id, coalesce(o.tk, '') AS text_kept, " +
+        "(d.n - length(coalesce(o.tk, ''))) AS n_removed " +
+        "FROM d LEFT JOIN o USING (doc_id) ORDER BY d.doc_id"),
     "llm_curation_pipeline" -> ( curationPipelineSql),
     "llm_simhash" -> ( simhashSql),
     "llm_simhash_neardup" -> ( simhashNearDupSql),

@@ -346,6 +346,64 @@ object Dedup {
     * native one-pass kernel (graft.expr.NgramJaccard), value-identical
     * to `jaccardOfSets(shingleSet(a), shingleSet(b))` (spec-gated).
     * Requires an engine session (GraftExtensions / ensureRegistered). */
+  /** Exact repeated-substring stripping (the char-window form of Lee et
+    * al. 2022, arXiv:2107.06499 ExactSubstr): any character covered by a
+    * length-`win` window whose text occurs at least `minCount` times
+    * corpus-wide (within-doc repeats count) is removed — from EVERY
+    * occurrence, the "drop all copies" variant the paper discusses as
+    * the simpler exact policy. Returns one row per input doc:
+    * (doc_id, text_kept, n_removed).
+    *
+    * Plan: phase 1 slides every window once and counts occurrences keyed
+    * on `xxhash64(window)` — 8 bytes per window instead of `win` chars;
+    * a hash collision can only create a false duplicate (P ≈ windows²/2⁶⁴
+    * — negligible; the DuckDB twin counts the strings themselves). Phase
+    * 2 joins window positions to the duplicated-hash set (AQE broadcasts
+    * it when small), collects each doc's duplicated starts, and rebuilds
+    * the kept text in ONE linear fold per doc: the sorted starts merge
+    * into covered intervals and cut the text between them — O(starts +
+    * chars), no per-character work.
+    *
+    * Scale notes: the window count is the operator's honest cost — one
+    * shuffle of ~n_chars 8-byte keys (what the paper's suffix array
+    * replaces on a single node); partial aggregation collapses within-
+    * partition repeats. Docs shorter than `win` never enter the shuffle
+    * and keep their text untouched. */
+  def repeatedSpanStrip(df: DataFrame, idCol: String, textCol: String,
+                        win: Int = 40, minCount: Int = 2): DataFrame = {
+    require(win >= 1, s"window must be positive, got $win")
+    require(minCount >= 2, s"minCount below 2 strips everything: $minCount")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val wins = base.filter(length(col("text")) >= win)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (win - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(col("pos"), lit(win))).as("h"))
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("h")
+    val dupStarts = wins.join(dupHashes, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("text")).as("n_orig"),
+        aggregate(
+          coalesce(col("starts"), typedLit(Array.empty[Int])),
+          struct(lit(1).as("prev"), lit("").as("acc")),
+          (s, p) => struct(
+            greatest(s.getField("prev"), p + win).as("prev"),
+            concat(s.getField("acc"),
+              when(p > s.getField("prev"),
+                col("text").substr(s.getField("prev"), p - s.getField("prev")))
+                .otherwise(lit(""))).as("acc")),
+          s => concat(s.getField("acc"),
+            col("text").substr(s.getField("prev"),
+              length(col("text")) - s.getField("prev") + 1)))
+          .as("text_kept"))
+      .select(col("doc_id"), col("text_kept"),
+        (col("n_orig") - length(col("text_kept"))).cast("long").as("n_removed"))
+  }
+
   def ngramJaccard(a: Column, b: Column, gram: Int = 3): Column =
     call_function("graft_ngram_jaccard",
       Clean.normWs(lower(a)), Clean.normWs(lower(b)), lit(gram))

@@ -120,4 +120,38 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) > 0.7)
     assert(r(2L) < 0.3)
   }
+
+  test("repeatedSpanStrip: shared, repeated, short, and unique spans") {
+    // win=10; "0123456789" is the duplicated unit
+    val dup = "0123456789"
+    val in = Seq(
+      (0L, s"aaaa${dup}bbbb"),      // shares the window with doc 1
+      (1L, s"cccc${dup}dddd"),      // second copy
+      (2L, s"ee${dup}xx${dup}ff"),  // within-doc repeat also counts
+      (3L, "completely unique text with no repeats"),
+      (4L, "tiny"),                 // shorter than the window — untouched
+      (5L, dup))                    // exactly one window, fully duplicated
+      .toDF("doc_id", "text")
+    val r = Dedup.repeatedSpanStrip(in, "doc_id", "text", win = 10)
+      .as[(Long, String, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(0L) == (("aaaabbbb", 10L)))
+    assert(r(1L) == (("ccccdddd", 10L)))
+    assert(r(2L) == (("eexxff", 20L)))
+    assert(r(3L)._2 == 0L && r(3L)._1.nonEmpty)
+    assert(r(4L) == (("tiny", 0L)))
+    assert(r(5L) == (("", 10L)))
+  }
+
+  test("repeatedSpanStrip merges overlapping covered intervals") {
+    // "abcdefghijk" (11 chars) has two windows of 10 (starts 1,2); both
+    // duplicated via the two carrier docs → covered intervals [1,10] and
+    // [2,11] merge to the whole string
+    val in = Seq(
+      (0L, "xxabcdefghijkyy"),
+      (1L, "zzabcdefghijkww")).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpanStrip(in, "doc_id", "text", win = 10)
+      .as[(Long, String, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(0L) == (("xxyy", 11L)))
+    assert(r(1L) == (("zzww", 11L)))
+  }
 }
