@@ -178,6 +178,26 @@ object PlanAudit {
       "no ScalaUDF in the scoring plan" -> (p => !p.contains("ScalaUDF"))))(
       SparkEntry.queries("llm_charlm_nll_scan")(spark, dir))
 
+    audit("llm_bpe_doc_tokens (scan-form token count: one projection pass)", Seq(
+      "native graft_bpe_count in plan" -> (_.contains("graft_bpe_count")),
+      "no Generate (word explode) anywhere" -> (p => !p.contains("Generate")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no ScalaUDF in the counting plan" -> (p => !p.contains("ScalaUDF")),
+      // the only exchange is the output ORDER BY's range partitioning
+      "at most 1 exchange (ordering only)" ->
+        (p => "\\+- Exchange".r.findAllIn(p).size <= 1)))(
+      SparkEntry.queries("llm_bpe_doc_tokens")(spark, dir))
+
+    audit("llm_bpe_encode (vocab encode: distinct is the only wide op)", Seq(
+      "native graft_bpe_encode in plan" -> (_.contains("graft_bpe_encode")),
+      // distinct compiles to keys-only HashAggregate pairs (no partial_
+      // marker); the word shuffle is the one wide op and the encode
+      // Project sits ABOVE the final aggregate — per distinct word
+      "distinct shuffle keyed on word" ->
+        (_.contains("hashpartitioning(word")),
+      "no ScalaUDF in the encode plan" -> (p => !p.contains("ScalaUDF"))))(
+      SparkEntry.queries("llm_bpe_encode")(spark, dir))
+
     // global line dedup: first-occurrence via min-struct AGGREGATION —
     // a row_number window would funnel a corpus-wide hot line (cookie
     // banner) into one partition; partial_min must appear, Window must not

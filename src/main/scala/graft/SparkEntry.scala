@@ -412,6 +412,22 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    // real BPE subword tokenization (graft.text.Bpe): the oracled forms
+    // ship the PINNED pretrained merge table (the tokenizer-as-artifact
+    // shape — a GPT-2-style merges.txt applied to the corpus); the
+    // DuckDB twins are GENERATED from the same table, and the encode /
+    // count kernels are codegen'd single-pass projections
+    "llm_bpe_encode" -> ((s, dir) =>
+      graft.text.Bpe.vocabEncode(t(s, dir, "documents"), "text",
+        graft.text.Bpe.pinnedMerges).orderBy("word")),
+    "llm_bpe_doc_tokens" -> ((s, dir) =>
+      graft.text.Bpe.docTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        graft.text.Bpe.pinnedMerges).orderBy("doc_id")),
+    // first training iteration's pair statistic over corpus word freqs —
+    // the distributed half of Bpe.train (its first merge is this frame's
+    // top row by construction; BpeSpec pins that equality)
+    "llm_bpe_pair_stats" -> ((s, dir) =>
+      graft.text.Bpe.pairStats(t(s, dir, "documents"), "text", 50)),
     // END-TO-END curation pipeline — the composed run a pretraining team
     // does daily: Gopher rule gate → exact dedup (first occurrence) →
     // 8-gram decontamination vs the benchmark set → content-stable train
@@ -1535,6 +1551,33 @@ object SparkEntry {
         """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT """ +
         """AS n_subwords FROM documents ORDER BY doc_id"""),
     "llm_quality" -> ( qualitySql),
+    // BPE twins: the recursive encode CTE is GENERATED from the same
+    // pinned merge table the Spark kernel ships (Bpe.encodeCteSql)
+    "llm_bpe_encode" -> (
+      "WITH RECURSIVE w AS (SELECT DISTINCT " +
+        s"unnest($sqlToksLower) AS word FROM documents), " +
+        "w2 AS (SELECT word FROM w WHERE word <> ''), " +
+        graft.text.Bpe.encodeCteSql(graft.text.Bpe.pinnedMerges, "w2") +
+        " SELECT word, pieces, n_pieces FROM encoded ORDER BY word"),
+    "llm_bpe_doc_tokens" -> (
+      "WITH RECURSIVE tl AS (SELECT doc_id, " +
+        s"unnest($sqlToksLower) AS word FROM documents), " +
+        "t2 AS (SELECT doc_id, word FROM tl WHERE word <> ''), " +
+        "w2 AS (SELECT DISTINCT word FROM t2), " +
+        graft.text.Bpe.encodeCteSql(graft.text.Bpe.pinnedMerges, "w2") +
+        " SELECT doc_id, count(*)::BIGINT AS n_words, " +
+        "sum(n_pieces)::BIGINT AS n_bpe_tokens " +
+        "FROM t2 JOIN encoded USING (word) GROUP BY doc_id ORDER BY doc_id"),
+    "llm_bpe_pair_stats" -> (
+      "WITH wf AS (SELECT word, count(*) AS cnt FROM " +
+        s"(SELECT unnest($sqlToksLower) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word), " +
+        "pos AS (SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) " +
+        "AS i FROM wf WHERE length(word) > 1), " +
+        "p AS (SELECT substr(word, i::INTEGER, 1) AS left_sym, " +
+        "substr(word, i::INTEGER + 1, 1) AS right_sym, cnt FROM pos) " +
+        "SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_cnt FROM p " +
+        "GROUP BY 1, 2 ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 50"),
     // filter twin: same quality + langId expressions, predicate applied
     "llm_quality_filter" -> (
       s"WITH q AS ($qualitySql), l AS ($langIdSql) " +

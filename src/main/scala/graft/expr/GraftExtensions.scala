@@ -158,6 +158,8 @@ object GraftFunctions {
     binaryVec("graft_cos_sim_i8", GraftCosSimI8(_, _)),
     unaryText("graft_quantize_i8", GraftQuantizeI8(_)),
     binaryVec("graft_seq_ratio", GraftSeqRatio(_, _)),
+    binaryVec("graft_bpe_encode", BpeEncode(_, _)),
+    binaryVec("graft_bpe_count", BpeCount(_, _)),
     binaryVec("graft_levenshtein", GraftLevenshtein(_, _)),
     unaryText("graft_ws_token_count", WsTokenCount(_)),
     unaryText("graft_deflate_ratio", DeflateRatio(_)),
