@@ -225,6 +225,14 @@ object PlanAudit {
         (_.contains("mapPartitionsWithIndex at Curation.scala"))))(
       SparkEntry.queries("llm_token_pack")(spark, dir))
 
+    audit("llm_seq_pack (two-pass prefix sum + bounded window fan-out)", Seq(
+      "no single-partition Window operator" -> (p => !p.contains("Window")),
+      "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->
+        (_.contains("mapPartitionsWithIndex at Curation.scala")),
+      "window fan-out is a Generate over the bounded sequence" ->
+        (p => p.contains("Generate") && p.contains("explode(sequence("))))(
+      SparkEntry.queries("llm_seq_pack")(spark, dir))
+
     audit("llm_dup_groups (distributed CC, no driver edge collect)", Seq(
       "edges stay distributed (no LocalTableScan literal)" ->
         (p => !p.contains("LocalTableScan")),

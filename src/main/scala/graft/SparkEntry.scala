@@ -836,6 +836,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextStats.tokenCountWs(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 1024).orderBy("doc_id")),
+    // concat-and-chunk sequence packing below shard granularity: the
+    // corpus as ONE virtual token stream (BPE counts, doc-id order) cut
+    // into 512-token training windows, with the (sequence -> document
+    // segment) boundary map a loader needs for masking and provenance
+    "llm_seq_pack" -> ((s, dir) =>
+      Curation.seqPack(
+        graft.text.Bpe.docTokenCounts(t(s, dir, "documents"), "doc_id",
+          "text", graft.text.Bpe.pinnedMerges)
+          .select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", seqLen = 512)
+        .orderBy("seq_id", "doc_id")),
     // Gopher rule battery (Rae et al. 2021 A1.1): per-doc signals + rule
     // verdicts + keep conjunction, all pure scan-speed expressions
     "llm_gopher_filter" -> ((s, dir) =>
@@ -1655,6 +1666,29 @@ object SparkEntry {
         "0)::BIGINT AS token_start FROM t) " +
         "SELECT doc_id, n_tokens, token_start, " +
         "(token_start // 1024)::BIGINT AS shard_id FROM c ORDER BY doc_id"),
+    // seq-pack twin: BPE per-doc counts (the llm_bpe_doc_tokens twin) →
+    // exclusive prefix sum → window fan-out via generate_series; the
+    // oracle may use the single-partition window the Spark side must not
+    "llm_seq_pack" -> (
+      "WITH RECURSIVE tl AS (SELECT doc_id, " +
+        s"unnest($sqlToksLower) AS word FROM documents), " +
+        "t2 AS (SELECT doc_id, word FROM tl WHERE word <> ''), " +
+        "w2 AS (SELECT DISTINCT word FROM t2), " +
+        graft.text.Bpe.encodeCteSql(graft.text.Bpe.pinnedMerges, "w2") +
+        ", dt AS (SELECT doc_id, sum(n_pieces)::BIGINT AS n_tokens " +
+        "FROM t2 JOIN encoded USING (word) GROUP BY doc_id), " +
+        "ps AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "0)::BIGINT AS token_start FROM dt), " +
+        "e AS (SELECT doc_id, n_tokens, token_start, " +
+        "unnest(generate_series(token_start // 512, " +
+        "(token_start + n_tokens - 1) // 512)) AS seq_id FROM ps) " +
+        "SELECT seq_id::BIGINT AS seq_id, doc_id, " +
+        "(greatest(token_start, seq_id * 512) - token_start)::BIGINT AS doc_off, " +
+        "(greatest(token_start, seq_id * 512) - seq_id * 512)::BIGINT AS seq_off, " +
+        "(least(token_start + n_tokens, (seq_id + 1) * 512) - " +
+        "greatest(token_start, seq_id * 512))::BIGINT AS n_toks " +
+        "FROM e ORDER BY seq_id, doc_id"),
     "llm_stratified_sample" -> (
       "WITH t AS (SELECT source, doc_id, md5(doc_id::VARCHAR) AS h " +
         "FROM documents), " +

@@ -188,6 +188,20 @@ object Curation {
   def tokenPack(df: DataFrame, idCol: String, tokensCol: String,
                 budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0)
+    prefixSummed(df, idCol, tokensCol, numPartitions)
+      // integer `div`, not `/`+cast: `/` widens to double (untrustworthy
+      // past 2^53 total tokens)
+      .withColumn("shard_id", expr(s"token_start div $budget"))
+  }
+
+  /** The shared two-pass prefix-sum core of [[tokenPack]] / [[seqPack]]:
+    * (doc_id, n_tokens) in doc-id order → (doc_id, n_tokens,
+    * token_start) with token_start = exclusive prefix sum. See the
+    * [[tokenPack]] scaladoc for the partition-pinning determinism
+    * contract. */
+  private[graft] def prefixSummed(df: DataFrame, idCol: String,
+                                  tokensCol: String,
+                                  numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -211,10 +225,49 @@ object Curation {
       .mapPartitionsWithIndex { (i, it) =>
         var cum = bc.value(i)
         it.map { case (id, nt) =>
-          val start = cum; cum += nt; (id, nt, start, start / budget)
+          val start = cum; cum += nt; (id, nt, start)
         }
       }
-      .toDF("doc_id", "n_tokens", "token_start", "shard_id")
+      .toDF("doc_id", "n_tokens", "token_start")
+  }
+
+  /** Concat-and-chunk sequence packing — the step BELOW [[tokenPack]]'s
+    * shard granularity: the curated corpus is one virtual token stream
+    * (documents concatenated in doc-id order) cut into fixed `seqLen`
+    * training windows, and each document is mapped to every window it
+    * overlaps. This is the T5/GPT-style "pack then chunk" loader shape;
+    * the output is the (sequence → document segment) boundary map a
+    * trainer needs for attention masking and provenance:
+    * (seq_id, doc_id, doc_off, seq_off, n_toks) — doc_off = offset of
+    * the segment inside the document, seq_off = offset inside the
+    * window.
+    *
+    * Scale shape: the prefix sum is the two-pass distributed form
+    * ([[prefixSummed]] — no global Window); the window fan-out is a
+    * bounded explode (a document spans ≤ n_tokens/seqLen + 1 windows),
+    * so the whole operator is two narrow passes + one bounded Generate.
+    * Zero-token documents are dropped (they occupy no stream position).
+    *
+    * Invariants (spec-gated): segment lengths per document sum to the
+    * document's token count; every window except the last carries
+    * exactly `seqLen` tokens with gap-free contiguous segments. */
+  def seqPack(df: DataFrame, idCol: String, tokensCol: String,
+              seqLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0)
+    prefixSummed(df, idCol, tokensCol, numPartitions)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"token_start div $seqLen"),
+        expr(s"(token_start + n_tokens - 1) div $seqLen"))))
+      .withColumn("seg_start",
+        greatest(col("token_start"), col("seq_id") * seqLen))
+      .withColumn("seg_end",
+        least(col("token_start") + col("n_tokens"),
+          (col("seq_id") + 1) * seqLen))
+      .select(col("seq_id"), col("doc_id"),
+        (col("seg_start") - col("token_start")).as("doc_off"),
+        (col("seg_start") - col("seq_id") * seqLen).as("seq_off"),
+        (col("seg_end") - col("seg_start")).as("n_toks"))
   }
 
   /** Deterministic domain-mix resampling — the static-reweighting step of

@@ -102,6 +102,55 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("seqPack: windows are exactly full, segments tile every document") {
+    // skewed lengths so documents straddle multiple windows, plus
+    // zero-token docs that must vanish from the stream
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        if (i % 17 == 0) 0L
+        else if (i % 13 == 0) 150L + i % 7
+        else (i % 29 + 1).toLong)
+    }
+    val L = 64L
+    val segs = Curation.seqPack(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", seqLen = L, numPartitions = 7)
+      .orderBy("seq_id", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = rows.map(_._2).sum
+    // 1) per-document tiling: segment lengths sum to n_tokens, doc_offs
+    //    chain contiguously from 0
+    val byDoc = segs.groupBy(_._2)
+    rows.foreach { case (id, nt) =>
+      if (nt == 0) assert(!byDoc.contains(id), s"zero-token doc $id emitted")
+      else {
+        val ss = byDoc(id).sortBy(_._3)
+        assert(ss.map(_._5).sum == nt, s"doc $id segment lengths != $nt")
+        ss.foldLeft(0L) { (off, s) =>
+          assert(s._3 == off, s"doc $id doc_off gap"); off + s._5
+        }
+      }
+    }
+    // 2) per-window tiling: every window but the last is exactly full,
+    //    segments chain contiguously from seq_off 0
+    val lastSeq = (total - 1) / L
+    segs.groupBy(_._1).foreach { case (sid, ss) =>
+      val sorted = ss.sortBy(_._4)
+      val want = if (sid == lastSeq) total - sid * L else L
+      assert(sorted.map(_._5).sum == want, s"window $sid not full")
+      sorted.foldLeft(0L) { (off, s) =>
+        assert(s._4 == off, s"window $sid seq_off gap"); off + s._5
+      }
+    }
+    // 3) agreement with tokenPack at equal granularity: a document's
+    //    first window is its shard (both are start div L)
+    val shards = Curation.tokenPack(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = L, numPartitions = 7)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    byDoc.foreach { case (id, ss) =>
+      assert(ss.minBy(_._3)._1 == shards(id), s"doc $id first window != shard")
+    }
+  }
+
   test("resampleToMix: quota arithmetic, stability, unknown-source drop") {
     // 3 sources, uneven counts: a=400, b=200, c=100; weights 1:1:2.
     // scale = min(400/0.25, 200/0.25, 100/0.5) = 200 → quotas 50/50/100
