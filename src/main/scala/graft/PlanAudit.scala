@@ -245,6 +245,14 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    audit("llm_token_fertility (one scan, scalar kernels, partial agg)", Seq(
+      "map-side partial aggregation" -> (_.contains("partial_")),
+      "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
+      "no Generate (token explode) anywhere" -> (p => !p.contains("Generate")),
+      "single scan of documents" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 2)))(
+      SparkEntry.queries("llm_token_fertility")(spark, dir))
+
     // hashSplit itself (the registered query adds a presentation orderBy —
     // audited WITHOUT it: the operator must be a pure scan-speed projection)
     audit("llm_hash_split core (pure projection, zero shuffle)", Seq(

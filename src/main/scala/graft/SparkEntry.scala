@@ -408,6 +408,28 @@ object SparkEntry {
         TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens"),
         TextStats.tokenCountBpeish(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")),
+    // tokenizer fertility by (source, language): subwords-per-word and
+    // bytes-per-subword — the per-corpus tokenizer-cost table a
+    // multilingual budget plan reads. ONE scan (all signals are scalar
+    // kernels: lang-ID vote, ws/bpeish counters, octet_length), one
+    // partial-agg'd groupBy on a low-cardinality key — no join, no
+    // explode, no window; ratios computed once from the sums
+    "llm_token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextStats.langId(col("text")).as("lang_pred"),
+          TextStats.tokenCountWs(col("text")).cast("long").as("n_words"),
+          TextStats.tokenCountBpeish(col("text")).cast("long").as("n_subwords"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .groupBy("source", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("sum_words"),
+          sum("n_subwords").as("sum_subwords"),
+          sum("n_bytes").as("sum_bytes"))
+        .withColumn("fertility",
+          round(col("sum_subwords") / greatest(col("sum_words"), lit(1L)) * 1e6, 0) / 1e6)
+        .withColumn("bytes_per_token",
+          round(col("sum_bytes") / greatest(col("sum_subwords"), lit(1L)) * 1e6, 0) / 1e6)
+        .orderBy("source", "lang_pred")),
     "llm_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
@@ -1561,6 +1583,20 @@ object SparkEntry {
         s"""ELSE len($sqlToks) END::BIGINT AS n_tokens, """ +
         """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT """ +
         """AS n_subwords FROM documents ORDER BY doc_id"""),
+    "llm_token_fertility" -> (
+      s"WITH l AS ($langIdSql), " +
+        s"""d AS (SELECT doc_id, source, CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 """ +
+        s"""ELSE len($sqlToks) END::BIGINT AS n_words, """ +
+        """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords, """ +
+        "strlen(text)::BIGINT AS n_bytes FROM documents), " +
+        "g AS (SELECT d.source, l.lang_pred, count(*)::BIGINT AS n_docs, " +
+        "sum(n_words)::BIGINT AS sum_words, sum(n_subwords)::BIGINT AS sum_subwords, " +
+        "sum(n_bytes)::BIGINT AS sum_bytes " +
+        "FROM d JOIN l USING (doc_id) GROUP BY d.source, l.lang_pred) " +
+        "SELECT source, lang_pred, n_docs, sum_words, sum_subwords, sum_bytes, " +
+        "round(sum_subwords / greatest(sum_words, 1) * 1e6) / 1e6 AS fertility, " +
+        "round(sum_bytes / greatest(sum_subwords, 1) * 1e6) / 1e6 AS bytes_per_token " +
+        "FROM g ORDER BY source, lang_pred"),
     "llm_quality" -> ( qualitySql),
     // BPE twins: the recursive encode CTE is GENERATED from the same
     // pinned merge table the Spark kernel ships (Bpe.encodeCteSql)
