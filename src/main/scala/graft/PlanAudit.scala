@@ -245,6 +245,20 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    // audited WITHOUT the registered query's presentation orderBy: the
+    // chunker itself must stay a zero-shuffle scan + bounded Generate
+    audit("llm_chunk_overlap core (scan + Generate, zero shuffle)", Seq(
+      "no Exchange anywhere" -> (p => !p.contains("Exchange")),
+      // array_join is an expression, not a join — match operator names
+      "no join operator anywhere" -> (p => !Seq("HashJoin", "MergeJoin",
+        "NestedLoop", "CartesianProduct").exists(p.contains)),
+      "chunk fan-out is a Generate over the bounded sequence" ->
+        (p => p.contains("Generate") && p.contains("explode(sequence(")),
+      "single scan of documents" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 2)))(
+      graft.text.Chunk.slidingChunks(
+        Tables.table(spark, dir, "documents"), "doc_id", "text", 64, 48))
+
     audit("llm_token_fertility (one scan, scalar kernels, partial agg)", Seq(
       "map-side partial aggregation" -> (_.contains("partial_")),
       "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),

@@ -430,6 +430,11 @@ object SparkEntry {
         .withColumn("bytes_per_token",
           round(col("sum_bytes") / greatest(col("sum_subwords"), lit(1L)) * 1e6, 0) / 1e6)
         .orderBy("source", "lang_pred")),
+    // sliding-window chunking (win=64 tokens, stride=48 → 16-token
+    // overlap): zero-shuffle Generate fan-out with token-span provenance
+    "llm_chunk_overlap" -> ((s, dir) =>
+      graft.text.Chunk.slidingChunks(t(s, dir, "documents"), "doc_id",
+        "text", win = 64, stride = 48).orderBy("doc_id", "chunk_id")),
     "llm_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
@@ -1597,6 +1602,17 @@ object SparkEntry {
         "round(sum_subwords / greatest(sum_words, 1) * 1e6) / 1e6 AS fertility, " +
         "round(sum_bytes / greatest(sum_subwords, 1) * 1e6) / 1e6 AS bytes_per_token " +
         "FROM g ORDER BY source, lang_pred"),
+    "llm_chunk_overlap" -> (
+      s"WITH t AS (SELECT doc_id, $sqlToks AS tks FROM documents), " +
+        "c AS (SELECT doc_id, tks, len(tks)::BIGINT AS n, " +
+        "1 + CAST(ceil(greatest(len(tks) - 64, 0)::DOUBLE / 48) AS BIGINT) AS n_chunks FROM t), " +
+        "e AS (SELECT doc_id, tks, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c), " +
+        "s AS (SELECT doc_id, chunk_id, chunk_id * 48 AS tok_start, " +
+        "least(chunk_id * 48 + 64, n) AS tok_end, tks FROM e) " +
+        "SELECT doc_id, chunk_id, tok_start, tok_end, " +
+        "(tok_end - tok_start) AS n_toks, " +
+        "array_to_string(tks[(tok_start + 1)::BIGINT : tok_end::BIGINT], ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_id"),
     "llm_quality" -> ( qualitySql),
     // BPE twins: the recursive encode CTE is GENERATED from the same
     // pinned merge table the Spark kernel ships (Bpe.encodeCteSql)
