@@ -245,6 +245,19 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    // audited WITHOUT the presentation orderBy: heap-cap first, then the
+    // rank trim must REUSE the heap pass's clustering (one corpus
+    // exchange total) and the quota table must broadcast
+    audit("llm_unimax_sample core (heap cap, one exchange, broadcast quotas)", Seq(
+      "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
+      "single hash exchange of the corpus (trim reuses the clustering)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+      "quota table broadcast (no shuffle join)" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))))(
+      graft.dedup.Curation.unimaxSample(
+        Tables.table(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", budget = 60))
+
     // audited WITHOUT the registered query's presentation orderBy: the
     // chunker itself must stay a zero-shuffle scan + bounded Generate
     audit("llm_chunk_overlap core (scan + Generate, zero shuffle)", Seq(

@@ -89,6 +89,16 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
+  /** Deterministically size-skewed corpus for the UniMax queries: the
+    * fixture's sources are uniform, so source s keeps only docs with
+    * doc_id % (s+2) == 0 — giving a spread of source sizes that
+    * exercises both waterfilling branches. Mirrored verbatim in the SQL
+    * twins. */
+  private def unimaxSkewed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select("doc_id", "source")
+      .filter(col("doc_id") %
+        (substring(col("source"), 4, 10).cast("long") + 2L) === 0)
+
   /** The reference's §3.2 flagship pipeline, end-to-end over a
     * (doc_id, text) frame: clean → tokenize → word2vec → sentence2vec
     * (blank-guarded, M11/P10 — the reference's 38-empty-message trap) →
@@ -835,6 +845,21 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // UniMax budget allocation (Chung et al. 2023, epoch cap 1): as-even-
+    // as-possible doc budget across sources, small sources capped at
+    // their size, slack waterfilled to the rest. The fixture's sources
+    // are uniform, so deterministic skew is injected (source s keeps
+    // doc_id % (s+2) == 0 — mirrored in the twin) to exercise the capped
+    // branch; budget 60
+    "llm_unimax_quotas" -> ((s, dir) =>
+      Curation.unimaxQuotasDf(unimaxSkewed(s, dir), "source", budget = 60)
+        .orderBy("source")),
+    // the selection itself: quota(source) docs per source by the
+    // content-stable md5 priority — TopKPerGroup heap cap to the largest
+    // quota, then a rank-vs-quota trim over the capped survivors
+    "llm_unimax_sample" -> ((s, dir) =>
+      Curation.unimaxSample(unimaxSkewed(s, dir), "doc_id", "source",
+        budget = 60).orderBy("source", "doc_id")),
     // exact repeated-substring stripping (Lee et al. 2022 char-window
     // form): 40-char windows occurring >=2 times corpus-wide are cut
     // from every occurrence; one window-count shuffle + one linear
@@ -1748,6 +1773,22 @@ object SparkEntry {
         "(PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) " +
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
+    // UniMax twins: the sequential waterfill re-derived closed-form —
+    // sorted ascending by (n, source), the capped set is the prefix where
+    // n·(k−i+1) + cumprev ≤ B (monotone), the uncapped suffix splits the
+    // slack evenly with the remainder going to the last (B' mod m)
+    "llm_unimax_quotas" -> (
+      s"WITH f AS ($unimaxSkewSql), " +
+        unimaxQuotaCte(60) +
+        " SELECT source, n AS n_docs, quota FROM q ORDER BY source"),
+    "llm_unimax_sample" -> (
+      s"WITH f AS ($unimaxSkewSql), " +
+        unimaxQuotaCte(60) +
+        ", sel AS (SELECT source, doc_id, md5(doc_id::VARCHAR) AS h, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM f) " +
+        "SELECT sel.source, sel.doc_id, sel.h FROM sel JOIN q USING (source) " +
+        "WHERE rn <= quota ORDER BY source, doc_id"),
     "llm_decontaminate" -> ( decontaminateSql),
     // the streaming form is the same stateless projection → same twin
     "st4_stream_decontaminate" -> ( decontaminateSql),
@@ -2008,6 +2049,30 @@ object SparkEntry {
       """regexp_replace(p, '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS tks FROM t3) """ +
       """SELECT doc_id, unnest(generate_series(1, len(tks))) - 1 AS pos, """ +
       """unnest(tks) AS token FROM tk ORDER BY doc_id, pos"""
+
+  /** Twin of [[unimaxSkewed]]. */
+  private val unimaxSkewSql =
+    "SELECT doc_id, source FROM documents " +
+      "WHERE doc_id % (CAST(substr(source, 4, 10) AS BIGINT) + 2) = 0"
+
+  /** Closed-form waterfill over CTE `f` (doc_id, source) → CTE `q`
+    * (source, n, quota). Twin of Curation.unimaxQuotas — see that
+    * Scaladoc for the prefix/suffix derivation; UnimaxSpec property-
+    * checks the two formulations against each other. */
+  private def unimaxQuotaCte(budget: Long): String =
+    "c AS (SELECT source, count(*)::BIGINT AS n FROM f GROUP BY source), " +
+      "r AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS i, " +
+      "count(*) OVER ()::BIGINT AS k, " +
+      "coalesce(sum(n) OVER (ORDER BY n, source " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumprev FROM c), " +
+      s"cap AS (SELECT source, n, i, k, cumprev, " +
+      s"(n * (k - i + 1) + cumprev <= $budget) AS is_capped FROM r), " +
+      "agg AS (SELECT coalesce(sum(n) FILTER (WHERE is_capped), 0)::BIGINT AS capsum, " +
+      "count(*) FILTER (WHERE NOT is_capped)::BIGINT AS m FROM cap), " +
+      "q AS (SELECT source, n, (CASE WHEN is_capped THEN n ELSE " +
+      s"($budget - capsum) // m + " +
+      s"(CASE WHEN i > k - (($budget - capsum) % m) THEN 1 ELSE 0 END) END)::BIGINT " +
+      "AS quota FROM cap, agg)"
 
   private def langIdSql: String = {
     def hits(stops: Seq[String]) =

@@ -309,6 +309,80 @@ object Curation {
     df.filter(u < fracCol)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, epoch cap 1): split a
+    * total document budget as evenly as possible across sources, capping
+    * each source at its actual size and re-distributing the slack to the
+    * larger sources. Processes sources ascending by (size, name); each
+    * takes `min(size, ⌊remaining/sourcesLeft⌋)`. Deterministic, integer-
+    * exact, and order-canonical — the SQL twin reproduces it closed-form
+    * (the capped set is the prefix where `n·left + cumPrev ≤ budget`,
+    * monotone because `(c_{i+1}−c_i)(k−i) ≥ 0`; the uncapped suffix gets
+    * ⌊B'/m⌋ each with the `B' mod m` remainder going to the LAST m−r).
+    *
+    * Driver-side by design: the input is one row per SOURCE (a corpus has
+    * tens to thousands), never per document. */
+  def unimaxQuotas(counts: Seq[(String, Long)], budget: Long)
+      : Seq[(String, Long, Long)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(counts.forall(_._2 >= 0), "source counts must be >= 0")
+    var remaining = budget
+    var left = counts.size
+    counts.sortBy { case (s, n) => (n, s) }.map { case (s, n) =>
+      val q = math.min(n, remaining / left)
+      remaining -= q
+      left -= 1
+      (s, n, q)
+    }
+  }
+
+  /** UniMax quota table as a DataFrame: (source, n_docs, quota). The
+    * per-source count aggregation is distributed (map-side partial on a
+    * low-cardinality key); only the tiny count table is collected for the
+    * sequential waterfill. */
+  def unimaxQuotasDf(df: DataFrame, sourceCol: String, budget: Long)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(counts.size <= 100000,
+      s"unimax: ${counts.size} sources — quota table is driver-side small by contract")
+    unimaxQuotas(counts, budget)
+      .toDF(sourceCol, "n_docs", "quota")
+  }
+
+  /** UniMax-budgeted corpus selection: `quota(source)` documents per
+    * source, chosen by the content-stable md5 priority (pseudo-random but
+    * deterministic — the same doc set on every run and engine).
+    *
+    * Scale shape: count-agg → driver waterfill over sources → ONE
+    * TopKPerGroup pass capping every group to the LARGEST quota with a
+    * k-bounded heap (no full per-group sort, one hash exchange on
+    * source), then a rank-vs-quota trim over the ≤ maxQuota survivors
+    * per group — the trim's window sorts at most maxQuota rows per group
+    * and reuses the heap pass's clustering, so no second shuffle of the
+    * corpus ever happens. */
+  def unimaxSample(df: DataFrame, idCol: String, sourceCol: String,
+                   budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val quotas = unimaxQuotasDf(df.select(sourceCol), sourceCol, budget)
+    // max over an EMPTY quota table (empty input frame) is null -> 0
+    val maxQ = Option(quotas.agg(max("quota")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val withH = df.select(col(sourceCol), col(idCol),
+      md5(col(idCol).cast("string").cast("binary")).as("h"))
+    if (maxQ <= 0) return withH.limit(0)
+    val capped = graft.plans.TopKPerGroup(withH, Seq(sourceCol),
+      Seq("h" -> true, idCol -> true), maxQ.toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("h"), col(idCol))
+    capped.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas.select(col(sourceCol), col("quota"))),
+        Seq(sourceCol))
+      .filter(col("rn") <= col("quota"))
+      .select(sourceCol, idCol, "h")
+  }
+
   /** Percentile-threshold filter — the "keep the top (1−pct) of the
     * corpus by score" curation step (quality floor, perplexity ceiling):
     * the threshold is the EXACT pct-quantile of `scoreCol`, computed with
