@@ -245,6 +245,18 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    audit("llm_heavy_hitters recount (candidate filter before shuffle)", Seq(
+      // OptimizeIn rewrites the >10-item list to INSET
+      "candidate isin filter in the plan" -> (p => p.contains("token#") &&
+        p.contains("Filter") &&
+        (p.contains(" IN ") || p.contains(" INSET "))),
+      "partial agg before the exchange" -> (_.contains("partial_")),
+      "no join operator (candidates are a literal IN-list)" ->
+        (p => !Seq("HashJoin", "MergeJoin", "NestedLoop",
+          "CartesianProduct").exists(p.contains))))(
+      graft.ops.HeavyHitters.heavyHitters(
+        Tables.table(spark, dir, "documents"), "text", 100))
+
     // audited WITHOUT the presentation orderBy: heap-cap first, then the
     // rank trim must REUSE the heap pass's clustering (one corpus
     // exchange total) and the quota table must broadcast

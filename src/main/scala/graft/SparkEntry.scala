@@ -845,6 +845,12 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // exact corpus heavy hitters (count·100 > N): Misra–Gries candidate
+    // sketch (one shuffle-free pass, k counters per partition) + exact
+    // recount of candidates only — never a full-vocabulary shuffle
+    "llm_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyHitters(t(s, dir, "documents"), "text",
+        k = 100)),
     // UniMax budget allocation (Chung et al. 2023, epoch cap 1): as-even-
     // as-possible doc budget across sources, small sources capped at
     // their size, slack waterfilled to the rest. The fixture's sources
@@ -1773,6 +1779,12 @@ object SparkEntry {
         "(PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) " +
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
+    "llm_heavy_hitters" -> (
+      s"WITH tok AS (SELECT unnest($sqlToksLower) AS token FROM documents), " +
+        "n AS (SELECT count(*)::BIGINT AS total FROM tok) " +
+        "SELECT token, count(*)::BIGINT AS cnt FROM tok, n " +
+        "GROUP BY token, total HAVING count(*) * 100 > total " +
+        "ORDER BY cnt DESC, token"),
     // UniMax twins: the sequential waterfill re-derived closed-form —
     // sorted ascending by (n, source), the capped set is the prefix where
     // n·(k−i+1) + cumprev ≤ B (monotone), the uncapped suffix splits the
