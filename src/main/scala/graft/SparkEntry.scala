@@ -9,6 +9,7 @@ import graft.ops.Relational
 import graft.text.{Clean, Filters, TextStats}
 import graft.ml.{Tfidf, ClusterStats}
 import graft.dedup.{Curation, Dedup, Similarity}
+import graft.multimodal.{Multimodal, SynthAssets}
 import graft.sources.Sources
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -94,6 +95,12 @@ object SparkEntry {
     * doc_id % (s+2) == 0 — giving a spread of source sizes that
     * exercises both waterfilling branches. Mirrored verbatim in the SQL
     * twins. */
+  /** Deterministic 1-in-7 document subset driving the multimodal
+    * queries (payload rendering is per-row codec work — the subset keeps
+    * the bench proportionate while exercising every kernel). */
+  private def mmDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select("doc_id").filter(col("doc_id") % 7 === 0)
+
   private def unimaxSkewed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select("doc_id", "source")
       .filter(col("doc_id") %
@@ -971,6 +978,42 @@ object SparkEntry {
           md5(col("doc_id").cast("string").cast("binary")).as("h")),
         "source", col("h"), col("doc_id"), 10)
         .select("source", "doc_id", "h").orderBy("source", "doc_id")),
+
+    // ---- multimodal (rows-only — codec bytes have no SQL twin; each
+    // kernel is oracle-less by nature but pinned by MultimodalSpec and
+    // the SynthAssetsSpec determinism gates). Payloads are REAL
+    // containers (PNG / WAV / MJPEG-AVI) rendered in-executor from the
+    // asset id — the decode → feature path is the true kernel, not a
+    // stub, and every step is a partition-preserving projection --------
+    "mm_image_phash" -> ((s, dir) =>
+      Multimodal.imagePhash(Multimodal.decodeImage(
+          SynthAssets.images(mmDocs(s, dir), "doc_id")))
+        .select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("phash"))
+        .orderBy("asset_id")),
+    "mm_image_resize" -> ((s, dir) =>
+      Multimodal.decodeImage(Multimodal.resizeImage(
+          SynthAssets.images(mmDocs(s, dir), "doc_id"), 16, 12))
+        .select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("payload")).as("png_bytes"))
+        .orderBy("asset_id")),
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.decodeAudio(
+          SynthAssets.audios(mmDocs(s, dir), "doc_id")))
+        .select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.duration_ms").as("duration_ms"),
+          size(col("features")).as("dim"),
+          round(element_at(col("features"), 3).cast("double"), 4)
+            .as("centroid"))
+        .orderBy("asset_id")),
+    "mm_video_features" -> ((s, dir) =>
+      Multimodal.videoFeatures(Multimodal.videoFrames(
+          SynthAssets.videos(mmDocs(s, dir), "doc_id")))
+        .select(col("asset_id"), size(col("frames")).as("n_frames"),
+          size(col("features")).as("dim"))
+        .orderBy("asset_id")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
     "m1_m2_word2vec" -> ((s, dir) => {

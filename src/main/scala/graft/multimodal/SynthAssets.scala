@@ -1,0 +1,140 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic multimodal payload synthesis — REAL container bytes
+  * (PNG via ImageIO, WAV PCM via javax.sound, MJPEG-in-AVI via the RIFF
+  * grammar) rendered from the asset id alone, so the driver-visible
+  * multimodal queries run the true decode/feature kernels on
+  * reproducible inputs derived from the tabular fixture. The containers
+  * are the same shapes MultimodalSpec's fixtures exercise; here they are
+  * produced IN the executors (a per-row UDF, partition-preserving, no
+  * shuffle) exactly where a real pipeline would read blob columns.
+  *
+  * Rendering is id-keyed (splitmix-style bit mixing), so two assets get
+  * visually distinct scenes — pHashes and feature vectors discriminate,
+  * not collapse. */
+object SynthAssets {
+
+  private def mix(id: Long, salt: Long): Long = {
+    var x = id * 0x9E3779B97F4A7C15L + salt
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    x
+  }
+
+  /** 48×32 PNG: horizontal gradient + an id-placed dark block (structure
+    * in the low frequencies, where pHash looks). */
+  def pngBytes(id: Long): Array[Byte] = {
+    val w = 48; val h = 32
+    val m = mix(id, 1)
+    val bx = (math.abs(m) % (w / 2)).toInt + w / 4
+    val by = (math.abs(m >>> 8) % (h / 2)).toInt + h / 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255) / (w - 1)
+      val v = if (x > bx && y > by) base / 4 else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit 8 kHz WAV, 4096 samples of an id-keyed pure tone in
+    * [500, 3500) Hz — the spectral centroid tracks the tone, so features
+    * discriminate by id. */
+  def wavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val rate = 8000f
+    val hz = 500.0 + (math.abs(mix(id, 2)) % 3000L).toDouble
+    val n = 4096
+    val samples = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * hz * i / rate) * 12000).toInt
+      samples(i * 2) = (v & 0xFF).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // --- RIFF/AVI muxing (same grammar Multimodal.Avi parses: little-
+  // endian sizes, even-offset padding, LIST hdrl with avih + LIST movi
+  // with 00dc JPEG chunks) ---
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    bb.array()
+  }
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ body)
+  private def avih(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0).putInt(frames)
+    bb.position(32); bb.putInt(w).putInt(h)
+    riffChunk("avih", bb.array())
+  }
+
+  /** 3-frame MJPEG-in-AVI, 32×24 @ 25 fps: per-frame brightness walks an
+    * id-keyed ramp (temporal structure for the video embedding). */
+  def aviBytes(id: Long): Array[Byte] = {
+    val w = 32; val h = 24
+    val m = mix(id, 3)
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val lift = ((math.abs(m) % 96L).toInt + f * 40) & 0xFF
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((x * 200) / (w - 1) + lift) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val hdrl = riffList("hdrl", avih(w, h, 40000, frames.size))
+    val movi = riffList("movi",
+      frames.flatMap(f => riffChunk("00dc", f)).toArray)
+    "RIFF".getBytes("ISO-8859-1") ++ {
+      val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(body.length).array() ++ body
+    }
+  }
+
+  private def assets(df: DataFrame, idCol: String, modality: String,
+                     render: Long => Array[Byte]): DataFrame = {
+    val renderU = udf { id: Long => render(id) }
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(modality).as("modality"),
+      renderU(col(idCol).cast("long")).as("payload"),
+      struct(
+        lit(null).cast("string").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** (asset_id, "image", png payload, blank meta) per input row. */
+  def images(df: DataFrame, idCol: String): DataFrame =
+    assets(df, idCol, "image", pngBytes)
+
+  /** (asset_id, "audio", wav payload, blank meta) per input row. */
+  def audios(df: DataFrame, idCol: String): DataFrame =
+    assets(df, idCol, "audio", wavBytes)
+
+  /** (asset_id, "video", mjpeg-avi payload, blank meta) per input row. */
+  def videos(df: DataFrame, idCol: String): DataFrame =
+    assets(df, idCol, "video", aviBytes)
+}
