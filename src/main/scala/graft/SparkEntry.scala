@@ -49,6 +49,21 @@ object SparkEntry {
     * offset log at start, so this only affects the stream), restore after.
     * On a real cluster the same knob is sized to key cardinality, not
     * core count. */
+  /** Watermark-ready event time for the streamed events fixture,
+    * whatever unit the parquet carries: TIMESTAMP(NANOS) arrives as a
+    * long under nanosAsLong (→ exact integer div to micros — the double
+    * path corrupts ~2% of nano timestamps by 1µs), TIMESTAMP(MICROS)
+    * arrives as NTZ (→ cast; the session is pinned UTC so the wall-clock
+    * is unchanged). Watermarks require TIMESTAMP, not NTZ. */
+  private def streamEventTs(stream: DataFrame): DataFrame =
+    stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
+
   private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -1188,8 +1203,8 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st1")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact int div
+      val stream = streamEventTs(
+        s.readStream.schema(schema).parquet(streamDir.toString))
       val agg = stream
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1224,8 +1239,8 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st2")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = streamEventTs(
+          s.readStream.schema(schema).parquet(streamDir.toString))
         .select(pmod(col("event_id"), lit(50L)).as("userId"), col("ts"))
         .as[graft.streaming.StreamIngest.TimedEvent]
       val sessions = graft.streaming.StreamIngest.sessionizeGaps(
@@ -1301,6 +1316,50 @@ object SparkEntry {
         .join(hits.select(col("id").as("doc_id")), Seq("doc_id"),
           "left_anti")
         .orderBy("doc_id")
+    }),
+
+    // watermarked STREAM-STREAM inner join — the remaining Structured
+    // Streaming operator class: click→purchase attribution within a
+    // 30-minute event-time window. Both sides carry watermarks and the
+    // range condition bounds the symmetric-hash-join state (state per
+    // side ≤ watermark horizon of events, evicted as time advances —
+    // the unbounded-state join a naive self-join would be is exactly
+    // what the watermark contract prevents at 100 TB/day). The batch
+    // twin is the plain interval self-join, so the oracle gates the
+    // streamed answer exactly.
+    "st7_stream_join" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st7")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def src() = streamEventTs(
+        s.readStream.schema(schema).parquet(streamDir.toString))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val buys = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"),
+          col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "30 minutes")
+      val joined = clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      val qname = "st7_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname)
+        .select(col("click_id"), col("buy_id"), col("user_id"),
+          ((unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+            / lit(1000L)).cast("long").as("delay_ms"))
+        .orderBy("click_id", "buy_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
     }),
 
     // streaming quality FILTER at ingest — the most common streaming
@@ -1721,6 +1780,13 @@ object SparkEntry {
         "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
         "WHERE q.quality >= 0.7 AND l.lang_pred = 'en' ORDER BY q.doc_id"),
     // streaming form: same stateless predicate → same twin
+    "st7_stream_join" -> (
+      "SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id, " +
+        "(epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS delay_ms " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY click_id, buy_id"),
     "st5_stream_quality_filter" -> (
       s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
         "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
