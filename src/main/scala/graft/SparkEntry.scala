@@ -867,6 +867,33 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // per-SOURCE exact quality quartiles (grouped A6): one array-form
+    // percentile buffer per group. Exact grouped percentile buffers each
+    // group's values — right when sources are many and moderately sized;
+    // for billion-row groups the approx twin below is the scale path
+    // (fixed-size mergeable sketch per group, map-side combined)
+    "llm_source_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextStats.qualityScore(col("text")).as("q"))
+        .groupBy("source")
+        .agg(percentile(col("q"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("source"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"))
+        .orderBy("source")),
+    "llm_source_quantiles_approx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextStats.qualityScore(col("text")).as("q"))
+        .groupBy("source")
+        .agg(approx_percentile(col("q"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("source"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"))
+        .orderBy("source")),
     // exact corpus heavy hitters (count·100 > N): Misra–Gries candidate
     // sketch (one shuffle-free pass, k counters per partition) + exact
     // recount of candidates only — never a full-vocabulary shuffle
@@ -1888,6 +1915,13 @@ object SparkEntry {
         "(PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) " +
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
+    "llm_source_quantiles" -> (
+      s"WITH q AS ($qualitySql) " +
+        "SELECT d.source, round(quantile_cont(q.quality, 0.25), 6) AS q25, " +
+        "round(quantile_cont(q.quality, 0.50), 6) AS q50, " +
+        "round(quantile_cont(q.quality, 0.75), 6) AS q75 " +
+        "FROM q JOIN documents d USING (doc_id) " +
+        "GROUP BY d.source ORDER BY d.source"),
     "llm_heavy_hitters" -> (
       s"WITH tok AS (SELECT unnest($sqlToksLower) AS token FROM documents), " +
         "n AS (SELECT count(*)::BIGINT AS total FROM tok) " +
