@@ -245,6 +245,17 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    audit("llm_corpus_report (aggregate-first, fold/unfold totals, one scan)", Seq(
+      "map-side partial aggregation" -> (_.contains("partial_")),
+      "no Window operator" -> (p => !p.contains("Window")),
+      // fp totals fold/unfold on the aggregated frame — no join, no
+      // second lineage branch, structurally one scan of documents
+      "no join operator anywhere" -> (p => !Seq("HashJoin", "MergeJoin",
+        "NestedLoop", "CartesianProduct").exists(p.contains)),
+      "single scan of documents" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 2)))(
+      SparkEntry.queries("llm_corpus_report")(spark, dir))
+
     audit("llm_heavy_hitters recount (candidate filter before shuffle)", Seq(
       // OptimizeIn rewrites the >10-item list to INSET
       "candidate isin filter in the plan" -> (p => p.contains("token#") &&

@@ -867,6 +867,58 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("doc_id")),
+    // per-source corpus DATA CARD — the one-stop observability table a
+    // curation run publishes: volume, token mass, mean quality, English
+    // share, and corpus-wide exact-duplicate share, per source. ONE scan
+    // computes every per-doc signal (all scalar kernels); the dup share
+    // is the aggregate-first two-phase shape — fingerprints are counted
+    // per (fp, source), totals re-aggregated FROM THAT (shuffles carry
+    // aggregates, never documents), and the flag joins back on the
+    // grouped frame. Every fragment reuses an already-oracled kernel;
+    // the twin composes the same proven SQL pieces
+    "llm_corpus_report" -> ((s, dir) => {
+      // the fixture has no exact duplicates — every 17th doc's text is
+      // replaced with one shared literal (mirrored in the twin) so the
+      // dup-share column measures something real
+      val injected = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 17 === 0,
+          lit("duplicated boilerplate notice")).otherwise(col("text"))
+          .as("text"))
+      val perDoc = injected.select(col("source"),
+        TextStats.tokenCountWs(col("text")).cast("long").as("n_words"),
+        // per-doc 1e-6 quantization BEFORE summation: the sums then add
+        // identical values on both engines, so ordering noise stays
+        // ~1e-15 and the final round(…,6) is engine-stable
+        round(TextStats.qualityScore(col("text")), 6).as("q"),
+        TextStats.langId(col("text")).as("lang"),
+        TextStats.fingerprintMd5(col("text")).as("fp"))
+      val bySrcFp = perDoc.groupBy("source", "fp")
+        .agg(count(lit(1)).as("n"),
+          sum("n_words").as("w"), sum("q").as("sq"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en"))
+      // fp totals WITHOUT a second lineage branch (a self-join would
+      // re-derive the aggregate and re-scan the corpus): fold the
+      // per-source rows of each fingerprint into one row (bounded by the
+      // source count), total, and unfold — shuffles carry aggregates,
+      // never documents, and the plan has structurally one scan
+      val withTotals = bySrcFp.groupBy("fp")
+        .agg(collect_list(struct(col("source"), col("n"), col("w"),
+          col("sq"), col("en"))).as("per_src"),
+          sum("n").as("fp_n"))
+        .select(explode(col("per_src")).as("x"), col("fp_n"))
+        .select(col("x.source").as("source"), col("x.n").as("n"),
+          col("x.w").as("w"), col("x.sq").as("sq"), col("x.en").as("en"),
+          col("fp_n"))
+      withTotals
+        .groupBy("source")
+        .agg(sum("n").as("n_docs"),
+          sum("w").as("sum_words"),
+          round(sum("sq") / sum("n"), 6).as("mean_quality"),
+          round(sum("en") / sum("n"), 6).as("en_share"),
+          round(sum(when(col("fp_n") >= 2, col("n")).otherwise(0L))
+            / sum("n"), 6).as("dup_share"))
+        .orderBy("source")
+    }),
     // per-SOURCE exact quality quartiles (grouped A6): one array-form
     // percentile buffer per group. Exact grouped percentile buffers each
     // group's values — right when sources are many and moderately sized;
@@ -1915,6 +1967,31 @@ object SparkEntry {
         "(PARTITION BY source ORDER BY h, doc_id) AS rn FROM t) " +
         "SELECT source, doc_id, h FROM r WHERE rn <= 10 " +
         "ORDER BY source, doc_id"),
+    "llm_corpus_report" -> (
+      // the CTE SHADOWS the documents view (main.documents = the base
+      // relation), so the composed qualitySql/langIdSql fragments read
+      // the injected text unchanged
+      "WITH documents AS (SELECT doc_id, source, " +
+        "CASE WHEN doc_id % 17 = 0 THEN 'duplicated boilerplate notice' " +
+        "ELSE text END AS text FROM main.documents), " +
+        s"q AS ($qualitySql), l AS ($langIdSql), " +
+        s"""d AS (SELECT doc_id, source, CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 """ +
+        s"""ELSE len($sqlToks) END::BIGINT AS n_words, """ +
+        """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents), """ +
+        "per AS (SELECT d.source, d.fp, d.n_words, round(q.quality, 6) AS q, " +
+        "CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS en " +
+        "FROM d JOIN q USING (doc_id) JOIN l USING (doc_id)), " +
+        "g AS (SELECT source, fp, count(*)::BIGINT AS n, " +
+        "sum(n_words)::BIGINT AS w, sum(q) AS sq, sum(en)::BIGINT AS en " +
+        "FROM per GROUP BY source, fp), " +
+        "t AS (SELECT fp, sum(n)::BIGINT AS fp_n FROM g GROUP BY fp) " +
+        "SELECT g.source, sum(g.n)::BIGINT AS n_docs, " +
+        "sum(g.w)::BIGINT AS sum_words, " +
+        "round(sum(g.sq) / sum(g.n), 6) AS mean_quality, " +
+        "round(sum(g.en) / sum(g.n), 6) AS en_share, " +
+        "round(sum(CASE WHEN t.fp_n >= 2 THEN g.n ELSE 0 END) / sum(g.n), 6) " +
+        "AS dup_share " +
+        "FROM g JOIN t USING (fp) GROUP BY g.source ORDER BY g.source"),
     "llm_source_quantiles" -> (
       s"WITH q AS ($qualitySql) " +
         "SELECT d.source, round(quantile_cont(q.quality, 0.25), 6) AS q25, " +
