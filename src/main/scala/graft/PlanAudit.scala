@@ -434,7 +434,12 @@ object PlanAudit {
       "no join operator anywhere" -> (p => !p.toLowerCase.contains("join")),
       "no Generate (gram explode) in the scoring pass" ->
         (p => !p.contains("Generate")),
-      "no Exchange anywhere (zero shuffle)" -> (p => !p.contains("Exchange"))))(
+      "no Exchange anywhere (zero shuffle)" -> (p => !p.contains("Exchange")),
+      // r9: scoring is the native codegen kernel, not the interpreted
+      // ArrayAggregate fold (15x at sf0.1: 17.7s -> 1.1s)
+      "native graft_dsir_logw in plan" -> (_.contains("graft_dsir_logw")),
+      "no interpreted aggregate fold" -> (p => !p.contains("aggregate(")),
+      "no ScalaUDF" -> (p => !p.contains("ScalaUDF"))))(
       { val docs = Tables.table(spark, dir, "documents")
         graft.dedup.Curation.dsirWeights(docs,
           docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),

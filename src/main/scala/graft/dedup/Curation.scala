@@ -450,9 +450,13 @@ object Curation {
     * ≤ buckets rows per map partition regardless of corpus size. */
   private def dsirBucketCounts(df: DataFrame, textCol: String,
                                buckets: Int): Array[Long] = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     val out = new Array[Long](buckets)
-    df.select(explode(dsirGrams(col(textCol))).as("g"))
-      .select(dsirBucket(col("g"), buckets).as("b"))
+    // r9: bucket ids come from the native graft_dsir_buckets kernel (one
+    // codegen pass; the interpreted wordNgrams/md5/conv chain per gram
+    // was the fit's cost), exploded as ints into a <=buckets-row groupBy
+    df.select(explode(call_function("graft_dsir_buckets", col(textCol),
+        lit(buckets))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
       .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
     out
@@ -491,12 +495,15 @@ object Curation {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 4096,
                   alpha: Double = 1.0): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(raw.sparkSession)
     val ratios = dsirLogRatios(raw, target, textCol, buckets, alpha)
-    val ratioLit = typedLit(ratios)
+    // r9: the fold form (aggregate + md5/conv/element_at per gram through
+    // the expression INTERPRETER — ArrayAggregate is CodegenFallback) cost
+    // 9 s/run at sf0.1; the native kernel runs the identical math (same
+    // gram order, same md5 buckets — bit-identical sums) inside codegen
     raw.select(col(idCol).as("doc_id"),
-      (round(aggregate(dsirGrams(col(textCol)), lit(0.0),
-        (acc, g) => acc + element_at(ratioLit, dsirBucket(g, buckets) + 1))
-        * 1e6) / 1e6).as("logw"))
+      (round(call_function("graft_dsir_logw", col(textCol),
+        typedLit(ratios)) * 1e6) / 1e6).as("logw"))
   }
 
   /** DSIR selection: Gumbel-top-k resampling of `k` raw documents with
@@ -512,10 +519,10 @@ object Curation {
                  textCol: String, k: Int, buckets: Int = 4096,
                  alpha: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    graft.expr.GraftFunctions.ensureRegistered(raw.sparkSession)
     val ratios = dsirLogRatios(raw, target, textCol, buckets, alpha)
-    val ratioLit = typedLit(ratios)
-    val logw = aggregate(dsirGrams(col(textCol)), lit(0.0),
-      (acc, g) => acc + element_at(ratioLit, dsirBucket(g, buckets) + 1))
+    val logw = call_function("graft_dsir_logw", col(textCol),
+      typedLit(ratios))
     val u = (conv(substring(md5(concat(lit("g"),
       col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long").cast("double") + 0.5) / 4294967296.0

@@ -139,6 +139,26 @@ object GraftFunctions {
         "graft_gram_hits(tokens, sortedHashes, n)")
     })
 
+  private val dsirLogW: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_dsir_logw"),
+    new ExpressionInfo(classOf[DsirLogW].getName, "graft_dsir_logw"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t, r) => DsirLogW(t, r)
+      case _ => throw new IllegalArgumentException(
+        "graft_dsir_logw(text, ratios)")
+    })
+
+  private val dsirBuckets: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_dsir_buckets"),
+    new ExpressionInfo(classOf[DsirBuckets].getName, "graft_dsir_buckets"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t, b) => DsirBuckets(t, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_dsir_buckets(text, buckets)")
+    })
+
   private val bloomContains: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("graft_bloom_contains"),
@@ -151,7 +171,8 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
-    winnow, winnowKr, charLmNll, gramHits, bloomContains,
+    winnow, winnowKr, charLmNll, gramHits, bloomContains, dsirLogW,
+    dsirBuckets,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
