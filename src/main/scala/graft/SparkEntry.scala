@@ -233,6 +233,18 @@ object SparkEntry {
       Sources.readJsonLines(s, tmp)
         .groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
     }),
+    // CSV sink → schema'd CSV scan roundtrip (S6′): full quoting proves
+    // the escape path (fixture text carries commas/quotes); the oracle
+    // reads the ORIGINAL table, so any roundtrip loss hash-fails
+    "s9_csv_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s9").resolve("docs").toString
+      val src = t(s, dir, "documents").select("doc_id", "source", "text")
+      Sources.writeCsv(src, tmp)
+      Sources.readCsv(s, tmp, src.schema)
+        .groupBy("source").agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("source")
+    }),
     "s5_text_scan" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
       // a text-file row IS a line: embedded newlines would split one row
@@ -1479,6 +1491,10 @@ object SparkEntry {
       "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
     "s3_s6_json_roundtrip" -> (
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
+    "s9_csv_roundtrip" -> (
+      "SELECT source, count(*)::BIGINT AS cnt, " +
+        "sum(length(text))::BIGINT AS sum_len " +
+        "FROM documents GROUP BY source ORDER BY source"),
     // BIGINT cast: DuckDB sum() of integers is HUGEINT, which hash-differs
     // from Spark's BIGINT even at equal values. rtrim mirrors readTextLog's
     // stripTrailing; the regexp mirrors the write-side newline replace.

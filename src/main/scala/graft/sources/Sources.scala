@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.StructType
 import scala.annotation.tailrec
 
 /** Source/sink surface (SURVEY.md §2.1 S1–S8).
@@ -75,6 +76,34 @@ object Sources {
     * coalesce(1) only for driver-local dumps. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** S6′ CSV sink with header + full quoting/escaping (RFC-4180 via the
+    * builtin Univocity writer) — the interchange format every external
+    * consumer still asks for. Schema rides in the header; use
+    * [[readCsv]] with an explicit schema for a lossless roundtrip of
+    * primitive columns. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true)
+      .option("quoteAll", true).option("escape", "\"")
+      // the writer ALSO trims by default — lossless both directions
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(path)
+
+  /** CSV scan: explicit schema (header used for column NAMES only —
+    * schema inference re-reads the data and guesses types; at 100 TB
+    * that is a full extra pass that can still be wrong). multiLine off:
+    * quoted embedded newlines are rare in machine-written CSV, and the
+    * off path keeps files SPLITTABLE (a multiLine CSV file is one
+    * split). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.option("header", true).option("escape", "\"")
+      // the univocity defaults TRIM unquoted whitespace — lossless means
+      // bytes out == bytes in
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .schema(schema).csv(path)
 
   /** Partitioned parquet sink, file-count and file-size disciplined — the
     * layout that keeps a 100-TB table queryable:
