@@ -233,6 +233,31 @@ object SparkEntry {
       Sources.readJsonLines(s, tmp)
         .groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
     }),
+    // bucketed-table co-located join (S10): both sides written
+    // bucketBy(8, orderkey) once, then the join plans with NO shuffle of
+    // either side (BucketedJoinSpec pins the no-Exchange plan; here the
+    // ORACLE pins the answer). Tables are dropped after the eager
+    // materialization so S7's catalog listing stays deterministic
+    "s10_bucketed_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s10")
+      Sources.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "graft_bk_orders", tmp.resolve("o").toString, "o_orderkey", 8)
+      Sources.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_bk_lineitem", tmp.resolve("l").toString, "l_orderkey", 8)
+      val out = s.table("graft_bk_orders")
+        .join(s.table("graft_bk_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_orderkey") % 16).as("b"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("b").localCheckpoint(true)
+      s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+      out
+    }),
     // CSV sink → schema'd CSV scan roundtrip (S6′): full quoting proves
     // the escape path (fixture text carries commas/quotes); the oracle
     // reads the ORIGINAL table, so any roundtrip loss hash-fails
@@ -1495,6 +1520,12 @@ object SparkEntry {
       "SELECT source, count(*)::BIGINT AS cnt, " +
         "sum(length(text))::BIGINT AS sum_len " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "s10_bucketed_join" -> (
+      "SELECT (o_orderkey % 16) AS b, count(*)::BIGINT AS cnt, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty, " +
+        "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     // BIGINT cast: DuckDB sum() of integers is HUGEINT, which hash-differs
     // from Spark's BIGINT even at equal values. rtrim mirrors readTextLog's
     // stripTrailing; the regexp mirrors the write-side newline replace.

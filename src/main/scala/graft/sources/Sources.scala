@@ -105,6 +105,23 @@ object Sources {
       .option("ignoreTrailingWhiteSpace", false)
       .schema(schema).csv(path)
 
+  /** Bucketed-table sink — the co-located-join strategy at 100 TB: both
+    * sides of a recurring equi-join written `bucketBy(n, key)` hash every
+    * row into the same bucket scheme ONCE at write time, so every later
+    * join/aggregation on that key plans with NO shuffle of either side
+    * (the scan reports the bucket distribution; `sortBy` additionally
+    * pre-orders within buckets for merge joins). `saveAsTable` with an
+    * explicit path = external table: data at `path`, bucketing metadata
+    * in the catalog — bucket info only flows through the catalog reader,
+    * a bare `spark.read.parquet` would see plain files. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Partitioned parquet sink, file-count and file-size disciplined — the
     * layout that keeps a 100-TB table queryable:
     *  - `repartition(partCols)` BEFORE `partitionBy(partCols)`: without
