@@ -1478,6 +1478,38 @@ object SparkEntry {
       out
     }),
 
+    // STREAM-STATIC enrichment join — the dimension-attach every event
+    // pipeline does at ingest: the stream side stays stateless (no
+    // watermark, no state store — the static side is just a batch
+    // relation the planner broadcasts per micro-batch), so this is the
+    // join form that costs nothing extra at 100 TB/day. Raw enriched
+    // rows land in the sink; the per-segment rollup is batch, so the
+    // plain batch join twin gates the whole path exactly
+    "st8_stream_enrich" -> ((s, dir) => withStreamShuffle(s) {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st8")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"))
+      val qname = "st8_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -1913,6 +1945,11 @@ object SparkEntry {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
         "ORDER BY click_id, buy_id"),
+    "st8_stream_enrich" -> (
+      "SELECT c.c_mktsegment, count(*)::BIGINT AS cnt " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "WHERE e.event_type = 'purchase' " +
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
     "st5_stream_quality_filter" -> (
       s"WITH q AS ($qualitySql), l AS ($langIdSql) " +
         "SELECT q.doc_id, q.quality FROM q JOIN l ON q.doc_id = l.doc_id " +
