@@ -105,17 +105,17 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
-  /** Deterministically size-skewed corpus for the UniMax queries: the
-    * fixture's sources are uniform, so source s keeps only docs with
-    * doc_id % (s+2) == 0 — giving a spread of source sizes that
-    * exercises both waterfilling branches. Mirrored verbatim in the SQL
-    * twins. */
   /** Deterministic 1-in-7 document subset driving the multimodal
     * queries (payload rendering is per-row codec work — the subset keeps
     * the bench proportionate while exercising every kernel). */
   private def mmDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select("doc_id").filter(col("doc_id") % 7 === 0)
 
+  /** Deterministically size-skewed corpus for the UniMax queries: the
+    * fixture's sources are uniform, so source s keeps only docs with
+    * doc_id % (s+2) == 0 — giving a spread of source sizes that
+    * exercises both waterfilling branches. Mirrored verbatim in the SQL
+    * twins. */
   private def unimaxSkewed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select("doc_id", "source")
       .filter(col("doc_id") %

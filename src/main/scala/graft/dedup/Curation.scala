@@ -339,16 +339,20 @@ object Curation {
     * per-source count aggregation is distributed (map-side partial on a
     * low-cardinality key); only the tiny count table is collected for the
     * sequential waterfill. */
-  def unimaxQuotasDf(df: DataFrame, sourceCol: String, budget: Long)
-      : DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private def unimaxQuotaSeq(df: DataFrame, sourceCol: String, budget: Long)
+      : Seq[(String, Long, Long)] = {
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(counts.size <= 100000,
       s"unimax: ${counts.size} sources — quota table is driver-side small by contract")
     unimaxQuotas(counts, budget)
-      .toDF(sourceCol, "n_docs", "quota")
+  }
+
+  def unimaxQuotasDf(df: DataFrame, sourceCol: String, budget: Long)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unimaxQuotaSeq(df, sourceCol, budget).toDF(sourceCol, "n_docs", "quota")
   }
 
   /** UniMax-budgeted corpus selection: `quota(source)` documents per
@@ -365,10 +369,14 @@ object Curation {
   def unimaxSample(df: DataFrame, idCol: String, sourceCol: String,
                    budget: Long): DataFrame = {
     val spark = df.sparkSession
-    val quotas = unimaxQuotasDf(df.select(sourceCol), sourceCol, budget)
-    // max over an EMPTY quota table (empty input frame) is null -> 0
-    val maxQ = Option(quotas.agg(max("quota")).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    import spark.implicits._
+    // the quota table was just computed ON the driver — its max is a
+    // local Seq fold, not another Spark job
+    val quotaSeq = unimaxQuotaSeq(df.select(sourceCol), sourceCol, budget)
+    val maxQ = quotaSeq.map(_._3).maxOption.getOrElse(0L)
+    require(maxQ <= Int.MaxValue,
+      s"unimax: per-source quota $maxQ exceeds the heap operator's Int cap")
+    val quotas = quotaSeq.toDF(sourceCol, "n_docs", "quota")
     val withH = df.select(col(sourceCol), col(idCol),
       md5(col(idCol).cast("string").cast("binary")).as("h"))
     if (maxQ <= 0) return withH.limit(0)

@@ -92,7 +92,13 @@ case class DsirBuckets(text: Expression, buckets: Expression)
     else if (!buckets.foldable || buckets.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable int bucket count")
-    else TypeCheckResult.TypeCheckSuccess
+    else buckets.eval(InternalRow.empty) match {
+      // a non-positive count would NegativeArraySize/require-fail inside
+      // an executor — fail analysis with the actual value instead
+      case b: Integer if b > 0 => TypeCheckResult.TypeCheckSuccess
+      case b => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bucket count must be positive, got $b")
+    }
 
   @transient private lazy val model: DsirModel =
     new DsirModel(new Array[Double](
@@ -146,12 +152,13 @@ case class DsirLogW(text: Expression, ratios: Expression)
     if (text.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires string text")
     else ratios.dataType match {
+      // containsNull=true rejected: toDoubleArray NPEs on a null element
+      // at execution — fail analysis instead (the fit never emits nulls)
       case ArrayType(DoubleType, false) if ratios.foldable =>
         TypeCheckResult.TypeCheckSuccess
-      case ArrayType(DoubleType, true) if ratios.foldable =>
-        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a foldable array<double> of ratios, got $other")
+        s"$prettyName requires a foldable array<double> (no nulls) of " +
+          s"ratios, got $other")
     }
 
   @transient private lazy val model: DsirModel =

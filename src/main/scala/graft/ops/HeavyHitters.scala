@@ -33,8 +33,12 @@ object HeavyHitters {
   final class MgSummary(val cap: Int) extends Serializable {
     require(cap > 0)
     val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    /** Total stream length N — carried by the summary (MG summaries
+      * naturally track it), so the caller never rescans for it. */
+    var n: Long = 0L
 
     def add(token: String): Unit = {
+      n += 1
       counts.get(token) match {
         case Some(c) => counts.update(token, c + 1)
         case None if counts.size < cap => counts.update(token, 1L)
@@ -48,6 +52,7 @@ object HeavyHitters {
     }
 
     def merge(other: MgSummary): MgSummary = {
+      n += other.n
       for ((t, c) <- other.counts)
         counts.update(t, counts.getOrElse(t, 0L) + c)
       if (counts.size > cap) {
@@ -63,15 +68,16 @@ object HeavyHitters {
     }
   }
 
-  /** MG candidate set of the token multiset in `tokens` (one array per
-    * row): at most `cap` tokens, superset of every token with frequency
-    * > N/(cap+1). One pass, no shuffle. */
+  /** MG candidate set + total token count N of the token multiset in
+    * `tokens` (one array per row): at most `cap` tokens, superset of
+    * every token with frequency > N/(cap+1). One pass, no shuffle. */
   def mgCandidates(tokens: Dataset[Seq[String]], cap: Int)
-      : Seq[String] =
-    tokens.rdd.treeAggregate(new MgSummary(cap))(
+      : (Seq[String], Long) = {
+    val s = tokens.rdd.treeAggregate(new MgSummary(cap))(
       (s, toks) => { toks.foreach(s.add); s },
       (a, b) => a.merge(b))
-      .counts.keys.toSeq.sorted
+    (s.counts.keys.toSeq.sorted, s.n)
+  }
 
   /** Exact tokens (lowercased, whitespace) with count·k > N over the
     * corpus, (token, cnt) descending. */
@@ -81,13 +87,12 @@ object HeavyHitters {
     import spark.implicits._
     val toks = df.select(
       Clean.splitWs(Clean.lowerCase(col(textCol))).as("toks"))
-    val candidates = mgCandidates(toks.as[Seq[String]], k)
+    // the sketch pass carries N, so the scheme is genuinely two-pass
+    val (candidates, total) = mgCandidates(toks.as[Seq[String]], k)
     if (candidates.isEmpty) {
       return spark.emptyDataFrame
         .select(lit("").as("token"), lit(0L).as("cnt")).limit(0)
     }
-    val total = toks.select(coalesce(sum(size(col("toks"))), lit(0L)).as("n"))
-      .collect()(0).getLong(0)
     toks.select(explode(col("toks")).as("token"))
       .filter(col("token").isin(candidates: _*))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

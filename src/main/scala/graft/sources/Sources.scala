@@ -92,13 +92,19 @@ object Sources {
 
   /** CSV scan: explicit schema (header used for column NAMES only —
     * schema inference re-reads the data and guesses types; at 100 TB
-    * that is a full extra pass that can still be wrong). multiLine off:
-    * quoted embedded newlines are rare in machine-written CSV, and the
-    * off path keeps files SPLITTABLE (a multiLine CSV file is one
-    * split). */
-  def readCsv(spark: SparkSession, path: String,
-              schema: StructType): DataFrame =
+    * that is a full extra pass that can still be wrong).
+    *
+    * `multiLine` is the newline contract: with it OFF (default) files
+    * stay SPLITTABLE (a multiLine CSV file is one split), but a quoted
+    * field containing an embedded newline is SPLIT MID-ROW — silently
+    * corrupt, not an error. Data whose string columns can carry
+    * newlines must either strip them before [[writeCsv]] (what
+    * `s5_text_scan` does) or read back with `multiLine = true` and
+    * accept one-split-per-file. SinkSpec pins both sides of the trade. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              multiLine: Boolean = false): DataFrame =
     spark.read.option("header", true).option("escape", "\"")
+      .option("multiLine", multiLine)
       // the univocity defaults TRIM unquoted whitespace — lossless means
       // bytes out == bytes in
       .option("ignoreLeadingWhiteSpace", false)

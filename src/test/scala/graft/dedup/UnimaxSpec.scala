@@ -37,8 +37,10 @@ class UnimaxSpec extends SparkSpec {
       ns <- Gen.listOfN(k, Gen.choose(0L, 40L))
       b <- Gen.choose(0L, 250L)
     } yield (ns.zipWithIndex.map { case (n, i) => (s"s$i", n) }, b)
+    def sampled[A](g: Gen[A]): A =
+      Iterator.continually(g.sample).flatten.next()
     for (_ <- 1 to 300) {
-      val (counts, b) = gen.sample.get
+      val (counts, b) = sampled(gen)
       val rec = Curation.unimaxQuotas(counts, b)
       assert(rec == closedForm(counts, b), s"counts=$counts b=$b")
       val total = counts.map(_._2).sum

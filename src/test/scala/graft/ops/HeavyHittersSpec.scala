@@ -46,9 +46,9 @@ class HeavyHittersSpec extends SparkSpec {
       3 -> Gen.oneOf("a", "b", "c", "d"),
       2 -> Gen.choose(1, 500).map(i => s"w$i"))
     for (trial <- 1 to 3) {
-      val docs = Gen.listOfN(80,
+      val docGen = Gen.listOfN(80,
         Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
-        .sample.get
+      val docs = Iterator.continually(docGen.sample).flatten.next()
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text").repartition(7)
       val k = 40
