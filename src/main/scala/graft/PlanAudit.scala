@@ -245,6 +245,15 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    // the union-sweep as-of join: one exchange on the key + a running
+    // window — never the O(pairs) inequality join + regroup
+    audit("j5_asof_join (union sweep, no join operator)", Seq(
+      "no join operator anywhere" -> (p => !Seq("HashJoin", "MergeJoin",
+        "NestedLoop", "CartesianProduct").exists(p.contains)),
+      "running window frame (unbounded preceding)" ->
+        (_.contains("unboundedpreceding"))))(
+      SparkEntry.queries("j5_asof_join")(spark, dir))
+
     audit("llm_corpus_report (aggregate-first, fold/unfold totals, one scan)", Seq(
       "map-side partial aggregation" -> (_.contains("partial_")),
       "no Window operator" -> (p => !p.contains("Window")),

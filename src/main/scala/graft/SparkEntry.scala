@@ -354,6 +354,24 @@ object SparkEntry {
         .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
     }),
 
+    // AS-OF backward join (J5): every purchase gets the user's latest
+    // prior-or-simultaneous click; the oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN — a true cross-engine check of the union-sweep plan
+    "j5_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("buy_id"))
+      Relational.asofJoin(buys, clicks, "user_id", "ts",
+          Seq("click_id", "click_ts"))
+        .select(col("buy_id"), col("user_id"), col("click_id"),
+          ((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp"))) / lit(1000L))
+            .cast("long").as("delay_ms"))
+        .orderBy("buy_id")
+    }),
     "jx_skew_safe_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey").as("nk"))
@@ -1608,6 +1626,16 @@ object SparkEntry {
     "jx_skew_safe_join" -> (
       "SELECT c_custkey, n_name FROM customer JOIN nation " +
         "ON c_nationkey = n_nationkey ORDER BY c_custkey"),
+    "j5_asof_join" -> (
+      "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id AS buy_id FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.buy_id, p.user_id, c.click_id, " +
+        "CASE WHEN c.click_id IS NULL THEN NULL " +
+        "ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 END AS delay_ms " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY buy_id"),
     "a2_distinct_count" -> (
       "SELECT count(DISTINCT text) AS n_distinct FROM documents"),
     "a3_value_counts" -> (

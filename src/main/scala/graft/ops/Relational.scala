@@ -216,6 +216,49 @@ object Relational {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
 
+  /** J5 AS-OF (backward) join: attach to every left row the LATEST right
+    * row of the same key with `right.ts <= left.ts` (inclusive — kdb/
+    * DuckDB ASOF semantics), null-extending lefts with no prior right
+    * (ASOF LEFT JOIN). The classic "state as of the event" operator:
+    * last click before a purchase, last quote before a trade.
+    *
+    * Shape: NOT the naive range join (an O(pairs) inequality join plus a
+    * max-per-left regroup — two wide shuffles and a skew trap). Both
+    * sides are UNIONED, tagged, and swept by ONE running window per key:
+    * a single hash exchange on the key, one per-partition sort, and the
+    * `last(_, ignoreNulls)` frame (unbounded-preceding → current) is
+    * incremental — O(1) state per row, no per-group buffering. At equal
+    * ts the right row sorts FIRST (`_is_r` desc), which is exactly the
+    * inclusive bound.
+    *
+    * `rightCols` are carried from the right side and must not collide
+    * with left column names (rename before the call). Determinism needs
+    * (key, ts) unique per side — true of event streams with unique ids;
+    * otherwise add a tie-break to `ts` upstream. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin: no right columns to attach")
+    val leftCols = left.columns.toSeq
+    require(rightCols.forall(!leftCols.contains(_)),
+      s"asofJoin: right columns ${rightCols.filter(leftCols.contains)} collide with left")
+    val rSchema = right.select(rightCols.map(col): _*).schema
+    val lSchema = left.select(leftCols.map(col): _*).schema
+    val lTagged = left.select(col(keyCol), col(tsCol).as("_ts"),
+      lit(0).as("_is_r"), struct(leftCols.map(col): _*).as("_lpay"),
+      lit(null).cast(rSchema).as("_rpay"))
+    val rTagged = right.select(col(keyCol), col(tsCol).as("_ts"),
+      lit(1).as("_is_r"), lit(null).cast(lSchema).as("_lpay"),
+      struct(rightCols.map(col): _*).as("_rpay"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ts").asc, col("_is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_is_r") === 0)
+      .select(leftCols.map(c => col(s"_lpay.$c").as(c)) ++
+        rightCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** P5 any-null row filter (`df[df.isnull().any(axis=1)]`,
     * rucio_data_exploration.ipynb:727). */
   def anyNullRows(df: DataFrame): DataFrame =

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** J5 as-of join semantics: latest right at-or-before each left, per
+  * key; inclusive bound; null-extended lefts; name-collision guard. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: Seq[(String, Long, Long)],
+                  right: Seq[(String, Long, Long)]) =
+    Relational.asofJoin(
+        left.toDF("k", "ts", "lid"),
+        right.toDF("k", "ts", "rid").withColumnRenamed("rid", "r_id")
+          .select($"k", $"ts", $"r_id", $"ts".as("r_ts")),
+        "k", "ts", Seq("r_id", "r_ts"))
+      .select($"lid", $"r_id", $"r_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("latest prior right wins; equal ts is inclusive; no prior -> null") {
+    val out = run(
+      left = Seq(("u", 10L, 1L), ("u", 20L, 2L), ("u", 5L, 3L), ("v", 7L, 4L)),
+      right = Seq(("u", 8L, 100L), ("u", 20L, 200L), ("u", 2L, 300L),
+        ("w", 1L, 400L)))
+    assert(out(1L) == ((Some(100L), Some(8L))))   // 8 <= 10, latest
+    assert(out(2L) == ((Some(200L), Some(20L))))  // equal ts included
+    assert(out(3L) == ((Some(300L), Some(2L))))
+    assert(out(4L) == ((None, None)))             // key v has no rights
+  }
+
+  test("per-key isolation: rights never leak across keys") {
+    val out = run(
+      left = Seq(("a", 100L, 1L), ("b", 100L, 2L)),
+      right = Seq(("a", 50L, 10L)))
+    assert(out(1L) == ((Some(10L), Some(50L))))
+    assert(out(2L) == ((None, None)))
+  }
+
+  test("colliding right column names are rejected") {
+    val l = Seq(("a", 1L, 1L)).toDF("k", "ts", "x")
+    val r = Seq(("a", 1L, 2L)).toDF("k", "ts", "x")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(l, r, "k", "ts", Seq("x"))
+    }
+  }
+
+  test("plan: one hash exchange on the key, no join operator") {
+    val l = Seq(("a", 1L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq(("a", 1L, 2L)).toDF("k", "ts", "r_id")
+    val plan = Relational.asofJoin(l, r, "k", "ts", Seq("r_id"))
+      .queryExecution.executedPlan.toString
+    assert(!Seq("HashJoin", "MergeJoin", "NestedLoop", "CartesianProduct")
+      .exists(plan.contains), plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+}
