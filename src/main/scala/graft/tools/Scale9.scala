@@ -30,7 +30,8 @@ object Scale9 {
     }
     // optional section filter: `runMain graft.tools.Scale9 semdedup`
     val sections =
-      if (args.isEmpty) Set("decon", "ivf", "semdedup", "report", "pctl")
+      if (args.isEmpty)
+        Set("decon", "ivf", "semdedup", "report", "pctl", "new")
       else args.toSet
     val base = "/root/testdata/sf0.1"
     val evalDocs = spark.read.parquet(s"$base/documents.parquet")
@@ -113,6 +114,64 @@ object Scale9 {
             .write.format("noop").mode("overwrite").save()
           finally mat.unpersist(blocking = true)
         }
+      }
+    }
+    // ---- session-2 operators at ×10/×100 (corpus-growth exponents) --
+    if (sections("new")) {
+      for (dir <- Seq(base, "benchdata/sf1", "benchdata/sf10")) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        for (round <- 1 to 2) {
+          timed(s"heavyHitters k=100 $dir r$round") {
+            graft.ops.HeavyHitters.heavyHitters(docs, "text", 100)
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"slidingChunks 64/48 $dir r$round") {
+            graft.text.Chunk.slidingChunks(docs, "doc_id", "text", 64, 48)
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"unimaxSample budget=10000 $dir r$round") {
+            graft.dedup.Curation.unimaxSample(
+                docs.select("doc_id", "source"), "doc_id", "source", 10000L)
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"dsirWeights (native kernels) $dir r$round") {
+            graft.dedup.Curation.dsirWeights(docs,
+                docs.filter(col("source") === "src0"), "doc_id", "text")
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"corpusReport (registered query) $dir r$round") {
+            graft.SparkEntry.queries("llm_corpus_report")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      // as-of join over replicated events (user_id offset per copy keeps
+      // per-key density constant while keys and rows scale together).
+      // The replica union is MATERIALIZED first: a 100-branch union plan
+      // would measure 100 tiny re-scans + codegen of a 200-leaf plan,
+      // not the operator (first attempt showed exactly that artifact:
+      // 19.6 s at ×100 vs 4.0 s from materialized input)
+      val ev0 = spark.read.parquet(s"$base/events.parquet")
+      for (copies <- Seq(1, 10, 100)) {
+        val scaledPath = s"/tmp/graft_scale9_events_x$copies"
+        (0 until copies).map(i => ev0.select(
+            (col("event_id") + i.toLong * 10000000L).as("event_id"),
+            (col("user_id") + i.toLong * 1000L).as("user_id"),
+            col("ts"), col("event_type")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scaledPath)
+        val ev = spark.read.parquet(scaledPath)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("buy_id"))
+        for (round <- 1 to 2)
+          timed(s"asofJoin events x$copies r$round") {
+            graft.ops.Relational.asofJoin(buys, clicks, "user_id", "ts",
+                Seq("click_id", "click_ts"))
+              .write.format("noop").mode("overwrite").save()
+          }
       }
     }
     spark.stop()
