@@ -354,6 +354,23 @@ object SparkEntry {
         .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
     }),
 
+    // forward-fill imputation (P6 extension): last non-null value per
+    // user in event-time order — the time-series cousin of fillna. One
+    // hash exchange + an incremental running frame (same sweep shape as
+    // J5); nulls injected deterministically (every 3rd event) so the
+    // fill is exercised, per-user leading nulls stay null
+    "p11_forward_fill" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id")),
     // AS-OF backward join (J5): every purchase gets the user's latest
     // prior-or-simultaneous click; the oracle is DuckDB's NATIVE ASOF
     // LEFT JOIN — a true cross-engine check of the union-sweep plan
@@ -1626,6 +1643,14 @@ object SparkEntry {
     "jx_skew_safe_join" -> (
       "SELECT c_custkey, n_name FROM customer JOIN nation " +
         "ON c_nationkey = n_nationkey ORDER BY c_custkey"),
+    "p11_forward_fill" -> (
+      "WITH d AS (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v " +
+        "FROM events) " +
+        "SELECT event_id, user_id, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM d ORDER BY event_id"),
     "j5_asof_join" -> (
       "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events " +
         "WHERE event_type = 'click'), " +
