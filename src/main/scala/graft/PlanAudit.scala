@@ -245,6 +245,14 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("llm_repetition")(spark, dir))
 
+    // positions come from the pinned two-pass count — a global window
+    // would single-partition the corpus
+    audit("llm_corpus_shuffle (two-pass positions, no global window)", Seq(
+      "no single-partition Window operator" -> (p => !p.contains("Window")),
+      "pass-2 is the Curation mapPartitions pass over the pinned RDD" ->
+        (_.contains("mapPartitionsWithIndex at Curation.scala"))))(
+      SparkEntry.queries("llm_corpus_shuffle")(spark, dir))
+
     // the union-sweep as-of join: one exchange on the key + a running
     // window — never the O(pairs) inequality join + regroup
     audit("j5_asof_join (union sweep, no join operator)", Seq(

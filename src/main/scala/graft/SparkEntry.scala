@@ -1061,6 +1061,12 @@ object SparkEntry {
       Curation.dsirSelect(docs, docs.filter(col("source") === "src0"),
         "doc_id", "text", k = 100)
     }),
+    // deterministic global training-order shuffle: dense 0..n-1 position
+    // in content-stable md5 order via the two-pass count (no global
+    // Window, no single-partition sort — plan-gated)
+    "llm_corpus_shuffle" -> ((s, dir) =>
+      Curation.corpusShuffle(t(s, dir, "documents").select("doc_id"),
+        "doc_id").orderBy("doc_id")),
     // token-budget shard packing via the two-pass distributed prefix sum
     "llm_token_pack" -> ((s, dir) =>
       Curation.tokenPack(
@@ -2065,6 +2071,10 @@ object SparkEntry {
         """SELECT doc_id FROM documents WHERE doc_id NOT IN """ +
         """(SELECT id_b FROM p) ORDER BY doc_id"""),
     "llm_repetition" -> ( repetitionSql),
+    "llm_corpus_shuffle" -> (
+      "SELECT doc_id, md5(doc_id::VARCHAR) AS h, " +
+        "row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 " +
+        "AS shuffle_pos FROM documents ORDER BY doc_id"),
     "llm_token_pack" -> (
       "WITH t AS (SELECT doc_id, (CASE WHEN " +
         """trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0 """ +

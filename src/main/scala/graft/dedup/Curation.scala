@@ -231,6 +231,45 @@ object Curation {
       .toDF("doc_id", "n_tokens", "token_start")
   }
 
+  /** Deterministic global training-order shuffle: every document gets a
+    * dense position 0..n−1 in content-stable md5 order — the corpus
+    * permutation a loader consumes (same doc set ⇒ same order, on every
+    * run and engine; pseudo-random with respect to any natural key).
+    *
+    * Scale shape: positions are a GLOBAL running count, which is the
+    * same problem tokenPack solves — a naive `row_number() over (order
+    * by h)` plans ONE partition. Here: range-repartition on the md5 key
+    * (the shuffle), sort within partitions, pin the partitioning, then
+    * the two-pass count: per-partition sizes to the driver (P longs),
+    * offsets broadcast back, one linear index pass. No global Window,
+    * no single-partition stage, O(P) driver state. */
+  def corpusShuffle(df: DataFrame, idCol: String,
+                    numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val data = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        md5(col(idCol).cast("string").cast("binary")).as("h"))
+      .repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .localCheckpoint(true) // pin: both passes must see one partitioning
+      .as[(Long, String)]
+    val sizes = data.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    data.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var pos = bc.value(i)
+        it.map { case (id, h) => val p = pos; pos += 1; (id, h, p) }
+      }
+      .toDF("doc_id", "h", "shuffle_pos")
+  }
+
   /** Concat-and-chunk sequence packing — the step BELOW [[tokenPack]]'s
     * shard granularity: the curated corpus is one virtual token stream
     * (documents concatenated in doc-id order) cut into fixed `seqLen`
