@@ -201,34 +201,49 @@ object Curation {
     * contract. */
   private[graft] def prefixSummed(df: DataFrame, idCol: String,
                                   tokensCol: String,
-                                  numPartitions: Int = 0): DataFrame = {
+                                  numPartitions: Int = 0,
+                                  md5Order: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val data = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(tokensCol).cast("long").as("n_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+    // stream order: doc-id (packing), or the content-stable md5 with a
+    // doc-id tie-break (corpusShuffle's training-order permutation)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val keyed =
+      if (md5Order) base.withColumn("_h",
+        md5(col("doc_id").cast("string").cast("binary")))
+      else base
+    val ordCols =
+      if (md5Order) Seq(col("_h"), col("doc_id")) else Seq(col("doc_id"))
+    val data = keyed
+      .repartitionByRange(parts, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
       .localCheckpoint(true) // pin partitions: both passes read these blocks
-      .as[(Long, Long)]
     val subtotals = data.rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = subtotals.scanLeft(0L)(_ + _).dropRight(1)
     val bc = spark.sparkContext.broadcast(offsets)
-    data.rdd
+    val rows = data.rdd
       .mapPartitionsWithIndex { (i, it) =>
         var cum = bc.value(i)
-        it.map { case (id, nt) =>
-          val start = cum; cum += nt; (id, nt, start)
+        it.map { r =>
+          val nt = r.getLong(1)
+          val start = cum; cum += nt
+          org.apache.spark.sql.Row(r.getLong(0), nt, start)
         }
       }
-      .toDF("doc_id", "n_tokens", "token_start")
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("token_start",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Deterministic global training-order shuffle: every document gets a
@@ -244,31 +259,15 @@ object Curation {
     * offsets broadcast back, one linear index pass. No global Window,
     * no single-partition stage, O(P) driver state. */
   def corpusShuffle(df: DataFrame, idCol: String,
-                    numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val data = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        md5(col(idCol).cast("string").cast("binary")).as("h"))
-      .repartitionByRange(parts, col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .localCheckpoint(true) // pin: both passes must see one partitioning
-      .as[(Long, String)]
-    val sizes = data.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _).dropRight(1)
-    val bc = spark.sparkContext.broadcast(offsets)
-    data.rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var pos = bc.value(i)
-        it.map { case (id, h) => val p = pos; pos += 1; (id, h, p) }
-      }
-      .toDF("doc_id", "h", "shuffle_pos")
-  }
+                    numPartitions: Int = 0): DataFrame =
+    // positions ARE an exclusive prefix sum of 1s in md5 order — one
+    // pinned two-pass core ([[prefixSummed]]) owns the determinism
+    // contract for packing AND shuffling
+    prefixSummed(df.select(col(idCol)).withColumn("_one", lit(1L)),
+        idCol, "_one", numPartitions, md5Order = true)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"),
+        col("token_start").as("shuffle_pos"))
 
   /** Concat-and-chunk sequence packing — the step BELOW [[tokenPack]]'s
     * shard granularity: the curated corpus is one virtual token stream

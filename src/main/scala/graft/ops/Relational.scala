@@ -246,9 +246,15 @@ object Relational {
     val lTagged = left.select(col(keyCol), col(tsCol).as("_ts"),
       lit(0).as("_is_r"), struct(leftCols.map(col): _*).as("_lpay"),
       lit(null).cast(rSchema).as("_rpay"))
-    val rTagged = right.select(col(keyCol), col(tsCol).as("_ts"),
-      lit(1).as("_is_r"), lit(null).cast(lSchema).as("_lpay"),
-      struct(rightCols.map(col): _*).as("_rpay"))
+    // SQL ASOF semantics: a NULL key or ts on the right can never match
+    // (= / >= are unknown) — without this filter, Window.partitionBy
+    // would happily group null keys together and attach them. Left rows
+    // with null key/ts stay and null-extend (no right sorts before them).
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("_ts"),
+        lit(1).as("_is_r"), lit(null).cast(lSchema).as("_lpay"),
+        struct(rightCols.map(col): _*).as("_rpay"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_ts").asc, col("_is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

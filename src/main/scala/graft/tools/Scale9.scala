@@ -145,8 +145,10 @@ object Scale9 {
           }
         }
       }
-      // as-of join over replicated events (user_id offset per copy keeps
-      // per-key density constant while keys and rows scale together).
+      // as-of join over replicated events: the user_id offset must
+      // EXCEED the base key range (0..1499) or adjacent copies' key
+      // spaces overlap and per-key density doubles — 10000 keeps the
+      // per-key density constant while keys and rows scale together.
       // The replica union is MATERIALIZED first: a 100-branch union plan
       // would measure 100 tiny re-scans + codegen of a 200-leaf plan,
       // not the operator (first attempt showed exactly that artifact:
@@ -156,7 +158,7 @@ object Scale9 {
         val scaledPath = s"/tmp/graft_scale9_events_x$copies"
         (0 until copies).map(i => ev0.select(
             (col("event_id") + i.toLong * 10000000L).as("event_id"),
-            (col("user_id") + i.toLong * 1000L).as("user_id"),
+            (col("user_id") + i.toLong * 10000L).as("user_id"),
             col("ts"), col("event_type")))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(scaledPath)

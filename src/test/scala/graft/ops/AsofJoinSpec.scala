@@ -38,6 +38,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2L) == ((None, None)))
   }
 
+  test("SQL null semantics: null keys/ts never match, null lefts survive") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType, true),
+      StructField("ts", LongType, true), StructField("id", LongType, false)))
+    def df(rows: Seq[(String, java.lang.Long, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        schema)
+    val left = df(Seq((null, 10L, 1L), ("u", null, 2L), ("u", 10L, 3L)))
+    val right = df(Seq((null, 5L, 100L), ("u", null, 200L), ("u", 4L, 300L)))
+      .withColumnRenamed("id", "r_id")
+    val out = Relational.asofJoin(left, right, "k", "ts", Seq("r_id"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // null-key left and null-ts left both survive, UNMATCHED (a null
+    // never satisfies = / >=); null-key and null-ts rights match nothing
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some(300L)))
+  }
+
   test("colliding right column names are rejected") {
     val l = Seq(("a", 1L, 1L)).toDF("k", "ts", "x")
     val r = Seq(("a", 1L, 2L)).toDF("k", "ts", "x")
