@@ -228,22 +228,19 @@ object Curation {
       .collect().sortBy(_._1).map(_._2)
     val offsets = subtotals.scanLeft(0L)(_ + _).dropRight(1)
     val bc = spark.sparkContext.broadcast(offsets)
-    val rows = data.rdd
+    import spark.implicits._
+    // tuple RDD + toDF (not createDataFrame(Row)) so the plan keeps the
+    // "mapPartitionsWithIndex at Curation.scala" callsite PlanAudit pins
+    data.rdd
       .mapPartitionsWithIndex { (i, it) =>
         var cum = bc.value(i)
         it.map { r =>
           val nt = r.getLong(1)
           val start = cum; cum += nt
-          org.apache.spark.sql.Row(r.getLong(0), nt, start)
+          (r.getLong(0), nt, start)
         }
       }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("token_start",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+      .toDF("doc_id", "n_tokens", "token_start")
   }
 
   /** Deterministic global training-order shuffle: every document gets a
