@@ -260,12 +260,16 @@ object SparkEntry {
     }),
     // CSV sink → schema'd CSV scan roundtrip (S6′): full quoting proves
     // the escape path (fixture text carries commas/quotes); the oracle
-    // reads the ORIGINAL table, so any roundtrip loss hash-fails
+    // reads the ORIGINAL table, so any roundtrip loss hash-fails.
+    // multiLine=true honors the readCsv newline contract — quoted fields
+    // with embedded newlines stay intact even if the fixture ever gains
+    // them (the default split-mid-row mode is only safe for data proven
+    // newline-free, which this roundtrip must not assume)
     "s9_csv_roundtrip" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s9").resolve("docs").toString
       val src = t(s, dir, "documents").select("doc_id", "source", "text")
       Sources.writeCsv(src, tmp)
-      Sources.readCsv(s, tmp, src.schema)
+      Sources.readCsv(s, tmp, src.schema, multiLine = true)
         .groupBy("source").agg(count(lit(1)).as("cnt"),
           sum(length(col("text"))).as("sum_len"))
         .orderBy("source")

@@ -376,8 +376,13 @@ object Curation {
     * sequential waterfill. */
   private def unimaxQuotaSeq(df: DataFrame, sourceCol: String, budget: Long)
       : Seq[(String, Long, Long)] = {
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rows = df.groupBy(sourceCol).agg(count(lit(1)).as("n")).collect()
+    // a NULL source would flow into the String sort as null and NPE mid-
+    // waterfill; fail fast with the contract instead (the SQL twin would
+    // silently group the NULLs, diverging from us either way)
+    require(rows.forall(!_.isNullAt(0)),
+      s"unimax: NULL $sourceCol values present — source labels must be non-null")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(counts.size <= 100000,
       s"unimax: ${counts.size} sources — quota table is driver-side small by contract")
     unimaxQuotas(counts, budget)

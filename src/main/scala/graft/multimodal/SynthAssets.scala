@@ -23,13 +23,21 @@ object SynthAssets {
     x
   }
 
+  /** `|x|` clamped to [0, Long.MaxValue]: `math.abs(Long.MinValue)` is
+    * still negative (two's complement), which would yield a negative
+    * block offset / sub-0 Hz tone for that one mixed value. Clamping to 0
+    * closes the hole while keeping every other id's asset bytes — and
+    * thus all frozen goldens — unchanged (floorMod would remap ~half the
+    * id space). */
+  private def nonneg(x: Long): Long = math.abs(x) max 0L
+
   /** 48×32 PNG: horizontal gradient + an id-placed dark block (structure
     * in the low frequencies, where pHash looks). */
   def pngBytes(id: Long): Array[Byte] = {
     val w = 48; val h = 32
     val m = mix(id, 1)
-    val bx = (math.abs(m) % (w / 2)).toInt + w / 4
-    val by = (math.abs(m >>> 8) % (h / 2)).toInt + h / 4
+    val bx = (nonneg(m) % (w / 2)).toInt + w / 4
+    val by = ((m >>> 8) % (h / 2)).toInt + h / 4
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -48,7 +56,7 @@ object SynthAssets {
   def wavBytes(id: Long): Array[Byte] = {
     import javax.sound.sampled._
     val rate = 8000f
-    val hz = 500.0 + (math.abs(mix(id, 2)) % 3000L).toDouble
+    val hz = 500.0 + (nonneg(mix(id, 2)) % 3000L).toDouble
     val n = 4096
     val samples = new Array[Byte](n * 2)
     for (i <- 0 until n) {
@@ -92,7 +100,7 @@ object SynthAssets {
     val frames = (0 until 3).map { f =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val lift = ((math.abs(m) % 96L).toInt + f * 40) & 0xFF
+      val lift = ((nonneg(m) % 96L).toInt + f * 40) & 0xFF
       for (y <- 0 until h; x <- 0 until w) {
         val v = ((x * 200) / (w - 1) + lift) & 0xFF
         img.setRGB(x, y, (v << 16) | (v << 8) | v)

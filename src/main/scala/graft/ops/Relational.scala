@@ -233,18 +233,35 @@ object Relational {
     *
     * `rightCols` are carried from the right side and must not collide
     * with left column names (rename before the call). Determinism needs
-    * (key, ts) unique per side — true of event streams with unique ids;
-    * otherwise add a tie-break to `ts` upstream. */
+    * (key, ts) unique on the RIGHT side; when it isn't, pass `tieBreak`
+    * (a right-side column, e.g. its row id) and the row with the LARGEST
+    * tie-break value among equal (key, ts) wins deterministically —
+    * otherwise `last()` picks whichever right row the partition sort
+    * happened to place last, which can diverge run-to-run and from
+    * DuckDB's native ASOF pick. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, rightCols: Seq[String]): DataFrame = {
+               tsCol: String, rightCols: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin: no right columns to attach")
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
       s"asofJoin: right columns ${rightCols.filter(leftCols.contains)} collide with left")
     val rSchema = right.select(rightCols.map(col): _*).schema
     val lSchema = left.select(leftCols.map(col): _*).schema
+    tieBreak.foreach { tb =>
+      require(right.columns.contains(tb),
+        s"asofJoin: tie-break column $tb not on the right side")
+    }
+    // the tie-break only has to order rows WITHIN equal (key, ts, _is_r);
+    // left rows carry a typed null (they never compete — _is_r desc
+    // dominates at equal ts). Native type kept: a string cast would
+    // mis-order numeric ids ("10" < "9").
+    val tbType = tieBreak.map(tb => right.schema(tb).dataType)
+      .getOrElse(org.apache.spark.sql.types.IntegerType)
+    val tbR = tieBreak.map(col).getOrElse(lit(null).cast(tbType))
     val lTagged = left.select(col(keyCol), col(tsCol).as("_ts"),
-      lit(0).as("_is_r"), struct(leftCols.map(col): _*).as("_lpay"),
+      lit(0).as("_is_r"), lit(null).cast(tbType).as("_tb"),
+      struct(leftCols.map(col): _*).as("_lpay"),
       lit(null).cast(rSchema).as("_rpay"))
     // SQL ASOF semantics: a NULL key or ts on the right can never match
     // (= / >= are unknown) — without this filter, Window.partitionBy
@@ -253,10 +270,13 @@ object Relational {
     val rTagged = right
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol).as("_ts"),
-        lit(1).as("_is_r"), lit(null).cast(lSchema).as("_lpay"),
+        lit(1).as("_is_r"), tbR.as("_tb"),
+        lit(null).cast(lSchema).as("_lpay"),
         struct(rightCols.map(col): _*).as("_rpay"))
+    // _tb asc → among right rows tied on (key, ts) the frame's last() —
+    // i.e. the match — is the one with the LARGEST tie-break
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ts").asc, col("_is_r").desc)
+      .orderBy(col("_ts").asc, col("_is_r").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))

@@ -27,12 +27,14 @@ object Chunk {
     * sliding window. Whitespace tokenization (Clean.splitWs — python
     * str.split semantics); a blank document yields one chunk of its
     * single empty token, so every input row survives (provenance is
-    * total). `tok_end` is exclusive. */
+    * total) — a NULL text is coalesced to "" so it gets the same
+    * single-empty-token chunk instead of vanishing under an explode
+    * over a null sequence. `tok_end` is exclusive. */
   def slidingChunks(df: DataFrame, idCol: String, textCol: String,
                     win: Int, stride: Int): DataFrame = {
     require(win > 0 && stride > 0 && stride <= win,
       s"need 0 < stride <= win, got win=$win stride=$stride")
-    val toks = Clean.splitWs(col(textCol))
+    val toks = Clean.splitWs(coalesce(col(textCol), lit("")))
     val n = size(toks).cast("long")
     // Spark's `/` is double division — floor recovers the integer ceil
     // exactly (counts are far below 2^53)

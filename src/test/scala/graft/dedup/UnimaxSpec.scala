@@ -87,6 +87,15 @@ class UnimaxSpec extends SparkSpec {
     assert(kept0 == want0)
   }
 
+  test("a NULL source fails fast with the contract, not an NPE mid-sort") {
+    val df = Seq((0L, Some("a")), (1L, None), (2L, Some("b")))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Curation.unimaxQuotasDf(df, "source", 2).collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("unimaxSample: zero budget and empty frame give empty results") {
     val df = (0L until 10L).map(i => (i, "s")).toDF("doc_id", "source")
     assert(Curation.unimaxSample(df, "doc_id", "source", 0).count() == 0)

@@ -66,6 +66,19 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("tie-break picks the largest-id right among equal (key, ts)") {
+    val l = Seq(("u", 10L, 1L)).toDF("k", "ts", "lid")
+    // three right rows tied at ts=5 — without a tie-break the winner is
+    // whichever the partition sort placed last (arbitrary)
+    val r = Seq(("u", 5L, 7L), ("u", 5L, 30L), ("u", 5L, 9L))
+      .toDF("k", "ts", "r_id")
+    val out = Relational.asofJoin(l, r, "k", "ts", Seq("r_id"),
+        tieBreak = Some("r_id"))
+      .select($"lid", $"r_id").as[(Long, Long)].collect()
+    // numeric ordering, not string: 30 > 9 > 7
+    assert(out.toSeq == Seq((1L, 30L)))
+  }
+
   test("plan: one hash exchange on the key, no join operator") {
     val l = Seq(("a", 1L, 1L)).toDF("k", "ts", "lid")
     val r = Seq(("a", 1L, 2L)).toDF("k", "ts", "r_id")

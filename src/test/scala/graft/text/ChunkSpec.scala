@@ -31,6 +31,18 @@ class ChunkSpec extends SparkSpec {
     assert(r(1L).map(_._6).toSeq == Seq(""))
   }
 
+  test("null text survives as one empty chunk, same as blank") {
+    val df = Seq((0L, Option.empty[String]), (1L, Some("a b")))
+      .toDF("doc_id", "text")
+    val r = Chunk.slidingChunks(df, "doc_id", "text", 4, 2)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    // a NULL text must not vanish under explode-over-null — it coalesces
+    // to "" and gets the single-empty-token chunk
+    assert(r(0L).map(c => (c._2, c._5, c._6)).toSeq == Seq((0L, 1L, "")))
+    assert(r(1L).map(_._6).toSeq == Seq("a b"))
+  }
+
   test("every token index is covered and overlap is win-stride") {
     val text = (1 to 103).map(i => s"t$i").mkString(" ")
     val r = run(Seq(text), win = 16, stride = 12)(0L)
