@@ -175,11 +175,14 @@ object Bench {
           // outlier arbitration: a third trial when the SECOND run is >3x
           // the first (warm-up makes t2 <= t1 the normal profile, so a
           // slower t2 means run 2 hit a noise window — t1 >> t2 is just
-          // JIT and must NOT trigger), or the min is >3x the previous
-          // round's time for this query (both runs hit one). Sub-second
-          // numbers carry ~2x inherent jitter: only arbitrate above 1s.
+          // JIT and must NOT trigger), or the min is >1.5x the previous
+          // round's time for this query (both runs hit one — round 9
+          // shipped llm_repetition at 2.24x and m3_knn_curve_approx at
+          // 2.32x their medians because the old 3x gate let 2-3x
+          // contention through). Sub-second numbers carry ~2x inherent
+          // jitter: only arbitrate above 1s.
           val suspect = (t2 > 3 * t1 && t2 > 1.0) ||
-            prevTimes.get(name).exists(p => m > 3 * p && m > 1.0)
+            prevTimes.get(name).exists(p => m > 1.5 * p && m > 1.0)
           if (!suspect) (name, m, true)
           else {
             // two successful measurements already exist: a failed third
@@ -190,24 +193,35 @@ object Bench {
         }
       }
     }
-    // CLOSING SWEEP (round-9, VERDICT #4): before stamping the line that
-    // becomes the round's official record, re-run any query whose final
-    // time is still >3x its same-session median — the per-query
-    // arbitration above can itself land in a contention window (round 8
-    // shipped m3_knn_curve at 10.6x its same-session norm that way). Two
+    // CLOSING SWEEP (round-9 VERDICT #4, tightened round 10): before
+    // stamping the line that becomes the round's official record, re-run
+    // any query whose final time is still >1.5x its same-session median —
+    // the per-query arbitration above can itself land in a contention
+    // window (round 8 shipped m3_knn_curve at 10.6x its same-session
+    // norm; round 9's 3x gate still passed 2.2-2.3x outliers). Two
     // attempts, min wins; a query with no history arbitrates against
-    // nothing and keeps its time.
+    // nothing and keeps its time. Anything STILL >1.5x after min-of-3 is
+    // stamped into the output (`sweep` field) so the official record
+    // carries its own explanation.
     val fnByName = selected.toMap
     val results = measured.map {
       case r @ (name, t, true)
-          if t > 1.0 && sessionMedian.get(name).exists(med => t > 3 * med) =>
-        System.err.println(f"[bench] closing sweep: $name $t%.3f s > 3x " +
+          if t > 1.0 && sessionMedian.get(name).exists(med => t > 1.5 * med) =>
+        System.err.println(f"[bench] closing sweep: $name $t%.3f s > 1.5x " +
           f"session median ${sessionMedian(name)}%.3f s — re-running")
         val retries = (1 to 2).map(_ => runOnce(name, fnByName(name)))
           .collect { case (rt, true) => rt }
         (name, (t +: retries).min, true)
       case r => r
     }
+    // queries whose min-of-3 STILL exceeds 1.5x the session median: listed
+    // as name=ratio ('=' not ':' so parsePrevTimes' "name":t regex can
+    // never mistake a sweep entry for a query time)
+    val sweepNote = results.collect {
+      case (name, t, true)
+          if t > 1.0 && sessionMedian.get(name).exists(med => t > 1.5 * med) =>
+        f"$name=${t / sessionMedian(name)}%.2fx"
+    }.mkString(",")
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
@@ -216,7 +230,7 @@ object Bench {
     val nFail = results.count(!_._3)
     // `action` stamped at the END: the driver keeps only the tail of this
     // line, and the era tag must survive that truncation (see above)
-    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","action":"$Action"}"""
+    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","action":"$Action"}"""
     println(line)
     // full-suite runs feed the next run's arbitration via the (complete,
     // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not

@@ -87,6 +87,18 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!t.contains("value"))
   }
 
+  test("a sweep-field entry can never be parsed as a query time") {
+    // the closing sweep stamps unresolved outliers as name=ratio inside a
+    // string field; '=' (not ':') keeps them invisible to the "k":1.23
+    // regex, so a swept query's RATIO can't poison its future medians
+    val line = """{"metric":"total_ok","value":10.5,"unit":"sec",""" +
+      """"queries":{"q1_pricing":1.063,"llm_repetition":3.057},"n_ok":2,""" +
+      """"n_fail":0,"sf":"/root/testdata/sf0.1",""" +
+      """"sweep":"llm_repetition=2.24x","action":"noop"}"""
+    val t = Bench.parsePrevTimes(line)
+    assert(t == Map("q1_pricing" -> 1.063, "llm_repetition" -> 3.057))
+  }
+
   test("medianTimes is per-query median, robust to one outlier run") {
     val runs = Seq(
       Map("a" -> 0.5, "b" -> 2.0),
