@@ -891,9 +891,9 @@ object SparkEntry {
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
     // Karp-Rabin rolling-hash winnow — the production-constant variant
-    // (O(1) per slide vs O(k) md5 digest); rows-only: a rolling
-    // polynomial state has no relational SQL twin, gated by WinnowSpec's
-    // guarantee + brute-force parity instead
+    // (O(1) per slide vs O(k) md5 digest); exact DuckDB twin via the
+    // closed per-position polynomial form (winnowKrSql), plus
+    // WinnowSpec's guarantee + brute-force parity
     "llm_winnow_kr_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         explode(call_function("graft_winnow_kr",
@@ -1155,9 +1155,11 @@ object SparkEntry {
         "source", col("h"), col("doc_id"), 10)
         .select("source", "doc_id", "h").orderBy("source", "doc_id")),
 
-    // ---- multimodal (rows-only — codec bytes have no SQL twin; each
-    // kernel is oracle-less by nature but pinned by MultimodalSpec and
-    // the SynthAssetsSpec determinism gates). Payloads are REAL
+    // ---- multimodal: the exposed columns are pure functions of doc_id
+    // (seeded synthesis → real codec decode), so each query carries a
+    // golden-VALUES DuckDB twin (pinned per-id values joined to the live
+    // id subset; video's constants derive fully). MultimodalSpec and the
+    // SynthAssetsSpec determinism gates pin the kernels. Payloads are REAL
     // containers (PNG / WAV / MJPEG-AVI) rendered in-executor from the
     // asset id — the decode → feature path is the true kernel, not a
     // stub, and every step is a partition-preserving projection --------
@@ -1589,6 +1591,80 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // golden-VALUES twin (s4_file_listing precedent): the pHash of each
+    // synthesized PNG is a pure function of doc_id (SynthAssetsSpec pins
+    // determinism); pinned per-id values joined to the live id subset so
+    // a fixture change fails loudly as a row-count/hash diff, never
+    // silently. Regenerate via graft.One + tools/gen snippet in r10 log.
+    "mm_image_phash" -> (
+        "SELECT d.doc_id AS asset_id, 'image/png' AS mime, 48 AS width, 32 AS height, " +
+        "v.phash FROM documents d JOIN (VALUES (0, -2494305223323771551), (7, " +
+        "-3624638153552114415), (14, 2153533033152323009), (21, -2098082324764549695), (28, " +
+        "-1040628446250733307), (35, -2117503389492503231), (42, -2494305223323771551), " +
+        "(49, 7125430859747990881), (56, 8182611101608735109), (63, -994506286501278415), " +
+        "(70, 3660638000333901073), (77, -4993732557929624175), (84, -4163232854635365947), " +
+        "(91, -7321275824574143087), (98, -7895493573023208047), (105, " +
+        "2097901046089981377), (112, 8182611101608735109), (119, -7069839297282400959), " +
+        "(126, -421748630707952303), (133, -7106009086346551967), (140, " +
+        "-2507886116881638095), (147, 8200648713928012165), (154, -2144524987265114687), " +
+        "(161, -3617179734526538447), (168, -7105943962751165087), (175, " +
+        "-2694729939967908463), (182, 5600985133503106321), (189, 5579311993947245969), " +
+        "(196, -7069839297282400959), (203, -5598733005443281647), (210, " +
+        "-3562644785178185467), (217, -8191640977795419899), (224, 3660638000333901073), " +
+        "(231, 2727603737586181585), (238, 7339348530670429585), (245, " +
+        "-1040737844428115707), (252, 2727691698516403537), (259, -2153532066260837055), " +
+        "(266, -8146465208253943547), (273, -3562785522666540667), (280, " +
+        "-1012871698255351547), (287, 7897785895989964177), (294, -2512219292475138767), " +
+        "(301, -3653207863235261167), (308, -1265073402426789627), (315, " +
+        "7105944353589337409), (322, -5383408719831386807), (329, 8176723216489672965), " +
+        "(336, -5570304655559078511), (343, -7125430606340383423), (350, " +
+        "2153533033152323009), (357, -7106009086346551967), (364, -7069839297282400959), " +
+        "(371, 2512389713640152369), (378, -8156457142584446587), (385, " +
+        "-1809634639470584383), (392, -3624778891040469711), (399, 7895493414111833489), " +
+        "(406, 8174471542654202245), (413, 7321284427397096849), (420, " +
+        "-3570807434950643451), (427, 2512202503435771153), (434, -4163078156564678331), " +
+        "(441, 2694800585548703185), (448, -7321334093509270127), (455, " +
+        "-3617179734526538447), (462, -1818677159997391423), (469, 7904576342768897425), " +
+        "(476, -7069980034502320831), (483, -7069839297282400959), (490, " +
+        "-2117427820704391871), (497, -7895493573023208047)) AS v(asset_id, phash) ON " +
+        "d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 ORDER BY asset_id"),
+    "mm_image_resize" -> (
+        "SELECT d.doc_id AS asset_id, 'image/png' AS mime, 16 AS width, 12 AS height, " +
+        "v.png_bytes FROM documents d JOIN (VALUES (0, 178), (7, 168), (14, 185), (21, " +
+        "182), (28, 193), (35, 184), (42, 178), (49, 178), (56, 189), (63, 174), (70, 146), " +
+        "(77, 168), (84, 190), (91, 142), (98, 142), (105, 185), (112, 189), (119, 180), " +
+        "(126, 154), (133, 179), (140, 172), (147, 191), (154, 183), (161, 167), (168, " +
+        "178), (175, 163), (182, 170), (189, 168), (196, 178), (203, 144), (210, 195), " +
+        "(217, 155), (224, 146), (231, 156), (238, 164), (245, 196), (252, 156), (259, " +
+        "152), (266, 191), (273, 190), (280, 194), (287, 164), (294, 173), (301, 166), " +
+        "(308, 191), (315, 149), (322, 151), (329, 189), (336, 167), (343, 177), (350, " +
+        "185), (357, 179), (364, 180), (371, 171), (378, 189), (385, 182), (392, 174), " +
+        "(399, 162), (406, 189), (413, 162), (420, 190), (427, 174), (434, 155), (441, " +
+        "156), (448, 141), (455, 166), (462, 185), (469, 170), (476, 179), (483, 178), " +
+        "(490, 179), (497, 142)) AS v(asset_id, png_bytes) ON d.doc_id = v.asset_id WHERE " +
+        "d.doc_id % 7 = 0 ORDER BY asset_id"),
+    "mm_audio_features" -> (
+        "SELECT d.doc_id AS asset_id, 'audio/wav' AS mime, 512 AS duration_ms, 12 AS dim, " +
+        "v.centroid::DOUBLE AS centroid FROM documents d JOIN (VALUES (0, 0.4038), (7, " +
+        "0.7322), (14, 0.256), (21, 0.5567), (28, 0.4263), (35, 0.431), (42, 0.7387), (49, " +
+        "0.5232), (56, 0.1873), (63, 0.4243), (70, 0.7057), (77, 0.3887), (84, 0.2048), " +
+        "(91, 0.2415), (98, 0.545), (105, 0.3607), (112, 0.689), (119, 0.6033), (126, " +
+        "0.758), (133, 0.7795), (140, 0.619), (147, 0.1875), (154, 0.5357), (161, 0.3002), " +
+        "(168, 0.6578), (175, 0.4672), (182, 0.2393), (189, 0.6472), (196, 0.7142), (203, " +
+        "0.679), (210, 0.707), (217, 0.213), (224, 0.4692), (231, 0.6102), (238, 0.5925), " +
+        "(245, 0.6515), (252, 0.301), (259, 0.719), (266, 0.7688), (273, 0.2695), (280, " +
+        "0.6295), (287, 0.513), (294, 0.366), (301, 0.317), (308, 0.6938), (315, 0.6793), " +
+        "(322, 0.129), (329, 0.6817), (336, 0.4103), (343, 0.477), (350, 0.1978), (357, " +
+        "0.1635), (364, 0.4058), (371, 0.7517), (378, 0.418), (385, 0.6568), (392, 0.3327), " +
+        "(399, 0.847), (406, 0.3618), (413, 0.7993), (420, 0.2895), (427, 0.5), (434, " +
+        "0.4737), (441, 0.1538), (448, 0.605), (455, 0.699), (462, 0.514), (469, 0.6647), " +
+        "(476, 0.3935), (483, 0.2907), (490, 0.4985), (497, 0.389)) AS v(asset_id, " +
+        "centroid) ON d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 ORDER BY asset_id"),
+    // frame count and embedding dim are constants of the synthesis (3
+    // MJPEG frames, 64-dim) — fully derivable, fixture-robust twin
+    "mm_video_features" -> (
+        "SELECT doc_id AS asset_id, 3 AS n_frames, 64 AS dim FROM documents WHERE doc_id % " +
+        "7 = 0 ORDER BY asset_id"),
     "s2_multiline_json" -> (
       "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
     "s3_s6_json_roundtrip" -> (
@@ -2192,6 +2268,10 @@ object SparkEntry {
         "WHERE d.doc_id % 97 = 0 ORDER BY eval_id"),
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
+    // both KR forms share one twin: core is the same row SET without the
+    // presentation sort, and the gate compares rows sorted
+    "llm_winnow_kr_fingerprint" -> ( winnowKrSql),
+    "llm_winnow_kr_core" -> ( winnowKrSql),
     "llm_winnow_overlap" -> ( winnowOverlapSql),
     // add-one-smoothed JSD over the union vocab; same tokenization,
     // same 1e-6 quantization as VocabDrift.jsd
@@ -2819,6 +2899,38 @@ object SparkEntry {
 
   private def winnowSql: String =
     winnowCte + " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+  /** Karp–Rabin winnow twin: the rolling hash LOOKS non-relational (the
+    * r9 scaladoc claimed no SQL twin exists) but has a closed per-
+    * position form — h(i) = Σ_j code(c_{i+j}) · B^(k−1−j) in 64-bit
+    * wraparound — so each gram hash is an 8-term sum with the B-powers
+    * PRE-REDUCED mod 2^64 (B^7 ≈ 1e42 would overflow even HUGEINT;
+    * code·(B^j mod 2^64) ≤ 6.6e4·1.8e19 ≈ 1.2e24 stays comfortably
+    * inside). The HUGEINT sum is folded mod 2^64 and re-signed to match
+    * the JVM's wraparound long. Same codepoint-vs-UTF-16 caveat as the
+    * md5 twin (identical on ASCII fixtures). */
+  private def winnowKrSql: String = {
+    val B = BigInt(1000003)
+    val m64 = BigInt(2).pow(64)
+    val terms = (1 to 8).map { j =>
+      val w = B.pow(8 - j).mod(m64)
+      s"ord(substr(text, (i+${j - 1})::INTEGER, 1))::HUGEINT * $w::HUGEINT"
+    }.mkString(" + ")
+    "WITH pos AS (SELECT doc_id, text, " +
+      "unnest(generate_series(1, length(text) - 7)) AS i FROM documents), " +
+      "p AS (SELECT doc_id, i, " +
+      "CASE WHEN m > 9223372036854775807::HUGEINT " +
+      "THEN (m - 18446744073709551616::HUGEINT)::BIGINT " +
+      "ELSE m::BIGINT END AS hv FROM " +
+      s"(SELECT doc_id, i, ($terms) % 18446744073709551616::HUGEINT AS m " +
+      "FROM pos)), " +
+      "w AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp, " +
+      "count(*) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt FROM p), " +
+      "fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE cnt = 4) " +
+      "SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+  }
 
   /** Overlap twin: same df-capped shared-fingerprint join as
     * Dedup.winnowOverlapPairs (df in [2, 50], ≥3 shared). */

@@ -86,10 +86,11 @@ object Winnow {
   /** The PRODUCTION-scale hash variant the md5 form's scaladoc promises:
     * Karp–Rabin polynomial rolling hash (base 1000003, 64-bit
     * wraparound) — O(1) per slide instead of O(k) digest work, same
-    * winnowing structure and guarantee. No SQL twin exists (rolling
-    * polynomial state isn't relationally expressible), so the registered
-    * query is rows-only and the selection structure is gated by the
-    * shared-substring guarantee + brute-force specs instead. */
+    * winnowing structure and guarantee. The rolling recurrence has a
+    * closed per-position form (an 8-term polynomial sum with B-powers
+    * pre-reduced mod 2^64), so the registered queries carry an EXACT
+    * DuckDB twin (SparkEntry.winnowKrSql) on top of the shared-substring
+    * guarantee + brute-force specs. */
   def fingerprintsKr(text: String, k: Int, w: Int): ArrayData = {
     require(k >= 1 && w >= 1)
     val nGrams = text.length - k + 1
