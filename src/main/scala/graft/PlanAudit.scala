@@ -66,6 +66,18 @@ object PlanAudit {
         (_.contains("ReadSchema: struct<event_id:bigint,props:string>"))))(
       SparkEntry.queries("p3_isin_nested")(spark, dir))
 
+    // heterogeneous shards must merge inside ONE scan relation — a
+    // per-shard read + unionByName would plan a Union of two scans (and
+    // at N shards, N scans); the reader's schema union keeps it flat
+    audit("s11_schema_merge (one scan over heterogeneous shards)", Seq(
+      // count numbered detail nodes — the tree line AND its detail header
+      // both print "Scan json", so match the "(n) Scan json" form only
+      "single json scan, no Union operator" ->
+        (p => "\\(\\d+\\) Scan json".r.findAllIn(p).size == 1 &&
+          !p.contains("Union")),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("s11_schema_merge")(spark, dir))
+
     audit("j4 scan (plain-column predicate pushdown)", Seq(
       "vec_id range pushed to parquet" ->
         (p => p.contains("PushedFilters") && p.contains("LessThan(vec_id"))))(

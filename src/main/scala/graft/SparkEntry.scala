@@ -258,6 +258,28 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
       out
     }),
+    // S11 schema-union-merge ingestion: two JSON shards with DIFFERENT
+    // column subsets (the reference's 23-col day shard vs 59-col full
+    // file) read in ONE pass; the reader unions the schemas and
+    // null-fills the columns a shard lacks. The oracle re-derives the
+    // null-filled union from the source table, so both the merge AND the
+    // null-filling are hash-gated
+    "s11_schema_merge" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s11")
+      val docs = t(s, dir, "documents")
+      // narrow shard: even docs, 2 columns
+      Sources.writeJson(docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source"), tmp.resolve("day_shard").toString)
+      // wide shard: odd docs, superset of the narrow shard's columns
+      Sources.writeJson(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).as("text_len")),
+        tmp.resolve("full_file").toString)
+      Sources.readJsonUnion(s, tmp.resolve("day_shard").toString,
+          tmp.resolve("full_file").toString)
+        .select("doc_id", "source", "lang", "text_len")
+        .orderBy("doc_id")
+    }),
     // CSV sink → schema'd CSV scan roundtrip (S6′): full quoting proves
     // the escape path (fixture text carries commas/quotes); the oracle
     // reads the ORIGINAL table, so any roundtrip loss hash-fails.
@@ -1673,6 +1695,13 @@ object SparkEntry {
       "SELECT source, count(*)::BIGINT AS cnt, " +
         "sum(length(text))::BIGINT AS sum_len " +
         "FROM documents GROUP BY source ORDER BY source"),
+    // the null-filled union the schema merge must produce: narrow-shard
+    // (even) rows carry NULL for the columns only the wide shard has
+    "s11_schema_merge" -> (
+      "SELECT doc_id, source, " +
+        "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang, " +
+        "CASE WHEN doc_id % 2 = 1 THEN length(text)::BIGINT END AS text_len " +
+        "FROM documents ORDER BY doc_id"),
     "s10_bucketed_join" -> (
       "SELECT (o_orderkey % 16) AS b, count(*)::BIGINT AS cnt, " +
         "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty, " +

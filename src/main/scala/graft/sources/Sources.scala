@@ -51,6 +51,19 @@ object Sources {
   def readJsonLines(spark: SparkSession, glob: String): DataFrame =
     spark.read.json(glob)
 
+  /** S11 heterogeneous JSON ingestion (the §1.2 archive semantic: a
+    * 23-column day shard next to a 59-column full file,
+    * rucio_data_access_HDFS.ipynb:295-319): one read over several paths
+    * whose part-files carry DIFFERENT column subsets. Spark's JSON
+    * inference samples every file and UNIONS the schemas; rows from a
+    * file missing a column get null there — the union-by-name merge a
+    * real archive ingest hits on day one. Schema inference is one extra
+    * sampling pass; at 100 TB pass an explicit merged schema via
+    * `spark.read.schema(...)` instead (same null-filling semantics,
+    * no inference scan). */
+  def readJsonUnion(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.json(paths: _*)
+
   /** S4 filesystem listing source: enumerate files under a directory as a
     * DataFrame(path, size, mtime). Driver-side Hadoop FS call (same as the
     * reference's py4j listStatus, :203-208) — listings are small. */
