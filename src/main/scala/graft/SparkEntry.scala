@@ -146,10 +146,20 @@ object SparkEntry {
     *    join degenerates toward n² (measured: a spilling 10⁸-row sort at
     *    n=5000). Sampling sidesteps the degeneracy instead of tuning it.
     *  - past the cap, labels come from sample-based DBSCAN (broadcast
-    *    core-attach, no pairwise shuffle — see Dbscan.sampled). */
+    *    core-attach, no pairwise shuffle — see Dbscan.sampled).
+    *
+    * `epsOverride` exposes the reference's OTHER ε knob (SURVEY §7
+    * hard-part 4): the notebook's recorded run hardcodes ε=20
+    * (word2vec_dbscan_approach.ipynb:30082) while its Kneedle search
+    * found 7.55. None (default) = searched ε from the curve's knee;
+    * Some(e) = the hardcoded mode — DBSCAN runs at e and the kNN-curve /
+    * Kneedle stage is skipped entirely, exactly as the notebook's
+    * hardcoded cell never computes the curve. */
   private[graft] def flagshipLabels(docs0: DataFrame,
                                     curveCap: Long = 2000L,
-                                    fitCap: Long = 20000L): DataFrame = {
+                                    fitCap: Long = 20000L,
+                                    epsOverride: Option[Double] = None)
+      : DataFrame = {
     val docs = docs0
       .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
     val toks = docs.select(col("doc_id"), col("text"),
@@ -168,20 +178,22 @@ object SparkEntry {
         graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
       .cache()
     val n = vecs.count()
-    val curveInput =
-      if (n > curveCap) vecs.sample(withReplacement = false,
-        curveCap.toDouble / n, seed = 42L)
-      else vecs
-    val nCurve = if (n > curveCap) curveInput.count() else n
-    val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
-    // maxN tied to curveCap, not the default: the Bernoulli sample lands
-    // near curveCap rows (2× covers its jitter), so SF growth can never
-    // flip this call from slow to hard-failure
-    val curve = graft.ml.Embed.collectCurve(
-      graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k,
-        maxN = (curveCap * 2).toInt))
-    val eps = graft.ml.Kneedle.epsilonSearch(curve)
-      .getOrElse(curve(curve.length / 2))
+    val eps = epsOverride.getOrElse {
+      val curveInput =
+        if (n > curveCap) vecs.sample(withReplacement = false,
+          curveCap.toDouble / n, seed = 42L)
+        else vecs
+      val nCurve = if (n > curveCap) curveInput.count() else n
+      val k = graft.ml.Embed.defaultK(nCurve) // reference k=⌈√n⌉
+      // maxN tied to curveCap, not the default: the Bernoulli sample lands
+      // near curveCap rows (2× covers its jitter), so SF growth can never
+      // flip this call from slow to hard-failure
+      val curve = graft.ml.Embed.collectCurve(
+        graft.ml.Embed.knnDistanceCurve(curveInput, "doc_id", "v", k,
+          maxN = (curveCap * 2).toInt))
+      graft.ml.Kneedle.epsilonSearch(curve)
+        .getOrElse(curve(curve.length / 2))
+    }
     val labels =
       if (n > curveCap)
         graft.ml.Dbscan.sampled(vecs.select(col("doc_id"), col("v")),

@@ -97,4 +97,40 @@ class FlagshipParitySpec extends SparkSpec {
       f"sample-fit clusters should still track families, purity=$purity%.3f")
     labeled.unpersist()
   }
+
+  test("epsOverride: the reference's hardcoded-ε mode is reachable and " +
+    "the knob reaches DBSCAN") {
+    val families = Seq(
+      "transfer failed for file %s at line %d connection timeout",
+      "checksum mismatch detected on replica %s at line %d validation",
+      "authentication error user credential %s rejected at line %d")
+    val docs = (0 until 300).map { i =>
+      (i.toLong, families(i % 3).format(f"f$i%04d", 100 + i))
+    }.toDF("doc_id", "text")
+    // the notebook's recorded hardcoded run uses ε=20
+    // (word2vec_dbscan_approach.ipynb:30082) — far above any pairwise
+    // distance between unit-scale w2v sentence vectors, so the override
+    // mode must density-connect EVERYTHING: one cluster, zero noise.
+    // That outcome is impossible under the searched ε (the default run
+    // above separates the families), so it also proves the knob is live.
+    val wide = SparkEntry
+      .flagshipLabels(docs, epsOverride = Some(20.0)).cache()
+    assert(wide.count() == 300)
+    val wideLabels = wide.select("label").distinct()
+      .as[Long].collect().toSet
+    assert(wideLabels == Set(0L),
+      s"ε=20 over unit-scale vectors must merge all docs into one " +
+        s"cluster with no noise, got labels $wideLabels")
+    wide.unpersist()
+    // a near-zero override must fragment: minPts=5 finds no dense
+    // neighborhoods at ε=1e-3 among distinct format()-ed strings, so
+    // (almost) everything is noise — the opposite extreme of the same knob
+    val tight = SparkEntry
+      .flagshipLabels(docs, epsOverride = Some(1e-3)).cache()
+    val noiseFrac = tight.filter(col("label") === -1L).count().toDouble /
+      tight.count()
+    assert(noiseFrac >= 0.5,
+      f"ε=1e-3 should mark most docs noise, got noise frac $noiseFrac%.3f")
+    tight.unpersist()
+  }
 }
