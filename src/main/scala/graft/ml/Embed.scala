@@ -54,10 +54,15 @@ object Embed {
     * [[knnDistanceCurveApprox]]. The reference-set collect is structurally
     * bounded: at most `maxN`+1 rows ever reach the driver (limit-pushed),
     * and past `maxN` the call refuses — sample the input or switch to the
-    * approx path rather than growing the cap. Returns (i, curve), i =
-    * 0-based. */
+    * approx path rather than growing the cap. The default cap is set at
+    * the MEASURED exact/approx crossover (r10, 64-dim embeddings, 32
+    * cores): exact 36.7 s vs approx 61.6 s at n=2×10⁴, approx 120 s vs
+    * exact ~1 h extrapolated (plus a 102 MB matrix literal) at n=2×10⁵ —
+    * the regimes cross near n≈4×10⁴, so below maxN=20000 this path is
+    * strictly faster and above it the approx path wins outright.
+    * Returns (i, curve), i = 0-based. */
   def knnDistanceCurve(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int, maxN: Int = 5000): DataFrame = {
+                       k: Int, maxN: Int = 20000): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
     // self-pairs INCLUDED: sklearn's kneighbors over the training set
     // returns self as column 0 (distance 0); the reference's k<=2 branch
@@ -96,20 +101,42 @@ object Embed {
     * the exact curve is unobtainable; the knee only needs the curve's
     * shape. */
   def knnDistanceCurveApprox(df: DataFrame, idCol: String, vecCol: String,
-                             k: Int, bands: Int = 12, bitsPerBand: Int = 3)
-      : DataFrame = {
-    val cands = graft.dedup.Similarity.annCosineJoin(
-        df.select(col(idCol), col(vecCol)),
-        df.select(col(idCol), col(vecCol)),
-        idCol, vecCol, threshold = -1.0, bands, bitsPerBand)
-      .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
-    // re-add the self-pairs the ANN join excludes (see knnDistanceCurve:
+                             k: Int, bands: Int = 12, bitsPerBand: Int = 3,
+                             maxBucketSize: Int = 100000): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    // id-only candidate generation (r10): the earlier annCosineJoin form
+    // dragged both vector payloads (~1 KB/pair at 64 dims) through the
+    // bucket join AND the pair-dedup exchange, then computed a cosine the
+    // curve discards. Band keys ride with the id alone (~16 B/row), the
+    // hot-bucket cap matches annCosineJoin's, and the vectors join back
+    // exactly once — after dedup. Same candidate set, same curve.
+    val keyed = df.select(col(idCol).as("id"),
+        explode(graft.dedup.Similarity.rhpBandKeys(
+          col(vecCol), bands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    val okBuckets = keyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
+      .select("band", "bucket")
+    val inPlay = keyed.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val cands = inPlay.as("a").join(inPlay.as("b"), Seq("band", "bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // re-add the self-pairs the banded join excludes (see knnDistanceCurve:
     // the reference counts self as neighbor column 0)
     val selfPairs = df.select(col(idCol).as("id_a"), col(idCol).as("id_b"))
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // the vector side is n rows (n·d·8 B ≈ 100 MB at n=2×10⁵, d=64) —
+    // FAR under the broadcast ceiling but over the 10 MB auto threshold,
+    // and letting these joins go sort-merge shuffles the full candidate
+    // stream WITH vector payloads (measured ×100: ~3×10⁸ pairs spilled
+    // >80 GB and died; broadcast keeps the pair stream id-only until the
+    // per-pair distance projection)
     curveFromPairs(
-      cands.union(selfPairs).join(va, "id_a").join(vb, "id_b"), k)
+      cands.union(selfPairs).join(broadcast(va), "id_a")
+        .join(broadcast(vb), "id_b"), k)
   }
 
   /** Driver-safe collect of a (i, curve) frame: uniform rank-decimation

@@ -29,7 +29,7 @@ object SynthAssets {
     * closes the hole while keeping every other id's asset bytes — and
     * thus all frozen goldens — unchanged (floorMod would remap ~half the
     * id space). */
-  private def nonneg(x: Long): Long = math.abs(x) max 0L
+  private[multimodal] def nonneg(x: Long): Long = math.abs(x) max 0L
 
   /** 48×32 PNG: horizontal gradient + an id-placed dark block (structure
     * in the low frequencies, where pHash looks). */

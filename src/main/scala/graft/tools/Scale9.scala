@@ -33,6 +33,74 @@ object Scale9 {
       if (args.isEmpty)
         Set("decon", "ivf", "semdedup", "report", "pctl", "new")
       else args.toSet
+
+    // simHashNearDup materialize-vs-recompute (r10, VERDICT r9 #7): the
+    // hashed (id, simhash) frame feeds both sides of the banded
+    // self-join; localCheckpoint trades executor storage (16 B/doc) for
+    // not running the one-scan hash kernel twice.
+    if (sections("simhash")) {
+      val docs = spark.read.parquet("benchdata/sf10/documents.parquet")
+      for (round <- 1 to 2) {
+        timed(s"simHashNearDup x100 CHECKPOINT r$round") {
+          graft.dedup.Dedup.simHashNearDup(docs, "doc_id", "text",
+              bands = 8, combine = 2, maxHamming = 3)
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed(s"simHashNearDup x100 RECOMPUTE r$round") {
+          graft.dedup.Dedup.simHashNearDup(docs, "doc_id", "text",
+              bands = 8, combine = 2, maxHamming = 3, materialize = false)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
+    // M3 exact-vs-approx crossover probe (r10, VERDICT r9 #4): the exact
+    // curve rides the reference set as a plan literal (O(n²d) compute,
+    // NO pair shuffle); the approx path shuffles LSH candidate pairs.
+    // bitsPerBand scales with n (buckets ∝ n/250) so the approx join
+    // stays bucket-bounded instead of degenerating quadratically — the
+    // discipline a real deployment would use.
+    if (sections("knn") || sections.exists(_.startsWith("knn"))) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))
+           if sections("knn") || sections(s"knn$xn")) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")).cache()
+        val n = emb.count().toInt
+        val bits = math.max(3,
+          (math.log(n / 250.0) / math.log(2)).ceil.toInt)
+        // the packed sign word caps bands*bits at 64, so bands shrink as
+        // buckets refine — the recall-vs-volume trade a deployment makes
+        val nBands = math.min(12, 64 / bits)
+        println(s"[scale9] knn x$xn n=$n bitsPerBand=$bits bands=$nBands")
+        if (sections("knndiag")) {
+          // bucket-occupancy diagnostic: clustered embeddings skew the
+          // random-hyperplane buckets, so candidate volume is set by the
+          // hot buckets (sum of per-bucket n²), not the uniform estimate
+          val occ = emb.select(explode(graft.dedup.Similarity.rhpBandKeys(
+              col("embedding"), nBands, bits)).as("bk"))
+            .groupBy("bk.band", "bk.bucket").count()
+          val stats = occ.agg(max("count"), sum(col("count") * col("count")))
+            .collect()(0)
+          println(s"[scale9] knn x$xn hottest bucket=${stats.getLong(0)} " +
+            s"sum(sq)=candidate upper bound=${stats.getLong(1)}")
+        }
+        for (round <- 1 to 2) {
+          if (xn < 100 || sections("knnexact100"))
+            timed(s"knnCurve EXACT x$xn r$round") {
+              graft.ml.Embed.knnDistanceCurve(emb, "vec_id", "embedding",
+                  k = 17, maxN = n + 1)
+                .write.format("noop").mode("overwrite").save()
+            }
+          timed(s"knnCurve APPROX x$xn ${nBands}x$bits r$round") {
+            graft.ml.Embed.knnDistanceCurveApprox(emb, "vec_id", "embedding",
+                k = 17, bands = nBands, bitsPerBand = bits)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        emb.unpersist()
+      }
+    }
     val base = "/root/testdata/sf0.1"
     val evalDocs = spark.read.parquet(s"$base/documents.parquet")
       .filter(col("doc_id") % 97 === 0)

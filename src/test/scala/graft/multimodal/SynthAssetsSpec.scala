@@ -17,6 +17,16 @@ class SynthAssetsSpec extends SparkSpec {
     assert(SynthAssets.aviBytes(3L).toSeq != SynthAssets.aviBytes(4L).toSeq)
   }
 
+  test("nonneg clamps abs(Long.MinValue) and keeps every other value") {
+    // math.abs(Long.MinValue) IS Long.MinValue (two's complement) — the
+    // clamp must map it to 0 without touching any other magnitude
+    assert(SynthAssets.nonneg(Long.MinValue) == 0L)
+    assert(SynthAssets.nonneg(Long.MaxValue) == Long.MaxValue)
+    assert(SynthAssets.nonneg(-5L) == 5L)
+    assert(SynthAssets.nonneg(5L) == 5L)
+    assert(SynthAssets.nonneg(0L) == 0L)
+  }
+
   test("mm_image_phash: real decode, distinct hashes, stable re-run") {
     val q = SparkEntry.queries("mm_image_phash")(spark, sfDir)
     val rows = q.collect()
