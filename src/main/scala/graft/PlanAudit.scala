@@ -127,6 +127,17 @@ object PlanAudit {
       "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
       SparkEntry.queries("m3_knn_curve")(spark, dir))
 
+    // r10: the approx curve's candidate stream must stay id-only — the
+    // n-row vector side broadcasts for the attach (the un-broadcast form
+    // went sort-merge and spilled >80 GB at x100), and the only kernel in
+    // the hot path is the fused native distance
+    audit("m3_knn_curve_approx (id-only candidates, broadcast vec attach)", Seq(
+      "vector attach is broadcast, not sort-merge" ->
+        (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "native graft_l2_dist in plan" -> (_.contains("graft_l2_dist")),
+      "no interpreted HOF fold" -> (p => !p.contains("aggregate(zip_with"))))(
+      SparkEntry.queries("m3_knn_curve_approx")(spark, dir))
+
     audit("j4_eps_self_join (native dot kernel)", Seq(
       "native graft_dot in plan" -> (_.contains("graft_dot"))))(
       SparkEntry.queries("j4_eps_self_join")(spark, dir))

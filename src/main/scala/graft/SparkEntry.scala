@@ -1790,6 +1790,14 @@ object SparkEntry {
         "ORDER BY buy_id"),
     "a2_distinct_count" -> (
       "SELECT count(DISTINCT text) AS n_distinct FROM documents"),
+    // golden-VALUES twin (r10): Spark's HLL++ sketch is deterministic —
+    // per-value hashing + a commutative max-merge, so the estimate is a
+    // pure function of the value SET, independent of partitioning/core
+    // count (verified identical at 8 and 32 cores). 510 vs the exact 500
+    // sits inside the rsd=0.05 contract; a fixture content change fails
+    // loudly, same as the mm_* goldens.
+    "a2_distinct_approx" -> (
+      "SELECT CAST(510 AS BIGINT) AS n_distinct_approx"),
     "a3_value_counts" -> (
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag " +
         "ORDER BY cnt DESC, l_returnflag"),
@@ -1820,6 +1828,15 @@ object SparkEntry {
       "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
         "round(quantile_cont(o_totalprice, 0.5)*1e6)/1e6 AS p50, " +
         "round(quantile_cont(o_totalprice, 0.75)*1e6)/1e6 AS p75 FROM orders"),
+    // golden-VALUES twin (r10): approx_percentile picks ACTUAL data
+    // points via a deterministic GK summary; at the gate's sf0.01 the
+    // input is a single parquet split, so there is no merge-order
+    // ambiguity at all — verified bit-identical across 5 runs at 8 and
+    // 32 cores. The golden pins the sketch's chosen elements; a fixture
+    // or sketch change fails loudly (`quantile_disc` cross-check: each
+    // pinned value IS an o_totalprice row within rsd of its rank).
+    "a6_quantiles_approx" -> (
+      "SELECT [125239.36, 251477.71, 374343.44]::DOUBLE[] AS quantiles"),
     // the distributed exact path must land on the SAME numbers
     "a6_quantiles_exact_dist" -> (
       "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
@@ -2267,6 +2284,34 @@ object SparkEntry {
         "round(quantile_cont(q.quality, 0.75), 6) AS q75 " +
         "FROM q JOIN documents d USING (doc_id) " +
         "GROUP BY d.source ORDER BY d.source"),
+    // golden-VALUES twin (r10): same determinism argument as
+    // a6_quantiles_approx — GK summaries over single-split sf0.01 input,
+    // verified across runs/core counts; values are the sketch's chosen
+    // data points rounded 1e-6 by the query itself
+    "llm_source_quantiles_approx" -> (
+      "SELECT source, q25d::DOUBLE AS q25, q50d::DOUBLE AS q50, " +
+        "q75d::DOUBLE AS q75 FROM (VALUES " +
+        "('src0', 0.790816, 0.804054, 0.825269), " +
+        "('src1', 0.763333, 0.780303, 0.803571), " +
+        "('src10', 0.791667, 0.806667, 0.819444), " +
+        "('src11', 0.769608, 0.803191, 0.821429), " +
+        "('src12', 0.776316, 0.80814, 0.825269), " +
+        "('src13', 0.7825, 0.820423, 0.836957), " +
+        "('src14', 0.7275, 0.787975, 0.822917), " +
+        "('src15', 0.766466, 0.801724, 0.831967), " +
+        "('src16', 0.66875, 0.779412, 0.808824), " +
+        "('src17', 0.788961, 0.806604, 0.820175), " +
+        "('src18', 0.777778, 0.800847, 0.814516), " +
+        "('src19', 0.765, 0.784483, 0.816667), " +
+        "('src2', 0.785, 0.803571, 0.829032), " +
+        "('src3', 0.773529, 0.797198, 0.813409), " +
+        "('src4', 0.772727, 0.794444, 0.819767), " +
+        "('src5', 0.767857, 0.803191, 0.818966), " +
+        "('src6', 0.7425, 0.79878, 0.816667), " +
+        "('src7', 0.775641, 0.805556, 0.826923), " +
+        "('src8', 0.705, 0.789216, 0.824074), " +
+        "('src9', 0.777027, 0.811728, 0.843023)) " +
+        "AS t(source, q25d, q50d, q75d) ORDER BY source"),
     "llm_heavy_hitters" -> (
       s"WITH tok AS (SELECT unnest($sqlToksLower) AS token FROM documents), " +
         "n AS (SELECT count(*)::BIGINT AS total FROM tok) " +
