@@ -1293,10 +1293,13 @@ object SparkEntry {
           Clean.fuzzRatioExact(col("text"), col("text_b")).as("fuzz"))
         .orderBy("doc_id")
     }),
+    // curve quantized 1e-6 like the exact sibling (avg() sum-order ulp),
+    // so the r10 golden-VALUES twin can pin the 300 rows exactly
     "m3_knn_curve_approx" -> ((s, dir) =>
       graft.ml.Embed.knnDistanceCurveApprox(
         t(s, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", k = 17)),
+        "vec_id", "embedding", k = 17)
+        .withColumn("curve", round(col("curve") * 1e6) / 1e6)),
     // curve quantized 1e-6: avg() sums 17 doubles in shuffle-arrival
     // order, so the last ulp is nondeterministic vs the oracle.
     // vec_id < 300 bounds the input independent of SF, so the default
@@ -1798,6 +1801,98 @@ object SparkEntry {
     // loudly, same as the mm_* goldens.
     "a2_distinct_approx" -> (
       "SELECT CAST(510 AS BIGINT) AS n_distinct_approx"),
+    // golden-VALUES twins (r10) for the deterministic similarity-serving
+    // paths: per-row integer/float kernels + (cos_sim, id) sort — no
+    // cross-row float aggregation, so the top-10 is bit-stable (verified
+    // identical at 8 and 32 cores); the IVF/PQ fits are seeded and
+    // driver-deterministic. A fixture or kernel change fails loudly.
+    "llm_cosine_topk_i8" -> (
+      "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, 1.0), (1, 365, " +
+      "0.3689088729918231), (2, 334, 0.36367295909667985), (3, 387, 0.3308947866508894), (4, " +
+      "423, 0.2973617808828588), (5, 73, 0.29492089798420373), (6, 7, 0.29274067502351964), (7, " +
+      "320, 0.2865093773268233), (8, 190, 0.28339786819893575), (9, 388, 0.2784241255689562)) " +
+      "AS t(rk, vec_id, cs) ORDER BY rk"),
+    "llm_ann_topk" -> (
+      "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
+      "'0.3699935965460897'), (2, 334, '0.3627220558741131'), (3, 387, '0.33113871888314317'), " +
+      "(4, 423, '0.2969335986409863'), (5, 73, '0.29543411523164853'), (6, 7, " +
+      "'0.29284215147436643'), (7, 320, '0.2878605122093518'), (8, 190, '0.2817947192081154'), " +
+      "(9, 388, '0.2763005476699542')) AS t(rk, vec_id, cs) ORDER BY rk"),
+    "llm_ivf_topk" -> (
+      "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
+      "'0.3699935965460897'), (2, 423, '0.2969335986409863'), (3, 7, '0.29284215147436643'), " +
+      "(4, 190, '0.2817947192081154'), (5, 464, '0.2766279302075019'), (6, 388, " +
+      "'0.2763005476699542'), (7, 483, '0.2567003982986254'), (8, 498, '0.25072556674447577'), " +
+      "(9, 257, '0.24812659547139493')) AS t(rk, vec_id, cs) ORDER BY rk"),
+    "llm_pq_topk" -> (
+      "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
+      "'0.3699935965460897'), (2, 334, '0.3627220558741131'), (3, 387, '0.33113871888314317'), " +
+      "(4, 423, '0.2969335986409863'), (5, 73, '0.29543411523164853'), (6, 7, " +
+      "'0.29284215147436643'), (7, 320, '0.2878605122093518'), (8, 190, '0.2817947192081154'), " +
+      "(9, 464, '0.2766279302075019')) AS t(rk, vec_id, cs) ORDER BY rk"),
+    // golden-VALUES twin (r10): deterministic LSH candidates (hash-based
+    // hyperplanes) + the 1e-6 curve quantization the exact sibling uses
+    "m3_knn_curve_approx" -> (
+      "SELECT i::INT AS i, c::DOUBLE AS curve FROM (VALUES (0, 1.101094), (1, 1.106891), (2, " +
+      "1.109729), (3, 1.112598), (4, 1.114527), (5, 1.116034), (6, 1.118434), (7, 1.119795), " +
+      "(8, 1.121007), (9, 1.121703), (10, 1.122351), (11, 1.123271), (12, 1.124056), (13, " +
+      "1.124683), (14, 1.12526), (15, 1.12632), (16, 1.126791), (17, 1.127331), (18, 1.127932), " +
+      "(19, 1.128563), (20, 1.128996), (21, 1.129493), (22, 1.129977), (23, 1.130294), (24, " +
+      "1.130779), (25, 1.131198), (26, 1.131653), (27, 1.131954), (28, 1.132385), (29, " +
+      "1.132625), (30, 1.132978), (31, 1.133483), (32, 1.133748), (33, 1.13397), (34, 1.13425), " +
+      "(35, 1.134581), (36, 1.134875), (37, 1.135137), (38, 1.135344), (39, 1.135544), (40, " +
+      "1.135847), (41, 1.136056), (42, 1.136357), (43, 1.136482), (44, 1.136741), (45, " +
+      "1.136864), (46, 1.137244), (47, 1.137375), (48, 1.137659), (49, 1.137801), (50, " +
+      "1.138043), (51, 1.138254), (52, 1.138639), (53, 1.13889), (54, 1.139145), (55, " +
+      "1.139321), (56, 1.13969), (57, 1.13994), (58, 1.140098), (59, 1.140581), (60, 1.140857), " +
+      "(61, 1.140971), (62, 1.141163), (63, 1.141575), (64, 1.141738), (65, 1.141868), (66, " +
+      "1.142133), (67, 1.142284), (68, 1.142513), (69, 1.142865), (70, 1.143184), (71, " +
+      "1.14344), (72, 1.143612), (73, 1.143788), (74, 1.14421), (75, 1.1444), (76, 1.14455), " +
+      "(77, 1.144861), (78, 1.145073), (79, 1.145227), (80, 1.14535), (81, 1.14556), (82, " +
+      "1.145756), (83, 1.145972), (84, 1.146105), (85, 1.14632), (86, 1.146555), (87, " +
+      "1.146831), (88, 1.14697), (89, 1.147217), (90, 1.147326), (91, 1.147644), (92, " +
+      "1.147747), (93, 1.147881), (94, 1.148035), (95, 1.148125), (96, 1.148222), (97, " +
+      "1.148413), (98, 1.148525), (99, 1.148599), (100, 1.148693), (101, 1.148814), (102, " +
+      "1.148891), (103, 1.149141), (104, 1.149275), (105, 1.149457), (106, 1.149554), (107, " +
+      "1.149697), (108, 1.149815), (109, 1.150092), (110, 1.15025), (111, 1.15041), (112, " +
+      "1.150581), (113, 1.150739), (114, 1.150858), (115, 1.151022), (116, 1.151153), (117, " +
+      "1.151324), (118, 1.151474), (119, 1.151551), (120, 1.15165), (121, 1.151766), (122, " +
+      "1.151939), (123, 1.15207), (124, 1.15224), (125, 1.152472), (126, 1.152562), (127, " +
+      "1.152657), (128, 1.152805), (129, 1.152981), (130, 1.15307), (131, 1.153255), (132, " +
+      "1.153444), (133, 1.153551), (134, 1.153656), (135, 1.153783), (136, 1.153886), (137, " +
+      "1.154002), (138, 1.154179), (139, 1.154319), (140, 1.154455), (141, 1.154632), (142, " +
+      "1.154755), (143, 1.154893), (144, 1.15503), (145, 1.155159), (146, 1.155303), (147, " +
+      "1.155478), (148, 1.155597), (149, 1.1557), (150, 1.155886), (151, 1.15603), (152, " +
+      "1.156143), (153, 1.156259), (154, 1.156304), (155, 1.156375), (156, 1.156489), (157, " +
+      "1.1566), (158, 1.156945), (159, 1.157184), (160, 1.157296), (161, 1.157372), (162, " +
+      "1.157545), (163, 1.15769), (164, 1.157756), (165, 1.157871), (166, 1.15803), (167, " +
+      "1.158126), (168, 1.158226), (169, 1.158328), (170, 1.158518), (171, 1.158577), (172, " +
+      "1.158794), (173, 1.158976), (174, 1.159112), (175, 1.159216), (176, 1.159441), (177, " +
+      "1.159521), (178, 1.159652), (179, 1.159805), (180, 1.159985), (181, 1.160137), (182, " +
+      "1.160238), (183, 1.160408), (184, 1.160493), (185, 1.160651), (186, 1.160816), (187, " +
+      "1.160957), (188, 1.161079), (189, 1.161209), (190, 1.161416), (191, 1.161528), (192, " +
+      "1.161667), (193, 1.161814), (194, 1.16191), (195, 1.162031), (196, 1.162129), (197, " +
+      "1.16221), (198, 1.162448), (199, 1.162576), (200, 1.162695), (201, 1.162866), (202, " +
+      "1.16297), (203, 1.163079), (204, 1.163237), (205, 1.163405), (206, 1.163511), (207, " +
+      "1.163635), (208, 1.163801), (209, 1.163958), (210, 1.164092), (211, 1.164296), (212, " +
+      "1.164417), (213, 1.164547), (214, 1.164746), (215, 1.164993), (216, 1.165156), (217, " +
+      "1.165316), (218, 1.165418), (219, 1.16555), (220, 1.165738), (221, 1.165823), (222, " +
+      "1.165962), (223, 1.166155), (224, 1.166309), (225, 1.16645), (226, 1.166627), (227, " +
+      "1.166838), (228, 1.166987), (229, 1.167256), (230, 1.167431), (231, 1.167598), (232, " +
+      "1.167794), (233, 1.167972), (234, 1.168088), (235, 1.16828), (236, 1.168448), (237, " +
+      "1.16857), (238, 1.168682), (239, 1.168883), (240, 1.169006), (241, 1.16916), (242, " +
+      "1.169349), (243, 1.169448), (244, 1.169582), (245, 1.169707), (246, 1.169898), (247, " +
+      "1.170049), (248, 1.170218), (249, 1.170509), (250, 1.170726), (251, 1.170991), (252, " +
+      "1.17112), (253, 1.171296), (254, 1.171454), (255, 1.17187), (256, 1.17203), (257, " +
+      "1.172199), (258, 1.172396), (259, 1.172612), (260, 1.172762), (261, 1.172907), (262, " +
+      "1.173109), (263, 1.173362), (264, 1.173632), (265, 1.173808), (266, 1.173979), (267, " +
+      "1.174136), (268, 1.174415), (269, 1.174749), (270, 1.175135), (271, 1.175397), (272, " +
+      "1.175654), (273, 1.176001), (274, 1.176377), (275, 1.176698), (276, 1.176963), (277, " +
+      "1.177397), (278, 1.177761), (279, 1.178185), (280, 1.178493), (281, 1.178809), (282, " +
+      "1.179322), (283, 1.179795), (284, 1.180148), (285, 1.180641), (286, 1.181193), (287, " +
+      "1.182024), (288, 1.182853), (289, 1.183636), (290, 1.18405), (291, 1.185007), (292, " +
+      "1.185451), (293, 1.186283), (294, 1.187253), (295, 1.188493), (296, 1.190426), (297, " +
+      "1.192434), (298, 1.194608), (299, 1.200303)) AS t(i, c) ORDER BY i"),
     "a3_value_counts" -> (
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag " +
         "ORDER BY cnt DESC, l_returnflag"),
