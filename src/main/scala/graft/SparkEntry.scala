@@ -900,7 +900,10 @@ object SparkEntry {
       val model = graft.ml.QualityClassifier.fit(
         toks.join(labels, "doc_id").filter(col("doc_id") % 2 === 0),
         "tokens", "label")
+      // prob quantized 1e-6 (r10): absorbs any LBFGS aggregate-order ulp
+      // so the golden-VALUES twin pins the model's scores stably
       graft.ml.QualityClassifier.score(model, toks, "doc_id", "tokens")
+        .withColumn("quality_prob", round(col("quality_prob") * 1e6) / 1e6)
         .orderBy("doc_id")
     }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
@@ -2064,6 +2067,249 @@ object SparkEntry {
     "s8_head_local" -> (
       "SELECT doc_id, source, n_chars FROM documents " +
         "ORDER BY doc_id LIMIT 25"),
+    // golden-VALUES twins (r10): both verified bit-identical at 8 and 32
+    // cores. semantic dedup is integer/boolean output from a seeded
+    // sample-fit KMeans + deterministic cluster-scoped pair scan; the
+    // classifier score is 1e-6-quantized in the query. Quality gates
+    // (dropped-set recall 1.00, AUC) stay in their specs.
+    "llm_semantic_dedup" -> (
+      "SELECT vec_id::BIGINT AS vec_id, g::BIGINT AS group_id, n::BIGINT AS group_size, " +
+      "k::BOOLEAN AS is_keeper FROM (VALUES (0, 0, 1, true), (1, 1, 1, true), (2, 2, 1, true), " +
+      "(3, 3, 1, true), (4, 4, 1, true), (5, 5, 1, true), (6, 6, 1, true), (7, 7, 1, true), (8, " +
+      "8, 1, true), (9, 9, 1, true), (10, 10, 1, true), (11, 11, 1, true), (12, 12, 1, true), " +
+      "(13, 13, 1, true), (14, 14, 1, true), (15, 15, 1, true), (16, 16, 1, true), (17, 17, 1, " +
+      "true), (18, 18, 1, true), (19, 19, 1, true), (20, 20, 1, true), (21, 21, 1, true), (22, " +
+      "22, 1, true), (23, 23, 1, true), (24, 24, 1, true), (25, 25, 1, true), (26, 26, 1, " +
+      "true), (27, 27, 1, true), (28, 28, 1, true), (29, 29, 1, true), (30, 30, 1, true), (31, " +
+      "31, 1, true), (32, 32, 1, true), (33, 33, 1, true), (34, 34, 1, true), (35, 35, 1, " +
+      "true), (36, 36, 1, true), (37, 37, 1, true), (38, 38, 1, true), (39, 39, 1, true), (40, " +
+      "40, 1, true), (41, 41, 1, true), (42, 42, 1, true), (43, 43, 1, true), (44, 44, 1, " +
+      "true), (45, 45, 1, true), (46, 46, 1, true), (47, 47, 1, true), (48, 48, 1, true), (49, " +
+      "49, 1, true), (50, 50, 1, true), (51, 51, 1, true), (52, 52, 1, true), (53, 53, 1, " +
+      "true), (54, 54, 1, true), (55, 55, 1, true), (56, 56, 1, true), (57, 57, 1, true), (58, " +
+      "58, 1, true), (59, 59, 1, true), (60, 60, 1, true), (61, 61, 1, true), (62, 62, 1, " +
+      "true), (63, 63, 1, true), (64, 64, 1, true), (65, 65, 1, true), (66, 66, 1, true), (67, " +
+      "67, 1, true), (68, 68, 1, true), (69, 69, 1, true), (70, 70, 1, true), (71, 71, 1, " +
+      "true), (72, 72, 1, true), (73, 73, 1, true), (74, 74, 1, true), (75, 75, 1, true), (76, " +
+      "76, 1, true), (77, 77, 1, true), (78, 78, 1, true), (79, 79, 1, true), (80, 80, 1, " +
+      "true), (81, 81, 1, true), (82, 82, 1, true), (83, 83, 1, true), (84, 84, 1, true), (85, " +
+      "85, 1, true), (86, 86, 1, true), (87, 87, 1, true), (88, 88, 1, true), (89, 89, 1, " +
+      "true), (90, 90, 1, true), (91, 91, 1, true), (92, 92, 1, true), (93, 93, 1, true), (94, " +
+      "94, 1, true), (95, 95, 1, true), (96, 96, 1, true), (97, 97, 1, true), (98, 98, 1, " +
+      "true), (99, 99, 1, true), (100, 100, 1, true), (101, 101, 1, true), (102, 102, 1, true), " +
+      "(103, 103, 1, true), (104, 104, 1, true), (105, 105, 1, true), (106, 106, 1, true), " +
+      "(107, 107, 1, true), (108, 108, 1, true), (109, 109, 1, true), (110, 110, 1, true), " +
+      "(111, 111, 1, true), (112, 112, 1, true), (113, 113, 1, true), (114, 114, 1, true), " +
+      "(115, 115, 1, true), (116, 116, 1, true), (117, 117, 1, true), (118, 118, 1, true), " +
+      "(119, 119, 1, true), (120, 120, 1, true), (121, 121, 1, true), (122, 122, 1, true), " +
+      "(123, 123, 1, true), (124, 124, 1, true), (125, 125, 1, true), (126, 126, 1, true), " +
+      "(127, 127, 1, true), (128, 128, 1, true), (129, 129, 1, true), (130, 130, 1, true), " +
+      "(131, 131, 1, true), (132, 132, 1, true), (133, 133, 1, true), (134, 134, 1, true), " +
+      "(135, 135, 1, true), (136, 136, 1, true), (137, 137, 1, true), (138, 138, 1, true), " +
+      "(139, 139, 1, true), (140, 140, 1, true), (141, 141, 1, true), (142, 142, 1, true), " +
+      "(143, 143, 1, true), (144, 144, 1, true), (145, 145, 1, true), (146, 146, 1, true), " +
+      "(147, 147, 1, true), (148, 148, 1, true), (149, 149, 1, true), (150, 150, 1, true), " +
+      "(151, 151, 1, true), (152, 152, 1, true), (153, 153, 1, true), (154, 154, 1, true), " +
+      "(155, 155, 1, true), (156, 156, 1, true), (157, 157, 1, true), (158, 158, 1, true), " +
+      "(159, 159, 1, true), (160, 160, 1, true), (161, 161, 1, true), (162, 162, 1, true), " +
+      "(163, 163, 1, true), (164, 164, 1, true), (165, 165, 1, true), (166, 166, 1, true), " +
+      "(167, 167, 1, true), (168, 168, 1, true), (169, 169, 1, true), (170, 170, 1, true), " +
+      "(171, 171, 1, true), (172, 172, 1, true), (173, 173, 1, true), (174, 174, 1, true), " +
+      "(175, 175, 1, true), (176, 176, 1, true), (177, 177, 1, true), (178, 178, 1, true), " +
+      "(179, 179, 1, true), (180, 180, 1, true), (181, 181, 1, true), (182, 182, 1, true), " +
+      "(183, 183, 1, true), (184, 184, 1, true), (185, 185, 1, true), (186, 186, 1, true), " +
+      "(187, 187, 1, true), (188, 188, 1, true), (189, 189, 1, true), (190, 190, 1, true), " +
+      "(191, 191, 1, true), (192, 192, 1, true), (193, 193, 1, true), (194, 194, 1, true), " +
+      "(195, 195, 1, true), (196, 196, 1, true), (197, 197, 1, true), (198, 198, 1, true), " +
+      "(199, 199, 1, true), (200, 200, 1, true), (201, 201, 1, true), (202, 202, 1, true), " +
+      "(203, 203, 1, true), (204, 204, 1, true), (205, 205, 1, true), (206, 206, 1, true), " +
+      "(207, 207, 1, true), (208, 208, 1, true), (209, 209, 1, true), (210, 210, 1, true), " +
+      "(211, 211, 1, true), (212, 212, 1, true), (213, 213, 1, true), (214, 214, 1, true), " +
+      "(215, 215, 1, true), (216, 216, 1, true), (217, 217, 1, true), (218, 218, 1, true), " +
+      "(219, 219, 1, true), (220, 220, 1, true), (221, 221, 1, true), (222, 222, 1, true), " +
+      "(223, 223, 1, true), (224, 224, 1, true), (225, 225, 1, true), (226, 226, 1, true), " +
+      "(227, 227, 1, true), (228, 228, 1, true), (229, 229, 1, true), (230, 230, 1, true), " +
+      "(231, 231, 1, true), (232, 232, 1, true), (233, 233, 1, true), (234, 234, 1, true), " +
+      "(235, 235, 1, true), (236, 236, 1, true), (237, 237, 1, true), (238, 238, 1, true), " +
+      "(239, 239, 1, true), (240, 240, 1, true), (241, 241, 1, true), (242, 242, 1, true), " +
+      "(243, 243, 1, true), (244, 244, 1, true), (245, 245, 1, true), (246, 246, 1, true), " +
+      "(247, 247, 1, true), (248, 248, 1, true), (249, 249, 1, true), (250, 250, 1, true), " +
+      "(251, 251, 1, true), (252, 252, 1, true), (253, 253, 1, true), (254, 254, 1, true), " +
+      "(255, 255, 1, true), (256, 256, 1, true), (257, 257, 1, true), (258, 258, 1, true), " +
+      "(259, 259, 1, true), (260, 260, 1, true), (261, 261, 1, true), (262, 262, 1, true), " +
+      "(263, 263, 1, true), (264, 264, 1, true), (265, 265, 1, true), (266, 266, 1, true), " +
+      "(267, 267, 1, true), (268, 268, 1, true), (269, 269, 1, true), (270, 270, 1, true), " +
+      "(271, 271, 1, true), (272, 272, 1, true), (273, 273, 1, true), (274, 274, 1, true), " +
+      "(275, 275, 1, true), (276, 276, 1, true), (277, 277, 1, true), (278, 278, 1, true), " +
+      "(279, 279, 1, true), (280, 280, 1, true), (281, 281, 1, true), (282, 282, 1, true), " +
+      "(283, 283, 1, true), (284, 284, 1, true), (285, 285, 1, true), (286, 286, 1, true), " +
+      "(287, 287, 1, true), (288, 288, 1, true), (289, 289, 1, true), (290, 290, 1, true), " +
+      "(291, 291, 1, true), (292, 292, 1, true), (293, 293, 1, true), (294, 294, 1, true), " +
+      "(295, 295, 1, true), (296, 296, 1, true), (297, 297, 1, true), (298, 298, 1, true), " +
+      "(299, 299, 1, true), (300, 300, 1, true), (301, 301, 1, true), (302, 302, 1, true), " +
+      "(303, 303, 1, true), (304, 304, 1, true), (305, 305, 1, true), (306, 306, 1, true), " +
+      "(307, 307, 1, true), (308, 308, 1, true), (309, 309, 1, true), (310, 310, 1, true), " +
+      "(311, 311, 1, true), (312, 312, 1, true), (313, 313, 1, true), (314, 314, 1, true), " +
+      "(315, 315, 1, true), (316, 316, 1, true), (317, 317, 1, true), (318, 318, 1, true), " +
+      "(319, 319, 1, true), (320, 320, 1, true), (321, 321, 1, true), (322, 322, 1, true), " +
+      "(323, 323, 1, true), (324, 324, 1, true), (325, 325, 1, true), (326, 326, 1, true), " +
+      "(327, 327, 1, true), (328, 328, 1, true), (329, 329, 1, true), (330, 330, 1, true), " +
+      "(331, 331, 1, true), (332, 332, 1, true), (333, 333, 1, true), (334, 334, 1, true), " +
+      "(335, 335, 1, true), (336, 336, 1, true), (337, 337, 1, true), (338, 338, 1, true), " +
+      "(339, 339, 1, true), (340, 340, 1, true), (341, 341, 1, true), (342, 342, 1, true), " +
+      "(343, 343, 1, true), (344, 344, 1, true), (345, 345, 1, true), (346, 346, 1, true), " +
+      "(347, 347, 1, true), (348, 348, 1, true), (349, 349, 1, true), (350, 350, 1, true), " +
+      "(351, 351, 1, true), (352, 352, 1, true), (353, 353, 1, true), (354, 354, 1, true), " +
+      "(355, 355, 1, true), (356, 356, 1, true), (357, 357, 1, true), (358, 358, 1, true), " +
+      "(359, 359, 1, true), (360, 360, 1, true), (361, 361, 1, true), (362, 362, 1, true), " +
+      "(363, 363, 1, true), (364, 364, 1, true), (365, 365, 1, true), (366, 366, 1, true), " +
+      "(367, 367, 1, true), (368, 368, 1, true), (369, 369, 1, true), (370, 370, 1, true), " +
+      "(371, 371, 1, true), (372, 372, 1, true), (373, 373, 1, true), (374, 374, 1, true), " +
+      "(375, 375, 1, true), (376, 376, 1, true), (377, 377, 1, true), (378, 378, 1, true), " +
+      "(379, 379, 1, true), (380, 380, 1, true), (381, 381, 1, true), (382, 382, 1, true), " +
+      "(383, 383, 1, true), (384, 384, 1, true), (385, 385, 1, true), (386, 386, 1, true), " +
+      "(387, 387, 1, true), (388, 388, 1, true), (389, 389, 1, true), (390, 390, 1, true), " +
+      "(391, 391, 1, true), (392, 392, 1, true), (393, 393, 1, true), (394, 394, 1, true), " +
+      "(395, 395, 1, true), (396, 396, 1, true), (397, 397, 1, true), (398, 398, 1, true), " +
+      "(399, 399, 1, true), (400, 400, 1, true), (401, 401, 1, true), (402, 402, 1, true), " +
+      "(403, 403, 1, true), (404, 404, 1, true), (405, 405, 1, true), (406, 406, 1, true), " +
+      "(407, 407, 1, true), (408, 408, 1, true), (409, 409, 1, true), (410, 410, 1, true), " +
+      "(411, 411, 1, true), (412, 412, 1, true), (413, 413, 1, true), (414, 414, 1, true), " +
+      "(415, 415, 1, true), (416, 416, 1, true), (417, 417, 1, true), (418, 418, 1, true), " +
+      "(419, 419, 1, true), (420, 420, 1, true), (421, 421, 1, true), (422, 422, 1, true), " +
+      "(423, 423, 1, true), (424, 424, 1, true), (425, 425, 1, true), (426, 426, 1, true), " +
+      "(427, 427, 1, true), (428, 428, 1, true), (429, 429, 1, true), (430, 430, 1, true), " +
+      "(431, 431, 1, true), (432, 432, 1, true), (433, 433, 1, true), (434, 434, 1, true), " +
+      "(435, 435, 1, true), (436, 436, 1, true), (437, 437, 1, true), (438, 438, 1, true), " +
+      "(439, 439, 1, true), (440, 440, 1, true), (441, 441, 1, true), (442, 442, 1, true), " +
+      "(443, 443, 1, true), (444, 444, 1, true), (445, 445, 1, true), (446, 446, 1, true), " +
+      "(447, 447, 1, true), (448, 448, 1, true), (449, 449, 1, true), (450, 450, 1, true), " +
+      "(451, 451, 1, true), (452, 452, 1, true), (453, 453, 1, true), (454, 454, 1, true), " +
+      "(455, 455, 1, true), (456, 456, 1, true), (457, 457, 1, true), (458, 458, 1, true), " +
+      "(459, 459, 1, true), (460, 460, 1, true), (461, 461, 1, true), (462, 462, 1, true), " +
+      "(463, 463, 1, true), (464, 464, 1, true), (465, 465, 1, true), (466, 466, 1, true), " +
+      "(467, 467, 1, true), (468, 468, 1, true), (469, 469, 1, true), (470, 470, 1, true), " +
+      "(471, 471, 1, true), (472, 472, 1, true), (473, 473, 1, true), (474, 474, 1, true), " +
+      "(475, 475, 1, true), (476, 476, 1, true), (477, 477, 1, true), (478, 478, 1, true), " +
+      "(479, 479, 1, true), (480, 480, 1, true), (481, 481, 1, true), (482, 482, 1, true), " +
+      "(483, 483, 1, true), (484, 484, 1, true), (485, 485, 1, true), (486, 486, 1, true), " +
+      "(487, 487, 1, true), (488, 488, 1, true), (489, 489, 1, true), (490, 490, 1, true), " +
+      "(491, 491, 1, true), (492, 492, 1, true), (493, 493, 1, true), (494, 494, 1, true), " +
+      "(495, 495, 1, true), (496, 496, 1, true), (497, 497, 1, true), (498, 498, 1, true), " +
+      "(499, 499, 1, true)) AS t(vec_id, g, n, k) ORDER BY vec_id"),
+    "llm_quality_classifier" -> (
+      "SELECT doc_id::BIGINT AS doc_id, p::DOUBLE AS quality_prob, pred::BIGINT AS quality_pred " +
+      "FROM (VALUES (0, '0.0', 0), (1, '8e-06', 0), (2, '2e-05', 0), (3, '0.0', 0), (4, " +
+      "'0.011962', 0), (5, '0.000176', 0), (6, '0.0', 0), (7, '1.0', 1), (8, '1.0', 1), (9, " +
+      "'0.999886', 1), (10, '0.000251', 0), (11, '5e-06', 0), (12, '0.002968', 0), (13, " +
+      "'0.822353', 1), (14, '0.000335', 0), (15, '0.0', 0), (16, '0.0', 0), (17, '0.973393', " +
+      "1), (18, '2e-06', 0), (19, '0.0', 0), (20, '0.897981', 1), (21, '0.0', 0), (22, '1.0', " +
+      "1), (23, '2e-06', 0), (24, '0.442997', 0), (25, '1.0', 1), (26, '0.0', 0), (27, '0.0', " +
+      "0), (28, '0.0', 0), (29, '0.0', 0), (30, '4e-06', 0), (31, '0.0', 0), (32, '1.0', 1), " +
+      "(33, '5.1e-05', 0), (34, '0.0', 0), (35, '0.999999', 1), (36, '0.0', 0), (37, " +
+      "'0.013036', 0), (38, '0.032991', 0), (39, '0.0', 0), (40, '1.0', 1), (41, '3e-06', 0), " +
+      "(42, '1.1e-05', 0), (43, '0.0', 0), (44, '0.0', 0), (45, '1.0', 1), (46, '1.0', 1), (47, " +
+      "'0.0', 0), (48, '0.0', 0), (49, '0.0', 0), (50, '0.0', 0), (51, '1.0', 1), (52, '0.0', " +
+      "0), (53, '0.0', 0), (54, '0.0', 0), (55, '0.0', 0), (56, '0.696353', 1), (57, '1.0', 1), " +
+      "(58, '0.999973', 1), (59, '0.0', 0), (60, '0.999863', 1), (61, '0.0', 0), (62, '0.0', " +
+      "0), (63, '1.0', 1), (64, '0.0', 0), (65, '1e-06', 0), (66, '0.999991', 1), (67, " +
+      "'0.999973', 1), (68, '0.0', 0), (69, '0.332644', 0), (70, '1.0', 1), (71, '0.0', 0), " +
+      "(72, '0.0', 0), (73, '1.0', 1), (74, '0.0', 0), (75, '0.999993', 1), (76, '0.934677', " +
+      "1), (77, '1.5e-05', 0), (78, '0.0', 0), (79, '0.0', 0), (80, '0.0', 0), (81, '0.0', 0), " +
+      "(82, '8.3e-05', 0), (83, '0.0', 0), (84, '0.008838', 0), (85, '0.0', 0), (86, '0.0', 0), " +
+      "(87, '0.0', 0), (88, '0.0', 0), (89, '0.0', 0), (90, '0.0', 0), (91, '0.00522', 0), (92, " +
+      "'0.016802', 0), (93, '0.0', 0), (94, '0.0', 0), (95, '0.000949', 0), (96, '0.152707', " +
+      "0), (97, '4.6e-05', 0), (98, '0.864421', 1), (99, '0.0', 0), (100, '1.0', 1), (101, " +
+      "'0.0', 0), (102, '1.0', 1), (103, '0.014187', 0), (104, '5e-06', 0), (105, '9.5e-05', " +
+      "0), (106, '0.0', 0), (107, '0.0', 0), (108, '0.0', 0), (109, '0.00525', 0), (110, '0.0', " +
+      "0), (111, '0.000348', 0), (112, '0.892649', 1), (113, '0.999993', 1), (114, '0.0', 0), " +
+      "(115, '0.0', 0), (116, '0.0', 0), (117, '0.0', 0), (118, '0.999996', 1), (119, '0.0', " +
+      "0), (120, '0.0', 0), (121, '0.0', 0), (122, '0.0', 0), (123, '1e-06', 0), (124, " +
+      "'0.25019', 0), (125, '0.0', 0), (126, '0.999999', 1), (127, '0.01011', 0), (128, " +
+      "'0.999779', 1), (129, '1.0', 1), (130, '0.0', 0), (131, '0.0', 0), (132, '0.663002', 1), " +
+      "(133, '1.0', 1), (134, '0.0', 0), (135, '1.0', 1), (136, '0.002215', 0), (137, '0.0', " +
+      "0), (138, '0.085603', 0), (139, '0.957395', 1), (140, '0.0', 0), (141, '0.0', 0), (142, " +
+      "'1.0', 1), (143, '0.0', 0), (144, '0.0', 0), (145, '0.99977', 1), (146, '0.0', 0), (147, " +
+      "'0.999999', 1), (148, '0.166126', 0), (149, '0.0', 0), (150, '0.000106', 0), (151, " +
+      "'0.751488', 1), (152, '0.0', 0), (153, '0.160394', 0), (154, '1.0', 1), (155, '0.99988', " +
+      "1), (156, '0.0', 0), (157, '0.0', 0), (158, '0.0', 0), (159, '0.000106', 0), (160, " +
+      "'0.000223', 0), (161, '1.0', 1), (162, '0.998217', 1), (163, '0.0', 0), (164, '0.0', 0), " +
+      "(165, '0.0', 0), (166, '0.984896', 1), (167, '1.0', 1), (168, '0.0', 0), (169, " +
+      "'0.000852', 0), (170, '0.0', 0), (171, '0.999982', 1), (172, '0.0', 0), (173, " +
+      "'0.998002', 1), (174, '0.999983', 1), (175, '0.001084', 0), (176, '0.999515', 1), (177, " +
+      "'4e-06', 0), (178, '0.0', 0), (179, '1.0', 1), (180, '0.0', 0), (181, '0.0', 0), (182, " +
+      "'1.0', 1), (183, '0.0', 0), (184, '0.999702', 1), (185, '0.0', 0), (186, '1.0', 1), " +
+      "(187, '1.0', 1), (188, '0.0', 0), (189, '0.0', 0), (190, '0.680269', 1), (191, '0.0', " +
+      "0), (192, '0.0', 0), (193, '0.0', 0), (194, '0.0', 0), (195, '1.7e-05', 0), (196, '0.0', " +
+      "0), (197, '1.0', 1), (198, '0.0', 0), (199, '0.942826', 1), (200, '0.0', 0), (201, " +
+      "'8.2e-05', 0), (202, '0.999925', 1), (203, '0.0', 0), (204, '0.0', 0), (205, '0.004707', " +
+      "0), (206, '0.0', 0), (207, '0.0', 0), (208, '0.0', 0), (209, '0.0', 0), (210, " +
+      "'0.999995', 1), (211, '0.0', 0), (212, '0.011228', 0), (213, '1.0', 1), (214, '0.0', 0), " +
+      "(215, '1.0', 1), (216, '0.996396', 1), (217, '0.094447', 0), (218, '0.998092', 1), (219, " +
+      "'0.0', 0), (220, '1.0', 1), (221, '0.979716', 1), (222, '0.9822', 1), (223, '1.0', 1), " +
+      "(224, '0.999156', 1), (225, '0.000284', 0), (226, '0.0', 0), (227, '1.0', 1), (228, " +
+      "'0.31458', 0), (229, '1.0', 1), (230, '0.995928', 1), (231, '0.0', 0), (232, '0.0', 0), " +
+      "(233, '0.999958', 1), (234, '1.0', 1), (235, '9e-06', 0), (236, '0.0', 0), (237, " +
+      "'0.999957', 1), (238, '0.0', 0), (239, '0.0', 0), (240, '1.0', 1), (241, '0.999521', 1), " +
+      "(242, '0.405612', 0), (243, '0.0', 0), (244, '0.999995', 1), (245, '1.0', 1), (246, " +
+      "'0.505048', 1), (247, '1.0', 1), (248, '0.999971', 1), (249, '1.0', 1), (250, " +
+      "'0.257337', 0), (251, '1.0', 1), (252, '0.119716', 0), (253, '0.856569', 1), (254, " +
+      "'0.0', 0), (255, '0.0', 0), (256, '0.0', 0), (257, '0.0', 0), (258, '0.888379', 1), " +
+      "(259, '0.0', 0), (260, '2.5e-05', 0), (261, '0.139579', 0), (262, '0.417422', 0), (263, " +
+      "'0.999425', 1), (264, '0.293071', 0), (265, '0.0', 0), (266, '2e-06', 0), (267, " +
+      "'0.999994', 1), (268, '0.024794', 0), (269, '1.0', 1), (270, '0.999995', 1), (271, " +
+      "'1e-06', 0), (272, '1.0', 1), (273, '0.0', 0), (274, '1.0', 1), (275, '0.0', 0), (276, " +
+      "'0.146919', 0), (277, '0.0', 0), (278, '0.0', 0), (279, '1e-05', 0), (280, '1.0', 1), " +
+      "(281, '0.0', 0), (282, '0.0', 0), (283, '1.0', 1), (284, '0.000509', 0), (285, " +
+      "'0.63949', 1), (286, '0.0', 0), (287, '0.0', 0), (288, '0.0', 0), (289, '0.0', 0), (290, " +
+      "'0.979912', 1), (291, '0.001781', 0), (292, '0.001177', 0), (293, '0.99979', 1), (294, " +
+      "'1.0', 1), (295, '0.0', 0), (296, '0.921398', 1), (297, '0.999988', 1), (298, '0.0', 0), " +
+      "(299, '1.0', 1), (300, '9e-06', 0), (301, '0.188206', 0), (302, '0.723482', 1), (303, " +
+      "'0.925196', 1), (304, '0.146424', 0), (305, '0.0', 0), (306, '1.0', 1), (307, " +
+      "'0.911238', 1), (308, '0.0', 0), (309, '0.0122', 0), (310, '0.0', 0), (311, '1.0', 1), " +
+      "(312, '0.999737', 1), (313, '0.0', 0), (314, '0.002549', 0), (315, '1.0', 1), (316, " +
+      "'1e-06', 0), (317, '0.00427', 0), (318, '7e-06', 0), (319, '0.999944', 1), (320, '1.0', " +
+      "1), (321, '4e-05', 0), (322, '0.0', 0), (323, '0.998', 1), (324, '0.006281', 0), (325, " +
+      "'0.0', 0), (326, '0.040238', 0), (327, '0.0', 0), (328, '1.0', 1), (329, '1.0', 1), " +
+      "(330, '0.991151', 1), (331, '0.0', 0), (332, '0.0', 0), (333, '0.0', 0), (334, '1.0', " +
+      "1), (335, '0.003101', 0), (336, '0.049994', 0), (337, '3e-06', 0), (338, '0.0', 0), " +
+      "(339, '0.0', 0), (340, '0.0', 0), (341, '0.991172', 1), (342, '0.0', 0), (343, '0.0', " +
+      "0), (344, '0.080298', 0), (345, '0.000179', 0), (346, '0.0', 0), (347, '0.0', 0), (348, " +
+      "'0.0', 0), (349, '1.0', 1), (350, '0.883325', 1), (351, '0.0', 0), (352, '1.0', 1), " +
+      "(353, '0.977917', 1), (354, '1.0', 1), (355, '1.0', 1), (356, '0.139559', 0), (357, " +
+      "'0.0', 0), (358, '0.0', 0), (359, '0.793664', 1), (360, '1.0', 1), (361, '0.0', 0), " +
+      "(362, '0.0', 0), (363, '1e-06', 0), (364, '0.0', 0), (365, '0.0', 0), (366, '0.000114', " +
+      "0), (367, '0.001133', 0), (368, '0.0', 0), (369, '0.377929', 0), (370, '0.0', 0), (371, " +
+      "'2.3e-05', 0), (372, '0.0', 0), (373, '1.0', 1), (374, '0.0', 0), (375, '0.213704', 0), " +
+      "(376, '0.984325', 1), (377, '0.0', 0), (378, '1.0', 1), (379, '0.786352', 1), (380, " +
+      "'1.0', 1), (381, '5e-06', 0), (382, '1e-06', 0), (383, '0.0', 0), (384, '0.0', 0), (385, " +
+      "'1.0', 1), (386, '1.0', 1), (387, '0.0', 0), (388, '0.13835', 0), (389, '0.0', 0), (390, " +
+      "'0.0', 0), (391, '0.0', 0), (392, '0.0', 0), (393, '4.2e-05', 0), (394, '0.86346', 1), " +
+      "(395, '0.378927', 0), (396, '0.0', 0), (397, '0.0', 0), (398, '0.0', 0), (399, '0.0', " +
+      "0), (400, '0.0', 0), (401, '0.992834', 1), (402, '0.020463', 0), (403, '0.001747', 0), " +
+      "(404, '0.0', 0), (405, '1e-05', 0), (406, '1.0', 1), (407, '0.0', 0), (408, '0.0', 0), " +
+      "(409, '0.0', 0), (410, '0.113919', 0), (411, '0.989267', 1), (412, '1.0', 1), (413, " +
+      "'0.999999', 1), (414, '1.0', 1), (415, '0.00049', 0), (416, '0.999941', 1), (417, " +
+      "'0.000212', 0), (418, '0.025997', 0), (419, '0.0', 0), (420, '6e-06', 0), (421, " +
+      "'0.994359', 1), (422, '0.230254', 0), (423, '0.881682', 1), (424, '0.999989', 1), (425, " +
+      "'0.0', 0), (426, '0.63903', 1), (427, '0.993886', 1), (428, '0.0', 0), (429, '0.000896', " +
+      "0), (430, '0.999945', 1), (431, '0.171666', 0), (432, '0.007812', 0), (433, '0.0', 0), " +
+      "(434, '0.000402', 0), (435, '0.0', 0), (436, '0.693214', 1), (437, '0.999722', 1), (438, " +
+      "'0.0', 0), (439, '0.0', 0), (440, '2e-06', 0), (441, '1.0', 1), (442, '1.0', 1), (443, " +
+      "'0.0', 0), (444, '1.0', 1), (445, '0.0', 0), (446, '0.0', 0), (447, '1.0', 1), (448, " +
+      "'0.9957', 1), (449, '4e-06', 0), (450, '0.002229', 0), (451, '0.0', 0), (452, " +
+      "'0.999993', 1), (453, '1.0', 1), (454, '0.0', 0), (455, '0.0', 0), (456, '0.0', 0), " +
+      "(457, '0.242871', 0), (458, '0.0', 0), (459, '0.999499', 1), (460, '9e-05', 0), (461, " +
+      "'0.000143', 0), (462, '0.0', 0), (463, '0.99903', 1), (464, '0.002208', 0), (465, " +
+      "'0.996765', 1), (466, '0.000101', 0), (467, '1.0', 1), (468, '0.0', 0), (469, '0.0', 0), " +
+      "(470, '0.0', 0), (471, '3.3e-05', 0), (472, '0.0', 0), (473, '0.00098', 0), (474, " +
+      "'0.980187', 1), (475, '0.0', 0), (476, '0.0', 0), (477, '0.0', 0), (478, '0.998951', 1), " +
+      "(479, '0.246095', 0), (480, '0.01084', 0), (481, '0.0', 0), (482, '6e-06', 0), (483, " +
+      "'0.039691', 0), (484, '0.0', 0), (485, '0.0', 0), (486, '0.0', 0), (487, '0.0', 0), " +
+      "(488, '2e-06', 0), (489, '0.0', 0), (490, '0.163207', 0), (491, '1.0', 1), (492, '0.0', " +
+      "0), (493, '1.0', 1), (494, '0.0', 0), (495, '0.000817', 0), (496, '1.0', 1), (497, " +
+      "'0.0', 0), (498, '0.035854', 0), (499, '0.923214', 1)) AS t(doc_id, p, pred) ORDER BY " +
+      "doc_id"),
     // golden-VALUES twin (r10): the LSH-distributed DBSCAN is
     // deterministic end to end — hash-based hyperplane buckets, integer
     // min-label component propagation, integer output; verified
