@@ -18,6 +18,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache backs every read/write with a temp
+    * FILE — per-row disk I/O inside the scan path (and the mm_* queries'
+    * cold-run variance: ~2× first-session times). Byte-array payloads
+    * gain nothing from disk caching; the store is an idempotent static
+    * boolean, called at each decode site so the flag is set in whichever
+    * executor JVM runs the task (object-init alone wouldn't reach
+    * executors that never touch this object's other statics). */
+  @inline private[multimodal] def imageIoMemOnly(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical multimodal schema: id + modality tag + payload + metadata. */
   val schema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -68,8 +78,8 @@ object Multimodal {
             payload(1) == 'M') "image/bmp"
           else "application/octet-stream"
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          try { imageIoMemOnly()
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)) }
           catch { case _: Exception => null }
         if (img == null) Some((mime, Option.empty[Int], Option.empty[Int]))
         else Some((mime, Some(img.getWidth), Some(img.getHeight)))
@@ -259,8 +269,8 @@ object Multimodal {
       if (payload == null) None
       else {
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          try { imageIoMemOnly()
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)) }
           catch { case _: Exception => null }
         if (img == null || img.getWidth == 0 || img.getHeight == 0) None
         else {
@@ -303,6 +313,7 @@ object Multimodal {
             gy += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
+          imageIoMemOnly()
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(bos.toByteArray)
         }
@@ -330,8 +341,8 @@ object Multimodal {
     def compute(payload: Array[Byte]): Option[Long] = {
       if (payload == null) return None
       val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        try { imageIoMemOnly()
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)) }
         catch { case _: Exception => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
       val block = dctBlock(img)
@@ -729,8 +740,8 @@ object Multimodal {
         val blocks = Riff.sampleEvenly(Riff.mjpegFrames(payload), maxFrames)
           .flatMap { jpeg =>
             val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(jpeg))
+              try { imageIoMemOnly()
+                javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg)) }
               catch { case _: Exception => null }
             if (img == null || img.getWidth == 0 || img.getHeight == 0) None
             else Some(PHash.dctBlock(img))

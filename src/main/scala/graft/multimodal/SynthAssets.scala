@@ -46,6 +46,7 @@ object SynthAssets {
       img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
     val bos = new java.io.ByteArrayOutputStream()
+    Multimodal.imageIoMemOnly() // no temp-file stream cache in executors
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -106,6 +107,7 @@ object SynthAssets {
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
       }
       val bos = new java.io.ByteArrayOutputStream()
+      Multimodal.imageIoMemOnly()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
