@@ -110,6 +110,20 @@ class DedupSpec extends SparkSpec {
       s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("simHashNearDup: materialize=false returns the identical pair set") {
+    // the zero-storage recompute form (r10) must be a pure plan change —
+    // same hashes, same buckets, same pairs
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(500)
+    val ck = Dedup.simHashNearDup(corpus, "doc_id", "text",
+        maxHamming = 6, bands = 8, combine = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val rc = Dedup.simHashNearDup(corpus, "doc_id", "text",
+        maxHamming = 6, bands = 8, combine = 2, materialize = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ck == rc, s"diff=${(ck diff rc) ++ (rc diff ck)}")
+  }
+
   test("ngramJaccard: identity 1, near-dup high, distinct low") {
     val r = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") === 0)
