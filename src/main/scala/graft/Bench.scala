@@ -84,6 +84,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the record line is machine-parsed JSON: every f"%.3f" below is
+    // locale-dependent (fr_FR renders 1.063 as "1,063" — invalid JSON
+    // that silently disarms parsePrevTimes and the whole arbitration
+    // chain), so pin the JVM to ROOT before any formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -204,9 +209,12 @@ object Bench {
     // stamped into the output (`sweep` field) so the official record
     // carries its own explanation.
     val fnByName = selected.toMap
+    // ONE outlier predicate for both the re-run gate and the stamped
+    // sweep note — a second inline copy invites the two drifting apart
+    def outlier(name: String, t: Double): Boolean =
+      t > 1.0 && sessionMedian.get(name).exists(med => t > 1.5 * med)
     val results = measured.map {
-      case r @ (name, t, true)
-          if t > 1.0 && sessionMedian.get(name).exists(med => t > 1.5 * med) =>
+      case r @ (name, t, true) if outlier(name, t) =>
         System.err.println(f"[bench] closing sweep: $name $t%.3f s > 1.5x " +
           f"session median ${sessionMedian(name)}%.3f s — re-running")
         val retries = (1 to 2).map(_ => runOnce(name, fnByName(name)))
@@ -218,8 +226,7 @@ object Bench {
     // as name=ratio ('=' not ':' so parsePrevTimes' "name":t regex can
     // never mistake a sweep entry for a query time)
     val sweepNote = results.collect {
-      case (name, t, true)
-          if t > 1.0 && sessionMedian.get(name).exists(med => t > 1.5 * med) =>
+      case (name, t, true) if outlier(name, t) =>
         f"$name=${t / sessionMedian(name)}%.2fx"
     }.mkString(",")
     val qs = results.map { case (k, v, ok) =>

@@ -102,26 +102,64 @@ object Similarity {
   /** Approximate cosine similarity join: bucket both sides with the same
     * banded LSH, join per (band, bucket), verify exact cosine ≥ threshold.
     * Returns (left id, right id, cos_sim) distinct pairs. */
+  /** (id_<side> [, vec_<side>], band, bucket) band-keyed rows — the ONE
+    * keying expression every banded consumer shares. `withVec = false`
+    * keeps the stream id-only (~16 B/row) for consumers that re-attach
+    * payloads after pair dedup (see Embed.knnDistanceCurveApprox). */
+  private[graft] def rhpKeyed(df: DataFrame, idCol: String, vecCol: String,
+                              side: String, bands: Int, bitsPerBand: Int,
+                              withVec: Boolean): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df
+      .select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
+      .withColumn("bk", explode(rhpBandKeys(col(s"vec_$side"), bands, bitsPerBand)))
+    val keep = col(s"id_$side") +:
+      (if (withVec) Seq(col(s"vec_$side")) else Nil)
+    base.select(keep :+ col("bk.band").as("band") :+
+      col("bk.bucket").as("bucket"): _*)
+  }
+
+  /** Hot-bucket guard (quadratic-join cap): buckets whose population is
+    * ≤ maxBucketSize — members of pruned buckets still match via other
+    * bands. With 2^bitsPerBand buckets per band, skewed embedding
+    * distributions (all-zero vectors, boilerplate) otherwise join n².
+    * The ONE guard definition shared by every banded consumer. */
+  private[graft] def popOkBuckets(keyed: DataFrame,
+                                  maxBucketSize: Int): DataFrame =
+    keyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
+      .select("band", "bucket")
+
+  /** Id-only banded self candidate pairs: key, guard (population counted
+    * on the same frame both sides join), bucket-join, dedup. Both pair
+    * directions, self excluded — the candidate generator for consumers
+    * that attach payloads AFTER dedup. */
+  private[graft] def bandedSelfCandidates(df: DataFrame, idCol: String,
+                                          vecCol: String, bands: Int,
+                                          bitsPerBand: Int,
+                                          maxBucketSize: Int): DataFrame = {
+    val keyed = rhpKeyed(df, idCol, vecCol, "a", bands, bitsPerBand,
+      withVec = false)
+    val inPlay = keyed
+      .join(popOkBuckets(keyed, maxBucketSize), Seq("band", "bucket"),
+        "left_semi")
+    inPlay.as("x").join(inPlay.as("y"), Seq("band", "bucket"))
+      .select(col("x.id_a").as("id_a"), col("y.id_a").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def annCosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, bands: Int = 8,
                     bitsPerBand: Int = 4,
                     maxBucketSize: Int = 100000,
                     excludeSelf: Boolean = true): DataFrame = {
-    graft.expr.GraftFunctions.ensureRegistered(left.sparkSession)
-    def keyed(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"vec_$side"))
-        .withColumn("bk", explode(rhpBandKeys(col(s"vec_$side"), bands, bitsPerBand)))
-        .select(col(s"id_$side"), col(s"vec_$side"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // Hot-bucket guard (quadratic-join cap): prune buckets whose RIGHT
-    // side exceeds maxBucketSize — their members still match via other
-    // bands. With 2^bitsPerBand buckets per band, skewed embedding
-    // distributions (all-zero vectors, boilerplate) otherwise join n².
-    val rightKeyed = keyed(right, "r")
-    val okBuckets = rightKeyed.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
-      .select("band", "bucket")
-    val cands = keyed(left, "l")
+    // guard counted on the RIGHT side (the corpus in query-vs-corpus use)
+    val rightKeyed = rhpKeyed(right, idCol, vecCol, "r", bands, bitsPerBand,
+      withVec = true)
+    val okBuckets = popOkBuckets(rightKeyed, maxBucketSize)
+    val cands = rhpKeyed(left, idCol, vecCol, "l", bands, bitsPerBand,
+        withVec = true)
       .join(rightKeyed.join(okBuckets, Seq("band", "bucket"), "left_semi"),
         Seq("band", "bucket"))
       .filter(if (excludeSelf) col("id_l") =!= col("id_r") else lit(true))

@@ -107,36 +107,31 @@ object Embed {
     // id-only candidate generation (r10): the earlier annCosineJoin form
     // dragged both vector payloads (~1 KB/pair at 64 dims) through the
     // bucket join AND the pair-dedup exchange, then computed a cosine the
-    // curve discards. Band keys ride with the id alone (~16 B/row), the
-    // hot-bucket cap matches annCosineJoin's, and the vectors join back
-    // exactly once — after dedup. Same candidate set, same curve.
-    val keyed = df.select(col(idCol).as("id"),
-        explode(graft.dedup.Similarity.rhpBandKeys(
-          col(vecCol), bands, bitsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"))
-    val okBuckets = keyed.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucketSize)
-      .select("band", "bucket")
-    val inPlay = keyed.join(okBuckets, Seq("band", "bucket"), "left_semi")
-    val cands = inPlay.as("a").join(inPlay.as("b"), Seq("band", "bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // curve discards. The shared Similarity generator keeps band keys
+    // riding with the id alone (~16 B/row) under the same hot-bucket
+    // guard; vectors join back exactly once — after dedup. Same
+    // candidate set, same curve.
+    val cands = graft.dedup.Similarity.bandedSelfCandidates(
+      df, idCol, vecCol, bands, bitsPerBand, maxBucketSize)
     // re-add the self-pairs the banded join excludes (see knnDistanceCurve:
     // the reference counts self as neighbor column 0)
     val selfPairs = df.select(col(idCol).as("id_a"), col(idCol).as("id_b"))
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     // the vector side is n rows (n·d·8 B ≈ 100 MB at n=2×10⁵, d=64) —
     // FAR under the broadcast ceiling but over the 10 MB auto threshold,
     // and letting these joins go sort-merge shuffles the full candidate
     // stream WITH vector payloads (measured ×100: ~3×10⁸ pairs spilled
     // >80 GB and died; broadcast keeps the pair stream id-only until the
-    // per-pair distance projection)
-    curveFromPairs(
-      cands.union(selfPairs).join(broadcast(va), "id_a")
-        .join(broadcast(vb), "id_b"), k)
+    // per-pair distance projection). ONE frame feeds both attach joins so
+    // the exchange is built and shipped once (ReuseExchange needs the two
+    // broadcast children canonically identical — alias-divergent twins
+    // would double the ~100 MB footprint).
+    val vFrame = df.select(col(idCol).as("_vid"), col(vecCol).as("_vvec"))
+    val withVecs = cands.union(selfPairs)
+      .join(broadcast(vFrame), col("id_a") === col("_vid"))
+      .withColumnRenamed("_vvec", "va").drop("_vid")
+      .join(broadcast(vFrame), col("id_b") === col("_vid"))
+      .withColumnRenamed("_vvec", "vb").drop("_vid")
+    curveFromPairs(withVecs, k)
   }
 
   /** Driver-safe collect of a (i, curve) frame: uniform rank-decimation

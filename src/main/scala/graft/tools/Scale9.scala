@@ -60,10 +60,16 @@ object Scale9 {
     // bitsPerBand scales with n (buckets ∝ n/250) so the approx join
     // stays bucket-bounded instead of degenerating quadratically — the
     // discipline a real deployment would use.
-    if (sections("knn") || sections.exists(_.startsWith("knn"))) {
+    // scale selection: "knn" = all three; "knn1"/"knn10"/"knn100" pick
+    // scales; "knndiag"/"knnexact100" are MODIFIERS — given alone they
+    // imply all scales rather than silently selecting none
+    val knnScaleSel = Set(1, 10, 100).filter(x => sections(s"knn$x"))
+    val knnAllScales = sections("knn") ||
+      (sections.exists(_.startsWith("knn")) && knnScaleSel.isEmpty)
+    if (knnAllScales || knnScaleSel.nonEmpty) {
       for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
                             ("benchdata/sf1", 10), ("benchdata/sf10", 100))
-           if sections("knn") || sections(s"knn$xn")) {
+           if knnAllScales || knnScaleSel(xn)) {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")).cache()
         val n = emb.count().toInt
