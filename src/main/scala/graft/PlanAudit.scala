@@ -500,6 +500,55 @@ object PlanAudit {
         (p => !p.contains("rangepartitioning(h#"))))(
       SparkEntry.queries("llm_stratified_sample")(spark, dir))
 
+    // corpus pruned to the |Q| query terms BEFORE the explode: the plan's
+    // Generate must run over an array filter, the idf side must come back
+    // broadcast, and the top-k must be a heap (TakeOrderedAndProject) —
+    // a SortMergeJoin or global Sort here means the tiny side shuffled
+    // the corpus
+    audit("llm_bm25_topk (pruned explode, broadcast idf, heap top-k)", Seq(
+      "array pruned before explode (filter inside Generate)" ->
+        (p => p.contains("explode(filter(")),
+      "idf side broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")),
+      "top-k is TakeOrderedAndProject" ->
+        (_.contains("TakeOrderedAndProject"))))(
+      SparkEntry.queries("llm_bm25_topk")(spark, dir))
+
+    // ROLLUP = one Expand + ONE aggregation pass (partial + final),
+    // never a per-grouping-set rescan or union of aggregates
+    audit("a16_rollup (single Expand, one aggregation, no Union)", Seq(
+      "Expand operator" -> (_.contains("Expand")),
+      "partial aggregation" -> (_.contains("partial_")),
+      "no Union of per-level scans" -> (p => !p.contains("Union")),
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
+      SparkEntry.queries("a16_rollup")(spark, dir))
+
+    // unpivot is a pure per-row Expand projection — the only exchange
+    // allowed is the presentation sort's range partitioning
+    audit("p12_unpivot (Expand projection, no join/aggregate)", Seq(
+      "Expand operator" -> (_.contains("Expand")),
+      "no join" -> (p => !p.contains("Join")),
+      "no aggregate" -> (p => !p.contains("HashAggregate"))))(
+      SparkEntry.queries("p12_unpivot")(spark, dir))
+
+    // both directions of the as-of sweep are ONE hash exchange on the
+    // key + one window sort — flipping direction must not add a plan node
+    audit("j5b_asof_forward (single-exchange union sweep)", Seq(
+      "window sweep (no range/theta join)" ->
+        (p => p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "exactly one hash exchange on the key" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1 &&
+          !p.contains("SortMergeJoin"))))(
+      SparkEntry.queries("j5b_asof_forward")(spark, dir))
+
+    audit("w2_lag_delta (keyed window, O(1) state)", Seq(
+      "window over user_id hash exchange" ->
+        (p => p.contains("Window") && p.contains("hashpartitioning(user_id")),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("w2_lag_delta")(spark, dir))
+
     spark.stop()
   }
 }

@@ -421,6 +421,18 @@ object SparkEntry {
               .unboundedPreceding, 0)))
         .select(col("event_id"), col("user_id"), col("filled"))
         .orderBy("event_id")),
+    // P12 unpivot/melt: wide metric columns to long (key, metric, value)
+    // form — a pure per-row Expand projection (no shuffle, no join);
+    // Catalyst plans it as one Generate-free Expand inside the scan's
+    // codegen stage, so at 100 TB it is exactly one pass
+    "p12_unpivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double"),
+          col("o_custkey").cast("double"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric")),
     // AS-OF backward join (J5): every purchase gets the user's latest
     // prior-or-simultaneous click; the oracle is DuckDB's NATIVE ASOF
     // LEFT JOIN — a true cross-engine check of the union-sweep plan
@@ -437,6 +449,24 @@ object SparkEntry {
           ((unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("click_ts").cast("timestamp"))) / lit(1000L))
             .cast("long").as("delay_ms"))
+        .orderBy("buy_id")
+    }),
+    // J5′ forward direction: the NEXT click at-or-after each purchase —
+    // same single-shuffle union sweep as j5, descending time order.
+    // Oracled against DuckDB's native ASOF with the flipped inequality
+    "j5b_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("buy_id"))
+      Relational.asofJoin(buys, clicks, "user_id", "ts",
+          Seq("click_id", "click_ts"), direction = "forward")
+        .select(col("buy_id"), col("user_id"), col("click_id"),
+          ((unix_micros(col("click_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))) / lit(1000L))
+            .cast("long").as("lead_ms"))
         .orderBy("buy_id")
     }),
     "jx_skew_safe_join" -> ((s, dir) => {
@@ -496,6 +526,19 @@ object SparkEntry {
         .withColumn("members", array_join(col("members"), "\u001f"))),
     "a15_column_stats" -> ((s, dir) =>
       Relational.describeExact(t(s, dir, "orders"), "o_totalprice")),
+    // A16 hierarchical subtotals: GROUP BY ROLLUP — one shuffle produces
+    // the per-(status, priority) cells, the per-status subtotals and the
+    // grand total (Spark expands grouping sets in a single Expand +
+    // partial-agg pass; no per-level rescan). grouping_id disambiguates
+    // a NULL data value from a NULL subtotal marker
+    "a16_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("lvl"), count(lit(1)).as("cnt"),
+          Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "lvl", "cnt", "sum_price")
+        .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
 
     // ---- windows / sorts / limits -----------------------------------
     // Same semantics and ORACLE as w1, but through the custom
@@ -511,6 +554,22 @@ object SparkEntry {
           desc("value"), col("event_id"), 3)
         .select("event_id", "event_type", "value")
         .orderBy(col("event_type"), desc("value"), col("event_id"))),
+    // W2 lag delta: per-user inter-event gap (sessionization's core
+    // primitive in batch form) — ONE hash exchange on the key, one
+    // per-partition sort, O(1) window state per row. event_id breaks
+    // timestamp ties so the lag pick is deterministic
+    "w2_lag_delta" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("gap_ms",
+          ((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("ts"), col("event_id")))
+              .cast("timestamp"))) / lit(1000L))
+            .cast("long"))
+        .select("event_id", "user_id", "gap_ms")
+        .orderBy("event_id")),
     "o1_sort_full" -> ((s, dir) =>
       t(s, dir, "events").select("value", "event_id")
         .orderBy("value", "event_id")),
@@ -713,6 +772,15 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // lexical BM25 top-k — the sparse-retrieval partner of the dense
+    // cosine top-k above (hybrid search = union of the two ranked lists).
+    // The corpus is ONE projection pass: each token array is pruned to
+    // the |Q|=3 query terms BEFORE exploding, so the (doc, term) shuffle
+    // carries ≤3 rows per doc; df/idf re-aggregate from that tiny frame
+    // and broadcast back; top-k is TakeOrderedAndProject
+    "llm_bm25_topk" -> ((s, dir) =>
+      Tfidf.bm25TopK(docTokens(s, dir), "doc_id", "tokens",
+        Seq("dup", "hash", "join"), 10)),
     // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
     // codes, integer-MAC cosine kernel; rows-only (quantization rounding
     // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
@@ -1796,6 +1864,11 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
         "FROM d ORDER BY event_id"),
+    "p12_unpivot" -> (
+      "SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice::DOUBLE AS value " +
+        "FROM orders UNION ALL " +
+        "SELECT o_orderkey, 'o_custkey', o_custkey::DOUBLE FROM orders " +
+        "ORDER BY o_orderkey, metric"),
     "j5_asof_join" -> (
       "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events " +
         "WHERE event_type = 'click'), " +
@@ -1805,6 +1878,16 @@ object SparkEntry {
         "CASE WHEN c.click_id IS NULL THEN NULL " +
         "ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 END AS delay_ms " +
         "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY buy_id"),
+    "j5b_asof_forward" -> (
+      "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id AS buy_id FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.buy_id, p.user_id, c.click_id, " +
+        "CASE WHEN c.click_id IS NULL THEN NULL " +
+        "ELSE (epoch_us(c.ts) - epoch_us(p.ts)) // 1000 END AS lead_ms " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts " +
         "ORDER BY buy_id"),
     "a2_distinct_count" -> (
       "SELECT count(DISTINCT text) AS n_distinct FROM documents"),
@@ -1993,6 +2076,13 @@ object SparkEntry {
         "AS members FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
         "GROUP BY e.label ORDER BY e.label"),
     "a15_column_stats" -> ( describeSql("orders", "o_totalprice")),
+    "a16_rollup" -> (
+      "SELECT o_orderstatus, o_orderpriority, " +
+        "GROUPING(o_orderstatus, o_orderpriority) AS lvl, " +
+        "count(*) AS cnt, " +
+        "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+        "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "w1_native_topk" -> (
       "SELECT event_id, event_type, value FROM (" +
         "SELECT event_id, event_type, value, row_number() OVER (" +
@@ -2003,6 +2093,10 @@ object SparkEntry {
         "SELECT event_id, event_type, value, row_number() OVER (" +
         "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) " +
         "WHERE rn <= 3 ORDER BY event_type, value DESC, event_id"),
+    "w2_lag_delta" -> (
+      "SELECT event_id, user_id, (epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id))) // 1000 AS gap_ms " +
+        "FROM events ORDER BY event_id"),
     "o1_sort_full" -> (
       "SELECT value, event_id FROM events ORDER BY value, event_id"),
     "o3_topk" -> (
@@ -2894,6 +2988,22 @@ object SparkEntry {
         "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
         "FROM embeddings) " +
         "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    // idf and the final score quantized at 1e-6 in BOTH engines (ln is
+    // libm-dependent at the ulp level — same contract as a10_idf)
+    "llm_bm25_topk" -> (
+      s"WITH toks AS (SELECT doc_id, $sqlToks AS tks FROM documents), " +
+        "hits AS (SELECT doc_id, len(tks) AS doc_len, " +
+        "unnest(list_filter(tks, x -> list_contains(['dup','hash','join'], x))) AS token " +
+        "FROM toks), " +
+        "tf AS (SELECT doc_id, token, count(*) AS term_cnt, max(doc_len) AS doc_len " +
+        "FROM hits GROUP BY doc_id, token), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(len(tks)) AS avgdl FROM toks), " +
+        "idf AS (SELECT token, round(ln(((SELECT n FROM st) - count(*) + 0.5) / " +
+        "(count(*) + 0.5) + 1.0)*1e6)/1e6 AS idf FROM tf GROUP BY token) " +
+        "SELECT tf.doc_id, round(sum(idf.idf * (term_cnt*(1.2+1.0)) / " +
+        "(term_cnt + 1.2*(1.0-0.75 + 0.75*doc_len/(SELECT avgdl FROM st))))*1e6)/1e6 AS bm25 " +
+        "FROM tf JOIN idf USING (token) GROUP BY tf.doc_id " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 10"),
     "llm_cosine_neardup" -> (
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
         "WHERE vec_id < 1000) " +

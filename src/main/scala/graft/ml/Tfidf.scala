@@ -62,6 +62,57 @@ object Tfidf {
       .select(col(idCol), col("token"), col("tf"), col("idf"), col("tf_idf"))
   }
 
+  /** BM25 (Okapi) top-k retrieval over a tokenized corpus — the ranked
+    * lexical-search companion to the TF-IDF stack (and the classic
+    * hybrid-retrieval partner of the embedding cosine top-k in
+    * dedup/Similarity): score(d, Q) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·|d|/avgdl)) with the Robertson/Spärck-Jones
+    * idf floored positive à la Lucene, idf(t) = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape (100 TB): the corpus is touched by ONE projection pass —
+    * each row's token array is pruned to the ≤|Q| query terms with the
+    * codegen'd array `filter` BEFORE exploding, so the (doc, term) shuffle
+    * carries at most |Q| rows per document instead of the full token
+    * stream. Document frequencies are re-aggregated from that same tiny
+    * frame (≤|Q| rows), broadcast back, and the final top-k plans as
+    * TakeOrderedAndProject — no global sort, no second corpus scan beyond
+    * the one-row avgdl aggregate.
+    *
+    * idf and the final score are micro-quantized to 1e-6 (same contract
+    * as [[docFreqIdf]]): ln differs by ulps across libm implementations,
+    * so raw transcendental output is not reproducible across engines.
+    * Ties at the quantized score break on ascending `idCol`, making the
+    * top-k total-order deterministic. */
+  def bm25TopK(df: DataFrame, idCol: String, tokensCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val q = array(queryTerms.distinct.map(lit): _*)
+    // two tiny global stats in one job: corpus size and mean doc length
+    val Array(nDocs, avgdl) = df
+      .agg(count(lit(1)).cast("double"), avg(size(col(tokensCol))))
+      .first().toSeq.map(_.asInstanceOf[Double]).toArray
+    val tf = df
+      .select(col(idCol), size(col(tokensCol)).as("doc_len"),
+        explode(filter(col(tokensCol), t => array_contains(q, t))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("term_cnt"), max("doc_len").as("doc_len"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6,
+        0) / 1e6)
+      .select("token", "idf")
+    tf.join(broadcast(idf), Seq("token"))
+      .withColumn("w", col("idf") *
+        (col("term_cnt") * (k1 + 1.0)) /
+        (col("term_cnt") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("doc_len") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg((round(sum("w") * 1e6, 0) / 1e6).as("bm25"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+  }
+
   /** A12 df-ratio vocabulary pruning (`TfidfVectorizer(max_df=0.8,
     * min_df=0.02)`, TF-IDF_K-Means_approach.ipynb:7707-7711): keep tokens
     * whose df/N lies in [minDf, maxDf]. */

@@ -238,10 +238,20 @@ object Relational {
     * tie-break value among equal (key, ts) wins deterministically —
     * otherwise `last()` picks whichever right row the partition sort
     * happened to place last, which can diverge run-to-run and from
-    * DuckDB's native ASOF pick. */
+    * DuckDB's native ASOF pick.
+    *
+    * `direction = "forward"` flips the sweep: attach the EARLIEST right
+    * row with `right.ts >= left.ts` (inclusive — DuckDB `ON l.ts <=
+    * r.ts`), the "next event after" operator (next retry after a
+    * failure, next quote after an order). Identical plan shape — the
+    * only change is the descending window sort, so the running `last()`
+    * sees right rows at-or-after the current left row. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightCols: Seq[String],
-               tieBreak: Option[String] = None): DataFrame = {
+               tieBreak: Option[String] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     require(rightCols.nonEmpty, "asofJoin: no right columns to attach")
     val leftCols = left.columns.toSeq
     require(rightCols.forall(!leftCols.contains(_)),
@@ -274,9 +284,12 @@ object Relational {
         lit(null).cast(lSchema).as("_lpay"),
         struct(rightCols.map(col): _*).as("_rpay"))
     // _tb asc → among right rows tied on (key, ts) the frame's last() —
-    // i.e. the match — is the one with the LARGEST tie-break
+    // i.e. the match — is the one with the LARGEST tie-break.
+    // backward sweeps time ascending (last right ≤ ts wins); forward
+    // sweeps descending, so the running last() is the EARLIEST right ≥ ts
+    val tsOrd = if (direction == "backward") col("_ts").asc else col("_ts").desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ts").asc, col("_is_r").desc, col("_tb").asc_nulls_first)
+      .orderBy(tsOrd, col("_is_r").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))

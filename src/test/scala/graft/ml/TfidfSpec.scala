@@ -55,4 +55,37 @@ class TfidfSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(cvModel.vocabulary.toSet == relVocab)
   }
+
+  test("bm25TopK matches the closed-form score on a hand corpus") {
+    // 4 docs; query {x, b}: x appears only in doc 3, b in docs 0/1
+    val docs = Seq(
+      (0L, Seq("a", "b", "a")),       // len 3, tf(b)=1
+      (1L, Seq("b", "b", "c")),       // len 3, tf(b)=2
+      (2L, Seq("c", "d")),            // len 2, no hit
+      (3L, Seq("x", "a", "a", "a"))). // len 4, tf(x)=1
+      toDF("doc_id", "tokens")
+    val got = Tfidf.bm25TopK(docs, "doc_id", "tokens", Seq("x", "b"), 10)
+      .as[(Long, Double)].collect().toMap
+    val (k1, b, n, avgdl) = (1.2, 0.75, 4.0, 3.0)
+    def idf(df: Int) = math.round(
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) / 1e6
+    def w(df: Int, tf: Int, dl: Int) = idf(df) * tf * (k1 + 1) /
+      (tf + k1 * (1 - b + b * dl / avgdl))
+    def q6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got.keySet == Set(0L, 1L, 3L)) // doc 2 has no query term
+    assert(math.abs(got(0L) - q6(w(2, 1, 3))) < 1e-9)
+    assert(math.abs(got(1L) - q6(w(2, 2, 3))) < 1e-9)
+    assert(math.abs(got(3L) - q6(w(1, 1, 4))) < 1e-9)
+    // the rare term (df=1) outranks a single common-term hit
+    assert(got(3L) > got(0L))
+  }
+
+  test("bm25TopK honors k with the deterministic (score desc, id) order") {
+    val docs = Seq((0L, Seq("t")), (1L, Seq("t")), (2L, Seq("t")))
+      .toDF("doc_id", "tokens")
+    // identical docs -> identical scores -> ties break on ascending id
+    val ids = Tfidf.bm25TopK(docs, "doc_id", "tokens", Seq("t"), 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(0L, 1L))
+  }
 }

@@ -30,6 +30,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == ((None, None)))             // key v has no rights
   }
 
+  test("forward direction: earliest right at-or-after; no later -> null") {
+    val out = Relational.asofJoin(
+        Seq(("u", 10L, 1L), ("u", 25L, 2L), ("u", 30L, 3L), ("v", 7L, 4L))
+          .toDF("k", "ts", "lid"),
+        Seq(("u", 8L, 100L), ("u", 20L, 200L), ("u", 25L, 300L))
+          .toDF("k", "ts", "rid")
+          .select($"k", $"ts", $"rid".as("r_id")),
+        "k", "ts", Seq("r_id"), direction = "forward")
+      .select($"lid", $"r_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(200L)) // earliest right >= 10 is ts=20
+    assert(out(2L) == Some(300L)) // equal ts inclusive
+    assert(out(3L) == None)       // nothing at-or-after 30
+    assert(out(4L) == None)       // key v has no rights
+  }
+
+  test("direction is validated") {
+    val df = Seq(("u", 1L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq(("u", 1L, 2L)).toDF("k", "ts", "r_id")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(df, r, "k", "ts", Seq("r_id"), direction = "sideways")
+    }
+  }
+
   test("per-key isolation: rights never leak across keys") {
     val out = run(
       left = Seq(("a", 100L, 1L), ("b", 100L, 2L)),
