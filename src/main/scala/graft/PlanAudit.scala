@@ -549,6 +549,55 @@ object PlanAudit {
       "no join" -> (p => !p.contains("Join"))))(
       SparkEntry.queries("w2_lag_delta")(spark, dir))
 
+    // the exclusion list is a fresh statless aggregate — the pinned
+    // broadcast keeps the big side scan-only (no shuffle of it)
+    audit("j6_anti_join (broadcast anti-join)", Seq(
+      "broadcast hash join" -> (_.contains("BroadcastHashJoin")),
+      "left anti" -> (_.toLowerCase.contains("leftanti")),
+      "no sort-merge of the big side" -> (p => !p.contains("SortMergeJoin"))))(
+      SparkEntry.queries("j6_anti_join")(spark, dir))
+
+    // the whole point of the bin rewrite: an equi-key hash join instead
+    // of the O(n·m) nested-loop a bare BETWEEN predicate plans
+    audit("j7_range_join (binned equi-join, no nested loop)", Seq(
+      "no BroadcastNestedLoopJoin" ->
+        (p => !p.contains("BroadcastNestedLoopJoin")),
+      "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
+      "equi-join on the bin key" ->
+        (p => p.contains("_bin") &&
+          (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+            p.contains("ShuffledHashJoin"))),
+      "containment filter after the join" -> (_.contains("Filter"))))(
+      SparkEntry.queries("j7_range_join")(spark, dir))
+
+    // pinned pivot values → ONE partial-agg shuffle, no discovery pass
+    audit("a17_pivot (single aggregation, no value-discovery scan)", Seq(
+      "partial aggregation" -> (_.contains("partial_")),
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("a17_pivot")(spark, dir))
+
+    audit("a18_cube (single Expand, one aggregation, no Union)", Seq(
+      "Expand operator" -> (_.contains("Expand")),
+      "partial aggregation" -> (_.contains("partial_")),
+      "no Union of per-level scans" -> (p => !p.contains("Union")),
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
+      SparkEntry.queries("a18_cube")(spark, dir))
+
+    audit("w3_rolling_sum (keyed window, bounded frame)", Seq(
+      "window over user_id hash exchange" ->
+        (p => p.contains("Window") && p.contains("hashpartitioning(user_id")),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("w3_rolling_sum")(spark, dir))
+
+    audit("w4_ntile (one window exchange for both ranks)", Seq(
+      "single window exchange on event_type" ->
+        (p => "hashpartitioning\\(event_type".r.findAllIn(p).size == 1),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("w4_ntile")(spark, dir))
+
     spark.stop()
   }
 }

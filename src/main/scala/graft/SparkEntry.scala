@@ -477,6 +477,41 @@ object SparkEntry {
       Relational.skewSafeJoin(cust, nat, "nk", salt = 4)
         .select("c_custkey", "n_name").orderBy("c_custkey")
     }),
+    // J6 anti-join: users with NO high-value purchase — the
+    // set-subtraction join (blocklist / already-processed-id exclusion
+    // at corpus scale). The exclusion list is a freshly computed
+    // aggregate with no stats, so the broadcast is pinned: the big side
+    // is one scan + broadcast probe, never shuffled (plan-audited)
+    "j6_anti_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val flagged = ev
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .select("user_id").distinct()
+      Relational.antiJoin(ev.select("user_id").distinct(), flagged,
+          Seq("user_id"), hintBroadcast = true)
+        .orderBy("user_id")
+    }),
+    // J7 range join: every order priced inside a ±2000 band around each
+    // probe order — point-in-interval containment. Bin-bucketed
+    // (binWidth = the 4000 band width, so each interval spans ≤2 bins):
+    // the join runs hash-partitioned on the bin key instead of the
+    // BroadcastNestedLoopJoin a bare BETWEEN would plan (plan-audited
+    // no-NLJ/no-cartesian). The oracle is DuckDB's native inequality
+    // join (IEJoin) — a cross-engine check of the binned rewrite
+    "j7_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(col("o_orderkey").as("point_id"),
+        col("o_totalprice").as("price"))
+      Relational.rangeJoinPoints(points, "price", intervals, "lo", "hi",
+          binWidth = 4000.0)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("price")).as("sum_price"))
+        .orderBy("interval_id")
+    }),
 
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
@@ -539,6 +574,31 @@ object SparkEntry {
         .select("o_orderstatus", "o_orderpriority", "lvl", "cnt", "sum_price")
         .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // A17 pivot (long→wide): per-source doc counts fanned across the
+    // FIXED lang domain. Pinning the pivot values keeps it one pass —
+    // Spark plans a single partial-agg shuffle with one count per pivot
+    // cell (omitting the list adds a blocking distinct-scan to discover
+    // values, the same trap crosstabDiscover documents). Missing cells
+    // are 0-filled to match the conditional-aggregation twin
+    "a17_pivot" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")),
+    // A18 CUBE: all four grouping sets — (status,priority), per-status,
+    // per-priority, grand total — from ONE Expand + partial-agg pass
+    // (rollup's lattice completion; the per-priority set is the one
+    // rollup can't produce). Same disambiguation contract as a16
+    "a18_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("lvl"), count(lit(1)).as("cnt"),
+          Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "lvl", "cnt", "sum_price")
+        .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
 
     // ---- windows / sorts / limits -----------------------------------
     // Same semantics and ORACLE as w1, but through the custom
@@ -570,6 +630,54 @@ object SparkEntry {
             .cast("long"))
         .select("event_id", "user_id", "gap_ms")
         .orderBy("event_id")),
+    // W3 rolling-frame aggregate: 7-row sliding sum per user in
+    // event-time order — ONE hash exchange + per-partition sort, O(frame)
+    // state per row. Summed in DECIMAL so the result is order-exact: a
+    // double sum would differ from the oracle in the last ulp because
+    // DuckDB evaluates sliding frames with a segment tree (different
+    // association order), not a running accumulator
+    "w3_rolling_sum" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(-6, 0))
+            .cast("double").as("roll_sum"))
+        .orderBy("event_id")),
+    // W4 rank family: ntile quartile + percent_rank per event_type.
+    // (value, event_id) makes the order total, so both are deterministic;
+    // percent_rank = (rank-1)/(n-1) is the same exact division in both
+    // engines. Nulls-first pinned explicitly in the twin (DuckDB defaults
+    // ASC NULLS LAST; Spark ASC is nulls-first)
+    "w4_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"), percent_rank().over(w).as("pr"))
+        .orderBy("event_id")
+    }),
+    // §2.7 set ops beyond the A8 union: INTERSECT / EXCEPT of two
+    // user-id sets (high-value clickers vs high-value purchasers). Spark
+    // plans both as a distinct-aggregated semi/anti join on the full
+    // row — one shuffle per side, no collect
+    "set1_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click" && col("value") > 100)
+        .select("user_id")
+      val buys = ev.filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("user_id")
+      clicks.intersect(buys).orderBy("user_id")
+    }),
+    "set2_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click" && col("value") > 100)
+        .select("user_id")
+      val buys = ev.filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("user_id")
+      clicks.except(buys).orderBy("user_id")
+    }),
     "o1_sort_full" -> ((s, dir) =>
       t(s, dir, "events").select("value", "event_id")
         .orderBy("value", "event_id")),
@@ -2083,6 +2191,54 @@ object SparkEntry {
         "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
         "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "a17_pivot" -> (
+      "SELECT source, " +
+        "count(*) FILTER (WHERE lang = 'de') AS de, " +
+        "count(*) FILTER (WHERE lang = 'en') AS en, " +
+        "count(*) FILTER (WHERE lang = 'es') AS es, " +
+        "count(*) FILTER (WHERE lang = 'fr') AS fr, " +
+        "count(*) FILTER (WHERE lang = 'zh') AS zh " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "a18_cube" -> (
+      "SELECT o_orderstatus, o_orderpriority, " +
+        "GROUPING(o_orderstatus, o_orderpriority) AS lvl, " +
+        "count(*) AS cnt, " +
+        "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "j6_anti_join" -> (
+      "SELECT DISTINCT user_id FROM events u WHERE NOT EXISTS (" +
+        "SELECT 1 FROM events e WHERE e.user_id = u.user_id " +
+        "AND e.event_type = 'purchase' AND e.value > 90) ORDER BY user_id"),
+    // native inequality join (DuckDB IEJoin) — the unbinned ground truth
+    // the binned rewrite must reproduce exactly
+    "j7_range_join" -> (
+      "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
+        "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "w3_rolling_sum" -> (
+      "SELECT event_id, user_id, " +
+        "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
+        ")::VARCHAR)::DOUBLE AS roll_sum " +
+        "FROM events ORDER BY event_id"),
+    "w4_ntile" -> (
+      "SELECT event_id, event_type, " +
+        "ntile(4) OVER w AS quartile, percent_rank() OVER w AS pr " +
+        "FROM events WINDOW w AS (PARTITION BY event_type " +
+        "ORDER BY value ASC NULLS FIRST, event_id) ORDER BY event_id"),
+    "set1_intersect" -> (
+      "SELECT user_id FROM events WHERE event_type = 'click' AND value > 100 " +
+        "INTERSECT " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100 " +
+        "ORDER BY user_id"),
+    "set2_except" -> (
+      "SELECT user_id FROM events WHERE event_type = 'click' AND value > 100 " +
+        "EXCEPT " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100 " +
+        "ORDER BY user_id"),
     "w1_native_topk" -> (
       "SELECT event_id, event_type, value FROM (" +
         "SELECT event_id, event_type, value, row_number() OVER (" +

@@ -357,6 +357,55 @@ object Relational {
     updates.unionByName(
       base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
 
+  /** J6 anti-join: rows of `left` with NO match in `right` on `keys` —
+    * the set-subtraction join (upsert above already uses the same plan
+    * shape for its append branch; this is the standalone operator).
+    *
+    * Scale: the common case is a huge left against a small exclusion
+    * list (blocklist, already-processed ids) — AQE broadcasts the right
+    * side and the left is ONE scan with a broadcast probe, zero shuffle
+    * of the big table. When both sides are huge it degrades gracefully
+    * to a sort-merge anti on the key shuffle. `hintBroadcast` pins the
+    * broadcast when the caller knows the right side is small but stats
+    * don't (a freshly computed aggregate has no size estimate). */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               hintBroadcast: Boolean = false): DataFrame =
+    left.join(if (hintBroadcast) broadcast(right) else right, keys, "left_anti")
+
+  /** Point-in-interval range join, bin-bucketed for scale: each point
+    * joins every interval `[loCol, hiCol]` containing it.
+    *
+    * A naive `pt BETWEEN lo AND hi` join has no equality predicate, so
+    * Spark plans BroadcastNestedLoopJoin — O(points × intervals)
+    * comparisons, a non-starter when both sides are large. Binning
+    * restores an equi-key: points land in exactly ONE bin
+    * (`floor(pt/W)`), intervals replicate into the `len/W + 1` bins they
+    * overlap, the join runs hash-partitioned on the bin, and the exact
+    * `BETWEEN` filter keeps only true containments. Each (point,
+    * interval) pair meets in exactly one bin (the point's), so no
+    * dedup pass is needed. Choosing `binWidth` ≥ the typical interval
+    * length bounds replication at ~2×; hot bins are AQE skew-split.
+    * Inverted intervals (lo > hi) are dropped up front — Spark's
+    * `sequence(a, b)` would otherwise COUNT DOWN and silently treat
+    * them as valid bins.
+    *
+    * Column names of the two inputs must be disjoint (checked). */
+  def rangeJoinPoints(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, shared: $overlap")
+    val binned = points.withColumn("_bin",
+      floor(col(ptCol) / binWidth).cast("long"))
+    val ivBins = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    binned.join(ivBins, Seq("_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))
