@@ -889,6 +889,24 @@ object SparkEntry {
     "llm_bm25_topk" -> ((s, dir) =>
       Tfidf.bm25TopK(docTokens(s, dir), "doc_id", "tokens",
         Seq("dup", "hash", "join"), 10)),
+    // hybrid retrieval: reciprocal-rank fusion of the dense cosine
+    // top-30 and the lexical BM25 top-30 into one top-10 (the standard
+    // kRrf=60 damping). Fusion runs AFTER per-list pruning, so its
+    // windows and full-outer join touch ≤60 rows — the corpus-scale
+    // work stays in the two already-plan-audited retrievers. The twin
+    // recomposes BOTH proven oracle pipelines and fuses them in SQL
+    "llm_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 30)
+        .select(col("vec_id").as("id"), col("cos_sim").as("score"))
+      val lex = Tfidf.bm25TopK(docTokens(s, dir), "doc_id", "tokens",
+          Seq("dup", "hash", "join"), 30)
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      Similarity.rrfFuse(Seq(dense, lex), k = 10)
+        .select(col("id").as("doc_id"), col("rrf"))
+    }),
     // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
     // codes, integer-MAC cosine kernel; rows-only (quantization rounding
     // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
@@ -1893,6 +1911,163 @@ object SparkEntry {
     "mm_video_features" -> (
         "SELECT doc_id AS asset_id, 3 AS n_frames, 64 AS dim FROM documents WHERE doc_id % " +
         "7 = 0 ORDER BY asset_id"),
+    // golden-VALUES twin cross-derived from an INDEPENDENT implementation
+    // (python difflib over the same parquet — tools/gen snippet in the r10
+    // log): int(round(100*ratio)) per adjacent doc pair. Joined to the
+    // live table so a fixture change fails loudly as a row-count diff
+    "f9_fuzz_ratio_exact" -> (
+        "SELECT d.doc_id, v.fuzz FROM documents d JOIN (VALUES (0, 5), (1, 2), (2, 41)," +
+        " (3, 4), (4, 15), (5, 28), (6, 10), (7, 1), (8, 3), (9, 7), (10, 7), (11, 4), " +
+        "(12, 5), (13, 3), (14, 1), (15, 38), (16, 9), (17, 6), (18, 17), (19, 8), (20," +
+        " 2), (21, 5), (22, 25), (23, 8), (24, 3), (25, 15), (26, 3), (27, 12), (28, " +
+        "28), (29, 26), (30, 5), (31, 11), (32, 3), (33, 32), (34, 3), (35, 21), (36, " +
+        "6), (37, 6), (38, 35), (39, 10), (40, 6), (41, 3), (42, 21), (43, 33), (44, " +
+        "5), (45, 8), (46, 3), (47, 37), (48, 6), (49, 6), (50, 12), (51, 13), (52, " +
+        "32), (53, 11), (54, 30), (55, 6), (56, 7), (57, 6), (58, 28), (59, 2), (60, " +
+        "2), (61, 3), (62, 2), (63, 24), (64, 40), (65, 12), (66, 10), (67, 27), (68, " +
+        "11), (69, 7), (70, 7), (71, 6), (72, 6), (73, 15), (74, 1), (75, 7), (76, 7), " +
+        "(77, 2), (78, 20), (79, 13), (80, 5), (81, 3), (82, 24), (83, 12), (84, 25), " +
+        "(85, 19), (86, 34), (87, 8), (88, 29), (89, 35), (90, 4), (91, 29), (92, 30), " +
+        "(93, 33), (94, 10), (95, 6), (96, 7), (97, 12), (98, 19), (99, 6), (100, 5), " +
+        "(101, 9), (102, 11), (103, 3), (104, 9), (105, 25), (106, 21), (107, 22), " +
+        "(108, 8), (109, 16), (110, 0), (111, 3), (112, 8), (113, 7), (114, 35), (115, " +
+        "34), (116, 10), (117, 5), (118, 23), (119, 2), (120, 40), (121, 20), (122, " +
+        "38), (123, 6), (124, 37), (125, 6), (126, 5), (127, 7), (128, 8), (129, 25), " +
+        "(130, 5), (131, 4), (132, 3), (133, 20), (134, 9), (135, 5), (136, 5), (137, " +
+        "5), (138, 5), (139, 20), (140, 8), (141, 8), (142, 2), (143, 18), (144, 4), " +
+        "(145, 35), (146, 11), (147, 18), (148, 21), (149, 9), (150, 8), (151, 4), " +
+        "(152, 0), (153, 5), (154, 11), (155, 26), (156, 38), (157, 15), (158, 2), " +
+        "(159, 7), (160, 10), (161, 3), (162, 3), (163, 28), (164, 41), (165, 6), (166," +
+        " 7), (167, 1), (168, 1), (169, 25), (170, 4), (171, 19), (172, 7), (173, 6), " +
+        "(174, 27), (175, 5), (176, 3), (177, 8), (178, 2), (179, 31), (180, 34), (181," +
+        " 4), (182, 31), (183, 5), (184, 2), (185, 3), (186, 6), (187, 8), (188, 11), " +
+        "(189, 3), (190, 21), (191, 30), (192, 35), (193, 31), (194, 6), (195, 0), " +
+        "(196, 4), (197, 2), (198, 24), (199, 10), (200, 9), (201, 12), (202, 27), " +
+        "(203, 38), (204, 17), (205, 23), (206, 9), (207, 18), (208, 4), (209, 9), " +
+        "(210, 4), (211, 6), (212, 6), (213, 19), (214, 7), (215, 7), (216, 3), (217, " +
+        "3), (218, 31), (219, 0), (220, 5), (221, 4), (222, 6), (223, 2), (224, 6), " +
+        "(225, 24), (226, 11), (227, 4), (228, 1), (229, 8), (230, 30), (231, 4), (232," +
+        " 3), (233, 6), (234, 10), (235, 16), (236, 5), (237, 4), (238, 38), (239, 0), " +
+        "(240, 4), (241, 4), (242, 25), (243, 7), (244, 4), (245, 17), (246, 5), (247, " +
+        "4), (248, 4), (249, 4), (250, 7), (251, 10), (252, 29), (253, 33), (254, 22), " +
+        "(255, 33), (256, 32), (257, 7), (258, 4), (259, 20), (260, 4), (261, 6), (262," +
+        " 6), (263, 3), (264, 4), (265, 3), (266, 9), (267, 9), (268, 12), (269, 7), " +
+        "(270, 4), (271, 2), (272, 22), (273, 5), (274, 13), (275, 2), (276, 29), (277," +
+        " 6), (278, 1), (279, 4), (280, 17), (281, 21), (282, 8), (283, 1), (284, 5), " +
+        "(285, 4), (286, 25), (287, 43), (288, 8), (289, 9), (290, 3), (291, 3), (292, " +
+        "9), (293, 4), (294, 29), (295, 3), (296, 7), (297, 28), (298, 4), (299, 2), " +
+        "(300, 8), (301, 3), (302, 9), (303, 4), (304, 23), (305, 7), (306, 8), (307, " +
+        "31), (308, 13), (309, 34), (310, 11), (311, 6), (312, 18), (313, 30), (314, " +
+        "4), (315, 6), (316, 7), (317, 3), (318, 5), (319, 7), (320, 5), (321, 4), " +
+        "(322, 3), (323, 1), (324, 4), (325, 18), (326, 27), (327, 8), (328, 1), (329, " +
+        "6), (330, 6), (331, 11), (332, 36), (333, 10), (334, 6), (335, 8), (336, 2), " +
+        "(337, 23), (338, 29), (339, 6), (340, 1), (341, 23), (342, 17), (343, 3), " +
+        "(344, 6), (345, 5), (346, 1), (347, 26), (348, 6), (349, 4), (350, 3), (351, " +
+        "6), (352, 5), (353, 10), (354, 11), (355, 5), (356, 7), (357, 20), (358, 9), " +
+        "(359, 6), (360, 1), (361, 18), (362, 4), (363, 6), (364, 28), (365, 4), (366, " +
+        "6), (367, 36), (368, 9), (369, 7), (370, 11), (371, 27), (372, 8), (373, 31), " +
+        "(374, 6), (375, 3), (376, 4), (377, 8), (378, 12), (379, 4), (380, 1), (381, " +
+        "27), (382, 10), (383, 29), (384, 1), (385, 5), (386, 5), (387, 4), (388, 35), " +
+        "(389, 37), (390, 7), (391, 29), (392, 4), (393, 4), (394, 4), (395, 4), (396, " +
+        "4), (397, 29), (398, 4), (399, 20), (400, 6), (401, 22), (402, 7), (403, 4), " +
+        "(404, 5), (405, 6), (406, 27), (407, 24), (408, 4), (409, 6), (410, 5), (411, " +
+        "6), (412, 3), (413, 1), (414, 6), (415, 6), (416, 8), (417, 4), (418, 16), " +
+        "(419, 5), (420, 2), (421, 2), (422, 6), (423, 8), (424, 23), (425, 8), (426, " +
+        "2), (427, 5), (428, 2), (429, 2), (430, 9), (431, 7), (432, 29), (433, 12), " +
+        "(434, 26), (435, 7), (436, 2), (437, 16), (438, 33), (439, 9), (440, 7), (441," +
+        " 3), (442, 4), (443, 6), (444, 2), (445, 35), (446, 3), (447, 2), (448, 13), " +
+        "(449, 38), (450, 26), (451, 6), (452, 8), (453, 29), (454, 30), (455, 32), " +
+        "(456, 5), (457, 6), (458, 9), (459, 3), (460, 6), (461, 4), (462, 8), (463, " +
+        "9), (464, 6), (465, 6), (466, 4), (467, 6), (468, 25), (469, 3), (470, 6), " +
+        "(471, 3), (472, 12), (473, 5), (474, 19), (475, 43), (476, 25), (477, 5), " +
+        "(478, 8), (479, 3), (480, 26), (481, 39), (482, 1), (483, 5), (484, 26), (485," +
+        " 23), (486, 13), (487, 1), (488, 5), (489, 1), (490, 5), (491, 14), (492, 7), " +
+        "(493, 4), (494, 0), (495, 5), (496, 24), (497, 4), (498, 28)) AS v(did, fuzz) " +
+        "ON d.doc_id = v.did ORDER BY d.doc_id"),
+    // golden deflated-byte-counts cross-derived from an INDEPENDENT zlib
+    // (python, raw deflate level 6 — java.util.zip emits byte-identical
+    // streams, verified for every doc). The ratio divides the pinned
+    // count by the LIVE utf-8 length, so both the kernel's compression
+    // and its normalization are fixture-sensitively hash-gated
+    "llm_compression_ratio" -> (
+        "SELECT d.doc_id, v.dlen::DOUBLE / octet_length(encode(d.text)) AS " +
+        "deflate_ratio FROM documents d JOIN (VALUES (0, 93), (1, 175), (2, 127), (3, " +
+        "93), (4, 133), (5, 156), (6, 58), (7, 180), (8, 195), (9, 174), (10, 118), " +
+        "(11, 146), (12, 158), (13, 158), (14, 202), (15, 122), (16, 69), (17, 188), " +
+        "(18, 185), (19, 52), (20, 173), (21, 115), (22, 194), (23, 103), (24, 207), " +
+        "(25, 206), (26, 55), (27, 164), (28, 159), (29, 110), (30, 104), (31, 130), " +
+        "(32, 211), (33, 125), (34, 105), (35, 191), (36, 81), (37, 165), (38, 109), " +
+        "(39, 86), (40, 180), (41, 159), (42, 144), (43, 100), (44, 82), (45, 189), " +
+        "(46, 192), (47, 126), (48, 96), (49, 126), (50, 127), (51, 162), (52, 56), " +
+        "(53, 108), (54, 166), (55, 105), (56, 219), (57, 196), (58, 173), (59, 78), " +
+        "(60, 207), (61, 144), (62, 172), (63, 213), (64, 85), (65, 70), (66, 164), " +
+        "(67, 160), (68, 103), (69, 151), (70, 214), (71, 160), (72, 126), (73, 207), " +
+        "(74, 38), (75, 147), (76, 171), (77, 154), (78, 128), (79, 55), (80, 103), " +
+        "(81, 167), (82, 134), (83, 68), (84, 171), (85, 95), (86, 88), (87, 87), (88, " +
+        "139), (89, 84), (90, 82), (91, 188), (92, 93), (93, 80), (94, 86), (95, 144), " +
+        "(96, 182), (97, 153), (98, 213), (99, 116), (100, 202), (101, 123), (102, " +
+        "199), (103, 211), (104, 125), (105, 158), (106, 61), (107, 118), (108, 61), " +
+        "(109, 178), (110, 49), (111, 217), (112, 153), (113, 186), (114, 109), (115, " +
+        "90), (116, 53), (117, 126), (118, 176), (119, 71), (120, 116), (121, 107), " +
+        "(122, 75), (123, 93), (124, 148), (125, 107), (126, 199), (127, 189), (128, " +
+        "195), (129, 185), (130, 94), (131, 148), (132, 163), (133, 209), (134, 89), " +
+        "(135, 219), (136, 153), (137, 124), (138, 170), (139, 142), (140, 99), (141, " +
+        "180), (142, 217), (143, 174), (144, 69), (145, 179), (146, 84), (147, 197), " +
+        "(148, 101), (149, 96), (150, 135), (151, 210), (152, 116), (153, 184), (154, " +
+        "191), (155, 171), (156, 83), (157, 69), (158, 72), (159, 175), (160, 123), " +
+        "(161, 198), (162, 196), (163, 132), (164, 78), (165, 80), (166, 158), (167, " +
+        "204), (168, 119), (169, 166), (170, 81), (171, 159), (172, 74), (173, 223), " +
+        "(174, 153), (175, 97), (176, 202), (177, 137), (178, 113), (179, 198), (180, " +
+        "112), (181, 77), (182, 165), (183, 76), (184, 194), (185, 141), (186, 178), " +
+        "(187, 205), (188, 133), (189, 115), (190, 190), (191, 82), (192, 83), (193, " +
+        "104), (194, 101), (195, 154), (196, 161), (197, 212), (198, 129), (199, 98), " +
+        "(200, 145), (201, 159), (202, 196), (203, 83), (204, 78), (205, 173), (206, " +
+        "83), (207, 176), (208, 76), (209, 118), (210, 209), (211, 138), (212, 128), " +
+        "(213, 201), (214, 58), (215, 216), (216, 218), (217, 166), (218, 193), (219, " +
+        "94), (220, 224), (221, 127), (222, 134), (223, 195), (224, 187), (225, 185), " +
+        "(226, 77), (227, 197), (228, 201), (229, 173), (230, 151), (231, 95), (232, " +
+        "154), (233, 197), (234, 159), (235, 122), (236, 54), (237, 178), (238, 130), " +
+        "(239, 100), (240, 177), (241, 206), (242, 178), (243, 104), (244, 168), (245, " +
+        "193), (246, 101), (247, 183), (248, 193), (249, 193), (250, 130), (251, 215), " +
+        "(252, 132), (253, 110), (254, 70), (255, 89), (256, 54), (257, 79), (258, " +
+        "180), (259, 128), (260, 84), (261, 200), (262, 129), (263, 196), (264, 226), " +
+        "(265, 134), (266, 121), (267, 184), (268, 115), (269, 200), (270, 208), (271, " +
+        "148), (272, 212), (273, 97), (274, 220), (275, 43), (276, 218), (277, 91), " +
+        "(278, 173), (279, 138), (280, 209), (281, 94), (282, 104), (283, 194), (284, " +
+        "140), (285, 214), (286, 134), (287, 72), (288, 103), (289, 110), (290, 214), " +
+        "(291, 183), (292, 188), (293, 170), (294, 201), (295, 108), (296, 163), (297, " +
+        "154), (298, 110), (299, 213), (300, 117), (301, 212), (302, 203), (303, 196), " +
+        "(304, 122), (305, 50), (306, 183), (307, 151), (308, 74), (309, 127), (310, " +
+        "89), (311, 209), (312, 164), (313, 60), (314, 118), (315, 195), (316, 182), " +
+        "(317, 175), (318, 194), (319, 203), (320, 182), (321, 145), (322, 132), (323, " +
+        "161), (324, 121), (325, 158), (326, 113), (327, 104), (328, 213), (329, 160), " +
+        "(330, 157), (331, 141), (332, 113), (333, 109), (334, 203), (335, 150), (336, " +
+        "175), (337, 130), (338, 69), (339, 106), (340, 130), (341, 192), (342, 76), " +
+        "(343, 92), (344, 190), (345, 155), (346, 181), (347, 137), (348, 89), (349, " +
+        "189), (350, 195), (351, 167), (352, 217), (353, 154), (354, 189), (355, 150), " +
+        "(356, 164), (357, 130), (358, 51), (359, 152), (360, 189), (361, 166), (362, " +
+        "65), (363, 161), (364, 136), (365, 59), (366, 143), (367, 121), (368, 54), " +
+        "(369, 142), (370, 118), (371, 165), (372, 95), (373, 180), (374, 106), (375, " +
+        "155), (376, 167), (377, 128), (378, 165), (379, 177), (380, 192), (381, 155), " +
+        "(382, 88), (383, 132), (384, 72), (385, 177), (386, 203), (387, 116), (388, " +
+        "159), (389, 91), (390, 86), (391, 129), (392, 87), (393, 193), (394, 173), " +
+        "(395, 189), (396, 132), (397, 138), (398, 77), (399, 152), (400, 90), (401, " +
+        "184), (402, 100), (403, 202), (404, 123), (405, 151), (406, 192), (407, 75), " +
+        "(408, 65), (409, 140), (410, 186), (411, 188), (412, 174), (413, 186), (414, " +
+        "180), (415, 155), (416, 144), (417, 213), (418, 183), (419, 85), (420, 191), " +
+        "(421, 192), (422, 167), (423, 171), (424, 180), (425, 86), (426, 196), (427, " +
+        "180), (428, 142), (429, 220), (430, 182), (431, 152), (432, 169), (433, 108), " +
+        "(434, 187), (435, 106), (436, 131), (437, 192), (438, 106), (439, 110), (440, " +
+        "128), (441, 218), (442, 195), (443, 140), (444, 182), (445, 149), (446, 84), " +
+        "(447, 212), (448, 140), (449, 106), (450, 92), (451, 78), (452, 168), (453, " +
+        "221), (454, 89), (455, 53), (456, 79), (457, 115), (458, 158), (459, 175), " +
+        "(460, 140), (461, 174), (462, 159), (463, 212), (464, 113), (465, 157), (466, " +
+        "206), (467, 166), (468, 115), (469, 48), (470, 128), (471, 158), (472, 112), " +
+        "(473, 149), (474, 170), (475, 64), (476, 65), (477, 87), (478, 144), (479, " +
+        "167), (480, 158), (481, 61), (482, 98), (483, 133), (484, 123), (485, 91), " +
+        "(486, 108), (487, 155), (488, 115), (489, 149), (490, 141), (491, 170), (492, " +
+        "62), (493, 195), (494, 111), (495, 172), (496, 190), (497, 81), (498, 198), " +
+        "(499, 98)) AS v(did, dlen) ON d.doc_id = v.did ORDER BY d.doc_id"),
     "s2_multiline_json" -> (
       "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
     "s3_s6_json_roundtrip" -> (
@@ -3144,6 +3319,41 @@ object SparkEntry {
         "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
         "FROM embeddings) " +
         "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    // RRF fusion: both proven retrieval oracles recomposed as CTEs, each
+    // pruned to its top-30, ranked, and fused with 1/(60+rank) summed in
+    // fixed dense+lex order (coalesce 0) — the exact fp order the engine
+    // uses, so no quantization is needed on top of bm25's 1e-6
+    "llm_rrf_fusion" -> (
+      s"WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], " +
+        "embedding::DOUBLE[])) = 0 OR sqrt(list_dot_product((SELECT qv FROM q), " +
+        "(SELECT qv FROM q))) = 0 THEN 0.0 ELSE " +
+        "list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)) / " +
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS score " +
+        "FROM embeddings), " +
+        "dense AS (SELECT vec_id AS id, score FROM c ORDER BY score DESC, id LIMIT 30), " +
+        s"toks AS (SELECT doc_id, $sqlToks AS tks FROM documents), " +
+        "hits AS (SELECT doc_id, len(tks) AS doc_len, " +
+        "unnest(list_filter(tks, x -> list_contains(['dup','hash','join'], x))) AS token " +
+        "FROM toks), " +
+        "tf AS (SELECT doc_id, token, count(*) AS term_cnt, max(doc_len) AS doc_len " +
+        "FROM hits GROUP BY doc_id, token), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(len(tks)) AS avgdl FROM toks), " +
+        "idf AS (SELECT token, round(ln(((SELECT n FROM st) - count(*) + 0.5) / " +
+        "(count(*) + 0.5) + 1.0)*1e6)/1e6 AS idf FROM tf GROUP BY token), " +
+        "lex AS (SELECT tf.doc_id AS id, round(sum(idf.idf * (term_cnt*(1.2+1.0)) / " +
+        "(term_cnt + 1.2*(1.0-0.75 + 0.75*doc_len/(SELECT avgdl FROM st))))*1e6)/1e6 AS score " +
+        "FROM tf JOIN idf USING (token) GROUP BY tf.doc_id " +
+        "ORDER BY score DESC, id LIMIT 30), " +
+        "dr AS (SELECT id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, id)) AS cd " +
+        "FROM dense), " +
+        "lr AS (SELECT id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, id)) AS cl " +
+        "FROM lex) " +
+        "SELECT COALESCE(dr.id, lr.id) AS doc_id, " +
+        "COALESCE(cd, 0.0) + COALESCE(cl, 0.0) AS rrf " +
+        "FROM dr FULL OUTER JOIN lr ON dr.id = lr.id " +
+        "ORDER BY rrf DESC, doc_id LIMIT 10"),
     // idf and the final score quantized at 1e-6 in BOTH engines (ln is
     // libm-dependent at the ulp level — same contract as a10_idf)
     "llm_bm25_topk" -> (

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -39,6 +40,34 @@ object Similarity {
     df.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of ranked retrieval lists (hybrid search:
+    * dense cosine + lexical BM25 being the canonical pair). Each input
+    * is a top-k candidate list with columns (id, score); a result's
+    * fused score is Σ 1/(kRrf + rank_i) over the lists that retrieved
+    * it (the standard kRrf=60 damping), ranks broken (score desc, id).
+    *
+    * Scale: fusion runs AFTER per-list top-k pruning, so every frame
+    * here is k rows, not corpus rows — the single-partition rank
+    * windows and the full-outer join are bounded by Σk, intentionally
+    * tiny. The heavy lifting (corpus scans) lives in the upstream
+    * retrievers; this stage is deliberately cheap. Contributions are
+    * summed in list order with missing lists coalesced to 0, so the fp
+    * addition order is fixed and twin-exact. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no lists")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"), (lit(1.0) / (lit(kRrf.toDouble) +
+          row_number().over(Window.orderBy(desc("score"), col("id")))))
+        .as(s"_c$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = ranked.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("id"), rrf.as("rrf"))
+      .orderBy(desc("rrf"), col("id")).limit(k)
   }
 
   /** Per-vector symmetric int8 quantization: codes = round(x/s) with

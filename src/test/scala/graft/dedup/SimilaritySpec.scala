@@ -159,4 +159,28 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.intersect(exact).size >= 3,
       s"recall too low: ${approx.intersect(exact).size}/10")
   }
+
+  test("rrfFuse: both-list hits outrank single-list, missing coalesces to 0") {
+    // list A ranks: 1,2,3 ; list B ranks: 2,1,(absent 3), extra 9
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "score")
+    val b = Seq((2L, 0.9), (1L, 0.8), (9L, 0.1)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 4)
+      .select("id", "rrf").as[(Long, Double)].collect()
+    // ids 1 and 2 are symmetric (ranks {1,2} vs {2,1}) → identical rrf,
+    // tie broken by id; 3 and 9 have one list each
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(got(0)._2 == got(1)._2)
+    assert(got(0)._2 == 1.0 / 61 + 1.0 / 62)
+    assert(got(2)._2 == 1.0 / 63) // only list A
+    assert(got(3)._2 == 1.0 / 63) // only list B (rank 3 there)
+  }
+
+  test("rrfFuse: rank ties broken by id before fusing") {
+    val a = Seq((5L, 0.5), (4L, 0.5)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq(a), k = 2)
+      .select("id", "rrf").as[(Long, Double)].collect()
+    // equal scores: id 4 takes rank 1
+    assert(got.map(_._1).toSeq == Seq(4L, 5L))
+    assert(got(0)._2 == 1.0 / 61)
+  }
 }
