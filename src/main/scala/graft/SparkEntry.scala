@@ -907,6 +907,19 @@ object SparkEntry {
       Similarity.rrfFuse(Seq(dense, lex), k = 10)
         .select(col("id").as("doc_id"), col("rrf"))
     }),
+    // MMR diversified rerank: greedy top-10 from the cosine top-30,
+    // relevance damped by similarity to the already-picked set — the
+    // near-dup-suppressing rerank every retrieval pipeline ends with.
+    // Candidate generation is the distributed scan; the greedy loop is
+    // a bounded 30-row driver step (inherently sequential). The oracle
+    // is a golden-VALUES twin cross-derived from an independent python
+    // implementation of the same greedy (scores 1e-6-quantized)
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.mmrRerank(emb, "vec_id", "embedding", q, kCand = 30, k = 10)
+    }),
     // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
     // codes, integer-MAC cosine kernel; rows-only (quantization rounding
     // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
@@ -3319,6 +3332,17 @@ object SparkEntry {
         "sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) END AS cos_sim " +
         "FROM embeddings) " +
         "SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    // golden-VALUES twin cross-derived from an INDEPENDENT python greedy
+    // (same candidate rule, same damping; scores 1e-6-quantized with
+    // java-round semantics) — tools/gen snippet in the r10 log. Joined to
+    // the live embeddings so a fixture change fails as a row diff
+    "llm_mmr_rerank" -> (
+      "SELECT v.rank, v.doc_id, v.mmr_score::DOUBLE AS mmr_score " +
+        "FROM embeddings e JOIN (VALUES (1, 0, 0.7), (2, 365, 0.147997), " +
+        "(3, 334, 0.145089), (4, 387, 0.132455), (5, 423, 0.118773), " +
+        "(6, 73, 0.118174), (7, 320, 0.115144), (8, 464, 0.110651), " +
+        "(9, 190, 0.104891), (10, 483, 0.10268)) AS v(rank, doc_id, mmr_score) " +
+        "ON e.vec_id = v.doc_id ORDER BY v.rank"),
     // RRF fusion: both proven retrieval oracles recomposed as CTEs, each
     // pruned to its top-30, ranked, and fused with 1/(60+rank) summed in
     // fixed dense+lex order (coalesce 0) — the exact fp order the engine

@@ -70,6 +70,64 @@ object Similarity {
       .orderBy(desc("rrf"), col("id")).limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank: greedily pick k of the top-kCand
+    * query matches, each step taking argmax of
+    * `lambda·sim(q,d) − (1−lambda)·max_{s∈S} sim(d,s)` — relevance damped
+    * by similarity to what's already selected, so near-duplicate hits
+    * can't crowd the result list.
+    *
+    * Scale split: candidate generation is the distributed part (one
+    * corpus scan → TakeOrderedAndProject, same plan as bruteForceTopK
+    * but carrying the vectors); the greedy loop is inherently sequential
+    * and runs on the DRIVER over the kCand collected rows — a bounded
+    * k-row collect (the S8 bridge contract), never the corpus. Ties take
+    * the better query-rank (strict-> comparison in candidate order), so
+    * the selection is deterministic. */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], kCand: Int, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1, got kCand=$kCand k=$k")
+    val q = array(query.map(v => lit(v)): _*)
+    val cands = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        cosine(col(vecCol), q).as("q_sim"))
+      .orderBy(desc("q_sim"), col("id"))
+      .limit(kCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.indices: _*)
+    while (selected.size < math.min(k, cands.length)) {
+      var bestPos = -1; var bestScore = Double.NegativeInfinity
+      for (pos <- remaining.indices) {
+        val (_, v, qSim) = cands(remaining(pos))
+        val maxSel =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(v, s._2)).max
+        val score = lambda * qSim - (1.0 - lambda) * maxSel
+        if (score > bestScore) { bestScore = score; bestPos = pos }
+      }
+      val c = cands(remaining(bestPos))
+      selected += ((c._1, c._2, bestScore))
+      remaining.remove(bestPos)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, math.round(s * 1e6) / 1e6) }
+      .toDF("rank", "doc_id", "mmr_score")
+  }
+
   /** Per-vector symmetric int8 quantization: codes = round(x/s) with
     * s = max|x|/127, emitted as `array<tinyint>` (+ the scale, for
     * callers that reconstruct magnitudes). 4× less storage/shuffle/cache

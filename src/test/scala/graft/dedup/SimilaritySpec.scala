@@ -175,6 +175,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3)._2 == 1.0 / 63) // only list B (rank 3 there)
   }
 
+  test("mmrRerank demotes a near-duplicate of the already-picked hit") {
+    // id 1 ≈ query; id 2 is a near-copy of id 1 (high q_sim too); id 3 is
+    // orthogonal and less relevant. Plain top-3 ranks 1,2,3 — MMR must
+    // flip 2 and 3 because 2's similarity to the picked 1 damps it.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.0f, 0.02f)),
+      (3L, Seq(0.5f, 0.9f, 0.0f))).toDF("id", "v")
+    val got = Similarity.mmrRerank(df, "id", "v", Seq(1.0f, 0.0f, 0.0f),
+        kCand = 3, k = 3, lambda = 0.5)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmrRerank rank 1 is the plain best match; k caps the output") {
+    val df = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.5f, 0.5f)),
+      (12L, Seq(0.1f, 0.9f))).toDF("id", "v")
+    val got = Similarity.mmrRerank(df, "id", "v", Seq(1.0f, 0.0f),
+        kCand = 3, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.length == 2 && got.head == 10L)
+  }
+
   test("rrfFuse: rank ties broken by id before fusing") {
     val a = Seq((5L, 0.5), (4L, 0.5)).toDF("id", "score")
     val got = Similarity.rrfFuse(Seq(a), k = 2)
