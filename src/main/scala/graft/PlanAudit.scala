@@ -598,6 +598,21 @@ object PlanAudit {
       "no join" -> (p => !p.contains("Join"))))(
       SparkEntry.queries("w4_ntile")(spark, dir))
 
+    // lag + running boundary sum must share the user_id exchange — a
+    // second hash exchange would mean the two windows didn't fuse
+    audit("w5_sessionize (lag and running sum share one exchange)", Seq(
+      "single hash exchange on user_id" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size == 1),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("w5_sessionize")(spark, dir))
+
+    audit("a19_hll_rollup (one partial-agg shuffle of sketches)", Seq(
+      "partial aggregation (map-side sketch build)" -> (_.contains("partial_")),
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1),
+      "no join" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("a19_hll_rollup")(spark, dir))
+
     spark.stop()
   }
 }

@@ -574,6 +574,23 @@ object SparkEntry {
         .select("o_orderstatus", "o_orderpriority", "lvl", "cnt", "sum_price")
         .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // A19 mergeable-sketch rollup: per-source Datasketches-HLL sketches —
+    // the 100-TB pattern for distinct-count dashboards (store sketch
+    // columns at the finest grain; coarser rollups union-merge sketch
+    // bytes instead of rescanning the corpus). The registered query emits
+    // the per-source estimates, which at this cardinality are
+    // sparse-mode-EXACT and merge-order-stable (hash-gateable). The
+    // union-merge TOTAL is deliberately NOT here: measured, Spark's HLL
+    // union estimate is NOT bit-stable across merge orders (502 vs 504
+    // for the same 500 distincts under different input partitioning —
+    // SketchRollupSpec pins this), so it is gated within error bounds in
+    // the spec, never by hash. ±5% accuracy vs exact is spec-gated too
+    "a19_hll_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("text"), lit(12))).as("n_est"))
+        .orderBy("source")),
     // A17 pivot (long→wide): per-source doc counts fanned across the
     // FIXED lang domain. Pinning the pivot values keeps it one pass —
     // Spark plans a single partial-agg shuffle with one count per pivot
@@ -656,6 +673,26 @@ object SparkEntry {
       t(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           ntile(4).over(w).as("quartile"), percent_rank().over(w).as("pr"))
+        .orderBy("event_id")
+    }),
+    // W5 batch sessionization: W2's gap primitive completed into session
+    // ids — a session boundary is a >30 min gap (or the user's first
+    // event); the id is the running boundary count. Both windows share
+    // one keyed exchange + one sort; integer µs arithmetic end-to-end so
+    // the twin is exact. The batch twin of streaming st2_sessionize
+    "w5_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+      t(s, dir, "events")
+        .withColumn("is_new",
+          when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .select("event_id", "user_id", "session_id")
         .orderBy("event_id")
     }),
     // §2.7 set ops beyond the A8 union: INTERSECT / EXCEPT of two
@@ -2379,6 +2416,12 @@ object SparkEntry {
         "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
         "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    // per-source sketch estimates are sparse-mode-EXACT at this
+    // cardinality (merge-order-stable — unlike the union TOTAL, which is
+    // spec-gated instead), so the twin is simply the exact distinct count
+    "a19_hll_rollup" -> (
+      "SELECT source, count(DISTINCT text) AS n_est FROM documents " +
+        "GROUP BY source ORDER BY source"),
     "a17_pivot" -> (
       "SELECT source, " +
         "count(*) FILTER (WHERE lang = 'de') AS de, " +
@@ -2417,6 +2460,14 @@ object SparkEntry {
         "ntile(4) OVER w AS quartile, percent_rank() OVER w AS pr " +
         "FROM events WINDOW w AS (PARTITION BY event_type " +
         "ORDER BY value ASC NULLS FIRST, event_id) ORDER BY event_id"),
+    "w5_sessionize" -> (
+      "SELECT event_id, user_id, " +
+        "sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "FROM (SELECT event_id, user_id, ts, epoch_us(ts) - " +
+        "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "AS gap_us FROM events) ORDER BY event_id"),
     "set1_intersect" -> (
       "SELECT user_id FROM events WHERE event_type = 'click' AND value > 100 " +
         "INTERSECT " +

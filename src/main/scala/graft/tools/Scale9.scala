@@ -250,6 +250,42 @@ object Scale9 {
           }
       }
     }
+
+    // Range-join scaling (r10): FIXED probe-interval set (the base
+    // sf0.1 every-97th order, the decon-style pinned benchmark), points
+    // grow ×10/×100. The binned rewrite's cost is candidate pairs =
+    // in-band matches (output-bound, linear in points for a fixed
+    // probe set); the naive inequality join is points × intervals
+    // comparisons regardless of match density — measured once at ×1
+    // where it is merely slow instead of impossible.
+    if (sections("rjoin")) {
+      val ivals = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+        .localCheckpoint(true)
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        val points = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey").as("point_id"),
+            col("o_totalprice").as("price"))
+        for (round <- 1 to 2)
+          timed(s"rangeJoin binned x$xn r$round") {
+            graft.ops.Relational.rangeJoinPoints(points, "price",
+                ivals, "lo", "hi", binWidth = 4000.0)
+              .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        if (xn == 1)
+          timed(s"rangeJoin naive-NLJ x$xn") {
+            points.join(ivals,
+                col("price") >= col("lo") && col("price") <= col("hi"))
+              .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
+              .write.format("noop").mode("overwrite").save()
+          }
+      }
+    }
     spark.stop()
   }
 }
