@@ -1223,6 +1223,31 @@ object SparkEntry {
       Curation.dupGroups(docs.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
+    // count-min-sketch point frequencies: the bounded-memory companion
+    // of Misra-Gries (heavy hitters finds WHO is frequent; CMS answers
+    // "how often is THIS token" for any later probe without a vocab
+    // shuffle). One explode-feeding partial agg: each task folds its
+    // tokens into a local d×w counter grid, the shuffle carries ONE
+    // sketch per task, merge is elementwise ADDITION — exact, so unlike
+    // the HLL union (a19) the result is bit-stable under any
+    // partitioning and safely hash-gated. Probing is a driver step over
+    // the collected ~1 MB sketch (bounded by d×w, never by the corpus).
+    // At this width (eps=1e-4) the fixture probes are collision-free, so
+    // the twin is the EXACT SQL count — a true cross-engine gate; the
+    // ≥-exact overestimate bound is spec-gated for the general case
+    "llm_cms_counts" -> ((s, dir) => {
+      val probes = Seq("dup", "hash", "join", "data", "the")
+      val skBytes = docTokens(s, dir)
+        .select(explode(col("tokens")).as("token"))
+        .agg(count_min_sketch(col("token"),
+          lit(0.0001), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      import s.implicits._
+      probes.map(t => (t, cms.estimateCount(t)))
+        .toDF("token", "est_cnt").orderBy("token")
+    }),
     // content-stable train/val/test assignment (90/5/5 via md5 buckets)
     "llm_hash_split" -> ((s, dir) =>
       Curation.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -2416,6 +2441,15 @@ object SparkEntry {
         "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
         "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    // the CMS probe estimates are collision-free at this width (checked:
+    // all five equal the exact counts), so the twin is the true SQL
+    // count — a real cross-engine gate, not a golden pin. CMS merges are
+    // exact counter additions → partitioning-invariant (CmsSpec)
+    "llm_cms_counts" -> (
+      s"SELECT token, count(*) AS est_cnt FROM " +
+        s"(SELECT unnest($sqlToks) AS token FROM documents) " +
+        "WHERE token IN ('data','dup','hash','join','the') " +
+        "GROUP BY token ORDER BY token"),
     // per-source sketch estimates are sparse-mode-EXACT at this
     // cardinality (merge-order-stable — unlike the union TOTAL, which is
     // spec-gated instead), so the twin is simply the exact distinct count
