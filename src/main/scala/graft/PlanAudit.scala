@@ -607,21 +607,15 @@ object PlanAudit {
       SparkEntry.queries("w5_sessionize")(spark, dir))
 
     // the CMS build must shuffle ONE sketch per task (partial agg), not
-    // token rows; probing is driver-side over the collected sketch
+    // token rows; probing is driver-side over the collected sketch. The
+    // audited frame IS the query's build pipeline (shared builder), so
+    // the gate cannot drift from what llm_cms_counts actually runs
     audit("llm_cms_counts build (partial sketch agg, no token shuffle)", Seq(
       "partial aggregation (map-side sketch fold)" -> (_.contains("partial_")),
       "no join" -> (p => !p.contains("Join")),
       "single parquet scan" ->
         (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
-      graft.core.Tables.table(spark, dir, "documents")
-        .select(org.apache.spark.sql.functions.explode(
-          graft.text.Clean.splitWs(
-            org.apache.spark.sql.functions.col("text"))).as("token"))
-        .agg(org.apache.spark.sql.functions.count_min_sketch(
-          org.apache.spark.sql.functions.col("token"),
-          org.apache.spark.sql.functions.lit(0.0001),
-          org.apache.spark.sql.functions.lit(0.99),
-          org.apache.spark.sql.functions.lit(42))))
+      SparkEntry.cmsSketchAgg(spark, dir))
 
     audit("a19_hll_rollup (one partial-agg shuffle of sketches)", Seq(
       "partial aggregation (map-side sketch build)" -> (_.contains("partial_")),

@@ -105,6 +105,16 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
+  /** The CMS sketch-build aggregate of llm_cms_counts, BEFORE its
+    * driver-side head(): shared with PlanAudit so the plan gate covers
+    * the exact pipeline the query runs (a hand-rebuilt audit copy would
+    * silently drift if the tokenization or sketch params changed). */
+  def cmsSketchAgg(s: SparkSession, dir: String): DataFrame =
+    docTokens(s, dir)
+      .select(explode(col("tokens")).as("token"))
+      .agg(count_min_sketch(col("token"),
+        lit(0.0001), lit(0.99), lit(42)).as("sk"))
+
   /** Deterministic 1-in-7 document subset driving the multimodal
     * queries (payload rendering is per-row codec work — the subset keeps
     * the bench proportionate while exercising every kernel). */
@@ -827,8 +837,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
         .orderBy("shard_id")),
     // compression-ratio quality signal (repetitive/templated text
-    // compresses far below prose): native deflate kernel, rows-only —
-    // the oracle engine has no zlib; ordering semantics spec-gated
+    // compresses far below prose): native deflate kernel. The oracle is
+    // a golden-VALUES twin of independently cross-derived deflated byte
+    // counts (python zlib, byte-identical to java.util.zip) — keep the
+    // pinned counts in sync if the kernel level/strategy or the fixture
+    // changes; ordering semantics additionally spec-gated
     "llm_compression_ratio" -> ((s, dir) => {
       graft.expr.GraftFunctions.ensureRegistered(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -1237,11 +1250,7 @@ object SparkEntry {
     // ≥-exact overestimate bound is spec-gated for the general case
     "llm_cms_counts" -> ((s, dir) => {
       val probes = Seq("dup", "hash", "join", "data", "the")
-      val skBytes = docTokens(s, dir)
-        .select(explode(col("tokens")).as("token"))
-        .agg(count_min_sketch(col("token"),
-          lit(0.0001), lit(0.99), lit(42)).as("sk"))
-        .head().getAs[Array[Byte]](0)
+      val skBytes = cmsSketchAgg(s, dir).head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skBytes))
       import s.implicits._
@@ -1565,8 +1574,10 @@ object SparkEntry {
           .as("tokens"))
         .orderBy("doc_id")),
     // exact difflib/fuzzywuzzy parity form (native kernel; DuckDB has no
-    // SequenceMatcher, so this is rows-only — parity is spec-gated
-    // against captured difflib ground truth in SeqRatioSpec)
+    // SequenceMatcher, so the oracle is a golden-VALUES twin
+    // cross-derived from an independent python-difflib run — keep the
+    // pinned values in sync if the kernel or fixture changes; parity is
+    // also spec-gated against captured difflib ground truth)
     "f9_fuzz_ratio_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val a = d.select(col("doc_id"), col("text"))
@@ -2445,11 +2456,15 @@ object SparkEntry {
     // all five equal the exact counts), so the twin is the true SQL
     // count — a real cross-engine gate, not a golden pin. CMS merges are
     // exact counter additions → partitioning-invariant (CmsSpec)
+    // probes LEFT-JOINed so an absent probe gates as (token, 0) — the
+    // same row Spark emits (estimateCount of an unseen key is 0), not a
+    // row-count diff
     "llm_cms_counts" -> (
-      s"SELECT token, count(*) AS est_cnt FROM " +
-        s"(SELECT unnest($sqlToks) AS token FROM documents) " +
-        "WHERE token IN ('data','dup','hash','join','the') " +
-        "GROUP BY token ORDER BY token"),
+      "SELECT p.token, COALESCE(c.cnt, 0) AS est_cnt FROM " +
+        "(VALUES ('data'), ('dup'), ('hash'), ('join'), ('the')) p(token) " +
+        "LEFT JOIN (SELECT token, count(*) AS cnt FROM " +
+        s"(SELECT unnest($sqlToks) AS token FROM documents) GROUP BY token) c " +
+        "ON c.token = p.token ORDER BY p.token"),
     // per-source sketch estimates are sparse-mode-EXACT at this
     // cardinality (merge-order-stable — unlike the union TOTAL, which is
     // spec-gated instead), so the twin is simply the exact distinct count

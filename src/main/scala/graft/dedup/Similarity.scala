@@ -107,19 +107,24 @@ object Similarity {
     val selected =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
     val remaining = scala.collection.mutable.ArrayBuffer(cands.indices: _*)
+    // incremental max-similarity-to-selected per candidate: each round
+    // only folds in the newly picked vector — O(k·kCand) cosines total
+    // instead of re-deriving the whole max every round (O(k²·kCand))
+    val maxSel = Array.fill(cands.length)(0.0)
     while (selected.size < math.min(k, cands.length)) {
       var bestPos = -1; var bestScore = Double.NegativeInfinity
       for (pos <- remaining.indices) {
-        val (_, v, qSim) = cands(remaining(pos))
-        val maxSel =
-          if (selected.isEmpty) 0.0
-          else selected.iterator.map(s => cos(v, s._2)).max
-        val score = lambda * qSim - (1.0 - lambda) * maxSel
+        val ci = remaining(pos)
+        val score = lambda * cands(ci)._3 -
+          (if (selected.isEmpty) 0.0 else (1.0 - lambda) * maxSel(ci))
         if (score > bestScore) { bestScore = score; bestPos = pos }
       }
       val c = cands(remaining(bestPos))
       selected += ((c._1, c._2, bestScore))
       remaining.remove(bestPos)
+      remaining.foreach { ci =>
+        maxSel(ci) = math.max(maxSel(ci), cos(cands(ci)._2, c._2))
+      }
     }
     val spark = df.sparkSession
     import spark.implicits._

@@ -396,6 +396,11 @@ object Relational {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, shared: $overlap")
+    // `_bin` is the internal working column: a caller's column of that
+    // name would be silently clobbered by withColumn and then dropped
+    require(!points.columns.contains("_bin") &&
+      !intervals.columns.contains("_bin"),
+      "column name _bin is reserved by rangeJoinPoints")
     val binned = points.withColumn("_bin",
       floor(col(ptCol) / binWidth).cast("long"))
     val ivBins = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_bin",

@@ -67,6 +67,14 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("a caller column named _bin is rejected, not silently clobbered") {
+    val withBin = Seq((1L, 10.0, 99L)).toDF("point_id", "p", "_bin")
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoinPoints(withBin, "p",
+        intervals((100L, 0.0, 20.0)), "lo", "hi", binWidth = 10.0)
+    }
+  }
+
   test("antiJoin keeps non-matching rows; null keys never match") {
     val left = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"))
       .toDF("k", "v")

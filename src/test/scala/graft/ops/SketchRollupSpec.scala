@@ -51,12 +51,17 @@ class SketchRollupSpec extends SparkSpec {
     assert(perSrc(7) == exact)
   }
 
-  test("union-merge TOTAL is within bounds but NOT merge-order-stable") {
-    // measured at sf0.01: 502 vs 504 for the same 500 distincts under
-    // different input partitioning — Spark's HLL union promotes to
-    // HLL-mode registers whose content depends on the merge trajectory.
+  test("union-merge TOTAL stays within bounds under different merge orders") {
+    // The union estimate carries NO stability guarantee across merge
+    // orders: in dev at sf0.01 it measured 502 vs 504 for the same 500
+    // distincts under different input partitioning (Spark's HLL union
+    // promotes to HLL-mode registers whose content depends on the merge
+    // trajectory) — unlike the per-source estimates, whose
+    // partitioning-INVARIANCE the previous test asserts as equality.
     // Consequence (encoded in a19's design): never hash-gate a union
-    // estimate; gate it within the sketch's error bound.
+    // estimate; the only portable contract is the error bound, asserted
+    // here for each merge order separately. Equality of a and b is
+    // deliberately NOT asserted in either direction.
     def unionEst(parts: Int): Long =
       docs.repartition(parts)
         .groupBy("source").agg(hll_sketch_agg(col("text"), lit(12)).as("sk"))
