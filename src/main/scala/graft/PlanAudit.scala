@@ -617,6 +617,17 @@ object PlanAudit {
         (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
       SparkEntry.cmsSketchAgg(spark, dir))
 
+    // the box predicate must reach the parquet reader on BOTH columns —
+    // pushdown is what turns the Z-order layout into actual skipping
+    audit("s12_zorder_scan (both box predicates pushed to parquet)", Seq(
+      "user_id bound pushed" ->
+        (p => p.contains("PushedFilters") &&
+          p.contains("GreaterThanOrEqual(user_id")),
+      "value bound pushed" -> (_.contains("GreaterThanOrEqual(value")),
+      "no shuffle before the aggregate" ->
+        (p => !p.contains("SortMergeJoin") && !p.contains("Window"))))(
+      SparkEntry.queries("s12_zorder_scan")(spark, dir))
+
     audit("a19_hll_rollup (one partial-agg shuffle of sketches)", Seq(
       "partial aggregation (map-side sketch build)" -> (_.contains("partial_")),
       "single parquet scan" ->
