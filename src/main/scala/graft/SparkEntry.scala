@@ -1907,6 +1907,55 @@ object SparkEntry {
       out
     }),
 
+    // st9: WATERMARK LATE-DATA DROP + checkpoint restart — the streaming
+    // correctness knob none of the in-order replays (st1-st8) exercise.
+    // Two AvailableNow runs share one checkpoint: run 1 ingests the
+    // on-time prefix (ts < Jan 21) and leaves the watermark at
+    // max(prefix) − 1 h in state; run 2's files REPLAY the first five
+    // days (every row older than the watermark → dropped by the
+    // EventTimeWatermark operator, no double counting) plus the Jan 21+
+    // suffix (kept). The append-mode hourly counts therefore equal the
+    // plain batch hourly counts over each original event ONCE, for every
+    // window the final watermark has closed — exactly what the twin
+    // computes. Deterministic because batch boundaries are the two runs
+    "st9_stream_late_drop" -> ((s, dir) => withStreamShuffle(s) {
+      val base = Files.createTempDirectory("graft_st9")
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ts = streamEventTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("ts"))
+      def addBatch(df: DataFrame, tag: String): Unit = {
+        val tmp = base.resolve(s"stage_$tag")
+        df.write.parquet(tmp.toString)
+        var i = 0
+        Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach { p =>
+            Files.move(p, inDir.resolve(s"$tag-$i.parquet")); i += 1
+          }
+      }
+      val sch = ts.schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(sch).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      addBatch(ts.filter(col("ts") < lit("2024-01-21")), "b1")
+      runOnce()
+      addBatch(ts.filter(col("ts") >= lit("2024-01-21"))
+        .unionByName(ts.filter(col("ts") < lit("2024-01-06"))), "b2")
+      runOnce()
+      s.read.parquet(outDir)
+        .select(col("window.start").cast("timestamp_ntz").as("hour"),
+          col("cnt"))
+        .orderBy("hour").localCheckpoint(true)
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -2597,6 +2646,15 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // each event counted ONCE (the day-1-5 replay is dropped by the
+    // watermark), and only windows the final watermark (max ts - 1 h)
+    // has closed are emitted — the append-mode contract re-derived
+    "st9_stream_late_drop" -> (
+      "SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt FROM events " +
+        "GROUP BY 1 " +
+        "HAVING hour + INTERVAL 1 HOUR <= " +
+        "(SELECT max(ts) - INTERVAL 1 HOUR FROM events) " +
+        "ORDER BY hour"),
     "st3_stream_dedup" -> (
       """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
         """AS fingerprint FROM documents ORDER BY fingerprint"""),
