@@ -570,6 +570,18 @@ object PlanAudit {
       "containment filter after the join" -> (_.contains("Filter"))))(
       SparkEntry.queries("j7_range_join")(spark, dir))
 
+    // the injected optimizer rule must turn the NAIVE inequality form
+    // into the binned equi-join — audited on the exact frame j7b runs
+    SparkEntry.withRangeJoinWidth(spark, "4000.0") {
+      audit("j7b_range_join_auto (rule rewrites bare band join)", Seq(
+        "no BroadcastNestedLoopJoin" ->
+          (p => !p.contains("BroadcastNestedLoopJoin")),
+        "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
+        "rewritten bin key present" -> (_.contains("_graft_bin")),
+        "band filter kept after the bin join" -> (_.contains("Filter"))))(
+        SparkEntry.bandJoinNaive(spark, dir))
+    }
+
     // pinned pivot values → ONE partial-agg shuffle, no discovery pass
     audit("a17_pivot (single aggregation, no value-discovery scan)", Seq(
       "partial aggregation" -> (_.contains("partial_")),

@@ -105,6 +105,38 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
+  /** The j7b band join in its NAIVE inequality form (the shape a user
+    * would write), un-checkpointed: shared with PlanAudit so the no-NLJ
+    * gate inspects exactly the frame the query materializes. Same
+    * inputs and ground truth as j7's hand-binned form. */
+  def bandJoinNaive(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val intervals = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        (col("o_totalprice") - 2000.0).as("lo"),
+        (col("o_totalprice") + 2000.0).as("hi"))
+    val points = o.select(col("o_orderkey").as("point_id"),
+      col("o_totalprice").as("price"))
+    points.join(intervals,
+        col("price") >= col("lo") && col("price") <= col("hi"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("cnt"),
+        Tables.dsum(col("price")).as("sum_price"))
+      .orderBy("interval_id")
+  }
+
+  /** Scope the RangeJoinRewrite width conf to `body` (set → run →
+    * restore), so the rule's effect never leaks into other queries. */
+  def withRangeJoinWidth[T](s: SparkSession, w: String)(body: => T): T = {
+    val key = "spark.graft.rangeJoin.binWidth"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, w)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The CMS sketch-build aggregate of llm_cms_counts, BEFORE its
     * driver-side head(): shared with PlanAudit so the plan gate covers
     * the exact pipeline the query runs (a hand-rebuilt audit copy would
@@ -540,6 +572,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("price")).as("sum_price"))
         .orderBy("interval_id")
     }),
+
+    // J7′ the SAME band join written as a bare inequality join — the
+    // injected RangeJoinRewrite optimizer rule (GraftExtensions) turns
+    // it into the binned equi-join automatically when the width conf is
+    // set, so ANY user query in the naive style (including SQL) escapes
+    // the nested-loop plan. Width conf scoped to this query: the result
+    // is eagerly materialized, then the conf is restored
+    "j7b_range_join_auto" -> ((s, dir) =>
+      withRangeJoinWidth(s, "4000.0") {
+        bandJoinNaive(s, dir).localCheckpoint(true)
+      }),
 
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
@@ -2563,6 +2606,13 @@ object SparkEntry {
     // native inequality join (DuckDB IEJoin) — the unbinned ground truth
     // the binned rewrite must reproduce exactly
     "j7_range_join" -> (
+      "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
+        "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // same ground truth as j7 — the rule must not change the answer
+    "j7b_range_join_auto" -> (
       "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
         "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
         "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
