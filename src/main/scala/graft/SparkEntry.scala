@@ -662,6 +662,27 @@ object SparkEntry {
         .agg(hll_sketch_estimate(
           hll_sketch_agg(col("text"), lit(12))).as("n_est"))
         .orderBy("source")),
+    // A20 Pearson correlation (pandas df.corr surface) from EXACT
+    // decimal moment sums: the six sufficient statistics (n, Σx, Σy,
+    // Σx², Σy², Σxy) accumulate in decimal — order-independent under any
+    // partitioning, unlike the built-in corr whose double running sums
+    // drift with merge order — then ONE identical double formula runs on
+    // both engines from the same six values. One partial-agg pass
+    "a20_corr" -> ((s, dir) => {
+      val dx = Tables.dec(col("l_quantity"))
+      val dy = Tables.dec(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dx).cast("double").as("sx"), sum(dy).cast("double").as("sy"),
+          sum(dx * dx).cast("double").as("sxx"),
+          sum(dy * dy).cast("double").as("syy"),
+          sum(dx * dy).cast("double").as("sxy"))
+        .select(col("n").cast("long").as("n"),
+          (round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))) * 1e6)
+            / 1e6).as("corr"))
+    }),
     // A17 pivot (long→wide): per-source doc counts fanned across the
     // FIXED lang domain. Pinning the pivot values keeps it one pass —
     // Spark plans a single partial-agg shuffle with one count per pivot
@@ -1831,6 +1852,26 @@ object SparkEntry {
       Relational.upsert(base, updates, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // R2 CDC changelog apply: r1's MERGE extended with DELETEs — one
+    // batch of I/U/D change rows applied to the base in a single
+    // broadcastable anti-join pass (the base never shuffles). Update and
+    // delete key sets are disjoint by construction (a key-unique
+    // changelog is the operator's documented contract)
+    "r2_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val changes = base
+        .filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("op", lit("D")))
+        .unionByName(s.range(1).select(
+          lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+          lit(9.99).as("o_totalprice"), lit("I").as("op")))
+      Relational.applyCdc(base, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
     // Streaming exact dedup over the documents fixture: distinct
     // normalized fingerprints emitted exactly once across micro-batches;
     // the batch DISTINCT is the oracle (dedup-in-flight must lose
@@ -2584,6 +2625,32 @@ object SparkEntry {
     "a19_hll_rollup" -> (
       "SELECT source, count(DISTINCT text) AS n_est FROM documents " +
         "GROUP BY source ORDER BY source"),
+    // six exact decimal moments, then the SAME double formula — the
+    // dsum/varchar cast bridge keeps the two engines' doubles identical
+    "a20_corr" -> (
+      "WITH a AS (SELECT count(*)::DOUBLE AS n, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sx, " +
+        "(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sy, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sxx, " +
+        "(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS syy, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sxy " +
+        "FROM lineitem) " +
+        "SELECT n::BIGINT AS n, " +
+        "round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) " +
+        "* 1e6)/1e6 AS corr FROM a"),
+    "r2_cdc_apply" -> (
+      "WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
+        "c AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, " +
+        "'U' AS op FROM b WHERE o_orderkey % 100 = 0 AND o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, 'D' FROM b " +
+        "WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT -1::BIGINT, -1::BIGINT, 9.99, 'I') " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM c WHERE op <> 'D' " +
+        "UNION ALL SELECT b.* FROM b ANTI JOIN c USING (o_orderkey) " +
+        "ORDER BY o_orderkey"),
     "a17_pivot" -> (
       "SELECT source, " +
         "count(*) FILTER (WHERE lang = 'de') AS de, " +

@@ -411,6 +411,20 @@ object Relational {
       .drop("_bin")
   }
 
+  /** CDC changelog apply — [[upsert]] extended with DELETE semantics:
+    * each `changes` row carries an op marker (insert/update rows replace
+    * or append by key; `deleteOp` rows remove the key). Same plan shape
+    * as upsert: surviving changes ∪ (base anti-join change keys) — one
+    * anti-join whose key list broadcasts when the day's changelog is
+    * small, so the 100-TB base is ONE scan and never shuffles. The
+    * changelog must be key-unique (one winner per key — compact a raw
+    * multi-version log with a TopKPerGroup/last-writer pass first). */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op", deleteOp: String = "D"): DataFrame =
+    changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+      .unionByName(
+        base.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+
   /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */
   def distinctCount(df: DataFrame, c: String): DataFrame =
     df.agg(countDistinct(col(c)).as("n_distinct"))

@@ -133,4 +133,23 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
   }
+
+  test("applyCdc: update replaces, insert appends, delete removes") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (4L, "d", "I"), (3L, "", "D"))
+      .toDF("k", "v", "op")
+    val got = Relational.applyCdc(base, changes, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
+  test("applyCdc: delete of an absent key is a no-op") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((9L, "", "D")).toDF("k", "v", "op")
+    val got = Relational.applyCdc(base, changes, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a"))
+  }
 }
