@@ -640,6 +640,17 @@ object PlanAudit {
         (p => !p.contains("SortMergeJoin") && !p.contains("Window"))))(
       SparkEntry.queries("s12_zorder_scan")(spark, dir))
 
+    // the sequential recurrence must ride ONE keyed exchange + local
+    // sort into a mapPartitions pass — no Window (no frame expresses
+    // it), no second exchange
+    audit("w6_ewma (one exchange into the sequential pass)", Seq(
+      "mapPartitions pass present" ->
+        (p => p.contains("MapPartitions") || p.contains("mapPartitions")),
+      "no Window operator" -> (p => !p.contains("Window")),
+      "single hash exchange on user_id" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)))(
+      SparkEntry.queries("w6_ewma")(spark, dir))
+
     audit("a19_hll_rollup (one partial-agg shuffle of sketches)", Seq(
       "partial aggregation (map-side sketch build)" -> (_.contains("partial_")),
       "single parquet scan" ->

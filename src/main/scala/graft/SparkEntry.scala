@@ -787,6 +787,42 @@ object SparkEntry {
         .select("event_id", "user_id", "session_id")
         .orderBy("event_id")
     }),
+    // W6 per-key EWMA — the genuinely-sequential recurrence
+    // (ewma_i = 0.3·x_i + 0.7·ewma_{i-1}) no window frame expresses:
+    // the rare case where per-partition imperative logic is the right
+    // tool. Keys are hash-partitioned and locally sorted (user, ts, id);
+    // ONE mapPartitions pass carries O(1) state and resets it at each
+    // key boundary — the exchange is the only data movement, identical
+    // to a window's cost. Literals 0.3/0.7 are hardcoded in BOTH engines
+    // (1−0.3 ≠ 0.7 in doubles); the twin replays the same recurrence as
+    // a recursive CTE, so this is a true cross-engine check of the
+    // sequential state machine
+    "w6_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val ew = rows
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var state = 0.0
+          var first = true
+          it.map { case (id, user, _, x) =>
+            if (user != curUser) { curUser = user; first = true }
+            state = if (first) { first = false; x }
+              else 0.3 * x + 0.7 * state
+            (id, user, state)
+          }
+        }
+      ew.toDF("event_id", "user_id", "raw")
+        .select(col("event_id"), col("user_id"),
+          (round(col("raw") * 1e6) / 1e6).as("ewma"))
+        .orderBy("event_id")
+    }),
     // §2.7 set ops beyond the A8 union: INTERSECT / EXCEPT of two
     // user-id sets (high-value clickers vs high-value purchasers). Spark
     // plans both as a distinct-aggregated semi/anti join on the full
@@ -2696,6 +2732,18 @@ object SparkEntry {
         "ntile(4) OVER w AS quartile, percent_rank() OVER w AS pr " +
         "FROM events WINDOW w AS (PARTITION BY event_type " +
         "ORDER BY value ASC NULLS FIRST, event_id) ORDER BY event_id"),
+    // the same recurrence replayed level-by-level as a recursive CTE;
+    // literals 0.3/0.7 mirrored verbatim (1-0.3 is NOT 0.7 in doubles)
+    "w6_ewma" -> (
+      "WITH RECURSIVE src AS (SELECT event_id, user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT event_id, user_id, rn, value AS ewma FROM src WHERE rn = 1 " +
+        "UNION ALL SELECT s.event_id, s.user_id, s.rn, " +
+        "0.3 * s.value + 0.7 * r.ewma FROM src s " +
+        "JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1) " +
+        "SELECT event_id, user_id, round(ewma * 1e6) / 1e6 AS ewma FROM r " +
+        "ORDER BY event_id"),
     "w5_sessionize" -> (
       "SELECT event_id, user_id, " +
         "sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 " +
