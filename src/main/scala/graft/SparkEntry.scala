@@ -1905,7 +1905,8 @@ object SparkEntry {
         .unionByName(s.range(1).select(
           lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
           lit(9.99).as("o_totalprice"), lit("I").as("op")))
-      Relational.applyCdc(base, changes, Seq("o_orderkey"))
+      Relational.applyCdc(base, changes, Seq("o_orderkey"),
+          hintBroadcast = true)
         .orderBy("o_orderkey")
     }),
     // Streaming exact dedup over the documents fixture: distinct

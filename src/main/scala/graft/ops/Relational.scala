@@ -420,10 +420,18 @@ object Relational {
     * changelog must be key-unique (one winner per key — compact a raw
     * multi-version log with a TopKPerGroup/last-writer pass first). */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
-               opCol: String = "op", deleteOp: String = "D"): DataFrame =
+               opCol: String = "op", deleteOp: String = "D",
+               hintBroadcast: Boolean = false): DataFrame = {
+    // a freshly derived changelog has no stats, so without the hint the
+    // anti-join sort-merges — shuffling the whole base (measured 6.6 s
+    // sort-merge vs 1.1 s broadcast at ×100 = 15M base rows, Scale9
+    // r10new). Hint when the day's changes are known-small; leave to
+    // AQE otherwise.
+    val keyList = changes.select(keys.map(col): _*)
     changes.filter(col(opCol) =!= deleteOp).drop(opCol)
-      .unionByName(
-        base.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+      .unionByName(base.join(
+        if (hintBroadcast) broadcast(keyList) else keyList, keys, "left_anti"))
+  }
 
   /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */
   def distinctCount(df: DataFrame, c: String): DataFrame =

@@ -251,6 +251,66 @@ object Scale9 {
       }
     }
 
+    // r10 closing-session operators at ×1/×10/×100 (documents / orders
+    // scale copies): CMS sketch build, Z-order clustered write + box
+    // scan, EWMA sequential pass, CDC apply.
+    if (sections("r10new")) {
+      for ((docDir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                               ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        val docs = spark.read.parquet(s"$docDir/documents.parquet")
+        timed(s"cms sketch build x$xn") {
+          val bytes = docs.select(explode(
+              graft.text.Clean.splitWs(col("text"))).as("token"))
+            .agg(count_min_sketch(col("token"),
+              lit(0.0001), lit(0.99), lit(42)))
+            .head().getAs[Array[Byte]](0)
+          println(f"[scale9]   sketch bytes: ${bytes.length}")
+        }
+        val orders = spark.read.parquet(s"$docDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val ztmp = java.nio.file.Files.createTempDirectory("graft_z9")
+        timed(s"zorder clustered write x$xn") {
+          graft.sources.Sources.writeZOrdered(orders, ztmp.toString,
+            "o_custkey", "o_totalprice", nFiles = 32, bits = 10)
+        }
+        timed(s"zorder 2-D box scan x$xn") {
+          spark.read.parquet(ztmp.toString)
+            .filter(col("o_custkey").between(1000, 2500) &&
+              col("o_totalprice").between(50000.0, 120000.0))
+            .agg(count(lit(1))).head()
+        }
+        timed(s"ewma sequential pass x$xn") {
+          import spark.implicits._
+          orders.select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"))
+            .as[(Long, Long, Double)]
+            .repartition(col("o_custkey"))
+            .sortWithinPartitions("o_custkey", "o_orderkey")
+            .mapPartitions { it =>
+              var cur = Long.MinValue; var st = 0.0; var first = true
+              it.map { case (id, k, x) =>
+                if (k != cur) { cur = k; first = true }
+                st = if (first) { first = false; x } else 0.3 * x + 0.7 * st
+                (id, st)
+              }
+            }.write.format("noop").mode("overwrite").save()
+        }
+        val cdcChanges = orders
+          .filter(col("o_orderkey") % 100 === 0)
+          .withColumn("op", when(col("o_orderkey") % 300 === 0, "D")
+            .otherwise("U"))
+        timed(s"cdc apply (sort-merge) x$xn") {
+          graft.ops.Relational.applyCdc(orders, cdcChanges, Seq("o_orderkey"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed(s"cdc apply (broadcast hint) x$xn") {
+          graft.ops.Relational.applyCdc(orders, cdcChanges, Seq("o_orderkey"),
+              hintBroadcast = true)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
     // Range-join scaling (r10): FIXED probe-interval set (the base
     // sf0.1 every-97th order, the decon-style pinned benchmark), points
     // grow ×10/×100. The binned rewrite's cost is candidate pairs =
