@@ -636,8 +636,11 @@ object PlanAudit {
         (p => p.contains("PushedFilters") &&
           p.contains("GreaterThanOrEqual(user_id")),
       "value bound pushed" -> (_.contains("GreaterThanOrEqual(value")),
-      "no shuffle before the aggregate" ->
-        (p => !p.contains("SortMergeJoin") && !p.contains("Window"))))(
+      // the only exchange allowed is the global aggregate's own
+      // single-partition gather — any other shuffle is a regression
+      "at most the aggregate's exchange" ->
+        (p => "\\+- Exchange".r.findAllIn(p).size <= 1 &&
+          !p.contains("SortMergeJoin") && !p.contains("Window"))))(
       SparkEntry.queries("s12_zorder_scan")(spark, dir))
 
     // the sequential recurrence must ride ONE keyed exchange + local
@@ -647,8 +650,9 @@ object PlanAudit {
       "mapPartitions pass present" ->
         (p => p.contains("MapPartitions") || p.contains("mapPartitions")),
       "no Window operator" -> (p => !p.contains("Window")),
-      "single hash exchange on user_id" ->
-        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)))(
+      // the key rides as the normalized tuple column _2 inside ewmaTyped
+      "single hash exchange on the key" ->
+        (p => "hashpartitioning\\(".r.findAllIn(p).size == 1)))(
       SparkEntry.queries("w6_ewma")(spark, dir))
 
     audit("a19_hll_rollup (one partial-agg shuffle of sketches)", Seq(

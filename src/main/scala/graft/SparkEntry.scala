@@ -804,21 +804,8 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
         .as[(Long, Long, Long, Double)]
-      val ew = rows
-        .repartition(col("user_id"))
-        .sortWithinPartitions("user_id", "ts_us", "event_id")
-        .mapPartitions { it =>
-          var curUser = Long.MinValue
-          var state = 0.0
-          var first = true
-          it.map { case (id, user, _, x) =>
-            if (user != curUser) { curUser = user; first = true }
-            state = if (first) { first = false; x }
-              else 0.3 * x + 0.7 * state
-            (id, user, state)
-          }
-        }
-      ew.toDF("event_id", "user_id", "raw")
+      Relational.ewmaTyped(rows, alpha = 0.3, oneMinusAlpha = 0.7)
+        .toDF("event_id", "user_id", "raw")
         .select(col("event_id"), col("user_id"),
           (round(col("raw") * 1e6) / 1e6).as("ewma"))
         .orderBy("event_id")
@@ -2049,11 +2036,16 @@ object SparkEntry {
       def addBatch(df: DataFrame, tag: String): Unit = {
         val tmp = base.resolve(s"stage_$tag")
         df.write.parquet(tmp.toString)
-        var i = 0
-        Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-          .forEach { p =>
-            Files.move(p, inDir.resolve(s"$tag-$i.parquet")); i += 1
-          }
+        // Files.list holds an open DirectoryStream — close it or leak
+        // one fd per call in the long-lived suite JVM
+        val listing = Files.list(tmp)
+        try {
+          var i = 0
+          listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .forEach { p =>
+              Files.move(p, inDir.resolve(s"$tag-$i.parquet")); i += 1
+            }
+        } finally listing.close()
       }
       val sch = ts.schema
       def runOnce(): Unit = {
@@ -2708,20 +2700,11 @@ object SparkEntry {
         "SELECT 1 FROM events e WHERE e.user_id = u.user_id " +
         "AND e.event_type = 'purchase' AND e.value > 90) ORDER BY user_id"),
     // native inequality join (DuckDB IEJoin) — the unbinned ground truth
-    // the binned rewrite must reproduce exactly
-    "j7_range_join" -> (
-      "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
-        "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
-        "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
-        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
-        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
-    // same ground truth as j7 — the rule must not change the answer
-    "j7b_range_join_auto" -> (
-      "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
-        "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
-        "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
-        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
-        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // the binned rewrite must reproduce exactly. ONE string for both the
+    // hand-binned j7 and the rule-rewritten j7b: they are documented to
+    // share one truth, so an edit here cannot silently fork them
+    "j7_range_join" -> RangeJoinTruthSql,
+    "j7b_range_join_auto" -> RangeJoinTruthSql,
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
@@ -3758,6 +3741,15 @@ object SparkEntry {
         "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus")
   )
+
+  /** Shared j7/j7b ground truth (DuckDB's native IEJoin over the same
+    * ±2000 band): one string, two gated queries. */
+  private val RangeJoinTruthSql: String =
+    "SELECT i.o_orderkey AS interval_id, count(*) AS cnt, " +
+      "(sum(CAST(p.o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
+      "FROM orders i JOIN orders p ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+      "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+      "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"
 
   /** One portable ANSI string, executed verbatim by BOTH spark.sql and
     * the DuckDB oracle — the SQL-surface parity demonstration. */

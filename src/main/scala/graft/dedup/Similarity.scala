@@ -109,8 +109,12 @@ object Similarity {
     val remaining = scala.collection.mutable.ArrayBuffer(cands.indices: _*)
     // incremental max-similarity-to-selected per candidate: each round
     // only folds in the newly picked vector — O(k·kCand) cosines total
-    // instead of re-deriving the whole max every round (O(k²·kCand))
-    val maxSel = Array.fill(cands.length)(0.0)
+    // instead of re-deriving the whole max every round (O(k²·kCand)).
+    // Seeded at -∞, NOT 0: anti-correlated candidates earn a genuine
+    // diversity BONUS (max cos < 0), which a 0 floor would clamp away;
+    // every slot is max-updated before its first read (the
+    // selected.isEmpty branch covers round 1)
+    val maxSel = Array.fill(cands.length)(Double.NegativeInfinity)
     while (selected.size < math.min(k, cands.length)) {
       var bestPos = -1; var bestScore = Double.NegativeInfinity
       for (pos <- remaining.indices) {

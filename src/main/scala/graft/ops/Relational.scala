@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -428,9 +428,47 @@ object Relational {
     // r10new). Hint when the day's changes are known-small; leave to
     // AQE otherwise.
     val keyList = changes.select(keys.map(col): _*)
-    changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+    // null-SAFE comparison: a malformed NULL-op row must behave as an
+    // upsert (its key leaves the base AND the row survives) — the
+    // null-unsafe `=!=` would drop it from the surviving branch while
+    // its key still anti-joins away the base row: a silent delete
+    changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
       .unionByName(base.join(
         if (hintBroadcast) broadcast(keyList) else keyList, keys, "left_anti"))
+  }
+
+  /** W6 per-key EWMA core over (id, key, ord, value) rows: the
+    * genuinely-sequential recurrence `state = α·x + (1−α)·state` no
+    * window frame expresses — keys hash-partitioned, locally sorted by
+    * (key, ord, id), ONE typed mapPartitions pass with O(1) state reset
+    * at key boundaries. Returns (id, key, ewma).
+    *
+    * BOTH α and 1−α are passed explicitly: `1.0 - 0.3` is not the
+    * double literal `0.7`, and the SQL twin mirrors the literals
+    * verbatim. Shared by the registered w6_ewma query and the Scale9
+    * probe so the measured code IS the shipped code. Dataset (not RDD)
+    * mapPartitions keeps the exchange visible to plan audits. */
+  def ewmaTyped(ds: Dataset[(Long, Long, Long, Double)],
+                alpha: Double, oneMinusAlpha: Double)
+      : Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    // .as[tuple] keeps the caller's column names — normalize to the
+    // tuple names so the partition/sort columns resolve for any input
+    ds.toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, Double)]
+      .repartition(col("_2"))
+      .sortWithinPartitions("_2", "_3", "_1")
+      .mapPartitions { it =>
+        var curKey = 0L; var started = false
+        var state = 0.0; var first = true
+        it.map { case (id, key, _, x) =>
+          if (!started || key != curKey) {
+            started = true; curKey = key; first = true
+          }
+          state = if (first) { first = false; x }
+            else alpha * x + oneMinusAlpha * state
+          (id, key, state)
+        }
+      }
   }
 
   /** A2 distinct count (word2vec_dbscan_approach.ipynb:351), exact. */

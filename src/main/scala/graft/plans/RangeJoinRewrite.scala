@@ -69,7 +69,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = conf.getConfString("spark.graft.rangeJoin.binWidth", "")
       .toDoubleOption.getOrElse(0.0)
-    if (w <= 0) return plan
+    // `w <= 0` alone lets NaN/Infinity through ("NaN".toDouble parses,
+    // NaN <= 0 is false) — floor(x/NaN) puts EVERYTHING in one bin, a
+    // plan strictly worse than the nested loop being replaced
+    if (!(w > 0) || w.isNaN || w.isInfinite) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
         val rewritten = for {

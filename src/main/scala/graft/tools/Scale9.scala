@@ -257,12 +257,10 @@ object Scale9 {
     if (sections("r10new")) {
       for ((docDir, xn) <- Seq(("/root/testdata/sf0.1", 1),
                                ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
-        val docs = spark.read.parquet(s"$docDir/documents.parquet")
         timed(s"cms sketch build x$xn") {
-          val bytes = docs.select(explode(
-              graft.text.Clean.splitWs(col("text"))).as("token"))
-            .agg(count_min_sketch(col("token"),
-              lit(0.0001), lit(0.99), lit(42)))
+          // the query's OWN shared builder — the measurement cannot
+          // drift from what llm_cms_counts actually runs
+          val bytes = graft.SparkEntry.cmsSketchAgg(spark, docDir)
             .head().getAs[Array[Byte]](0)
           println(f"[scale9]   sketch bytes: ${bytes.length}")
         }
@@ -281,19 +279,12 @@ object Scale9 {
         }
         timed(s"ewma sequential pass x$xn") {
           import spark.implicits._
-          orders.select(col("o_orderkey"), col("o_custkey"),
-              col("o_totalprice"))
-            .as[(Long, Long, Double)]
-            .repartition(col("o_custkey"))
-            .sortWithinPartitions("o_custkey", "o_orderkey")
-            .mapPartitions { it =>
-              var cur = Long.MinValue; var st = 0.0; var first = true
-              it.map { case (id, k, x) =>
-                if (k != cur) { cur = k; first = true }
-                st = if (first) { first = false; x } else 0.3 * x + 0.7 * st
-                (id, st)
-              }
-            }.write.format("noop").mode("overwrite").save()
+          graft.ops.Relational.ewmaTyped(
+              orders.select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderkey").as("ord"), col("o_totalprice"))
+                .as[(Long, Long, Long, Double)],
+              alpha = 0.3, oneMinusAlpha = 0.7)
+            .write.format("noop").mode("overwrite").save()
         }
         val cdcChanges = orders
           .filter(col("o_orderkey") % 100 === 0)

@@ -189,6 +189,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
 
+  test("mmrRerank rewards ANTI-correlated candidates (no 0-floor clamp)") {
+    // after picking a=(0.8,0.6,0): c is anti-correlated to a
+    // (cos ≈ −0.117 → diversity BONUS, score ≈ 0.309) and must beat
+    // d (orthogonal to a, qSim 0.56, score 0.28). A max-similarity
+    // accumulator seeded at 0 instead of −∞ clamps c's bonus to 0
+    // (score 0.251) and flips the order to a, d, c.
+    val df = Seq(
+      (1L, Seq(0.8f, 0.6f, 0.0f)),
+      (2L, Seq(0.5f, -0.86f, 0.0f)),
+      (3L, Seq(0.56f, -0.7467f, 0.359f))).toDF("id", "v")
+    val got = Similarity.mmrRerank(df, "id", "v", Seq(1.0f, 0.0f, 0.0f),
+        kCand = 3, k = 3, lambda = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("mmrRerank rank 1 is the plain best match; k caps the output") {
     val df = Seq(
       (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.5f, 0.5f)),

@@ -152,4 +152,15 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a"))
   }
+
+  test("applyCdc: a NULL op behaves as an upsert, never a silent delete") {
+    import spark.implicits._
+    // a null-UNSAFE op comparison would drop the row from the surviving
+    // branch while its key still anti-joins the base row away
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((2L, "B2", null: String)).toDF("k", "v", "op")
+    val got = Relational.applyCdc(base, changes, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2"))
+  }
 }
