@@ -549,6 +549,16 @@ object PlanAudit {
       "no join" -> (p => !p.contains("Join"))))(
       SparkEntry.queries("w2_lag_delta")(spark, dir))
 
+    // NOT IN over a NULLABLE subquery column must plan the single-column
+    // null-aware anti join's optimized HASH form, not the nested loop
+    // three-valued logic would naively force
+    audit("sql_not_in (null-aware anti join stays a hash join)", Seq(
+      "left anti join" -> (_.toLowerCase.contains("leftanti")),
+      "hash join (no nested loop)" ->
+        (p => p.contains("BroadcastHashJoin") &&
+          !p.contains("BroadcastNestedLoopJoin"))))(
+      SparkEntry.queries("sql_not_in")(spark, dir))
+
     // the exclusion list is a fresh statless aggregate — the pinned
     // broadcast keeps the big side scan-only (no shuffle of it)
     audit("j6_anti_join (broadcast anti-join)", Seq(

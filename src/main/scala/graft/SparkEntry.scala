@@ -1044,6 +1044,27 @@ object SparkEntry {
     "llm_bm25_topk" -> ((s, dir) =>
       Tfidf.bm25TopK(docTokens(s, dir), "doc_id", "tokens",
         Seq("dup", "hash", "join"), 10)),
+    // per-source embedding CENTROIDS — the vector-aggregation pattern
+    // (cluster prototypes, source drift monitors, IVF seeding): long
+    // (source, dim) form so partial aggregation collapses each task to
+    // |sources|·d rows BEFORE the shuffle (the shuffle never carries
+    // vectors). Elements are quantized to exact 1e-6 integer micro-units
+    // BEFORE summation — a decimal cast of raw floats ties at j/2^k
+    // values (x·1e12 exactly .5), where Spark rounds HALF_UP and DuckDB
+    // HALF_EVEN: measured, dim 757 differed in the 13th digit. Integer
+    // sums are order-exact; the final division's operands are identical
+    // doubles on both engines. posexplode's 0-based dim mirrored by the
+    // twin's generate_series - 1
+    "llm_source_centroids" -> ((s, dir) => {
+      val j = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      j.select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("source", "dim")
+        .agg((sum(round(col("x").cast("double") * 1e6).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1e6))).as("mean"))
+        .orderBy("source", "dim")
+    }),
     // hybrid retrieval: reciprocal-rank fusion of the dense cosine
     // top-30 and the lexical BM25 top-30 into one top-10 (the standard
     // kRrf=60 damping). Fusion runs AFTER per-list pruning, so its
@@ -2088,6 +2109,18 @@ object SparkEntry {
     "sql_pricing" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(PortablePricingSql)
+    }),
+    // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
+    // semantics (one NULL in the set empties the result; a nullable
+    // column forces three-valued logic even when no null occurs). The
+    // CASE arm can never fire at any SF, so the column is nullable but
+    // null-free: the answer is non-degenerate AND Spark must plan the
+    // single-column null-aware anti join (optimized to a hash join, not
+    // the nested loop — plan-audited). One portable string runs
+    // verbatim on BOTH engines, so the semantics parity is by hash
+    "sql_not_in" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PortableNotInSql)
     }),
 
     // ---- headline pricing aggregate (bench anchor) ------------------
@@ -3671,6 +3704,16 @@ object SparkEntry {
         "(6, 73, 0.118174), (7, 320, 0.115144), (8, 464, 0.110651), " +
         "(9, 190, 0.104891), (10, 483, 0.10268)) AS v(rank, doc_id, mmr_score) " +
         "ON e.vec_id = v.doc_id ORDER BY v.rank"),
+    // same 1e-6 micro-unit integer sums (round of the identical double,
+    // half-away ties match Spark's HALF_UP for both signs), same division
+    "llm_source_centroids" -> (
+      "WITH j AS (SELECT d.source, e.embedding AS v FROM embeddings e " +
+        "JOIN documents d ON e.vec_id = d.doc_id), " +
+        "x AS (SELECT source, i - 1 AS dim, v[i]::DOUBLE AS x " +
+        "FROM j, unnest(generate_series(1, len(v))) AS s(i)) " +
+        "SELECT source, dim, " +
+        "sum(round(x * 1e6)::BIGINT)::DOUBLE / (count(*) * 1e6) AS mean " +
+        "FROM x GROUP BY source, dim ORDER BY source, dim"),
     // RRF fusion: both proven retrieval oracles recomposed as CTEs, each
     // pruned to its top-30, ranked, and fused with 1/(60+rank) summed in
     // fixed dense+lex order (coalesce 0) — the exact fp order the engine
@@ -3733,6 +3776,7 @@ object SparkEntry {
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
         ">= 0.4 ORDER BY id_l, id_r"),
     "sql_pricing" -> PortablePricingSql,
+    "sql_not_in" -> PortableNotInSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
         "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty, " +
@@ -3741,6 +3785,14 @@ object SparkEntry {
         "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus")
   )
+
+  /** Portable NOT-IN over a nullable (but null-free) subquery column —
+    * executed verbatim by spark.sql AND DuckDB (see sql_not_in). */
+  private val PortableNotInSql: String =
+    "SELECT DISTINCT user_id FROM events WHERE user_id NOT IN " +
+      "(SELECT CASE WHEN o_custkey % 100000 = 99999 THEN NULL " +
+      "ELSE o_custkey END FROM orders WHERE o_custkey > 100) " +
+      "ORDER BY user_id"
 
   /** Shared j7/j7b ground truth (DuckDB's native IEJoin over the same
     * ±2000 band): one string, two gated queries. */
