@@ -96,6 +96,13 @@ object PlanAudit {
         (_.contains("hashpartitioning"))))(
       SparkEntry.queries("a13_cluster_stats")(spark, dir))
 
+    // the typed-Aggregator form must plan like any sum: partial agg
+    // (map-side combine) and NO per-group window sort
+    audit("a13b_argmin_rep (typed UDAF, partial agg, no window)", Seq(
+      "partial aggregation of the UDAF buffer" -> (_.contains("partial_")),
+      "no Window operator" -> (p => !p.contains("Window"))))(
+      SparkEntry.queries("a13b_argmin_rep")(spark, dir))
+
     audit("llm_near_dedup (native minhash, band-bucket join)", Seq(
       "native graft_minhash in plan" -> (_.contains("graft_minhash")),
       "no CodegenFallback interpreted HOF on hot path" ->

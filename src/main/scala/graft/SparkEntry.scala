@@ -625,6 +625,17 @@ object SparkEntry {
     }),
     "a13_cluster_stats" -> ((s, dir) =>
       ClusterStats.stats(labeled(s, dir), "label", "text", "doc_id")),
+    // A13′ representative pick through the typed Aggregator UDAF
+    // (§2.11): per-label size + first-by-id message as ONE partial-agg
+    // pass — O(1) state and map-side combine where the window form pays
+    // a per-group sort, and deterministic where builtin min_by is not
+    // (plan-audited partial agg, no Window). Oracle = DuckDB's arg_min
+    "a13b_argmin_rep" -> ((s, dir) =>
+      labeled(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Udafs.argMinBy(col("doc_id"), col("text")).as("rep_msg"))
+        .orderBy("label")),
     // members joined to one string (unit separator): the driver's pandas
     // comparator can't sort/hash array-typed cells
     "a14_cluster_members" -> ((s, dir) =>
@@ -2656,6 +2667,10 @@ object SparkEntry {
         "SELECT token, df, df_ratio FROM g WHERE df_ratio >= 0.02 AND df_ratio <= 0.8 " +
         "ORDER BY token"),
     "a13_cluster_stats" -> ( clusterStatsSql),
+    "a13b_argmin_rep" -> (
+      "SELECT e.label, count(*) AS n, arg_min(d.text, d.doc_id) AS rep_msg " +
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"),
     "a14_cluster_members" -> (
       "SELECT e.label, array_to_string(array_agg(d.text ORDER BY d.doc_id), chr(31)) " +
         "AS members FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id " +
