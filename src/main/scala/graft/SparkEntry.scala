@@ -440,6 +440,30 @@ object SparkEntry {
           size(Clean.splitWs(col("text"))) > 0)
         .agg(count(lit(1)).as("cnt"))),
 
+    // F13 regexp extraction: first capture group, with an explicit
+    // no-match column — both engines return '' (not NULL) on no match,
+    // a semantic corner worth gating since it silently flips filters
+    "f13_regexp_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          regexp_extract(col("text"), "(zzz_nomatch_[0-9]+)", 1).as("no_match"))
+        .orderBy("doc_id")),
+    // F14 calendar parts with the cross-engine alignment made explicit:
+    // Spark dayofweek is 1=Sunday vs DuckDB dow 0=Sunday (shift by 1);
+    // Spark weekday is 0=Monday vs isodow 1=Monday (shift by 1)
+    "f14_date_parts" -> ((s, dir) => {
+      val ts = col("ts").cast("timestamp")
+      t(s, dir, "events")
+        .select(col("event_id"),
+          year(ts).as("y"), month(ts).as("m"), dayofmonth(ts).as("d"),
+          hour(ts).as("h"), minute(ts).as("mi"),
+          (dayofweek(ts) - 1).as("dow"),
+          (weekday(ts) + 1).as("isodow"),
+          dayofyear(ts).as("doy"))
+        .orderBy("event_id")
+    }),
+
     // ---- joins -------------------------------------------------------
     "j1_semi_top" -> ((s, dir) =>
       Relational.semiJoinTopN(t(s, dir, "events"), "event_type", 2)
@@ -2758,6 +2782,18 @@ object SparkEntry {
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
         ")::VARCHAR)::DOUBLE AS roll_sum " +
+        "FROM events ORDER BY event_id"),
+    "f13_regexp_extract" -> (
+      "SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num, " +
+        "regexp_extract(text, '(zzz_nomatch_[0-9]+)', 1) AS no_match " +
+        "FROM documents ORDER BY doc_id"),
+    "f14_date_parts" -> (
+      "SELECT event_id, extract(year FROM ts)::INT AS y, " +
+        "extract(month FROM ts)::INT AS m, extract(day FROM ts)::INT AS d, " +
+        "extract(hour FROM ts)::INT AS h, extract(minute FROM ts)::INT AS mi, " +
+        "extract(dow FROM ts)::INT AS dow, " +
+        "extract(isodow FROM ts)::INT AS isodow, " +
+        "extract(doy FROM ts)::INT AS doy " +
         "FROM events ORDER BY event_id"),
     "w4_ntile" -> (
       "SELECT event_id, event_type, " +
