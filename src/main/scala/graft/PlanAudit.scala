@@ -47,6 +47,12 @@ object PlanAudit {
       "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject"))))(
       SparkEntry.queries("o3_topk")(spark, dir))
 
+    // OFFSET must ride inside the TakeOrdered (partitions keep
+    // offset+limit rows, driver merges+skips) — not a global sort
+    audit("o6_page (offset inside TakeOrdered, no global sort)", Seq(
+      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject"))))(
+      SparkEntry.queries("o6_page")(spark, dir))
+
     audit("j1_semi_top (broadcast semi-join)", Seq(
       "broadcast hash join" -> (_.contains("BroadcastHashJoin")),
       "left semi" -> (_.toLowerCase.contains("leftsemi"))))(

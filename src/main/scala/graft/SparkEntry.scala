@@ -868,6 +868,14 @@ object SparkEntry {
     "o1_sort_full" -> ((s, dir) =>
       t(s, dir, "events").select("value", "event_id")
         .orderBy("value", "event_id")),
+    // O6 pagination: sort + OFFSET + LIMIT — plans as ONE
+    // TakeOrderedAndProject carrying the offset (each partition keeps
+    // offset+limit rows, the driver merges and skips), never a global
+    // sort + discard (plan-audited)
+    "o6_page" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .offset(100).limit(20)),
     "o3_topk" -> ((s, dir) =>
       Relational.topK(t(s, dir, "orders"), "o_orderpriority", 3)),
     "o4_head" -> ((s, dir) =>
@@ -2783,6 +2791,9 @@ object SparkEntry {
         "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
         ")::VARCHAR)::DOUBLE AS roll_sum " +
         "FROM events ORDER BY event_id"),
+    "o6_page" -> (
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
     "f13_regexp_extract" -> (
       "SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num, " +
         "regexp_extract(text, '(zzz_nomatch_[0-9]+)', 1) AS no_match " +
