@@ -652,6 +652,17 @@ object PlanAudit {
         (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
       SparkEntry.cmsSketchAgg(spark, dir))
 
+    // the DSv2 scan must print the ABSORBED range (proof the filter
+    // reached planInputPartitions, where it prunes whole slices) and the
+    // pruned column list
+    audit("s13_dsv2_scan (range pushed into the custom source)", Seq(
+      "pushed range in scan description" ->
+        (_.contains("pushedRange=[25000,50000)")),
+      "columns pruned to lang+n_chars" ->
+        (p => p.contains("cols=") && !p.contains("cols=doc_id")),
+      "partial aggregation" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s13_dsv2_scan")(spark, dir))
+
     // the box predicate must reach the parquet reader on BOTH columns —
     // pushdown is what turns the Z-order layout into actual skipping
     audit("s12_zorder_scan (both box predicates pushed to parquet)", Seq(

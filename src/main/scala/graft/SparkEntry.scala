@@ -368,6 +368,20 @@ object SparkEntry {
           col("value").between(20.0, 60.0))
         .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
     }),
+    // S13 DataSource V2: the custom TableProvider with REAL pushdown —
+    // the doc_id range narrows the planned input partitions themselves
+    // (skipped slices are never created, the DSv2 analogue of partition
+    // pruning; SynthV2Spec pins the planned-partition range) and column
+    // pruning reaches the reader. Rows are a DuckDB-re-derivable pure
+    // function of doc_id, so the WHOLE source is hash-gated by a
+    // generate_series twin — plan-audited pushedRange in the scan
+    "s13_dsv2_scan" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 100000L).option("slices", 8).load()
+        .filter(col("doc_id") >= 25000L && col("doc_id") < 50000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")),
     "s5_text_scan" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
       // a text-file row IS a line: embedded newlines would split one row
@@ -2415,6 +2429,15 @@ object SparkEntry {
     "s12_zorder_scan" -> (
       "SELECT count(*) AS cnt, sum(event_id)::BIGINT AS sum_id FROM events " +
         "WHERE user_id BETWEEN 10 AND 25 AND value BETWEEN 20.0 AND 60.0"),
+    // the DSv2 source's deterministic grid regenerated from scratch —
+    // a cross-engine gate over the whole custom reader
+    "s13_dsv2_scan" -> (
+      "SELECT lang, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars " +
+        "FROM (SELECT i AS doc_id, " +
+        "['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "(i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(25000, 49999) t(i)) " +
+        "GROUP BY lang ORDER BY lang"),
     "s3_s6_json_roundtrip" -> (
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
     "s9_csv_roundtrip" -> (

@@ -1,0 +1,147 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 surface demo: a deterministic synthetic documents table
+  * (`spark.read.format("graft.sources.v2.SynthSource")`) with the two
+  * capabilities that matter at 100 TB implemented for real, not mocked:
+  *
+  *  - **Filter pushdown → partition pruning**: `doc_id` range predicates
+  *    are absorbed into the scan ([[SynthScanBuilder.pushFilters]]) and
+  *    narrow BOTH the generated id range and the planned input
+  *    partitions — a slice whose id range misses the filter is never
+  *    created, the DSv2 analogue of parquet row-group/partition skipping
+  *    (SynthV2Spec pins the planned-partition count; the pushed range is
+  *    printed in the scan description for plan audits).
+  *  - **Column pruning**: the reader materializes only the columns the
+  *    query references ([[SynthScanBuilder.pruneColumns]]).
+  *
+  * Row content is a pure function of doc_id on a DuckDB-re-derivable
+  * grid (modular arithmetic + a fixed lang wheel), so the registered
+  * query is hash-gated by a twin that regenerates the same rows with
+  * `generate_series` — a real cross-engine check of the whole source.
+  */
+class SynthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthV2.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    // properties keep the caller's original key case — re-wrap
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SynthTable(opts.getLong("numRows", 1000L),
+      opts.getInt("slices", 4))
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SynthV2 {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  val Langs: Array[String] = Array("de", "en", "es", "fr", "zh")
+
+  /** The deterministic row, mirrored verbatim by the DuckDB twin. */
+  def langOf(id: Long): String = Langs((id % 5).toInt)
+  def nCharsOf(id: Long): Long = (id * 48271L) % 1000L
+}
+
+class SynthTable(numRows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($numRows)"
+  override def schema(): StructType = SynthV2.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(numRows, slices)
+}
+
+class SynthScanBuilder(numRows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = numRows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SynthV2.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // literals may arrive as Int or Long depending on how the predicate
+    // was written — normalize before narrowing the range
+    object L { def unapply(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    } }
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("doc_id", L(v)) => lo = math.max(lo, v); true
+      case GreaterThan("doc_id", L(v)) => lo = math.max(lo, v + 1); true
+      case LessThan("doc_id", L(v)) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", L(v)) => hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", L(v)) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthScan(lo, hi, slices, required)
+}
+
+class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSynthScan pushedRange=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Slices cover ONLY the pushed range — pruning happens at planning
+    * time, so a filtered query never even creates the skipped splits. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val n = math.min(slices.toLong, hi - lo).toInt
+    val step = (hi - lo) / n
+    (0 until n).map { i =>
+      val s = lo + i * step
+      val e = if (i == n - 1) hi else s + step
+      SynthPartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SynthPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow = {
+        val values = required.fieldNames.map {
+          case "doc_id" => id: java.lang.Long
+          case "lang" => UTF8String.fromString(SynthV2.langOf(id))
+          case "n_chars" => SynthV2.nCharsOf(id): java.lang.Long
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.v2.{SynthScanBuilder, SynthPartition}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types.StructType
+
+/** The DSv2 source's two real capabilities: pushdown-driven partition
+  * pruning and column pruning — plus end-to-end row parity. */
+class SynthV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def synth(n: Long, slices: Int = 4) =
+    spark.read.format("graft.sources.v2.SynthSource")
+      .option("numRows", n).option("slices", slices).load()
+
+  test("generates the deterministic grid end to end") {
+    val got = synth(10).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 10L))
+    assert(got.map(_._2).take(6) == Seq("de", "en", "es", "fr", "zh", "de"))
+    assert(got.map(_._3) == (0L until 10L).map(i => (i * 48271L) % 1000L))
+  }
+
+  test("doc_id range filter prunes planned partitions, not just rows") {
+    val b = new SynthScanBuilder(numRows = 100000L, slices = 8)
+    val rejected = b.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", 25000L), LessThan("doc_id", 50000L)))
+    assert(rejected.isEmpty) // both bounds absorbed into the scan
+    val parts = b.build().asInstanceOf[graft.sources.v2.SynthScan]
+      .planInputPartitions().map(_.asInstanceOf[SynthPartition])
+    // the 8 slices cover ONLY [25000, 50000) — the unfiltered table
+    // would span [0, 100000)
+    assert(parts.head.start == 25000L && parts.last.end == 50000L)
+    assert(parts.map(p => p.end - p.start).sum == 25000L)
+    // and the executed query agrees with the unpruned answer
+    val filtered = synth(100000L, 8)
+      .filter(col("doc_id") >= 25000L && col("doc_id") < 50000L)
+    assert(filtered.count() == 25000L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedRange=[25000,50000)"), plan)
+  }
+
+  test("contradictory bounds plan zero partitions") {
+    val b = new SynthScanBuilder(numRows = 1000L, slices = 4)
+    b.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", 900L), LessThan("doc_id", 100L)))
+    assert(b.build().asInstanceOf[graft.sources.v2.SynthScan]
+      .planInputPartitions().isEmpty)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = synth(100).select("lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=lang"), plan)
+    assert(df.distinct().count() == 5)
+  }
+}
