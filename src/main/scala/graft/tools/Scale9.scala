@@ -302,6 +302,40 @@ object Scale9 {
       }
     }
 
+    // Skewed-join triage (r10): 90% of fact rows share ONE key. With
+    // broadcast disabled (the big-dim regime), compare plain sort-merge
+    // without AQE skew handling, AQE's runtime skew-split, and the
+    // engine's explicit salting (Relational.skewSafeJoin) — the three
+    // tools a 100-TB pipeline chooses between.
+    if (sections("skew")) {
+      for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        val fact = spark.read.parquet(s"$dir/orders.parquet")
+          .select(when(col("o_orderkey") % 10 < 9, lit(1L))
+            .otherwise(col("o_orderkey") % 1000).as("k"),
+            col("o_totalprice"))
+          .localCheckpoint(true)
+        val dim = spark.range(0, 1000).select(col("id").as("k"),
+          (col("id") * 7).as("w")).localCheckpoint(true)
+        def run(tag: String, aqeSkew: Boolean, salted: Boolean): Unit = {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+            aqeSkew.toString)
+          try timed(s"skew join $tag x$xn") {
+            val j = if (salted)
+              graft.ops.Relational.skewSafeJoin(fact, dim, "k", salt = 16)
+            else fact.join(dim, Seq("k"))
+            j.agg(count(lit(1)), sum(col("o_totalprice") + col("w"))).head()
+          } finally {
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+          }
+        }
+        run("smj no-AQE-skew", aqeSkew = false, salted = false)
+        run("smj AQE-skew-split", aqeSkew = true, salted = false)
+        run("salted (16)", aqeSkew = false, salted = true)
+      }
+    }
+
     // Range-join scaling (r10): FIXED probe-interval set (the base
     // sf0.1 every-97th order, the decon-style pinned benchmark), points
     // grow ×10/×100. The binned rewrite's cost is candidate pairs =
