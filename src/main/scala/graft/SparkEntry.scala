@@ -1974,6 +1974,26 @@ object SparkEntry {
           hintBroadcast = true)
         .orderBy("o_orderkey")
     }),
+    // R3 incremental aggregate maintenance: yesterday's per-key
+    // aggregate rows + today's delta batch merge into the new aggregate
+    // WITHOUT rescanning the base — sums/counts are commutative
+    // monoids, so the merge is a shuffle of |keys| aggregate rows, not
+    // of data (in production the base agg is a stored table; here both
+    // halves derive from the fixture so the full-recompute twin can
+    // hash-gate the merge). Sums stay DECIMAL through the merge — the
+    // same exactness argument that makes them order-independent makes
+    // them incrementally mergeable
+    "r3_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def part(f: Column): DataFrame =
+        ev.filter(f).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(Tables.dec(col("value"))).as("sv"))
+      part(col("event_id") % 10 =!= 0)
+        .unionByName(part(col("event_id") % 10 === 0))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("cnt"), sum("sv").cast("double").as("sum_v"))
+        .orderBy("event_type")
+    }),
     // Streaming exact dedup over the documents fixture: distinct
     // normalized fingerprints emitted exactly once across micro-batches;
     // the batch DISTINCT is the oracle (dedup-in-flight must lose
@@ -2773,6 +2793,11 @@ object SparkEntry {
         "SELECT n::BIGINT AS n, " +
         "round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) " +
         "* 1e6)/1e6 AS corr FROM a"),
+    // the merge must equal the full recompute — one straight GROUP BY
+    "r3_incremental_agg" -> (
+      "SELECT event_type, count(*) AS cnt, " +
+        "(sum(CAST(value AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_v " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "r2_cdc_apply" -> (
       "WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
         "c AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, " +
