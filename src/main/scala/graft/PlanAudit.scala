@@ -48,9 +48,18 @@ object PlanAudit {
       SparkEntry.queries("o3_topk")(spark, dir))
 
     // OFFSET must ride inside the TakeOrdered (partitions keep
-    // offset+limit rows, driver merges+skips) — not a global sort
+    // offset+limit rows, driver merges+skips) — assert the offset
+    // argument AND the absence of a global Sort node, not just the
+    // operator name (a Sort + separate GlobalLimit would still contain
+    // the substring)
     audit("o6_page (offset inside TakeOrdered, no global sort)", Seq(
-      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject"))))(
+      "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject")),
+      // formatted explain prints the node as
+      // `Arguments: <offset+limit>, [sort], [project], <offset>`
+      "offset carried by the operator (limit 120 = offset 100 + 20)" ->
+        (p => "Arguments: 120, .*, 100".r.findFirstIn(p).isDefined),
+      "no standalone Sort node" ->
+        (p => !"\\(\\d+\\) Sort\\b".r.findFirstIn(p).isDefined)))(
       SparkEntry.queries("o6_page")(spark, dir))
 
     audit("j1_semi_top (broadcast semi-join)", Seq(

@@ -2190,11 +2190,13 @@ object SparkEntry {
     // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
     // semantics (one NULL in the set empties the result; a nullable
     // column forces three-valued logic even when no null occurs). The
-    // CASE arm can never fire at any SF, so the column is nullable but
-    // null-free: the answer is non-degenerate AND Spark must plan the
-    // single-column null-aware anti join (optimized to a hash join, not
-    // the nested loop — plan-audited). One portable string runs
-    // verbatim on BOTH engines, so the semantics parity is by hash
+    // CASE arm tests o_custkey < 0, which no custkey satisfies at ANY
+    // scale factor (a modulus-based arm would fire at sf >= 2 and
+    // silently degenerate the gate to empty-vs-empty), so the column is
+    // nullable but provably null-free: the answer is non-degenerate AND
+    // Spark must plan the single-column null-aware anti join (optimized
+    // to a hash join, not the nested loop — plan-audited). One portable
+    // string runs verbatim on BOTH engines, so parity is by hash
     "sql_not_in" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(PortableNotInSql)
@@ -3900,7 +3902,7 @@ object SparkEntry {
     * executed verbatim by spark.sql AND DuckDB (see sql_not_in). */
   private val PortableNotInSql: String =
     "SELECT DISTINCT user_id FROM events WHERE user_id NOT IN " +
-      "(SELECT CASE WHEN o_custkey % 100000 = 99999 THEN NULL " +
+      "(SELECT CASE WHEN o_custkey < 0 THEN NULL " +
       "ELSE o_custkey END FROM orders WHERE o_custkey > 100) " +
       "ORDER BY user_id"
 

@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions.udaf
   * smaller id regardless. */
 object Udafs {
 
-  /** (best id so far, its value); id = Long.MaxValue marks the zero. */
-  case class ArgMinBuf(id: Long, v: String)
+  /** (best id so far, its value, whether any row was seen). The
+    * explicit flag — NOT an id sentinel — means a genuine row with
+    * id == Long.MaxValue is still representable and never dropped. */
+  case class ArgMinBuf(id: Long, v: String, seen: Boolean)
 
   /** Value of the row with the SMALLEST id — deterministic arg-min. */
   object ArgMinAgg extends Aggregator[(Long, String), ArgMinBuf, String] {
-    override def zero: ArgMinBuf = ArgMinBuf(Long.MaxValue, null)
+    override def zero: ArgMinBuf = ArgMinBuf(0L, null, seen = false)
     override def reduce(b: ArgMinBuf, a: (Long, String)): ArgMinBuf =
-      if (a._1 < b.id) ArgMinBuf(a._1, a._2) else b
+      if (!b.seen || a._1 < b.id) ArgMinBuf(a._1, a._2, seen = true) else b
     override def merge(x: ArgMinBuf, y: ArgMinBuf): ArgMinBuf =
-      if (x.id <= y.id) x else y
+      if (!y.seen) x
+      else if (!x.seen) y
+      else if (x.id <= y.id) x else y
     override def finish(r: ArgMinBuf): String = r.v
     override def bufferEncoder: Encoder[ArgMinBuf] = Encoders.product
     override def outputEncoder: Encoder[String] = Encoders.STRING

@@ -56,6 +56,10 @@ object SynthV2 {
 }
 
 class SynthTable(numRows: Long, slices: Int) extends Table with SupportsRead {
+  require(numRows >= 0, s"numRows must be nonnegative, got $numRows")
+  // slices=0 would divide by zero at planning; a negative value would
+  // silently plan ZERO partitions and return an empty (wrong) result
+  require(slices > 0, s"slices must be positive, got $slices")
   override def name(): String = s"graft_synth($numRows)"
   override def schema(): StructType = SynthV2.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -74,18 +78,27 @@ class SynthScanBuilder(numRows: Long, slices: Int)
   private var required: StructType = SynthV2.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // literals may arrive as Int or Long depending on how the predicate
-    // was written — normalize before narrowing the range
+    // Only exact INTEGRAL literals are absorbed — a fractional Number
+    // would truncate and silently widen the accepted range, and since
+    // an absorbed filter is never re-applied by Spark, any imprecision
+    // here becomes a wrong ANSWER, not a missed optimization
     object L { def unapply(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue)
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[java.lang.Number].longValue)
       case _ => None
     } }
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("doc_id", L(v)) => lo = math.max(lo, v); true
-      case GreaterThan("doc_id", L(v)) => lo = math.max(lo, v + 1); true
+      // the strict/inclusive +1 forms reject Long.MaxValue: v+1 would
+      // overflow to MinValue and plan zero partitions for a predicate
+      // that matches everything
+      case GreaterThan("doc_id", L(v)) if v < Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case LessThan("doc_id", L(v)) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", L(v)) => hi = math.min(hi, v + 1); true
-      case EqualTo("doc_id", L(v)) =>
+      case LessThanOrEqual("doc_id", L(v)) if v < Long.MaxValue =>
+        hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", L(v)) if v < Long.MaxValue =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false
     }

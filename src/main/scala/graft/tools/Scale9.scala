@@ -333,6 +333,10 @@ object Scale9 {
         run("smj no-AQE-skew", aqeSkew = false, salted = false)
         run("smj AQE-skew-split", aqeSkew = true, salted = false)
         run("salted (16)", aqeSkew = false, salted = true)
+        // checkpointed per scale — release before the next (10x larger)
+        // iteration so executor storage doesn't accumulate across
+        // scales or into later sections
+        fact.unpersist(); dim.unpersist()
       }
     }
 

@@ -29,11 +29,25 @@ class UdafsSpec extends SparkSpec {
 
   test("Aggregator contract: zero loses to any row, merge prefers lower id") {
     import Udafs.{ArgMinAgg, ArgMinBuf}
-    assert(ArgMinAgg.reduce(ArgMinAgg.zero, (3L, "x")) == ArgMinBuf(3L, "x"))
-    assert(ArgMinAgg.merge(ArgMinBuf(3L, "x"), ArgMinBuf(4L, "y"))
-      == ArgMinBuf(3L, "x"))
-    assert(ArgMinAgg.merge(ArgMinBuf(4L, "y"), ArgMinBuf(3L, "x"))
-      == ArgMinBuf(3L, "x"))
+    assert(ArgMinAgg.reduce(ArgMinAgg.zero, (3L, "x"))
+      == ArgMinBuf(3L, "x", seen = true))
+    assert(ArgMinAgg.merge(ArgMinBuf(3L, "x", seen = true),
+      ArgMinBuf(4L, "y", seen = true)) == ArgMinBuf(3L, "x", seen = true))
+    assert(ArgMinAgg.merge(ArgMinBuf(4L, "y", seen = true),
+      ArgMinBuf(3L, "x", seen = true)) == ArgMinBuf(3L, "x", seen = true))
     assert(ArgMinAgg.merge(ArgMinAgg.zero, ArgMinAgg.zero) == ArgMinAgg.zero)
+  }
+
+  test("a real row with id == Long.MaxValue is kept, not mistaken for zero") {
+    import Udafs.{ArgMinAgg, ArgMinBuf}
+    // an id-sentinel zero (the bug this pins) would drop this row
+    assert(ArgMinAgg.reduce(ArgMinAgg.zero, (Long.MaxValue, "edge"))
+      == ArgMinBuf(Long.MaxValue, "edge", seen = true))
+    assert(ArgMinAgg.merge(ArgMinAgg.zero,
+      ArgMinBuf(Long.MaxValue, "edge", seen = true)).v == "edge")
+    val got = Seq(("g", Long.MaxValue, "edge")).toDF("g", "id", "v")
+      .groupBy("g").agg(Udafs.argMinBy(col("id"), col("v")).as("rep"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("g" -> "edge"))
   }
 }
