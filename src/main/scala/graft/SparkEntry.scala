@@ -859,6 +859,21 @@ object SparkEntry {
           (round(col("raw") * 1e6) / 1e6).as("ewma"))
         .orderBy("event_id")
     }),
+    // W7 BUILTIN session windows: the same >30 min-gap sessions as w5,
+    // through Spark's native session_window aggregation (merging
+    // variable-length windows in the agg, no explicit lag/cumsum) — the
+    // two forms cross-gate each other since the twin re-derives sessions
+    // from w5's boundary-count construction. One keyed shuffle
+    "w7_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("cnt"))
+        .orderBy("user_id", "session_start")),
     // §2.7 set ops beyond the A8 union: INTERSECT / EXCEPT of two
     // user-id sets (high-value clickers vs high-value purchasers). Spark
     // plans both as a distinct-aggregated semi/anti join on the full
@@ -2873,6 +2888,19 @@ object SparkEntry {
         "JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1) " +
         "SELECT event_id, user_id, round(ewma * 1e6) / 1e6 AS ewma FROM r " +
         "ORDER BY event_id"),
+    // sessions re-derived via w5's boundary-count construction — the
+    // builtin session_window must produce the same (user, start, size)
+    "w7_session_window" -> (
+      "WITH g AS (SELECT event_id, user_id, ts, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "IS NULL THEN 1 ELSE 0 END AS is_new FROM events), " +
+        "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS cnt " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "w5_sessionize" -> (
       "SELECT event_id, user_id, " +
         "sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 " +
