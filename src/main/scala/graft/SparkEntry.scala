@@ -454,6 +454,20 @@ object SparkEntry {
           size(Clean.splitWs(col("text"))) > 0)
         .agg(count(lit(1)).as("cnt"))),
 
+    // P14 VARIANT ingestion (Spark 4's semi-structured type): props
+    // parsed ONCE into the binary variant encoding — the schema-less
+    // scale path (no upfront schema pass over 100 TB of JSON; typed
+    // extraction happens per query via variant_get, absent paths yield
+    // NULL). The from_json forms (p1/p3) are the schema-on-read
+    // alternative; this is the store-first-decide-later one
+    "p14_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          variant_get(col("v"), "$.missing", "string").as("missing"))
+        .filter(col("k") % 3 === 0)
+        .orderBy("event_id")),
     // F13 regexp extraction: first capture group, with an explicit
     // no-match column — both engines return '' (not NULL) on no match,
     // a semantic corner worth gating since it silently flips filters
@@ -2859,6 +2873,12 @@ object SparkEntry {
     "o6_page" -> (
       "SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
+    // extraction + absent-path-NULL semantics re-derived with DuckDB's
+    // JSON operators over the raw strings
+    "p14_variant" -> (
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, " +
+        "props->>'$.missing' AS missing FROM events " +
+        "WHERE CAST(props->>'$.k' AS INTEGER) % 3 = 0 ORDER BY event_id"),
     "f13_regexp_extract" -> (
       "SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num, " +
         "regexp_extract(text, '(zzz_nomatch_[0-9]+)', 1) AS no_match " +
