@@ -661,6 +661,16 @@ object PlanAudit {
         (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
       SparkEntry.cmsSketchAgg(spark, dir))
 
+    // the quantity filter must reach the ORC reader — same pushdown
+    // machinery as parquet, second columnar format
+    audit("s14_orc_roundtrip (filter pushed to the ORC scan)", Seq(
+      "ORC scan present" -> (_.contains("Scan orc")),
+      "quantity bound pushed" ->
+        (p => p.contains("PushedFilters") &&
+          p.contains("GreaterThan(l_quantity")),
+      "partial aggregation" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s14_orc_roundtrip")(spark, dir))
+
     // the DSv2 scan must print the ABSORBED range (proof the filter
     // reached planInputPartitions, where it prunes whole slices) and the
     // pruned column list

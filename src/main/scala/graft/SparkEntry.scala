@@ -382,6 +382,21 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")),
+    // S14 ORC sink + scan roundtrip: the second columnar format (ORC
+    // ships in-box next to parquet, same pushdown machinery — the
+    // post-read filter must reach the ORC reader, plan-audited); the
+    // oracle reads the ORIGINAL table so any roundtrip loss hash-fails
+    "s14_orc_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s14").resolve("li").toString
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("l_quantity") > 30)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s5_text_scan" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
       // a text-file row IS a line: embedded newlines would split one row
@@ -468,6 +483,20 @@ object SparkEntry {
           variant_get(col("v"), "$.missing", "string").as("missing"))
         .filter(col("k") % 3 === 0)
         .orderBy("event_id")),
+    // F15 higher-order array functions as a first-class surface —
+    // filter/transform/aggregate lambdas over the token arrays (the
+    // engine's hot paths use native kernels instead precisely because
+    // interpreted HOFs don't codegen; HERE they are the semantics under
+    // test, gated against DuckDB's list_* lambdas)
+    "f15_hof_array" -> ((s, dir) =>
+      docTokens(s, dir)
+        .select(col("doc_id"),
+          size(filter(col("tokens"), t => length(t) > 4)).as("n_long"),
+          aggregate(transform(col("tokens"), t => length(t)),
+            lit(0), (a, x) => a + x).as("chars_sum"),
+          array_join(slice(array_sort(array_distinct(col("tokens"))), 1, 3),
+            " ").as("first3_sorted"))
+        .orderBy("doc_id")),
     // F13 regexp extraction: first capture group, with an explicit
     // no-match column — both engines return '' (not NULL) on no match,
     // a semantic corner worth gating since it silently flips filters
@@ -2875,6 +2904,18 @@ object SparkEntry {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
     // extraction + absent-path-NULL semantics re-derived with DuckDB's
     // JSON operators over the raw strings
+    "s14_orc_roundtrip" -> (
+      "SELECT l_returnflag, count(*) AS cnt, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty " +
+        "FROM lineitem WHERE l_quantity > 30 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "f15_hof_array" -> (
+      s"WITH t AS (SELECT doc_id, $sqlToks AS tks FROM documents) " +
+        "SELECT doc_id, " +
+        "len(list_filter(tks, x -> len(x) > 4))::INT AS n_long, " +
+        "list_sum(list_transform(tks, x -> len(x)))::INT AS chars_sum, " +
+        "array_to_string(list_sort(list_distinct(tks))[1:3], ' ') " +
+        "AS first3_sorted FROM t ORDER BY doc_id"),
     "p14_variant" -> (
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, " +
         "props->>'$.missing' AS missing FROM events " +
