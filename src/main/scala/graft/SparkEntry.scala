@@ -937,6 +937,26 @@ object SparkEntry {
         .select("user_id")
       clicks.except(buys).orderBy("user_id")
     }),
+    // BAG semantics (≠ set1/set2's set semantics): EXCEPT ALL keeps
+    // multiplicities — each user survives max(clicks − purchases, 0)
+    // times; INTERSECT ALL keeps min(clicks, purchases) copies. Output
+    // aggregated to (user, copies) so the multiset is hash-comparable
+    "set3_except_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "purchase")
+          .select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("copies"))
+        .orderBy("user_id")
+    }),
+    "set4_intersect_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "purchase")
+          .select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("copies"))
+        .orderBy("user_id")
+    }),
     "o1_sort_full" -> ((s, dir) =>
       t(s, dir, "events").select("value", "event_id")
         .orderBy("value", "event_id")),
@@ -2980,6 +3000,18 @@ object SparkEntry {
         "EXCEPT " +
         "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100 " +
         "ORDER BY user_id"),
+    "set3_except_all" -> (
+      "SELECT user_id, count(*) AS copies FROM (" +
+        "SELECT user_id FROM events WHERE event_type = 'click' " +
+        "EXCEPT ALL " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase') " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "set4_intersect_all" -> (
+      "SELECT user_id, count(*) AS copies FROM (" +
+        "SELECT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT ALL " +
+        "SELECT user_id FROM events WHERE event_type = 'purchase') " +
+        "GROUP BY user_id ORDER BY user_id"),
     "w1_native_topk" -> (
       "SELECT event_id, event_type, value FROM (" +
         "SELECT event_id, event_type, value, row_number() OVER (" +
