@@ -2922,20 +2922,27 @@ object SparkEntry {
     "o6_page" -> (
       "SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
-    // extraction + absent-path-NULL semantics re-derived with DuckDB's
-    // JSON operators over the raw strings
+    // the oracle reads the ORIGINAL lineitem, so any ORC roundtrip loss
+    // hash-fails; q1's decimal/varchar bridge for the quantity sum
     "s14_orc_roundtrip" -> (
       "SELECT l_returnflag, count(*) AS cnt, " +
         "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_qty " +
         "FROM lineitem WHERE l_quantity > 30 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // list_sum COALESCEd to 0: DuckDB's list_sum([]) is NULL while the
+    // Spark side's aggregate(..., lit(0), ...) seeds at 0 — unreachable
+    // on this fixture (splitWs never yields []) but pinned so a token
+    // rule change fails at the real cause, not a confusing hash diff
     "f15_hof_array" -> (
       s"WITH t AS (SELECT doc_id, $sqlToks AS tks FROM documents) " +
         "SELECT doc_id, " +
         "len(list_filter(tks, x -> len(x) > 4))::INT AS n_long, " +
-        "list_sum(list_transform(tks, x -> len(x)))::INT AS chars_sum, " +
+        "COALESCE(list_sum(list_transform(tks, x -> len(x))), 0)::INT " +
+        "AS chars_sum, " +
         "array_to_string(list_sort(list_distinct(tks))[1:3], ' ') " +
         "AS first3_sorted FROM t ORDER BY doc_id"),
+    // extraction + absent-path-NULL semantics re-derived with DuckDB's
+    // JSON operators over the raw strings
     "p14_variant" -> (
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, " +
         "props->>'$.missing' AS missing FROM events " +
