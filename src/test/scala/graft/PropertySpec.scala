@@ -83,4 +83,32 @@ class PropertySpec extends SparkSpec {
       a.zip(b).count { case (x, y) => x == y }
     assert(overlap(sigs(0L), sigs(1L)) >= overlap(sigs(0L), sigs(2L)))
   }
+
+  test("property: binned range join == brute-force containment") {
+    // random points/intervals/width — the bin rewrite must reproduce the
+    // O(n·m) definition exactly for every width, including widths far
+    // smaller and larger than the interval lengths
+    val rng = new scala.util.Random(20260814)
+    for (round <- 1 to 3) {
+      val width = Seq(0.7, 13.0, 400.0)(round - 1)
+      val pts = (1 to 80).map(i =>
+        (i.toLong, rng.nextDouble() * 200 - 100))
+      val ivs = (1 to 25).map { i =>
+        val a = rng.nextDouble() * 200 - 100
+        val b = a + (rng.nextDouble() - 0.2) * 30 // ~20% inverted
+        (1000L + i, a, b)
+      }
+      val pdf = pts.toDF("pid", "p")
+      val idf = ivs.toDF("iid", "lo", "hi")
+      val got = graft.ops.Relational
+        .rangeJoinPoints(pdf, "p", idf, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (pid, p) <- pts
+        (iid, lo, hi) <- ivs
+        if p >= lo && p <= hi
+      } yield (pid, iid)).toSet
+      assert(got == brute, s"width=$width: ${got.size} vs ${brute.size}")
+    }
+  }
 }
