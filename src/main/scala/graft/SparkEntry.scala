@@ -1368,6 +1368,20 @@ object SparkEntry {
           norm.as("text_nfc"))
         .orderBy("doc_id")
     }),
+    // diacritic strip (search-index / fuzzy-match folding — the
+    // aggressive cousin of NFC; exact dedup must NOT fold, which is why
+    // they are separate kernels): accents injected as in llm_nfc (both
+    // precomposed é and combining ̈ forms), both must fold to plain
+    // ASCII; oracled against DuckDB's native strip_accents — a true
+    // cross-engine check of the NFD + mark-removal contract
+    "llm_strip_accents" -> ((s, dir) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      val accented = regexp_replace(
+        regexp_replace(col("text"), "o", "ö"), "e", "é")
+      t(s, dir, "documents").select(col("doc_id"),
+          call_function("graft_strip_accents", accented).as("folded"))
+        .orderBy("doc_id")
+    }),
     // URL canonicalization (crawl-dedup pre-pass): the fixture has no URL
     // column, so deterministic MESSY urls (mixed-case host, default port,
     // trailing slash, utm params, fragment; every 10th doc has no path)
@@ -3839,6 +3853,9 @@ object SparkEntry {
         "SELECT doc_id, length(dec)::BIGINT AS len_dec, " +
         "length(nfc_normalize(dec))::BIGINT AS len_nfc, " +
         "nfc_normalize(dec) AS text_nfc FROM d ORDER BY doc_id"),
+    "llm_strip_accents" -> (
+      "SELECT doc_id, strip_accents(replace(replace(text, 'o', 'ö'), " +
+        "'e', 'é')) AS folded FROM documents ORDER BY doc_id"),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_domain_mix" -> ( domainMixSql),

@@ -191,6 +191,7 @@ object GraftFunctions {
     unaryText("graft_bpeish_count", BpeishCount(_)),
     unaryText("graft_simhash_md5", SimHashMd5(_)),
     unaryText("graft_nfc", NfcNormalize(_)),
+    unaryText("graft_strip_accents", StripAccents(_)),
     stopHits,
     (new FunctionIdentifier("graft_ngram_jaccard"),
       new ExpressionInfo(classOf[NgramJaccard].getName, "graft_ngram_jaccard"),

@@ -28,4 +28,22 @@ class NfcSpec extends AnyFunSuite {
     val once = nfc("a\u0301b\u0308")
     assert(nfc(once) == once)
   }
+
+  private def strip(s: String): String =
+    graft.expr.NfcNormalize.stripAccents(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("stripAccents folds both precomposed and combining forms") {
+    assert(strip("caf\u00e9") == "cafe") // precomposed \u00e9
+    assert(strip("cafe\u0301") == "cafe") // e + combining acute
+    assert(strip("na\u00efve \u00dcbung") == "naive Ubung")
+  }
+
+  test("stripAccents keeps non-decomposable letters (DuckDB contract)") {
+    // \u00c6 and \u00f8 carry no combining marks after NFD \u2014 strip_accents in
+    // DuckDB keeps them too, which is what makes the oracle exact
+    assert(strip("sm\u00f6rg\u00e5sbord \u00c6r\u00f8") ==
+      "smorgasbord \u00c6r\u00f8")
+    assert(strip("plain ascii") == "plain ascii")
+  }
 }
