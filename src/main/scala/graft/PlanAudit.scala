@@ -614,6 +614,17 @@ object PlanAudit {
         SparkEntry.bandJoinNaive(spark, dir))
     }
 
+    // the fuzzy join's length prefilter must ride the binned equi-join
+    // (shared with j7), never an all-pairs cross product; the exact
+    // kernel decides candidates after the join
+    audit("llm_fuzzy_join (length-blocked, no cross product)", Seq(
+      "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
+      "no BroadcastNestedLoopJoin" ->
+        (p => !p.contains("BroadcastNestedLoopJoin")),
+      "levenshtein kernel decides candidates" ->
+        (_.contains("graft_levenshtein"))))(
+      SparkEntry.queries("llm_fuzzy_join")(spark, dir))
+
     // pinned pivot values → ONE partial-agg shuffle, no discovery pass
     audit("a17_pivot (single aggregation, no value-discovery scan)", Seq(
       "partial aggregation" -> (_.contains("partial_")),

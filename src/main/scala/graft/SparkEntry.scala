@@ -1368,6 +1368,22 @@ object SparkEntry {
           norm.as("text_nfc"))
         .orderBy("doc_id")
     }),
+    // edit-distance FUZZY JOIN: pairs within Levenshtein 1 — the
+    // recall-exact length-window prefilter rides the binned range join
+    // (|len diff| <= k is NECESSARY for dist <= k; pure arithmetic, no
+    // recall trade), then the bit-parallel kernel decides candidates.
+    // Texts constructed as nested prefixes (len 20..24 of one base) so
+    // same-length rows are exact dups (dist 0) and adjacent lengths are
+    // dist 1 — the blocking and both distance classes all exercised;
+    // the twin is the BRUTE-FORCE all-pairs DuckDB levenshtein
+    "llm_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            expr("substring('the quick brown fox jumps over', 1, " +
+              "20 + cast(doc_id % 5 AS int))").as("t")),
+        "doc_id", "t", maxDist = 1)
+        .orderBy("id_a", "id_b")),
     // diacritic strip (search-index / fuzzy-match folding — the
     // aggressive cousin of NFC; exact dedup must NOT fold, which is why
     // they are separate kernels): accents injected as in llm_nfc (both
@@ -3856,6 +3872,14 @@ object SparkEntry {
     "llm_strip_accents" -> (
       "SELECT doc_id, strip_accents(replace(replace(text, 'o', 'ö'), " +
         "'e', 'é')) AS folded FROM documents ORDER BY doc_id"),
+    "llm_fuzzy_join" -> (
+      "WITH d AS (SELECT doc_id, " +
+        "substr('the quick brown fox jumps over', 1, " +
+        "(20 + doc_id % 5)::INT) AS t FROM documents WHERE doc_id < 200) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "levenshtein(a.t, b.t)::INT AS dist " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.t, b.t) <= 1 ORDER BY id_a, id_b"),
     "llm_dup_groups" -> ( dupGroupsSql),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_domain_mix" -> ( domainMixSql),

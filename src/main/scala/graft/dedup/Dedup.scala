@@ -186,6 +186,36 @@ object Dedup {
     * quadratic join. Overflowing buckets are dropped from CANDIDATE
     * GENERATION only — their members still pair through their other
     * bands, and truly identical docs belong to exact dedup anyway. */
+  /** Edit-distance fuzzy self-join: unordered pairs with Levenshtein
+    * distance ≤ maxDist. The recall-exact prefilter is the LENGTH
+    * window (|len(a) − len(b)| ≤ maxDist is a NECESSARY condition for
+    * distance ≤ maxDist), expressed as [[graft.ops.Relational
+    * .rangeJoinPoints]]: one side's length is the point, the other's
+    * [len−k, len+k] the interval — so the candidate join is a binned
+    * equi-join, never the all-pairs cross product (plan shape shared
+    * with j7); the exact bit-parallel `graft_levenshtein` kernel then
+    * decides each candidate. Blocking drops NO true pair by
+    * construction (pure length arithmetic — unlike q-gram/prefix
+    * schemes, which trade recall), so a brute-force twin gates it
+    * exactly. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be nonnegative, got $maxDist")
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("t_a"),
+      (length(col(textCol)) - maxDist).cast("double").as("lo"),
+      (length(col(textCol)) + maxDist).cast("double").as("hi"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("t_b"),
+      length(col(textCol)).cast("double").as("len_b"))
+    graft.ops.Relational.rangeJoinPoints(b, "len_b", a, "lo", "hi",
+        binWidth = (2 * maxDist + 1).toDouble)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        call_function("graft_levenshtein", col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
                    gram: Int = 8, stride: Int = 4,

@@ -168,4 +168,28 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) == (("xxyy", 11L)))
     assert(r(1L) == (("zzww", 11L)))
   }
+
+  test("editDistancePairs equals brute force on random short strings") {
+    val rng = new scala.util.Random(7)
+    val words = (1 to 60).map(i =>
+      (i.toLong, (1 to (3 + rng.nextInt(5)))
+        .map(_ => ('a' + rng.nextInt(3)).toChar).mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(0, 1, 2)) {
+      val got = Dedup.editDistancePairs(words.toDF("id", "t"), "id", "t", k)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, ta) <- words; (ib, tb) <- words
+        if ia < ib && lev(ta, tb) <= k
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"k=$k: ${got.size} vs ${brute.size}")
+    }
+  }
 }
