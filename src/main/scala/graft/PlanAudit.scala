@@ -672,6 +672,18 @@ object PlanAudit {
         (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
       SparkEntry.cmsSketchAgg(spark, dir))
 
+    // the partition-column predicate must prune DIRECTORIES at listing
+    // time (PartitionFilters), not ride as a data filter — the third
+    // skipping mechanism next to row-group stats and DSv2 planning
+    audit("s15_partitioned_scan (directory-level partition pruning)", Seq(
+      "PartitionFilters carries the event_type predicate" ->
+        (p => "PartitionFilters: \\[[^\\]]*event_type".r
+          .findFirstIn(p).isDefined),
+      "no post-scan filter on event_type" ->
+        (p => !"\\(\\d+\\) Filter".r.findFirstIn(p).isDefined),
+      "partial aggregation" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s15_partitioned_scan")(spark, dir))
+
     // the quantity filter must reach the ORC reader — same pushdown
     // machinery as parquet, second columnar format
     audit("s14_orc_roundtrip (filter pushed to the ORC scan)", Seq(

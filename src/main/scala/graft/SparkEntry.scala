@@ -382,6 +382,23 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")),
+    // S15 hive-partitioned sink → partition-PRUNED scan: the third
+    // skipping mechanism next to row-group stats (s12) and DSv2
+    // planning (s13) — the predicate on the partition column prunes
+    // whole DIRECTORIES at listing time, before any file is opened
+    // (plan-gated PartitionFilters + the data filter NOT pushed to the
+    // reader because the column isn't in the files). Oracle reads the
+    // original table, so partition-value round-tripping is hash-gated
+    "s15_partitioned_scan" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s15").resolve("ev").toString
+      Sources.writePartitionedParquet(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        tmp, Seq("event_type"))
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("value")).as("sum_v"))
+    }),
     // S14 ORC sink + scan roundtrip: the second columnar format (ORC
     // ships in-box next to parquet, same pushdown machinery — the
     // post-read filter must reach the ORC reader, plan-audited); the
@@ -2952,6 +2969,10 @@ object SparkEntry {
     "o6_page" -> (
       "SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
+    "s15_partitioned_scan" -> (
+      "SELECT count(*) AS cnt, " +
+        "(sum(CAST(value AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_v " +
+        "FROM events WHERE event_type = 'purchase'"),
     // the oracle reads the ORIGINAL lineitem, so any ORC roundtrip loss
     // hash-fails; q1's decimal/varchar bridge for the quantity sum
     "s14_orc_roundtrip" -> (
