@@ -679,8 +679,9 @@ object PlanAudit {
       "PartitionFilters carries the event_type predicate" ->
         (p => "PartitionFilters: \\[[^\\]]*event_type".r
           .findFirstIn(p).isDefined),
+      // scope to event_type: an unrelated data filter must not trip this
       "no post-scan filter on event_type" ->
-        (p => !"\\(\\d+\\) Filter".r.findFirstIn(p).isDefined),
+        (p => !"Condition : [^\\n]*event_type".r.findFirstIn(p).isDefined),
       "partial aggregation" -> (_.contains("partial_"))))(
       SparkEntry.queries("s15_partitioned_scan")(spark, dir))
 

@@ -169,23 +169,6 @@ object Dedup {
           lit(-7046029254386353131L),
           (acc, x) => xxhash64(acc, x)).as("bucket")))
 
-  /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
-    * shingle-set Jaccard ≥ `threshold`. Returns (idA, idB, jaccard) with
-    * idA < idB. The candidate join is per-(band,bucket); the verify join
-    * re-reads only candidate rows' shingle sets.
-    *
-    * Each derived value (normalized text, shingle-hash array, signature)
-    * is materialized as its own projected column BEFORE the next lambda
-    * consumes it: Spark's higher-order functions are interpreted, and an
-    * expression nested inside a lambda is re-evaluated per element — with
-    * the projection boundary each stage reads a bound attribute instead
-    * (one evaluation per row, O(len/stride + k·len/stride) total).
-    *
-    * `maxBucketSize` caps the per-(band,bucket) candidate fan-in: a hot
-    * bucket (e.g. thousands of identical boilerplate docs) would create a
-    * quadratic join. Overflowing buckets are dropped from CANDIDATE
-    * GENERATION only — their members still pair through their other
-    * bands, and truly identical docs belong to exact dedup anyway. */
   /** Edit-distance fuzzy self-join: unordered pairs with Levenshtein
     * distance ≤ maxDist. The recall-exact prefilter is the LENGTH
     * window (|len(a) − len(b)| ≤ maxDist is a NECESSARY condition for
@@ -216,6 +199,23 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    * shingle-set Jaccard ≥ `threshold`. Returns (idA, idB, jaccard) with
+    * idA < idB. The candidate join is per-(band,bucket); the verify join
+    * re-reads only candidate rows' shingle sets.
+    *
+    * Each derived value (normalized text, shingle-hash array, signature)
+    * is materialized as its own projected column BEFORE the next lambda
+    * consumes it: Spark's higher-order functions are interpreted, and an
+    * expression nested inside a lambda is re-evaluated per element — with
+    * the projection boundary each stage reads a bound attribute instead
+    * (one evaluation per row, O(len/stride + k·len/stride) total).
+    *
+    * `maxBucketSize` caps the per-(band,bucket) candidate fan-in: a hot
+    * bucket (e.g. thousands of identical boilerplate docs) would create a
+    * quadratic join. Overflowing buckets are dropped from CANDIDATE
+    * GENERATION only — their members still pair through their other
+    * bands, and truly identical docs belong to exact dedup anyway. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
                    gram: Int = 8, stride: Int = 4,
