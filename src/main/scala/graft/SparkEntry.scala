@@ -2659,7 +2659,7 @@ object SparkEntry {
         "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v " +
         "FROM events) " +
         "SELECT event_id, user_id, last_value(v IGNORE NULLS) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "(PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
         "FROM d ORDER BY event_id"),
     "p12_unpivot" -> (
@@ -2963,7 +2963,7 @@ object SparkEntry {
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
+        "ORDER BY ts NULLS FIRST, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
         ")::VARCHAR)::DOUBLE AS roll_sum " +
         "FROM events ORDER BY event_id"),
     "o6_page" -> (
@@ -3019,7 +3019,7 @@ object SparkEntry {
     // literals 0.3/0.7 mirrored verbatim (1-0.3 is NOT 0.7 in doubles)
     "w6_ewma" -> (
       "WITH RECURSIVE src AS (SELECT event_id, user_id, value, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn " +
         "FROM events WHERE value IS NOT NULL), " +
         "r AS (SELECT event_id, user_id, rn, value AS ewma FROM src WHERE rn = 1 " +
         "UNION ALL SELECT s.event_id, s.user_id, s.rn, " +
@@ -3032,21 +3032,27 @@ object SparkEntry {
     "w7_session_window" -> (
       "WITH g AS (SELECT event_id, user_id, ts, " +
         "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
-        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "(PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) > 1800000000 " +
+        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) " +
         "IS NULL THEN 1 ELSE 0 END AS is_new FROM events), " +
         "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "ORDER BY ts NULLS FIRST, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
         "CURRENT ROW) AS sid FROM g) " +
         "SELECT user_id, min(ts) AS session_start, count(*) AS cnt " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // ::BIGINT is load-bearing: DuckDB's sum(int) is HUGEINT, which the
+    // harness renders as float64 — the hash then compares 1.0 vs Spark's 1
+    // and fails while rows+schema(names) stay green (the r10 w5 red cell).
+    // NULLS FIRST pinned because Spark's ASC window order is nulls-first
+    // and a null ts shifts every later boundary count (w2's gaps are
+    // placement-invariant; a running sum is not)
     "w5_sessionize" -> (
       "SELECT event_id, user_id, " +
-        "sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 " +
-        "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id " +
         "FROM (SELECT event_id, user_id, ts, epoch_us(ts) - " +
-        "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) " +
         "AS gap_us FROM events) ORDER BY event_id"),
     "set1_intersect" -> (
       "SELECT user_id FROM events WHERE event_type = 'click' AND value > 100 " +
@@ -3082,7 +3088,7 @@ object SparkEntry {
         "WHERE rn <= 3 ORDER BY event_type, value DESC, event_id"),
     "w2_lag_delta" -> (
       "SELECT event_id, user_id, (epoch_us(ts) - epoch_us(lag(ts) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id))) // 1000 AS gap_ms " +
+        "(PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id))) // 1000 AS gap_ms " +
         "FROM events ORDER BY event_id"),
     "o1_sort_full" -> (
       "SELECT value, event_id FROM events ORDER BY value, event_id"),
@@ -3547,12 +3553,12 @@ object SparkEntry {
     "st2_sessionize" -> (
       "WITH x AS (SELECT event_id % 50 AS user_id, ts FROM events), " +
         "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
-        "ORDER BY ts) AS prev FROM x), " +
+        "ORDER BY ts NULLS FIRST) AS prev FROM x), " +
         "g AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR " +
         "epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS brk " +
         "FROM l), " +
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
-        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "ORDER BY ts NULLS FIRST ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
         "SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms, " +
         "count(*) AS n_events, " +
         "(epoch_ms(max(ts)) - epoch_ms(min(ts)))::BIGINT AS duration_ms " +

@@ -56,6 +56,20 @@ def main():
             return df
         g = norm(got[gc]).sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         e = norm(exp[ec]).sort_values(by=ec, kind="mergesort").reset_index(drop=True)
+        # Dtype-class guard: the driver hashes value REPRS, so an int64
+        # Spark column against a float64 oracle column ("1" vs "1.0")
+        # hash-fails even when every value compares equal below. DuckDB
+        # silently produces this via HUGEINT (sum of ints) -> pandas
+        # float64 — the r10 w5_sessionize red cell. Surface it loudly.
+        dt_mism = [(c, str(g[c].dtype), str(e[c].dtype)) for c in gc
+                   if (str(g[c].dtype).startswith(("int", "uint")) !=
+                       str(e[c].dtype).startswith(("int", "uint")))
+                   and "object" not in (str(g[c].dtype), str(e[c].dtype))]
+        if dt_mism:
+            print(f"FAIL {name}: int/float dtype class mismatch "
+                  f"(hash-risk): {dt_mism}")
+            n_fail += 1
+            continue
         mism = []
         near = []
         for c in gc:
