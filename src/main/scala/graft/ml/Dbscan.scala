@@ -17,10 +17,15 @@ import scala.collection.mutable
   *    the reference scale is n≈2.8e3).
   *  - [[distributed]]: ε-neighborhood self-join via
   *    BucketedRandomProjectionLSH.approxSimilarityJoin → core filter
-  *    (|N_ε| ≥ minPts) → GraphX connectedComponents over core–core edges →
+  *    (|N_ε| ≥ minPts) → connected components over core–core edges →
   *    border points attach to any core neighbor's cluster. Scales as the
   *    LSH join does (bucketed, never all-pairs). Cluster ids are
   *    renumbered by min member id for determinism, noise = −1.
+  *    CC routes by ε-graph size: an edge relation under
+  *    `smallGraphEdgeCap` (probed with limit(cap+1), so the collect is
+  *    bounded before it happens) is labeled by a driver union-find —
+  *    the reference-scale regime, where per-job scheduling overhead
+  *    otherwise dominates; a larger graph runs GraphX Pregel CC.
   */
 object Dbscan {
 
@@ -96,9 +101,18 @@ object Dbscan {
   def distributed(df: DataFrame, idCol: String, featuresCol: String,
                   eps: Double, minPts: Int,
                   bucketLength: Double = 2.0,
-                  numHashTables: Int = 3): DataFrame = {
+                  numHashTables: Int = 3,
+                  smallGraphEdgeCap: Int = 200000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // phase timings to stderr when GRAFT_TIMING is set (perf triage aid)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[dbscan] $phase: ${(now - tLast) / 1e9}%.3f s")
+      tLast = now
+    }
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(featuresCol).as("features"))
 
@@ -106,18 +120,104 @@ object Dbscan {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(pts)
-    // ε-self-join (distCol is exact Euclidean, verified post-bucket
-    // join; keeps dist < eps STRICTLY — exact() matches). PERSISTED: the
-    // edge relation feeds three consumers (degree counts, the core-core
-    // edge list that GraphX materializes as its own job, and the
-    // border-attach join) — without the persist each one re-executes the
-    // whole LSH bucket join, the most expensive stage in the operator,
-    // at any scale. Explicitly unpersisted below, right after the last
-    // consumer (borderLabels) materializes.
-    val joined = model.approxSimilarityJoin(pts, pts, eps, "dist")
-      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"))
-      .filter(col("a") =!= col("b"))
+    mark("lsh_fit")
+    // ε-self-join: exact Euclidean verified post-bucket join; keeps
+    // dist < eps STRICTLY — exact() matches. PERSISTED: the edge
+    // relation feeds multiple consumers (the probe, and on the large
+    // route degree counts, the core-core edge list, and the
+    // border-attach join) — without the persist each one re-executes
+    // the whole LSH bucket join. Explicitly unpersisted right after its
+    // last consumer materializes on either route.
+    // HAND-ROLLED LSH bucket join (same semantics as ml's
+    // approxSimilarityJoin: explode hash tables, equi-join on
+    // (table, hashValue), exact-distance verify, strict < eps). Two
+    // deliberate differences in SHAPE, both scale wins:
+    //  - the candidate-pair dedup (a pair can collide in several hash
+    //    tables) runs on bare (a, b) LONGS after projecting ids away —
+    //    approxSimilarityJoin dedups BEFORE projecting, shuffling the
+    //    full (id, features, hashes)² structs through its exchange,
+    //    which at sf0.1 was the operator's single largest stage;
+    //  - side B carries a broadcast hint when the OPTIMIZER's estimate
+    //    of the un-exploded scan (free, no job) fits 64 MB — the
+    //    explode hides the small size from auto-broadcast, and a
+    //    forced hint without the gate would OOM the driver at scale.
+    val hashed = model.transform(pts) // id, features, hashes: Array[Vector]
+    def exploded(idAs: String, fAs: String) = hashed.select(
+      col("id").as(idAs), col("features").as(fAs),
+      posexplode(col("hashes")).as(Seq("entry", "hv")))
+    val sideA = exploded("a", "fa")
+    val sideBRaw = exploded("b", "fb")
+    val sideB =
+      if (pts.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+        broadcast(sideBRaw)
+      else sideBRaw
+    val sqdistUdf = udf((x: Vector, y: Vector) => Vectors.sqdist(x, y))
+    val joined = sideA.join(sideB, Seq("entry", "hv"))
+      .filter(col("a") =!= col("b") &&
+        sqdistUdf(col("fa"), col("fb")) < lit(eps * eps))
+      .select("a", "b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SMALL-REGIME ROUTE (r10 verdict #3): past the LSH join, the
+    // distributed pipeline is 6+ tiny Spark jobs (degree agg, core
+    // filter, two core joins, CC, border agg, checkpoint) whose per-job
+    // scheduling overhead IS the operator's cost on a reference-scale
+    // graph (~3 s for 300 vertices in r10 — the suite's worst
+    // seconds-per-row). When the ε-edge relation itself fits under the
+    // cap — proved by the limit(cap+1) probe BEFORE any unbounded
+    // collect — the pairs are collected once and degrees, the core
+    // filter, union-find CC, and border attachment all run as driver
+    // arithmetic over ≤cap long-pairs; the labels return via one
+    // broadcast join. Past the cap the fully-distributed path (GraphX
+    // Pregel CC) engages unchanged. Both routes produce
+    // label = min core member id, indistinguishable downstream.
+    val edgeSample =
+      joined.as[(Long, Long)].limit(smallGraphEdgeCap + 1).collect()
+    mark("edge_probe")
+    if (edgeSample.length <= smallGraphEdgeCap) {
+      joined.unpersist(blocking = false)
+      // degree = ε-neighbor count + 1 (self counts once, matching
+      // |N_ε(p)| ≥ minPts with p ∈ N_ε(p)); ids absent from the edge
+      // relation stay absent, exactly as the distributed groupBy does
+      val deg = mutable.Map.empty[Long, Int]
+      edgeSample.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0) + 1 }
+      val coreIds = deg.collect { case (a, d) if d + 1 >= minPts => a }.toSet
+      val parent = mutable.Map.empty[Long, Long] ++ coreIds.map(i => i -> i)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      // union by MIN root: the representative is the min core member id,
+      // matching GraphX connectedComponents' vertex labeling exactly
+      edgeSample.foreach { case (a, b) =>
+        if (coreIds(a) && coreIds(b)) {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      val labels = mutable.Map.empty[Long, Long]
+      coreIds.foreach(c => labels(c) = find(c))
+      // border points: any non-core point with a core ε-neighbor joins
+      // that cluster (lowest label for determinism)
+      edgeSample.foreach { case (a, b) =>
+        if (!coreIds(a) && coreIds(b)) {
+          val l = find(b)
+          labels(a) = math.min(labels.getOrElse(a, Long.MaxValue), l)
+        }
+      }
+      mark("cc_driver")
+      val labelDf = spark.createDataset(labels.toSeq).toDF("id", "label")
+      // broadcast join onto the full id set; no checkpoint needed — the
+      // lineage is one scan plus a local relation, nothing cached remains
+      val out = pts.select("id")
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), lit(-1L)).as("label"))
+      mark("result_small")
+      return out
+    }
     // neighbor counts (self counts once, matching |N_ε(p)| ≥ minPts with
     // p ∈ N_ε(p))
     val degrees = joined.groupBy("a").agg((count(lit(1)) + 1).as("deg"))
@@ -128,10 +228,13 @@ object Dbscan {
       .join(coreSet.select(col("id").as("a")), "a")
       .join(coreSet.select(col("id").as("b")), "b")
       .select("a", "b")
-    val edgeRdd = coreEdges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val vertRdd = core.as[Long].rdd.map(id => (id, ()))
-    val cc = Graph(vertRdd, edgeRdd).connectedComponents()
-      .vertices.toDF("id", "label") // label = min vertex id in component
+    val cc = {
+      val edgeRdd =
+        coreEdges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+      val vertRdd = core.as[Long].rdd.map(id => (id, ()))
+      Graph(vertRdd, edgeRdd).connectedComponents()
+        .vertices.toDF("id", "label") // label = min vertex id in component
+    }
     // border points: any non-core point with a core ε-neighbor joins that
     // cluster (lowest label for determinism); everything else is noise
     val borderLabels = joined
@@ -148,6 +251,7 @@ object Dbscan {
     // checkpointed result itself (n rows of two longs — the data the
     // caller holds), reclaimed by the ContextCleaner when it drops.
     borderLabels.count()
+    mark("border_labels")
     joined.unpersist(blocking = false)
     val result = pts.select("id")
       .join(cc, Seq("id"), "left")
@@ -155,6 +259,7 @@ object Dbscan {
       .select(col("id").as(idCol),
         coalesce(col("label"), col("border_label"), lit(-1L)).as("label"))
       .localCheckpoint(true)
+    mark("result_checkpoint")
     borderLabels.unpersist(blocking = false)
     result
   }

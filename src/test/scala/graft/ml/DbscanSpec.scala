@@ -35,6 +35,23 @@ class DbscanSpec extends SparkSpec {
     assert(dist == exactDf)
   }
 
+  test("CC route parity: driver union-find equals GraphX on the same graph") {
+    // the small-regime route (core graph under smallGraphEdgeCap collected
+    // to a driver union-find) must be indistinguishable from the GraphX
+    // Pregel path it replaces — same label = min core member id contract.
+    // cap=0 forces GraphX on the identical fixture; default routes driver.
+    val df = pts.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val viaDriver = Dbscan.distributed(df, "id", "features",
+        eps = 0.5, minPts = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaGraphX = Dbscan.distributed(df, "id", "features",
+        eps = 0.5, minPts = 3, smallGraphEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaGraphX)
+    assert(viaDriver.values.exists(_ >= 0)) // fixture actually clusters
+  }
+
   test("distributed DBSCAN quality gate: ARI vs exact on border-heavy data") {
     // Adversarial fixture for the LSH path (the r7 verdict's missing
     // contract): two gaussian clusters whose tails approach the eps
