@@ -549,8 +549,10 @@ object SparkEntry {
           u.withColumn("lang_code_len", length(col("lang")).cast("long")))
         .select("doc_id", "lang", "lang_code_len").orderBy("doc_id")),
     "j4_eps_self_join" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding").as("v"))
+      val e = Relational.requireBounded(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v")),
+        cap = 2000, what = "j4_eps_self_join")
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       val da = Similarity.dot(col("va"), col("va"))
@@ -1265,7 +1267,9 @@ object SparkEntry {
     // for genuine near-dup regimes (cosine→1, where banding has recall);
     // at cosine 0.4 banding is the wrong tool and exact is the contract.
     "llm_cosine_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val e = Relational.requireBounded(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        cap = 5000, what = "llm_cosine_neardup")
       val a = e.select(col("vec_id").as("id_l"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_r"), col("embedding").as("vb"))
       graft.expr.GraftFunctions.ensureRegistered(s)

@@ -303,6 +303,20 @@ object Relational {
   def anyNullRows(df: DataFrame): DataFrame =
     df.filter(df.columns.map(c => col(c).isNull).reduce(_ || _))
 
+  /** Cardinality guard for deliberately-bounded O(n²) exact forms (the
+    * j4 / llm_cosine_neardup cross joins): a filter LITERAL alone
+    * (`vec_id < 300`) silently reintroduces the quadratic blowup if the
+    * fixture's id density grows — this makes the bound a hard contract,
+    * like `Dbscan.exactOnFrame`'s maxN. The probe is `limit(cap+1)`, so
+    * it costs one short-circuiting scan and never counts past the cap. */
+  def requireBounded(df: DataFrame, cap: Int, what: String): DataFrame = {
+    val probe = df.limit(cap + 1).count()
+    require(probe <= cap,
+      s"$what: exact O(n^2) form capped at $cap input rows (got > $cap); " +
+        "use the documented scale variant (LSH/banded) instead")
+    df
+  }
+
   /** J3 dedup-then-broadcast-back — THE reference scaling trick
     * (README.md:43, word2vec_dbscan_approach.ipynb:328-329: cluster 589
     * distinct messages, apply to 2826 rows).

@@ -10,6 +10,17 @@ class RelationalSpec extends SparkSpec {
     ("a", "x", 10), ("a", "y", 20), ("a", "x", 30),
     ("b", "x", 40), ("b", "y", 50), ("c", "x", 60)).toDF("k", "g", "v")
 
+  test("requireBounded: passes under the cap, throws past it, returns input") {
+    val df = (1 to 10).map(i => (i, s"r$i")).toDF("id", "s")
+    // under: the frame comes back unchanged for chaining
+    assert(Relational.requireBounded(df, cap = 10, what = "t").count() == 10)
+    // past: the guard must throw BEFORE any quadratic work can run
+    val e = intercept[IllegalArgumentException] {
+      Relational.requireBounded(df, cap = 9, what = "t_over")
+    }
+    assert(e.getMessage.contains("t_over") && e.getMessage.contains("9"))
+  }
+
   test("valueCounts: descending with deterministic tie-break") {
     val r = Relational.valueCounts(sales, "k").as[(String, Long)].collect()
     assert(r.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
