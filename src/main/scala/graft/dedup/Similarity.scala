@@ -54,13 +54,19 @@ object Similarity {
     * tiny. The heavy lifting (corpus scans) lives in the upstream
     * retrievers; this stage is deliberately cheap. Contributions are
     * summed in list order with missing lists coalesced to 0, so the fp
-    * addition order is fixed and twin-exact. */
+    * addition order is fixed and twin-exact.
+    *
+    * Duplicate ids within one list (a retriever bug upstream) keep only
+    * their BEST rank — without that reduction a duplicate would both
+    * double-count its contribution and multiply rows through the
+    * chained full-outer joins, silently corrupting the fused ranking. */
   def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")
     val ranked = lists.zipWithIndex.map { case (df, i) =>
       df.select(col("id"), (lit(1.0) / (lit(kRrf.toDouble) +
           row_number().over(Window.orderBy(desc("score"), col("id")))))
         .as(s"_c$i"))
+        .groupBy("id").agg(max(col(s"_c$i")).as(s"_c$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val rrf = ranked.indices
@@ -96,12 +102,19 @@ object Similarity {
       .limit(kCand)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // all three accumulators run over the SAME min-length range: with a
+    // mismatched-length pair, a dot over min(len) against norms over the
+    // full lengths is not a cosine of anything (and diverges from the
+    // cosine SQL kernel that scored q_sim)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i).toDouble * b(i); i += 1 }
-      i = 0; while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
-      i = 0; while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+      while (i < n) {
+        dot += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+        i += 1
+      }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val selected =

@@ -121,9 +121,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
     val binL = Alias(binOf(ptA, w), "_graft_bin_pt")()
     val ptBinned = Project(ptPlan.output :+ binL, ptPlan)
+    // REPLICATION BOUND: the conf is session-wide, so one width serves
+    // EVERY band join while it is set — an unrelated join whose
+    // intervals span a huge number of bins would generate enormous
+    // per-row arrays (Sequence errors past ~2^31 elements) or OOM,
+    // turning a slow-but-working nested loop into a failure. The upper
+    // bin passes through a per-row guard that RAISES A CLEAR ERROR when
+    // an interval would explode into more than
+    // spark.graft.rangeJoin.maxBinsPerInterval bins (default 1e6) —
+    // semantics-preserving (no silent truncation), and the error names
+    // the knobs to fix. Null spans pass through: the lo<=hi filter
+    // already dropped null bounds.
+    val maxBins = conf
+      .getConfString("spark.graft.rangeJoin.maxBinsPerInterval", "1000000")
+      .toLongOption.filter(_ > 0).getOrElse(1000000L)
+    val span = Subtract(binOf(hi, w), binOf(lo, w))
+    val guardMsg = Literal(
+      s"graft range-join rewrite: an interval spans more than $maxBins " +
+        s"bins at binWidth=$w - raise spark.graft.rangeJoin.binWidth, " +
+        "raise spark.graft.rangeJoin.maxBinsPerInterval, or unset the " +
+        "binWidth conf for this join")
+    val hiGuarded = If(
+      Or(IsNull(span), LessThanOrEqual(span, Literal(maxBins))),
+      binOf(hi, w),
+      Cast(new RaiseError(guardMsg), LongType))
     // Sequence is TimeZoneAware: without an explicit zone the rewritten
     // plan is UNRESOLVED and the optimizer's plan validation rejects it
-    val gen = Explode(Sequence(binOf(lo, w), binOf(hi, w), None,
+    val gen = Explode(Sequence(binOf(lo, w), hiGuarded, None,
       Some(conf.sessionLocalTimeZone)))
     val binROut = AttributeReference("_graft_bin_iv", LongType,
       nullable = gen.elementSchema.head.nullable)()

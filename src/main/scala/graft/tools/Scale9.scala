@@ -309,13 +309,21 @@ object Scale9 {
     // tools a 100-TB pipeline chooses between.
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        // persist + materialize, NOT localCheckpoint: unpersist() only
+        // releases persist()-ed storage — a checkpoint RDD's blocks
+        // survive Dataset.unpersist and would accumulate into the 10x
+        // larger next iteration until the ContextCleaner happens to GC
+        // the reference (the stated release-before-next-scale intent)
         val fact = spark.read.parquet(s"$dir/orders.parquet")
           .select(when(col("o_orderkey") % 10 < 9, lit(1L))
             .otherwise(col("o_orderkey") % 1000).as("k"),
             col("o_totalprice"))
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fact.count()
         val dim = spark.range(0, 1000).select(col("id").as("k"),
-          (col("id") * 7).as("w")).localCheckpoint(true)
+          (col("id") * 7).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dim.count()
         def run(tag: String, aqeSkew: Boolean, salted: Boolean): Unit = {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           spark.conf.set("spark.sql.adaptive.skewJoin.enabled",

@@ -223,4 +223,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(4L, 5L))
     assert(got(0)._2 == 1.0 / 61)
   }
+
+  test("rrfFuse: a duplicated id keeps its best rank, no row multiplication") {
+    // id 1 appears twice in list A (an upstream retriever bug): it must
+    // contribute once at its better rank, and the duplicate must not
+    // multiply rows through the full-outer join chain or double-count
+    val a = Seq((1L, 0.9), (1L, 0.5), (2L, 0.8)).toDF("id", "score")
+    val b = Seq((2L, 0.9), (1L, 0.8)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .select("id", "rrf").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L)) // one row per id
+    val m = got.toMap
+    // dup occupies ranks 1 AND 3 in A (row_number); best rank wins.
+    // id 2 therefore sits at rank 2 in A
+    assert(m(1L) == 1.0 / 61 + 1.0 / 62)
+    assert(m(2L) == 1.0 / 62 + 1.0 / 61)
+  }
 }

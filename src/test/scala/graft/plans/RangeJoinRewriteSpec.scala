@@ -66,6 +66,35 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("bin-replication guard: a too-wide interval raises, not OOMs") {
+    // session-wide width + an unrelated join with huge intervals was the
+    // blowup path: every interval row would explode into hi/w - lo/w
+    // bins. The guard must raise a NAMED error before that, and leave
+    // results untouched when the cap accommodates the data.
+    val wide = Seq((1L, 0.0, 1.0e9)).toDF("iid", "lo", "hi")
+    withWidth("10.0") {
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
+      // the cap literal is baked in at plan time, so each conf change
+      // needs a freshly-built frame
+      def wideJoin() = points.join(wide,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid")
+      try {
+        val e = intercept[Exception] { wideJoin().collect() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("maxBinsPerInterval")),
+          s"unexpected error: $e")
+        // intervals that FIT the cap still rewrite and keep exact
+        // semantics with the guard in the plan
+        val narrow = bandJoin().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(narrow == Set((1L, 10L), (2L, 20L), (3L, 20L)))
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    }
+  }
+
   test("non-band joins are left untouched") {
     withWidth("10.0") {
       // three conjuncts (equi + band) — not the 2-conjunct band shape
