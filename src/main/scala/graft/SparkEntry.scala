@@ -1947,11 +1947,27 @@ object SparkEntry {
       graft.ml.Dbscan.distributed(emb, "vec_id", "features",
         eps = 1.2, minPts = 5).orderBy("vec_id")
     }),
+    // M7+M9 with a HASH oracle (r10 verdict #4): the stochastic part of
+    // the pipeline is the KMeans assignment, not the frame shape — the
+    // reference pins exactly the sorted cluster-size multiset
+    // (TF-IDF_K-Means_approach.ipynb:7983, sizes {652, 462, ...}). Under
+    // the seeded nInit=1 config the outcome is deterministic GIVEN a
+    // fixed partitioning and row order (float-sum order is the only
+    // environment leak), so the input is pinned with an explicit hash
+    // repartition + in-partition sort before vectorization, and the
+    // output is the label-permutation-invariant (size_rank, n_docs)
+    // projection. The full ClusterStats frame stays spec-gated
+    // (PipelineSpec flagship) and exercised by the a13 queries.
     "m7_m9_cluster_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
       val clustered = graft.ml.TextPipeline.clusterDocuments(
         docs, "text", k = 5, nInit = 1)
-      ClusterStats.stats(clustered, "cluster", "text", "doc_id")
+      clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+        .withColumn("size_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("n_docs"))))
+        .select(col("size_rank").cast("long").as("size_rank"), col("n_docs"))
+        .orderBy("size_rank")
     }),
     "m8_lsa" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -3551,6 +3567,20 @@ object SparkEntry {
       "SELECT doc_id, 32::BIGINT AS dim FROM documents ORDER BY doc_id"),
     "m8_lsa" -> (
       "SELECT doc_id, 10::BIGINT AS dim FROM documents ORDER BY doc_id"),
+    // golden-VALUES twin of the seeded nInit=1 KMeans size multiset (the
+    // reference's pinned shape, TF-IDF_K-Means_approach.ipynb:7983),
+    // measured under the query's pinned repartition(8)+sort input and
+    // identical across CPU counts (8 vs 32 verified). The WHERE gate
+    // joins the VALUES to the LIVE table: if the non-blank document
+    // count drifts from the frozen total the oracle returns zero rows
+    // and the compare fails loudly instead of hash-passing stale goldens
+    "m7_m9_cluster_pipeline" -> (
+      "WITH g(size_rank, n_docs) AS (VALUES " +
+        "(1, 141), (2, 133), (3, 101), (4, 100), (5, 25)) " +
+        "SELECT size_rank::BIGINT AS size_rank, n_docs::BIGINT AS n_docs " +
+        "FROM g WHERE (SELECT sum(n_docs) FROM g) = " +
+        "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
+        "ORDER BY size_rank"),
     // batch twin of the streaming gap sessionizer: lag+cumsum session ids,
     // then keep only sessions the 0s-watermark stream has provably CLOSED
     // (strictly: max event time > session end + gap)

@@ -48,6 +48,25 @@ class PipelineSpec extends SparkSpec {
     assert(s1 == golden, s"multiset drifted from golden: $s1 != $golden")
   }
 
+  test("m7_m9: pinned-partitioning multiset matches the registered oracle golden") {
+    // the REGISTERED m7_m9 query pins repartition(8, doc_id) + in-
+    // partition sort before vectorization so float-sum order cannot vary
+    // with CPU count (verified identical at local[8] vs local[32]); its
+    // DuckDB twin freezes this multiset as golden VALUES. This spec
+    // holds the same numbers so a drift (Spark upgrade, pipeline change)
+    // fails here at test time, not first at the driver's verify gate.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+      .repartition(8, $"doc_id").sortWithinPartitions("doc_id")
+    val clustered = TextPipeline.clusterDocuments(docs, "text", k = 5,
+      nInit = 1)
+    val sizes = clustered.groupBy("cluster").count()
+      .as[(Int, Long)].collect().map(_._2).sorted.toSeq
+    clustered.unpersist()
+    assert(sizes == Seq(25L, 100L, 101L, 133L, 141L),
+      s"pinned multiset drifted (update the m7_m9 oracle too!): $sizes")
+  }
+
   test("word2vec + sentence2vec + knn curve on a tiny corpus (M1-M3)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(60)
