@@ -2269,6 +2269,62 @@ object SparkEntry {
     // plain batch hourly counts over each original event ONCE, for every
     // window the final watermark has closed — exactly what the twin
     // computes. Deterministic because batch boundaries are the two runs
+    // Kafka-wire ingest (the FRONT of the reference's Kafka->HDFS pipe,
+    // rucio_data_access_HDFS.ipynb:497 — the archive carries
+    // kafka_timestamp). No broker or connector jar exists in this
+    // sandbox, so the topic is replayed through the file-backed
+    // compatibility source emitting the EXACT wire schema
+    // (key/value binary + topic/partition/offset/timestamp envelope);
+    // every stage past the source — JSON value decode with explicit
+    // schema, unit-adaptive payload event time, envelope carry-through,
+    // windowed agg — is the same code fromKafka feeds. The fixture maps
+    // events onto 4 partitions keyed by user (Kafka's per-key ordering
+    // contract) with per-partition offsets; the oracle re-derives the
+    // full (hour, partition, count, max-offset) surface relationally,
+    // so both the payload decode AND the envelope must be right.
+    "st10_kafka_ingest" -> ((s, dir) => withStreamShuffle(s) {
+      val ev = t(s, dir, "events")
+      val part = pmod(col("user_id"), lit(4L)).cast("int")
+      val wire = ev.select(
+        col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))).cast("binary").as("value"),
+        lit("events").as("topic"),
+        part.as("partition"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(part).orderBy("event_id")) - 1).cast("long")
+          .as("offset"),
+        col("ts").cast("timestamp").as("timestamp"),
+        lit(0).as("timestampType"))
+      val streamDir = Files.createTempDirectory("graft_st10")
+      val topicDir = streamDir.resolve("topic").toString
+      wire.coalesce(2).write.mode("overwrite").parquet(topicDir)
+      val valueSchema = ev.select("event_id", "user_id", "event_type",
+        "ts", "value").schema
+      val rec = graft.streaming.StreamIngest.decodeKafkaJson(
+        graft.streaming.StreamIngest.fromKafkaCompatible(s, topicDir),
+        valueSchema)
+      val agg = rec
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("kafka_partition"))
+        .agg(count(lit(1)).as("cnt"), max(col("kafka_offset")).as("max_off"))
+      val qname = "st10_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname)
+        .select(col("window.start").cast("timestamp_ntz").as("hour"),
+          col("kafka_partition").cast("long").as("kafka_partition"),
+          col("cnt"), col("max_off"))
+        .orderBy("hour", "kafka_partition")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     "st9_stream_late_drop" -> ((s, dir) => withStreamShuffle(s) {
       val base = Files.createTempDirectory("graft_st9")
       val inDir = base.resolve("in"); Files.createDirectories(inDir)
@@ -3145,6 +3201,18 @@ object SparkEntry {
     "st1_stream_hourly" -> (
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // the kafka-wire replay's full surface re-derived relationally: the
+    // 4-partition user keying, per-partition offsets (row_number-1 over
+    // event_id), payload-ts hourly windows — decode AND envelope must
+    // both be right for the (cnt, max_off) pair to match
+    "st10_kafka_ingest" -> (
+      "WITH w AS (SELECT date_trunc('hour', ts) AS hour, " +
+        "(user_id % 4) AS kafka_partition, " +
+        "row_number() OVER (PARTITION BY user_id % 4 " +
+        "ORDER BY event_id) - 1 AS offs FROM events) " +
+        "SELECT hour, kafka_partition::BIGINT AS kafka_partition, " +
+        "count(*) AS cnt, max(offs)::BIGINT AS max_off " +
+        "FROM w GROUP BY 1, 2 ORDER BY hour, kafka_partition"),
     // each event counted ONCE (the day-1-5 replay is dropped by the
     // watermark), and only windows the final watermark (max ts - 1 h)
     // has closed are emitted — the append-mode contract re-derived

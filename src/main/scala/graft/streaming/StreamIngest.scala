@@ -287,6 +287,81 @@ object StreamIngest {
       }
   }
 
+  /** The Kafka source's wire schema, verbatim (what
+    * `readStream.format("kafka")` emits): binary key/value plus the
+    * (topic, partition, offset, timestamp, timestampType) envelope. The
+    * file-backed shim below produces EXACTLY this shape so every
+    * downstream stage — decode, event-time handling, aggregation — is
+    * shared, byte-for-byte, with the real connector path. */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("topic",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partition",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("offset",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("timestampType",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Kafka ingest — the FRONT of the reference's production pipe
+    * (Kafka → HDFS archive, rucio_data_access_HDFS.ipynb:497: the
+    * archived records carry a `kafka_timestamp` field; this repo's file
+    * sources re-express only the post-archive scan). Returns the wire
+    * frame; feed it to [[decodeKafkaJson]].
+    *
+    * OFFLINE NOTE: the spark-sql-kafka connector jar and a broker are
+    * not present in this build sandbox, so this exact method cannot run
+    * under the test harness — `format("kafka")` resolves at runtime.
+    * Everything AFTER the source is exercised end-to-end through
+    * [[fromKafkaCompatible]], which emits the identical wire schema;
+    * the untested surface is this one format/option block. */
+  def fromKafka(spark: SparkSession, bootstrapServers: String,
+                subscribe: String,
+                startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", subscribe)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** File-backed Kafka-compatibility source: parquet files holding
+    * [[kafkaWireSchema]] rows (a broker-less replay of a topic archive).
+    * Downstream code cannot tell it from [[fromKafka]]. */
+  def fromKafkaCompatible(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(kafkaWireSchema).parquet(dir)
+
+  /** Shared wire→records decode: UTF-8 JSON values parsed with an
+    * explicit schema (streaming readers must not infer), the envelope
+    * carried as `kafka_ts` / `kafka_partition` / `kafka_offset` — the
+    * reference archives exactly this (`kafka_timestamp` in the HDFS
+    * records). Event time is the PAYLOAD's `ts` when the record has one
+    * (unit-adaptive: epoch-nanos longs and NTZ timestamps both
+    * normalize to TIMESTAMP), else the broker timestamp — late/replayed
+    * data then ages by producer time, not arrival time. */
+  def decodeKafkaJson(wire: DataFrame, valueSchema: StructType): DataFrame = {
+    val parsed = wire.select(
+      from_json(col("value").cast("string"), valueSchema).as("j"),
+      col("timestamp").as("kafka_ts"),
+      col("partition").as("kafka_partition"),
+      col("offset").as("kafka_offset"))
+      .select(col("j.*"), col("kafka_ts"), col("kafka_partition"),
+        col("kafka_offset"))
+    valueSchema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        parsed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(_: org.apache.spark.sql.types.TimestampNTZType) =>
+        parsed.withColumn("ts", col("ts").cast("timestamp"))
+      case Some(_) => parsed
+      case None => parsed.withColumn("ts", col("kafka_ts"))
+    }
+  }
+
   /** Sink helper: append stream to parquet with a checkpoint. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

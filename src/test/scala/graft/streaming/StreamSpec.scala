@@ -202,4 +202,74 @@ class StreamSpec extends SparkSpec {
       spark.catalog.dropTempView(qn)
     }
   }
+
+  test("kafka wire decode: payload ts branches (ntz, epoch-nanos, absent)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a wire batch frame is schema-compatible with the streaming shim's
+    // output, so the decode logic is testable without a source running
+    def wire(valueJson: String): org.apache.spark.sql.DataFrame =
+      Seq((Array[Byte]('k'), valueJson.getBytes("UTF-8"), "t", 3,
+        17L, Timestamp.valueOf("2024-01-01 05:00:00"), 0))
+        .toDF("key", "value", "topic", "partition", "offset",
+          "timestamp", "timestampType")
+    // NTZ payload ts wins over the broker timestamp
+    val ntz = StreamIngest.decodeKafkaJson(
+      wire("""{"id":7,"ts":"2024-01-01 00:30:00"}"""),
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", TimestampNTZType))))
+    val r1 = ntz.select($"id", $"ts".cast("string"), $"kafka_partition",
+      $"kafka_offset").as[(Long, String, Int, Long)].head()
+    assert(r1 == ((7L, "2024-01-01 00:30:00", 3, 17L)))
+    assert(ntz.schema("ts").dataType == TimestampType)
+    // epoch-nanos long payload normalizes through div-1000 micros
+    val nanos = StreamIngest.decodeKafkaJson(
+      wire("""{"id":8,"ts":1704069000000000000}"""),
+      StructType(Seq(StructField("id", LongType),
+        StructField("ts", LongType))))
+    assert(nanos.select($"ts".cast("string")).as[String].head()
+      == "2024-01-01 00:30:00")
+    // no payload ts: the broker (envelope) timestamp is the event time
+    val noTs = StreamIngest.decodeKafkaJson(
+      wire("""{"id":9}"""),
+      StructType(Seq(StructField("id", LongType))))
+    assert(noTs.select($"ts".cast("string")).as[String].head()
+      == "2024-01-01 05:00:00")
+  }
+
+  test("fromKafkaCompatible streams the exact wire schema from files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwire")
+    Seq((Array[Byte]('a'), """{"id":1,"ts":"2024-01-01 00:00:00"}"""
+        .getBytes("UTF-8"), "t", 0, 0L,
+        Timestamp.valueOf("2024-01-01 00:00:01"), 0))
+      .toDF("key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType")
+      .write.parquet(dir.resolve("topic").toString)
+    val stream = StreamIngest.fromKafkaCompatible(
+      spark, dir.resolve("topic").toString)
+    assert(stream.isStreaming)
+    assert(stream.schema == StreamIngest.kafkaWireSchema)
+    val dec = StreamIngest.decodeKafkaJson(stream,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampNTZType))))
+    val qn = "kw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = dec.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val got = spark.table(qn)
+        .select($"id", $"ts".cast("string"), $"kafka_offset")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got == Seq((1L, "2024-01-01 00:00:00", 0L)))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
 }
