@@ -1831,6 +1831,20 @@ object SparkEntry {
         .select(col("asset_id"), size(col("frames")).as("n_frames"),
           size(col("features")).as("dim"))
         .orderBy("asset_id")),
+    // codec-bearing MP4 metadata, hash-gated (r10 verdict #8): the BMFF
+    // walker reads mvhd timescale/duration and tkhd 16.16 display size
+    // straight from the container — the one video surface that needs no
+    // codec. The synthesized MP4s derive (w, h, duration) from the asset
+    // id; the twin cross-derives the same values arithmetically in
+    // python (tools/gen_mp4_golden.py) as golden VALUES joined to the
+    // live table. Frame FEATURES for codec video remain the declared
+    // featuresStub — a pure-JVM H.264 decoder is not available offline
+    "mm_mp4_metadata" -> ((s, dir) =>
+      Multimodal.decodeVideo(SynthAssets.mp4s(mmDocs(s, dir), "doc_id"))
+        .select(col("asset_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("asset_id")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
     "m1_m2_word2vec" -> ((s, dir) => {
@@ -2487,6 +2501,33 @@ object SparkEntry {
         "centroid) ON d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 ORDER BY asset_id"),
     // frame count and embedding dim are constants of the synthesis (3
     // MJPEG frames, 64-dim) — fully derivable, fixture-robust twin
+    // cross-derived golden twin: python re-implements the splitmix
+    // id->(w,h,dur) derivation (tools/gen_mp4_golden.py) WITHOUT touching
+    // container bytes; the engine must reach the same numbers via real
+    // BMFF mux + box walk, so either side breaking fails the hash
+    "mm_mp4_metadata" -> (
+        "WITH g(asset_id, w, h, d) AS (VALUES (0, 240, 160, 45437), (7, 272, 96, 37406), (14, 176, " +
+        "176, 23634), (21, 176, 96, 6916), (28, 208, 176, 58585), (35, 256, 96, 21155), (42, 240, 1" +
+        "44, 20193), (49, 272, 160, 9450), (56, 272, 96, 56313), (63, 272, 112, 48387), (70, 176, 1" +
+        "28, 24671), (77, 272, 112, 44724), (84, 176, 176, 53667), (91, 160, 112, 51749), (98, 256," +
+        " 176, 34633), (105, 192, 96, 19279), (112, 256, 144, 16434), (119, 208, 112, 28973), (126," +
+        " 192, 112, 49501), (133, 160, 112, 43891), (140, 240, 144, 9757), (147, 160, 96, 36752), (" +
+        "154, 176, 176, 48384), (161, 256, 160, 17199), (168, 240, 176, 32299), (175, 208, 112, 273" +
+        "47), (182, 208, 176, 27973), (189, 272, 176, 23986), (196, 208, 176, 26091), (203, 256, 14" +
+        "4, 23310), (210, 256, 112, 7623), (217, 240, 160, 38305), (224, 272, 128, 10728), (231, 27" +
+        "2, 176, 28194), (238, 160, 176, 47649), (245, 240, 112, 37452), (252, 208, 176, 39894), (2" +
+        "59, 256, 160, 7760), (266, 224, 96, 33840), (273, 224, 112, 21183), (280, 224, 176, 13752)" +
+        ", (287, 192, 96, 28750), (294, 256, 144, 10579), (301, 192, 96, 40702), (308, 256, 96, 448" +
+        "75), (315, 208, 144, 10237), (322, 208, 176, 32844), (329, 176, 112, 1416), (336, 192, 176" +
+        ", 40132), (343, 192, 96, 11409), (350, 176, 144, 19639), (357, 160, 144, 3113), (364, 272," +
+        " 144, 49916), (371, 192, 160, 36191), (378, 272, 112, 14045), (385, 176, 128, 4287), (392," +
+        " 192, 176, 6554), (399, 192, 176, 24446), (406, 176, 112, 26259), (413, 272, 160, 44134), " +
+        "(420, 224, 112, 23779), (427, 192, 176, 12946), (434, 176, 128, 58797), (441, 208, 176, 28" +
+        "056), (448, 256, 128, 11048), (455, 256, 96, 55991), (462, 176, 112, 50232), (469, 176, 96" +
+        ", 25256), (476, 224, 144, 2252), (483, 240, 96, 2751), (490, 224, 160, 49480), (497, 256, " +
+        "176, 40843)) SELECT doc.doc_id AS asset_id, 'video/mp4' AS mime, g.w::INT AS width, g.h::I" +
+        "NT AS height, g.d::BIGINT AS duration_ms FROM (SELECT doc_id FROM documents WHERE doc_id %" +
+        " 7 = 0) doc JOIN g ON g.asset_id = doc.doc_id ORDER BY asset_id"),
     "mm_video_features" -> (
         "SELECT doc_id AS asset_id, 3 AS n_frames, 64 AS dim FROM documents WHERE doc_id % " +
         "7 = 0 ORDER BY asset_id"),

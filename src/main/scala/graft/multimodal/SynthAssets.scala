@@ -122,6 +122,60 @@ object SynthAssets {
     }
   }
 
+  // --- ISO-BMFF muxing (same grammar Multimodal.Bmff parses: big-endian
+  // [u32 size][4cc][body] boxes, moov -> mvhd (v0: timescale@12,
+  // duration@16) + trak -> tkhd (v0: 16.16 width/height @76)) ---
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian
+    bb.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  /** Minimal valid MP4: `ftyp` + `moov(mvhd, trak(tkhd))` + an opaque
+    * id-keyed `mdat` (stand-in codec payload — metadata decode never
+    * reads it). Spec-complete v0 boxes: mvhd 100-byte body with
+    * rate/volume/matrix, tkhd 84-byte body with identity matrix.
+    * Width/height/duration derive from the asset id, so the metadata
+    * surface discriminates by id and is cross-derivable arithmetically
+    * (the mm_mp4_metadata golden twin). */
+  def mp4Bytes(id: Long): Array[Byte] = {
+    val m = mix(id, 4)
+    val w = 160 + (nonneg(m) % 8L).toInt * 16
+    val h = 96 + ((m >>> 8) % 6L).toInt * 16
+    val durMs = 1000L + (m >>> 16) % 60000L
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.position(12); bb.putInt(1000) // timescale: 1 unit = 1 ms
+      bb.putInt(durMs.toInt)           // duration (fits: < 61000)
+      bb.putInt(0x00010000)            // rate 1.0
+      bb.putShort(0x0100.toShort)      // volume 1.0
+      bb.position(36); bb.putInt(0x00010000) // identity matrix
+      bb.position(52); bb.putInt(0x00010000)
+      bb.position(68); bb.putInt(0x40000000)
+      bb.position(96); bb.putInt(2)    // next track id
+      bmffBox("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(7)                     // v0 + flags: enabled|in-movie
+      bb.position(12); bb.putInt(1)    // track id
+      bb.position(20); bb.putInt(durMs.toInt)
+      bb.position(40); bb.putInt(0x00010000) // identity matrix
+      bb.position(56); bb.putInt(0x00010000)
+      bb.position(72); bb.putInt(0x40000000)
+      bb.putInt(w << 16).putInt(h << 16)     // 16.16 fixed-point @76
+      bmffBox("tkhd", bb.array())
+    }
+    val moov = bmffBox("moov", mvhd ++ bmffBox("trak", tkhd))
+    val mdat = bmffBox("mdat",
+      Array.tabulate(64 + (nonneg(m >>> 24) % 64L).toInt)(i =>
+        mix(id, 5 + i).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
   private def assets(df: DataFrame, idCol: String, modality: String,
                      render: Long => Array[Byte]): DataFrame = {
     val renderU = udf { id: Long => render(id) }
@@ -147,4 +201,8 @@ object SynthAssets {
   /** (asset_id, "video", mjpeg-avi payload, blank meta) per input row. */
   def videos(df: DataFrame, idCol: String): DataFrame =
     assets(df, idCol, "video", aviBytes)
+
+  /** (asset_id, "video", MP4 payload, blank meta) per input row. */
+  def mp4s(df: DataFrame, idCol: String): DataFrame =
+    assets(df, idCol, "video", mp4Bytes)
 }

@@ -81,6 +81,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._2.isEmpty && out(4L)._4.isEmpty)
   }
 
+  test("SynthAssets.mp4Bytes: real BMFF container, id-keyed metadata roundtrip") {
+    // the synthesized MP4 must decode through the SAME walker the
+    // driver-visible mm_mp4_metadata query uses, to the values the
+    // python cross-derivation (tools/gen_mp4_golden.py) predicts for
+    // these ids — asset_id 0 pins (240, 160, 45437) in both worlds
+    val df = SynthAssets.mp4s(Seq((0L, ""), (7L, ""), (14L, ""))
+      .toDF("doc_id", "x"), "doc_id")
+    val out = Multimodal.decodeVideo(df)
+      .select($"asset_id", $"meta.mime", $"meta.width", $"meta.height",
+        $"meta.duration_ms")
+      .as[(Long, String, Option[Int], Option[Int], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(0L) == (("video/mp4", Some(240), Some(160), Some(45437L))))
+    assert(out(7L) == (("video/mp4", Some(272), Some(96), Some(37406L))))
+    assert(out(14L) == (("video/mp4", Some(176), Some(176), Some(23634L))))
+    // a truncated container keeps the parser's no-throw contract
+    val cut = SynthAssets.mp4Bytes(0L).take(40)
+    val t = Multimodal.decodeVideo(Seq((9L, "video", cut))
+        .toDF("asset_id", "modality", "payload")
+        .withColumn("meta", org.apache.spark.sql.functions.struct(
+          lit(null).cast("string").as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"))))
+      .select($"meta.width").as[Option[Int]].head()
+    assert(t.isEmpty)
+  }
+
   test("decodeVideo survives malformed/truncated boxes without throwing") {
     val truncated = mp4(640, 360, 1000, 5000).take(40) // cut mid-moov
     val lyingSize = {
