@@ -232,8 +232,10 @@ object Dbscan {
       val edgeRdd =
         coreEdges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
       val vertRdd = core.as[Long].rdd.map(id => (id, ()))
-      Graph(vertRdd, edgeRdd).connectedComponents()
+      val r = Graph(vertRdd, edgeRdd).connectedComponents()
         .vertices.toDF("id", "label") // label = min vertex id in component
+      mark("cc_graphx_built")
+      r
     }
     // border points: any non-core point with a core ε-neighbor joins that
     // cluster (lowest label for determinism); everything else is noise

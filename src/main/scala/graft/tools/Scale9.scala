@@ -307,6 +307,40 @@ object Scale9 {
     // without AQE skew handling, AQE's runtime skew-split, and the
     // engine's explicit salting (Relational.skewSafeJoin) — the three
     // tools a 100-TB pipeline chooses between.
+    // DBSCAN CC routing (r11, VERDICT r10 #3): the distributed operator
+    // routes connected components by ε-graph size — edge relations under
+    // the cap collapse to a driver union-find (reference-scale regime),
+    // larger ones run GraphX Pregel. ×1 (2k vecs, ~25 nbrs/vec ≈ 50k
+    // edges) stays under the default 200k cap → driver route (measured:
+    // cc_driver 41 ms, 8.3 s total); ×10 (20k vecs, ~237 nbrs/vec ≈
+    // 4.7M edges) crosses it → GraphX (measured: cc_graphx 8.2 s;
+    // total 312 s, of which ~302 s is the LSH bucket join itself — the
+    // scaled Gaussian fixture densifies linearly, 25→237→2386 nbrs/vec
+    // at ε=1.2, and CANDIDATE volume tracks bucket occupancy, not ε, so
+    // the join degenerates toward in-bucket quadratic exactly as the
+    // sampled() scaladoc documents). That is also why ×100 is NOT run
+    // here: ~100× the ×10 in-bucket join work regardless of ε — on data
+    // this dense the honest ×100 path is Dbscan.sampled (no pairwise
+    // join at any n) or a retuned bucketLength, both documented. Run
+    // with GRAFT_TIMING=1 to see which CC route fired (cc_driver vs
+    // cc_graphx_built marks).
+    if (sections("dbscan")) {
+      for ((dir, xn, eps) <- Seq(("/root/testdata/sf0.1", 1, 1.2),
+                                 ("benchdata/sf1", 10, 1.2))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+        timed(s"dbscan distributed x$xn eps=$eps") {
+          val labels = graft.ml.Dbscan.distributed(
+            emb, "vec_id", "features", eps = eps, minPts = 5)
+          val r = labels.agg(count(lit(1)).as("n"),
+            sum(when(col("label") >= 0, 1L).otherwise(0L)).as("clustered"))
+            .head()
+          println(s"[scale9]   x$xn n=${r.getLong(0)} clustered=${r.getLong(1)}")
+        }
+      }
+    }
+
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
         // persist + materialize, NOT localCheckpoint: unpersist() only
