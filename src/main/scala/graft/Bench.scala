@@ -240,9 +240,12 @@ object Bench {
       val curTotal = withMed.map(_._2).sum
       if (withMed.isEmpty || curTotal <= 1.10 * medTotal) results
       else {
+        // any positive excess qualifies: the gate exists precisely for
+        // broad low-grade contention (every query ~1.2x a sub-second
+        // median), where no single excess clears an absolute floor
         val offenders = withMed
           .map { case (n, t) => (n, t - sessionMedian(n)) }
-          .filter(_._2 > 0.2).sortBy(-_._2).take(12).map(_._1).toSet
+          .filter(_._2 > 0).sortBy(-_._2).take(12).map(_._1).toSet
         System.err.println(f"[bench] total arbitration: $curTotal%.1f s > " +
           f"1.10x median total $medTotal%.1f s — re-running " +
           s"${offenders.size} largest offenders")

@@ -3246,6 +3246,11 @@ object SparkEntry {
     // 4-partition user keying, per-partition offsets (row_number-1 over
     // event_id), payload-ts hourly windows — decode AND envelope must
     // both be right for the (cnt, max_off) pair to match
+    // offsets are assigned over ALL wire rows (the fixture muxes every
+    // event), but the aggregation keeps only non-null event times: the
+    // streaming side's watermark drops null-ts rows entirely, so a
+    // null-ts fixture row must not surface as a NULL-hour group here
+    // (the same null-ts defense the w5/w2 twins carry via NULLS FIRST)
     "st10_kafka_ingest" -> (
       "WITH w AS (SELECT date_trunc('hour', ts) AS hour, " +
         "(user_id % 4) AS kafka_partition, " +
@@ -3253,7 +3258,8 @@ object SparkEntry {
         "ORDER BY event_id) - 1 AS offs FROM events) " +
         "SELECT hour, kafka_partition::BIGINT AS kafka_partition, " +
         "count(*) AS cnt, max(offs)::BIGINT AS max_off " +
-        "FROM w GROUP BY 1, 2 ORDER BY hour, kafka_partition"),
+        "FROM w WHERE hour IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY hour, kafka_partition"),
     // each event counted ONCE (the day-1-5 replay is dropped by the
     // watermark), and only windows the final watermark (max ts - 1 h)
     // has closed are emitted — the append-mode contract re-derived

@@ -56,17 +56,18 @@ object Similarity {
     * summed in list order with missing lists coalesced to 0, so the fp
     * addition order is fixed and twin-exact.
     *
-    * Duplicate ids within one list (a retriever bug upstream) keep only
-    * their BEST rank — without that reduction a duplicate would both
-    * double-count its contribution and multiply rows through the
-    * chained full-outer joins, silently corrupting the fused ranking. */
+    * Duplicate ids within one list (a retriever bug upstream) collapse
+    * to their best score BEFORE ranking — deduping after row_number
+    * would let the duplicate occupy a rank slot and push every
+    * lower-scored id's rank (and thus contribution) down, corrupting
+    * the fused ranking relative to the duplicate-free list. */
   def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no lists")
     val ranked = lists.zipWithIndex.map { case (df, i) =>
-      df.select(col("id"), (lit(1.0) / (lit(kRrf.toDouble) +
+      df.groupBy("id").agg(max(col("score")).as("score"))
+        .select(col("id"), (lit(1.0) / (lit(kRrf.toDouble) +
           row_number().over(Window.orderBy(desc("score"), col("id")))))
         .as(s"_c$i"))
-        .groupBy("id").agg(max(col(s"_c$i")).as(s"_c$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val rrf = ranked.indices

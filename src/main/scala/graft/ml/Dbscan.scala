@@ -138,19 +138,25 @@ object Dbscan {
     //    full (id, features, hashes)² structs through its exchange,
     //    which at sf0.1 was the operator's single largest stage;
     //  - side B carries a broadcast hint when the OPTIMIZER's estimate
-    //    of the un-exploded scan (free, no job) fits 64 MB — the
+    //    of the un-exploded scan (free, no job) fits the gate — the
     //    explode hides the small size from auto-broadcast, and a
     //    forced hint without the gate would OOM the driver at scale.
+    //    The gate scales the estimate by numHashTables (the explode
+    //    factor) and ×6 for decompression + unsafe-row overhead,
+    //    because what actually broadcasts is the EXPLODED relation
+    //    with features+hash vectors duplicated per table — gating on
+    //    the raw parquet estimate alone under-measures it several-fold.
     val hashed = model.transform(pts) // id, features, hashes: Array[Vector]
     def exploded(idAs: String, fAs: String) = hashed.select(
       col("id").as(idAs), col("features").as(fAs),
       posexplode(col("hashes")).as(Seq("entry", "hv")))
     val sideA = exploded("a", "fa")
     val sideBRaw = exploded("b", "fb")
-    val sideB =
-      if (pts.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
-        broadcast(sideBRaw)
+    val sideB = {
+      val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est * numHashTables * 6 <= (64L << 20)) broadcast(sideBRaw)
       else sideBRaw
+    }
     val sqdistUdf = udf((x: Vector, y: Vector) => Vectors.sqdist(x, y))
     val joined = sideA.join(sideB, Seq("entry", "hv"))
       .filter(col("a") =!= col("b") &&

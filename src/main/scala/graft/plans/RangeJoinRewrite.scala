@@ -141,8 +141,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         s"bins at binWidth=$w - raise spark.graft.rangeJoin.binWidth, " +
         "raise spark.graft.rangeJoin.maxBinsPerInterval, or unset the " +
         "binWidth conf for this join")
+    // strict LessThan: span bins [lo..hi] explode into span+1 rows, so
+    // span == maxBins already means maxBins+1 bins — over the cap
     val hiGuarded = If(
-      Or(IsNull(span), LessThanOrEqual(span, Literal(maxBins))),
+      Or(IsNull(span), LessThan(span, Literal(maxBins))),
       binOf(hi, w),
       Cast(new RaiseError(guardMsg), LongType))
     // Sequence is TimeZoneAware: without an explicit zone the rewritten

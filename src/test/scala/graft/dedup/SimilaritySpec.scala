@@ -224,19 +224,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0)._2 == 1.0 / 61)
   }
 
-  test("rrfFuse: a duplicated id keeps its best rank, no row multiplication") {
+  test("rrfFuse: a duplicated id collapses BEFORE ranking, no slot theft") {
     // id 1 appears twice in list A (an upstream retriever bug): it must
-    // contribute once at its better rank, and the duplicate must not
-    // multiply rows through the full-outer join chain or double-count
+    // contribute once at its best score's rank, must not multiply rows
+    // through the full-outer join chain, and — the subtle half — must
+    // not occupy a second rank slot that pushes id 2 from rank 2 (1/62)
+    // to rank 3 (1/63), which would corrupt the fused ordering relative
+    // to the duplicate-free list
     val a = Seq((1L, 0.9), (1L, 0.5), (2L, 0.8)).toDF("id", "score")
     val b = Seq((2L, 0.9), (1L, 0.8)).toDF("id", "score")
     val got = Similarity.rrfFuse(Seq(a, b), k = 10)
       .select("id", "rrf").as[(Long, Double)].collect()
     assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L)) // one row per id
     val m = got.toMap
-    // dup occupies ranks 1 AND 3 in A (row_number); best rank wins.
-    // id 2 therefore sits at rank 2 in A
     assert(m(1L) == 1.0 / 61 + 1.0 / 62)
-    assert(m(2L) == 1.0 / 62 + 1.0 / 61)
+    assert(m(2L) == 1.0 / 62 + 1.0 / 61) // rank 2 in A, NOT 3
   }
 }
