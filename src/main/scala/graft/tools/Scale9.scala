@@ -341,6 +341,40 @@ object Scale9 {
       }
     }
 
+    // Char-LM NLL: JOIN form vs SCAN form under corpus growth (r11,
+    // VERDICT r10 perf note — the join form had become the slowest
+    // non-ML query and "earns a Scale9 row or a demotion note"). The
+    // join form explodes per-char trigram rows and joins the model
+    // table; the scan form broadcasts the alphabet-bounded model maps
+    // and scores in one projection pass. Both are kept registered: the
+    // join form IS the oracle twin's shape, the scan form is the
+    // declared 100 TB path — this section quantifies the gap so the
+    // demotion is measured, not asserted.
+    if (sections("charlm")) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val (tri, pre, a) = graft.text.CharLm.train(
+        base.filter(col("doc_id") % 2 === 0), "text")
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        timed(s"charlm nll JOIN form x$xn") {
+          graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed(s"charlm nll SCAN form x$xn") {
+          graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      // x100: scan form only — the join form's exploded per-char rows
+      // at 500k docs are exactly the shape the demotion retires
+      val docs100 = spark.read.parquet("benchdata/sf10/documents.parquet")
+      timed("charlm nll SCAN form x100") {
+        graft.text.CharLm.nllScoreScan(docs100, "doc_id", "text", tri, pre, a)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
         // persist + materialize, NOT localCheckpoint: unpersist() only
