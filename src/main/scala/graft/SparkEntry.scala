@@ -2027,6 +2027,22 @@ object SparkEntry {
       ClusterStats.stats(
         flagshipLabels(t(s, dir, "documents").select("doc_id", "text")),
         "label", "text", "doc_id")),
+    // HASH-gated integer/string surface of the flagship (the m7_m9
+    // move): the w2v→kneedle→DBSCAN→stats pipeline is deterministic
+    // given fixed input partitioning — measured bit-identical (floats
+    // included) at local[8] vs local[32] — so the label ids, cluster
+    // sizes, and representative messages freeze as golden VALUES gated
+    // on the live non-blank doc count. The float stats stay in the
+    // rows-only m_flagship query; this projection is the reference's
+    // actually-recorded surface (cluster size + first message)
+    "m_flagship_shape" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+      ClusterStats.stats(flagshipLabels(docs), "label", "text", "doc_id")
+        .select(col("label").cast("long").as("label"),
+          col("n").as("n_docs"), col("first_msg"))
+        .orderBy("label")
+    }),
     // Streaming ingest of the events table via the file source with an
     // availableNow-style bounded run: same aggregation as the batch twin,
     // so it gets a REAL correctness row (the streaming plan must produce
@@ -3682,6 +3698,19 @@ object SparkEntry {
       "SELECT doc_id, 32::BIGINT AS dim FROM documents ORDER BY doc_id"),
     "m8_lsa" -> (
       "SELECT doc_id, 10::BIGINT AS dim FROM documents ORDER BY doc_id"),
+    // golden twin of the pinned flagship surface (see the query comment);
+    // gate = live non-blank doc count, so fixture drift fails as 0 rows
+    "m_flagship_shape" -> (
+      "WITH g(label, n_docs, first_msg) AS (VALUES " +
+        "(-1, 16, 'line vector order slow data column fast line batch " +
+        "column key stream query scan table scan'), " +
+        "(0, 484, 'key agg row scan slow fast table value part hash " +
+        "value table part a row fast merge batch part value fast spark " +
+        "a a the line sort table window table table key')) " +
+        "SELECT label::BIGINT AS label, n_docs::BIGINT AS n_docs, " +
+        "first_msg FROM g WHERE (SELECT sum(n_docs) FROM g) = " +
+        "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
+        "ORDER BY label"),
     // golden-VALUES twin of the seeded nInit=1 KMeans size multiset (the
     // reference's pinned shape, TF-IDF_K-Means_approach.ipynb:7983),
     // measured under the query's pinned repartition(8)+sort input and
