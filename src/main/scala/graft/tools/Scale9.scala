@@ -351,27 +351,34 @@ object Scale9 {
     // declared 100 TB path — this section quantifies the gap so the
     // demotion is measured, not asserted.
     if (sections("charlm")) {
-      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      val (tri, pre, a) = graft.text.CharLm.train(
-        base.filter(col("doc_id") % 2 === 0), "text")
+      val trainDocs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+      // model tables materialized ONCE (localCheckpoint severs the
+      // training lineage): tri/pre are lazy frames, and without this
+      // every timed region re-ran the training aggregations — the x1
+      // scan number was mostly retraining, not scoring
+      val (triRaw, preRaw, a) = graft.text.CharLm.train(
+        trainDocs.filter(col("doc_id") % 2 === 0), "text")
+      val tri = triRaw.localCheckpoint(true)
+      val pre = preRaw.localCheckpoint(true)
+      def joinForm(docs: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
+          .write.format("noop").mode("overwrite").save()
+      def scanForm(docs: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
+          .write.format("noop").mode("overwrite").save()
+      // warm-up at x1 (codegen/JIT), like the other sections
+      scanForm(trainDocs); joinForm(trainDocs)
       for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
                             ("benchdata/sf1", 10))) {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
-        timed(s"charlm nll JOIN form x$xn") {
-          graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
-            .write.format("noop").mode("overwrite").save()
-        }
-        timed(s"charlm nll SCAN form x$xn") {
-          graft.text.CharLm.nllScoreScan(docs, "doc_id", "text", tri, pre, a)
-            .write.format("noop").mode("overwrite").save()
-        }
+        timed(s"charlm nll JOIN form x$xn") { joinForm(docs) }
+        timed(s"charlm nll SCAN form x$xn") { scanForm(docs) }
       }
       // x100: scan form only — the join form's exploded per-char rows
       // at 500k docs are exactly the shape the demotion retires
-      val docs100 = spark.read.parquet("benchdata/sf10/documents.parquet")
       timed("charlm nll SCAN form x100") {
-        graft.text.CharLm.nllScoreScan(docs100, "doc_id", "text", tri, pre, a)
-          .write.format("noop").mode("overwrite").save()
+        scanForm(spark.read.parquet("benchdata/sf10/documents.parquet"))
       }
     }
 
