@@ -121,17 +121,15 @@ object Dbscan {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(pts)
     mark("lsh_fit")
-    // ε-self-join: exact Euclidean verified post-bucket join; keeps
-    // dist < eps STRICTLY — exact() matches. PERSISTED: the edge
-    // relation feeds multiple consumers (the probe, and on the large
-    // route degree counts, the core-core edge list, and the
+    // HAND-ROLLED ε-self-join with approxSimilarityJoin's semantics
+    // (explode hash tables, equi-join on (table, hashValue), exact
+    // Euclidean verify, STRICT < eps — exact() matches). PERSISTED: the
+    // edge relation feeds multiple consumers (the probe, and on the
+    // large route degree counts, the core-core edge list, and the
     // border-attach join) — without the persist each one re-executes
-    // the whole LSH bucket join. Explicitly unpersisted right after its
-    // last consumer materializes on either route.
-    // HAND-ROLLED LSH bucket join (same semantics as ml's
-    // approxSimilarityJoin: explode hash tables, equi-join on
-    // (table, hashValue), exact-distance verify, strict < eps). Two
-    // deliberate differences in SHAPE, both scale wins:
+    // the whole bucket join; explicitly unpersisted right after its
+    // last consumer materializes on either route. Two deliberate
+    // differences in SHAPE vs the ml version, both scale wins:
     //  - the candidate-pair dedup (a pair can collide in several hash
     //    tables) runs on bare (a, b) LONGS after projecting ids away —
     //    approxSimilarityJoin dedups BEFORE projecting, shuffling the

@@ -293,21 +293,17 @@ object StreamIngest {
     * file-backed shim below produces EXACTLY this shape so every
     * downstream stage — decode, event-time handling, aggregation — is
     * shared, byte-for-byte, with the real connector path. */
-  val kafkaWireSchema: StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("key",
-      org.apache.spark.sql.types.BinaryType),
-    org.apache.spark.sql.types.StructField("value",
-      org.apache.spark.sql.types.BinaryType),
-    org.apache.spark.sql.types.StructField("topic",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("partition",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("offset",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("timestamp",
-      org.apache.spark.sql.types.TimestampType),
-    org.apache.spark.sql.types.StructField("timestampType",
-      org.apache.spark.sql.types.IntegerType)))
+  val kafkaWireSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
 
   /** Kafka ingest — the FRONT of the reference's production pipe
     * (Kafka → HDFS archive, rucio_data_access_HDFS.ipynb:497: the
