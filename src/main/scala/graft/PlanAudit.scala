@@ -739,6 +739,28 @@ object PlanAudit {
       "no join" -> (p => !p.contains("Join"))))(
       SparkEntry.queries("a19_hll_rollup")(spark, dir))
 
+    // the DBSCAN ε-edge relation (r11 rebuild): the bucket join must be
+    // a BROADCAST hash join at reference scale (the stats-gated hint —
+    // auto-broadcast can't see through the explode), and the candidate
+    // dedup must aggregate bare (a, b) long pairs, NOT the full
+    // (id, features, hashes)² structs approxSimilarityJoin shuffles
+    audit("m5 eps-edges (broadcast bucket join, pair-only dedup)", Seq(
+      "broadcast bucket join (stats-gated hint took)" ->
+        (_.contains("BroadcastHashJoin")),
+      "dedup keys are the bare id pair" ->
+        (p => "Keys \\[2\\]: \\[a#\\d+L, b#\\d+L\\]".r.findFirstIn(p).isDefined),
+      "no vector column in any exchange" ->
+        (p => !"Exchange hashpartitioning\\([^)]*f[ab]#".r
+          .findFirstIn(p).isDefined)))(
+      graft.ml.Dbscan.epsEdges(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(org.apache.spark.sql.functions.col("vec_id") < 300)
+          .select(
+            org.apache.spark.sql.functions.col("vec_id").cast("long").as("id"),
+            graft.ml.VectorOps.toMlVector(
+              org.apache.spark.sql.functions.col("embedding")).as("features")),
+        eps = 1.2))
+
     spark.stop()
   }
 }

@@ -98,6 +98,53 @@ object Dbscan {
     * (more recall, more join cost). Parity with exact() is asserted on
     * separated blobs in the spec; raise numHashTables when clusters sit
     * near the ε boundary. */
+  /** The ε-edge relation (a, b): distinct ordered pairs of DISTINCT
+    * points within strict Euclidean eps of each other — the HAND-ROLLED
+    * LSH bucket join with approxSimilarityJoin's semantics (explode
+    * hash tables, equi-join on (table, hashValue), exact Euclidean
+    * verify, STRICT < eps — exact() matches). Two deliberate
+    * differences in SHAPE vs the ml version, both scale wins:
+    *  - the candidate-pair dedup (a pair can collide in several hash
+    *    tables) runs on bare (a, b) LONGS after projecting ids away —
+    *    approxSimilarityJoin dedups BEFORE projecting, shuffling the
+    *    full (id, features, hashes)² structs through its exchange,
+    *    which at sf0.1 was the operator's single largest stage;
+    *  - side B carries a broadcast hint when the OPTIMIZER's estimate
+    *    of the un-exploded scan (free, no job) fits the gate — the
+    *    explode hides the small size from auto-broadcast, and a forced
+    *    hint without the gate would OOM the driver at scale. The gate
+    *    scales the estimate by numHashTables (the explode factor) ×6
+    *    for decompression + unsafe-row overhead, because what actually
+    *    broadcasts is the EXPLODED relation with features+hash vectors
+    *    duplicated per table.
+    * private[graft] so PlanAudit gates the plan shape (broadcast bucket
+    * join, pair-only dedup — no struct exchange). Input: (id: long,
+    * features: ml Vector), un-persisted (callers own caching). */
+  private[graft] def epsEdges(pts: DataFrame, eps: Double,
+                              bucketLength: Double = 2.0,
+                              numHashTables: Int = 3): DataFrame = {
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val hashed = lsh.fit(pts).transform(pts) // + hashes: Array[Vector]
+    def exploded(idAs: String, fAs: String) = hashed.select(
+      col("id").as(idAs), col("features").as(fAs),
+      posexplode(col("hashes")).as(Seq("entry", "hv")))
+    val sideA = exploded("a", "fa")
+    val sideBRaw = exploded("b", "fb")
+    val sideB = {
+      val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est * numHashTables * 6 <= (64L << 20)) broadcast(sideBRaw)
+      else sideBRaw
+    }
+    val sqdistUdf = udf((x: Vector, y: Vector) => Vectors.sqdist(x, y))
+    sideA.join(sideB, Seq("entry", "hv"))
+      .filter(col("a") =!= col("b") &&
+        sqdistUdf(col("fa"), col("fb")) < lit(eps * eps))
+      .select("a", "b").distinct()
+  }
+
   def distributed(df: DataFrame, idCol: String, featuresCol: String,
                   eps: Double, minPts: Int,
                   bucketLength: Double = 2.0,
@@ -115,52 +162,14 @@ object Dbscan {
     }
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(featuresCol).as("features"))
-
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(pts)
-    mark("lsh_fit")
-    // HAND-ROLLED ε-self-join with approxSimilarityJoin's semantics
-    // (explode hash tables, equi-join on (table, hashValue), exact
-    // Euclidean verify, STRICT < eps — exact() matches). PERSISTED: the
-    // edge relation feeds multiple consumers (the probe, and on the
-    // large route degree counts, the core-core edge list, and the
-    // border-attach join) — without the persist each one re-executes
-    // the whole bucket join; explicitly unpersisted right after its
-    // last consumer materializes on either route. Two deliberate
-    // differences in SHAPE vs the ml version, both scale wins:
-    //  - the candidate-pair dedup (a pair can collide in several hash
-    //    tables) runs on bare (a, b) LONGS after projecting ids away —
-    //    approxSimilarityJoin dedups BEFORE projecting, shuffling the
-    //    full (id, features, hashes)² structs through its exchange,
-    //    which at sf0.1 was the operator's single largest stage;
-    //  - side B carries a broadcast hint when the OPTIMIZER's estimate
-    //    of the un-exploded scan (free, no job) fits the gate — the
-    //    explode hides the small size from auto-broadcast, and a
-    //    forced hint without the gate would OOM the driver at scale.
-    //    The gate scales the estimate by numHashTables (the explode
-    //    factor) and ×6 for decompression + unsafe-row overhead,
-    //    because what actually broadcasts is the EXPLODED relation
-    //    with features+hash vectors duplicated per table — gating on
-    //    the raw parquet estimate alone under-measures it several-fold.
-    val hashed = model.transform(pts) // id, features, hashes: Array[Vector]
-    def exploded(idAs: String, fAs: String) = hashed.select(
-      col("id").as(idAs), col("features").as(fAs),
-      posexplode(col("hashes")).as(Seq("entry", "hv")))
-    val sideA = exploded("a", "fa")
-    val sideBRaw = exploded("b", "fb")
-    val sideB = {
-      val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est * numHashTables * 6 <= (64L << 20)) broadcast(sideBRaw)
-      else sideBRaw
-    }
-    val sqdistUdf = udf((x: Vector, y: Vector) => Vectors.sqdist(x, y))
-    val joined = sideA.join(sideB, Seq("entry", "hv"))
-      .filter(col("a") =!= col("b") &&
-        sqdistUdf(col("fa"), col("fb")) < lit(eps * eps))
-      .select("a", "b").distinct()
+    // PERSISTED: the edge relation feeds multiple consumers (the probe,
+    // and on the large route degree counts, the core-core edge list,
+    // and the border-attach join) — without the persist each one
+    // re-executes the whole bucket join; explicitly unpersisted right
+    // after its last consumer materializes on either route.
+    val joined = epsEdges(pts, eps, bucketLength, numHashTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mark("lsh_fit")
     // SMALL-REGIME ROUTE (r10 verdict #3): past the LSH join, the
     // distributed pipeline is 6+ tiny Spark jobs (degree agg, core
     // filter, two core joins, CC, border agg, checkpoint) whose per-job
