@@ -335,8 +335,12 @@ object PlanAudit {
     // exchange total) and the quota table must broadcast
     audit("llm_unimax_sample core (heap cap, one exchange, broadcast quotas)", Seq(
       "TopKPerGroup operator planned" -> (_.contains("TopKPerGroup")),
+      // match the Arguments line, not "Exchange hashpartitioning":
+      // formatted explain puts the node header and its arguments on
+      // separate lines, so the prefixed form never matches (a vacuous
+      // always-OK check until r11 caught it)
       "single hash exchange of the corpus (trim reuses the clustering)" ->
-        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+        (p => "hashpartitioning\\(".r.findAllIn(p).size <= 2),
       "quota table broadcast (no shuffle join)" ->
         (p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))))(
       graft.dedup.Curation.unimaxSample(
@@ -749,11 +753,12 @@ object PlanAudit {
         (_.contains("BroadcastHashJoin")),
       "dedup keys are the bare id pair" ->
         (p => "Keys \\[2\\]: \\[a#\\d+L, b#\\d+L\\]".r.findFirstIn(p).isDefined),
+      // match the Arguments line (formatted explain never renders
+      // "Exchange hashpartitioning" adjacently — that form is vacuous)
       "no vector column in any exchange" ->
-        (p => !"Exchange hashpartitioning\\([^)]*f[ab]#".r
-          .findFirstIn(p).isDefined)))(
+        (p => !"hashpartitioning\\([^)]*f[ab]#".r.findFirstIn(p).isDefined)))(
       graft.ml.Dbscan.epsEdges(
-        spark.read.parquet(s"$dir/embeddings.parquet")
+        Tables.table(spark, dir, "embeddings")
           .filter(org.apache.spark.sql.functions.col("vec_id") < 300)
           .select(
             org.apache.spark.sql.functions.col("vec_id").cast("long").as("id"),
