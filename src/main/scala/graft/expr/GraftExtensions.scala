@@ -176,6 +176,7 @@ object GraftFunctions {
     dsirBuckets,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
+    binaryVec("graft_l2_sq", GraftL2Sq(_, _)),
     binaryVec("graft_cos_sim", GraftCosSim(_, _)),
     binaryVec("graft_cos_sim_i8", GraftCosSimI8(_, _)),
     unaryText("graft_quantize_i8", GraftQuantizeI8(_)),

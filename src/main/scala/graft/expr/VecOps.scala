@@ -83,6 +83,18 @@ case class GraftL2Dist(left: Expression, right: Expression)
       : GraftL2Dist = copy(left = l, right = r)
 }
 
+/** Σ (aᵢ−bᵢ)² — SQUARED Euclidean distance (no sqrt), the ε²-threshold
+  * compare form DBSCAN's edge verify uses. */
+case class GraftL2Sq(left: Expression, right: Expression)
+  extends VecBinaryKernel {
+  override def prettyName: String = "graft_l2_sq"
+  override protected def kernelName: String = "l2Sq"
+  override protected def kernel(a: Array[Double], b: Array[Double]): Double =
+    VecKernels.l2Sq(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : GraftL2Sq = copy(left = l, right = r)
+}
+
 /** Cosine similarity with the zero-norm guard (M11): 0.0 when either side
   * has zero norm. One fused loop for dot, ‖a‖², ‖b‖² (the composed form
   * scans both arrays three times). */
@@ -191,6 +203,18 @@ object VecKernels {
     var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     Math.sqrt(s)
+  }
+
+  /** Σ (aᵢ−bᵢ)² without the sqrt — for squared-threshold compares
+    * (`l2sq < ε²`), which must stay bit-identical to the textbook
+    * `dist² < ε²` form: rounding the sqrt first can flip an
+    * ultra-marginal ε-boundary pair. Same loop order as [[l2Dist]]. */
+  def l2Sq(a: Array[Double], b: Array[Double]): Double = {
+    checkLen(a, b)
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
   }
 
   def quantizeI8(v: Array[Double]): ArrayData = {

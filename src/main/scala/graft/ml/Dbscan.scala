@@ -123,13 +123,26 @@ object Dbscan {
   private[graft] def epsEdges(pts: DataFrame, eps: Double,
                               bucketLength: Double = 2.0,
                               numHashTables: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(pts.sparkSession)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setSeed(42L)
-    val hashed = lsh.fit(pts).transform(pts) // + hashes: Array[Vector]
+    // the vector is flattened to a plain double array ONCE per input
+    // row, BEFORE the hash-table explode, so the per-CANDIDATE distance
+    // verify — the quadratic part of a hot bucket — runs the codegen'd
+    // graft_l2_sq kernel inside whole-stage codegen instead of a
+    // ScalaUDF (the same interpreted-vs-kernel trade every other hot
+    // path in this repo makes). ε-compare stays in SQUARED form:
+    // bit-identical to exact()'s dist² < ε², where a rounded sqrt could
+    // flip an ultra-marginal boundary pair.
+    val hashed = lsh.fit(pts).transform(pts)
+      .select(col("id"),
+        org.apache.spark.ml.functions
+          .vector_to_array(col("features")).as("farr"),
+        col("hashes"))
     def exploded(idAs: String, fAs: String) = hashed.select(
-      col("id").as(idAs), col("features").as(fAs),
+      col("id").as(idAs), col("farr").as(fAs),
       posexplode(col("hashes")).as(Seq("entry", "hv")))
     val sideA = exploded("a", "fa")
     val sideBRaw = exploded("b", "fb")
@@ -138,10 +151,9 @@ object Dbscan {
       if (est * numHashTables * 6 <= (64L << 20)) broadcast(sideBRaw)
       else sideBRaw
     }
-    val sqdistUdf = udf((x: Vector, y: Vector) => Vectors.sqdist(x, y))
     sideA.join(sideB, Seq("entry", "hv"))
       .filter(col("a") =!= col("b") &&
-        sqdistUdf(col("fa"), col("fb")) < lit(eps * eps))
+        call_function("graft_l2_sq", col("fa"), col("fb")) < lit(eps * eps))
       .select("a", "b").distinct()
   }
 

@@ -313,8 +313,10 @@ object Scale9 {
     // larger ones run GraphX Pregel. ×1 (2k vecs, ~25 nbrs/vec ≈ 50k
     // edges) stays under the default 200k cap → driver route (measured:
     // cc_driver 41 ms, 8.3 s total); ×10 (20k vecs, ~237 nbrs/vec ≈
-    // 4.7M edges) crosses it → GraphX (measured: cc_graphx 8.2 s;
-    // total 312 s, of which ~302 s is the LSH bucket join itself — the
+    // 4.7M edges) crosses it → GraphX (measured: cc_graphx 7.5 s;
+    // total 224 s, of which ~214 s is the LSH bucket join itself —
+    // down from 302 s once the per-candidate distance verify moved
+    // from a ScalaUDF to the codegen graft_l2_sq kernel; the
     // scaled Gaussian fixture densifies linearly, 25→237→2386 nbrs/vec
     // at ε=1.2, and CANDIDATE volume tracks bucket occupancy, not ε, so
     // the join degenerates toward in-bucket quadratic exactly as the

