@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -115,8 +114,8 @@ object Dbscan {
     *    hint without the gate would OOM the driver at scale. The gate
     *    scales the estimate by numHashTables (the explode factor) ×6
     *    for decompression + unsafe-row overhead, because what actually
-    *    broadcasts is the EXPLODED relation with features+hash vectors
-    *    duplicated per table.
+    *    broadcasts is the EXPLODED relation — (id, flattened double
+    *    array, table, hashValue) duplicated per hash table.
     * private[graft] so PlanAudit gates the plan shape (broadcast bucket
     * join, pair-only dedup — no struct exchange). Input: (id: long,
     * features: ml Vector), un-persisted (callers own caching). */

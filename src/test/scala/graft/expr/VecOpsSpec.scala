@@ -53,10 +53,15 @@ class VecOpsSpec extends SparkSpec {
       // same loop, same order — l2_dist is EXACTLY sqrt(l2_sq), so the
       // squared form lets callers do the bit-stable `sq < eps²` compare
       assert(l == math.sqrt(sq))
-      // and the JVM kernel agrees with the SQL path bit-for-bit
     }
-    val jvm = graft.expr.VecKernels.l2Sq(Array(1.0, 2.0), Array(4.0, 6.0))
-    assert(jvm == 25.0)
+    // the SQL path agrees with the JVM kernel bit-for-bit on the same
+    // inputs (a wrong kernelName in codegen would diverge here)
+    val sqlOne = Seq((Seq(1.0f, 2.0f), Seq(4.0f, 6.0f))).toDF("a", "b")
+      .select(call_function("graft_l2_sq", $"a", $"b"))
+      .as[Double].head()
+    assert(sqlOne == graft.expr.VecKernels.l2Sq(
+      Array(1.0, 2.0), Array(4.0, 6.0)))
+    assert(sqlOne == 25.0)
   }
 
   test("double arrays work; float vs double agree on exact values") {
