@@ -753,10 +753,15 @@ object PlanAudit {
         (_.contains("BroadcastHashJoin")),
       "dedup keys are the bare id pair" ->
         (p => "Keys \\[2\\]: \\[a#\\d+L, b#\\d+L\\]".r.findFirstIn(p).isDefined),
-      // match the Arguments line (formatted explain never renders
-      // "Exchange hashpartitioning" adjacently — that form is vacuous)
-      "no vector column in any exchange" ->
-        (p => !"hashpartitioning\\([^)]*f[ab]#".r.findFirstIn(p).isDefined)))(
+      // inspect each SHUFFLE exchange's Input (payload) list — the
+      // struct-shuffle anti-pattern carries the vector as exchange
+      // OUTPUT while partitioning on hash keys, so matching only the
+      // hashpartitioning arguments could never catch it. Formatted
+      // explain renders '(N) Exchange\nInput [k]: [cols...]'; the
+      // intended BroadcastExchange of the vectors does NOT match.
+      "no vector column in any shuffle exchange payload" ->
+        (p => !"\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[[^\\]]*\\bf[ab]#"
+          .r.findFirstIn(p).isDefined)))(
       graft.ml.Dbscan.epsEdges(
         Tables.table(spark, dir, "embeddings")
           .filter(org.apache.spark.sql.functions.col("vec_id") < 300)

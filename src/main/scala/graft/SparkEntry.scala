@@ -84,10 +84,13 @@ object SparkEntry {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val out = project(s.table(qname)).localCheckpoint(true)
-    s.catalog.dropTempView(qname)
-    out
+    // finally-drop: Verify catches per-query Throwables and continues,
+    // so a view leaked on failure would surface in the catalog listing
+    // (S7) later in the SAME run as a random-named extra row
+    try {
+      q.awaitTermination()
+      project(s.table(qname)).localCheckpoint(true)
+    } finally s.catalog.dropTempView(qname)
   }
 
   /** The documents table with the pinned partitioning the hash-oracled
@@ -2315,6 +2318,49 @@ object SparkEntry {
     // plain batch hourly counts over each original event ONCE, for every
     // window the final watermark has closed — exactly what the twin
     // computes. Deterministic because batch boundaries are the two runs
+    "st9_stream_late_drop" -> ((s, dir) => withStreamShuffle(s) {
+      val base = Files.createTempDirectory("graft_st9")
+      val inDir = base.resolve("in"); Files.createDirectories(inDir)
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ts = streamEventTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("ts"))
+      def addBatch(df: DataFrame, tag: String): Unit = {
+        val tmp = base.resolve(s"stage_$tag")
+        df.write.parquet(tmp.toString)
+        // Files.list holds an open DirectoryStream — close it or leak
+        // one fd per call in the long-lived suite JVM
+        val listing = Files.list(tmp)
+        try {
+          var i = 0
+          listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .forEach { p =>
+              Files.move(p, inDir.resolve(s"$tag-$i.parquet")); i += 1
+            }
+        } finally listing.close()
+      }
+      val sch = ts.schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(sch).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      addBatch(ts.filter(col("ts") < lit("2024-01-21")), "b1")
+      runOnce()
+      addBatch(ts.filter(col("ts") >= lit("2024-01-21"))
+        .unionByName(ts.filter(col("ts") < lit("2024-01-06"))), "b2")
+      runOnce()
+      s.read.parquet(outDir)
+        .select(col("window.start").cast("timestamp_ntz").as("hour"),
+          col("cnt"))
+        .orderBy("hour").localCheckpoint(true)
+    }),
+
     // Kafka-wire ingest (the FRONT of the reference's Kafka->HDFS pipe,
     // rucio_data_access_HDFS.ipynb:497 — the archive carries
     // kafka_timestamp). No broker or connector jar exists in this
@@ -2359,49 +2405,6 @@ object SparkEntry {
             col("kafka_partition").cast("long").as("kafka_partition"),
             col("cnt"), col("max_off"))
           .orderBy("hour", "kafka_partition"))
-    }),
-
-    "st9_stream_late_drop" -> ((s, dir) => withStreamShuffle(s) {
-      val base = Files.createTempDirectory("graft_st9")
-      val inDir = base.resolve("in"); Files.createDirectories(inDir)
-      val outDir = base.resolve("out").toString
-      val ckpt = base.resolve("ckpt").toString
-      val ts = streamEventTs(s.read.parquet(s"$dir/events.parquet"))
-        .select(col("event_id"), col("ts"))
-      def addBatch(df: DataFrame, tag: String): Unit = {
-        val tmp = base.resolve(s"stage_$tag")
-        df.write.parquet(tmp.toString)
-        // Files.list holds an open DirectoryStream — close it or leak
-        // one fd per call in the long-lived suite JVM
-        val listing = Files.list(tmp)
-        try {
-          var i = 0
-          listing.filter(_.getFileName.toString.endsWith(".parquet"))
-            .forEach { p =>
-              Files.move(p, inDir.resolve(s"$tag-$i.parquet")); i += 1
-            }
-        } finally listing.close()
-      }
-      val sch = ts.schema
-      def runOnce(): Unit = {
-        val q = s.readStream.schema(sch).parquet(inDir.toString)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt).outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      addBatch(ts.filter(col("ts") < lit("2024-01-21")), "b1")
-      runOnce()
-      addBatch(ts.filter(col("ts") >= lit("2024-01-21"))
-        .unionByName(ts.filter(col("ts") < lit("2024-01-06"))), "b2")
-      runOnce()
-      s.read.parquet(outDir)
-        .select(col("window.start").cast("timestamp_ntz").as("hour"),
-          col("cnt"))
-        .orderBy("hour").localCheckpoint(true)
     }),
 
     // streaming quality FILTER at ingest — the most common streaming

@@ -180,7 +180,6 @@ object Dbscan {
     // after its last consumer materializes on either route.
     val joined = epsEdges(pts, eps, bucketLength, numHashTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    mark("lsh_fit")
     // SMALL-REGIME ROUTE (r10 verdict #3): past the LSH join, the
     // distributed pipeline is 6+ tiny Spark jobs (degree agg, core
     // filter, two core joins, CC, border agg, checkpoint) whose per-job
@@ -194,9 +193,11 @@ object Dbscan {
     // broadcast join. Past the cap the fully-distributed path (GraphX
     // Pregel CC) engages unchanged. Both routes produce
     // label = min core member id, indistinguishable downstream.
+    // this collect is where the LAZY chain above actually executes:
+    // the phase mark covers LSH fit + bucket join + probe together
     val edgeSample =
       joined.as[(Long, Long)].limit(smallGraphEdgeCap + 1).collect()
-    mark("edge_probe")
+    mark("fit_join_probe")
     if (edgeSample.length <= smallGraphEdgeCap) {
       joined.unpersist(blocking = false)
       // degree = ε-neighbor count + 1 (self counts once, matching
@@ -234,13 +235,13 @@ object Dbscan {
       mark("cc_driver")
       val labelDf = spark.createDataset(labels.toSeq).toDF("id", "label")
       // broadcast join onto the full id set; no checkpoint needed — the
-      // lineage is one scan plus a local relation, nothing cached remains
-      val out = pts.select("id")
+      // lineage is one scan plus a local relation, nothing cached
+      // remains (and LAZY: the caller's action pays for it, so there is
+      // deliberately no timing mark here — it would measure nothing)
+      return pts.select("id")
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id").as(idCol),
           coalesce(col("label"), lit(-1L)).as("label"))
-      mark("result_small")
-      return out
     }
     // neighbor counts (self counts once, matching |N_ε(p)| ≥ minPts with
     // p ∈ N_ε(p))

@@ -355,14 +355,20 @@ object Scale9 {
     if (sections("charlm")) {
       val trainDocs = spark.read
         .parquet("/root/testdata/sf0.1/documents.parquet")
-      // model tables materialized ONCE (localCheckpoint severs the
-      // training lineage): tri/pre are lazy frames, and without this
-      // every timed region re-ran the training aggregations — the x1
-      // scan number was mostly retraining, not scoring
+      // model tables materialized ONCE via persist+count, NOT
+      // localCheckpoint: tri/pre are lazy frames, and without this
+      // every timed region re-ran the training aggregations (the x1
+      // scan number was mostly retraining, not scoring); persist is
+      // releasable at section end — checkpoint RDD blocks would sit in
+      // executor storage through the later same-JVM sections (the skew
+      // section's own lesson)
       val (triRaw, preRaw, a) = graft.text.CharLm.train(
         trainDocs.filter(col("doc_id") % 2 === 0), "text")
-      val tri = triRaw.localCheckpoint(true)
-      val pre = preRaw.localCheckpoint(true)
+      val tri = triRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pre = preRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tri.count(); pre.count()
       def joinForm(docs: org.apache.spark.sql.DataFrame): Unit =
         graft.text.CharLm.nllScore(docs, "doc_id", "text", tri, pre, a)
           .write.format("noop").mode("overwrite").save()
@@ -382,6 +388,7 @@ object Scale9 {
       timed("charlm nll SCAN form x100") {
         scanForm(spark.read.parquet("benchdata/sf10/documents.parquet"))
       }
+      tri.unpersist(); pre.unpersist()
     }
 
     if (sections("skew")) {

@@ -12,10 +12,14 @@ import glob, json, os, re, sys
 
 
 def latest(pattern, d):
-    files = glob.glob(os.path.join(d, pattern))
+    # rank by the ROUND number specifically: concatenating every digit
+    # in the name would let a suffixed file (..._r11_sf0.01.json ->
+    # "11001") permanently outrank the real latest round
+    files = [(m, f) for f in glob.glob(os.path.join(d, pattern))
+             for m in [re.search(r"_r(\d+)", os.path.basename(f))] if m]
     if not files:
         return None
-    return max(files, key=lambda f: int(re.sub(r"\D", "", os.path.basename(f))))
+    return max(files, key=lambda mf: int(mf[0].group(1)))[1]
 
 
 def main():
