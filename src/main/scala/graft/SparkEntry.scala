@@ -1533,6 +1533,34 @@ object SparkEntry {
       scored.unpersist(blocking = false)
       out
     }),
+    // content-defined chunking (gear-hash CDC, the LBFS/FastCDC family —
+    // Xia et al. ATC'16): the FOURTH fingerprinting primitive next to
+    // MinHash/SimHash/winnowing, and the one storage/training-data
+    // systems use for byte-range dedup — a boundary falls where the low
+    // maskBits of the rolling gear hash are zero, so an edit perturbs
+    // only the chunks it touches and identical regions across documents
+    // chunk identically (group by chunk_md5 downstream = chunk-level
+    // dedup, the only exchange, carrying hashes not text). EXACT DuckDB
+    // twin: the boundary test reads only the low bits and the recurrence
+    // h' = (2h+g) mod 2^k is CLOSED over them, so a recursive CTE
+    // replays it with tiny integers from the same md5-derived gear table
+    "llm_cdc_chunks" -> ((s, dir) => {
+      graft.expr.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          call_function("graft_cdc_cuts", col("text"),
+            lit(16), lit(128), lit(6)).as("ends"))
+        .select(col("doc_id"), col("text"), col("ends"),
+          posexplode(col("ends")).as(Seq("chunk_idx", "end_pos")))
+        .withColumn("prev", when(col("chunk_idx") === 0, 0)
+          .otherwise(element_at(col("ends"), col("chunk_idx"))))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          (col("prev") + 1).cast("long").as("start"),
+          (col("end_pos") - col("prev")).cast("long").as("len"),
+          md5(expr("substring(text, prev + 1, end_pos - prev)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
@@ -4036,6 +4064,7 @@ object SparkEntry {
         "WHERE d.doc_id % 97 = 0 ORDER BY eval_id"),
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
+    "llm_cdc_chunks" -> ( cdcChunksSql),
     // both KR forms share one twin: core is the same row SET without the
     // presentation sort, and the gate compares rows sorted
     "llm_winnow_kr_fingerprint" -> ( winnowKrSql),
@@ -4768,6 +4797,51 @@ object SparkEntry {
 
   private def winnowSql: String =
     winnowCte + " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+  /** CDC twin: the gear recurrence h' = (2h + g) mod 2^k is CLOSED over
+    * the low k bits the boundary test reads, so the replay runs on tiny
+    * integers — a recursive CTE walks each doc one char per step
+    * carrying (h mod 64, chunk start, emitted cut), with the gear table
+    * re-derived from md5('gear_<byte>') via the winnow 15-hex parse.
+    * The final partial chunk (start < n at pos = n) emits like the
+    * kernel's tail append. */
+  private def cdcChunksSql: String = {
+    val digits = "0123456789abcdef"
+    val parse = (1 to 15).map { j =>
+      s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
+    }.mkString(" + ")
+    val h2 = "((w.h * 2 + g.g) % 64)"
+    val cutCond =
+      s"(w.pos + 1 - w.st >= 16 AND $h2 = 0) OR (w.pos + 1 - w.st) >= 128"
+    "WITH RECURSIVE gear AS (SELECT b, " +
+      s"CAST($parse AS BIGINT) % 64 AS g FROM " +
+      "(SELECT i AS b, md5('gear_' || i) AS h FROM range(256) t(i))), " +
+      "d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+      "WHERE length(text) > 0), " +
+      "walk AS (SELECT doc_id, 0 AS pos, 0 AS h, 0 AS st, " +
+      "CAST(NULL AS INTEGER) AS cut FROM d " +
+      "UNION ALL SELECT w.doc_id, w.pos + 1, " +
+      s"$h2, " + // h never resets: self-synchronizing trailing-window hash
+      s"CASE WHEN $cutCond THEN w.pos + 1 ELSE w.st END, " +
+      s"CASE WHEN $cutCond THEN w.pos + 1 ELSE CAST(NULL AS INTEGER) END " +
+      "FROM walk w JOIN d ON d.doc_id = w.doc_id AND w.pos < d.n " +
+      "JOIN gear g ON g.b = ord(substr(d.text, (w.pos + 1)::INTEGER, 1)) " +
+      "% 256), " +
+      "cuts AS (SELECT doc_id, cut FROM walk WHERE cut IS NOT NULL " +
+      "UNION ALL SELECT w.doc_id, d.n FROM walk w JOIN d " +
+      "ON d.doc_id = w.doc_id AND w.pos = d.n AND w.st < d.n), " +
+      "r AS (SELECT doc_id, cut AS end_pos, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 " +
+      "AS chunk_idx, " +
+      "coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) " +
+      "AS prev FROM cuts) " +
+      "SELECT r.doc_id AS doc_id, chunk_idx, (prev + 1)::BIGINT AS start, " +
+      "(end_pos - prev)::BIGINT AS len, " +
+      "md5(substr(d2.text, (prev + 1)::INTEGER, " +
+      "(end_pos - prev)::INTEGER)) AS chunk_md5 " +
+      "FROM r JOIN documents d2 ON d2.doc_id = r.doc_id " +
+      "ORDER BY r.doc_id, chunk_idx"
+  }
 
   /** Karp–Rabin winnow twin: the rolling hash LOOKS non-relational (the
     * r9 scaladoc claimed no SQL twin exists) but has a closed per-

@@ -60,6 +60,18 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(s"$name(vecA, vecB)")
     })
 
+  private val cdcCuts: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("graft_cdc_cuts"),
+    new ExpressionInfo(classOf[GraftCdcCuts].getName, "graft_cdc_cuts"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s) => GraftCdcCuts(s, 16, 128, 6)
+      case Seq(s, mn, mx, mb) => GraftCdcCuts(s, intLit(mn, "minLen"),
+        intLit(mx, "maxLen"), intLit(mb, "maskBits"))
+      case _ => throw new IllegalArgumentException(
+        "graft_cdc_cuts(text[, minLen, maxLen, maskBits])")
+    })
+
   private val nnTopK: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("graft_nn_topk"),
@@ -173,7 +185,7 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder)] = Seq(minHash, rhpBits, nnTopK,
     winnow, winnowKr, charLmNll, gramHits, bloomContains, dsirLogW,
-    dsirBuckets,
+    dsirBuckets, cdcCuts,
     binaryVec("graft_dot", GraftDot(_, _)),
     binaryVec("graft_l2_dist", GraftL2Dist(_, _)),
     binaryVec("graft_l2_sq", GraftL2Sq(_, _)),
