@@ -100,6 +100,26 @@ object SparkEntry {
     * and session config. 8 partitions, not more: fewer fixed partitions
     * measured FASTER at sf0.1 (each fit iteration schedules one task
     * per partition). */
+  /** CDC chunk rows (doc_id, chunk_idx, start, len, chunk_md5) shared by
+    * the llm_cdc_* queries — the graft_cdc_cuts ends array exploded into
+    * per-chunk spans with md5 content hashes. */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        call_function("graft_cdc_cuts", col("text"),
+          lit(16), lit(128), lit(6)).as("ends"))
+      .select(col("doc_id"), col("text"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "end_pos")))
+      .withColumn("prev", when(col("chunk_idx") === 0, 0)
+        .otherwise(element_at(col("ends"), col("chunk_idx"))))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("prev") + 1).cast("long").as("start"),
+        (col("end_pos") - col("prev")).cast("long").as("len"),
+        md5(expr("substring(text, prev + 1, end_pos - prev)"))
+          .as("chunk_md5"))
+  }
+
   private def pinnedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select("doc_id", "text")
       .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
@@ -1544,23 +1564,26 @@ object SparkEntry {
     // twin: the boundary test reads only the low bits and the recurrence
     // h' = (2h+g) mod 2^k is CLOSED over them, so a recursive CTE
     // replays it with tiny integers from the same md5-derived gear table
-    "llm_cdc_chunks" -> ((s, dir) => {
-      graft.expr.GraftFunctions.ensureRegistered(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          call_function("graft_cdc_cuts", col("text"),
-            lit(16), lit(128), lit(6)).as("ends"))
-        .select(col("doc_id"), col("text"), col("ends"),
-          posexplode(col("ends")).as(Seq("chunk_idx", "end_pos")))
-        .withColumn("prev", when(col("chunk_idx") === 0, 0)
-          .otherwise(element_at(col("ends"), col("chunk_idx"))))
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          (col("prev") + 1).cast("long").as("start"),
-          (col("end_pos") - col("prev")).cast("long").as("len"),
-          md5(expr("substring(text, prev + 1, end_pos - prev)"))
-            .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "llm_cdc_chunks" -> ((s, dir) =>
+      cdcChunks(s, dir).orderBy("doc_id", "chunk_idx")),
+    // chunk-level dedup ledger over the CDC chunks: for every chunk
+    // hash appearing more than once, copy/doc counts and the keeper
+    // (lexicographic min (doc_id, start) — the min-struct keeper
+    // pattern of exactDedup). This is WHY CDC exists: the fixture's
+    // masked templates repeat byte ranges across documents at different
+    // offsets, and the content-defined boundaries align them (65
+    // cross-document duplicate hashes at sf0.01) where fixed-size
+    // chunking would not. One hash-partitioned exchange on chunk_md5,
+    // carrying hashes not text — the 100 TB shape
+    "llm_cdc_dedup" -> ((s, dir) =>
+      cdcChunks(s, dir).groupBy("chunk_md5").agg(
+          count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min(struct(col("doc_id"), col("start"))).as("k"))
+        .filter(col("n_copies") > 1)
+        .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
+          col("k.doc_id").as("keep_doc"), col("k.start").as("keep_start"))
+        .orderBy("chunk_md5")),
     // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): distinct
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
@@ -4065,6 +4088,7 @@ object SparkEntry {
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
     "llm_cdc_chunks" -> ( cdcChunksSql),
+    "llm_cdc_dedup" -> ( cdcDedupSql),
     // both KR forms share one twin: core is the same row SET without the
     // presentation sort, and the gate compares rows sorted
     "llm_winnow_kr_fingerprint" -> ( winnowKrSql),
@@ -4805,7 +4829,7 @@ object SparkEntry {
     * re-derived from md5('gear_<byte>') via the winnow 15-hex parse.
     * The final partial chunk (start < n at pos = n) emits like the
     * kernel's tail append. */
-  private def cdcChunksSql: String = {
+  private def cdcCte: String = {
     val digits = "0123456789abcdef"
     val parse = (1 to 15).map { j =>
       s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
@@ -4834,14 +4858,30 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 " +
       "AS chunk_idx, " +
       "coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) " +
-      "AS prev FROM cuts) " +
-      "SELECT r.doc_id AS doc_id, chunk_idx, (prev + 1)::BIGINT AS start, " +
-      "(end_pos - prev)::BIGINT AS len, " +
+      "AS prev FROM cuts), " +
+      "chunks AS (SELECT r.doc_id AS doc_id, chunk_idx, " +
+      "(prev + 1)::BIGINT AS start, (end_pos - prev)::BIGINT AS len, " +
       "md5(substr(d2.text, (prev + 1)::INTEGER, " +
       "(end_pos - prev)::INTEGER)) AS chunk_md5 " +
-      "FROM r JOIN documents d2 ON d2.doc_id = r.doc_id " +
-      "ORDER BY r.doc_id, chunk_idx"
+      "FROM r JOIN documents d2 ON d2.doc_id = r.doc_id)"
   }
+
+  private def cdcChunksSql: String =
+    cdcCte + " SELECT doc_id, chunk_idx, start, len, chunk_md5 " +
+      "FROM chunks ORDER BY doc_id, chunk_idx"
+
+  /** Dedup-ledger twin over the shared chunk CTE: dup groups + the
+    * lexicographic-min keeper via a row_number window. */
+  private def cdcDedupSql: String =
+    cdcCte + ", dup AS (SELECT chunk_md5, count(*) AS n_copies, " +
+      "count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1 " +
+      "HAVING count(*) > 1), " +
+      "k AS (SELECT chunk_md5, doc_id AS keep_doc, start AS keep_start, " +
+      "row_number() OVER (PARTITION BY chunk_md5 " +
+      "ORDER BY doc_id, start) AS rn FROM chunks) " +
+      "SELECT d.chunk_md5, n_copies, n_docs, keep_doc, keep_start " +
+      "FROM dup d JOIN k ON k.chunk_md5 = d.chunk_md5 AND rn = 1 " +
+      "ORDER BY d.chunk_md5"
 
   /** Karp–Rabin winnow twin: the rolling hash LOOKS non-relational (the
     * r9 scaladoc claimed no SQL twin exists) but has a closed per-
