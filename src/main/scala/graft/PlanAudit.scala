@@ -743,6 +743,29 @@ object PlanAudit {
       "no join" -> (p => !p.contains("Join"))))(
       SparkEntry.queries("a19_hll_rollup")(spark, dir))
 
+    // CDC chunking (r11): the chunk derivation must be a pure
+    // scan+generate pipeline — native kernel in plan, no ScalaUDF, no
+    // join, no shuffle before the (deliberate) presentation sort; the
+    // dedup ledger's only corpus exchange is the hash-partitioned
+    // group-by on chunk_md5 (hashes cross the wire, never text)
+    audit("llm_cdc_chunks core (kernel scan+generate, no join)", Seq(
+      "native graft_cdc_cuts kernel in plan" -> (_.contains("graft_cdc_cuts")),
+      "no ScalaUDF" -> (p => !p.contains("ScalaUDF")),
+      "no join" -> (p => !p.contains("Join")),
+      // audited WITHOUT the registered query's presentation orderBy
+      // (the llm_hash_split precedent): zero exchanges
+      "zero exchanges" -> (p => !p.contains("Exchange"))))(
+      SparkEntry.cdcChunksCore(spark, dir))
+
+    audit("llm_cdc_dedup (one hash exchange on chunk_md5, partial agg)", Seq(
+      "partial aggregation before the exchange" -> (_.contains("partial_")),
+      "hash exchange on the chunk hash" ->
+        (p => "hashpartitioning\\(chunk_md5#".r.findFirstIn(p).isDefined),
+      "no text column crosses the exchange" ->
+        (p => !"\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[[^\\]]*\\btext#"
+          .r.findFirstIn(p).isDefined)))(
+      SparkEntry.queries("llm_cdc_dedup")(spark, dir))
+
     // the DBSCAN ε-edge relation (r11 rebuild): the bucket join must be
     // a BROADCAST hash join at reference scale (the stats-gated hint —
     // auto-broadcast can't see through the explode), and the candidate

@@ -102,7 +102,11 @@ object SparkEntry {
     * per partition). */
   /** CDC chunk rows (doc_id, chunk_idx, start, len, chunk_md5) shared by
     * the llm_cdc_* queries — the graft_cdc_cuts ends array exploded into
-    * per-chunk spans with md5 content hashes. */
+    * per-chunk spans with md5 content hashes. Package-visible un-sorted
+    * form for PlanAudit's zero-exchange gate. */
+  private[graft] def cdcChunksCore(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(s, dir)
+
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(s)
     t(s, dir, "documents")
