@@ -391,6 +391,29 @@ object Scale9 {
       tri.unpersist(); pre.unpersist()
     }
 
+    // CDC chunking under corpus growth (r11): the chunk derivation is a
+    // pure kernel scan (plan-gated zero exchanges), so wall-clock must
+    // track corpus size ~linearly; the dedup ledger adds one hash
+    // exchange of (chunk_md5, counts) — hashes, never text.
+    if (sections("cdc")) {
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        for (round <- 1 to 2) {
+          timed(s"cdc chunks x$xn r$round") {
+            graft.SparkEntry.cdcChunksCore(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"cdc dedup ledger x$xn r$round") {
+            graft.SparkEntry.cdcChunksCore(spark, dir)
+              .groupBy("chunk_md5").agg(count(lit(1)).as("n"))
+              .filter(col("n") > 1)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+    }
+
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
         // persist + materialize, NOT localCheckpoint: unpersist() only
