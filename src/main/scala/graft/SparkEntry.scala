@@ -158,6 +158,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** st10 writes a real parquet copy of the wire-format topic (unlike the
+    * symlink scaffold above, the envelope columns don't exist in the
+    * fixture) — memoize it per input dir so repeated Verify/Bench
+    * invocations in one JVM reuse a single copy, and delete it at JVM
+    * exit so runs don't accumulate temp data on disk. */
+  private val st10TopicDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq
+          .sortBy(_.getNameCount)(Ordering[Int].reverse)
+          .foreach(p => Files.deleteIfExists(p))
+    }))
+
   /** Whitespace tokens of the documents table (the corpus test fixture). */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2443,9 +2459,13 @@ object SparkEntry {
           .as("offset"),
         col("ts").cast("timestamp").as("timestamp"),
         lit(0).as("timestampType"))
-      val streamDir = Files.createTempDirectory("graft_st10")
-      val topicDir = streamDir.resolve("topic").toString
-      wire.coalesce(2).write.mode("overwrite").parquet(topicDir)
+      val topicDir = st10TopicDirs.computeIfAbsent(dir, _ => {
+        val streamDir = Files.createTempDirectory("graft_st10")
+        deleteRecursivelyOnExit(streamDir)
+        val p = streamDir.resolve("topic").toString
+        wire.coalesce(2).write.mode("overwrite").parquet(p)
+        p
+      })
       val valueSchema = ev.select("event_id", "user_id", "event_type",
         "ts", "value").schema
       val rec = graft.streaming.StreamIngest.decodeKafkaJson(
@@ -3332,9 +3352,12 @@ object SparkEntry {
     // null-ts fixture row must not surface as a NULL-hour group here
     // (the same null-ts defense the w5/w2 twins carry via NULLS FIRST)
     "st10_kafka_ingest" -> (
+      // ((x % 4) + 4) % 4 ≡ Spark's pmod even for negative user_id
+      // (DuckDB's % is signed), so a fixture change introducing
+      // negative ids can't silently diverge the partition keying
       "WITH w AS (SELECT date_trunc('hour', ts) AS hour, " +
-        "(user_id % 4) AS kafka_partition, " +
-        "row_number() OVER (PARTITION BY user_id % 4 " +
+        "(((user_id % 4) + 4) % 4) AS kafka_partition, " +
+        "row_number() OVER (PARTITION BY ((user_id % 4) + 4) % 4 " +
         "ORDER BY event_id) - 1 AS offs FROM events) " +
         "SELECT hour, kafka_partition::BIGINT AS kafka_partition, " +
         "count(*) AS cnt, max(offs)::BIGINT AS max_off " +

@@ -34,8 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * engines derive identical tables from scratch. Returns the 1-based
   * INCLUSIVE end offset of every chunk (the final partial chunk
   * included); empty text → empty array. Positions are UTF-16 units and
-  * the byte is `char & 0xFF` (fixture text is ASCII; the oracle's
-  * codepoint-mod-256 agrees on ASCII — the GraftWinnow caveat).
+  * the byte is `char & 0xFF`. Cross-engine contract (pinned by
+  * CdcSpec "cross-engine contract"): the DuckDB twin's
+  * character-indexed codepoint-mod-256 walk agrees with this kernel on
+  * ALL BMP text — a BMP codepoint is one UTF-16 unit and
+  * `unit & 0xFF == codepoint % 256` — and diverges only on astral
+  * codepoints (surrogate pairs: two hash steps and unit-counted
+  * positions here vs one character there). Fixture text is ASCII, well
+  * inside the contract.
   *
   * Scale shape: pure per-row scalar kernel inside whole-stage codegen,
   * partition-preserving, no shuffle; the chunk-dedup GROUP BY downstream
@@ -65,8 +71,6 @@ case class GraftCdcCuts(child: Expression, minLen: Int, maxLen: Int,
 }
 
 object Cdc {
-
-  require(true) // (object init below)
 
   /** md5-derived gear table, identical in both engines: first 15 hex
     * digits of md5("gear_<byte>") parsed as a long (GraftWinnow's

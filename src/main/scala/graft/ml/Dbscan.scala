@@ -147,7 +147,15 @@ object Dbscan {
     val sideBRaw = exploded("b", "fb")
     val sideB = {
       val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est * numHashTables * 6 <= (64L << 20)) broadcast(sideBRaw)
+      // respect the session's broadcast budget: never force a broadcast
+      // larger than autoBroadcastJoinThreshold allows, and never force
+      // one at all when the user disabled auto-broadcast (-1) — a
+      // driver-memory decision this gate must not override
+      val sessionCap = BigInt(pts.sparkSession.sessionState.conf
+        .autoBroadcastJoinThreshold)
+      val cap = if (sessionCap < 0) BigInt(-1)
+                else sessionCap.min(BigInt(64L << 20))
+      if (cap > 0 && est * numHashTables * 6 <= cap) broadcast(sideBRaw)
       else sideBRaw
     }
     sideA.join(sideB, Seq("entry", "hv"))

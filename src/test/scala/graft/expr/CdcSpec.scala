@@ -66,6 +66,62 @@ class CdcSpec extends SparkSpec {
     assert(viaDefault == viaSql)
   }
 
+  /** The DuckDB twin's semantics replayed exactly: CHARACTER-indexed
+    * walk (substr counts codepoints) hashing codepoint % 256. The JVM
+    * kernel walks UTF-16 UNITS hashing `char & 0xFF`. For every BMP
+    * codepoint the two coincide — one UTF-16 unit == the codepoint, and
+    * `unit & 0xFF == codepoint % 256` — so the cross-engine contract is
+    * actually all of BMP, not just ASCII. Astral codepoints (U+10000+)
+    * are where they part: the kernel sees TWO surrogate units (two hash
+    * steps, positions advance by 2), the twin one character. */
+  private def twinCuts(s: String, minLen: Int = 16, maxLen: Int = 128,
+                       bits: Int = 6): Seq[Int] = {
+    val mask = (1 << bits) - 1
+    val cps = s.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0
+    var start = 0
+    var i = 0
+    while (i < cps.length) {
+      h = ((h << 1) + (Cdc.gear(cps(i) % 256) & mask).toInt) & mask
+      val len = i - start + 1
+      if ((len >= minLen && h == 0) || len >= maxLen) {
+        out += i + 1; start = i + 1
+      }
+      i += 1
+    }
+    if (start < cps.length) out += cps.length
+    out.toSeq
+  }
+
+  test("cross-engine contract: twin agrees on ALL BMP text, diverges on astral") {
+    // BMP beyond ASCII: accented Latin, Greek, Cyrillic, CJK — the twin
+    // and the kernel must produce identical cut sequences (this is what
+    // lets the llm_cdc_* oracle hold on any BMP fixture, not only the
+    // ASCII documents table)
+    val rng = new scala.util.Random(14)
+    val bmpAlphabet = "éüßñåçøπλΩцыдяшü中文漢字テスト한국어abcxyz .,"
+    val bmp = (0 until 4000)
+      .map(_ => bmpAlphabet(rng.nextInt(bmpAlphabet.length))).mkString
+    assert(bmp.codePoints().count() == bmp.length) // all BMP, 1 unit each
+    assert(cutsOf(bmp) == twinCuts(bmp), "BMP text must agree cross-engine")
+    // mixed ASCII + BMP agrees too
+    val mixed = "prefix " * 40 + bmp + " suffix" * 40
+    assert(cutsOf(mixed) == twinCuts(mixed))
+
+    // astral: surrogate pairs make the kernel's positions UTF-16-unit
+    // counts while the twin counts characters — the divergence is real
+    // and PINNED here so a non-BMP fixture fails loudly in this spec,
+    // not confusingly in a hash mismatch
+    val astral = ("some text with emoji 😀🚀 " * 120)
+    assert(astral.codePoints().count() < astral.length) // has astral cps
+    assert(cutsOf(astral) != twinCuts(astral),
+      "astral divergence vanished — update the documented CDC contract")
+    // the kernel's own positions remain UTF-16-consistent: full coverage
+    // in units, so substring extraction downstream never splits OOB
+    assert(cutsOf(astral).last == astral.length)
+  }
+
   test("shared regions across documents chunk identically (dedup alignment)") {
     // two docs sharing a long middle region: chunk-level dedup
     // (group by chunk hash) must align the shared region even though
