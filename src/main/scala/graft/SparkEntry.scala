@@ -328,6 +328,21 @@ object SparkEntry {
     out
   }
 
+  /** The flagship pair (m_flagship_w2v_dbscan / m_flagship_shape) share
+    * ONE pinned fit: same pinned input → same labels (the determinism
+    * argument m7_m9 rests on), so running the w2v→kneedle→DBSCAN chain
+    * twice per suite bought nothing. The stats frame is tiny (one row
+    * per cluster) and localCheckpoint'ed, so the memo holds no lineage
+    * or executor storage — only the few materialized rows. Keyed by
+    * (session, dir): a checkpointed frame is session-bound. */
+  private val flagshipStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def flagshipStats(s: SparkSession, dir: String): DataFrame =
+    flagshipStatsCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + dir,
+      _ => ClusterStats.stats(flagshipLabels(pinnedDocs(s, dir)),
+        "label", "text", "doc_id").localCheckpoint(true))
+
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
   private def labeled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").join(
@@ -2125,22 +2140,33 @@ object SparkEntry {
         (round(col(c) * 1e6) / 1e6).as(c)): _*)
     }),
     // The reference's §3.2 flagship (see flagshipLabels for the pipeline
-    // and its scale plan). Rows-only (stochastic embedding); no doc cap.
-    "m_flagship_w2v_dbscan" -> ((s, dir) =>
-      ClusterStats.stats(
-        flagshipLabels(t(s, dir, "documents").select("doc_id", "text")),
-        "label", "text", "doc_id")),
+    // and its scale plan). HASH-gated since r12: the pipeline runs on
+    // the same pinned input as m_flagship_shape (measured bit-identical
+    // across local[8]/local[32] under that pinning), the two queries
+    // share one memoized fit, and the float stats are 1e-6-quantized
+    // golden VALUES gated on the live non-blank doc count — the m7_m9
+    // recipe, closing the repo's last no_oracle row.
+    "m_flagship_w2v_dbscan" -> ((s, dir) => {
+      val st = flagshipStats(s, dir)
+      st.select(col("label").cast("long").as("label"), col("n"),
+          col("first_msg"),
+          (round(col("mean_len") * 1e6) / 1e6).as("mean_len"),
+          (round(col("std_len") * 1e6) / 1e6).as("std_len"),
+          (round(col("mean_similarity") * 1e6) / 1e6).as("mean_similarity"),
+          (round(col("std_similarity") * 1e6) / 1e6).as("std_similarity"))
+        .orderBy("label")
+    }),
     // HASH-gated integer/string surface of the flagship (the m7_m9
     // move): the w2v→kneedle→DBSCAN→stats pipeline is deterministic
     // given fixed input partitioning — measured bit-identical (floats
     // included) at local[8] vs local[32] — so the label ids, cluster
     // sizes, and representative messages freeze as golden VALUES gated
-    // on the live non-blank doc count. The float stats stay in the
-    // rows-only m_flagship query; this projection is the reference's
+    // on the live non-blank doc count. Since r12 the float stats are
+    // hash-gated too (m_flagship_w2v_dbscan above, same shared fit);
+    // this projection remains because it is the reference's
     // actually-recorded surface (cluster size + first message)
     "m_flagship_shape" -> ((s, dir) =>
-      ClusterStats.stats(flagshipLabels(pinnedDocs(s, dir)),
-          "label", "text", "doc_id")
+      flagshipStats(s, dir)
         .select(col("label").cast("long").as("label"),
           col("n").as("n_docs"), col("first_msg"))
         .orderBy("label")),
@@ -3787,6 +3813,29 @@ object SparkEntry {
       "SELECT doc_id, 10::BIGINT AS dim FROM documents ORDER BY doc_id"),
     // golden twin of the pinned flagship surface (see the query comment);
     // gate = live non-blank doc count, so fixture drift fails as 0 rows
+    // golden-VALUES twin of the FULL flagship stats frame (floats
+    // 1e-6-quantized in the query; exact decimal sums make the stats
+    // deterministic given labels, and the pinned shared fit makes the
+    // labels deterministic — verified bit-identical local[8] vs
+    // local[32]). Same live-count gate as the shape twin: fixture
+    // drift empties the oracle and fails loudly.
+    "m_flagship_w2v_dbscan" -> (
+      "WITH g(label, n, first_msg, mean_len, std_len, mean_similarity, " +
+        "std_similarity) AS (VALUES " +
+        "(-1, 16, 'line vector order slow data column fast line batch " +
+        "column key stream query scan table scan', " +
+        "79.687500, 33.589123, 59.899994, 11.273305), " +
+        "(0, 484, 'key agg row scan slow fast table value part hash " +
+        "value table part a row fast merge batch part value fast spark " +
+        "a a the line sort table window table table key', " +
+        "305.576446, 134.162429, 52.840198, 8.024744)) " +
+        "SELECT label::BIGINT AS label, n::BIGINT AS n, first_msg, " +
+        "mean_len::DOUBLE AS mean_len, std_len::DOUBLE AS std_len, " +
+        "mean_similarity::DOUBLE AS mean_similarity, " +
+        "std_similarity::DOUBLE AS std_similarity " +
+        "FROM g WHERE (SELECT sum(n) FROM g) = " +
+        "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
+        "ORDER BY label"),
     "m_flagship_shape" -> (
       "WITH g(label, n_docs, first_msg) AS (VALUES " +
         "(-1, 16, 'line vector order slow data column fast line batch " +
