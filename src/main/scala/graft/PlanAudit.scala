@@ -618,6 +618,33 @@ object PlanAudit {
         SparkEntry.bandJoinNaive(spark, dir))
     }
 
+    // the injected DedupComputeRewrite must turn the NAIVE per-row
+    // kernel projection into distinct→compute→join-back — audited on
+    // the exact frame j3b runs. The kernel must be evaluated in the
+    // dim branch (above the distinct aggregate), never in the per-row
+    // output projection, and the join-back must be a hash join on the
+    // key (broadcast: the dim is 31 rows)
+    SparkEntry.withDedupCompute(spark) {
+      audit("j3b_dedup_auto (rule hoists kernel behind a distinct)", Seq(
+        "join-back present (hash join)" ->
+          (p => p.contains("BroadcastHashJoin") ||
+            p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")),
+        "distinct aggregate in the compute branch" ->
+          (_.contains("HashAggregate")),
+        "kernel evaluated per distinct key, not per row" -> (p => {
+          // formatted explain: node 1 is the top Project; its detail
+          // block "(1) Project" must not carry the kernel
+          val topProject = p.split("\\(\\d+\\) Project")
+            .drop(1).headOption.map(_.split("\\(\\d+\\) ").head)
+          p.contains("graft_levenshtein") &&
+            topProject.exists(!_.contains("graft_levenshtein"))
+        }),
+        "no cartesian / nested loop" ->
+          (p => !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin"))))(
+        SparkEntry.dedupNaiveProjection(spark, dir))
+    }
+
     // the fuzzy join's length prefilter must ride the binned equi-join
     // (shared with j7), never an all-pairs cross product; the exact
     // kernel decides candidates after the join

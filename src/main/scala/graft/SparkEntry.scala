@@ -199,6 +199,32 @@ object SparkEntry {
       .orderBy("interval_id")
   }
 
+  /** The j3b dedup-compute in its NAIVE formulation (the shape a user
+    * writes: a per-row edit-distance kernel straight over the
+    * 31-distinct-value lang column), un-checkpointed: shared with
+    * PlanAudit so the j3b plan gate inspects exactly the frame the
+    * query materializes. Under DedupComputeRewrite this plans as
+    * distinct(lang) → kernel once per value → join-back — the same
+    * answer j3's explicit Relational.dedupCompute computes by hand. */
+  def dedupNaiveProjection(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(s)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      call_function("graft_levenshtein", col("lang"), lit("english"))
+        .cast("long").as("lang_dist"))
+  }
+
+  /** Scope the DedupComputeRewrite conf to `body` (set → run →
+    * restore), mirroring withRangeJoinWidth. */
+  def withDedupCompute[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.graft.dedupCompute.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Scope the RangeJoinRewrite width conf to `body` (set → run →
     * restore), so the rule's effect never leaks into other queries. */
   def withRangeJoinWidth[T](s: SparkSession, w: String)(body: => T): T = {
@@ -637,6 +663,14 @@ object SparkEntry {
       Relational.dedupCompute(t(s, dir, "documents"), "lang")(u =>
           u.withColumn("lang_code_len", length(col("lang")).cast("long")))
         .select("doc_id", "lang", "lang_code_len").orderBy("doc_id")),
+    // the SAME trick applied AUTOMATICALLY by the injected optimizer
+    // rule (DedupComputeRewrite): the naive per-row kernel projection
+    // plans as distinct→compute→join-back — checkpointed inside the
+    // conf scope, the j7b pattern
+    "j3b_dedup_auto" -> ((s, dir) =>
+      withDedupCompute(s) {
+        dedupNaiveProjection(s, dir).orderBy("doc_id").localCheckpoint(true)
+      }),
     "j4_eps_self_join" -> ((s, dir) => {
       val e = Relational.requireBounded(
         t(s, dir, "embeddings").filter(col("vec_id") < 300)
@@ -2885,6 +2919,11 @@ object SparkEntry {
         "ON d.doc_id = e.vec_id ORDER BY d.doc_id"),
     "j3_dedup_compute" -> (
       "SELECT doc_id, lang, length(lang)::BIGINT AS lang_code_len FROM documents ORDER BY doc_id"),
+    // DuckDB's levenshtein matches the graft kernel (the llm_fuzzy_join
+    // precedent); the rewrite must be answer-invisible
+    "j3b_dedup_auto" -> (
+      "SELECT doc_id, lang, levenshtein(lang, 'english')::BIGINT " +
+        "AS lang_dist FROM documents ORDER BY doc_id"),
     "j4_eps_self_join" -> (
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

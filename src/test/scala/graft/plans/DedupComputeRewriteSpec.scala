@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The automatic dedup-compute rewrite: a Project evaluating an
+  * expensive kernel over a column must plan as
+  * distinct → compute → join-back when the conf is on, produce the
+  * naive plan's exact rows, and leave cheap / non-deterministic /
+  * already-distinct shapes untouched. */
+class DedupComputeRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Key = "spark.graft.dedupCompute.enabled"
+
+  private def withRule[T](body: => T): T = {
+    spark.conf.set(Key, "true")
+    try body finally spark.conf.unset(Key)
+  }
+
+  // 60 rows over 3 distinct codes, plus a null key row (the inner
+  // join-back must keep it: <=> not =). Through parquet: a
+  // LocalRelation is constant-folded by ConvertToLocalRelation before
+  // any rewrite could be observed
+  private lazy val docsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dcr")
+      .resolve("docs").toString
+    ((0 until 60).map(i => (i.toLong, s"code_${i % 3}")) :+
+      (60L, null.asInstanceOf[String])).toDF("id", "code")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+  private def docs = spark.read.parquet(docsPath)
+
+  private def expensiveProj(): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    docs.select(col("id"), col("code"),
+      call_function("graft_ws_token_count",
+        coalesce(col("code"), lit("none"))).as("toks"))
+  }
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("expensive projection rewrites to distinct-compute-join-back, same rows") {
+    val naive = expensiveProj().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(!optimized(expensiveProj()).contains("Join"))
+    withRule {
+      val plan = optimized(expensiveProj())
+      assert(plan.contains("Join"), plan)
+      assert(plan.contains("Aggregate"), plan)
+      // the kernel must live in the distinct-aggregate branch (evaluated
+      // once per distinct key — CollapseProject merges it INTO the
+      // Aggregate), never in the outer per-row projection
+      val lines = plan.linesIterator.toSeq
+      val kernelLine = lines.indexWhere(_.contains("graft_ws_token_count"))
+      val aggLine = lines.indexWhere(_.contains("Aggregate"))
+      assert(!lines.head.contains("graft_ws_token_count"), plan)
+      assert(kernelLine >= 0 && aggLine >= 0 && kernelLine >= aggLine,
+        s"kernel not hoisted over the distinct:\n$plan")
+      val got = expensiveProj().collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == naive)
+      assert(got.size == 61) // null-key row survived the join-back
+    }
+  }
+
+  test("idempotent under the fixpoint: exactly one join-back") {
+    withRule {
+      val plan = optimized(expensiveProj())
+      assert("Join".r.findAllIn(plan).size == 1, plan)
+    }
+  }
+
+  test("cheap projections and distinct inputs stay untouched") {
+    withRule {
+      // cheap builtin: no kernel, no rewrite
+      val cheap = docs.select(col("id"), length(col("code")).as("n"))
+      assert(!optimized(cheap).contains("Join"))
+      // already distinct on the key: recompute-per-distinct is a no-op
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      val dist = docs.select("code").distinct()
+        .select(col("code"),
+          call_function("graft_ws_token_count",
+            coalesce(col("code"), lit("x"))).as("toks"))
+      assert(!optimized(dist).contains("Join"))
+    }
+  }
+
+  test("non-deterministic inputs are never duplicated across the join") {
+    withRule {
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      // `r` stays in the output, so the rand survives pruning and the
+      // child must NOT be duplicated across a join (each side would draw
+      // different numbers)
+      val nondet = docs.withColumn("r", rand(7))
+        .select(col("id"), col("code"), col("r"),
+          call_function("graft_ws_token_count",
+            coalesce(col("code"), lit("x"))).as("toks"))
+      assert(!optimized(nondet).contains("Join"))
+    }
+  }
+
+  test("off by default") {
+    assert(!optimized(expensiveProj()).contains("Join"))
+  }
+}
