@@ -1991,13 +1991,38 @@ object SparkEntry {
     // codec. The synthesized MP4s derive (w, h, duration) from the asset
     // id; the twin cross-derives the same values arithmetically in
     // python (tools/gen_mp4_golden.py) as golden VALUES joined to the
-    // live table. Frame FEATURES for codec video remain the declared
-    // featuresStub — a pure-JVM H.264 decoder is not available offline
+    // live table. Frame FEATURES for codec video are the container's
+    // sample-table signature (mm_mp4_features below) — per-pixel access
+    // would need an H.264 decoder no pure-JVM offline library provides
     "mm_mp4_metadata" -> ((s, dir) =>
       Multimodal.decodeVideo(SynthAssets.mp4s(mmDocs(s, dir), "doc_id"))
         .select(col("asset_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"))
+        .orderBy("asset_id")),
+    // codec-bearing MP4 FEATURES, hash-gated (r12, retiring the last
+    // stub): real per-frame facts from the container's sample table —
+    // stsz byte sizes, stss keyframe cadence — summarized as the
+    // container-level video signature (count, sync ratio, size moments,
+    // first/last bitrate-curve buckets). The twin cross-derives the
+    // same numbers from the generator arithmetic in python
+    // (tools/gen_mp4_golden.py --features), float32-narrowed like the
+    // kernel, so a bug in the stbl mux OR the walker OR the stats
+    // breaks the hash match
+    "mm_mp4_features" -> ((s, dir) =>
+      Multimodal.mp4Features(SynthAssets.mp4s(mmDocs(s, dir), "doc_id"))
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("long").as("n_samples"),
+          round(element_at(col("features"), 2).cast("double"), 4)
+            .as("sync_ratio"),
+          round(element_at(col("features"), 3).cast("double"), 4)
+            .as("mean_size"),
+          round(element_at(col("features"), 4).cast("double"), 4)
+            .as("std_size"),
+          round(element_at(col("features"), 5).cast("double"), 4)
+            .as("bc_first"),
+          round(element_at(col("features"), 12).cast("double"), 4)
+            .as("bc_last"))
         .orderBy("asset_id")),
 
     // ---- ML layer (M1–M10; rows-only — no SQL twin exists) ----------
@@ -2665,6 +2690,59 @@ object SparkEntry {
     // id->(w,h,dur) derivation (tools/gen_mp4_golden.py) WITHOUT touching
     // container bytes; the engine must reach the same numbers via real
     // BMFF mux + box walk, so either side breaking fails the hash
+    // sample-table goldens cross-derived by tools/gen_mp4_golden.py
+    // --features (python replication of the mux arithmetic + float32
+    // narrowing); joined to the live table so fixture drift fails loudly
+    "mm_mp4_features" -> (
+        "WITH g(asset_id, n_samples, sync_ratio, mean_size, std_size, bc_first, bc_last) AS (VALUES" +
+        " (0, 16, 0.2500, 652.5000, 231.3120, 6.2851, 6.8052), (7, 26, 0.3462, 628.7308, 217.3584, " +
+        "6.0331, 6.4073), (14, 23, 0.3478, 690.3478, 197.5169, 6.6444, 6.2934), (21, 14, 0.3571, 56" +
+        "9.5714, 224.9167, 6.8416, 6.4607), (28, 11, 0.1818, 623.0000, 238.0813, 6.8501, 5.9977), (" +
+        "35, 18, 0.5000, 597.1111, 210.6131, 6.2442, 6.1513), (42, 19, 0.1579, 639.0526, 194.6629, " +
+        "6.6207, 6.4146), (49, 28, 0.3571, 610.0714, 240.5100, 6.1115, 6.5937), (56, 21, 0.5238, 63" +
+        "5.0000, 219.1614, 6.3163, 6.3841), (63, 15, 0.5333, 610.0667, 239.8987, 5.6168, 6.7340), (" +
+        "70, 8, 0.2500, 610.7500, 271.8886, 6.6516, 6.8794), (77, 12, 0.3333, 625.1667, 220.4967, 6" +
+        ".1675, 6.6073), (84, 10, 0.2000, 478.3000, 253.4080, 6.1026, 6.4208), (91, 22, 0.2273, 615" +
+        ".5000, 173.8562, 6.4638, 6.3997), (98, 28, 0.3571, 640.7500, 223.8296, 6.2139, 6.4669), (1" +
+        "05, 18, 0.1667, 663.8889, 211.4729, 6.6470, 6.2983), (112, 12, 0.1667, 686.8333, 192.8786," +
+        " 6.7673, 5.9597), (119, 31, 0.5161, 573.8065, 223.0749, 6.4806, 6.4159), (126, 8, 0.2500, " +
+        "535.5000, 271.2107, 5.6971, 6.8865), (133, 11, 0.3636, 606.2727, 220.2924, 6.4877, 6.4983)" +
+        ", (140, 14, 0.3571, 674.8571, 247.8752, 6.3135, 6.7907), (147, 30, 0.5000, 535.3333, 236.8" +
+        "940, 6.3520, 6.3759), (154, 8, 0.2500, 473.5000, 181.4697, 5.5984, 5.9081), (161, 30, 0.33" +
+        "33, 658.6667, 210.0313, 6.4568, 6.5050), (168, 12, 0.3333, 683.8333, 176.1424, 6.1944, 6.4" +
+        "869), (175, 30, 0.2000, 593.4667, 183.7042, 5.9171, 6.3552), (182, 19, 0.2632, 522.6316, 2" +
+        "19.5875, 5.7219, 6.4882), (189, 23, 0.5217, 574.8261, 227.7271, 5.6150, 6.6183), (196, 15," +
+        " 0.5333, 609.9333, 196.5202, 6.4953, 6.4854), (203, 21, 0.1429, 598.7143, 222.9132, 6.6902" +
+        ", 6.2099), (210, 25, 0.1600, 570.0400, 239.5112, 6.4254, 6.2902), (217, 24, 0.2500, 571.91" +
+        "67, 206.1997, 6.4826, 6.3824), (224, 28, 0.1429, 592.9643, 209.9203, 6.3356, 6.4777), (231" +
+        ", 30, 0.1667, 517.1667, 233.2081, 5.8916, 6.3311), (238, 30, 0.5000, 570.1000, 204.2899, 6" +
+        ".4531, 6.3890), (245, 20, 0.3500, 576.2000, 182.5074, 6.1727, 6.7198), (252, 11, 0.5455, 4" +
+        "39.0909, 145.0269, 5.9636, 6.0673), (259, 8, 0.5000, 616.3750, 196.1969, 6.8276, 6.2046), " +
+        "(266, 15, 0.2000, 685.6667, 205.9258, 6.6529, 6.3377), (273, 15, 0.5333, 590.1334, 223.107" +
+        "7, 5.7366, 6.1301), (280, 29, 0.1724, 587.2414, 228.9758, 6.5587, 6.5561), (287, 17, 0.176" +
+        "5, 543.7647, 255.7787, 6.7099, 6.3705), (294, 23, 0.2174, 620.0435, 235.7997, 6.4762, 6.71" +
+        "62), (301, 21, 0.2857, 598.9048, 202.4721, 6.6114, 6.5328), (308, 17, 0.1765, 624.8235, 19" +
+        "2.1544, 6.5155, 6.3801), (315, 25, 0.5200, 569.1600, 227.8764, 6.2357, 6.2757), (322, 15, " +
+        "0.2667, 579.4000, 190.7182, 6.4265, 6.3725), (329, 26, 0.5000, 580.2692, 198.8584, 6.3835," +
+        " 6.4143), (336, 30, 0.5000, 696.7000, 243.3886, 6.3630, 6.2605), (343, 22, 0.2273, 665.818" +
+        "2, 215.7222, 6.6650, 6.7020), (350, 14, 0.5000, 675.2143, 151.5450, 5.7807, 6.4990), (357," +
+        " 10, 0.4000, 559.1000, 156.6387, 6.4552, 6.3181), (364, 20, 0.1500, 570.5000, 223.1978, 6." +
+        "6207, 5.9687), (371, 25, 0.2000, 661.6800, 251.7702, 6.6263, 6.3395), (378, 23, 0.1739, 58" +
+        "7.0435, 259.9738, 6.6752, 6.5657), (385, 19, 0.2632, 621.8947, 225.5321, 6.0556, 6.7867), " +
+        "(392, 30, 0.5000, 567.4333, 241.8565, 6.2785, 6.1790), (399, 23, 0.5217, 460.9131, 179.808" +
+        "1, 6.2851, 6.1862), (406, 8, 0.2500, 699.0000, 197.0812, 5.4161, 6.4998), (413, 15, 0.5333" +
+        ", 623.0000, 229.2140, 5.7869, 6.2700), (420, 26, 0.2308, 595.4231, 245.9225, 6.5391, 6.325" +
+        "3), (427, 26, 0.1923, 643.4231, 230.0067, 6.5352, 6.3496), (434, 24, 0.2500, 578.0417, 227" +
+        ".6539, 6.3497, 6.2583), (441, 21, 0.1429, 594.0476, 236.4873, 5.7668, 6.4988), (448, 17, 0" +
+        ".1765, 676.5883, 239.4138, 6.6952, 6.2716), (455, 13, 0.3846, 552.5385, 218.2383, 5.4681, " +
+        "6.1258), (462, 25, 0.3600, 614.3600, 195.5335, 6.2383, 6.5287), (469, 10, 0.5000, 672.1000" +
+        ", 253.0630, 6.8845, 5.9493), (476, 8, 0.2500, 662.0000, 204.7279, 6.6053, 6.8298), (483, 1" +
+        "6, 0.3750, 533.5000, 209.8791, 6.2413, 6.5214), (490, 21, 0.1429, 641.6190, 268.7707, 6.53" +
+        "60, 6.6678), (497, 30, 0.5000, 627.4667, 219.0999, 6.5573, 6.2061)) SELECT d.doc_id AS ass" +
+        "et_id, g.n_samples::BIGINT AS n_samples, g.sync_ratio::DOUBLE AS sync_ratio, g.mean_size::" +
+        "DOUBLE AS mean_size, g.std_size::DOUBLE AS std_size, g.bc_first::DOUBLE AS bc_first, g.bc_" +
+        "last::DOUBLE AS bc_last FROM documents d JOIN g ON g.asset_id = d.doc_id WHERE d.doc_id % " +
+        "7 = 0 ORDER BY asset_id"),
     "mm_mp4_metadata" -> (
         "WITH g(asset_id, w, h, d) AS (VALUES (0, 240, 160, 45437), (7, 272, 96, 37406), (14, 176, " +
         "176, 23634), (21, 176, 96, 6916), (28, 208, 176, 58585), (35, 256, 96, 21155), (42, 240, 1" +

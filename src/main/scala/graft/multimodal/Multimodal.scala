@@ -232,6 +232,63 @@ object Multimodal {
       if (isBmff) walk(0, b.length)
       (mime, width, height, dur)
     }
+
+    /** The first track's sample table, codec-free per-frame facts:
+      * (per-sample byte sizes from `stsz`, 1-based sync sample numbers
+      * from `stss` — ISO/IEC 14496-12 §8.7.3 / §8.6.2). None when the
+      * payload is not BMFF, carries no per-sample stsz (sample_size≠0 is
+      * the constant-size form), or is malformed. */
+    def sampleTable(b: Array[Byte]): Option[(Array[Int], Array[Int])] =
+      try sampleTable0(b) catch { case _: Exception => None }
+
+    private def sampleTable0(b: Array[Byte])
+        : Option[(Array[Int], Array[Int])] = {
+      def u32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      def u64(o: Int): Long =
+        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
+      def fourcc(o: Int): String = new String(b, o + 4, 4, "ISO-8859-1")
+      if (!(b.length >= 12 && fourcc(0) == "ftyp")) return None
+      var sizes = Option.empty[Array[Int]]
+      var syncs = Option.empty[Array[Int]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var sane = true
+        while (sane && o + 8 <= end && (sizes.isEmpty || syncs.isEmpty)) {
+          val size0 = u32(o)
+          val (hdr, size) =
+            if (size0 == 1 && o + 16 <= end) (16L, u64(o + 8))
+            else if (size0 == 0) (8L, (end - o).toLong)
+            else (8L, size0)
+          if (size < hdr || o + size > end) sane = false
+          else {
+            val body = (o + hdr).toInt
+            val bodyEnd = (o + size).toInt
+            fourcc(o) match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                walk(body, bodyEnd)
+              case "stsz" if sizes.isEmpty && body + 12 <= bodyEnd =>
+                val fixed = u32(body + 4)
+                val n = u32(body + 8).toInt
+                // n > 0: a zero-sample table has no facts to featurize
+                if (fixed == 0 && n > 0 && body + 12 + 4L * n <= bodyEnd)
+                  sizes = Some(Array.tabulate(n)(j =>
+                    u32(body + 12 + 4 * j).toInt))
+              case "stss" if syncs.isEmpty && body + 8 <= bodyEnd =>
+                val n = u32(body + 4).toInt
+                if (n >= 0 && body + 8 + 4L * n <= bodyEnd)
+                  syncs = Some(Array.tabulate(n)(j =>
+                    u32(body + 8 + 4 * j).toInt))
+              case _ => ()
+            }
+            o = (o + size).toInt
+          }
+        }
+      }
+      walk(0, b.length)
+      sizes.map(s => (s, syncs.getOrElse(Array.empty[Int])))
+    }
   }
 
   /** REAL image feature extraction: 64-bit DCT perceptual hash (pHash)
@@ -720,8 +777,7 @@ object Multimodal {
     df.withColumn("frames", fx(col("payload")))
   }
 
-  /** REAL video feature extraction for MJPEG-in-AVI (supersedes
-    * [[featuresStub]] for this container): decode up to `maxFrames`
+  /** REAL video feature extraction for MJPEG-in-AVI: decode up to `maxFrames`
     * evenly-spaced MJPEG frames and mean-pool each frame's 8×8
     * low-frequency DCT block ([[PHash.dctBlock]] — the pHash front half)
     * over time → a 64-dim float video embedding. Temporal mean pooling of
@@ -730,8 +786,10 @@ object Multimodal {
     * re-encoded) land nearby in cosine space, and the vector feeds the
     * embedding dedup/ANN operators (Similarity) directly. Null features
     * for null, non-AVI, or undecodable-frame payloads — a feature vector
-    * never fabricates content ([[featuresStub]] remains, declared, for
-    * codec-bearing containers like H.264-in-MP4). */
+    * never fabricates content (codec-bearing containers like
+    * H.264-in-MP4 get the container-level signature of
+    * [[mp4Features]] instead: frame pixels would need a codec no
+    * pure-JVM offline library provides). */
   def videoFeatures(df: DataFrame, maxFrames: Int = 8,
                     outCol: String = "features"): DataFrame = {
     val fx = udf { payload: Array[Byte] =>
@@ -763,26 +821,50 @@ object Multimodal {
     df.withColumn(outCol, fx(col("payload")))
   }
 
-  /** FEATURE STUB — now scoped to CODEC-BEARING video containers only
-    * (image features are real: [[imagePhash]]; audio features are real:
-    * [[audioFeatures]]; MJPEG-in-AVI video features are real:
-    * [[videoFeatures]], round 9). An H.264/H.265-in-MP4 embedding needs
-    * frame-pixel access and hence a codec the JDK doesn't provide
-    * ([[decodeVideo]] reads container metadata, which needs no codec);
-    * this stub keeps the Spark-side plumbing real and tested —
-    * fixed-width float features derived deterministically from payload
-    * bytes (per-position byte hash scaled to [0,1); zero-padded past the
-    * payload end). Pure-expression, so the feature pass is a full-speed
-    * scan; a real extractor swaps in at this exact signature
-    * (binary → Array[Float] `features`), exactly as [[videoFeatures]]
-    * did for the codec-free container. */
-  def featuresStub(df: DataFrame, dim: Int = 16): DataFrame =
-    df.withColumn("features",
-      transform(sequence(lit(1), lit(dim)), i =>
-        when(col("payload").isNotNull && i <= octet_length(col("payload")),
-          (pmod(xxhash64(col("payload").substr(i.cast("int"), lit(1))),
-            lit(256L)).cast("double") / 256.0).cast("float"))
-          .otherwise(lit(0.0f))))
+  /** REAL codec-bearing video features for MP4 — the retirement of the
+    * last stub (r12): pixel access to H.264/H.265 frames needs a codec
+    * the JDK doesn't provide, but the CONTAINER's sample table carries
+    * real per-frame facts no codec is needed for — per-sample byte
+    * sizes (stsz), sync-sample (keyframe) cadence (stss) — and those
+    * are the classic container-level video signature: bitrate-over-time
+    * curve + keyframe density survive re-muxing and identify streams
+    * cheaply at the catalog level (a per-pixel embedding would need the
+    * codec; that surface is covered for the codec-free container by
+    * [[videoFeatures]]).
+    *
+    * Emits `features`: [n_samples, sync_ratio, mean_size, std_size,
+    * log1p(mean size) over `buckets` equal stream-order buckets] —
+    * 4+buckets floats. Per ISO/IEC 14496-12 §8.6.2 an ABSENT stss means
+    * every sample is a sync sample (ratio 1). Null for null, non-BMFF,
+    * or sample-table-less payloads — a feature vector never fabricates
+    * content. Same scale shape as [[decodeImage]]: per-row black-box
+    * byte work, partition-preserving, no shuffle. */
+  def mp4Features(df: DataFrame, buckets: Int = 8): DataFrame = {
+    val fx = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else Bmff.sampleTable(payload).map { case (sizes, syncs) =>
+        val n = sizes.length
+        val mean = sizes.map(_.toDouble).sum / n
+        val sq = sizes.map(s => s.toDouble * s.toDouble).sum
+        val std = math.sqrt(math.max(sq / n - mean * mean, 0.0))
+        val syncCount = if (syncs.isEmpty) n else syncs.length
+        val curve = Array.tabulate(buckets) { k =>
+          val lo = (k.toLong * n / buckets).toInt
+          val hi = ((k + 1).toLong * n / buckets).toInt
+          if (hi <= lo) 0f
+          else {
+            var s = 0.0
+            var j = lo
+            while (j < hi) { s += sizes(j); j += 1 }
+            math.log1p(s / (hi - lo)).toFloat
+          }
+        }
+        Array(n.toFloat, syncCount.toFloat / n,
+          mean.toFloat, std.toFloat) ++ curve
+      }
+    }
+    df.withColumn("features", fx(col("payload")))
+  }
 
   /** Frame sampling: split a (video) payload into `n` evenly-spaced
     * fixed-size byte windows — the partition/batch shape of real frame

@@ -169,7 +169,39 @@ object SynthAssets {
       bb.putInt(w << 16).putInt(h << 16)     // 16.16 fixed-point @76
       bmffBox("tkhd", bb.array())
     }
-    val moov = bmffBox("moov", mvhd ++ bmffBox("trak", tkhd))
+    // REAL sample table (trak→mdia→minf→stbl): per-sample sizes (stsz,
+    // sample_size=0 form), sync-sample cadence (stss) and one stts run —
+    // the codec-free per-frame facts mp4Features reads. A real mdia
+    // carries mdhd/hdlr first; the synthetic container keeps only what
+    // the ISO grammar needs for the walk (documented minimalism, same
+    // as the metadata boxes above).
+    val ms = mix(id, 6)
+    val nSamples = 8 + ((ms >>> 4) % 25L).toInt   // 8..32 frames
+    val syncStep = 2 + ((ms >>> 12) % 6L).toInt   // keyframe every 2..7
+    val sampleSizes =
+      Array.tabulate(nSamples)(j => 200 + (nonneg(mix(id, 64 + j)) % 800L).toInt)
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * nSamples)
+      bb.putInt(0).putInt(0).putInt(nSamples) // v0+flags, per-sample, n
+      sampleSizes.foreach(bb.putInt)
+      bmffBox("stsz", bb.array())
+    }
+    val syncs = (1 to nSamples by syncStep).toArray
+    val stss = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+      bb.putInt(0).putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      bmffBox("stss", bb.array())
+    }
+    val stts = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(0).putInt(1) // one run: n samples, even ms spacing
+      bb.putInt(nSamples).putInt((durMs / nSamples).toInt)
+      bmffBox("stts", bb.array())
+    }
+    val mdia = bmffBox("mdia",
+      bmffBox("minf", bmffBox("stbl", stts ++ stss ++ stsz)))
+    val moov = bmffBox("moov", mvhd ++ bmffBox("trak", tkhd ++ mdia))
     val mdat = bmffBox("mdat",
       Array.tabulate(64 + (nonneg(m >>> 24) % 64L).toInt)(i =>
         mix(id, 5 + i).toByte))

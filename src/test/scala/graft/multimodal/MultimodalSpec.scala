@@ -382,12 +382,37 @@ class MultimodalSpec extends SparkSpec {
     assert(meta == (("video/x-msvideo", Some(64), Some(48), Some(40L))))
   }
 
-  test("featuresStub: fixed width, [0,1), zero-padded") {
-    val f = Multimodal.featuresStub(assets, dim = 8)
-      .select("asset_id", "features").as[(Long, Seq[Float])].collect().toMap
-    assert(f.values.forall(_.length == 8))
-    assert(f(1L).forall(v => v >= 0.0f && v < 1.0f))
-    assert(f(2L).forall(_ == 0.0f)) // empty payload → all padding
+  test("mp4Features: real stbl facts, null for non-MP4, mux↔parse roundtrip") {
+    // synthesized MP4s carry a real sample table; features must be
+    // 4+8 wide with n_samples/sync_ratio/mean/std matching the known
+    // generator arithmetic for this id
+    val mp4 = Seq((5L, SynthAssets.mp4Bytes(5L)),
+      (6L, "not a video".getBytes("UTF-8")),
+      (7L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload")
+    val f = Multimodal.mp4Features(mp4)
+      .select("asset_id", "features").as[(Long, Option[Seq[Float]])]
+      .collect().toMap
+    assert(f(6L).isEmpty && f(7L).isEmpty) // never fabricate features
+    val feats = f(5L).get
+    assert(feats.length == 12)
+    val Some((sizes, syncs)) = Multimodal.Bmff.sampleTable(SynthAssets.mp4Bytes(5L))
+    assert(feats(0) == sizes.length.toFloat)
+    assert(feats(1) == syncs.length.toFloat / sizes.length)
+    val mean = sizes.map(_.toDouble).sum / sizes.length
+    assert(feats(2) == mean.toFloat)
+    assert(sizes.forall(s => s >= 200 && s < 1000)) // generator range
+    assert(syncs.head == 1 && syncs.forall(s => s >= 1 && s <= sizes.length))
+    // per ISO §8.6.2: absent stss = every sample is sync (ratio 1)
+    val noStss = {
+      val b = SynthAssets.mp4Bytes(5L)
+      // blank the stss fourcc so the walker skips it
+      val i = b.indexOfSlice("stss".getBytes("ISO-8859-1"))
+      val c = b.clone(); c(i) = 'f'.toByte; c(i + 1) = 'r'.toByte; c
+    }
+    val f2 = Multimodal.mp4Features(
+        Seq((1L, noStss)).toDF("asset_id", "payload"))
+      .select("features").as[Option[Seq[Float]]].head().get
+    assert(f2(1) == 1.0f)
   }
 
   test("frameSample yields n frames per asset") {

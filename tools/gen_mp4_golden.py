@@ -41,15 +41,59 @@ def meta(asset_id):
     return w, h, dur
 
 
+def features(asset_id):
+    """Cross-derive mm_mp4_features: replicate the SynthAssets sample
+    table (stsz sizes + stss cadence) and the mp4Features stats
+    arithmetic, float32-narrowed exactly as the JVM kernel stores them,
+    then Spark-round (HALF_UP on the exact binary double)."""
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def f32(x):
+        return float(np.float32(x))
+
+    def spark_round(x, p=4):
+        q = Decimal(x).quantize(Decimal(1).scaleb(-p), rounding=ROUND_HALF_UP)
+        return format(q, 'f')
+
+    ms = mix(asset_id, 6)
+    n = 8 + (ms >> 4) % 25
+    sync_step = 2 + (ms >> 12) % 6
+    sizes = [200 + nonneg(mix(asset_id, 64 + j)) % 800 for j in range(n)]
+    syncs = list(range(1, n + 1, sync_step))
+    mean = sum(sizes) / n
+    sq = 0.0
+    for s in sizes:
+        sq += float(s) * float(s)
+    std = (max(sq / n - mean * mean, 0.0)) ** 0.5
+    import math as _m
+    def bucket(k, buckets=8):
+        lo, hi = k * n // buckets, (k + 1) * n // buckets
+        if hi <= lo:
+            return 0.0
+        acc = 0.0
+        for j in range(lo, hi):
+            acc += sizes[j]
+        return f32(_m.log1p(acc / (hi - lo)))
+    return (n, spark_round(f32(len(syncs) / n)), spark_round(f32(mean)),
+            spark_round(f32(std)), spark_round(bucket(0)),
+            spark_round(bucket(7)))
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    feat = "--features" in sys.argv
     ids = [r[0] for r in duckdb.sql(
         f"SELECT doc_id FROM '{sf}/documents.parquet' "
         "WHERE doc_id % 7 = 0 ORDER BY doc_id").fetchall()]
     rows = []
     for i in ids:
-        w, h, d = meta(i)
-        rows.append(f"({i}, {w}, {h}, {d})")
+        if feat:
+            n, sr, mn, sd, b1, b8 = features(i)
+            rows.append(f"({i}, {n}, {sr}, {mn}, {sd}, {b1}, {b8})")
+        else:
+            w, h, d = meta(i)
+            rows.append(f"({i}, {w}, {h}, {d})")
     print(", ".join(rows))
     print(f"-- {len(rows)} assets", file=sys.stderr)
 
