@@ -257,26 +257,60 @@ object Bench {
         }
       }
     }
-    // queries whose min-of-3 STILL exceeds 1.5x the session median: listed
-    // as name=ratio ('=' not ':' so parsePrevTimes' "name":t regex can
-    // never mistake a sweep entry for a query time)
-    val sweepNote = arbResults.collect {
+    // SWEEP ESCALATION (round-11 VERDICT #1): when min-of-3 + the
+    // total-level pass still leave sweep outliers, the contention window
+    // has outlasted every targeted re-run — stamping alone ships numbers
+    // up to 10x the code's real cost into the official record (r11:
+    // m3_knn_curve at 5.12 s vs 0.44-0.51 s in five same-code runs). One
+    // FULL-SUITE re-pass, merged per-query min: the bench total is
+    // already a sum of per-run minimums, so the merge keeps the record's
+    // semantics while giving every query one measurement outside the
+    // window. Failures stay failures (a single re-pass success cannot
+    // overturn the two-run failure verdict). Partial SPARK_GRAFT_ONLY
+    // loops skip escalation — only the official full-suite record
+    // justifies the extra pass.
+    val (finalResults, escalated) = {
+      val preSweep = arbResults.collect {
+        case (name, t, true) if outlier(name, t) => name
+      }
+      if (preSweep.isEmpty || only.nonEmpty) (arbResults, false)
+      else {
+        System.err.println(s"[bench] sweep escalation: ${preSweep.size} " +
+          "queries still >1.5x session median after arbitration " +
+          s"(${preSweep.mkString(",")}) — full-suite re-pass")
+        val rerun = selected.map { case (name, fn) =>
+          name -> runOnce(name, fn)
+        }.toMap
+        (arbResults.map {
+          case (name, t, true) => rerun.get(name) match {
+            case Some((rt, true)) => (name, math.min(t, rt), true)
+            case _ => (name, t, true)
+          }
+          case r => r
+        }, true)
+      }
+    }
+    // queries whose time STILL exceeds 1.5x the session median after
+    // every arbitration level: listed as name=ratio ('=' not ':' so
+    // parsePrevTimes' "name":t regex can never mistake a sweep entry for
+    // a query time)
+    val sweepNote = finalResults.collect {
       case (name, t, true) if outlier(name, t) =>
         f"$name=${t / sessionMedian(name)}%.2fx"
     }.mkString(",")
-    val qs = arbResults.map { case (k, v, ok) =>
+    val qs = finalResults.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
-    val okTimes = arbResults.collect { case (_, v, true) => v }
+    val okTimes = finalResults.collect { case (_, v, true) => v }
     val total = okTimes.sum
-    val nFail = arbResults.count(!_._3)
+    val nFail = finalResults.count(!_._3)
     // `action` stamped at the END: the driver keeps only the tail of this
     // line, and the era tag must survive that truncation (see above)
     // `value` sits at the FRONT of the line, which the driver's
     // tail-truncation eats (BENCH_r10's "parsed": null) — so the headline
     // total is ALSO stamped at the end as value_end, inside any
     // truncation window, making the shipped artifact self-contained
-    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","action":"$Action","value_end":$total}"""
+    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","value_end":$total}"""
     println(line)
     // full-suite runs feed the next run's arbitration via the (complete,
     // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not
