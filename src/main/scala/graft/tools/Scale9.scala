@@ -414,6 +414,37 @@ object Scale9 {
       }
     }
 
+    // m7_m9 cluster-pipeline scaling (r12, VERDICT r11 #8): the suite's
+    // slowest query had no x10/x100 row. Two questions: the KMeans
+    // iteration-scaling exponent, and whether the sf0.1-tuned
+    // repartition(8) input pinning (8 beat 32 at 5k docs — fewer task
+    // launches per iteration) survives a 10x/100x corpus. The pinning is
+    // a DETERMINISM device; at scale too few partitions serialize every
+    // iteration, so 8 vs 32 is measured head-to-head at each scale. The
+    // pinned input is localCheckpoint'ed first — the section times the
+    // tokenize→TF-IDF→KMeans pipeline, not the parquet scan — and round
+    // 1 is the warm-up.
+    if (sections("m7m9")) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        for (parts <- Seq(8, 32)) {
+          val pinned = docs0.repartition(parts, col("doc_id"))
+            .sortWithinPartitions("doc_id").localCheckpoint(true)
+          for (round <- 1 to 2) {
+            timed(s"m7m9 cluster x$xn parts=$parts r$round") {
+              graft.ml.TextPipeline
+                .clusterDocuments(pinned, "text", k = 5, nInit = 1)
+                .groupBy("cluster").count()
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+          pinned.unpersist()
+        }
+      }
+    }
+
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
         // persist + materialize, NOT localCheckpoint: unpersist() only
