@@ -625,20 +625,42 @@ object PlanAudit {
     // output projection, and the join-back must be a hash join on the
     // key (broadcast: the dim is 31 rows)
     SparkEntry.withDedupCompute(spark) {
+      // "per distinct key, not per row" is a TREE property, checked on
+      // the optimized logical plan rather than formatted-explain text:
+      // detail blocks are numbered leaves-first, so no fixed text
+      // position reliably identifies the top Project (the earlier check
+      // read the LOWEST-numbered one and could false-green). The tree
+      // form: every Project evaluating the kernel must sit above an
+      // Aggregate (the distinct) — in the naive plan the kernel Project
+      // sits straight on the scan, so this fails there by construction.
+      val perDistinct = {
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          Aggregate => LAgg, Project => LProj}
+        val oplan = SparkEntry.dedupNaiveProjection(spark, dir)
+          .queryExecution.optimizedPlan
+        def kernel(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          e.exists(_.toString.contains("graft_levenshtein"))
+        // two post-rewrite shapes: the dim Project above the distinct
+        // Aggregate, or (CollapseProject — the injected rule shares the
+        // operator-optimization fixed-point) the kernel merged INTO the
+        // Aggregate's output — both are once-per-distinct-key. A
+        // kernel-bearing Project with no Aggregate below is the naive
+        // per-row shape and must fail.
+        val sites = oplan.collect {
+          case ag: LAgg if ag.aggregateExpressions.exists(kernel) => true
+          case pr: LProj if pr.projectList.exists(kernel) =>
+            pr.child.exists { case _: LAgg => true; case _ => false }
+        }
+        sites.nonEmpty && sites.forall(identity)
+      }
       audit("j3b_dedup_auto (rule hoists kernel behind a distinct)", Seq(
         "join-back present (hash join)" ->
           (p => p.contains("BroadcastHashJoin") ||
             p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")),
         "distinct aggregate in the compute branch" ->
           (_.contains("HashAggregate")),
-        "kernel evaluated per distinct key, not per row" -> (p => {
-          // formatted explain: node 1 is the top Project; its detail
-          // block "(1) Project" must not carry the kernel
-          val topProject = p.split("\\(\\d+\\) Project")
-            .drop(1).headOption.map(_.split("\\(\\d+\\) ").head)
-          p.contains("graft_levenshtein") &&
-            topProject.exists(!_.contains("graft_levenshtein"))
-        }),
+        "kernel evaluated per distinct key, not per row" ->
+          (p => p.contains("graft_levenshtein") && perDistinct),
         "no cartesian / nested loop" ->
           (p => !p.contains("CartesianProduct") &&
             !p.contains("BroadcastNestedLoopJoin"))))(

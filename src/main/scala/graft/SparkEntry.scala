@@ -213,29 +213,25 @@ object SparkEntry {
         .cast("long").as("lang_dist"))
   }
 
-  /** Scope the DedupComputeRewrite conf to `body` (set → run →
-    * restore), mirroring withRangeJoinWidth. */
-  def withDedupCompute[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.graft.dedupCompute.enabled"
+  /** Scope a session conf to `body` (set → run → restore), so an
+    * opt-in rule's effect never leaks into other queries. */
+  private def withConf[T](s: SparkSession, key: String, value: String)
+                         (body: => T): T = {
     val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
+    s.conf.set(key, value)
     try body finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
   }
 
-  /** Scope the RangeJoinRewrite width conf to `body` (set → run →
-    * restore), so the rule's effect never leaks into other queries. */
-  def withRangeJoinWidth[T](s: SparkSession, w: String)(body: => T): T = {
-    val key = "spark.graft.rangeJoin.binWidth"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, w)
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  /** Scope the DedupComputeRewrite conf to `body`. */
+  def withDedupCompute[T](s: SparkSession)(body: => T): T =
+    withConf(s, "spark.graft.dedupCompute.enabled", "true")(body)
+
+  /** Scope the RangeJoinRewrite width conf to `body`. */
+  def withRangeJoinWidth[T](s: SparkSession, w: String)(body: => T): T =
+    withConf(s, "spark.graft.rangeJoin.binWidth", w)(body)
 
   /** The CMS sketch-build aggregate of llm_cms_counts, BEFORE its
     * driver-side head(): shared with PlanAudit so the plan gate covers
@@ -359,15 +355,38 @@ object SparkEntry {
     * argument m7_m9 rests on), so running the w2v→kneedle→DBSCAN chain
     * twice per suite bought nothing. The stats frame is tiny (one row
     * per cluster) and localCheckpoint'ed, so the memo holds no lineage
-    * or executor storage — only the few materialized rows. Keyed by
-    * (session, dir): a checkpointed frame is session-bound. */
-  private val flagshipStatsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * or executor storage — only the few materialized rows. Keyed by the
+    * SESSION OBJECT in a WeakHashMap (a checkpointed frame is
+    * session-bound; the earlier identity-hash string key could collide
+    * across sessions and pinned dead sessions for the JVM lifetime),
+    * dir inside. */
+  private val flagshipStatsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
   private def flagshipStats(s: SparkSession, dir: String): DataFrame =
-    flagshipStatsCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + dir,
-      _ => ClusterStats.stats(flagshipLabels(pinnedDocs(s, dir)),
-        "label", "text", "doc_id").localCheckpoint(true))
+    flagshipStatsCache.synchronized {
+      val perDir = Option(flagshipStatsCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        flagshipStatsCache.put(s, m); m
+      }
+      perDir.getOrElseUpdate(dir,
+        ClusterStats.stats(flagshipLabels(pinnedDocs(s, dir)),
+          "label", "text", "doc_id").localCheckpoint(true))
+    }
+
+  /** Bench hook, called before every TIMED run: the flagship pair share
+    * one fit via [[flagshipStatsCache]], so without a reset min-of-2
+    * would stamp `m_flagship_shape`'s second run — a memo read, ~ms —
+    * as the query's cost and erase the w2v→kneedle→DBSCAN pipeline from
+    * the official record entirely (the closing sweep only catches
+    * slower-than-median, never cached-fast). Dropping the memo before
+    * each run of the pair's FIT-PAYER (`m_flagship_shape`, which sorts
+    * and therefore runs first in both Verify and Bench) keeps its
+    * stamped time the real pipeline cost, while `m_flagship_w2v_dbscan`
+    * stamps the memo read — the suite total records fit-once + read,
+    * exactly what one suite pass pays. */
+  def benchReset(name: String): Unit =
+    if (name == "m_flagship_shape") flagshipStatsCache.clear()
 
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
   private def labeled(s: SparkSession, dir: String): DataFrame =

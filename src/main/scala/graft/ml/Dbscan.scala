@@ -147,15 +147,16 @@ object Dbscan {
     val sideBRaw = exploded("b", "fb")
     val sideB = {
       val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
-      // respect the session's broadcast budget: never force a broadcast
-      // larger than autoBroadcastJoinThreshold allows, and never force
-      // one at all when the user disabled auto-broadcast (-1) — a
-      // driver-memory decision this gate must not override
-      val sessionCap = BigInt(pts.sparkSession.sessionState.conf
-        .autoBroadcastJoinThreshold)
-      val cap = if (sessionCap < 0) BigInt(-1)
-                else sessionCap.min(BigInt(64L << 20))
-      if (cap > 0 && est * numHashTables * 6 <= cap) broadcast(sideBRaw)
+      // The hint exists precisely to EXCEED the auto threshold: stats
+      // overestimate the exploded side, so AQE alone would shuffle a
+      // relation we know fits. Gate at a fixed 64 MB — min()-ing with
+      // the session threshold (default 10 MB) would neuter the hint in
+      // every default session. The one user signal respected is the
+      // explicit disable (-1): that IS a driver-memory decision.
+      val disabled = pts.sparkSession.sessionState.conf
+        .autoBroadcastJoinThreshold < 0
+      if (!disabled && est * numHashTables * 6 <= BigInt(64L << 20))
+        broadcast(sideBRaw)
       else sideBRaw
     }
     sideA.join(sideB, Seq("entry", "hv"))

@@ -181,113 +181,121 @@ object Multimodal {
         ("application/octet-stream", None, None, None)
       }
 
-    private def parse0(b: Array[Byte])
-        : (String, Option[Int], Option[Int], Option[Long]) = {
-      def u32(o: Int): Long =
-        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
-          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
-      def u64(o: Int): Long =
-        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
-      def fourcc(o: Int): String = new String(b, o + 4, 4, "ISO-8859-1")
-      val isBmff = b.length >= 12 && fourcc(0) == "ftyp"
-      val mime = if (isBmff) "video/mp4" else "application/octet-stream"
-      var width, height = Option.empty[Int]
-      var dur = Option.empty[Long]
-      def walk(start: Int, end: Int): Unit = {
-        var o = start
-        var sane = true
-        while (sane && o + 8 <= end) {
-          val size0 = u32(o)
-          val (hdr, size) =
-            if (size0 == 1 && o + 16 <= end) (16L, u64(o + 8))
-            else if (size0 == 0) (8L, (end - o).toLong)
-            else (8L, size0)
-          if (size < hdr || o + size > end) sane = false
-          else {
-            val body = (o + hdr).toInt
-            val bodyEnd = (o + size).toInt
-            fourcc(o) match {
-              case "moov" | "trak" => walk(body, bodyEnd)
-              case "mvhd" if dur.isEmpty && body < bodyEnd =>
-                val v = b(body) & 0xFF
-                val (ts, d) =
-                  if (v == 1 && body + 32 <= bodyEnd) (u32(body + 20), u64(body + 24))
-                  else if (v == 0 && body + 20 <= bodyEnd) (u32(body + 12), u32(body + 16))
-                  else (0L, 0L)
-                if (ts > 0) dur = Some(math.round(d * 1000.0 / ts))
-              case "tkhd" if width.isEmpty && body < bodyEnd =>
-                val v = b(body) & 0xFF
-                val wOff = body + (if (v == 1) 88 else 76)
-                if (wOff + 8 <= bodyEnd) {
-                  val w = (u32(wOff) >> 16).toInt // 16.16 fixed-point
-                  val h = (u32(wOff + 4) >> 16).toInt
-                  if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
-                }
-              case _ => ()
-            }
-            o = (o + size).toInt
-          }
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
+    /** Box type fourcc — at o+4, after the u32 size field. */
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, "ISO-8859-1")
+    private def isBmff(b: Array[Byte]): Boolean =
+      b.length >= 12 && boxType(b, 0) == "ftyp"
+
+    /** THE box-grammar walker, shared by [[parse0]] and [[sampleTable0]]
+      * (one copy of the size==1 largesize / size==0 to-end-of-enclosure
+      * header logic and the sanity bounds): descends into boxes whose
+      * type is in `recurse`, hands every box (type, body, bodyEnd) to
+      * `leaf`, aborts the level on a malformed size. */
+    private def walkBoxes(b: Array[Byte], start: Int, end: Int,
+                          recurse: Set[String],
+                          leaf: (String, Int, Int) => Unit): Unit = {
+      var o = start
+      var sane = true
+      while (sane && o + 8 <= end) {
+        val size0 = u32(b, o)
+        val (hdr, size) =
+          if (size0 == 1 && o + 16 <= end) (16L, u64(b, o + 8))
+          else if (size0 == 0) (8L, (end - o).toLong)
+          else (8L, size0)
+        if (size < hdr || o + size > end) sane = false
+        else {
+          val body = (o + hdr).toInt
+          val bodyEnd = (o + size).toInt
+          val typ = boxType(b, o)
+          if (recurse(typ)) walkBoxes(b, body, bodyEnd, recurse, leaf)
+          else leaf(typ, body, bodyEnd)
+          o = (o + size).toInt
         }
       }
-      if (isBmff) walk(0, b.length)
+    }
+
+    private def parse0(b: Array[Byte])
+        : (String, Option[Int], Option[Int], Option[Long]) = {
+      val bmff = isBmff(b)
+      val mime = if (bmff) "video/mp4" else "application/octet-stream"
+      var width, height = Option.empty[Int]
+      var dur = Option.empty[Long]
+      if (bmff) walkBoxes(b, 0, b.length, Set("moov", "trak"), {
+        case ("mvhd", body, bodyEnd) if dur.isEmpty && body < bodyEnd =>
+          val v = b(body) & 0xFF
+          val (ts, d) =
+            if (v == 1 && body + 32 <= bodyEnd)
+              (u32(b, body + 20), u64(b, body + 24))
+            else if (v == 0 && body + 20 <= bodyEnd)
+              (u32(b, body + 12), u32(b, body + 16))
+            else (0L, 0L)
+          if (ts > 0) dur = Some(math.round(d * 1000.0 / ts))
+        case ("tkhd", body, bodyEnd) if width.isEmpty && body < bodyEnd =>
+          val v = b(body) & 0xFF
+          val wOff = body + (if (v == 1) 88 else 76)
+          if (wOff + 8 <= bodyEnd) {
+            val w = (u32(b, wOff) >> 16).toInt // 16.16 fixed-point
+            val h = (u32(b, wOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
+          }
+        case _ => ()
+      })
       (mime, width, height, dur)
     }
 
-    /** The first track's sample table, codec-free per-frame facts:
+    /** One track's sample table, codec-free per-frame facts:
       * (per-sample byte sizes from `stsz`, 1-based sync sample numbers
-      * from `stss` — ISO/IEC 14496-12 §8.7.3 / §8.6.2). None when the
-      * payload is not BMFF, carries no per-sample stsz (sample_size≠0 is
-      * the constant-size form), or is malformed. */
+      * from `stss` — ISO/IEC 14496-12 §8.7.3 / §8.6.2). stsz and stss
+      * are paired WITHIN a single `trak` only — a typical H.264+AAC
+      * file has an audio trak with a per-sample stsz and no stss, so a
+      * whole-file first-of-each walk would pair audio sample sizes with
+      * video keyframe numbers. The track chosen is the first one
+      * carrying an stss (the video convention); when no trak has one,
+      * the first with a per-sample stsz (absent stss = every sample is
+      * a sync sample, §8.6.2). None when the payload is not BMFF,
+      * carries no per-sample stsz (sample_size≠0 is the constant-size
+      * form), or is malformed. */
     def sampleTable(b: Array[Byte]): Option[(Array[Int], Array[Int])] =
       try sampleTable0(b) catch { case _: Exception => None }
 
     private def sampleTable0(b: Array[Byte])
         : Option[(Array[Int], Array[Int])] = {
-      def u32(o: Int): Long =
-        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
-          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
-      def u64(o: Int): Long =
-        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
-      def fourcc(o: Int): String = new String(b, o + 4, 4, "ISO-8859-1")
-      if (!(b.length >= 12 && fourcc(0) == "ftyp")) return None
-      var sizes = Option.empty[Array[Int]]
-      var syncs = Option.empty[Array[Int]]
-      def walk(start: Int, end: Int): Unit = {
-        var o = start
-        var sane = true
-        while (sane && o + 8 <= end && (sizes.isEmpty || syncs.isEmpty)) {
-          val size0 = u32(o)
-          val (hdr, size) =
-            if (size0 == 1 && o + 16 <= end) (16L, u64(o + 8))
-            else if (size0 == 0) (8L, (end - o).toLong)
-            else (8L, size0)
-          if (size < hdr || o + size > end) sane = false
-          else {
-            val body = (o + hdr).toInt
-            val bodyEnd = (o + size).toInt
-            fourcc(o) match {
-              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-                walk(body, bodyEnd)
-              case "stsz" if sizes.isEmpty && body + 12 <= bodyEnd =>
-                val fixed = u32(body + 4)
-                val n = u32(body + 8).toInt
-                // n > 0: a zero-sample table has no facts to featurize
-                if (fixed == 0 && n > 0 && body + 12 + 4L * n <= bodyEnd)
-                  sizes = Some(Array.tabulate(n)(j =>
-                    u32(body + 12 + 4 * j).toInt))
-              case "stss" if syncs.isEmpty && body + 8 <= bodyEnd =>
-                val n = u32(body + 4).toInt
-                if (n >= 0 && body + 8 + 4L * n <= bodyEnd)
-                  syncs = Some(Array.tabulate(n)(j =>
-                    u32(body + 8 + 4 * j).toInt))
-              case _ => ()
-            }
-            o = (o + size).toInt
-          }
-        }
-      }
-      walk(0, b.length)
-      sizes.map(s => (s, syncs.getOrElse(Array.empty[Int])))
+      if (!isBmff(b)) return None
+      val traks =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Array[Int], Option[Array[Int]])]
+      walkBoxes(b, 0, b.length, Set("moov"), {
+        case ("trak", trakBody, trakEnd) =>
+          var sizes = Option.empty[Array[Int]]
+          var syncs = Option.empty[Array[Int]]
+          walkBoxes(b, trakBody, trakEnd, Set("mdia", "minf", "stbl"), {
+            case ("stsz", body, bodyEnd)
+                if sizes.isEmpty && body + 12 <= bodyEnd =>
+              val fixed = u32(b, body + 4)
+              val n = u32(b, body + 8).toInt
+              // n > 0: a zero-sample table has no facts to featurize
+              if (fixed == 0 && n > 0 && body + 12 + 4L * n <= bodyEnd)
+                sizes = Some(Array.tabulate(n)(j =>
+                  u32(b, body + 12 + 4 * j).toInt))
+            case ("stss", body, bodyEnd)
+                if syncs.isEmpty && body + 8 <= bodyEnd =>
+              val n = u32(b, body + 4).toInt
+              if (n >= 0 && body + 8 + 4L * n <= bodyEnd)
+                syncs = Some(Array.tabulate(n)(j =>
+                  u32(b, body + 8 + 4 * j).toInt))
+            case _ => ()
+          })
+          sizes.foreach(s => traks += ((s, syncs)))
+        case _ => ()
+      })
+      traks.find(_._2.isDefined).orElse(traks.headOption)
+        .map { case (s, sy) => (s, sy.getOrElse(Array.empty[Int])) }
     }
   }
 

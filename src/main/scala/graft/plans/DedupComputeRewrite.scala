@@ -42,7 +42,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    kernel, a ScalaUDF (always interpreted), or a regexp/levenshtein
   *    class builtin;
   *  - `child` is itself fully deterministic (it appears on both sides of
-  *    the rewritten join) and not streaming;
+  *    the rewritten join) and not streaming; subqueries anywhere under
+  *    `child` also bail — `InSubquery.deterministic` only inspects the
+  *    outer-reference children, not the subquery's own plan, so a
+  *    `WHERE id IN (SELECT … WHERE rand() < p)` would pass the
+  *    expression-level guard yet draw different rows on the two copies
+  *    of `child`, and the inner join-back would silently drop rows;
   *  - `child` is not already distinct on the key (an Aggregate whose
   *    grouping covers the refs) — the semantics guard that also makes
   *    the rule idempotent: the rewritten compute-branch Project sits
@@ -86,7 +91,9 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case p @ Project(list, child)
           if !child.isStreaming &&
-            child.find(_.expressions.exists(!_.deterministic)).isEmpty =>
+            child.find(_.expressions.exists(e =>
+              !e.deterministic ||
+                e.exists(_.isInstanceOf[SubqueryExpression]))).isEmpty =>
         val alreadyDistinct = distinctOutputs(child)
         val expensive = list.collect {
           case a @ Alias(e, _)

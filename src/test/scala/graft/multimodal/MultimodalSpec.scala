@@ -415,6 +415,50 @@ class MultimodalSpec extends SparkSpec {
     assert(f2(1) == 1.0f)
   }
 
+  test("sampleTable pairs stsz/stss within ONE trak (multi-track MP4)") {
+    // a typical H.264+AAC layout: audio trak FIRST with a per-sample
+    // stsz and no stss, video trak second with both. The table must be
+    // the video trak's — pairing the first stsz and first stss found
+    // anywhere in the file would return audio sizes with video keyframe
+    // numbers, a nonsense signature.
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+      bb.array()
+    }
+    def stsz(sizes: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      bb.putInt(0).putInt(0).putInt(sizes.length)
+      sizes.foreach(bb.putInt)
+      box("stsz", bb.array())
+    }
+    def stss(syncs: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+      bb.putInt(0).putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      box("stss", bb.array())
+    }
+    def trak(stbl: Array[Byte]): Array[Byte] =
+      box("trak", box("mdia", box("minf", box("stbl", stbl))))
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    val audioSizes = Array(11, 12, 13, 14, 15)
+    val videoSizes = Array(900, 300, 310, 920, 305)
+    val videoSyncs = Array(1, 4)
+    val multi = ftyp ++ box("moov",
+      trak(stsz(audioSizes)) ++ trak(stsz(videoSizes) ++ stss(videoSyncs)))
+    val Some((sizes, syncs)) = Multimodal.Bmff.sampleTable(multi)
+    assert(sizes.toSeq == videoSizes.toSeq, "must be the stss trak's sizes")
+    assert(syncs.toSeq == videoSyncs.toSeq)
+    // no trak carries an stss → first per-sample stsz wins (absent
+    // stss = every sample is sync, ISO §8.6.2)
+    val noSync = ftyp ++ box("moov",
+      trak(stsz(audioSizes)) ++ trak(stsz(videoSizes)))
+    val Some((s2, y2)) = Multimodal.Bmff.sampleTable(noSync)
+    assert(s2.toSeq == audioSizes.toSeq && y2.isEmpty)
+  }
+
   test("frameSample yields n frames per asset") {
     val fr = Multimodal.frameSample(assets.filter($"asset_id" === 1), n = 4)
       .select("frames").as[Seq[Array[Byte]]].head()

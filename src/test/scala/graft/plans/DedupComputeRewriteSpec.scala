@@ -106,4 +106,34 @@ class DedupComputeRewriteSpec extends SparkSpec {
   test("off by default") {
     assert(!optimized(expensiveProj()).contains("Join"))
   }
+
+  test("a subquery under the child bails (its plan evades the " +
+    "expression-level determinism check)") {
+    withRule {
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      docs.createOrReplaceTempView("dcr_subq_docs")
+      // rand() lives in the SUBQUERY's plan: InSubquery.deterministic
+      // only inspects the outer-reference children, so without the
+      // plan-level subquery guard the rewrite would duplicate the child
+      // and each copy's subquery could draw different rows — silent row
+      // loss through the inner join-back. (rand() < 2 keeps every row,
+      // so the VALUE assertion is deterministic; only the plan is at
+      // stake.)
+      val df = spark.sql(
+        """SELECT id, code,
+          |  graft_ws_token_count(coalesce(code, 'none')) AS toks
+          |FROM dcr_subq_docs
+          |WHERE id IN (SELECT id FROM dcr_subq_docs WHERE rand() < 2.0)
+          |""".stripMargin)
+      // the rule's fingerprint is the distinct Aggregate it introduces;
+      // the subquery itself optimizes to a semi-join, so assert on
+      // Aggregate, not Join
+      val oplan = df.queryExecution.optimizedPlan
+      assert(!oplan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }, oplan.toString)
+      assert(df.count() == 61)
+    }
+  }
 }
