@@ -39,8 +39,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Guards (all must hold, else the plan is untouched):
   *  - the expensive alias is deterministic, references at least one and
   *    only child attributes; "expensive" = contains a graft.* native
-  *    kernel, a ScalaUDF (always interpreted), or a regexp/levenshtein
-  *    class builtin;
+  *    kernel, a ScalaUDF (always interpreted), a regexp/levenshtein
+  *    class builtin, or a JSON-parse builtin;
   *  - `child` is itself fully deterministic (it appears on both sides of
   *    the rewritten join) and not streaming; subqueries anywhere under
   *    `child` also bail — `InSubquery.deterministic` only inspects the
@@ -67,6 +67,13 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     case _: ScalaUDF => true
     case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll => true
     case _: Levenshtein => true
+    // per-row JSON parsing — the classic expensive projection over a
+    // low-cardinality column (log `props` fields repeat endlessly; the
+    // p3 query's predicate is unpushable for exactly this reason).
+    // Pays when the documents are real log JSON (KBs); measured
+    // breakeven-to-loss on toy single-key strings (Scale9 `dedupc`
+    // cheapJson rows) — part of why the rule is opt-in per session
+    case _: GetJsonObject | _: JsonTuple | _: JsonToStructs => true
     case other => other.getClass.getName.startsWith("graft.")
   }
 

@@ -445,6 +445,79 @@ object Scale9 {
       }
     }
 
+    // DedupComputeRewrite on its REAL shape (r12): a heavy per-row
+    // kernel over a column whose values repeat — the reference flagship
+    // runs its cascade once per DISTINCT error message (589 of 2826,
+    // README.md:43). The corpus self-scales by unioning id-offset copies
+    // of documents (log streams grow in rows, not in distinct messages —
+    // the rewrite's premise: at x100 text stays 5k-distinct under 500k
+    // rows). NAIVE runs the difflib ratio kernel (~300-char text vs a
+    // ~190-char pattern, quadratic matching-block recursion — the F9
+    // fuzzy kernel the reference applies per message) once per row;
+    // REWRITE runs it once per distinct value and broadcast-joins back.
+    // (First measured with graft_levenshtein: the bit-parallel kernel
+    // is ~0.6 µs/row — CHEAPER than the join-back, rewrite lost 0.3 s
+    // vs 1.8 s at x100. The quadratic kernel is where hoisting pays.)
+    // The input is
+    // pinned (m7m9 style) so the section times the projection, not xn
+    // unioned scans of the same parquet file. Round 1 is the warm-up.
+    if (sections("dedupc")) {
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      val pattern = "Transfer failure: the destination storage endpoint " +
+        "refused the connection after three retries; checksum validation " +
+        "was not attempted and the request was requeued for later delivery"
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      for (xn <- Seq(1, 10, 100)) {
+        val d = (0 until xn).map(c => docs.select(
+            (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_.union(_)).localCheckpoint(true)
+        def proj = d.select(col("doc_id"),
+          call_function("graft_seq_ratio", col("text"), lit(pattern))
+            .as("ratio"))
+        for (round <- 1 to 2) {
+          timed(s"dedupCompute x$xn NAIVE r$round") {
+            proj.write.format("noop").mode("overwrite").save()
+          }
+          timed(s"dedupCompute x$xn REWRITE r$round") {
+            graft.SparkEntry.withDedupCompute(spark) {
+              proj.write.format("noop").mode("overwrite").save()
+            }
+          }
+        }
+        d.unpersist()
+      }
+
+      // counter-measurement: the SAME rewrite over a projection too
+      // cheap to amortize the join-back — single-path get_json_object
+      // on events.props (9-char JSON, 100 distinct over 10M rows at
+      // x100). Parsing ~= hashing the string for the broadcast probe,
+      // so the second scan + distinct agg is pure overhead. This is the
+      // measured reason the rule is conf-gated opt-in rather than
+      // always-on: "expensive" is a data property (real log JSON runs
+      // KBs, where the parse dominates), not an operator property.
+      val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("event_id"), col("props"))
+      val ev = (0 until 100).map(c => base.select(
+          (col("event_id") + lit(c.toLong * 10000000L)).as("event_id"),
+          col("props")))
+        .reduce(_.union(_)).localCheckpoint(true)
+      def projJson = ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      for (round <- 1 to 2) {
+        timed(s"dedupCompute cheapJson x100 NAIVE r$round") {
+          projJson.write.format("noop").mode("overwrite").save()
+        }
+        timed(s"dedupCompute cheapJson x100 REWRITE r$round") {
+          graft.SparkEntry.withDedupCompute(spark) {
+            projJson.write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      ev.unpersist()
+    }
+
     if (sections("skew")) {
       for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
         // persist + materialize, NOT localCheckpoint: unpersist() only

@@ -107,6 +107,24 @@ class DedupComputeRewriteSpec extends SparkSpec {
     assert(!optimized(expensiveProj()).contains("Join"))
   }
 
+  test("per-row JSON parsing counts as expensive and rewrites") {
+    val p = java.nio.file.Files.createTempDirectory("graft_dcr_json")
+      .resolve("ev").toString
+    (0 until 80).map(i => (i.toLong, s"""{"k": ${i % 4}}"""))
+      .toDF("id", "props").write.mode("overwrite").parquet(p)
+    val ev = spark.read.parquet(p)
+    def proj = ev.select(col("id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val naive = proj.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(!optimized(proj).contains("Join"))
+    withRule {
+      val plan = optimized(proj)
+      assert(plan.contains("Join") && plan.contains("Aggregate"), plan)
+      val got = proj.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == naive && got.size == 80)
+    }
+  }
+
   test("a subquery under the child bails (its plan evades the " +
     "expression-level determinism check)") {
     withRule {
