@@ -759,6 +759,17 @@ object PlanAudit {
       "partial aggregation" -> (_.contains("partial_"))))(
       SparkEntry.queries("s13_dsv2_scan")(spark, dir))
 
+    // the REST DSv2 scan must print its planned page span (parallel
+    // executor-side fetch, not the sequential driver pager) and a column
+    // list pruned to what the aggregate reads — title/id token-skipped
+    // inside the parser
+    audit("s16_rest_v2 (parallel page plan + pruned parse)", Seq(
+      "page span planned up front" -> (_.contains("pages=[0,20)")),
+      "columns pruned to state+prio" ->
+        (p => p.contains("cols=state,prio") && !p.contains("title")),
+      "partial aggregation" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s16_rest_v2")(spark, dir))
+
     // the box predicate must reach the parquet reader on BOTH columns —
     // pushdown is what turns the Z-order layout into actual skipping
     audit("s12_zorder_scan (both box predicates pushed to parquet)", Seq(

@@ -516,6 +516,28 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")),
+    // S16 the REST pager as a DataSource V2 scan — S1's 100 TB path:
+    // one driver probe of page 0 reads the envelope count, then pages
+    // are dealt into pagesPerTask partitions and fetched IN PARALLEL on
+    // executors (the driver-side s1 pager is pages × RTT, sequential by
+    // construction). Column pruning reaches the catalyst JacksonParser
+    // (title/id token-skipped, never parsed) and a LIMIT truncates the
+    // page plan itself (RestV2Spec proves pages beyond ⌈limit/pageSize⌉
+    // are never requested, via server hit counters). Served by the
+    // in-JVM fixture; records are a pure function of the index, so the
+    // whole source — sockets, envelope, pagination, parse — is
+    // hash-gated by a generate_series twin
+    "s16_rest_v2" -> ((s, dir) => {
+      val fx = graft.sources.v2.RestFixture(5000L, 250)
+      s.read.format("graft.sources.v2.RestSource")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, state STRING, prio BIGINT, title STRING"))
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("pagesPerTask", 4).load()
+        .groupBy("state")
+        .agg(count(lit(1)).as("cnt"), sum(col("prio")).as("sum_prio"))
+        .orderBy("state")
+    }),
     // S15 hive-partitioned sink → partition-PRUNED scan: the third
     // skipping mechanism next to row-group stats (s12) and DSv2
     // planning (s13) — the predicate on the partition column prunes
@@ -2959,6 +2981,13 @@ object SparkEntry {
         "(i * 48271) % 1000 AS n_chars " +
         "FROM generate_series(25000, 49999) t(i)) " +
         "GROUP BY lang ORDER BY lang"),
+    // the REST source's deterministic grid regenerated from scratch —
+    // cross-engine gate over the parallel pager end to end
+    "s16_rest_v2" -> (
+      "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
+        "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
+        "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
+        "GROUP BY state ORDER BY state"),
     "s3_s6_json_roundtrip" -> (
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
     "s9_csv_roundtrip" -> (

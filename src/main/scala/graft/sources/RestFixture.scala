@@ -1,0 +1,106 @@
+package graft.sources.v2
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Offline stand-in for the reference's paginated issue API: an in-JVM
+  * `com.sun.net.httpserver.HttpServer` serving the DRF-style envelope
+  * `{"count": N, "next": url|null, "results": [...]}` at
+  * `…/api/issues?page=N` (0-based). Everything [[RestSource]] touches —
+  * sockets, envelope, pagination math — is exercised for real; only the
+  * remote host is local.
+  *
+  * Records are a deterministic pure function of the record index, so the
+  * registered query is hash-gated by a DuckDB `generate_series` twin that
+  * regenerates the same rows from scratch (the SynthV2 pattern): record i
+  * is `{"id": i, "state": states[i%4], "prio": (i*7)%5,
+  * "title": "issue-" + i}`.
+  *
+  * Per-page hit counters let specs assert FETCH behavior, not just row
+  * content — limit pushdown is proven by "only page 0 was requested",
+  * which no result-set check could show.
+  */
+object RestFixture {
+  val States: Array[String] = Array("closed", "in_progress", "new", "resolved")
+
+  def recordJson(i: Long): String =
+    s"""{"id":$i,"state":"${States((i % 4).toInt)}","prio":${(i * 7) % 5},"title":"issue-$i"}"""
+
+  def pageJson(baseUrl: String, count: Long, pageSize: Int, page: Long): String = {
+    val lo = page * pageSize
+    val hi = math.min(lo + pageSize, count)
+    val results = (lo until hi).map(recordJson).mkString(",")
+    val next =
+      if (hi < count) "\"" + RestV2.pageUrl(baseUrl, page + 1) + "\"" else "null"
+    s"""{"count":$count,"next":$next,"results":[$results]}"""
+  }
+
+  /** One fixture = one (count, pageSize) grid at a path of its own on the
+    * shared server. `url` is the base to hand to RestSource. */
+  final class Fixture(val url: String, val count: Long, val pageSize: Int) {
+    private[RestFixture] val hits = new ConcurrentHashMap[Long, AtomicLong]()
+    def hitsFor(page: Long): Long =
+      Option(hits.get(page)).map(_.get).getOrElse(0L)
+    def pagesTouched: Set[Long] = {
+      import scala.jdk.CollectionConverters._
+      hits.keySet.asScala.toSet
+    }
+    def resetHits(): Unit = hits.clear()
+  }
+
+  private val fixtures = new ConcurrentHashMap[(Long, Int), Fixture]()
+  @volatile private var server: HttpServer = _
+
+  private def ensureServer(): HttpServer = synchronized {
+    if (server == null) {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      // daemon threads everywhere: the fixture must never keep a driver
+      // JVM alive after its main exits (Verify/Bench/One all create the
+      // server). The handler pool gets an explicit daemon factory; the
+      // JDK dispatcher thread inherits daemon status from the STARTING
+      // thread, so start() runs on a short-lived daemon thread.
+      s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val t = new Thread(r, "rest-fixture"); t.setDaemon(true); t }))
+      val starter = new Thread(() => s.start(), "rest-fixture-start")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => s.stop(0)))
+      server = s
+    }
+    server
+  }
+
+  /** Lazily start (once per JVM) and register a grid at
+    * `/api/issues/{count}/{pageSize}`; memoized per (count, pageSize). */
+  def apply(count: Long, pageSize: Int): Fixture =
+    fixtures.computeIfAbsent((count, pageSize), { case (c, ps) =>
+      val s = ensureServer()
+      val path = s"/api/issues/${c}_$ps"
+      val base = s"http://127.0.0.1:${s.getAddress.getPort}$path"
+      val fx = new Fixture(base, c, ps)
+      s.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val page = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&")).collectFirst {
+              case kv if kv.startsWith("page=") => kv.drop(5).toLong
+            }.getOrElse(0L)
+          fx.hits.computeIfAbsent(page, _ => new AtomicLong).incrementAndGet()
+          val totalPages = (c + ps - 1) / ps
+          if (page < 0 || page >= math.max(totalPages, 1)) {
+            ex.sendResponseHeaders(404, -1); ex.close()
+          } else {
+            val body = pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.add("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+            ex.close()
+          }
+        }
+      })
+      fx
+    })
+}

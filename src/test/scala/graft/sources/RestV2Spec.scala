@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.v2.{RestFixture, RestPartition, RestScan, RestScanBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The REST DSv2 source against the in-JVM fixture server: row parity
+  * with the deterministic grid, parallel page planning, column pruning
+  * into the parser, and limit pushdown proven by the server's per-page
+  * hit counters (pages NOT fetched, not just rows not returned). */
+class RestV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL(
+    "id BIGINT, state STRING, prio BIGINT, title STRING")
+
+  private def read(fx: RestFixture.Fixture, pagesPerTask: Int = 3,
+                   withSchema: Boolean = true): DataFrame = {
+    val r = spark.read.format("graft.sources.v2.RestSource")
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("pagesPerTask", pagesPerTask)
+    (if (withSchema) r.schema(schema) else r).load()
+  }
+
+  test("end-to-end row parity with the deterministic grid") {
+    val fx = RestFixture(437L, 50) // 9 pages, last one ragged
+    val got = read(fx).orderBy("id")
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(got.size == 437)
+    assert(got.map(_._1) == (0L until 437L))
+    assert(got.forall { case (i, st, pr, ti) =>
+      st == RestFixture.States((i % 4).toInt) &&
+        pr == (i * 7) % 5 && ti == s"issue-$i"
+    })
+  }
+
+  test("schema inference probes page 0 and matches the explicit schema") {
+    val df = read(RestFixture(437L, 50), withSchema = false)
+    assert(df.schema.fieldNames.sorted.toSeq == Seq("id", "prio", "state", "title"))
+    assert(df.count() == 437)
+  }
+
+  test("count probe reads the envelope when the option is absent") {
+    // read() never passes count — the table planned 437 rows purely from
+    // the driver probe of page 0; a wrong count would change the page
+    // plan and the row total
+    val fx = RestFixture(437L, 50)
+    fx.resetHits()
+    assert(read(fx).count() == 437)
+    // the probe itself hits page 0 once more than the scan does; all 9
+    // pages were fetched for the full count
+    assert(fx.pagesTouched == (0L until 9L).toSet)
+  }
+
+  test("pages are dealt into pagesPerTask-sized parallel partitions") {
+    val b = new RestScanBuilder("http://unused", schema,
+      count = 437L, pageSize = 50, pagesPerTask = 4)
+    val parts = b.build().asInstanceOf[RestScan]
+      .planInputPartitions().map(_.asInstanceOf[RestPartition])
+    assert(parts.map(p => (p.startPage, p.endPage)).toSeq ==
+      Seq((0L, 4L), (4L, 8L), (8L, 9L)))
+  }
+
+  test("column pruning reaches the parser") {
+    val df = read(RestFixture(437L, 50)).select("state", "prio")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=state,prio"), plan)
+    assert(df.distinct().count() == 4 * 5)
+  }
+
+  test("limit pushdown truncates the PAGE plan — unneeded pages never fetched") {
+    val fx = RestFixture(100000L, 100) // 1000 pages
+    fx.resetHits()
+    val got = read(fx).select("id").limit(7).collect()
+    assert(got.length == 7) // Spark's exact limit stays on top
+    // 7 rows need ⌈7/100⌉ = 1 page; the other 999 were never requested
+    assert(fx.pagesTouched == Set(0L))
+  }
+
+  test("fully-pruned schema (count star) still counts every record") {
+    val fx = RestFixture(437L, 50)
+    assert(read(fx).groupBy().count().as[Long].head() == 437L)
+  }
+
+  test("empty table plans zero partitions") {
+    val b = new RestScanBuilder("http://unused", schema,
+      count = 0L, pageSize = 50, pagesPerTask = 4)
+    assert(b.build().asInstanceOf[RestScan].planInputPartitions().isEmpty)
+  }
+}
