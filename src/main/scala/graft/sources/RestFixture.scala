@@ -38,9 +38,12 @@ object RestFixture {
     s"""{"count":$count,"next":$next,"results":[$results]}"""
   }
 
-  /** One fixture = one (count, pageSize) grid at a path of its own on the
-    * shared server. `url` is the base to hand to RestSource. */
-  final class Fixture(val url: String, val count: Long, val pageSize: Int) {
+  /** One fixture = one (count, pageSize, latencyMs) grid at a path of its
+    * own on the shared server. `url` is the base to hand to RestSource.
+    * `latencyMs` sleeps before each response — the WAN RTT knob that makes
+    * the sequential-vs-parallel ingest comparison honest on localhost. */
+  final class Fixture(val url: String, val count: Long, val pageSize: Int,
+                      val latencyMs: Long = 0L) {
     private[RestFixture] val hits = new ConcurrentHashMap[Long, AtomicLong]()
     def hitsFor(page: Long): Long =
       Option(hits.get(page)).map(_.get).getOrElse(0L)
@@ -51,7 +54,7 @@ object RestFixture {
     def resetHits(): Unit = hits.clear()
   }
 
-  private val fixtures = new ConcurrentHashMap[(Long, Int), Fixture]()
+  private val fixtures = new ConcurrentHashMap[(Long, Int, Long), Fixture]()
   @volatile private var server: HttpServer = _
 
   private def ensureServer(): HttpServer = synchronized {
@@ -62,7 +65,10 @@ object RestFixture {
       // server). The handler pool gets an explicit daemon factory; the
       // JDK dispatcher thread inherits daemon status from the STARTING
       // thread, so start() runs on a short-lived daemon thread.
-      s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      // cached (not fixed-8) pool: a real API answers concurrent callers
+      // concurrently; a small fixed pool would cap the measured client
+      // parallelism at the FIXTURE's width instead of the scan's
+      s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
         (r: Runnable) => { val t = new Thread(r, "rest-fixture"); t.setDaemon(true); t }))
       val starter = new Thread(() => s.start(), "rest-fixture-start")
       starter.setDaemon(true)
@@ -75,13 +81,13 @@ object RestFixture {
   }
 
   /** Lazily start (once per JVM) and register a grid at
-    * `/api/issues/{count}/{pageSize}`; memoized per (count, pageSize). */
-  def apply(count: Long, pageSize: Int): Fixture =
-    fixtures.computeIfAbsent((count, pageSize), { case (c, ps) =>
+    * `/api/issues/{count}_{pageSize}_{latencyMs}`; memoized per key. */
+  def apply(count: Long, pageSize: Int, latencyMs: Long = 0L): Fixture =
+    fixtures.computeIfAbsent((count, pageSize, latencyMs), { case (c, ps, lat) =>
       val s = ensureServer()
-      val path = s"/api/issues/${c}_$ps"
+      val path = s"/api/issues/${c}_${ps}_$lat"
       val base = s"http://127.0.0.1:${s.getAddress.getPort}$path"
-      val fx = new Fixture(base, c, ps)
+      val fx = new Fixture(base, c, ps, lat)
       s.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
           val page = Option(ex.getRequestURI.getQuery).toSeq
@@ -89,6 +95,7 @@ object RestFixture {
               case kv if kv.startsWith("page=") => kv.drop(5).toLong
             }.getOrElse(0L)
           fx.hits.computeIfAbsent(page, _ => new AtomicLong).incrementAndGet()
+          if (lat > 0) Thread.sleep(lat)
           val totalPages = (c + ps - 1) / ps
           if (page < 0 || page >= math.max(totalPages, 1)) {
             ex.sendResponseHeaders(404, -1); ex.close()

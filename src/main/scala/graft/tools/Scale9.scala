@@ -559,6 +559,38 @@ object Scale9 {
       }
     }
 
+    // REST ingest parallelism (r12): the sequential driver pager vs the
+    // DSv2 parallel page scan against the SAME in-JVM fixture with a
+    // simulated 25 ms WAN RTT (localhost alone would hide the latency
+    // the parallelism exists to amortize). 256 pages × 25 ms floors the
+    // sequential walk at ~6.4 s no matter the cluster size; the DSv2
+    // scan deals pages into partitions and pays ~latency × pagesPerTask
+    // per wave. Row totals are asserted equal so both paths demonstrably
+    // ingest the same table.
+    if (sections("rest")) {
+      import graft.sources.v2.RestFixture
+      val fx = RestFixture(51200L, 200, latencyMs = 25L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, state STRING, prio BIGINT, title STRING")
+      for (round <- 1 to 2) {
+        val nSeq = timed(s"rest ingest SEQUENTIAL driver pager r$round") {
+          graft.sources.Sources.paginatedJson(spark, { i =>
+            if (i.toLong * fx.pageSize >= fx.count) None
+            else Some(graft.sources.v2.RestHttp.get(
+              graft.sources.v2.RestV2.pageUrl(fx.url, i)))
+          }).select(explode(col("results")).as("r")).count()
+        }
+        val nPar = timed(s"rest ingest PARALLEL DSv2 scan      r$round") {
+          spark.read.format("graft.sources.v2.RestSource").schema(schema)
+            .option("url", fx.url).option("pageSize", fx.pageSize)
+            .option("count", fx.count).option("pagesPerTask", 8).load()
+            .count()
+        }
+        require(nSeq == nPar && nPar == fx.count,
+          s"row totals diverged: seq=$nSeq par=$nPar expected=${fx.count}")
+      }
+    }
+
     // Range-join scaling (r10): FIXED probe-interval set (the base
     // sf0.1 every-97th order, the decon-style pinned benchmark), points
     // grow ×10/×100. The binned rewrite's cost is candidate pairs =
