@@ -43,11 +43,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * registered query run against the in-JVM [[RestFixture]] server.
   */
 class RestSource extends TableProvider {
+  // page-0 body cached across inferSchema → getTable (Spark calls both
+  // on the same provider instance when the schema is omitted): one
+  // driver round-trip serves both the record sample and the count field
+  @volatile private var page0: (String, String) = _
+  private def probeBody(url: String): String = {
+    val cached = page0
+    if (cached != null && cached._1 == url) cached._2
+    else {
+      val body = RestHttp.get(RestV2.pageUrl(url, 0))
+      page0 = (url, body)
+      body
+    }
+  }
+  private def requiredUrl(opts: CaseInsensitiveStringMap): String =
+    Option(opts.get("url")).getOrElse(
+      throw new IllegalArgumentException("RestSource requires option 'url'"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // one driver-side probe of page 0, schema inferred from its records;
     // production callers pass an explicit schema and skip this entirely
-    val body = RestHttp.get(RestV2.pageUrl(options.get("url"), 0))
-    val records = RestV2.resultStrings(body)
+    val records = RestV2.resultStrings(probeBody(requiredUrl(options)))
     val spark = SparkSession.active
     import spark.implicits._
     spark.read.json(spark.createDataset(records)).schema
@@ -56,13 +72,12 @@ class RestSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val url = Option(opts.get("url")).getOrElse(
-      throw new IllegalArgumentException("RestSource requires option 'url'"))
+    val url = requiredUrl(opts)
     val pageSize = opts.getInt("pageSize", 0)
     require(pageSize > 0, s"RestSource requires option 'pageSize' > 0, got $pageSize")
     val count =
       if (opts.containsKey("count")) opts.getLong("count", 0L)
-      else RestV2.probeCount(url)
+      else RestV2.countFromEnvelope(probeBody(url))
     require(count >= 0, s"count must be nonnegative, got $count")
     new RestTable(url, schema, count, pageSize, opts.getInt("pagesPerTask", 8))
   }
@@ -74,13 +89,11 @@ object RestV2 {
 
   private val mapper = new ObjectMapper
 
-  /** Driver probe: page 0's envelope carries the total record count
-    * (the DRF-style `{"count": N, …}` convention the reference's API
-    * serves). Servers without it must pass `count` as an option or fall
-    * back to the sequential driver pager. */
-  def probeCount(url: String): Long = {
-    val node = mapper.readTree(RestHttp.get(pageUrl(url, 0)))
-    val c = node.get("count")
+  /** The envelope's total record count (the DRF-style `{"count": N, …}`
+    * convention the reference's API serves). Servers without it must pass
+    * `count` as an option or fall back to the sequential driver pager. */
+  def countFromEnvelope(body: String): Long = {
+    val c = mapper.readTree(body).get("count")
     require(c != null && c.canConvertToLong,
       s"page 0 envelope has no integral 'count' field; pass option(\"count\", n) " +
         "or use the sequential driver pager for next-link-only APIs")
@@ -146,7 +159,8 @@ class RestScan(url: String, full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     if (plannedPages == 0) return Array.empty
     (0L until plannedPages by pagesPerTask.toLong).map { s =>
-      RestPartition(url, s, math.min(s + pagesPerTask, plannedPages)): InputPartition
+      RestPartition(url, s, math.min(s + pagesPerTask, plannedPages),
+        count): InputPartition
     }.toArray
   }
 
@@ -154,8 +168,8 @@ class RestScan(url: String, full: StructType, required: StructType,
     new RestReaderFactory(full, required)
 }
 
-case class RestPartition(url: String, startPage: Long, endPage: Long)
-    extends InputPartition
+case class RestPartition(url: String, startPage: Long, endPage: Long,
+                         plannedCount: Long) extends InputPartition
 
 class RestReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -178,8 +192,13 @@ class RestPartitionReader(part: RestPartition, full: StructType,
   private val element: StructType =
     if (required.isEmpty) StructType(full.take(1)) else required
   private val emitEmpty = required.isEmpty
+  private val emptyRow = new GenericInternalRow(0) // immutable; shared
+  // the envelope count rides along so every page cross-checks the page
+  // plan — a stale user-supplied `count` fails loudly instead of
+  // silently truncating the table
   private val envelope = StructType(Seq(
-    StructField("results", ArrayType(element), nullable = true)))
+    StructField("results", ArrayType(element), nullable = true),
+    StructField("count", LongType, nullable = true)))
   private val parser = new JacksonParser(envelope,
     new JSONOptions(Map.empty[String, String], "UTC"),
     allowArrayAsStructs = false)
@@ -195,11 +214,16 @@ class RestPartitionReader(part: RestPartition, full: StructType,
       val parsed = parser.parse[String](body, CreateJacksonParser.string,
         UTF8String.fromString).toArray
       val buf = parsed.flatMap { env =>
+        if (!env.isNullAt(1) && env.getLong(1) != part.plannedCount)
+          throw new java.io.IOException(
+            s"envelope count ${env.getLong(1)} != planned count " +
+              s"${part.plannedCount} (page ${page - 1} of ${part.url}) — " +
+              "the 'count' option is stale; drop it to re-probe at planning")
         if (env.isNullAt(0)) Array.empty[InternalRow]
         else {
           val arr = env.getArray(0)
           Array.tabulate(arr.numElements()) { j =>
-            if (emitEmpty) new GenericInternalRow(0)
+            if (emitEmpty) emptyRow
             else if (arr.isNullAt(j)) new GenericInternalRow(element.size)
             else arr.getStruct(j, element.size)
           }
@@ -221,6 +245,10 @@ class RestPartitionReader(part: RestPartition, full: StructType,
 
 /** Minimal bounded-retry HTTP GET (java.net only — no extra deps). */
 object RestHttp {
+  /** A definitive non-200 answer — 4xx never succeeds on retry. */
+  final class HttpStatusException(val code: Int, url: String)
+      extends java.io.IOException(s"HTTP $code from $url")
+
   def get(url: String, attempts: Int = 3): String = {
     var last: Throwable = null
     var backoffMs = 200L
@@ -228,6 +256,9 @@ object RestHttp {
       try {
         return getOnce(url)
       } catch {
+        // the server answered: a 4xx is deterministic, fail fast;
+        // 5xx and transport errors are the transient class retry exists for
+        case e: HttpStatusException if e.code < 500 => throw e
         case e: java.io.IOException =>
           last = e
           if (a < attempts) { Thread.sleep(backoffMs); backoffMs *= 2 }
@@ -243,7 +274,7 @@ object RestHttp {
     conn.setReadTimeout(30000)
     try {
       val code = conn.getResponseCode
-      if (code != 200) throw new java.io.IOException(s"HTTP $code from $url")
+      if (code != 200) throw new HttpStatusException(code, url)
       val in = conn.getInputStream
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()

@@ -84,6 +84,33 @@ class RestV2Spec extends SparkSpec {
     assert(read(fx).groupBy().count().as[Long].head() == 437L)
   }
 
+  test("stale count option fails loudly instead of silently truncating") {
+    val fx = RestFixture(437L, 50)
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.v2.RestSource").schema(schema)
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("count", 200L) // yesterday's number; the API now has 437
+        .load().count()
+    }
+    // every page's envelope carries the true count; the reader
+    // cross-checks it against the page plan
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("envelope count 437 != planned count 200")),
+      messages(ex).mkString(" | "))
+  }
+
+  test("4xx is definitive: no retry burn on a page past the end") {
+    val fx = RestFixture(437L, 50) // 9 pages; page 99 is a 404
+    fx.resetHits()
+    val ex = intercept[graft.sources.v2.RestHttp.HttpStatusException] {
+      graft.sources.v2.RestHttp.get(
+        graft.sources.v2.RestV2.pageUrl(fx.url, 99))
+    }
+    assert(ex.code == 404)
+    assert(fx.hitsFor(99) == 1) // answered definitively on attempt 1
+  }
+
   test("empty table plans zero partitions") {
     val b = new RestScanBuilder("http://unused", schema,
       count = 0L, pageSize = 50, pagesPerTask = 4)
