@@ -770,6 +770,16 @@ object PlanAudit {
       "partial aggregation" -> (_.contains("partial_"))))(
       SparkEntry.queries("s16_rest_v2")(spark, dir))
 
+    // the pushed equality must reach the server as a query param AND
+    // shrink the page plan to the filtered count's span (1250 of 5000
+    // records → 5 of 20 pages); a Spark-side re-filter would pass rows
+    // but the params/pages markers would vanish
+    audit("s16b_rest_filter (server-side filter pushdown)", Seq(
+      "filter pushed as query param" -> (_.contains("params=state=new")),
+      "page plan covers only the filtered span" -> (_.contains("pages=[0,5)")),
+      "partial aggregation" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s16b_rest_filter")(spark, dir))
+
     // the box predicate must reach the parquet reader on BOTH columns —
     // pushdown is what turns the Z-order layout into actual skipping
     audit("s12_zorder_scan (both box predicates pushed to parquet)", Seq(

@@ -538,6 +538,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("prio")).as("sum_prio"))
         .orderBy("state")
     }),
+    // S16b server-side filter pushdown: the equality predicate on the
+    // declared-filterable column becomes a query param, the scan
+    // re-probes the FILTERED count, and only the 5 pages the 1250
+    // matching records span are planned or fetched (the unfiltered
+    // table is 20) — the network-volume analogue of parquet predicate
+    // pushdown, plan-gated on the printed params + page span
+    "s16b_rest_filter" -> ((s, dir) => {
+      val fx = graft.sources.v2.RestFixture(5000L, 250)
+      s.read.format("graft.sources.v2.RestSource")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, state STRING, prio BIGINT, title STRING"))
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("filterParams", "state").load()
+        .filter(col("state") === "new")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
+        .orderBy("prio")
+    }),
     // S15 hive-partitioned sink → partition-PRUNED scan: the third
     // skipping mechanism next to row-group stats (s12) and DSv2
     // planning (s13) — the predicate on the partition column prunes
@@ -2981,6 +2999,14 @@ object SparkEntry {
         "(i * 48271) % 1000 AS n_chars " +
         "FROM generate_series(25000, 49999) t(i)) " +
         "GROUP BY lang ORDER BY lang"),
+    // the filtered grid regenerated from scratch: the twin applies the
+    // SAME equality the server applied, so a pushdown bug (wrong param,
+    // wrong filtered count, wrong page plan) breaks the hash
+    "s16b_rest_filter" -> (
+      "SELECT prio, count(*) AS cnt, sum(id)::BIGINT AS sum_id " +
+        "FROM (SELECT i AS id, ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
+        "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
+        "WHERE state = 'new' GROUP BY prio ORDER BY prio"),
     // the REST source's deterministic grid regenerated from scratch —
     // cross-engine gate over the parallel pager end to end
     "s16_rest_v2" -> (

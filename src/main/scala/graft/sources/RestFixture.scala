@@ -38,6 +38,30 @@ object RestFixture {
     s"""{"count":$count,"next":$next,"results":[$results]}"""
   }
 
+  /** The filtered variant: `ids` are the records matching the request's
+    * filter params; `count` is THEIR total (what a DRF filterset serves). */
+  def pageJsonIds(baseUrl: String, ids: Seq[Long], pageSize: Int,
+                  page: Long): String = {
+    val lo = (page * pageSize).toInt
+    val hi = math.min(lo + pageSize, ids.size)
+    val results = ids.slice(lo, hi).map(recordJson).mkString(",")
+    val next =
+      if (hi < ids.size) "\"" + RestV2.pageUrl(baseUrl, page + 1) + "\"" else "null"
+    s"""{"count":${ids.size},"next":$next,"results":[$results]}"""
+  }
+
+  /** Does record `i` match an equality filter param? Mirrors
+    * [[recordJson]]'s grid field by field; an unknown field is a client
+    * error the handler answers 400 to (a real filterset rejects it). */
+  private[v2] def fieldMatches(i: Long, field: String, v: String): Option[Boolean] =
+    field match {
+      case "state" => Some(States((i % 4).toInt) == v)
+      case "prio"  => Some(((i * 7) % 5).toString == v)
+      case "id"    => Some(i.toString == v)
+      case "title" => Some(s"issue-$i" == v)
+      case _       => None
+    }
+
   /** One fixture = one (count, pageSize, latencyMs) grid at a path of its
     * own on the shared server. `url` is the base to hand to RestSource.
     * `latencyMs` sleeps before each response — the WAN RTT knob that makes
@@ -90,21 +114,37 @@ object RestFixture {
       val fx = new Fixture(base, c, ps, lat)
       s.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
-          val page = Option(ex.getRequestURI.getQuery).toSeq
-            .flatMap(_.split("&")).collectFirst {
-              case kv if kv.startsWith("page=") => kv.drop(5).toLong
-            }.getOrElse(0L)
+          val kvs = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&")).map { kv =>
+              val Array(k, v) = kv.split("=", 2).padTo(2, "")
+              (java.net.URLDecoder.decode(k, StandardCharsets.UTF_8),
+                java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+            }
+          val page = kvs.collectFirst { case ("page", v) => v.toLong }.getOrElse(0L)
+          val filters = kvs.filter(_._1 != "page")
           fx.hits.computeIfAbsent(page, _ => new AtomicLong).incrementAndGet()
           if (lat > 0) Thread.sleep(lat)
-          val totalPages = (c + ps - 1) / ps
-          if (page < 0 || page >= math.max(totalPages, 1)) {
-            ex.sendResponseHeaders(404, -1); ex.close()
-          } else {
-            val body = pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8)
+          def respond(code: Int, body: Array[Byte]): Unit = {
             ex.getResponseHeaders.add("Content-Type", "application/json")
-            ex.sendResponseHeaders(200, body.length)
-            ex.getResponseBody.write(body)
+            ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+            if (body.nonEmpty) ex.getResponseBody.write(body)
             ex.close()
+          }
+          if (filters.exists { case (k, _) => fieldMatches(0, k, "").isEmpty }) {
+            respond(400, Array.empty) // unknown filter field
+          } else if (filters.isEmpty) {
+            // unfiltered fast path: the contiguous grid, no id scan
+            val totalPages = (c + ps - 1) / ps
+            if (page < 0 || page >= math.max(totalPages, 1)) respond(404, Array.empty)
+            else respond(200,
+              pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8))
+          } else {
+            val ids = (0L until c).filter(i =>
+              filters.forall { case (k, v) => fieldMatches(i, k, v).get })
+            val totalPages = (ids.size + ps - 1) / ps
+            if (page < 0 || page >= math.max(totalPages, 1)) respond(404, Array.empty)
+            else respond(200, pageJsonIds(RestV2.withParams(base, filters), ids,
+              ps, page).getBytes(StandardCharsets.UTF_8))
           }
         }
       })

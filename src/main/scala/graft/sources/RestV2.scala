@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,6 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planned pages at ⌈limit/pageSize⌉, so `df.limit(10)` against a
   *    million-page API fetches ONE page. Reported partially-pushed, so
   *    Spark keeps its own exact limit on top.
+  *  - **Filter pushdown into query params.** Equality predicates on
+  *    columns the API declares filterable (option `filterParams`)
+  *    become query params, so the SERVER shrinks the result set and the
+  *    scan re-probes the filtered `count` — a 1% selective filter plans
+  *    (and transfers) 1% of the pages. The network-volume analogue of
+  *    parquet predicate pushdown.
   *
   * HTTP is plain `java.net` with bounded retry; any reachable base URL
   * works, which is what makes the executor-side fetch real on a cluster
@@ -79,13 +86,29 @@ class RestSource extends TableProvider {
       if (opts.containsKey("count")) opts.getLong("count", 0L)
       else RestV2.countFromEnvelope(probeBody(url))
     require(count >= 0, s"count must be nonnegative, got $count")
-    new RestTable(url, schema, count, pageSize, opts.getInt("pagesPerTask", 8))
+    // `filterParams`: comma-list of columns the API filters server-side
+    // (equality via query param) — a capability declaration, like the
+    // DRF filterset the reference's API exposes
+    val filterable = Option(opts.get("filterParams")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    new RestTable(url, schema, count, pageSize,
+      opts.getInt("pagesPerTask", 8), filterable)
   }
 }
 
 object RestV2 {
   def pageUrl(base: String, page: Long): String =
     base + (if (base.contains("?")) "&" else "?") + s"page=$page"
+
+  /** Base URL + server-side filter params (URL-encoded). */
+  def withParams(base: String, params: Seq[(String, String)]): String =
+    if (params.isEmpty) base
+    else {
+      def enc(s: String) =
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      base + (if (base.contains("?")) "&" else "?") +
+        params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    }
 
   private val mapper = new ObjectMapper
 
@@ -110,23 +133,27 @@ object RestV2 {
 }
 
 class RestTable(url: String, schema0: StructType, count: Long,
-                pageSize: Int, pagesPerTask: Int) extends Table with SupportsRead {
+                pageSize: Int, pagesPerTask: Int, filterable: Set[String])
+    extends Table with SupportsRead {
   require(pagesPerTask > 0, s"pagesPerTask must be positive, got $pagesPerTask")
   override def name(): String = s"graft_rest($url)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(url, schema0, count, pageSize, pagesPerTask)
+    new RestScanBuilder(url, schema0, count, pageSize, pagesPerTask, filterable)
 }
 
 class RestScanBuilder(url: String, full: StructType, count: Long,
-                      pageSize: Int, pagesPerTask: Int)
+                      pageSize: Int, pagesPerTask: Int,
+                      filterable: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
 
   private var required: StructType = full
   private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
+  private var params: Seq[(String, String)] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -136,12 +163,52 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new RestScan(url, full, required, count, pageSize, pagesPerTask, limit)
+  /** Server-side filtering: an equality predicate on a column the API
+    * declares filterable (option `filterParams`) becomes a query param,
+    * so the SERVER shrinks the result set — the pages its filtered
+    * `count` spans are the only ones planned or fetched. This is the
+    * network-volume analogue of parquet predicate pushdown: a 1%
+    * selective filter means 1% of the pages cross the wire. Accepted
+    * filters are exact (the server applies the same equality), so Spark
+    * drops them from the post-scan plan; anything else is rejected and
+    * evaluated by Spark as usual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def paramValue(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[java.lang.Number].longValue.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None // fractional/temporal: string-rendering is not exact
+    }
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(col, v) if filterable(col) =>
+        paramValue(v) match {
+          case Some(s) => params :+= (col, s); true
+          case None => false
+        }
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // the filtered result set has its own count — re-probe page 0 WITH
+    // the params so the page plan covers exactly the filtered pages
+    val effUrl = RestV2.withParams(url, params)
+    val effCount =
+      if (params.isEmpty) count
+      else RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0)))
+    new RestScan(effUrl, full, required, effCount, pageSize, pagesPerTask,
+      limit, params)
+  }
 }
 
 class RestScan(url: String, full: StructType, required: StructType,
-               count: Long, pageSize: Int, pagesPerTask: Int, limit: Int)
+               count: Long, pageSize: Int, pagesPerTask: Int, limit: Int,
+               params: Seq[(String, String)] = Nil)
     extends Scan with Batch {
 
   private val totalPages: Long = (count + pageSize - 1) / pageSize
@@ -154,7 +221,10 @@ class RestScan(url: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRestScan pages=[0,$plannedPages) cols=${required.fieldNames.mkString(",")}" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (params.nonEmpty)
+        s" params=${params.map { case (k, v) => s"$k=$v" }.mkString("&")}"
+      else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (plannedPages == 0) return Array.empty

@@ -84,6 +84,50 @@ class RestV2Spec extends SparkSpec {
     assert(read(fx).groupBy().count().as[Long].head() == 437L)
   }
 
+  test("declared equality filter is pushed as a query param — server shrinks the pages") {
+    val fx = RestFixture(5000L, 50) // unfiltered: 100 pages
+    fx.resetHits()
+    val df = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("filterParams", "state").load()
+      .filter(col("state") === "new")
+    val rows = df.select("id").as[Long].collect().sorted
+    // state == "new" is i % 4 == 2 on the grid: 1250 records, 25 pages
+    assert(rows.toSeq == (0L until 5000L).filter(_ % 4 == 2))
+    assert(fx.pagesTouched == (0L until 25L).toSet) // never the other 75
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("params=state=new"), plan)
+    assert(plan.contains("pages=[0,25)"), plan)
+  }
+
+  test("undeclared column's filter stays Spark-side") {
+    val fx = RestFixture(437L, 50)
+    val df = read(fx).filter(col("prio") === 3L) // filterParams not set
+    assert(df.count() == (0L until 437L).count(i => (i * 7) % 5 == 3))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("params="), plan) // nothing pushed to the server
+  }
+
+  test("pushed filter and pushed limit compose on the filtered page plan") {
+    val fx = RestFixture(5000L, 50)
+    fx.resetHits()
+    val got = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("filterParams", "state").load()
+      .filter(col("state") === "new").select("id").limit(5).collect()
+    assert(got.length == 5)
+    assert(fx.pagesTouched == Set(0L)) // one filtered page serves the limit
+  }
+
+  test("zero-match pushed filter plans zero partitions") {
+    val fx = RestFixture(437L, 50)
+    val n = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("filterParams", "state").load()
+      .filter(col("state") === "no_such_state").count()
+    assert(n == 0L)
+  }
+
   test("stale count option fails loudly instead of silently truncating") {
     val fx = RestFixture(437L, 50)
     val ex = intercept[Exception] {
