@@ -780,6 +780,15 @@ object PlanAudit {
       "partial aggregation" -> (_.contains("partial_"))))(
       SparkEntry.queries("s16b_rest_filter")(spark, dir))
 
+    // the completely-pushed COUNT(*): the plan must contain the count
+    // scan (no per-row aggregation at all) carrying the pushed filter
+    // param — the whole query is one envelope probe
+    audit("s16c_rest_count (complete COUNT(*) pushdown)", Seq(
+      "count scan node" -> (_.contains("GraftRestCountScan")),
+      "pushed filter param on the count" -> (_.contains("params=state=new")),
+      "probed filtered count" -> (_.contains("count=1250"))))(
+      SparkEntry.queries("s16c_rest_count")(spark, dir))
+
     // the box predicate must reach the parquet reader on BOTH columns —
     // pushdown is what turns the Z-order layout into actual skipping
     audit("s12_zorder_scan (both box predicates pushed to parquet)", Seq(

@@ -556,6 +556,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
         .orderBy("prio")
     }),
+    // S16c complete COUNT(*) pushdown composed with the pushed filter:
+    // the whole query is answered by ONE page-0 probe of the filtered
+    // envelope — zero data pages cross the wire (plan-gated on the
+    // GraftRestCountScan node; the count is re-probed, never trusted
+    // from an option)
+    "s16c_rest_count" -> ((s, dir) => {
+      val fx = graft.sources.v2.RestFixture(5000L, 250)
+      s.read.format("graft.sources.v2.RestSource")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, state STRING, prio BIGINT, title STRING"))
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("filterParams", "state").load()
+        .filter(col("state") === "new")
+        .groupBy().count().withColumnRenamed("count", "cnt")
+    }),
     // S15 hive-partitioned sink → partition-PRUNED scan: the third
     // skipping mechanism next to row-group stats (s12) and DSv2
     // planning (s13) — the predicate on the partition column prunes
@@ -3007,6 +3022,13 @@ object SparkEntry {
         "FROM (SELECT i AS id, ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
         "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
         "WHERE state = 'new' GROUP BY prio ORDER BY prio"),
+    // the pushed COUNT(*) against the filtered grid recomputed from
+    // scratch — a wrong envelope count, param, or pushdown translation
+    // all break this single-row hash
+    "s16c_rest_count" -> (
+      "SELECT count(*) AS cnt FROM (SELECT " +
+        "['closed','in_progress','new','resolved'][(i % 4) + 1] AS state " +
+        "FROM generate_series(0, 4999) t(i)) WHERE state = 'new'"),
     // the REST source's deterministic grid regenerated from scratch —
     // cross-engine gate over the parallel pager end to end
     "s16_rest_v2" -> (

@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -148,12 +149,14 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
                       pageSize: Int, pagesPerTask: Int,
                       filterable: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var limit: Int = -1
   private var pushed: Array[Filter] = Array.empty
   private var params: Seq[(String, String)] = Nil
+  private var countStarPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -181,7 +184,7 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
       case b: java.lang.Boolean => Some(b.toString)
       case _ => None // fractional/temporal: string-rendering is not exact
     }
-    val (accepted, rejected) = filters.partition {
+    val (eqs, rest) = filters.partition {
       case EqualTo(col, v) if filterable(col) =>
         paramValue(v) match {
           case Some(s) => params :+= (col, s); true
@@ -189,10 +192,35 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
         }
       case _ => false
     }
-    pushed = accepted
+    // Spark pairs every EqualTo with an IsNotNull on the same column; a
+    // server equality match implies non-null, so the IsNotNull is
+    // subsumed by the pushed param. Absorbing it matters: a leftover
+    // Filter node above the scan blocks complete COUNT(*) pushdown.
+    val eqCols = eqs.collect { case EqualTo(c, _) => c }.toSet
+    val (subsumed, rejected) = rest.partition {
+      case IsNotNull(c) => eqCols(c)
+      case _ => false
+    }
+    pushed = eqs ++ subsumed
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** COUNT(*) — with any already-pushed filters — is answered entirely
+    * by the envelope's `count` field: the same number the page plan is
+    * derived from, read from the single page-0 probe. "How many records
+    * match state=new" against a million-page API is ONE request, zero
+    * data pages. Only the complete, ungrouped form is accepted; grouped
+    * or partial aggregation falls back to the normal scan. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] && limit < 0
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // partial pushdown (returning buffer rows per partition) is never
+    // cheaper here than the scan itself — accept only the complete form
+    countStarPushed = supportCompletePushDown(agg)
+    countStarPushed
+  }
 
   override def build(): Scan = {
     // the filtered result set has its own count — re-probe page 0 WITH
@@ -201,10 +229,51 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
     val effCount =
       if (params.isEmpty) count
       else RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0)))
-    new RestScan(effUrl, full, required, effCount, pageSize, pagesPerTask,
+    if (countStarPushed)
+      // ALWAYS from a fresh envelope probe, never the user's count
+      // option: the pushed form fetches no data pages, so the per-page
+      // cross-check that catches a stale option never runs — the probe
+      // (one request, the whole cost of the pushed query) is the truth
+      new RestCountScan(
+        RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0))),
+        params)
+    else new RestScan(effUrl, full, required, effCount, pageSize, pagesPerTask,
       limit, params)
   }
 }
+
+/** The completely-pushed COUNT(*): one partition, one row, zero fetches
+  * beyond the planning probe that produced `count`. */
+class RestCountScan(count: Long, params: Seq[(String, String)])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRestCountScan count=$count" +
+      (if (params.nonEmpty)
+        s" params=${params.map { case (k, v) => s"$k=$v" }.mkString("&")}"
+      else "")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RestCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val n = p.asInstanceOf[RestCountPartition].count
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted
+          override def get(): InternalRow = {
+            emitted = true
+            new GenericInternalRow(Array[Any](n))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class RestCountPartition(count: Long) extends InputPartition
 
 class RestScan(url: String, full: StructType, required: StructType,
                count: Long, pageSize: Int, pagesPerTask: Int, limit: Int,

@@ -45,12 +45,13 @@ class RestV2Spec extends SparkSpec {
   test("count probe reads the envelope when the option is absent") {
     // read() never passes count — the table planned 437 rows purely from
     // the driver probe of page 0; a wrong count would change the page
-    // plan and the row total
+    // plan and the row total (collect, not count(): count() is answered
+    // by the pushed count scan and never fetches the data pages)
     val fx = RestFixture(437L, 50)
     fx.resetHits()
-    assert(read(fx).count() == 437)
+    assert(read(fx).select("id").collect().length == 437)
     // the probe itself hits page 0 once more than the scan does; all 9
-    // pages were fetched for the full count
+    // pages were fetched for the full row set
     assert(fx.pagesTouched == (0L until 9L).toSet)
   }
 
@@ -79,9 +80,53 @@ class RestV2Spec extends SparkSpec {
     assert(fx.pagesTouched == Set(0L))
   }
 
-  test("fully-pruned schema (count star) still counts every record") {
+  test("fully-pruned schema still counts every record (non-pushable agg)") {
+    // sum(lit(1)) references no columns but is NOT CountStar, so it runs
+    // through the normal scan with an EMPTY required schema — the
+    // empty-row reader path count(*) no longer exercises now that it is
+    // answered by the pushed count scan
     val fx = RestFixture(437L, 50)
-    assert(read(fx).groupBy().count().as[Long].head() == 437L)
+    val df = read(fx).agg(sum(lit(1L)).as("n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftRestCountScan"))
+    assert(df.as[Long].head() == 437L)
+  }
+
+  test("count(*) is answered by the envelope alone — zero data pages") {
+    val fx = RestFixture(100000L, 100) // 1000 pages
+    fx.resetHits()
+    val df = read(fx).groupBy().count()
+    assert(df.as[Long].head() == 100000L)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftRestCountScan"))
+    assert(fx.pagesTouched == Set(0L)) // the planning probe; no data pages
+  }
+
+  test("filtered count(*) composes: one probe answers count + filter") {
+    val fx = RestFixture(5000L, 50)
+    fx.resetHits()
+    val df = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("filterParams", "state").load()
+      .filter(col("state") === "new").groupBy().count()
+    assert(df.as[Long].head() == 1250L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftRestCountScan") && plan.contains("params=state=new"),
+      plan)
+    assert(fx.pagesTouched == Set(0L))
+  }
+
+  test("pushed count(*) ignores a stale count option — the probe is the truth") {
+    val fx = RestFixture(437L, 50)
+    val n = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+      .option("url", fx.url).option("pageSize", fx.pageSize)
+      .option("count", 200L).load().groupBy().count().as[Long].head()
+    assert(n == 437L) // fresh envelope probe, not the option
+  }
+
+  test("grouped count is NOT pushed — the normal scan serves it") {
+    val fx = RestFixture(437L, 50)
+    val df = read(fx).groupBy("state").count()
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftRestCountScan"))
+    assert(df.count() == 4)
   }
 
   test("declared equality filter is pushed as a query param — server shrinks the pages") {
@@ -134,7 +179,7 @@ class RestV2Spec extends SparkSpec {
       spark.read.format("graft.sources.v2.RestSource").schema(schema)
         .option("url", fx.url).option("pageSize", fx.pageSize)
         .option("count", 200L) // yesterday's number; the API now has 437
-        .load().count()
+        .load().select("id").collect() // data pages carry the cross-check
     }
     // every page's envelope carries the true count; the reader
     // cross-checks it against the page plan
