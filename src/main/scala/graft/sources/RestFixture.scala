@@ -69,6 +69,10 @@ object RestFixture {
   final class Fixture(val url: String, val count: Long, val pageSize: Int,
                       val latencyMs: Long = 0L) {
     private[RestFixture] val hits = new ConcurrentHashMap[Long, AtomicLong]()
+    // matching ids memoized per filter set: the grid is immutable, and
+    // an O(count) rescan per page request would bleed CPU into any
+    // latency-sensitive timing run against a filtered path
+    private[RestFixture] val idCache = new ConcurrentHashMap[String, Seq[Long]]()
     def hitsFor(page: Long): Long =
       Option(hits.get(page)).map(_.get).getOrElse(0L)
     def pagesTouched: Set[Long] = {
@@ -78,7 +82,8 @@ object RestFixture {
     def resetHits(): Unit = hits.clear()
   }
 
-  private val fixtures = new ConcurrentHashMap[(Long, Int, Long), Fixture]()
+  private val fixtures =
+    new ConcurrentHashMap[(Long, Int, Long, Boolean), Fixture]()
   @volatile private var server: HttpServer = _
 
   private def ensureServer(): HttpServer = synchronized {
@@ -105,11 +110,18 @@ object RestFixture {
   }
 
   /** Lazily start (once per JVM) and register a grid at
-    * `/api/issues/{count}_{pageSize}_{latencyMs}`; memoized per key. */
-  def apply(count: Long, pageSize: Int, latencyMs: Long = 0L): Fixture =
-    fixtures.computeIfAbsent((count, pageSize, latencyMs), { case (c, ps, lat) =>
+    * `/api/issues/{count}_{pageSize}_{latencyMs}[_lenient]`; memoized per
+    * key. `lenient = true` builds the MISBEHAVING api: filter params are
+    * accepted but silently ignored (many real APIs drop unknown query
+    * params instead of 400ing) — the fixture for proving the reader's
+    * pushed-filter verification fails loudly instead of returning
+    * unfiltered rows as if they matched. */
+  def apply(count: Long, pageSize: Int, latencyMs: Long = 0L,
+            lenient: Boolean = false): Fixture =
+    fixtures.computeIfAbsent((count, pageSize, latencyMs, lenient),
+      { case (c, ps, lat, len) =>
       val s = ensureServer()
-      val path = s"/api/issues/${c}_${ps}_$lat"
+      val path = s"/api/issues/${c}_${ps}_$lat" + (if (len) "_lenient" else "")
       val base = s"http://127.0.0.1:${s.getAddress.getPort}$path"
       val fx = new Fixture(base, c, ps, lat)
       s.createContext(path, new HttpHandler {
@@ -121,7 +133,7 @@ object RestFixture {
                 java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
             }
           val page = kvs.collectFirst { case ("page", v) => v.toLong }.getOrElse(0L)
-          val filters = kvs.filter(_._1 != "page")
+          val filters = if (len) Nil else kvs.filter(_._1 != "page")
           fx.hits.computeIfAbsent(page, _ => new AtomicLong).incrementAndGet()
           if (lat > 0) Thread.sleep(lat)
           def respond(code: Int, body: Array[Byte]): Unit = {
@@ -139,8 +151,10 @@ object RestFixture {
             else respond(200,
               pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8))
           } else {
-            val ids = (0L until c).filter(i =>
-              filters.forall { case (k, v) => fieldMatches(i, k, v).get })
+            val key = filters.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+            val ids = fx.idCache.computeIfAbsent(key, _ =>
+              (0L until c).filter(i =>
+                filters.forall { case (k, v) => fieldMatches(i, k, v).get }))
             val totalPages = (ids.size + ps - 1) / ps
             if (page < 0 || page >= math.max(totalPages, 1)) respond(404, Array.empty)
             else respond(200, pageJsonIds(RestV2.withParams(base, filters), ids,

@@ -89,9 +89,12 @@ class RestSource extends TableProvider {
     require(count >= 0, s"count must be nonnegative, got $count")
     // `filterParams`: comma-list of columns the API filters server-side
     // (equality via query param) — a capability declaration, like the
-    // DRF filterset the reference's API exposes
+    // DRF filterset the reference's API exposes. Lower-cased: every
+    // surrounding layer (options, column resolution) is case-insensitive,
+    // and a silent case mismatch would disable the pushdown the user
+    // explicitly asked for
     val filterable = Option(opts.get("filterParams")).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+      .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     new RestTable(url, schema, count, pageSize,
       opts.getInt("pagesPerTask", 8), filterable)
   }
@@ -100,6 +103,12 @@ class RestSource extends TableProvider {
 object RestV2 {
   def pageUrl(base: String, page: Long): String =
     base + (if (base.contains("?")) "&" else "?") + s"page=$page"
+
+  /** Plan-description suffix for pushed params — one renderer for BOTH
+    * scan types so the plan-audit markers can't drift apart. */
+  def renderParams(params: Seq[(String, String)]): String =
+    if (params.isEmpty) ""
+    else s" params=${params.map { case (k, v) => s"$k=$v" }.mkString("&")}"
 
   /** Base URL + server-side filter params (URL-encoded). */
   def withParams(base: String, params: Seq[(String, String)]): String =
@@ -185,7 +194,7 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
       case _ => None // fractional/temporal: string-rendering is not exact
     }
     val (eqs, rest) = filters.partition {
-      case EqualTo(col, v) if filterable(col) =>
+      case EqualTo(col, v) if filterable(col.toLowerCase) =>
         paramValue(v) match {
           case Some(s) => params :+= (col, s); true
           case None => false
@@ -224,21 +233,19 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
 
   override def build(): Scan = {
     // the filtered result set has its own count — re-probe page 0 WITH
-    // the params so the page plan covers exactly the filtered pages
+    // the params so the page plan covers exactly the filtered pages.
+    // ONE probe per build, whichever branch needs it:
+    //  - pushed COUNT(*): always fresh (the pushed form fetches no data
+    //    pages, so the per-page cross-check that catches a stale user
+    //    `count` option never runs — the probe is the truth, and its one
+    //    request is the whole cost of the pushed query)
+    //  - filtered data scan: the filtered count
     val effUrl = RestV2.withParams(url, params)
-    val effCount =
-      if (params.isEmpty) count
-      else RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0)))
-    if (countStarPushed)
-      // ALWAYS from a fresh envelope probe, never the user's count
-      // option: the pushed form fetches no data pages, so the per-page
-      // cross-check that catches a stale option never runs — the probe
-      // (one request, the whole cost of the pushed query) is the truth
-      new RestCountScan(
-        RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0))),
-        params)
-    else new RestScan(effUrl, full, required, effCount, pageSize, pagesPerTask,
-      limit, params)
+    def freshCount = RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0)))
+    if (countStarPushed) new RestCountScan(freshCount, params)
+    else new RestScan(effUrl, full, required,
+      if (params.isEmpty) count else freshCount,
+      pageSize, pagesPerTask, limit, params)
   }
 }
 
@@ -250,10 +257,7 @@ class RestCountScan(count: Long, params: Seq[(String, String)])
     StructType(Seq(StructField("count_star", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftRestCountScan count=$count" +
-      (if (params.nonEmpty)
-        s" params=${params.map { case (k, v) => s"$k=$v" }.mkString("&")}"
-      else "")
+    s"GraftRestCountScan count=$count" + RestV2.renderParams(params)
   override def planInputPartitions(): Array[InputPartition] =
     Array(RestCountPartition(count))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -290,10 +294,7 @@ class RestScan(url: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRestScan pages=[0,$plannedPages) cols=${required.fieldNames.mkString(",")}" +
-      (if (limit >= 0) s" limit=$limit" else "") +
-      (if (params.nonEmpty)
-        s" params=${params.map { case (k, v) => s"$k=$v" }.mkString("&")}"
-      else "")
+      (if (limit >= 0) s" limit=$limit" else "") + RestV2.renderParams(params)
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (plannedPages == 0) return Array.empty
@@ -304,34 +305,78 @@ class RestScan(url: String, full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(full, required)
+    new RestReaderFactory(full, required, params)
 }
 
 case class RestPartition(url: String, startPage: Long, endPage: Long,
                          plannedCount: Long) extends InputPartition
 
-class RestReaderFactory(full: StructType, required: StructType)
+class RestReaderFactory(full: StructType, required: StructType,
+                        params: Seq[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[RestPartition]
-    new RestPartitionReader(part, full, required)
+    new RestPartitionReader(part, full, required, params)
   }
 }
 
 /** Executor-side reader: fetches its page range one GET at a time and
   * parses each envelope in a single catalyst-Jackson pass — the pruned
   * element struct rides inside a one-field `results: array<...>` schema,
-  * so fields outside `required` are token-skipped, never materialized. */
+  * so fields outside `required` are token-skipped, never materialized.
+  *
+  * Pushed-filter verification: Spark drops a pushed equality from its
+  * post-scan plan, so a server that silently IGNORES the query param
+  * (lenient APIs drop unknown params rather than 400ing) would return
+  * unfiltered rows as if they matched. The reader therefore parses the
+  * pushed-filter columns too (even when pruned from `required`) and
+  * fails loudly on the first row violating a pushed equality — the cost
+  * is one extra parsed field per pushed filter, never a wrong answer. */
 class RestPartitionReader(part: RestPartition, full: StructType,
-                          required: StructType)
+                          required: StructType,
+                          params: Seq[(String, String)] = Nil)
     extends PartitionReader[InternalRow] {
 
+  // pushed-filter columns not already in the required schema get parsed
+  // APPENDED so required ordinals are unchanged and emit can just slice
+  private val extra: Seq[StructField] = {
+    val have = required.fieldNames.map(_.toLowerCase).toSet
+    val want = params.map(_._1).distinct.filterNot(c => have(c.toLowerCase))
+    want.flatMap(c => full.fields.find(_.name.equalsIgnoreCase(c)))
+  }
   // a fully-pruned schema (count(*)) still needs the element COUNT, so
   // parse one cheap field and emit empty rows
   private val element: StructType =
-    if (required.isEmpty) StructType(full.take(1)) else required
+    if (required.isEmpty && extra.isEmpty) StructType(full.take(1))
+    else StructType(required.fields ++ extra)
   private val emitEmpty = required.isEmpty
+  private val project = !emitEmpty && extra.nonEmpty
   private val emptyRow = new GenericInternalRow(0) // immutable; shared
+
+  // (column ordinal in `element`, its type, the expected rendering)
+  private val checks: Array[(Int, DataType, String)] = params.toArray.map {
+    case (c, v) =>
+      val ord = element.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      (ord, element.fields(ord).dataType, v)
+  }
+  private def render(row: InternalRow, ord: Int, dt: DataType): String = dt match {
+    case StringType => row.getUTF8String(ord).toString
+    case LongType => row.getLong(ord).toString
+    case IntegerType => row.getInt(ord).toString
+    case ShortType => row.getShort(ord).toString
+    case ByteType => row.getByte(ord).toString
+    case BooleanType => row.getBoolean(ord).toString
+    case _ => String.valueOf(row.get(ord, dt))
+  }
+  private def verify(row: InternalRow): Unit = checks.foreach {
+    case (ord, dt, expected) =>
+      if (row.isNullAt(ord) || render(row, ord, dt) != expected)
+        throw new java.io.IOException(
+          s"server ignored pushed filter ${element.fieldNames(ord)}=$expected " +
+            s"(got ${if (row.isNullAt(ord)) "null" else render(row, ord, dt)}, " +
+            s"page ${page - 1} of ${part.url}) — the API does not honor this " +
+            "query param; remove it from filterParams")
+  }
   // the envelope count rides along so every page cross-checks the page
   // plan — a stale user-supplied `count` fails loudly instead of
   // silently truncating the table
@@ -362,9 +407,23 @@ class RestPartitionReader(part: RestPartition, full: StructType,
         else {
           val arr = env.getArray(0)
           Array.tabulate(arr.numElements()) { j =>
-            if (emitEmpty) emptyRow
-            else if (arr.isNullAt(j)) new GenericInternalRow(element.size)
-            else arr.getStruct(j, element.size)
+            if (arr.isNullAt(j)) {
+              if (emitEmpty) emptyRow else new GenericInternalRow(required.size)
+            } else {
+              val r = arr.getStruct(j, element.size)
+              verify(r)
+              if (emitEmpty) emptyRow
+              else if (project) {
+                // slice off the verification-only columns (appended, so
+                // required ordinals are 0..required.size-1 unchanged)
+                val vals = new Array[Any](required.size)
+                var k = 0
+                while (k < required.size) {
+                  vals(k) = r.get(k, required.fields(k).dataType); k += 1
+                }
+                new GenericInternalRow(vals)
+              } else r
+            }
           }
         }
       }

@@ -102,16 +102,21 @@ class RestV2Spec extends SparkSpec {
 
   test("filtered count(*) composes: one probe answers count + filter") {
     val fx = RestFixture(5000L, 50)
-    fx.resetHits()
     val df = spark.read.format("graft.sources.v2.RestSource").schema(schema)
       .option("url", fx.url).option("pageSize", fx.pageSize)
       .option("filterParams", "state").load()
       .filter(col("state") === "new").groupBy().count()
-    assert(df.as[Long].head() == 1250L)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftRestCountScan") && plan.contains("params=state=new"),
       plan)
+    // the execution itself costs exactly ONE request: build()'s fresh
+    // filtered probe (each new QueryExecution re-plans, so the hit
+    // counter is reset after the plan inspection above) — a duplicate
+    // probe would hide if only the SET of pages were checked
+    fx.resetHits()
+    assert(df.as[Long].head() == 1250L)
     assert(fx.pagesTouched == Set(0L))
+    assert(fx.hitsFor(0L) == 1, fx.hitsFor(0L))
   }
 
   test("pushed count(*) ignores a stale count option — the probe is the truth") {
@@ -143,6 +148,10 @@ class RestV2Spec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("params=state=new"), plan)
     assert(plan.contains("pages=[0,25)"), plan)
+    // verification's no-projection branch: the filtered column kept in
+    // the required schema, every row server-matched
+    val kept = df.select("id", "state").collect()
+    assert(kept.length == 1250 && kept.forall(_.getString(1) == "new"))
   }
 
   test("undeclared column's filter stays Spark-side") {
@@ -165,12 +174,33 @@ class RestV2Spec extends SparkSpec {
   }
 
   test("zero-match pushed filter plans zero partitions") {
+    // collect, not count(): count() routes to the pushed count scan and
+    // would never build the zero-partition data scan this test pins
     val fx = RestFixture(437L, 50)
-    val n = spark.read.format("graft.sources.v2.RestSource").schema(schema)
+    val df = spark.read.format("graft.sources.v2.RestSource").schema(schema)
       .option("url", fx.url).option("pageSize", fx.pageSize)
       .option("filterParams", "state").load()
-      .filter(col("state") === "no_such_state").count()
-    assert(n == 0L)
+      .filter(col("state") === "no_such_state").select("id")
+    assert(df.collect().isEmpty)
+    assert(df.queryExecution.executedPlan.toString.contains("pages=[0,0)"))
+  }
+
+  test("a server that IGNORES the filter param fails loudly — never wrong rows") {
+    // the lenient fixture accepts ?state=new and serves the unfiltered
+    // grid anyway (real APIs drop unknown params); Spark has dropped the
+    // pushed equality from its plan, so only the reader's verification
+    // stands between this and silently unfiltered results
+    val fx = RestFixture(437L, 50, lenient = true)
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.v2.RestSource").schema(schema)
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("filterParams", "state").load()
+        .filter(col("state") === "new").select("id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("server ignored pushed filter state=new")),
+      messages(ex).mkString(" | "))
   }
 
   test("stale count option fails loudly instead of silently truncating") {
