@@ -72,7 +72,10 @@ object RestFixture {
     // matching ids memoized per filter set: the grid is immutable, and
     // an O(count) rescan per page request would bleed CPU into any
     // latency-sensitive timing run against a filtered path
-    private[RestFixture] val idCache = new ConcurrentHashMap[String, Seq[Long]]()
+    // keyed by the (k,v) pairs themselves: a joined-string key would
+    // collide when a decoded value contains '&' or '='
+    private[RestFixture] val idCache =
+      new ConcurrentHashMap[Seq[(String, String)], Seq[Long]]()
     def hitsFor(page: Long): Long =
       Option(hits.get(page)).map(_.get).getOrElse(0L)
     def pagesTouched: Set[Long] = {
@@ -151,8 +154,7 @@ object RestFixture {
             else respond(200,
               pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8))
           } else {
-            val key = filters.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
-            val ids = fx.idCache.computeIfAbsent(key, _ =>
+            val ids = fx.idCache.computeIfAbsent(filters.sorted, _ =>
               (0L until c).filter(i =>
                 filters.forall { case (k, v) => fieldMatches(i, k, v).get }))
             val totalPages = (ids.size + ps - 1) / ps

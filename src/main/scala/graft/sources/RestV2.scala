@@ -140,6 +140,28 @@ object RestV2 {
     if (rs == null || !rs.isArray) Seq.empty
     else (0 until rs.size).map(i => mapper.writeValueAsString(rs.get(i)))
   }
+
+  /** Planning-time pushdown check: every record of the probe's page-0
+    * `results` must satisfy the pushed equality params (JsonNode.asText
+    * renders strings, integrals and booleans the same way the params
+    * were rendered from the filter literals). */
+  def verifyEnvelopeResults(body: String, params: Seq[(String, String)],
+                            url: String): Unit = {
+    if (params.isEmpty) return
+    val rs = mapper.readTree(body).get("results")
+    if (rs == null || !rs.isArray) return
+    (0 until rs.size).foreach { i =>
+      val rec = rs.get(i)
+      params.foreach { case (k, v) =>
+        val got = if (rec == null || rec.isNull) null else rec.get(k)
+        if (got == null || got.isNull || got.asText != v)
+          throw new java.io.IOException(
+            s"server ignored pushed filter $k=$v (probe page 0 of $url, " +
+              s"got ${if (got == null || got.isNull) "null" else got.asText}) — " +
+              "the API does not honor this query param; remove it from filterParams")
+      }
+    }
+  }
 }
 
 class RestTable(url: String, schema0: StructType, count: Long,
@@ -193,8 +215,13 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
       case b: java.lang.Boolean => Some(b.toString)
       case _ => None // fractional/temporal: string-rendering is not exact
     }
+    // top-level columns only: the reader verifies pushed params by
+    // ordinal in the parse schema, and a dotted nested path declared in
+    // filterParams would have no top-level field to resolve against
+    val topLevel = full.fieldNames.map(_.toLowerCase).toSet
     val (eqs, rest) = filters.partition {
-      case EqualTo(col, v) if filterable(col.toLowerCase) =>
+      case EqualTo(col, v)
+          if filterable(col.toLowerCase) && topLevel(col.toLowerCase) =>
         paramValue(v) match {
           case Some(s) => params :+= (col, s); true
           case None => false
@@ -241,10 +268,18 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
     //    request is the whole cost of the pushed query)
     //  - filtered data scan: the filtered count
     val effUrl = RestV2.withParams(url, params)
-    def freshCount = RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(effUrl, 0)))
-    if (countStarPushed) new RestCountScan(freshCount, params)
-    else new RestScan(effUrl, full, required,
-      if (params.isEmpty) count else freshCount,
+    def freshBody = RestHttp.get(RestV2.pageUrl(effUrl, 0))
+    if (countStarPushed) {
+      // the pushed COUNT(*) never fetches data pages, so the reader's
+      // per-row verification can't defend it — verify the probe's OWN
+      // page-0 results against the params before trusting its count
+      // (a lenient server that ignored the param shows unfiltered rows
+      // right there in the probe body)
+      val body = freshBody
+      RestV2.verifyEnvelopeResults(body, params, effUrl)
+      new RestCountScan(RestV2.countFromEnvelope(body), params)
+    } else new RestScan(effUrl, full, required,
+      if (params.isEmpty) count else RestV2.countFromEnvelope(freshBody),
       pageSize, pagesPerTask, limit, params)
   }
 }
@@ -353,29 +388,35 @@ class RestPartitionReader(part: RestPartition, full: StructType,
   private val project = !emitEmpty && extra.nonEmpty
   private val emptyRow = new GenericInternalRow(0) // immutable; shared
 
-  // (column ordinal in `element`, its type, the expected rendering)
-  private val checks: Array[(Int, DataType, String)] = params.toArray.map {
-    case (c, v) =>
+  // (ordinal, allocation-free typed comparator, "col=v" for the error) —
+  // expected values pre-converted once so the per-row check never builds
+  // a java String on the hot path
+  private val checks: Array[(Int, InternalRow => Boolean, String)] =
+    params.toArray.map { case (c, v) =>
       val ord = element.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-      (ord, element.fields(ord).dataType, v)
-  }
-  private def render(row: InternalRow, ord: Int, dt: DataType): String = dt match {
-    case StringType => row.getUTF8String(ord).toString
-    case LongType => row.getLong(ord).toString
-    case IntegerType => row.getInt(ord).toString
-    case ShortType => row.getShort(ord).toString
-    case ByteType => row.getByte(ord).toString
-    case BooleanType => row.getBoolean(ord).toString
-    case _ => String.valueOf(row.get(ord, dt))
-  }
+      val cmp: InternalRow => Boolean = element.fields(ord).dataType match {
+        case StringType =>
+          val exp = UTF8String.fromString(v); r => r.getUTF8String(ord) == exp
+        case LongType => val exp = v.toLong; r => r.getLong(ord) == exp
+        case IntegerType => val exp = v.toInt; r => r.getInt(ord) == exp
+        case ShortType => val exp = v.toShort; r => r.getShort(ord) == exp
+        case ByteType => val exp = v.toByte; r => r.getByte(ord) == exp
+        case BooleanType => val exp = v.toBoolean; r => r.getBoolean(ord) == exp
+        case other => r => String.valueOf(r.get(ord, other)) == v
+      }
+      (ord, cmp, s"${element.fieldNames(ord)}=$v")
+    }
+  private def filterViolation(what: String, got: String): Nothing =
+    throw new java.io.IOException(
+      s"server ignored pushed filter $what (got $got, page ${page - 1} of " +
+        s"${part.url}) — the API does not honor this query param; remove it " +
+        "from filterParams")
   private def verify(row: InternalRow): Unit = checks.foreach {
-    case (ord, dt, expected) =>
-      if (row.isNullAt(ord) || render(row, ord, dt) != expected)
-        throw new java.io.IOException(
-          s"server ignored pushed filter ${element.fieldNames(ord)}=$expected " +
-            s"(got ${if (row.isNullAt(ord)) "null" else render(row, ord, dt)}, " +
-            s"page ${page - 1} of ${part.url}) — the API does not honor this " +
-            "query param; remove it from filterParams")
+    case (ord, cmp, what) =>
+      if (row.isNullAt(ord)) filterViolation(what, "null")
+      else if (!cmp(row))
+        filterViolation(what,
+          String.valueOf(row.get(ord, element.fields(ord).dataType)))
   }
   // the envelope count rides along so every page cross-checks the page
   // plan — a stale user-supplied `count` fails loudly instead of
@@ -408,6 +449,11 @@ class RestPartitionReader(part: RestPartition, full: StructType,
           val arr = env.getArray(0)
           Array.tabulate(arr.numElements()) { j =>
             if (arr.isNullAt(j)) {
+              // a null element can't satisfy any pushed equality — letting
+              // it through as an all-null row would be the silent-wrong-row
+              // hole the verification exists to close
+              if (checks.nonEmpty)
+                filterViolation(checks(0)._3, "null result element")
               if (emitEmpty) emptyRow else new GenericInternalRow(required.size)
             } else {
               val r = arr.getStruct(j, element.size)

@@ -127,6 +127,23 @@ class RestV2Spec extends SparkSpec {
     assert(n == 437L) // fresh envelope probe, not the option
   }
 
+  test("pushed count(*) against a filter-ignoring server fails loudly too") {
+    // the pushed count fetches no data pages, so the reader's per-row
+    // verification can't defend it — the build-time probe must check its
+    // own page-0 results against the params before trusting the count
+    val fx = RestFixture(437L, 50, lenient = true)
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.v2.RestSource").schema(schema)
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("filterParams", "state").load()
+        .filter(col("state") === "new").groupBy().count().as[Long].head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("server ignored pushed filter state=new")),
+      messages(ex).mkString(" | "))
+  }
+
   test("grouped count is NOT pushed — the normal scan serves it") {
     val fx = RestFixture(437L, 50)
     val df = read(fx).groupBy("state").count()
