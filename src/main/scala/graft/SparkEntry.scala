@@ -2641,6 +2641,26 @@ object SparkEntry {
           .orderBy("hour", "kafka_partition"))
     }),
 
+    // st11: the REST DSv2 source in its STREAMING form — a custom
+    // MicroBatchStream whose offsets are the envelope's record count
+    // (append-only tailed API), each micro-batch planning only the pages
+    // its new record range spans. RestStreamSpec proves incremental
+    // resumption across checkpointed restarts; here one AvailableNow
+    // drain over the fixed grid is hash-gated by the same
+    // generate_series twin as the batch path — the stream and the batch
+    // scan MUST agree on the whole table
+    "st11_rest_stream" -> ((s, dir) => withStreamShuffle(s) {
+      val fx = graft.sources.v2.RestFixture(5000L, 250)
+      val stream = s.readStream.format("graft.sources.v2.RestSource")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, state STRING, prio BIGINT, title STRING"))
+        .option("url", fx.url).option("pageSize", fx.pageSize)
+        .option("pagesPerTask", 4).load()
+      val agg = stream.groupBy("state")
+        .agg(count(lit(1)).as("cnt"), sum(col("prio")).as("sum_prio"))
+      drainCompleteStream(s, "st11", agg)(_.orderBy("state"))
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -3032,6 +3052,13 @@ object SparkEntry {
     // the REST source's deterministic grid regenerated from scratch —
     // cross-engine gate over the parallel pager end to end
     "s16_rest_v2" -> (
+      "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
+        "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
+        "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
+        "GROUP BY state ORDER BY state"),
+    // the stream drains the SAME grid the batch scan reads — one twin
+    // gates that the MicroBatchStream's page/offset math loses nothing
+    "st11_rest_stream" -> (
       "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
         "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
         "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +

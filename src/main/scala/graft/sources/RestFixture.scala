@@ -66,8 +66,17 @@ object RestFixture {
     * own on the shared server. `url` is the base to hand to RestSource.
     * `latencyMs` sleeps before each response — the WAN RTT knob that makes
     * the sequential-vs-parallel ingest comparison honest on localhost. */
-  final class Fixture(val url: String, val count: Long, val pageSize: Int,
+  final class Fixture(val url: String, initialCount: Long, val pageSize: Int,
                       val latencyMs: Long = 0L) {
+    // growable: the streaming tests append records (the tailed-API
+    // semantic the MicroBatchStream assumes — append-only, index-stable)
+    private val cur = new AtomicLong(initialCount)
+    def count: Long = cur.get
+    def grow(extra: Long): Unit = {
+      require(extra >= 0, s"grow must be nonnegative, got $extra")
+      cur.addAndGet(extra)
+      idCache.clear() // filtered id lists are count-dependent
+    }
     private[RestFixture] val hits = new ConcurrentHashMap[Long, AtomicLong]()
     // matching ids memoized per filter set: the grid is immutable, and
     // an O(count) rescan per page request would bleed CPU into any
@@ -145,17 +154,19 @@ object RestFixture {
             if (body.nonEmpty) ex.getResponseBody.write(body)
             ex.close()
           }
+          // live count, not the memo key's: grow() appends records
+          val cNow = fx.count
           if (filters.exists { case (k, _) => fieldMatches(0, k, "").isEmpty }) {
             respond(400, Array.empty) // unknown filter field
           } else if (filters.isEmpty) {
             // unfiltered fast path: the contiguous grid, no id scan
-            val totalPages = (c + ps - 1) / ps
+            val totalPages = (cNow + ps - 1) / ps
             if (page < 0 || page >= math.max(totalPages, 1)) respond(404, Array.empty)
             else respond(200,
-              pageJson(base, c, ps, page).getBytes(StandardCharsets.UTF_8))
+              pageJson(base, cNow, ps, page).getBytes(StandardCharsets.UTF_8))
           } else {
             val ids = fx.idCache.computeIfAbsent(filters.sorted, _ =>
-              (0L until c).filter(i =>
+              (0L until cNow).filter(i =>
                 filters.forall { case (k, v) => fieldMatches(i, k, v).get }))
             val totalPages = (ids.size + ps - 1) / ps
             if (page < 0 || page >= math.max(totalPages, 1)) respond(404, Array.empty)

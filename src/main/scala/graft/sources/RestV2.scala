@@ -171,7 +171,8 @@ class RestTable(url: String, schema0: StructType, count: Long,
   override def name(): String = s"graft_rest($url)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(url, schema0, count, pageSize, pagesPerTask, filterable)
 }
@@ -341,18 +342,79 @@ class RestScan(url: String, full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(full, required, params)
+
+  /** S1's streaming form: the same pager tailed INCREMENTALLY — offsets
+    * are record counts (the envelope's `count` over an append-only API),
+    * so each micro-batch plans exactly the pages its new record range
+    * spans and restarts resume from the checkpointed count. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(url, full, required, pageSize, pagesPerTask, params)
 }
 
 case class RestPartition(url: String, startPage: Long, endPage: Long,
                          plannedCount: Long) extends InputPartition
 
+/** A page range restricted to the global record index range [recLo,
+  * recHi) — the micro-batch unit (record index = page × pageSize +
+  * position, stable because the API is append-only). */
+case class RestRangePartition(url: String, startPage: Long, endPage: Long,
+                              recLo: Long, recHi: Long, pageSize: Int)
+    extends InputPartition
+
 class RestReaderFactory(full: StructType, required: StructType,
                         params: Seq[(String, String)])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[RestPartition]
-    new RestPartitionReader(part, full, required, params)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: RestPartition =>
+        new RestPartitionReader(part.url, part.startPage, part.endPage,
+          full, required, params, plannedCount = Some(part.plannedCount))
+      case part: RestRangePartition =>
+        // no plannedCount check: the live count GROWS between offset
+        // capture and page fetch on a tailed API — the record-range slice
+        // is what pins batch contents instead
+        new RestPartitionReader(part.url, part.startPage, part.endPage,
+          full, required, params,
+          recRange = Some((part.recLo, part.recHi, part.pageSize)))
+    }
+}
+
+/** Record-count offset of the REST stream (envelope `count`). */
+case class RestOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class RestMicroBatchStream(url: String, full: StructType,
+                           required: StructType, pageSize: Int,
+                           pagesPerTask: Int, params: Seq[(String, String)])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = RestOffset(0L)
+  override def latestOffset(): Offset =
+    RestOffset(RestV2.countFromEnvelope(RestHttp.get(RestV2.pageUrl(url, 0))))
+  override def deserializeOffset(json: String): Offset =
+    RestOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[RestOffset].n
+    val hi = end.asInstanceOf[RestOffset].n
+    if (hi <= lo) return Array.empty
+    val startPage = lo / pageSize
+    val endPage = (hi + pageSize - 1) / pageSize
+    (startPage until endPage by pagesPerTask.toLong).map { s =>
+      RestRangePartition(url, s, math.min(s + pagesPerTask, endPage),
+        lo, hi, pageSize): InputPartition
+    }.toArray
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(full, required, params)
 }
 
 /** Executor-side reader: fetches its page range one GET at a time and
@@ -367,9 +429,11 @@ class RestReaderFactory(full: StructType, required: StructType,
   * pushed-filter columns too (even when pruned from `required`) and
   * fails loudly on the first row violating a pushed equality — the cost
   * is one extra parsed field per pushed filter, never a wrong answer. */
-class RestPartitionReader(part: RestPartition, full: StructType,
-                          required: StructType,
-                          params: Seq[(String, String)] = Nil)
+class RestPartitionReader(url: String, startPage: Long, endPage: Long,
+                          full: StructType, required: StructType,
+                          params: Seq[(String, String)] = Nil,
+                          plannedCount: Option[Long] = None,
+                          recRange: Option[(Long, Long, Int)] = None)
     extends PartitionReader[InternalRow] {
 
   // pushed-filter columns not already in the required schema get parsed
@@ -409,7 +473,7 @@ class RestPartitionReader(part: RestPartition, full: StructType,
   private def filterViolation(what: String, got: String): Nothing =
     throw new java.io.IOException(
       s"server ignored pushed filter $what (got $got, page ${page - 1} of " +
-        s"${part.url}) — the API does not honor this query param; remove it " +
+        s"$url) — the API does not honor this query param; remove it " +
         "from filterParams")
   private def verify(row: InternalRow): Unit = checks.foreach {
     case (ord, cmp, what) =>
@@ -428,49 +492,68 @@ class RestPartitionReader(part: RestPartition, full: StructType,
     new JSONOptions(Map.empty[String, String], "UTC"),
     allowArrayAsStructs = false)
 
-  private var page = part.startPage
+  private var page = startPage
   private var rows: Array[InternalRow] = Array.empty
   private var i = -1
 
+  private def emit(r: InternalRow): InternalRow =
+    if (emitEmpty) emptyRow
+    else if (project) {
+      // slice off the verification-only columns (appended, so required
+      // ordinals are 0..required.size-1 unchanged)
+      val vals = new Array[Any](required.size)
+      var k = 0
+      while (k < required.size) {
+        vals(k) = r.get(k, required.fields(k).dataType); k += 1
+      }
+      new GenericInternalRow(vals)
+    } else r
+
   private def fetchNextPage(): Boolean = {
-    while (page < part.endPage) {
-      val body = RestHttp.get(RestV2.pageUrl(part.url, page))
+    while (page < endPage) {
+      val body = RestHttp.get(RestV2.pageUrl(url, page))
       page += 1
       val parsed = parser.parse[String](body, CreateJacksonParser.string,
         UTF8String.fromString).toArray
       val buf = parsed.flatMap { env =>
-        if (!env.isNullAt(1) && env.getLong(1) != part.plannedCount)
-          throw new java.io.IOException(
-            s"envelope count ${env.getLong(1)} != planned count " +
-              s"${part.plannedCount} (page ${page - 1} of ${part.url}) — " +
-              "the 'count' option is stale; drop it to re-probe at planning")
+        plannedCount.foreach { pc =>
+          if (!env.isNullAt(1) && env.getLong(1) != pc)
+            throw new java.io.IOException(
+              s"envelope count ${env.getLong(1)} != planned count $pc " +
+                s"(page ${page - 1} of $url) — " +
+                "the 'count' option is stale; drop it to re-probe at planning")
+        }
         if (env.isNullAt(0)) Array.empty[InternalRow]
         else {
           val arr = env.getArray(0)
-          Array.tabulate(arr.numElements()) { j =>
+          // streaming slice: global record index = page × pageSize +
+          // position; only the batch's [recLo, recHi) range is emitted
+          // (verification still runs on every fetched element)
+          val pageBase =
+            recRange.map { case (_, _, ps) => (page - 1) * ps }.getOrElse(0L)
+          def inRange(j: Int): Boolean = recRange.forall { case (lo, hi, _) =>
+            val g = pageBase + j; g >= lo && g < hi
+          }
+          val out = Array.newBuilder[InternalRow]
+          var j = 0
+          while (j < arr.numElements()) {
             if (arr.isNullAt(j)) {
               // a null element can't satisfy any pushed equality — letting
               // it through as an all-null row would be the silent-wrong-row
               // hole the verification exists to close
               if (checks.nonEmpty)
                 filterViolation(checks(0)._3, "null result element")
-              if (emitEmpty) emptyRow else new GenericInternalRow(required.size)
+              if (inRange(j))
+                out += (if (emitEmpty) emptyRow
+                        else new GenericInternalRow(required.size))
             } else {
               val r = arr.getStruct(j, element.size)
               verify(r)
-              if (emitEmpty) emptyRow
-              else if (project) {
-                // slice off the verification-only columns (appended, so
-                // required ordinals are 0..required.size-1 unchanged)
-                val vals = new Array[Any](required.size)
-                var k = 0
-                while (k < required.size) {
-                  vals(k) = r.get(k, required.fields(k).dataType); k += 1
-                }
-                new GenericInternalRow(vals)
-              } else r
+              if (inRange(j)) out += emit(r)
             }
+            j += 1
           }
+          out.result()
         }
       }
       if (buf.nonEmpty) { rows = buf; i = 0; return true }
