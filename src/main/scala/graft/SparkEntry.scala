@@ -155,6 +155,15 @@ object SparkEntry {
     out
   }
 
+  /** The REST fixture grid's state/prio aggregate, regenerated from
+    * scratch — shared by the batch (s16_rest_v2) and streaming
+    * (st11_rest_stream) twins so the two gates can never drift. */
+  private val restGridAggTwin: String =
+    "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
+      "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
+      "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
+      "GROUP BY state ORDER BY state"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -3051,18 +3060,11 @@ object SparkEntry {
         "FROM generate_series(0, 4999) t(i)) WHERE state = 'new'"),
     // the REST source's deterministic grid regenerated from scratch —
     // cross-engine gate over the parallel pager end to end
-    "s16_rest_v2" -> (
-      "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
-        "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
-        "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
-        "GROUP BY state ORDER BY state"),
-    // the stream drains the SAME grid the batch scan reads — one twin
-    // gates that the MicroBatchStream's page/offset math loses nothing
-    "st11_rest_stream" -> (
-      "SELECT state, count(*) AS cnt, sum(prio)::BIGINT AS sum_prio " +
-        "FROM (SELECT ['closed','in_progress','new','resolved'][(i % 4) + 1] AS state, " +
-        "(i * 7) % 5 AS prio FROM generate_series(0, 4999) t(i)) " +
-        "GROUP BY state ORDER BY state"),
+    "s16_rest_v2" -> restGridAggTwin,
+    // the stream drains the SAME grid the batch scan reads — the SHARED
+    // twin gates that the MicroBatchStream's page/offset math loses
+    // nothing vs the batch scan (one string, so they cannot drift)
+    "st11_rest_stream" -> restGridAggTwin,
     "s3_s6_json_roundtrip" -> (
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"),
     "s9_csv_roundtrip" -> (

@@ -62,29 +62,39 @@ object RestFixture {
       case _       => None
     }
 
-  /** One fixture = one (count, pageSize, latencyMs) grid at a path of its
-    * own on the shared server. `url` is the base to hand to RestSource.
+  /** One fixture = one grid at a path of its own on the shared server.
+    * `apply` fixtures are memoized by (count, pageSize, latencyMs,
+    * lenient) and IMMUTABLE; [[growable]] fixtures live at a unique path
+    * and may append records. `url` is the base to hand to RestSource.
     * `latencyMs` sleeps before each response — the WAN RTT knob that makes
     * the sequential-vs-parallel ingest comparison honest on localhost. */
   final class Fixture(val url: String, initialCount: Long, val pageSize: Int,
-                      val latencyMs: Long = 0L) {
-    // growable: the streaming tests append records (the tailed-API
-    // semantic the MicroBatchStream assumes — append-only, index-stable)
+                      val latencyMs: Long = 0L,
+                      growableFixture: Boolean = false) {
     private val cur = new AtomicLong(initialCount)
     def count: Long = cur.get
+    /** Append records — the tailed-API semantic the MicroBatchStream
+      * assumes (append-only, index-stable). Only fixtures registered via
+      * [[RestFixture.growable]] may grow: the memoized `apply` fixtures
+      * are shared across suites under their INITIAL-count key, and a
+      * mutated shared grid would poison every later same-key caller. */
     def grow(extra: Long): Unit = {
+      require(growableFixture,
+        "grow() is only valid on RestFixture.growable(...) fixtures — " +
+          "apply() fixtures are memoized by initial count and shared")
       require(extra >= 0, s"grow must be nonnegative, got $extra")
       cur.addAndGet(extra)
-      idCache.clear() // filtered id lists are count-dependent
     }
     private[RestFixture] val hits = new ConcurrentHashMap[Long, AtomicLong]()
-    // matching ids memoized per filter set: the grid is immutable, and
-    // an O(count) rescan per page request would bleed CPU into any
-    // latency-sensitive timing run against a filtered path
-    // keyed by the (k,v) pairs themselves: a joined-string key would
-    // collide when a decoded value contains '&' or '='
+    // matching ids memoized per filter set: an O(count) rescan per page
+    // request would bleed CPU into any latency-sensitive timing run.
+    // Keyed by the (k,v) pairs AND the live count: a joined-string key
+    // would collide when a decoded value contains '&' or '=', and a
+    // count-free key could permanently cache a pre-grow id list (a
+    // handler racing grow() would re-insert the stale view after any
+    // clear)
     private[RestFixture] val idCache =
-      new ConcurrentHashMap[Seq[(String, String)], Seq[Long]]()
+      new ConcurrentHashMap[(Seq[(String, String)], Long), Seq[Long]]()
     def hitsFor(page: Long): Long =
       Option(hits.get(page)).map(_.get).getOrElse(0L)
     def pagesTouched: Set[Long] = {
@@ -132,10 +142,24 @@ object RestFixture {
             lenient: Boolean = false): Fixture =
     fixtures.computeIfAbsent((count, pageSize, latencyMs, lenient),
       { case (c, ps, lat, len) =>
+        register(s"/api/issues/${c}_${ps}_$lat" + (if (len) "_lenient" else ""),
+          c, ps, lat, len, growableFixture = false)
+      })
+
+  private val growableSeq = new AtomicLong(0L)
+
+  /** A PRIVATE growable grid for streaming restart tests: unique path,
+    * NEVER memoized or shared — grow() on a shared apply() fixture would
+    * poison every later caller keyed on the initial count. */
+  def growable(count: Long, pageSize: Int): Fixture =
+    register(s"/api/issues/g${growableSeq.incrementAndGet()}_${count}_$pageSize",
+      count, pageSize, lat = 0L, len = false, growableFixture = true)
+
+  private def register(path: String, c: Long, ps: Int, lat: Long,
+                       len: Boolean, growableFixture: Boolean): Fixture = {
       val s = ensureServer()
-      val path = s"/api/issues/${c}_${ps}_$lat" + (if (len) "_lenient" else "")
       val base = s"http://127.0.0.1:${s.getAddress.getPort}$path"
-      val fx = new Fixture(base, c, ps, lat)
+      val fx = new Fixture(base, c, ps, lat, growableFixture)
       s.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
           val kvs = Option(ex.getRequestURI.getQuery).toSeq
@@ -165,7 +189,7 @@ object RestFixture {
             else respond(200,
               pageJson(base, cNow, ps, page).getBytes(StandardCharsets.UTF_8))
           } else {
-            val ids = fx.idCache.computeIfAbsent(filters.sorted, _ =>
+            val ids = fx.idCache.computeIfAbsent((filters.sorted, cNow), _ =>
               (0L until cNow).filter(i =>
                 filters.forall { case (k, v) => fieldMatches(i, k, v).get }))
             val totalPages = (ids.size + ps - 1) / ps
@@ -176,5 +200,5 @@ object RestFixture {
         }
       })
       fx
-    })
+  }
 }

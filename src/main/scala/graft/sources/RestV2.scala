@@ -496,6 +496,8 @@ class RestPartitionReader(url: String, startPage: Long, endPage: Long,
   private var rows: Array[InternalRow] = Array.empty
   private var i = -1
 
+  private def emitNull(): InternalRow =
+    if (emitEmpty) emptyRow else new GenericInternalRow(required.size)
   private def emit(r: InternalRow): InternalRow =
     if (emitEmpty) emptyRow
     else if (project) {
@@ -523,6 +525,17 @@ class RestPartitionReader(url: String, startPage: Long, endPage: Long,
                 s"(page ${page - 1} of $url) — " +
                 "the 'count' option is stale; drop it to re-probe at planning")
         }
+        // streaming: the committed batch end must still be covered — a
+        // server that shrank (or published count ahead of the rows)
+        // would otherwise SILENTLY lose records past its short-served
+        // page, and the next batch starts beyond them forever
+        recRange.foreach { case (_, hi, _) =>
+          if (!env.isNullAt(1) && env.getLong(1) < hi)
+            throw new java.io.IOException(
+              s"envelope count ${env.getLong(1)} < batch end $hi " +
+                s"(page ${page - 1} of $url) — the append-only contract is " +
+                "violated (count shrank or was published before its rows)")
+        }
         if (env.isNullAt(0)) Array.empty[InternalRow]
         else {
           val arr = env.getArray(0)
@@ -543,9 +556,7 @@ class RestPartitionReader(url: String, startPage: Long, endPage: Long,
               // hole the verification exists to close
               if (checks.nonEmpty)
                 filterViolation(checks(0)._3, "null result element")
-              if (inRange(j))
-                out += (if (emitEmpty) emptyRow
-                        else new GenericInternalRow(required.size))
+              if (inRange(j)) out += emitNull()
             } else {
               val r = arr.getStruct(j, element.size)
               verify(r)

@@ -36,19 +36,23 @@ class RestStreamSpec extends SparkSpec {
   }
 
   test("tails the API incrementally across checkpointed restarts") {
-    val fx = RestFixture(300L, 50)
+    val fx = RestFixture.growable(300L, 50)
     val base = Files.createTempDirectory("graft_rest_stream")
     val ckpt = base.resolve("ckpt").toString
     val out = base.resolve("out").toString
-    // first drain: everything available at start
+    // first drain: everything available at start (offset lands page-aligned)
     assert(drainOnce(fx, ckpt, out) == (0L until 300L))
     // the API appends 137 records; a RESTARTED query on the same
     // checkpoint must emit ONLY them — a re-emitted old record would
     // surface as a duplicate id in the accumulated sink
     fx.grow(137L)
     assert(drainOnce(fx, ckpt, out) == (0L until 437L))
+    // resume from offset 437 — MID-page 8: the reader must re-fetch the
+    // partially-consumed page and slice off the already-emitted records
+    fx.grow(100L)
+    assert(drainOnce(fx, ckpt, out) == (0L until 537L))
     // nothing new → empty batch, not a re-read
-    assert(drainOnce(fx, ckpt, out) == (0L until 437L))
+    assert(drainOnce(fx, ckpt, out) == (0L until 537L))
   }
 
   test("micro-batch partitions slice pages to the record range") {
