@@ -580,6 +580,26 @@ object SparkEntry {
         .filter(col("state") === "new")
         .groupBy().count().withColumnRenamed("count", "cnt")
     }),
+    // S17 REST write→read roundtrip: the documents projection goes OUT
+    // through the two-phase sink (staged batches → atomic commit,
+    // JacksonGenerator serialization) and comes BACK through the
+    // parallel scan (JacksonParser) — the whole connector pipe over real
+    // sockets, hash-gated against the original table, so a bug in either
+    // direction (or in the publish protocol) breaks the hash
+    "s17_rest_write_roundtrip" -> ((s, dir) => {
+      val sink = graft.sources.v2.RestFixture.sink(pageSize = 500)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .write.format("graft.sources.v2.RestSource")
+        .option("url", sink.url).option("pageSize", sink.pageSize)
+        .mode("append").save()
+      s.read.format("graft.sources.v2.RestSource")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING"))
+        .option("url", sink.url).option("pageSize", sink.pageSize).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("lang")
+    }),
     // S15 hive-partitioned sink → partition-PRUNED scan: the third
     // skipping mechanism next to row-group stats (s12) and DSv2
     // planning (s13) — the predicate on the partition column prunes
@@ -3061,6 +3081,11 @@ object SparkEntry {
     // the REST source's deterministic grid regenerated from scratch —
     // cross-engine gate over the parallel pager end to end
     "s16_rest_v2" -> restGridAggTwin,
+    // the roundtrip must reproduce the ORIGINAL table's aggregate —
+    // NULLS FIRST pins DuckDB's sort to Spark's null ordering
+    "s17_rest_write_roundtrip" -> (
+      "SELECT lang, count(*) AS cnt, sum(doc_id)::BIGINT AS sum_id " +
+        "FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"),
     // the stream drains the SAME grid the batch scan reads — the SHARED
     // twin gates that the MicroBatchStream's page/offset math loses
     // nothing vs the batch scan (one string, so they cannot drift)

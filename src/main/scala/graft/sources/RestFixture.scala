@@ -148,6 +148,93 @@ object RestFixture {
 
   private val growableSeq = new AtomicLong(0L)
 
+  /** Write-side fixture: a REST SINK with two-phase semantics — POST
+    * `/staging` holds batches under their idempotency key, POST
+    * `/commit` atomically publishes the listed keys, POST `/abort`
+    * discards them. GET serves the PUBLISHED records back through the
+    * standard paginated envelope, so a write→read roundtrip runs the
+    * whole pipe over real sockets. Unique path per call (sinks
+    * accumulate state; sharing one across runs would cross-pollute). */
+  final class Sink(val url: String, val pageSize: Int) {
+    private[RestFixture] val staged =
+      new ConcurrentHashMap[String, com.fasterxml.jackson.databind.JsonNode]()
+    private[RestFixture] val published =
+      new java.util.concurrent.CopyOnWriteArrayList[com.fasterxml.jackson.databind.JsonNode]()
+    def stagedKeys: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      staged.keySet.asScala.toSet
+    }
+    def publishedCount: Int = published.size
+  }
+
+  private val sinkSeq = new AtomicLong(0L)
+  private val sinkMapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  def sink(pageSize: Int): Sink = {
+    val s = ensureServer()
+    val path = s"/api/sink/${sinkSeq.incrementAndGet()}"
+    val base = s"http://127.0.0.1:${s.getAddress.getPort}$path"
+    val sk = new Sink(base, pageSize)
+    s.createContext(path, new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        def respond(code: Int, body: String): Unit = {
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+          if (b.nonEmpty) ex.getResponseBody.write(b)
+          ex.close()
+        }
+        val sub = ex.getRequestURI.getPath.stripPrefix(path)
+        if (ex.getRequestMethod == "POST") {
+          val node = sinkMapper.readTree(ex.getRequestBody.readAllBytes())
+          sub match {
+            case "/staging" =>
+              val key = node.get("key").asText
+              sk.staged.put(key, node.get("records"))
+              respond(200, """{"ok":true}""")
+            case "/commit" =>
+              // atomic publish of the listed keys, idempotent on replay
+              // (a missing key was already published or aborted)
+              sk.synchronized {
+                val ks = node.get("keys")
+                (0 until ks.size).foreach { i =>
+                  val staged = sk.staged.remove(ks.get(i).asText)
+                  if (staged != null)
+                    (0 until staged.size).foreach(j => sk.published.add(staged.get(j)))
+                }
+              }
+              respond(200, """{"ok":true}""")
+            case "/abort" =>
+              val ks = node.get("keys")
+              (0 until ks.size).foreach(i => sk.staged.remove(ks.get(i).asText))
+              respond(200, """{"ok":true}""")
+            case _ => respond(404, "")
+          }
+        } else { // GET: published records through the standard envelope
+          val page = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&")).collectFirst {
+              case kv if kv.startsWith("page=") => kv.drop(5).toLong
+            }.getOrElse(0L)
+          val snap = sk.published.toArray
+          val ps = sk.pageSize
+          val totalPages = (snap.length + ps - 1) / ps
+          if (page < 0 || page >= math.max(totalPages, 1)) respond(404, "")
+          else {
+            val lo = (page * ps).toInt
+            val hi = math.min(lo + ps, snap.length)
+            val results = (lo until hi)
+              .map(i => sinkMapper.writeValueAsString(snap(i))).mkString(",")
+            val next = if (hi < snap.length)
+              "\"" + RestV2.pageUrl(base, page + 1) + "\"" else "null"
+            respond(200,
+              s"""{"count":${snap.length},"next":$next,"results":[$results]}""")
+          }
+        }
+      }
+    })
+    sk
+  }
+
   /** A PRIVATE growable grid for streaming restart tests: unique path,
     * NEVER memoized or shared — grow() on a shared apply() fixture would
     * poison every later caller keyed on the initial count. */

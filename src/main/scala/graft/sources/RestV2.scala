@@ -166,15 +166,20 @@ object RestV2 {
 
 class RestTable(url: String, schema0: StructType, count: Long,
                 pageSize: Int, pagesPerTask: Int, filterable: Set[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(pagesPerTask > 0, s"pagesPerTask must be positive, got $pagesPerTask")
   override def name(): String = s"graft_rest($url)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(url, schema0, count, pageSize, pagesPerTask, filterable)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new RestWriteBuilder(url, info.schema(), pageSize)
 }
 
 class RestScanBuilder(url: String, full: StructType, count: Long,
@@ -605,11 +610,41 @@ object RestHttp {
     throw new java.io.IOException(s"GET $url failed after $attempts attempts", last)
   }
 
-  private def getOnce(url: String): String = {
+  private def getOnce(url: String): String = requestOnce(url, None)
+
+  /** POST with the same bounded-retry/4xx-fail-fast policy as [[get]].
+    * Safe to retry BECAUSE the sink protocol is idempotent: staging
+    * replays overwrite the same key, commit/abort replays skip
+    * already-moved keys. */
+  def postJson(url: String, body: String, attempts: Int = 3): String = {
+    var last: Throwable = null
+    var backoffMs = 200L
+    for (a <- 1 to attempts) {
+      try {
+        return requestOnce(url, Some(body))
+      } catch {
+        case e: HttpStatusException if e.code < 500 => throw e
+        case e: java.io.IOException =>
+          last = e
+          if (a < attempts) { Thread.sleep(backoffMs); backoffMs *= 2 }
+      }
+    }
+    throw new java.io.IOException(s"POST $url failed after $attempts attempts", last)
+  }
+
+  private def requestOnce(url: String, post: Option[String]): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(30000)
+    post.foreach { body =>
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     try {
       val code = conn.getResponseCode
       if (code != 200) throw new HttpStatusException(code, url)
