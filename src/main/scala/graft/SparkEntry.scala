@@ -174,6 +174,8 @@ object SparkEntry {
     * exit so runs don't accumulate temp data on disk. */
   private val st10TopicDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val s17Sinks = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.sources.v2.RestFixture.Sink]()
   private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
@@ -587,7 +589,12 @@ object SparkEntry {
     // sockets, hash-gated against the original table, so a bug in either
     // direction (or in the publish protocol) breaks the hash
     "s17_rest_write_roundtrip" -> ((s, dir) => {
-      val sink = graft.sources.v2.RestFixture.sink(pageSize = 500)
+      // one sink (= one server context) per JVM per dir, reset before
+      // each run: a fresh sink per invocation would leak a context +
+      // published records on every Bench/Verify repetition
+      val sink = s17Sinks.computeIfAbsent(dir,
+        _ => graft.sources.v2.RestFixture.sink(pageSize = 500))
+      sink.reset()
       t(s, dir, "documents").select(col("doc_id"), col("lang"))
         .write.format("graft.sources.v2.RestSource")
         .option("url", sink.url).option("pageSize", sink.pageSize)

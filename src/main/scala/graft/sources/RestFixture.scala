@@ -158,13 +158,32 @@ object RestFixture {
   final class Sink(val url: String, val pageSize: Int) {
     private[RestFixture] val staged =
       new ConcurrentHashMap[String, com.fasterxml.jackson.databind.JsonNode]()
+    // plain ArrayList under the Sink lock: commit appends whole batches
+    // (addAll), and a copy-on-write list would make an n-record publish
+    // O(n²) array copies
     private[RestFixture] val published =
-      new java.util.concurrent.CopyOnWriteArrayList[com.fasterxml.jackson.databind.JsonNode]()
+      new java.util.ArrayList[com.fasterxml.jackson.databind.JsonNode]()
+    private[RestFixture] def publishedSnapshot
+        : Array[com.fasterxml.jackson.databind.JsonNode] =
+      synchronized(published.toArray(
+        new Array[com.fasterxml.jackson.databind.JsonNode](published.size)))
+    // append-only log of every batch ever staged (key → record count):
+    // lets specs pin the BATCHING behavior, which published totals can't
+    private[RestFixture] val stagedLog = new ConcurrentHashMap[String, Int]()
     def stagedKeys: Set[String] = {
       import scala.jdk.CollectionConverters._
       staged.keySet.asScala.toSet
     }
-    def publishedCount: Int = published.size
+    def stagedBatchSizes: Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      stagedLog.asScala.toMap
+    }
+    def publishedCount: Int = synchronized(published.size)
+    /** Clear all state so a memoized sink can serve repeated runs
+      * without accumulating (one server context per JVM, not per run). */
+    def reset(): Unit = synchronized {
+      staged.clear(); stagedLog.clear(); published.clear()
+    }
   }
 
   private val sinkSeq = new AtomicLong(0L)
@@ -190,7 +209,9 @@ object RestFixture {
           sub match {
             case "/staging" =>
               val key = node.get("key").asText
-              sk.staged.put(key, node.get("records"))
+              val records = node.get("records")
+              sk.staged.put(key, records)
+              sk.stagedLog.put(key, records.size)
               respond(200, """{"ok":true}""")
             case "/commit" =>
               // atomic publish of the listed keys, idempotent on replay
@@ -199,8 +220,12 @@ object RestFixture {
                 val ks = node.get("keys")
                 (0 until ks.size).foreach { i =>
                   val staged = sk.staged.remove(ks.get(i).asText)
-                  if (staged != null)
-                    (0 until staged.size).foreach(j => sk.published.add(staged.get(j)))
+                  if (staged != null) {
+                    val batch = new java.util.ArrayList[
+                      com.fasterxml.jackson.databind.JsonNode](staged.size)
+                    (0 until staged.size).foreach(j => batch.add(staged.get(j)))
+                    sk.published.addAll(batch)
+                  }
                 }
               }
               respond(200, """{"ok":true}""")
@@ -215,7 +240,7 @@ object RestFixture {
             .flatMap(_.split("&")).collectFirst {
               case kv if kv.startsWith("page=") => kv.drop(5).toLong
             }.getOrElse(0L)
-          val snap = sk.published.toArray
+          val snap = sk.publishedSnapshot
           val ps = sk.pageSize
           val totalPages = (snap.length + ps - 1) / ps
           if (page < 0 || page >= math.max(totalPages, 1)) respond(404, "")

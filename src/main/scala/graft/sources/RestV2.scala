@@ -83,10 +83,15 @@ class RestSource extends TableProvider {
     val url = requiredUrl(opts)
     val pageSize = opts.getInt("pageSize", 0)
     require(pageSize > 0, s"RestSource requires option 'pageSize' > 0, got $pageSize")
+    // -1 = unknown: resolved by a probe when (and only when) a READ scan
+    // is built — table resolution itself must not GET, or df.write
+    // against a write-only endpoint (POST-only sink) could never resolve
     val count =
-      if (opts.containsKey("count")) opts.getLong("count", 0L)
-      else RestV2.countFromEnvelope(probeBody(url))
-    require(count >= 0, s"count must be nonnegative, got $count")
+      if (opts.containsKey("count")) {
+        val c = opts.getLong("count", 0L)
+        require(c >= 0, s"count must be nonnegative, got $c")
+        c
+      } else -1L
     // `filterParams`: comma-list of columns the API filters server-side
     // (equality via query param) — a capability declaration, like the
     // DRF filterset the reference's API exposes. Lower-cased: every
@@ -285,7 +290,11 @@ class RestScanBuilder(url: String, full: StructType, count: Long,
       RestV2.verifyEnvelopeResults(body, params, effUrl)
       new RestCountScan(RestV2.countFromEnvelope(body), params)
     } else new RestScan(effUrl, full, required,
-      if (params.isEmpty) count else RestV2.countFromEnvelope(freshBody),
+      // probe when filtered (the filtered set has its own count) or when
+      // the table-level count is unknown (no 'count' option — table
+      // resolution never probes, so writes can target POST-only sinks)
+      if (params.isEmpty && count >= 0) count
+      else RestV2.countFromEnvelope(freshBody),
       pageSize, pagesPerTask, limit, params)
   }
 }
@@ -592,36 +601,16 @@ object RestHttp {
   final class HttpStatusException(val code: Int, url: String)
       extends java.io.IOException(s"HTTP $code from $url")
 
-  def get(url: String, attempts: Int = 3): String = {
+  // one retry policy for both verbs — bounded attempts, exponential
+  // backoff, 4xx fail-fast (the server answered; 5xx/transport are the
+  // transient class retry exists for)
+  private def withRetry(verb: String, url: String, attempts: Int)
+                       (once: => String): String = {
     var last: Throwable = null
     var backoffMs = 200L
     for (a <- 1 to attempts) {
       try {
-        return getOnce(url)
-      } catch {
-        // the server answered: a 4xx is deterministic, fail fast;
-        // 5xx and transport errors are the transient class retry exists for
-        case e: HttpStatusException if e.code < 500 => throw e
-        case e: java.io.IOException =>
-          last = e
-          if (a < attempts) { Thread.sleep(backoffMs); backoffMs *= 2 }
-      }
-    }
-    throw new java.io.IOException(s"GET $url failed after $attempts attempts", last)
-  }
-
-  private def getOnce(url: String): String = requestOnce(url, None)
-
-  /** POST with the same bounded-retry/4xx-fail-fast policy as [[get]].
-    * Safe to retry BECAUSE the sink protocol is idempotent: staging
-    * replays overwrite the same key, commit/abort replays skip
-    * already-moved keys. */
-  def postJson(url: String, body: String, attempts: Int = 3): String = {
-    var last: Throwable = null
-    var backoffMs = 200L
-    for (a <- 1 to attempts) {
-      try {
-        return requestOnce(url, Some(body))
+        return once
       } catch {
         case e: HttpStatusException if e.code < 500 => throw e
         case e: java.io.IOException =>
@@ -629,8 +618,17 @@ object RestHttp {
           if (a < attempts) { Thread.sleep(backoffMs); backoffMs *= 2 }
       }
     }
-    throw new java.io.IOException(s"POST $url failed after $attempts attempts", last)
+    throw new java.io.IOException(s"$verb $url failed after $attempts attempts", last)
   }
+
+  def get(url: String, attempts: Int = 3): String =
+    withRetry("GET", url, attempts)(requestOnce(url, None))
+
+  /** POST with the same retry policy as [[get]]. Safe to retry BECAUSE
+    * the sink protocol is idempotent: staging replays overwrite the same
+    * key, commit/abort replays skip already-moved keys. */
+  def postJson(url: String, body: String, attempts: Int = 3): String =
+    withRetry("POST", url, attempts)(requestOnce(url, Some(body)))
 
   private def requestOnce(url: String, post: Option[String]): String = {
     val conn = new java.net.URI(url).toURL.openConnection()

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.StructType
   *    attempts staged, in one atomic `/commit`. Staged batches from lost
   *    attempts are never referenced (task abort also `/abort`s its own
   *    keys eagerly).
-  *  - A failed job never reaches `/commit`, so the sink shows NOTHING —
-  *    not a prefix (RestWriteSpec pins both directions).
+  *  - A job that fails BEFORE `/commit` shows NOTHING on the sink — not
+  *    a prefix (RestWriteSpec pins both directions). The one unavoidable
+  *    caveat of any non-transactional endpoint: if `/commit` is applied
+  *    server-side but every response read is lost, Spark reports failure
+  *    while the data IS published — re-running the "failed" append would
+  *    then double-write (the same window a Kafka producer without
+  *    transactions has; dedup on replay needs sink-side record keys).
   *
   * Rows are serialized by the catalyst `JacksonGenerator` — the exact
   * inverse of the read path's `JacksonParser`, so write→read roundtrips

@@ -43,14 +43,26 @@ class RestWriteSpec extends SparkSpec {
         .otherwise(raise_error(lit("boom"))).as("state"))
     intercept[Exception] { writeTo(sink, df) }
     assert(sink.publishedCount == 0, s"published=${sink.publishedCount}")
+    // the cleanup paths ran too: successful tasks' staged batches were
+    // /abort-ed by the job-level abort, the failed task's by its own —
+    // no orphaned staging left behind
+    assert(sink.stagedKeys.isEmpty, sink.stagedKeys)
+    // and batches WERE staged before the failure (the assert above isn't
+    // vacuous): the three surviving partitions logged their staging
+    assert(sink.stagedBatchSizes.nonEmpty)
   }
 
   test("batching: rows stream out in pageSize-sized staged batches") {
     val sink = RestFixture.sink(pageSize = 25)
     writeTo(sink, (0L until 100L).toDF("id")
       .select(col("id"), lit("x").as("state")).repartition(1))
-    // 100 rows / 25 per batch = 4 staged keys, all published
     assert(sink.publishedCount == 100)
     assert(sink.stagedKeys.isEmpty)
+    // the staging LOG pins the bounded-memory behavior itself: one
+    // partition's 100 rows arrived as 4 batches of 25, not one giant
+    // buffer (publishedCount alone could not tell the difference)
+    val sizes = sink.stagedBatchSizes
+    assert(sizes.size == 4, sizes)
+    assert(sizes.values.forall(_ == 25), sizes)
   }
 }
