@@ -873,6 +873,27 @@ object PlanAudit {
               org.apache.spark.sql.functions.col("embedding")).as("features")),
         eps = 1.2))
 
+    // the XML adapter must still be a columnar FILE scan under the
+    // user-supplied schema (no sampling/inference pass at plan time),
+    // and ordering must not inject an extra exchange beyond the one
+    // range partition for the sort
+    audit("s18_xml_roundtrip (xml file scan, explicit schema)", Seq(
+      "xml scan in plan" -> (_.toLowerCase.contains("scan xml")),
+      "no schema-inference extra scan (single scan node)" ->
+        (p => "\\(\\d+\\) Scan ".r.findAllIn(p).size == 1)))(
+      SparkEntry.queries("s18_xml_roundtrip")(spark, dir))
+
+    // the statestore source is a DSv2 batch scan over the checkpoint —
+    // the keys come off the store files directly (no stream replay: no
+    // streaming nodes in the batch plan that reads the state back)
+    audit("st12_statestore_read (DSv2 state scan, no replay)", Seq(
+      "state source batch scan" ->
+        (p => p.toLowerCase.contains("batchscan") &&
+          p.toLowerCase.contains("statescan")),
+      "no streaming relation in the read-back plan" ->
+        (p => !p.contains("StreamingRelation"))))(
+      SparkEntry.queries("st12_statestore_read")(spark, dir))
+
     spark.stop()
   }
 }

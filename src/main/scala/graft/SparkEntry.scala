@@ -639,6 +639,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), Tables.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    // XML roundtrip via Spark 4's built-in XML source (the spark-xml
+    // donation, SPARK-44265): write the supplier dimension as one
+    // <supplier> element per row, read it back under the original
+    // schema. Like s9/s14 this gates the format adapter, not the data —
+    // the twin reads the parquet original, so any write- or parse-side
+    // corruption (escaping, type coercion) breaks the hash.
+    "s18_xml_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s18").resolve("sup").toString
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      sup.write.mode("overwrite").option("rowTag", "supplier")
+        .format("xml").save(tmp)
+      s.read.option("rowTag", "supplier").schema(sup.schema)
+        .format("xml").load(tmp)
+        .orderBy("s_suppkey")
+    }),
     "s5_text_scan" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s5").resolve("log").toString
       // a text-file row IS a line: embedded newlines would split one row
@@ -2697,6 +2713,72 @@ object SparkEntry {
       drainCompleteStream(s, "st11", agg)(_.orderBy("state"))
     }),
 
+    // Streaming-state OBSERVABILITY: Spark 4's state-store reader
+    // (format "statestore") opens a streaming operator's checkpoint as a
+    // plain DataFrame. The state keys of a streaming dropDuplicates ARE
+    // the distinct set it has seen, so reading the store back must equal
+    // the batch DISTINCT — which is exactly what the twin gates. At
+    // 100 TB this is the debugging/repair path for long-lived stateful
+    // pipelines (inspect, validate, or seed state without replaying the
+    // stream); here it proves our checkpoints are readable artifacts,
+    // not black boxes.
+    "st12_statestore_read" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st12")
+      deleteRecursivelyOnExit(streamDir)
+      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val ckpt = Files.createTempDirectory("graft_st12_ckpt")
+      deleteRecursivelyOnExit(ckpt)
+      val dedup = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(graft.text.TextStats.fingerprintMd5(col("text"))
+          .as("fingerprint"))
+        .dropDuplicates("fingerprint")
+      val qname =
+        "st12_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally s.catalog.dropTempView(qname)
+      s.read.format("statestore").option("path", ckpt.toString).load()
+        .select(col("key.fingerprint").as("fingerprint"))
+        .orderBy("fingerprint")
+    }),
+
+    // transformWithState (Spark 4's arbitrary-state successor to
+    // flatMapGroupsWithState) over the RocksDB store: per-user running
+    // profile in a typed ValueState, emitted in Update mode. The
+    // profile fields are order-invariant monoids (count, min/max id
+    // frontier), so the one-batch drain equals the batch GROUP BY and
+    // the twin gates it exactly; the scale story is RocksDB's — state
+    // bounded by |users| lives off-heap with changelog checkpoints.
+    "st13_tws_profile" -> ((s, dir) => withStreamShuffle(s) {
+      graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = Files.createTempDirectory("graft_st13")
+        deleteRecursivelyOnExit(streamDir)
+        Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(col("user_id"), col("event_id"))
+          .as[graft.streaming.Tws.UserEvent]
+        val qname =
+          "st13_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Tws.userProfiles(ev).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(qname).orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView(qname)
+        out
+      }
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -3675,6 +3757,18 @@ object SparkEntry {
     "st3_stream_dedup" -> (
       """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
         """AS fingerprint FROM documents ORDER BY fingerprint"""),
+    // the dedup operator's state keys read back via the statestore
+    // source must BE the distinct set — same twin as st3 by design
+    "st12_statestore_read" -> (
+      """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) """ +
+        """AS fingerprint FROM documents ORDER BY fingerprint"""),
+    "st13_tws_profile" -> (
+      "SELECT user_id, count(*)::BIGINT AS cnt, " +
+        "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "s18_xml_roundtrip" -> (
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier " +
+        "ORDER BY s_suppkey"),
     "r1_upsert" -> (
       "WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
         "u AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice " +

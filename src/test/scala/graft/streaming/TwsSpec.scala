@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** transformWithState + state-store reader behavior the one-batch
+  * Verify oracle cannot see: state must MERGE across micro-batches (the
+  * running profile is a monoid fold over arrival order), and a
+  * checkpoint written by one query must read back as a DataFrame with
+  * exactly the operator's key set. */
+class TwsSpec extends SparkSpec {
+
+  test("tws profile merges state across micro-batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tws.UserEvent]
+    Tws.withRocksDb(spark) {
+      val q = Tws.userProfiles(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_prof")
+        .outputMode("update").start()
+      try {
+        mem.addData(Tws.UserEvent(1, 1), Tws.UserEvent(1, 5),
+          Tws.UserEvent(2, 3))
+        q.processAllAvailable()
+        mem.addData(Tws.UserEvent(1, 2), Tws.UserEvent(3, 9))
+        q.processAllAvailable()
+        // Update mode emits a row per touched key per batch; the row
+        // with the highest cnt per key is the final running profile
+        // (cnt is strictly increasing across a key's emissions).
+        val last = spark.table("tws_prof")
+          .groupBy("user_id")
+          .agg(max(struct($"cnt", $"min_event_id", $"max_event_id"))
+            .as("p"))
+          .select($"user_id", $"p.cnt", $"p.min_event_id",
+            $"p.max_event_id")
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(last(1L) == ((3L, 1L, 5L)), "u1 merged across batches")
+        assert(last(2L) == ((1L, 3L, 3L)))
+        assert(last(3L) == ((1L, 9L, 9L)))
+        // u1 must have been emitted in BOTH batches (update semantics)
+        assert(spark.table("tws_prof").filter($"user_id" === 1).count() == 2)
+      } finally q.stop()
+    }
+  }
+
+  test("statestore reader returns the dedup operator's exact key set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_twsspec_ckpt").toString
+    val q = mem.toDF().toDF("k").dropDuplicates("k")
+      .writeStream.format("memory").queryName("tws_dedup")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("b", "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.read.format("statestore").option("path", ckpt).load()
+      .select($"key.k").as[String].collect().sorted.toSeq
+    assert(keys == Seq("a", "b", "c"),
+      "state keys == distinct set across batches")
+  }
+}
