@@ -873,6 +873,16 @@ object PlanAudit {
               org.apache.spark.sql.functions.col("embedding")).as("features")),
         eps = 1.2))
 
+    // FULL OUTER is never broadcastable — both key sets must co-locate,
+    // so the only correct plan is a shuffle join partitioned on the key
+    audit("j8_full_outer_diff (shuffle full-outer join)", Seq(
+      "full outer join type" -> (_.contains("FullOuter")),
+      "shuffle join (sort-merge or shuffled-hash)" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      "no broadcast of either side" ->
+        (p => !p.contains("BroadcastExchange"))))(
+      SparkEntry.queries("j8_full_outer_diff")(spark, dir))
+
     // the XML adapter must still be a columnar FILE scan under the
     // user-supplied schema (no sampling/inference pass at plan time),
     // and ordering must not inject an extra exchange beyond the one

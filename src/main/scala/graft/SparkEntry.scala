@@ -891,6 +891,32 @@ object SparkEntry {
     // at corpus scale). The exclusion list is a freshly computed
     // aggregate with no stats, so the broadcast is pinned: the big side
     // is one scan + broadcast probe, never shuffled (plan-audited)
+    // J8 snapshot reconciliation — the FULL OUTER shuffle join (the one
+    // join type the engine hadn't exercised): yesterday's key set vs
+    // today's, classified added/removed/changed, 'same' rows dropped.
+    // Both sides are fact-scale, so this is the sort-merge full-outer
+    // path, hash-partitioned on the key; the doubled price is *2 (fp-
+    // exact), so the change predicate is deterministic on both engines.
+    "j8_full_outer_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val yday = o.filter(col("o_orderkey") % 3 =!= 0)
+      val today = o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      val j = yday.as("a").join(today.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      j.select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey"))
+            .as("o_orderkey"),
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"),
+              "changed")
+            .otherwise("same").as("status"))
+        .filter(col("status") =!= "same")
+        .orderBy("o_orderkey")
+    }),
     "j6_anti_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val flagged = ev
@@ -3549,6 +3575,20 @@ object SparkEntry {
         "(sum(CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_price " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
         "ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "j8_full_outer_diff" -> (
+      "WITH o AS (SELECT o_orderkey, o_totalprice FROM orders), " +
+        "a AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0), " +
+        "b AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM o WHERE o_orderkey % 2 <> 0), " +
+        "d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN a.o_orderkey IS NULL THEN 'added' " +
+        "WHEN b.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN a.o_totalprice <> b.o_totalprice THEN 'changed' " +
+        "ELSE 'same' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey) " +
+        "SELECT * FROM d WHERE status <> 'same' ORDER BY o_orderkey"),
     "j6_anti_join" -> (
       "SELECT DISTINCT user_id FROM events u WHERE NOT EXISTS (" +
         "SELECT 1 FROM events e WHERE e.user_id = u.user_id " +

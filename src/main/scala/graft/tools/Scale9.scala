@@ -626,6 +626,99 @@ object Scale9 {
           }
       }
     }
+    // Runtime bloom-filter join pruning (r12): Spark injects a bloom
+    // filter built from a selective creation side into the fact scan
+    // (`might_contain`), cutting the fact shuffle BEFORE the join. The
+    // production trigger is a fact scan over the 10 GB
+    // applicationSideScanSizeThreshold — at 100 TB it fires on its own;
+    // locally we lower that one threshold to model it and hold
+    // everything else default. Broadcast is disabled on BOTH arms (the
+    // measured case is the big-dim shape where broadcast is off the
+    // table), so the on/off delta isolates the filter itself: shuffle
+    // 1/97th of the fact vs all of it, minus the bloom build scan.
+    if (sections("bloom")) {
+      // shuffle WRITE volume is the honest metric here: local[32]
+      // shuffles at memory speed, so wall-clock hides exactly the cost
+      // the filter exists to cut (network bytes on a real cluster)
+      val shufRecords = new java.util.concurrent.atomic.AtomicLong
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val bloomConfs = Seq(
+        // broadcast disabled on both arms: the measured case is the
+        // big-dim shape where broadcast is off the table
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        // the production trigger is a >10 GB fact scan — at 100 TB both
+        // thresholds clear on their own; locally we lower/raise them to
+        // model it (Catalyst cannot estimate the modulo filter's
+        // selectivity, so the creation side carries full-scan stats)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
+      try {
+        for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                              ("benchdata/sf1", 10),
+                              ("benchdata/sf10", 100))) {
+          def run(tag: String, bloom: Boolean): Unit = {
+            bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+              bloom.toString)
+            try {
+              timed(s"bloom-prune join $tag x$xn") {
+                val fact = spark.read.parquet(s"$dir/orders.parquet")
+                // selectivity lives on a NON-key column: a key-column
+                // filter would transit to the fact via constraint
+                // inference and leave the bloom nothing to prune
+                val dim = spark.read.parquet(s"$dir/orders.parquet")
+                  .filter(col("o_totalprice") < 6000)
+                  .select(col("o_orderkey").as("k"),
+                    col("o_orderpriority").as("prio"))
+                fact.join(dim, fact("o_orderkey") === dim("k"))
+                  .groupBy("prio")
+                  .agg(count(lit(1)).as("cnt"),
+                    sum("o_totalprice").as("sp"))
+                  .write.format("noop").mode("overwrite").save()
+              }
+              // listener events drain asynchronously; settle before read
+              Thread.sleep(500)
+              println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
+                f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
+            } finally {
+              shufRecords.set(0); shufBytes.set(0)
+              bloomConfs.foreach { case (k, _) => spark.conf.unset(k) }
+              spark.conf.unset(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled")
+            }
+          }
+          for (round <- 1 to 2) {
+            run(s"OFF r$round", bloom = false)
+            run(s"ON  r$round", bloom = true)
+          }
+          // prove the ON arm actually injected the filter (an unmet
+          // threshold would silently measure two identical plans)
+          bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          try {
+            val fact = spark.read.parquet(s"$dir/orders.parquet")
+            val dim = spark.read.parquet(s"$dir/orders.parquet")
+              .filter(col("o_totalprice") < 6000)
+              .select(col("o_orderkey").as("k"))
+            val plan = fact.join(dim, fact("o_orderkey") === dim("k"))
+              .queryExecution.optimizedPlan.toString
+            println(s"[scale9] bloom injected x$xn: " +
+              plan.contains("might_contain"))
+          } finally bloomConfs.foreach { case (k, _) => spark.conf.unset(k) }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }
