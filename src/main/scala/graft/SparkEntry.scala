@@ -2805,6 +2805,47 @@ object SparkEntry {
       }
     }),
 
+    // st13's operator with state SEEDED from a batch table
+    // (StatefulProcessorWithInitialState) — the backfill→streaming
+    // handoff: every-4th event is "history" profiled batch-side and
+    // handed to the operator as initial state; the rest arrive as the
+    // stream. The merged per-key profile must equal the GROUP BY over
+    // ALL events — restricted to keys the stream touched, because
+    // handleInitialState never emits (the documented Update-mode
+    // contract; the twin's HAVING mirrors it).
+    "st14_tws_bootstrap" -> ((s, dir) => withStreamShuffle(s) {
+      graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        val isHist = col("event_id") % 4 === 0
+        val history = t(s, dir, "events").filter(isHist)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            min("event_id").as("min_event_id"),
+            max("event_id").as("max_event_id"))
+          .as[graft.streaming.Tws.UserProfile]
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = Files.createTempDirectory("graft_st14")
+        deleteRecursivelyOnExit(streamDir)
+        Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter(!isHist)
+          .select(col("user_id"), col("event_id"))
+          .as[graft.streaming.Tws.UserEvent]
+        val qname =
+          "st14_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Tws.userProfilesFrom(ev, history).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(qname).orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView(qname)
+        out
+      }
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -3806,6 +3847,14 @@ object SparkEntry {
       "SELECT user_id, count(*)::BIGINT AS cnt, " +
         "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // full-corpus profile, but only for keys the STREAMED (non-history)
+    // slice touches — seeded state alone never emits
+    "st14_tws_bootstrap" -> (
+      "SELECT user_id, count(*)::BIGINT AS cnt, " +
+        "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
+        "FROM events GROUP BY user_id " +
+        "HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0 " +
+        "ORDER BY user_id"),
     "s18_xml_roundtrip" -> (
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier " +
         "ORDER BY s_suppkey"),

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Arbitrary stateful streaming via Spark 4's `transformWithState` — the
   * successor API to `flatMapGroupsWithState` (SPARK-46815): typed state
@@ -67,6 +68,58 @@ object Tws {
     events.groupByKey(_.user_id)
       .transformWithState(new UserProfileProcessor,
         TimeMode.None(), OutputMode.Update(), Encoders.product[UserProfile])
+  }
+
+  /** Backfill→streaming handoff: the same running profile, but the state
+    * is SEEDED from a batch table (StatefulProcessorWithInitialState) —
+    * the production pattern for turning on a streaming pipeline over a
+    * corpus with history: compute the profile-to-date once in batch,
+    * hand it to the operator, stream only the tail. handleInitialState
+    * never emits — a key with history but no streamed events stays
+    * silent until traffic touches it (the contract the oracle mirrors). */
+  class UserProfileBootstrapProcessor
+      extends StatefulProcessorWithInitialState[Long, UserEvent,
+        UserProfile, UserProfile] {
+    @transient private var profile: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getValueState[(Long, Long, Long)](
+        "profile", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: UserProfile,
+                                    timerValues: TimerValues): Unit =
+      profile.update((initial.cnt, initial.min_event_id,
+        initial.max_event_id))
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues)
+        : Iterator[UserProfile] = {
+      var (cnt, mn, mx) =
+        if (profile.exists()) profile.get()
+        else (0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        cnt += 1
+        if (e.event_id < mn) mn = e.event_id
+        if (e.event_id > mx) mx = e.event_id
+      }
+      profile.update((cnt, mn, mx))
+      Iterator.single(UserProfile(key, cnt, mn, mx))
+    }
+  }
+
+  /** [[userProfiles]] with state seeded from `history` (already-profiled
+    * batch rows). Emission is Update-mode per touched key, so only keys
+    * the STREAM touches appear — merged with their seeded history. */
+  def userProfilesFrom(events: Dataset[UserEvent],
+                       history: Dataset[UserProfile])
+      : Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserProfileBootstrapProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        history.groupByKey(_.user_id),
+        Encoders.product[UserProfile], Encoders.product[UserProfile])
   }
 
   /** transformWithState requires the RocksDB state store provider; set it

@@ -45,6 +45,31 @@ class TwsSpec extends SparkSpec {
     }
   }
 
+  test("tws initial state seeds the profile; history-only keys stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tws.UserEvent]
+    val history = Seq(
+      Tws.UserProfile(1, 2, 10, 20), // touched by the stream → merged
+      Tws.UserProfile(9, 5, 1, 99)   // never streamed → must not emit
+    ).toDS()
+    Tws.withRocksDb(spark) {
+      val q = Tws.userProfilesFrom(mem.toDS(), history).toDF()
+        .writeStream.format("memory").queryName("tws_boot")
+        .outputMode("update").start()
+      try {
+        mem.addData(Tws.UserEvent(1, 5), Tws.UserEvent(2, 7))
+        q.processAllAvailable()
+        val rows = spark.table("tws_boot")
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(rows(1L) == ((3L, 5L, 20L)), "seeded history merged in")
+        assert(rows(2L) == ((1L, 7L, 7L)), "stream-only key starts fresh")
+        assert(!rows.contains(9L), "history-only key never emits")
+      } finally q.stop()
+    }
+  }
+
   test("statestore reader returns the dedup operator's exact key set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
