@@ -2846,6 +2846,65 @@ object SparkEntry {
       }
     }),
 
+    // ListState: per-user most-recent-3 buffer (the third typed-state
+    // kind after st13's ValueState and st6's grouped map-state) — the
+    // top-N merge is order-invariant, so the one-batch drain equals the
+    // batch window-rank pivot the twin computes
+    "st15_tws_lastn" -> ((s, dir) => withStreamShuffle(s) {
+      graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = Files.createTempDirectory("graft_st15")
+        deleteRecursivelyOnExit(streamDir)
+        Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(col("user_id"), col("event_id"))
+          .as[graft.streaming.Tws.UserEvent]
+        val qname =
+          "st15_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Tws.lastNEvents(ev).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(qname).orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView(qname)
+        out
+      }
+    }),
+
+    // MapState: per-user event-type dictionary (completes the typed-
+    // state trio: ValueState st13 / ListState st15 / MapState here) —
+    // count-sum per sub-key is a commutative monoid, so the one-batch
+    // drain equals the batch two-key GROUP BY the twin computes
+    "st16_tws_typecounts" -> ((s, dir) => withStreamShuffle(s) {
+      graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = Files.createTempDirectory("graft_st16")
+        deleteRecursivelyOnExit(streamDir)
+        Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(col("user_id"), col("event_type"))
+          .as[graft.streaming.Tws.TypedEvent]
+        val qname =
+          "st16_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Tws.typeCounts(ev).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(qname).orderBy("user_id", "event_type")
+          .localCheckpoint(true)
+        s.catalog.dropTempView(qname)
+        out
+      }
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -3847,6 +3906,17 @@ object SparkEntry {
       "SELECT user_id, count(*)::BIGINT AS cnt, " +
         "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "st15_tws_lastn" -> (
+      "SELECT user_id, " +
+        "max(CASE WHEN rn = 1 THEN event_id END) AS e1, " +
+        "max(CASE WHEN rn = 2 THEN event_id END) AS e2, " +
+        "max(CASE WHEN rn = 3 THEN event_id END) AS e3 " +
+        "FROM (SELECT user_id, event_id, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) " +
+        "WHERE rn <= 3 GROUP BY user_id ORDER BY user_id"),
+    "st16_tws_typecounts" -> (
+      "SELECT user_id, event_type, count(*)::BIGINT AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"),
     // full-corpus profile, but only for keys the STREAMED (non-history)
     // slice touches — seeded state alone never emits
     "st14_tws_bootstrap" -> (

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig,
-  ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful streaming via Spark 4's `transformWithState` — the
   * successor API to `flatMapGroupsWithState` (SPARK-46815): typed state
@@ -120,6 +120,135 @@ object Tws {
         TimeMode.None(), OutputMode.Update(),
         history.groupByKey(_.user_id),
         Encoders.product[UserProfile], Encoders.product[UserProfile])
+  }
+
+  /** Most-recent-3 event ids per user, nulls-padded (the emission shape
+    * a SQL pivot twin can gate). */
+  case class LastN(user_id: Long, e1: Option[Long], e2: Option[Long],
+                   e3: Option[Long])
+
+  /** Per-user most-recent-N buffer in a ListState — the "session replay
+    * window" shape (recommenders, abuse heuristics): keep the N largest
+    * event ids ever seen, merged per batch. Unlike the ValueState
+    * profile this state is a bounded COLLECTION per key — the store
+    * holds N entries, not an aggregate, and the merge is top-N (a
+    * monoid, so batch splits commute; arrival order within a batch is
+    * irrelevant by construction). */
+  class LastNProcessor(n: Int)
+      extends StatefulProcessor[Long, UserEvent, LastN] {
+    require(n <= 3, "emission shape carries three slots")
+    @transient private var top: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Long]("top", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues)
+        : Iterator[LastN] = {
+      val merged = (top.get().toSeq ++ rows.map(_.event_id))
+        .sorted(Ordering[Long].reverse).take(n)
+      top.put(merged.toArray)
+      Iterator.single(LastN(key, merged.headOption, merged.lift(1),
+        merged.lift(2)))
+    }
+  }
+
+  /** Wire [[LastNProcessor]] over a typed event stream (Update mode —
+    * one row per touched key per batch, final batch = final answer). */
+  def lastNEvents(events: Dataset[UserEvent], n: Int = 3)
+      : Dataset[LastN] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[LastN])
+  }
+
+  /** Typed input for [[TypeCountsProcessor]]. */
+  case class TypedEvent(user_id: Long, event_type: String)
+
+  /** Emission row of [[TypeCountsProcessor]]: one (user, type) count. */
+  case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** Per-user per-event-type counts in a MapState — the last of the
+    * three typed-state kinds (Value st13 / List st15 / Map here). The
+    * state per key is a DICTIONARY keyed by a sub-key the input stream
+    * discovers (event types are not known up front), which is exactly
+    * what MapState models: RocksDB stores each (user, type) entry as
+    * its own store row, so updating one type touches one entry, not a
+    * serialized blob of the whole map — at |users|×|types| scale that
+    * is the difference between point writes and read-modify-write of
+    * the full per-user state. Count-sum per sub-key is a commutative
+    * monoid, so batch splits and arrival order commute and the final
+    * emission equals the batch GROUP BY the twin computes. */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues)
+        : Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      counts.iterator().map { case (t, c) => TypeCount(key, t, c) }
+    }
+  }
+
+  /** Wire [[TypeCountsProcessor]] over a typed event stream (Update
+    * mode — every map entry of each touched key re-emits per batch, so
+    * the final batch carries the complete current dictionary). */
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        Encoders.product[TypeCount])
+  }
+
+  /** Checkpoint MIGRATION: dedup keys recovered from an old operator's
+    * checkpoint (the statestore reader over a streaming dropDuplicates)
+    * seed this processor — the operator upgrades (e.g. to custom policy
+    * or TTL'd state) without replaying the stream. Seeded and
+    * already-seen keys are suppressed identically. */
+  class SeededDedupProcessor
+      extends StatefulProcessorWithInitialState[String, String, String,
+        String] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: String,
+                                    timerValues: TimerValues): Unit =
+      seen.update(true)
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues)
+        : Iterator[String] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); Iterator.single(key) }
+  }
+
+  /** Exactly-once key emission with the seen-set seeded from
+    * `seedKeys` — pair with the statestore reader to migrate a
+    * dropDuplicates checkpoint into this operator. */
+  def seededDedup(in: Dataset[String], seedKeys: Dataset[String])
+      : Dataset[String] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(identity)
+      .transformWithState(new SeededDedupProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        seedKeys.groupByKey(identity),
+        Encoders.STRING, Encoders.STRING)
   }
 
   /** transformWithState requires the RocksDB state store provider; set it

@@ -626,6 +626,55 @@ object Scale9 {
           }
       }
     }
+    // Streaming state-store provider at high key cardinality (r12): the
+    // same AvailableNow dedup, 1.5M/15M DISTINCT keys of state, heap
+    // provider (HDFSBacked: every key a JVM object — the thing that
+    // pressures executor heap for long-lived dedup state at corpus
+    // scale) vs RocksDB (off-heap, spills, changelog checkpoints). The
+    // local read is: how much does moving state off-heap cost per batch
+    // NOW, in exchange for state no longer being bounded by heap AT ALL.
+    if (sections("stateprov")) {
+      def rmRf(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(_.getNameCount)(Ordering[Int].reverse)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      for ((dir, xn) <- Seq(("benchdata/sf1", 10), ("benchdata/sf10", 100));
+           round <- 1 to 2;
+           provider <- Seq("hdfs-heap", "rocksdb")) {
+        val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if (provider == "rocksdb")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+        val streamDir = java.nio.file.Files.createTempDirectory("graft_sp")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("orders.parquet"),
+          java.nio.file.Paths.get(s"$dir/orders.parquet").toAbsolutePath)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_sp_ck")
+        try timed(s"stream dedup state $provider x$xn r$round") {
+          val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+          val q = spark.readStream.schema(schema)
+            .parquet(streamDir.toString)
+            .select(col("o_orderkey")).dropDuplicates("o_orderkey")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          // state files run to hundreds of MB at x100 — reclaim now,
+          // not at JVM exit
+          rmRf(ckpt); rmRf(streamDir)
+        }
+      }
+    }
+
     // Runtime bloom-filter join pruning (r12): Spark injects a bloom
     // filter built from a selective creation side into the fact scan
     // (`might_contain`), cutting the fact shuffle BEFORE the join. The

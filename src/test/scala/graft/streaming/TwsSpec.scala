@@ -45,6 +45,59 @@ class TwsSpec extends SparkSpec {
     }
   }
 
+  test("tws ListState last-N buffer merges top-3 across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tws.UserEvent]
+    Tws.withRocksDb(spark) {
+      val q = Tws.lastNEvents(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_lastn")
+        .outputMode("update").start()
+      try {
+        mem.addData(Tws.UserEvent(1, 5), Tws.UserEvent(1, 1))
+        q.processAllAvailable()
+        mem.addData(Tws.UserEvent(1, 3), Tws.UserEvent(1, 9))
+        q.processAllAvailable()
+        val rows = spark.table("tws_lastn")
+          .as[(Long, Option[Long], Option[Long], Option[Long])]
+          .collect().toSet
+        // batch 1: only two ids → third slot null; batch 2: merged top-3
+        // keeps 5 from the ListState and drops 1
+        assert(rows == Set(
+          (1L, Some(5L), Some(1L), None),
+          (1L, Some(9L), Some(5L), Some(3L))))
+      } finally q.stop()
+    }
+  }
+
+  test("tws MapState dictionary merges per-type counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tws.TypedEvent]
+    Tws.withRocksDb(spark) {
+      val q = Tws.typeCounts(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_typecounts")
+        .outputMode("update").start()
+      try {
+        mem.addData(Tws.TypedEvent(1, "click"), Tws.TypedEvent(1, "view"),
+          Tws.TypedEvent(1, "click"))
+        q.processAllAvailable()
+        mem.addData(Tws.TypedEvent(1, "click"))
+        q.processAllAvailable()
+        val rows = spark.table("tws_typecounts")
+          .as[Tws.TypeCount].collect()
+        // batch 1 emits the two discovered entries; batch 2 re-emits the
+        // WHOLE dictionary for the touched key — view's count carries
+        // over untouched, click increments
+        assert(rows.toSet == Set(
+          Tws.TypeCount(1, "click", 2), Tws.TypeCount(1, "view", 1),
+          Tws.TypeCount(1, "click", 3)))
+        assert(rows.length == 4, "batch 2 re-emits view with its " +
+          "unchanged count alongside the incremented click")
+      } finally q.stop()
+    }
+  }
+
   test("tws initial state seeds the profile; history-only keys stay silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -89,5 +142,25 @@ class TwsSpec extends SparkSpec {
       .select($"key.k").as[String].collect().sorted.toSeq
     assert(keys == Seq("a", "b", "c"),
       "state keys == distinct set across batches")
+
+    // full circle — MIGRATE that checkpoint into a new operator: the
+    // recovered key set seeds SeededDedupProcessor, so the upgraded
+    // dedup continues where dropDuplicates left off, without replay
+    val recovered = spark.read.format("statestore")
+      .option("path", ckpt).load().select($"key.k").as[String]
+    val mem2 = MemoryStream[String]
+    Tws.withRocksDb(spark) {
+      val q2 = Tws.seededDedup(mem2.toDS(), recovered).toDF("k")
+        .writeStream.format("memory").queryName("tws_migrated")
+        .outputMode("update").start()
+      try {
+        mem2.addData("b", "d", "d", "e")
+        q2.processAllAvailable()
+        val out = spark.table("tws_migrated")
+          .as[String].collect().sorted.toSeq
+        assert(out == Seq("d", "e"),
+          "migrated keys suppressed; only genuinely-new keys emit once")
+      } finally q2.stop()
+    }
   }
 }
