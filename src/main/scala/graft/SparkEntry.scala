@@ -2925,6 +2925,25 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql(PortablePricingSql)
     }),
+    // Spark 4's SQL PIPE syntax (SPARK-49555): the same scan→filter→
+    // aggregate→sort pipeline the DataFrame API declares, as linear SQL
+    // — each |> operator consumes the previous table, so the query
+    // reads in execution order instead of inside-out. Semantics are
+    // identical to the ANSI form (AGGREGATE emits grouping columns
+    // then aggregates; the trailing SELECT pins names/order), which is
+    // exactly what the plain-SQL oracle gates.
+    "sql_pipe_pricing" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        "FROM lineitem " +
+          "|> WHERE l_shipdate <= DATE '1998-09-02' " +
+          "|> AGGREGATE " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+          "AS sum_qty, count(*) AS cnt " +
+          "GROUP BY l_returnflag, l_linestatus " +
+          "|> SELECT l_returnflag, l_linestatus, sum_qty, cnt " +
+          "|> ORDER BY l_returnflag, l_linestatus")
+    }),
     // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
     // semantics (one NULL in the set empties the result; a nullable
     // column forces three-valued logic even when no null occurs). The
@@ -4927,6 +4946,13 @@ object SparkEntry {
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
         ">= 0.4 ORDER BY id_l, id_r"),
     "sql_pricing" -> PortablePricingSql,
+    "sql_pipe_pricing" -> (
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_qty, count(*) AS cnt " +
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
     "sql_not_in" -> PortableNotInSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
