@@ -2905,6 +2905,48 @@ object SparkEntry {
       }
     }),
 
+    // st17: the TIMER face of transformWithState — event-time
+    // sessionization with a 12 h inactivity timeout. Sessions closed
+    // INSIDE the batch (a later event of the key past the gap) emit
+    // inline from handleInputRows; each user's final open session
+    // registers an event-time timer at end+gap and is emitted by
+    // handleExpiredTimer in the trailing no-data batch IFF its expiry
+    // has passed the final watermark (max event time, delay 0). The
+    // twin replays the exact-µs sessionization plus the MEASURED
+    // ms-floor fire predicate (expiry_ms <= watermark_ms, non-strict —
+    // TwsTimerSpec's boundary case), so both close paths are
+    // hash-gated, including WHICH path closed each row (closed_by)
+    "st17_tws_sessions" -> ((s, dir) => withStreamShuffle(s) {
+      graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val streamDir = Files.createTempDirectory("graft_st17")
+        deleteRecursivelyOnExit(streamDir)
+        Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          // ntz → instant under the session's UTC zone: same wall-µs
+          // the twin's epoch_us reads, and the type watermarks require
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.Tws.SessionEvent]
+        val qname =
+          "st17_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Tws
+          .sessionTimeout(ev, gapMs = 12L * 3600 * 1000).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(qname).orderBy("user_id", "start_us")
+          .localCheckpoint(true)
+        s.catalog.dropTempView(qname)
+        out
+      }
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -3936,6 +3978,32 @@ object SparkEntry {
     "st16_tws_typecounts" -> (
       "SELECT user_id, event_type, count(*)::BIGINT AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"),
+    // exact-µs 12 h-gap sessionization; a user's LAST session only
+    // appears if its timer fired — the measured non-strict ms-floor
+    // predicate floor(end_us/1000)+gap_ms <= floor(max_us/1000)
+    // (TwsTimerSpec). Non-last sessions are inline gap-closes.
+    "st17_tws_sessions" -> (
+      "WITH e AS (SELECT user_id, ts FROM events " +
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "b AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts)) > 43200000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS sid FROM b), " +
+        "a AS (SELECT user_id, sid, min(us) AS start_us, " +
+        "max(us) AS end_us, count(*)::BIGINT AS cnt " +
+        "FROM s GROUP BY user_id, sid), " +
+        "f AS (SELECT *, max(sid) OVER (PARTITION BY user_id) " +
+        "AS last_sid FROM a), " +
+        "m AS (SELECT max(epoch_us(ts)) AS mx FROM e) " +
+        "SELECT user_id, start_us, end_us, cnt, " +
+        "CASE WHEN sid < last_sid THEN 'gap' ELSE 'timer' END " +
+        "AS closed_by FROM f, m " +
+        "WHERE sid < last_sid " +
+        "OR (end_us // 1000 + 43200000) <= (mx // 1000) " +
+        "ORDER BY user_id, start_us"),
     // full-corpus profile, but only for keys the STREAMED (non-history)
     // slice touches — seeded state alone never emits
     "st14_tws_bootstrap" -> (

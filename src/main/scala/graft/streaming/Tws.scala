@@ -251,6 +251,100 @@ object Tws {
         Encoders.STRING, Encoders.STRING)
   }
 
+  /** Typed input for [[SessionTimeoutProcessor]]: the watermarked event
+    * time rides along as a real timestamp (catalyst keeps µs precision
+    * through the encoder roundtrip). */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** One closed session. Times are epoch MICROSECONDS (the engine's own
+    * timestamp unit) so the cross-engine contract is integer-exact;
+    * `closed_by` records WHICH code path closed it — "gap" (a later
+    * event of the same key arrived past the gap) or "timer" (the
+    * event-time timer fired when the watermark passed end+gap). */
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     cnt: Long, closed_by: String)
+
+  /** Event-time SESSIONIZATION with inactivity timeout — the timer face
+    * of `transformWithState` (TimeMode.EventTime + registerTimer +
+    * handleExpiredTimer), the one capability the Value/List/Map trio
+    * above doesn't touch. Sessions that close *inside* a batch (a later
+    * event of the same key starts past the gap) emit inline; the still-
+    * open tail session registers an event-time timer at end+gap, fires
+    * when the watermark passes it, and is emitted from
+    * [[handleExpiredTimer]] with its state cleared. Each batch retracts
+    * the key's previous pending timer before registering the moved one,
+    * so an extended session never double-closes.
+    *
+    * Timer-µs contract (what the oracle replays): Spark's event-time
+    * watermark is `floor(max_event_us / 1000) - delay_ms` and a timer
+    * fires when `expiry_ms <= watermark_ms` (NON-strict — measured by
+    * TwsTimerSpec's expiry==watermark boundary case); we register at
+    * `floor(end_us / 1000) + gap_ms`.
+    *
+    * Scale: state per key is one open-session triple plus one pending
+    * timer — bounded by |keys|, not traffic; the per-batch sort buffers
+    * only one key's rows from one trigger interval. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, Session] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    private def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timerValues: TimerValues)
+        : Iterator[Session] = {
+      val batch = rows.map(e => us(e.ts)).toArray.sorted
+      if (batch.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var (st, en, cnt) =
+        if (open.exists()) { val o = open.get()
+          getHandle.deleteTimer(o._2 / 1000L + gapMs); o }
+        else (0L, 0L, 0L)
+      batch.foreach { t =>
+        if (cnt == 0L) { st = t; en = t; cnt = 1L }
+        else if (t - en > gapMs * 1000L) {
+          out += Session(key, st, en, cnt, "gap")
+          st = t; en = t; cnt = 1L
+        } else {
+          if (t > en) en = t
+          if (t < st) st = t
+          cnt += 1L
+        }
+      }
+      open.update((st, en, cnt))
+      getHandle.registerTimer(en / 1000L + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Session] =
+      if (!open.exists()) Iterator.empty
+      else {
+        val (st, en, cnt) = open.get()
+        open.clear()
+        Iterator.single(Session(key, st, en, cnt, "timer"))
+      }
+  }
+
+  /** Wire [[SessionTimeoutProcessor]] over a watermarked event stream.
+    * Append mode — every emission is a FINAL closed session (inline
+    * gap-closes plus watermark-fired timeouts), never revised. */
+  def sessionTimeout(events: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[Session])
+  }
+
   /** transformWithState requires the RocksDB state store provider; set it
     * (plus changelog checkpointing, the production-shape config) for the
     * duration of `body` and restore the previous provider after. */
