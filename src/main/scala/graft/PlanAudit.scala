@@ -896,6 +896,45 @@ object PlanAudit {
     // the statestore source is a DSv2 batch scan over the checkpoint —
     // the keys come off the store files directly (no stream replay: no
     // streaming nodes in the batch plan that reads the state back)
+    // the SQL-UDF pair must be INLINED by Catalyst: the physical plan
+    // carries the raw floor()/lpad() expressions (no function-call
+    // boundary survives), so the query codegens like hand-written SQL
+    audit("sql_udf_buckets (SQL UDFs inlined into the plan)", Seq(
+      "udf body inlined (floor visible in plan)" ->
+        (p => p.toLowerCase.contains("floor(")),
+      // the name may survive as an attribute ALIAS (`AS rev_label#n`);
+      // what must not appear is a call: `rev_label(...)`
+      "no surviving udf-call boundary" ->
+        (p => !p.contains("rev_bucket(") && !p.contains("rev_label(")),
+      "partial aggregation before exchange" -> (_.contains("partial_"))))(
+      SparkEntry.queries("sql_udf_buckets")(spark, dir))
+
+    // collated equality must still be a HASH join — the collation key
+    // is hashable, so case-insensitive matching costs one exchange,
+    // never a nested loop
+    audit("j9_collated_join (collated equality stays a hash join)", Seq(
+      "equi-join strategy (broadcast/shuffled-hash/sort-merge)" ->
+        (p => p.contains("BroadcastHashJoin") ||
+          p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")),
+      "no nested-loop fallback" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j9_collated_join")(spark, dir))
+
+    // the correlated LATERAL aggregate must DECORRELATE: one join +
+    // one aggregate, not a per-row subquery (nested loop) — the only
+    // shape that survives 100 TB
+    audit("j10_lateral_agg (lateral subquery decorrelated)", Seq(
+      "decorrelated to a join" ->
+        (p => p.contains("BroadcastHashJoin") ||
+          p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")),
+      "no nested-loop/cartesian execution" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      "aggregate pushed below the join (partial agg present)" ->
+        (_.contains("partial_"))))(
+      SparkEntry.queries("j10_lateral_agg")(spark, dir))
+
     audit("st12_statestore_read (DSv2 state scan, no replay)", Seq(
       "state source batch scan" ->
         (p => p.toLowerCase.contains("batchscan") &&

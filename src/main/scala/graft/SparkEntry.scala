@@ -2986,6 +2986,60 @@ object SparkEntry {
           "|> SELECT l_returnflag, l_linestatus, sum_qty, cnt " +
           "|> ORDER BY l_returnflag, l_linestatus")
     }),
+    // SQL-defined UDFs (Spark 4, SPARK-44076): catalog functions whose
+    // BODY is SQL, so Catalyst INLINES them into the caller's plan —
+    // codegen'd expressions, not a black-box lambda; rev_label nests
+    // rev_bucket, proving UDF-calls-UDF resolution. The oracle inlines
+    // the same expressions by hand, which is exactly what the optimizer
+    // must have done for the hash to match. Per-row arithmetic is IEEE
+    // double (identical both engines); the decimal sum keeps the
+    // aggregate exact.
+    "sql_udf_buckets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION rev_bucket(" +
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT " +
+        "RETURN CAST(floor(p * (1.0 - d) / 1000.0) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION rev_label(" +
+        "p DOUBLE, d DOUBLE) RETURNS STRING " +
+        "RETURN concat('b', lpad(CAST(rev_bucket(p, d) AS STRING), 3, '0'))")
+      s.sql("SELECT rev_label(l_extendedprice, l_discount) AS bucket, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")
+    }),
+    // Collated equality (Spark 4, SPARK-46830): UTF8_LCASE makes the
+    // JOIN itself case-insensitive — no lower() normalization column,
+    // the hash exchange keys on the collation key. Even partkeys carry
+    // an upper-cased brand, so every group mixes cases and the join
+    // only matches under the collation; min(original) is the
+    // deterministic representative the twin can reproduce.
+    "j9_collated_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT lower(p.mixed) AS brand_lc, min(p.mixed) AS rep, " +
+        "count(*) AS cnt FROM " +
+        "(SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) " +
+        "ELSE p_brand END AS mixed FROM part) p JOIN " +
+        "(SELECT DISTINCT upper(p_brand) AS ub FROM part " +
+        "WHERE p_brand LIKE 'Brand#1%') d " +
+        "ON p.mixed COLLATE UTF8_LCASE = d.ub COLLATE UTF8_LCASE " +
+        "GROUP BY 1 ORDER BY 1")
+    }),
+    // Correlated LATERAL subquery: per-order aggregate over its
+    // lineitems written as a lateral — Catalyst DECORRELATES it into a
+    // left outer aggregate join (PlanAudit pins no nested-loop/cross
+    // node survives), so the "run a subquery per row" shape executes
+    // as one shuffle, which is the only plan that survives 100 TB.
+    // Orders with no lineitems keep the SQL-mandated one-row aggregate
+    // result (cnt 0, null max) — the semantics a plain inner join gets
+    // wrong.
+    "j10_lateral_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT o.o_orderkey, t.max_price, t.n FROM orders o, " +
+        "LATERAL (SELECT max(l_extendedprice) AS max_price, " +
+        "count(*) AS n FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey) t " +
+        "WHERE o.o_orderkey % 50 = 0 ORDER BY o.o_orderkey")
+    }),
     // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
     // semantics (one NULL in the set empties the result; a nullable
     // column forces three-valued logic even when no null occurs). The
@@ -5014,6 +5068,30 @@ object SparkEntry {
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
         ">= 0.4 ORDER BY id_l, id_r"),
     "sql_pricing" -> PortablePricingSql,
+    // hand-inlined bodies of the two nested SQL UDFs — what Catalyst's
+    // inlining must reduce the query to
+    "sql_udf_buckets" -> (
+      "SELECT concat('b', lpad(CAST(CAST(floor(l_extendedprice * " +
+        "(1.0 - l_discount) / 1000.0) AS BIGINT) AS VARCHAR), 3, '0')) " +
+        "AS bucket, count(*)::BIGINT AS cnt, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE " +
+        "AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // the collation's observable contract: equality ≡ equality of
+    // lower(), which is literally how the twin joins
+    "j9_collated_join" -> (
+      "SELECT lower(p.mixed) AS brand_lc, min(p.mixed) AS rep, " +
+        "count(*)::BIGINT AS cnt FROM " +
+        "(SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) " +
+        "ELSE p_brand END AS mixed FROM part) p JOIN " +
+        "(SELECT DISTINCT upper(p_brand) AS ub FROM part " +
+        "WHERE p_brand LIKE 'Brand#1%') d " +
+        "ON lower(p.mixed) = lower(d.ub) GROUP BY 1 ORDER BY 1"),
+    "j10_lateral_agg" -> (
+      "SELECT o.o_orderkey, t.max_price, t.n FROM orders o, " +
+        "LATERAL (SELECT max(l_extendedprice) AS max_price, " +
+        "count(*)::BIGINT AS n FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey) t " +
+        "WHERE o.o_orderkey % 50 = 0 ORDER BY o.o_orderkey"),
     "sql_pipe_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
