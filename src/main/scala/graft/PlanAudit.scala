@@ -935,6 +935,17 @@ object PlanAudit {
         (_.contains("partial_"))))(
       SparkEntry.queries("j10_lateral_agg")(spark, dir))
 
+    // EqualNullSafe is a legal equi-join key: the NULL bucket hashes
+    // like any other value — no nested-loop fallback for <=>
+    audit("j11_nullsafe_join (<=> stays a hash join)", Seq(
+      "equi-join strategy (broadcast/shuffled-hash/sort-merge)" ->
+        (p => p.contains("BroadcastHashJoin") ||
+          p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")),
+      "no nested-loop fallback" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j11_nullsafe_join")(spark, dir))
+
     audit("st12_statestore_read (DSv2 state scan, no replay)", Seq(
       "state source batch scan" ->
         (p => p.toLowerCase.contains("batchscan") &&

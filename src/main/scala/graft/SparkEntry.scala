@@ -3040,6 +3040,77 @@ object SparkEntry {
         "WHERE l.l_orderkey = o.o_orderkey) t " +
         "WHERE o.o_orderkey % 50 = 0 ORDER BY o.o_orderkey")
     }),
+    // Session variables + dynamic SQL (Spark 4): the table name arrives
+    // in a DECLAREd STRING variable, the query text is a template run
+    // by EXECUTE IMMEDIATE, the variable binds through USING, and
+    // IDENTIFIER() promotes the bound string to a real relation
+    // reference — the safe (non-concatenation) dynamic-SQL idiom. The
+    // oracle is the fully-resolved query, which is what parameter
+    // binding must reduce to.
+    "sql_exec_immediate" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_tab STRING")
+      s.sql("SET VAR graft_tab = 'lineitem'")
+      s.sql("EXECUTE IMMEDIATE " +
+        "'SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_qty FROM IDENTIFIER(:t) WHERE l_shipdate <= :cut " +
+        "GROUP BY 1 ORDER BY 1' " +
+        "USING graft_tab AS t, DATE '1998-09-02' AS cut")
+    }),
+    // SQL scripting (Spark 4, SPARK-48338): a BEGIN…END compound with a
+    // script-local variable set from a scalar subquery, read by the
+    // final statement — the script's value IS the last statement's
+    // result set. The threshold is the decimal-exact mean (double sum
+    // order never enters), so the twin's WITH-clause replay is
+    // hash-exact.
+    "sql_script_thr" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        "BEGIN " +
+          "DECLARE thr DOUBLE; " +
+          "SET thr = (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) " +
+          "AS DOUBLE) / count(value) FROM events); " +
+          "SELECT event_type, count(*) AS cnt_above FROM events " +
+          "WHERE value > thr GROUP BY 1 ORDER BY 1; " +
+          "END")
+      finally prev.fold(s.conf.unset("spark.sql.scripting.enabled"))(
+        s.conf.set("spark.sql.scripting.enabled", _))
+    }),
+    // Null-safe equality (<=>) as a JOIN KEY: NULL matches NULL instead
+    // of vanishing (three-valued logic suspended), and Spark still
+    // plans it as a HASH join — EqualNullSafe is a legal equi-key, so
+    // the "null bucket" costs nothing over a plain join (PlanAudit pins
+    // it). clicks are nullif'd to NULL and must land on the dim's NULL
+    // row; purchase/signup match nothing and drop (inner join).
+    "j11_nullsafe_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT d.label, count(*) AS cnt FROM " +
+        "(SELECT nullif(event_type, 'click') AS k FROM events) e JOIN " +
+        "(VALUES ('error', 'errs'), ('view', 'views'), " +
+        "(NULL, 'clicks-via-null')) AS d(k, label) " +
+        "ON e.k <=> d.k GROUP BY 1 ORDER BY 1")
+    }),
+    // ANSI ordered-set aggregates: percentile_cont (linear
+    // interpolation) and percentile_disc (an actual data value) WITHIN
+    // GROUP — both engines share the definition; the interpolated
+    // quartiles are 1e-6-quantized because the lo+(hi-lo)·f arithmetic
+    // is fp, the discrete p90 is exact by construction.
+    "a16_percentiles" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT event_type, " +
+        "round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS q1, " +
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS med, " +
+        "round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS q3, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90 " +
+        "FROM events WHERE value IS NOT NULL " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
     // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
     // semantics (one NULL in the set empties the result; a nullable
     // column forces three-valued logic even when no null occurs). The
@@ -5068,6 +5139,37 @@ object SparkEntry {
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) " +
         ">= 0.4 ORDER BY id_l, id_r"),
     "sql_pricing" -> PortablePricingSql,
+    // the fully-resolved form of the EXECUTE IMMEDIATE template with
+    // both parameters bound
+    "sql_exec_immediate" -> (
+      "SELECT l_returnflag, count(*)::BIGINT AS cnt, " +
+        "(sum(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR)::DOUBLE " +
+        "AS sum_qty FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the script's variable replayed as a WITH-clause scalar
+    "sql_script_thr" -> (
+      "WITH t AS (SELECT (sum(CAST(value AS DECIMAL(18,2)))::VARCHAR)" +
+        "::DOUBLE / count(value) AS thr FROM events) " +
+        "SELECT event_type, count(*)::BIGINT AS cnt_above " +
+        "FROM events, t WHERE value > thr GROUP BY 1 ORDER BY 1"),
+    // <=> is IS NOT DISTINCT FROM
+    "j11_nullsafe_join" -> (
+      "SELECT d.label, count(*)::BIGINT AS cnt FROM " +
+        "(SELECT nullif(event_type, 'click') AS k FROM events) e JOIN " +
+        "(VALUES ('error', 'errs'), ('view', 'views'), " +
+        "(NULL, 'clicks-via-null')) AS d(k, label) " +
+        "ON e.k IS NOT DISTINCT FROM d.k GROUP BY 1 ORDER BY 1"),
+    "a16_percentiles" -> (
+      "SELECT event_type, " +
+        "round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS q1, " +
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS med, " +
+        "round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) " +
+        "* 1e6) / 1e6 AS q3, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90 " +
+        "FROM events WHERE value IS NOT NULL " +
+        "GROUP BY event_type ORDER BY event_type"),
     // hand-inlined bodies of the two nested SQL UDFs — what Catalyst's
     // inlining must reduce the query to
     "sql_udf_buckets" -> (
