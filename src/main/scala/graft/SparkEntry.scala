@@ -2947,6 +2947,40 @@ object SparkEntry {
       }
     }),
 
+    // st18: dropDuplicatesWithinWatermark — st3's dedup with BOUNDED
+    // state: a key's entry is evicted once the event-time watermark
+    // passes its expiry, so state is sized by the watermark horizon,
+    // not the stream's lifetime key cardinality (the only exact-dedup
+    // contract that survives an unbounded 100 TB/day stream;
+    // StreamSpec proves the evict-then-readmit difference). A one-pass
+    // drain admits each key once, so the batch DISTINCT gates it; only
+    // the key columns are emitted (which physical row survives is
+    // arrival-order dependent, the key set is not).
+    "st18_dedup_within_wm" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st18")
+      deleteRecursivelyOnExit(streamDir)
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+        .withWatermark("ts", "1 hour")
+      val deduped = graft.streaming.StreamIngest.streamingDedup(
+        ev, Seq("user_id", "event_type"), withinWatermark = true)
+      val qname =
+        "st18_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qname).orderBy("user_id", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // streaming quality FILTER at ingest — the most common streaming
     // curation op, same stateless-kernel argument as st4: the composed
     // quality/language predicate is pure codegen'd per-row work, so the
@@ -4103,6 +4137,10 @@ object SparkEntry {
     "st16_tws_typecounts" -> (
       "SELECT user_id, event_type, count(*)::BIGINT AS cnt " +
         "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"),
+    // a one-pass drain admits each key exactly once
+    "st18_dedup_within_wm" -> (
+      "SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type"),
     // exact-µs 12 h-gap sessionization; a user's LAST session only
     // appears if its timer fired — the measured non-strict ms-floor
     // predicate floor(end_us/1000)+gap_ms <= floor(max_us/1000)

@@ -137,6 +137,17 @@ class StreamSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table(qn).as[String].collect().sorted
       assert(got.toSeq == Seq("a", "b"))
+      // the defining difference vs plain dropDuplicates: once the
+      // watermark passes a key's expiry its state is EVICTED, so a
+      // far-later re-arrival of 'a' is a NEW row, not a duplicate —
+      // bounded state traded for windowed (not global) uniqueness
+      mem.addData((Timestamp.valueOf("2024-01-01 09:00:00"), "c"))
+      q.processAllAvailable() // watermark → 08:50, far past a's expiry
+      mem.addData((Timestamp.valueOf("2024-01-01 09:01:00"), "a"))
+      q.processAllAvailable()
+      val after = spark.table(qn).as[String].collect().sorted
+      assert(after.toSeq == Seq("a", "a", "b", "c"),
+        "evicted key re-admits after the watermark passes its expiry")
     } finally {
       q.stop()
       spark.catalog.dropTempView(qn)
