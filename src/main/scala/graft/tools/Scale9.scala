@@ -768,6 +768,77 @@ object Scale9 {
         }
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+
+    // Event-time timer sessionization at scale (r12, st17): the scaled
+    // events tables grow KEY CARDINALITY (user copies) under a fixed
+    // time horizon — exactly the axis transformWithState state (one
+    // open-session triple + one pending timer per key) grows along.
+    // RocksDB is the production store; the batch window sessionization
+    // over the same table is the cost yardstick (the streaming run adds
+    // the state machine + timer registry + changelog on top of the same
+    // one keyed exchange). Linear-ish wall growth ×10→×100 means the
+    // per-key state path, not some super-linear timer scan, is paying
+    // the bill.
+    if (sections("timers")) {
+      def rmRf(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(_.getNameCount)(Ordering[Int].reverse)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val gapMs = 12L * 3600 * 1000
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10),
+                            ("benchdata/sf10", 100));
+           round <- 1 to 2) {
+        val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        timed(s"batch window sessionize     x$xn r$round") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"))
+          spark.read.parquet(s"$dir/events.parquet")
+            .withColumn("brk", when(unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+              > gapMs * 1000 || lag(col("ts"), 1).over(w).isNull, 1L)
+              .otherwise(0L))
+            .withColumn("sid", sum(col("brk")).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(count(lit(1)).as("cnt"), min("ts").as("s"),
+              max("ts").as("e"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val streamDir = java.nio.file.Files.createTempDirectory("graft_tm")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tm_ck")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try timed(s"tws timer sessionize rocksdb x$xn r$round") {
+          import spark.implicits._
+          val schema = spark.read.parquet(s"$dir/events.parquet").schema
+          val ev = spark.readStream.schema(schema)
+            .parquet(streamDir.toString)
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+            .withWatermark("ts", "0 seconds")
+            .as[graft.streaming.Tws.SessionEvent]
+          val q = graft.streaming.Tws.sessionTimeout(ev, gapMs).toDF()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+          rmRf(ckpt); rmRf(streamDir)
+        }
+      }
+    }
     spark.stop()
   }
 }

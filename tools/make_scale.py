@@ -119,6 +119,41 @@ def build_orders(name: str, copies: int) -> None:
     print(f"{name}: {got[0]} orders -> {out}/orders.parquet")
 
 
+EVT = "/root/testdata/sf0.1/events.parquet"
+
+
+def build_events(name: str, copies: int) -> None:
+    """Scaled events for streaming-state measurements: each copy offsets
+    user_id (and event_id) while keeping ts untouched, so the per-user
+    session/timer structure of every copy is identical to the base and
+    the scale axis is KEY CARDINALITY — the axis streaming state (one
+    open session + one timer per key) actually grows along. The time
+    horizon stays fixed, as it does for a real service adding users."""
+    out = f"benchdata/{name}"
+    stats = duckdb.sql(
+        f"SELECT count(*), max(user_id) + 1, max(event_id) + 1 FROM '{EVT}'"
+    ).fetchone()
+    nv, ustride, estride = stats
+    selects = [
+        f"SELECT event_id + {i * estride} AS event_id, ts, "
+        f"user_id + {i * ustride} AS user_id, event_type, value, props "
+        f"FROM vsrc"
+        for i in range(copies)
+    ]
+    q = (
+        f"COPY (WITH vsrc AS (SELECT * FROM '{EVT}') "
+        + " UNION ALL ".join(selects)
+        + f") TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(q)
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT event_id) FROM '{out}/events.parquet'"
+    ).fetchone()
+    assert got[0] == got[1] == nv * copies, got
+    print(f"{name}: {got[0]} events -> {out}/events.parquet")
+
+
 if __name__ == "__main__":
     build(sys.argv[1], int(sys.argv[2]))
     build_orders(sys.argv[1], int(sys.argv[2]))
+    build_events(sys.argv[1], int(sys.argv[2]))
