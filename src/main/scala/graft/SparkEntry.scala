@@ -3145,6 +3145,35 @@ object SparkEntry {
         "FROM events WHERE value IS NOT NULL " +
         "GROUP BY event_type ORDER BY event_type")
     }),
+    // In-flight telemetry via observe/CollectMetrics: counts, null
+    // rates and key sums collected as ACCUMULATORS on the frame's one
+    // execution — no second scan (at 100 TB the difference between
+    // free telemetry and doubling the job). The returned row is the
+    // observed metric set (S8 driver-bridge shape); the twin computes
+    // the same aggregates directly, so the accumulator path must agree
+    // with the declarative one.
+    "a18_observe" -> ((s, dir) =>
+      Relational.observedIngestStats(t(s, dir, "events"))),
+    // ANSI-mode dirty-data arithmetic: under Spark 4's default ANSI
+    // semantics a plain CAST('click' AS BIGINT) or x/0 THROWS — the
+    // try_* family is the per-row quarantine that keeps a 100 TB job
+    // alive while COUNTING what it dropped (the parse-rate telemetry a
+    // curation pipeline reports). Every third row's JSON field is
+    // replaced by a non-numeric string (try_cast → NULL), every fifth
+    // divisor is zero (try_divide → NULL); counts and the integer sum
+    // of parsed values are exact. The twin replays the failures as
+    // explicit CASE NULLs — the declarative meaning of "try".
+    "a17_try_dirty" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT event_type, count(*) AS total, " +
+        "count(try_divide(value, CAST(event_id % 5 AS DOUBLE))) " +
+        "AS div_ok, " +
+        "count(try_cast(CASE WHEN event_id % 3 = 0 THEN event_type " +
+        "ELSE get_json_object(props, '$.k') END AS BIGINT)) AS k_ok, " +
+        "sum(try_cast(CASE WHEN event_id % 3 = 0 THEN event_type " +
+        "ELSE get_json_object(props, '$.k') END AS BIGINT)) AS k_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1")
+    }),
     // NOT IN with a NULLABLE subquery — SQL's trickiest anti-join
     // semantics (one NULL in the set empties the result; a nullable
     // column forces three-valued logic even when no null occurs). The
@@ -5190,6 +5219,22 @@ object SparkEntry {
         "::DOUBLE / count(value) AS thr FROM events) " +
         "SELECT event_type, count(*)::BIGINT AS cnt_above " +
         "FROM events, t WHERE value > thr GROUP BY 1 ORDER BY 1"),
+    "a18_observe" -> (
+      "SELECT count(*)::BIGINT AS n_rows, count(value)::BIGINT " +
+        "AS n_value, sum(user_id)::BIGINT AS uid_sum FROM events"),
+    // try_* failures replayed as explicit CASE NULLs (div0 → NULL,
+    // non-numeric cast → NULL)
+    "a17_try_dirty" -> (
+      "SELECT event_type, count(*)::BIGINT AS total, " +
+        "count(CASE WHEN event_id % 5 = 0 THEN NULL " +
+        "ELSE value / CAST(event_id % 5 AS DOUBLE) END)::BIGINT " +
+        "AS div_ok, " +
+        "count(try_cast(CASE WHEN event_id % 3 = 0 THEN event_type " +
+        "ELSE json_extract_string(props, '$.k') END AS BIGINT))::BIGINT " +
+        "AS k_ok, " +
+        "sum(try_cast(CASE WHEN event_id % 3 = 0 THEN event_type " +
+        "ELSE json_extract_string(props, '$.k') END AS BIGINT))::BIGINT " +
+        "AS k_sum FROM events GROUP BY 1 ORDER BY 1"),
     // <=> is IS NOT DISTINCT FROM
     "j11_nullsafe_join" -> (
       "SELECT d.label, count(*)::BIGINT AS cnt FROM " +

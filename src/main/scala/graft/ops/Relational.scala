@@ -495,4 +495,28 @@ object Relational {
   def distinctCountApprox(df: DataFrame, c: String,
                           rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
+
+  /** In-flight pipeline telemetry via `observe` (the CollectMetrics
+    * node): the metrics ride the frame's ONE execution as accumulators
+    * — row counts, null rates, key sums arrive for free with the main
+    * action instead of costing a second 100 TB scan (the parse-rate /
+    * drop-rate reporting every production ingest wants). The returned
+    * 1-row frame is the observed metric set (an S8 driver-bridge
+    * result, like the other collect-to-local operators); ObserveSpec
+    * pins that the source is scanned exactly once and the metrics
+    * equal the direct aggregates. */
+  def observedIngestStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val obs = org.apache.spark.sql.Observation(
+      "graft_obs_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    events.observe(obs, count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        sum(col("user_id")).as("uid_sum"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_value").asInstanceOf[Long],
+        m("uid_sum").asInstanceOf[Long]))
+      .toDF("n_rows", "n_value", "uid_sum")
+  }
 }
