@@ -954,6 +954,30 @@ object PlanAudit {
         (p => !p.contains("StreamingRelation"))))(
       SparkEntry.queries("st12_statestore_read")(spark, dir))
 
+    // The transpose INPUT (the only distributed part) must still be a
+    // proper two-phase aggregate; transpose itself is a driver pivot of
+    // an already-bounded frame (5 event types), so the plan after it is
+    // a LocalTableScan — rows never round-trip back to executors.
+    audit("p15_transpose (agg input two-phase; result a local relation)", Seq(
+      "transposed frame is a driver-local relation" ->
+        (p => p.contains("LocalTableScan") || p.contains("LocalRelation")),
+      "no exchange after the transpose" -> (!_.contains("Exchange"))))(
+      SparkEntry.queries("p15_transpose")(spark, dir))
+
+    // Provenance via _metadata must be FREE: constant-per-file fields
+    // ride the scan and row_index materializes as ONE synthetic bigint
+    // (`_tmp_metadata_row_index`) — no path-parsing projection, no join
+    // against a listing, and crucially no REAL data column in the
+    // ReadSchema (the parquet reader never touches the row groups'
+    // payload pages for this query).
+    audit("s19_metadata_cols (metadata ride the scan, zero data columns)", Seq(
+      "scan reads only the synthetic row-index column" ->
+        (_.contains("ReadSchema: struct<_tmp_metadata_row_index:bigint>")),
+      "single scan, no join against a listing" ->
+        (p => !p.toLowerCase.contains("join")),
+      "partial aggregation before exchange" -> (_.contains("partial_"))))(
+      SparkEntry.queries("s19_metadata_cols")(spark, dir))
+
     spark.stop()
   }
 }

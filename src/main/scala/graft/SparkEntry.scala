@@ -3145,6 +3145,39 @@ object SparkEntry {
         "FROM events WHERE value IS NOT NULL " +
         "GROUP BY event_type ORDER BY event_type")
     }),
+    // Dataset.transpose (Spark 4, SPARK-49243): rows↔columns for the
+    // present-a-small-aggregate shape (stats frames, confusion
+    // matrices) — the index column's VALUES become column names, so
+    // this is only sane AFTER aggregation to a bounded frame (5 event
+    // types here), never on raw data; the twin hand-pivots the same
+    // frame with CASE columns.
+    "p15_transpose" -> ((s, dir) => {
+      val agg = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          countDistinct(col("user_id")).cast("double").as("users"))
+      // the transposed frame is a driver-local relation (2 rows) — a
+      // distributed orderBy would add a range exchange for nothing;
+      // coalesce(1)+sortWithinPartitions orders it exchange-free
+      agg.transpose(col("event_type"))
+        .coalesce(1).sortWithinPartitions("key")
+    }),
+    // File-provenance metadata columns: _metadata.file_name /
+    // row_index ride the parquet scan for free — the lineage every
+    // multi-source ingest wants (which file did this row come from)
+    // without a path-parsing UDF. row_index is the position WITHIN the
+    // file, so its per-file sum must be n(n−1)/2 no matter how Spark
+    // splits the scan — a split-invariance the twin checks exactly.
+    // (file_name is a BASENAME and collides across partitionBy dirs —
+    // TransposeMetadataSpec pins it; key real provenance on file_path.
+    // It's safe here: the table is a single file.)
+    "s19_metadata_cols" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("cnt"), sum(col("ri")).as("ri_sum"))
+        .orderBy("file_name")
+    }),
     // In-flight telemetry via observe/CollectMetrics: counts, null
     // rates and key sums collected as ACCUMULATORS on the frame's one
     // execution — no second scan (at 100 TB the difference between
@@ -5222,6 +5255,30 @@ object SparkEntry {
     "a18_observe" -> (
       "SELECT count(*)::BIGINT AS n_rows, count(value)::BIGINT " +
         "AS n_value, sum(user_id)::BIGINT AS uid_sum FROM events"),
+    // the transposed frame hand-pivoted: metric names as rows, the
+    // (fixture-stable) event-type domain as CASE columns
+    "p15_transpose" -> (
+      "WITH a AS (SELECT event_type, count(*)::DOUBLE AS cnt, " +
+        "count(DISTINCT user_id)::DOUBLE AS users FROM events " +
+        "GROUP BY 1) " +
+        "SELECT 'cnt' AS key, " +
+        "max(CASE WHEN event_type = 'click' THEN cnt END) AS click, " +
+        "max(CASE WHEN event_type = 'error' THEN cnt END) AS error, " +
+        "max(CASE WHEN event_type = 'purchase' THEN cnt END) AS purchase, " +
+        "max(CASE WHEN event_type = 'signup' THEN cnt END) AS signup, " +
+        "max(CASE WHEN event_type = 'view' THEN cnt END) AS view FROM a " +
+        "UNION ALL SELECT 'users', " +
+        "max(CASE WHEN event_type = 'click' THEN users END), " +
+        "max(CASE WHEN event_type = 'error' THEN users END), " +
+        "max(CASE WHEN event_type = 'purchase' THEN users END), " +
+        "max(CASE WHEN event_type = 'signup' THEN users END), " +
+        "max(CASE WHEN event_type = 'view' THEN users END) FROM a " +
+        "ORDER BY key"),
+    // row_index is per-file: its sum over one file of n rows is
+    // n(n−1)/2 regardless of scan splits
+    "s19_metadata_cols" -> (
+      "SELECT 'events.parquet' AS file_name, count(*)::BIGINT AS cnt, " +
+        "(count(*) * (count(*) - 1) // 2)::BIGINT AS ri_sum FROM events"),
     // try_* failures replayed as explicit CASE NULLs (div0 → NULL,
     // non-numeric cast → NULL)
     "a17_try_dirty" -> (
