@@ -954,6 +954,28 @@ object PlanAudit {
         (p => !p.contains("StreamingRelation"))))(
       SparkEntry.queries("st12_statestore_read")(spark, dir))
 
+    // Two-level bitmap distinct: BOTH aggregations must keep their
+    // map-side partial phase — the whole point is that the exchange
+    // carries (key, bucket, 4KB-bitmap) rows, not raw ids, and stage 2
+    // pre-sums popcounts before its exchange too.
+    audit("a21_bitmap_distinct (partial agg at both bitmap levels)", Seq(
+      "partial bitmap_construct_agg before the first exchange" ->
+        (_.contains("partial_bitmap_construct_agg")),
+      "partial popcount sum before the second exchange" ->
+        (_.contains("partial_sum")),
+      "no expand/distinct fallback" -> (p => !p.contains("Expand"))))(
+      SparkEntry.queries("a21_bitmap_distinct")(spark, dir))
+
+    // Mergeable top-k sketches: shards build states under a partial
+    // accumulate; the final combine+estimate runs over ONE exchange of
+    // bounded sketch bytes (never raw per-key counts).
+    audit("a22_topk_sketch (partial sketch accumulate, bounded merge)", Seq(
+      "partial approx_top_k_accumulate before exchange" ->
+        (_.contains("partial_approx_top_k_accumulate")),
+      "single-partition final merge of sketch states" ->
+        (_.contains("SinglePartition"))))(
+      SparkEntry.queries("a22_topk_sketch")(spark, dir))
+
     // The transpose INPUT (the only distributed part) must still be a
     // proper two-phase aggregate; transpose itself is a driver pivot of
     // an already-bounded frame (5 event types), so the plan after it is

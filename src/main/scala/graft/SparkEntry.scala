@@ -1069,6 +1069,65 @@ object SparkEntry {
               sqrt(col("n") * col("syy") - col("sy") * col("sy")))) * 1e6)
             / 1e6).as("corr"))
     }),
+    // A21 EXACT distinct count via two-level bitmaps: stage 1 groups by
+    // (key, bitmap_bucket_number(id)) and ORs the id's bit into one
+    // 4 KB bitmap per bucket — so the exchange carries one bitmap per
+    // (key, 32k-id-range) instead of every raw id; stage 2 sums
+    // popcounts. This is the 100 TB alternative to count(DISTINCT):
+    // same exact answer, but the shuffle payload scales with ID-RANGE/
+    // 32768, not with row count, and both stages keep partial
+    // aggregation. (HLL a19 trades exactness for even less; bitmaps
+    // keep exactness for dense integer keys like user ids.)
+    "a21_bitmap_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("users"))
+        .orderBy("event_type")),
+    // A22 mergeable frequent-items sketches (approx_top_k in its
+    // accumulate→combine→estimate split): each shard builds its own
+    // sketch, the combine merges SKETCH STATES (what a 1000-executor
+    // topology ships to the driver — bounded bytes per shard, never raw
+    // counts per key), the estimate reads the merged state. With
+    // maxItemsTracked (64) above the true domain (5 event types) the
+    // sketch is EXACT, so the twin is a plain GROUP BY — and the
+    // event-type counts are fixture-separated (no ties), making the
+    // order deterministic.
+    "a22_topk_sketch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(8)).as("shard"))
+        .agg(expr("approx_top_k_accumulate(event_type, 64)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 5)")
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(desc("cnt"), col("item"))),
+    // A23 theta-sketch set algebra: distinct-user INTERSECTION /
+    // DIFFERENCE across segments — the queries HLL structurally cannot
+    // answer (HLL unions only; inclusion-exclusion blows up its error).
+    // Below the nominal 4096 entries theta sketches are in exact mode
+    // (every retained hash kept, estimate = true count, merge-order
+    // stable), so these estimates hash-gate; ThetaSpec separately pins
+    // the estimate-mode behavior past nominal. The value>200 filter
+    // makes the overlap non-trivial at sf0.01 (7 of 32).
+    "a23_theta_sets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'click' " +
+            "AND value > 200 THEN user_id END)").as("sc"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' " +
+            "AND value > 200 THEN user_id END)").as("sp"))
+        .select(
+          expr("theta_sketch_estimate(sc)").as("u_click"),
+          expr("theta_sketch_estimate(sp)").as("u_purchase"),
+          expr("theta_sketch_estimate(theta_intersection(sc, sp))")
+            .as("u_both"),
+          expr("theta_sketch_estimate(theta_union(sc, sp))").as("u_either"),
+          expr("theta_sketch_estimate(theta_difference(sc, sp))")
+            .as("u_click_only"))),
     // A17 pivot (long→wide): per-source doc counts fanned across the
     // FIXED lang domain. Pinning the pivot values keeps it one pass —
     // Spark plans a single partial-agg shuffle with one count per pivot
@@ -3927,6 +3986,31 @@ object SparkEntry {
         "SELECT n::BIGINT AS n, " +
         "round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) " +
         "* 1e6)/1e6 AS corr FROM a"),
+    // two-level bitmaps compute the EXACT distinct count — the twin is
+    // the plain form the bitmaps replace
+    "a21_bitmap_distinct" -> (
+      "SELECT event_type, count(DISTINCT user_id)::BIGINT AS users " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    // sketch capacity (64) exceeds the domain (5) → exact counts; no
+    // count ties in the fixture, so (cnt DESC, item) is deterministic
+    "a22_topk_sketch" -> (
+      "SELECT event_type AS item, count(*)::BIGINT AS cnt FROM events " +
+        "GROUP BY 1 ORDER BY cnt DESC, item"),
+    // theta exact mode (< 4096 retained) → estimates equal true set
+    // cardinalities; the twin spells the set algebra out
+    "a23_theta_sets" -> (
+      "WITH c AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'click' AND value > 200), " +
+        "p AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value > 200) " +
+        "SELECT (SELECT count(*) FROM c)::BIGINT AS u_click, " +
+        "(SELECT count(*) FROM p)::BIGINT AS u_purchase, " +
+        "(SELECT count(*) FROM (SELECT * FROM c INTERSECT " +
+        "SELECT * FROM p))::BIGINT AS u_both, " +
+        "(SELECT count(*) FROM (SELECT * FROM c UNION " +
+        "SELECT * FROM p))::BIGINT AS u_either, " +
+        "(SELECT count(*) FROM (SELECT * FROM c EXCEPT " +
+        "SELECT * FROM p))::BIGINT AS u_click_only"),
     // the merge must equal the full recompute — one straight GROUP BY
     "r3_incremental_agg" -> (
       "SELECT event_type, count(*) AS cnt, " +
