@@ -954,6 +954,19 @@ object PlanAudit {
         (p => !p.contains("StreamingRelation"))))(
       SparkEntry.queries("st12_statestore_read")(spark, dir))
 
+    // Recursive CTE gap-fill: recursion must appear as a UnionLoop
+    // (the driver-iterated anchor+step operator) over the DATE DOMAIN,
+    // and the spine join must broadcast — the fact table is only ever
+    // touched by the two pre-aggregations, never by the recursion.
+    audit("sql_recursive_spine (UnionLoop recursion, broadcast gap-fill)", Seq(
+      "UnionLoop drives the recursion" -> (_.contains("UnionLoop")),
+      "gap-fill join broadcasts" ->
+        (p => p.contains("BroadcastHashJoin") ||
+          p.contains("AdaptiveSparkPlan")),
+      "left outer (zero-fill) join" ->
+        (_.toLowerCase.contains("leftouter"))))(
+      SparkEntry.queries("sql_recursive_spine")(spark, dir))
+
     // Two-level bitmap distinct: BOTH aggregations must keep their
     // map-side partial phase — the whole point is that the exchange
     // carries (key, bucket, 4KB-bitmap) rows, not raw ids, and stage 2

@@ -3100,6 +3100,29 @@ object SparkEntry {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY 1")
     }),
+    // Recursive CTE (Spark 4.1, SPARK-24497): the calendar-spine
+    // gap-fill — recursion generates the day spine (anchored at the
+    // data's own min/max, one driver-iterated UnionLoop batch per day),
+    // then a LEFT join zero-fills days with no qualifying events. The
+    // recursion runs over the DATE DOMAIN (30 rows), never the fact
+    // table, so depth is bounded by calendar span regardless of data
+    // scale; the spine-side join broadcasts. The sparse filter
+    // (purchase, value>300) makes zero days real at sf0.01. The twin
+    // derives the same spine INDEPENDENTLY via generate_series.
+    "sql_recursive_spine" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        "WITH RECURSIVE spine(d, hi) AS (" +
+          "SELECT min(CAST(ts AS DATE)), max(CAST(ts AS DATE)) " +
+          "FROM events " +
+          "UNION ALL " +
+          "SELECT date_add(d, 1), hi FROM spine WHERE d < hi), " +
+          "daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n " +
+          "FROM events WHERE event_type = 'purchase' AND value > 300 " +
+          "GROUP BY 1) " +
+          "SELECT spine.d AS d, COALESCE(daily.n, 0) AS n " +
+          "FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY d")
+    }),
     // Collated equality (Spark 4, SPARK-46830): UTF8_LCASE makes the
     // JOIN itself case-insensitive — no lower() normalization column,
     // the hash exchange keys on the collation key. Even partkeys carry
@@ -5425,6 +5448,17 @@ object SparkEntry {
         "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),
+    // the spine derived a DIFFERENT way (generate_series, not
+    // recursion) — agreement cross-checks Spark's UnionLoop itself
+    "sql_recursive_spine" -> (
+      "WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi " +
+        "FROM events), " +
+        "spine AS (SELECT unnest(generate_series(lo, hi, " +
+        "INTERVAL 1 DAY))::DATE AS d FROM b), " +
+        "daily AS (SELECT ts::DATE AS d, count(*) AS n FROM events " +
+        "WHERE event_type = 'purchase' AND value > 300 GROUP BY 1) " +
+        "SELECT spine.d AS d, COALESCE(daily.n, 0)::BIGINT AS n " +
+        "FROM spine LEFT JOIN daily USING (d) ORDER BY d"),
     "sql_not_in" -> PortableNotInSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
