@@ -769,6 +769,64 @@ object Scale9 {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    // Exact distinct counting at scale (r12, a21): three arms over the
+    // same per-event-type distinct-user question. count(DISTINCT) ships
+    // per-mapper-deduped (key,id) PAIRS — shuffle grows with per-mapper
+    // distinct volume; the two-level bitmap ships one 4 KB bitmap per
+    // (key, 32k-id-range, mapper) — shuffle bounded by ID-RANGE, not
+    // rows; HLL is the approx yardstick (smallest shuffle, inexact).
+    // Wall-clock at local[32] shuffles at memory speed, so shuffle
+    // WRITE volume is the honest 1000-executor metric here (same
+    // rationale as the bloom section).
+    if (sections("bitmap")) {
+      val shufRecords = new java.util.concurrent.atomic.AtomicLong
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                              ("benchdata/sf1", 10),
+                              ("benchdata/sf10", 100))) {
+          val ev = spark.read.parquet(s"$dir/events.parquet")
+            .select(col("event_type"), col("user_id"))
+          def run(tag: String)(mk: => org.apache.spark.sql.DataFrame):
+              Unit = {
+            timed(f"$tag%-24s x$xn") { mk.write.format("noop")
+              .mode("overwrite").save() }
+            Thread.sleep(500) // listener events drain asynchronously
+            println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
+              f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
+            shufRecords.set(0); shufBytes.set(0)
+          }
+          for (round <- 1 to 2) {
+            run(s"count-distinct r$round")(
+              ev.groupBy("event_type")
+                .agg(countDistinct(col("user_id")).as("users")))
+            run(s"bitmap-distinct r$round")(
+              ev.groupBy(col("event_type"),
+                  expr("bitmap_bucket_number(user_id)").as("bkt"))
+                .agg(expr(
+                  "bitmap_construct_agg(bitmap_bit_position(user_id))")
+                  .as("bm"))
+                .groupBy("event_type")
+                .agg(sum(expr("bitmap_count(bm)")).as("users")))
+            run(s"hll-approx r$round")(
+              ev.groupBy("event_type")
+                .agg(approx_count_distinct(col("user_id")).as("users")))
+          }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     // Event-time timer sessionization at scale (r12, st17): the scaled
     // events tables grow KEY CARDINALITY (user copies) under a fixed
     // time horizon — exactly the axis transformWithState state (one
