@@ -954,6 +954,35 @@ object PlanAudit {
         (p => !p.contains("StreamingRelation"))))(
       SparkEntry.queries("st12_statestore_read")(spark, dir))
 
+    // RANGE frame: one hash exchange on user_id feeds BOTH frame
+    // aggregates (count + decimal sum share the window spec — a second
+    // exchange would mean Spark planned them as separate windows).
+    audit("w8_range_frame (one exchange, shared window spec)", Seq(
+      "window operator present" -> (_.contains("Window")),
+      "exactly one hash exchange on the partition key" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1 &&
+          "\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2)))( // +1 for final sort
+      SparkEntry.queries("w8_range_frame")(spark, dir))
+
+    // Moment stats: ALL eight sums must ride one partial-agg pass —
+    // the whole design is one scan, one tiny exchange, formulas on the
+    // driver-side converged row.
+    audit("a24_moment_stats (one partial-agg pass, single scan)", Seq(
+      "partial aggregation before exchange" -> (_.contains("partial_")),
+      "no join (single-table moments)" ->
+        (p => !p.toLowerCase.contains("join")),
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)))(
+      SparkEntry.queries("a24_moment_stats")(spark, dir))
+
+    // Histogram: width_bucket is a per-row projection inside the scan
+    // stage; the groupBy on the bucket keeps partial aggregation.
+    audit("a25_histogram (bucket projection + partial agg)", Seq(
+      "partial aggregation before exchange" -> (_.contains("partial_")),
+      "width_bucket evaluated in the scan stage (no join/expand)" ->
+        (p => !p.toLowerCase.contains("join") && !p.contains("Expand"))))(
+      SparkEntry.queries("a25_histogram")(spark, dir))
+
     // Recursive CTE gap-fill: recursion must appear as a UnionLoop
     // (the driver-iterated anchor+step operator) over the DATE DOMAIN,
     // and the spine join must broadcast — the fact table is only ever

@@ -1128,6 +1128,36 @@ object SparkEntry {
           expr("theta_sketch_estimate(theta_union(sc, sp))").as("u_either"),
           expr("theta_sketch_estimate(theta_difference(sc, sp))")
             .as("u_click_only"))),
+    // A24 distribution-shape statistics from EXACT moments — a20's
+    // trick extended to the rest of the stats family: covar_pop,
+    // regression slope/intercept/r², skewness and excess kurtosis, all
+    // derived from moment sums that accumulate EXACTLY (quantity is
+    // integral → BIGINT power sums; price terms in decimal), then ONE
+    // formula — the SAME text both engines — runs on the converged
+    // values. The built-ins (covar_pop, regr_slope, skewness, kurtosis)
+    // are deliberately NOT used: their single-pass double updates drift
+    // with partition merge order, and Spark (population) vs DuckDB
+    // (sample) disagree on skew/kurt definitions anyway. One
+    // partial-agg pass, 1e-6 quantized.
+    "a24_moment_stats" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(MomentStatsSql(bridge = false))
+    }),
+    // A25 equi-width histogram (the df.hist / data-profiling surface):
+    // width_bucket over pinned bounds is ONE partial-agg pass — the
+    // profile shape that replaces a quantile sort for dashboards. The
+    // twin replays the bucket arithmetic as explicit floor() (DuckDB
+    // has no width_bucket): associations may differ at ~1e-12, so the
+    // bounds sit at x.005 — 2-decimal money can never land within
+    // 0.005 of a boundary and the engines can't disagree on a bucket.
+    "a25_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(expr(
+          "width_bucket(l_extendedprice, 0.005, 110000.005, 11)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket")),
     // A17 pivot (long→wide): per-source doc counts fanned across the
     // FIXED lang domain. Pinning the pivot values keeps it one pass —
     // Spark plans a single partial-agg shuffle with one count per pivot
@@ -1198,6 +1228,30 @@ object SparkEntry {
               .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
               .rowsBetween(-6, 0))
             .cast("double").as("roll_sum"))
+        .orderBy("event_id")),
+    // W8 RANGE frame (time-range, not row-count): the trailing-3-days
+    // sum per user — the frame every "rolling 7-day metric" dashboard
+    // means (w3's ROWS frame counts events, this one counts TIME, so
+    // rows at identical timestamps enter the frame together and gaps
+    // shrink it). Ordered by epoch µs so the DataFrame rangeBetween
+    // (long offsets) expresses the interval; the twin mirrors the SAME
+    // µs range frame. Decimal accumulator: range frames evaluate via
+    // segment trees in DuckDB vs running accumulators in Spark —
+    // different fp association, exact under decimal (the w3 lesson).
+    "w8_range_frame" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("tts"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(unix_micros(col("tts")))
+            .rangeBetween(-3L * 86400 * 1000000, 0)).as("n_3d"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(unix_micros(col("tts")))
+              .rangeBetween(-3L * 86400 * 1000000, 0))
+            .cast("double").as("sum_3d"))
         .orderBy("event_id")),
     // W4 rank family: ntile quartile + percent_rank per event_type.
     // (value, event_id) makes the order total, so both are deterministic;
@@ -4094,6 +4148,16 @@ object SparkEntry {
         "ORDER BY ts NULLS FIRST, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)" +
         ")::VARCHAR)::DOUBLE AS roll_sum " +
         "FROM events ORDER BY event_id"),
+    // the SAME µs-epoch range frame (rows with NULL value still occupy
+    // their time position; decimal keeps the frame sums exact)
+    "w8_range_frame" -> (
+      "SELECT event_id, user_id, " +
+        "count(*) OVER w AS n_3d, " +
+        "((sum(CAST(value AS DECIMAL(18,6))) OVER w)::VARCHAR)::DOUBLE " +
+        "AS sum_3d FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "o6_page" -> (
       "SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100"),
@@ -5459,6 +5523,17 @@ object SparkEntry {
         "WHERE event_type = 'purchase' AND value > 300 GROUP BY 1) " +
         "SELECT spine.d AS d, COALESCE(daily.n, 0)::BIGINT AS n " +
         "FROM spine LEFT JOIN daily USING (d) ORDER BY d"),
+    // the same formula text; decimal sums cross the varchar bridge
+    "a24_moment_stats" -> MomentStatsSql(bridge = true),
+    // width_bucket spelled out: floor((v-lo)*n/(hi-lo))+1 in-range
+    // (bounds at x.005 keep 2-decimal data off every boundary)
+    "a25_histogram" -> (
+      "SELECT CASE WHEN l_extendedprice < 0.005 THEN 0 " +
+        "WHEN l_extendedprice >= 110000.005 THEN 12 " +
+        "ELSE CAST(floor((l_extendedprice - 0.005) * 11.0 / 110000.0) " +
+        "AS BIGINT) + 1 END AS bucket, count(*)::BIGINT AS cnt, " +
+        "(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE " +
+        "AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"),
     "sql_not_in" -> PortableNotInSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
@@ -5471,6 +5546,42 @@ object SparkEntry {
 
   /** Portable NOT-IN over a nullable (but null-free) subquery column —
     * executed verbatim by spark.sql AND DuckDB (see sql_not_in). */
+  /** a24's one SQL text for BOTH engines: exact moment sums (BIGINT
+    * power sums for the integral quantity, decimal for price terms),
+    * then identical double formulas. `bridge=true` adds the DuckDB
+    * varchar→double bridge on the DECIMAL sums (the dsum trick — both
+    * engines then parse the same decimal string); the BIGINT sums cast
+    * directly (DuckDB sums BIGINT as HUGEINT, and all values here are
+    * < 2^53 so the double conversion is exact on both). */
+  private[graft] def MomentStatsSql(bridge: Boolean): String = {
+    def d(e: String) =
+      if (bridge) s"CAST(CAST($e AS VARCHAR) AS DOUBLE)" else s"CAST($e AS DOUBLE)"
+    val q = "CAST(l_quantity AS BIGINT)"
+    val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    "WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      s"CAST(sum($q) AS DOUBLE) AS sx, " +
+      s"CAST(sum($q * $q) AS DOUBLE) AS sxx, " +
+      s"CAST(sum($q * $q * $q) AS DOUBLE) AS sx3, " +
+      s"CAST(sum($q * $q * $q * $q) AS DOUBLE) AS sx4, " +
+      d(s"sum($p)") + " AS sy, " +
+      d(s"sum($p * $p)") + " AS syy, " +
+      d(s"sum($q * $p)") + " AS sxy " +
+      "FROM lineitem) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      "round((n*sxy - sx*sy) / (n*n) * 1e6)/1e6 AS covar_pop, " +
+      "round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e6)/1e6 AS slope, " +
+      "round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 1e6)/1e6 " +
+      "AS intercept, " +
+      "round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) / " +
+      "((n*sxx - sx*sx)*(n*syy - sy*sy)) * 1e6)/1e6 AS r2, " +
+      "round((sx3/n - 3*(sx/n)*(sxx/n) + 2*(sx/n)*(sx/n)*(sx/n)) / " +
+      "pow(sxx/n - (sx/n)*(sx/n), 1.5) * 1e6)/1e6 AS skew_q, " +
+      "round(((sx4/n - 4*(sx/n)*(sx3/n) + 6*(sx/n)*(sx/n)*(sxx/n) - " +
+      "3*(sx/n)*(sx/n)*(sx/n)*(sx/n)) / " +
+      "((sxx/n - (sx/n)*(sx/n))*(sxx/n - (sx/n)*(sx/n))) - 3) * 1e6)/1e6 " +
+      "AS kurt_q FROM m"
+  }
+
   private val PortableNotInSql: String =
     "SELECT DISTINCT user_id FROM events WHERE user_id NOT IN " +
       "(SELECT CASE WHEN o_custkey < 0 THEN NULL " +
