@@ -507,13 +507,29 @@ object Relational {
     * equal the direct aggregates. */
   def observedIngestStats(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    val obs = org.apache.spark.sql.Observation(
-      "graft_obs_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    events.observe(obs, count(lit(1)).as("n_rows"),
-        count(col("value")).as("n_value"),
-        sum(col("user_id")).as("uid_sum"))
-      .write.format("noop").mode("overwrite").save()
-    val m = obs.get
+    // Upstream quirk (Spark 4.1, measured): ObservationManager never
+    // unregisters — its map keeps every Observation after get(), and
+    // the manager class is not Serializable, so ONE observe() makes
+    // the session fail Java serialization FOREVER. Anything that later
+    // drags the session into a task closure breaks — e.g. scoring with
+    // an ml model whose training summary holds the session
+    // (ObserveSpec pins both the poison and this quarantine).
+    // Quarantine: run the observed write on a THROWAWAY session clone
+    // (same SparkContext; the frame crosses via a global temp view),
+    // so the non-serializable residue dies with the clone.
+    val q = spark.newSession()
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val obs = org.apache.spark.sql.Observation("graft_obs_" + tag)
+    events.createOrReplaceGlobalTempView(s"graft_obs_src_$tag")
+    val m =
+      try {
+        q.table(s"global_temp.graft_obs_src_$tag")
+          .observe(obs, count(lit(1)).as("n_rows"),
+            count(col("value")).as("n_value"),
+            sum(col("user_id")).as("uid_sum"))
+          .write.format("noop").mode("overwrite").save()
+        obs.get
+      } finally spark.catalog.dropGlobalTempView(s"graft_obs_src_$tag")
     import spark.implicits._
     Seq((m("n_rows").asInstanceOf[Long], m("n_value").asInstanceOf[Long],
         m("uid_sum").asInstanceOf[Long]))
