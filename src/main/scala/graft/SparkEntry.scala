@@ -3060,6 +3060,39 @@ object SparkEntry {
       }
     }),
 
+    // st19: the BUILT-IN session_window aggregation (SPARK-10816,
+    // MergingSessionsExec) — the declarative face of sessionization
+    // next to the hand-rolled state machines (st2's fMGWS, st17's
+    // transformWithState timers): each event opens [ts, ts+gap), the
+    // operator merges windows while next.start <= prev.end — INCLUSIVE
+    // at the boundary (MEASURED in StreamSpec with a planted
+    // exactly-gap pair: still one session), so sessions break at
+    // delta > gap, st2's convention. Complete-mode
+    // AvailableNow drain = every session closed, so the plain batch
+    // lag+cumsum twin gates it with no watermark-closure HAVING.
+    // Emitted end = max(ts) + gap (the window end, not the last event).
+    "st19_session_window" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st19")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = streamEventTs(
+        s.readStream.schema(schema).parquet(streamDir.toString))
+      val agg = stream
+        // % 5, denser than st2's % 50: ~21 min median intra-user delta
+        // vs the 30 min gap → real window MERGING (5.7 events/session
+        // at sf0.01), not a degenerate one-event-one-session stream
+        .select((col("event_id") % 5).as("user_id"), col("ts"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      drainCompleteStream(s, "st19", agg)(
+        _.select(col("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("n_events"))
+          .orderBy("user_id", "start_ms"))
+    }),
+
     // st18: dropDuplicatesWithinWatermark — st3's dedup with BOUNDED
     // state: a key's entry is evicted once the event-time watermark
     // passes its expiry, so state is sized by the watermark horizon,
@@ -4874,6 +4907,23 @@ object SparkEntry {
     // batch twin of the streaming gap sessionizer: lag+cumsum session ids,
     // then keep only sessions the 0s-watermark stream has provably CLOSED
     // (strictly: max event time > session end + gap)
+    // the built-in operator's boundary, MEASURED (StreamSpec): windows
+    // merge when next.start <= prev.end — INCLUSIVE, so two events
+    // exactly gap apart still share a session and the brk predicate is
+    // >, the same convention as st2; end = max(ts) + gap
+    "st19_session_window" -> (
+      "WITH x AS (SELECT event_id % 5 AS user_id, ts FROM events), " +
+        "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts NULLS FIRST) AS prev FROM x), " +
+        "g AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END " +
+        "AS brk FROM l), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts NULLS FIRST ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, epoch_ms(min(ts))::BIGINT AS start_ms, " +
+        "(epoch_ms(max(ts)) + 1800000)::BIGINT AS end_ms, " +
+        "count(*) AS n_events FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, start_ms"),
     "st2_sessionize" -> (
       "WITH x AS (SELECT event_id % 50 AS user_id, ts FROM events), " +
         "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +

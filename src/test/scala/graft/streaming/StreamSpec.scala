@@ -283,4 +283,39 @@ class StreamSpec extends SparkSpec {
       spark.catalog.dropTempView(qn)
     }
   }
+
+  test("session_window boundary: delta == gap still MERGES (inclusive)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    // MEASURED contract: windows merge while next.start <= prev.end —
+    // INCLUSIVE at the boundary. user 1: events at 0 and +30min
+    // EXACTLY still share ONE session (end = 60min); user 2: events at
+    // 0 and +29:59.999999 merge too. The st19 twin's brk predicate
+    // (delta > gap) encodes exactly this.
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(us: Long) = new Timestamp(t0.getTime + us / 1000)
+    val agg = mem.toDF.toDF("ts", "user_id")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val qn = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try {
+      mem.addData((t0, 1L), (plus(1800L * 1000000), 1L),
+        (t0, 2L), (plus(1800L * 1000000 - 1), 2L))
+      q.processAllAvailable()
+      val got = spark.table(qn)
+        .select(col("user_id"), unix_millis(col("session_window.start")),
+          unix_millis(col("session_window.end")), col("n"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val base = t0.getTime
+      assert(got.toSeq == Seq(
+        (1L, base, base + 3600000, 2L),            // exactly-gap: merged
+        (2L, base, base + 1800000 + 1799999, 2L))) // sub-gap: merged
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
 }
