@@ -755,6 +755,36 @@ object SparkEntry {
           array_join(slice(array_sort(array_distinct(col("tokens"))), 1, 3),
             " ").as("first3_sorted"))
         .orderBy("doc_id")),
+    // F16 higher-order MAP functions — the f15 counterpart for map
+    // columns: map_from_arrays builds token→length and token→vowel
+    // maps, map_zip_with joins them BY KEY inside the row (no explode,
+    // no shuffle), map_filter prunes, and only then does one explode
+    // emit the surviving entries. Per-row cost is linear in tokens;
+    // the twin replays the same arithmetic relationally on DuckDB's
+    // unnest(list_distinct(...)). (ANSI map_from_arrays throws on dup
+    // keys — array_distinct first, the contract the F16 spec pins.)
+    "f16_hof_map" -> ((s, dir) => {
+      val toks = array_distinct(
+        graft.text.Clean.splitWs(lower(col("text"))))
+      t(s, dir, "documents")
+        .where(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          map_from_arrays(toks, transform(toks, t => length(t)))
+            .as("m_len"),
+          map_from_arrays(toks, transform(toks,
+            t => t.substr(lit(1), lit(1))
+              .isin("a", "e", "i", "o", "u"))).as("m_vow"))
+        .select(col("doc_id"),
+          map_filter(
+            map_zip_with(col("m_len"), col("m_vow"),
+              (_, len, vow) => len * when(vow, 2).otherwise(1)),
+            (_, v) => v >= 8).as("m_score"))
+        .select(col("doc_id"),
+          explode(col("m_score")).as(Seq("token", "score")))
+        .select(col("doc_id"), col("token"),
+          col("score").cast("long").as("score"))
+        .orderBy("doc_id", "token")
+    }),
     // F13 regexp extraction: first capture group, with an explicit
     // no-match column — both engines return '' (not NULL) on no match,
     // a semantic corner worth gating since it silently flips filters
@@ -4217,6 +4247,16 @@ object SparkEntry {
         "AS chars_sum, " +
         "array_to_string(list_sort(list_distinct(tks))[1:3], ' ') " +
         "AS first3_sorted FROM t ORDER BY doc_id"),
+    // the map pipeline replayed relationally: distinct tokens unnested,
+    // score arithmetic inline, same >= 8 prune
+    "f16_hof_map" -> (
+      s"WITH t AS (SELECT doc_id, unnest(list_distinct($sqlToksLower)) " +
+        "AS token FROM documents WHERE trim(text) != ''), " +
+        "sc AS (SELECT doc_id, token, (length(token) * CASE WHEN " +
+        "substr(token, 1, 1) IN ('a','e','i','o','u') THEN 2 ELSE 1 " +
+        "END)::BIGINT AS score FROM t) " +
+        "SELECT doc_id, token, score FROM sc WHERE score >= 8 " +
+        "ORDER BY doc_id, token"),
     // extraction + absent-path-NULL semantics re-derived with DuckDB's
     // JSON operators over the raw strings
     "p14_variant" -> (
