@@ -892,8 +892,38 @@ object Scale9 {
           q.awaitTermination()
         } finally {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          rmRf(ckpt)
+        }
+        // third route (r12, st19): the BUILT-IN session_window merging
+        // aggregation over the same stream + store — no user state
+        // machine, no timer registry; the operator merges [ts, ts+gap)
+        // windows in the session store. Same RocksDB provider and
+        // AvailableNow drain as the tws arm, so the delta is the
+        // operator, not the harness.
+        val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sw_ck")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try timed(s"session_window stream rocksdb x$xn r$round") {
+          val schema = spark.read.parquet(s"$dir/events.parquet").schema
+          val ev = spark.readStream.schema(schema)
+            .parquet(streamDir.toString)
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+            .withWatermark("ts", "0 seconds")
+          val q = ev
+            .groupBy(session_window(col("ts"),
+              s"${gapMs / 1000} seconds"), col("user_id"))
+            .agg(count(lit(1)).as("cnt"))
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt2.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
           spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
-          rmRf(ckpt); rmRf(streamDir)
+          rmRf(ckpt2); rmRf(streamDir)
         }
       }
     }
