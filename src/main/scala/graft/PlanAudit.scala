@@ -989,9 +989,10 @@ object PlanAudit {
     // touched by the two pre-aggregations, never by the recursion.
     audit("sql_recursive_spine (UnionLoop recursion, broadcast gap-fill)", Seq(
       "UnionLoop drives the recursion" -> (_.contains("UnionLoop")),
-      "gap-fill join broadcasts" ->
-        (p => p.contains("BroadcastHashJoin") ||
-          p.contains("AdaptiveSparkPlan")),
+      // no AQE fallback here: the initial adaptive plan already prints
+      // the join strategy, and an `|| AdaptiveSparkPlan` escape would
+      // make this gate vacuously true for every plan
+      "gap-fill join broadcasts" -> (_.contains("BroadcastHashJoin")),
       "left outer (zero-fill) join" ->
         (_.toLowerCase.contains("leftouter"))))(
       SparkEntry.queries("sql_recursive_spine")(spark, dir))

@@ -1268,21 +1268,23 @@ object SparkEntry {
     // µs range frame. Decimal accumulator: range frames evaluate via
     // segment trees in DuckDB vs running accumulators in Spark —
     // different fp association, exact under decimal (the w3 lesson).
-    "w8_range_frame" -> ((s, dir) =>
+    "w8_range_frame" -> ((s, dir) => {
+      // ONE shared spec for both frame aggregates: divergent copies
+      // would silently give count and sum different frames (and plan
+      // two Window operators — the audit's one-exchange gate)
+      val w3d = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("tts")))
+        .rangeBetween(-3L * 86400 * 1000000, 0)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp").as("tts"), col("value"))
         .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id")).orderBy(unix_micros(col("tts")))
-            .rangeBetween(-3L * 86400 * 1000000, 0)).as("n_3d"),
+          count(lit(1)).over(w3d).as("n_3d"),
           sum(col("value")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id")).orderBy(unix_micros(col("tts")))
-              .rangeBetween(-3L * 86400 * 1000000, 0))
-            .cast("double").as("sum_3d"))
-        .orderBy("event_id")),
+            .over(w3d).cast("double").as("sum_3d"))
+        .orderBy("event_id")
+    }),
     // W4 rank family: ntile quartile + percent_rank per event_type.
     // (value, event_id) makes the order total, so both are deterministic;
     // percent_rank = (rank-1)/(n-1) is the same exact division in both
@@ -3104,6 +3106,7 @@ object SparkEntry {
     "st19_session_window" -> ((s, dir) => withStreamShuffle(s) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st19")
+      deleteRecursivelyOnExit(streamDir)
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = streamEventTs(
@@ -5664,8 +5667,13 @@ object SparkEntry {
       "AS intercept, " +
       "round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) / " +
       "((n*sxx - sx*sx)*(n*syy - sy*sy)) * 1e6)/1e6 AS r2, " +
+      // m2^1.5 spelled m2*sqrt(m2): *, / and sqrt are IEEE correctly-
+      // rounded on both engines; pow() is only within-1-ulp (JVM
+      // Math.pow vs libm) and would be the lone op that could flip the
+      // 1e-6 rounding boundary between engines
       "round((sx3/n - 3*(sx/n)*(sxx/n) + 2*(sx/n)*(sx/n)*(sx/n)) / " +
-      "pow(sxx/n - (sx/n)*(sx/n), 1.5) * 1e6)/1e6 AS skew_q, " +
+      "((sxx/n - (sx/n)*(sx/n)) * sqrt(sxx/n - (sx/n)*(sx/n))) " +
+      "* 1e6)/1e6 AS skew_q, " +
       "round(((sx4/n - 4*(sx/n)*(sx3/n) + 6*(sx/n)*(sx/n)*(sxx/n) - " +
       "3*(sx/n)*(sx/n)*(sx/n)*(sx/n)) / " +
       "((sxx/n - (sx/n)*(sx/n))*(sxx/n - (sx/n)*(sx/n))) - 3) * 1e6)/1e6 " +

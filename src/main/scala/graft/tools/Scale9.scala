@@ -802,7 +802,15 @@ object Scale9 {
               Unit = {
             timed(f"$tag%-24s x$xn") { mk.write.format("noop")
               .mode("overwrite").save() }
-            Thread.sleep(500) // listener events drain asynchronously
+            // listener events drain asynchronously — a fixed sleep is a
+            // race (a straggler from THIS arm landing after the reset
+            // would inflate the NEXT arm's published number); poll until
+            // the counters are stable across two 200 ms reads, bounded
+            var last = -1L
+            var spins = 0
+            while (spins < 25 && shufRecords.get != last) {
+              last = shufRecords.get; spins += 1; Thread.sleep(200)
+            }
             println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
               f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
             shufRecords.set(0); shufBytes.set(0)
@@ -872,6 +880,10 @@ object Scale9 {
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        // outer finally owns what BOTH streaming arms depend on (the
+        // shuffle-partitions restore and the shared stream dir), so a
+        // failure in the first arm can't leak them past the second
+        try {
         val ckpt = java.nio.file.Files.createTempDirectory("graft_tm_ck")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
@@ -922,8 +934,11 @@ object Scale9 {
           q.awaitTermination()
         } finally {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          rmRf(ckpt2)
+        }
+        } finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
-          rmRf(ckpt2); rmRf(streamDir)
+          rmRf(streamDir)
         }
       }
     }
