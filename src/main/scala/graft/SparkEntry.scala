@@ -457,6 +457,45 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
       out
     }),
+    // S20 storage-partitioned join (SPARK-37375): S10's shuffle-free
+    // contract delivered by the CONNECTOR — both SynthPartedSource
+    // scans report KeyGroupedPartitioning(identity(part)) with one
+    // HasPartitionKey input partition per key value, so under v2
+    // bucketing the fact-fact join (AND the groupBy(part) after it)
+    // plans with ZERO Exchange of either side; join keys are a
+    // SUPERSET of the partition key, which needs
+    // requireAllClusterKeysForCoPartition=false. Broadcast disabled on
+    // both arms: the measured case is the big-dim shape. Executed
+    // eagerly under the confs (the s10 localCheckpoint pattern), then
+    // every conf restored. SynthPartedSpec gates the zero-Exchange
+    // plan, parity vs the shuffled path, and the mismatched-layout
+    // fallback; the DuckDB twin regenerates both grids.
+    "s20_spj_join" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val a = s.read.format("graft.sources.v2.SynthPartedSource")
+          .option("numRows", 10000).option("parts", 8).load()
+        val b = s.read.format("graft.sources.v2.SynthPartedSource")
+          .option("numRows", 5000).option("parts", 8).load()
+        a.as("a").join(b.as("b"),
+            col("a.part") === col("b.part") &&
+              col("a.doc_id") === col("b.doc_id"))
+          .groupBy(col("a.part").as("part"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("a.n_chars") + col("b.n_chars")).as("sum_chars"))
+          .orderBy("part")
+          .localCheckpoint(true)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     // S11 schema-union-merge ingestion: two JSON shards with DIFFERENT
     // column subsets (the reference's 23-col day shard vs 59-col full
     // file) read in ONE pass; the reader unions the schemas and
@@ -3762,6 +3801,20 @@ object SparkEntry {
         "(i * 48271) % 1000 AS n_chars " +
         "FROM generate_series(25000, 49999) t(i)) " +
         "GROUP BY lang ORDER BY lang"),
+    // both join sides of the storage-partitioned join regenerated from
+    // the same grid — a co-location bug (wrong partition key, wrong
+    // key-value pairing across scans) breaks the hash
+    "s20_spj_join" -> (
+      "WITH a AS (SELECT i AS doc_id, i % 8 AS part, " +
+        "(i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(0, 9999) t(i)), " +
+        "b AS (SELECT i AS doc_id, i % 8 AS part, " +
+        "(i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(0, 4999) t(i)) " +
+        "SELECT a.part::BIGINT AS part, count(*)::BIGINT AS cnt, " +
+        "sum(a.n_chars + b.n_chars)::BIGINT AS sum_chars " +
+        "FROM a JOIN b ON a.part = b.part AND a.doc_id = b.doc_id " +
+        "GROUP BY 1 ORDER BY 1"),
     // the filtered grid regenerated from scratch: the twin applies the
     // SAME equality the server applied, so a pushdown bug (wrong param,
     // wrong filtered count, wrong page plan) breaks the hash

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** s20 pins: the storage-partitioned join's zero-Exchange plan under
+  * v2 bucketing, result parity with the shuffled path, and the
+  * mismatched-layout fallback (different `parts` → Spark must shuffle,
+  * never silently co-locate incompatible key spaces).
+  */
+class SynthPartedSpec extends SparkSpec {
+
+  private val SpjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private def withConfs[A](confs: Seq[(String, String)])(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def parted(n: Long, parts: Int): DataFrame =
+    spark.read.format("graft.sources.v2.SynthPartedSource")
+      .option("numRows", n).option("parts", parts).load()
+
+  private def joined(n1: Long, p1: Int, n2: Long, p2: Int): DataFrame =
+    parted(n1, p1).as("a").join(parted(n2, p2).as("b"),
+        col("a.part") === col("b.part") &&
+          col("a.doc_id") === col("b.doc_id"))
+      .groupBy(col("a.part").as("part"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("a.n_chars") + col("b.n_chars")).as("sum_chars"))
+      .orderBy("part")
+
+  test("matching layouts: SortMergeJoin with ZERO Exchange, agg included") {
+    withConfs(SpjConfs) {
+      val df = joined(10000, 8, 5000, 8)
+      df.collect() // AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // no DATA exchange anywhere: the join co-locates on the reported
+      // key partitions and the groupBy(part) reuses them; the one
+      // permitted Exchange is the final ORDER BY's rangepartitioning
+      // of the 8-row result (presentation, not data movement)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "storage-partitioned join must not shuffle:\n" + plan)
+    }
+  }
+
+  test("result parity: SPJ path equals the shuffled path row for row") {
+    val spj = withConfs(SpjConfs) {
+      joined(10000, 8, 5000, 8).collect().toSeq
+    }
+    val shuffled = withConfs(SpjConfs.tail) { // bucketing OFF
+      joined(10000, 8, 5000, 8).collect().toSeq
+    }
+    assert(spj == shuffled)
+    assert(spj.map(_.getLong(1)).sum == 5000L) // every b row matches once
+  }
+
+  test("mismatched partition-value sets co-locate BY VALUE, still no shuffle") {
+    withConfs(SpjConfs) {
+      // measured, and stronger than a fallback: SPJ matches partitions
+      // by their KEY VALUES, not their count — side A's values {0..7}
+      // align with side B's {0..3}, the uncovered values pair with an
+      // empty side, and the join still plans with zero data exchange
+      val df = joined(10000, 8, 5000, 4)
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "value-aligned SPJ expected, got a shuffle:\n" + plan)
+      // a.part(8)==b.part(4) only where doc_id % 8 == doc_id % 4,
+      // i.e. doc_id % 8 < 4 — 2500 of b's 5000 rows match
+      assert(rows.map(_.getLong(1)).sum == 2500L)
+    }
+  }
+}
