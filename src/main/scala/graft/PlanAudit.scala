@@ -954,6 +954,21 @@ object PlanAudit {
         (p => !p.contains("StreamingRelation"))))(
       SparkEntry.queries("st12_statestore_read")(spark, dir))
 
+    // rank()<=k must run TWO-PHASE: in a vanilla session Spark's own
+    // WindowGroupLimit (SPARK-37099) plans partial+final; under
+    // GraftExtensions the TopKRewrite operator must match that shape —
+    // a TopKPerGroupPartial node BELOW the group-key exchange caps
+    // every mapper at k rows per group, so the shuffle carries
+    // k·groups·mappers rows, never the table.
+    audit("w1_top_per_group (two-phase TopKPerGroup)", Seq(
+      "map-side partial top-k below the exchange" ->
+        (p => "\\(\\d+\\) TopKPerGroupPartial".r.findFirstIn(p).isDefined),
+      "final top-k above the exchange" ->
+        (p => "\\(\\d+\\) TopKPerGroup\\b".r.findFirstIn(p).isDefined),
+      "group-key exchange between the phases" ->
+        (_.contains("hashpartitioning(event_type"))))(
+      SparkEntry.queries("w1_top_per_group")(spark, dir))
+
     // RANGE frame: one hash exchange on user_id feeds BOTH frame
     // aggregates (count + decimal sum share the window spec — a second
     // exchange would mean Spark planned them as separate windows).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import scala.collection.mutable
 
@@ -40,14 +40,26 @@ case class TopKPerGroupNode(groupCols: Seq[Attribute], order: Seq[SortOrder],
 
 case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
                             k: Int, child: SparkPlan,
-                            maxBufferedRows: Int = TopKPerGroup.DefaultMaxBufferedRows)
+                            maxBufferedRows: Int = TopKPerGroup.DefaultMaxBufferedRows,
+                            partial: Boolean = false)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** One hash-partition shuffle on the group keys — shared with (not
-    * added to) whatever the window formulation would shuffle. */
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  /** The FINAL phase needs one hash-partition shuffle on the group keys
+    * — shared with (not added to) whatever the window formulation would
+    * shuffle. The PARTIAL phase runs on the child's existing layout and
+    * caps every mapper's contribution at k rows per group BEFORE that
+    * exchange (top-k is a semilattice: topk(A ∪ B) = topk(topk(A) ∪
+    * topk(B)), so pre-pruning is exact) — the same map-side cut
+    * vanilla Spark's two-phase WindowGroupLimit makes, and at 100 TB
+    * the difference between shuffling k·groups·mappers rows and
+    * shuffling the whole table. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupCols) :: Nil
+    (if (partial) UnspecifiedDistribution
+     else ClusteredDistribution(groupCols)) :: Nil
 
   /** Group-explosion guard: the in-memory state is k rows per DISTINCT
     * group per partition — unbounded in the group count. When buffered
@@ -174,7 +186,17 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], order: Seq[SortOrder],
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, child, budget) =>
-      TopKPerGroupExec(g, o, k, planLater(child), budget) :: Nil
+      // two-phase by default: the partial exec caps each mapper at k
+      // rows per group, EnsureRequirements puts the group-key exchange
+      // between it and the final exec. Conf-gated so the single-phase
+      // form stays measurable (Scale9/spec compare shuffle volume).
+      val twoPhase = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partialEnabled", "true").toBoolean
+      val base = planLater(child)
+      val lower =
+        if (twoPhase) TopKPerGroupExec(g, o, k, base, budget, partial = true)
+        else base
+      TopKPerGroupExec(g, o, k, lower, budget) :: Nil
     case _ => Nil
   }
 }

@@ -80,4 +80,61 @@ class TopKPerGroupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("partial phase: map-side cap slashes shuffle volume, result identical") {
+    // 20k rows, 4 groups, k=3, 8 mappers: the partial exec may shuffle
+    // at most k*groups*mappers = 96 rows; single-phase shuffles all 20k
+    // localCheckpoint so the repartition's own 20k-row shuffle happens
+    // ONCE here and the listener below sees only the top-k exchange
+    val big = spark.range(20000)
+      .select(col("id").as("event_id"),
+        (col("id") % 4).cast("string").as("event_type"),
+        (col("id") * 48271 % 997).cast("double").as("value"))
+      .repartition(8).localCheckpoint(true)
+    val shufRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def measured(partialOn: Boolean): (Seq[String], Long) = {
+      spark.conf.set("spark.graft.topk.partialEnabled", partialOn.toString)
+      try {
+        spark.sparkContext.addSparkListener(listener)
+        shufRecords.set(0)
+        val rows = TopKPerGroup(big, Seq("event_type"),
+            Seq(("value", false), ("event_id", true)), k = 3)
+          .orderBy(col("event_type"), desc("value"), col("event_id"))
+          .collect().map(_.toString).toSeq
+        var last = -1L
+        var spins = 0
+        while (spins < 25 && shufRecords.get != last) {
+          last = shufRecords.get; spins += 1; Thread.sleep(200)
+        }
+        (rows, shufRecords.get)
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.unset("spark.graft.topk.partialEnabled")
+      }
+    }
+    val (rowsOn, shuffledOn) = measured(partialOn = true)
+    val (rowsOff, shuffledOff) = measured(partialOn = false)
+    assert(rowsOn == rowsOff)                 // semilattice: exact
+    assert(rowsOn.size == 12)                 // 4 groups x k=3
+    // the off run shuffles the full 20k; on caps at k*groups*mappers
+    // (+ the tiny post-topk rows feeding the final orderBy)
+    assert(shuffledOff >= 20000L, s"off=$shuffledOff")
+    assert(shuffledOn <= 200L, s"on=$shuffledOn")
+    val planOn = {
+      spark.conf.set("spark.graft.topk.partialEnabled", "true")
+      try TopKPerGroup(big, Seq("event_type"),
+        Seq(("value", false), ("event_id", true)), k = 3)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.topk.partialEnabled")
+    }
+    assert(planOn.contains("TopKPerGroupPartial"), planOn)
+  }
 }
