@@ -496,6 +496,29 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    // S21 runtime V2 filtering (dynamic partition pruning for
+    // connectors): the scan declares `part` as a runtime-filterable
+    // attribute (SupportsRuntimeV2Filtering); when the dim side's
+    // selective filter resolves at execution, Spark pushes the derived
+    // IN-set into the scan and the non-matching input partitions are
+    // NEVER PLANNED (SynthPartedSpec pins 2-of-8 via the source's
+    // planned-partition counter, plus parity with pruning disabled).
+    // The connector's contract: an unrecognized predicate prunes
+    // NOTHING — pruning is an optimization the source may only apply
+    // whole, never a filter it half-applies. Completes the skipping
+    // triad's RUNTIME leg next to static S12/S13/S15 and the bloom
+    // join pruning.
+    "s21_dpp_v2" -> ((s, dir) => {
+      val fact = s.read.format("graft.sources.v2.SynthPartedSource")
+        .option("numRows", 100000).option("parts", 8).load()
+      val dim = s.range(8).select(col("id").as("dpart"),
+          concat(lit("seg"), col("id")).as("segname"))
+        .filter(col("dpart") < 2)
+      fact.join(dim, fact("part") === dim("dpart"))
+        .groupBy("segname")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("segname")
+    }),
     // S11 schema-union-merge ingestion: two JSON shards with DIFFERENT
     // column subsets (the reference's 23-col day shard vs 59-col full
     // file) read in ONE pass; the reader unions the schemas and
@@ -3815,6 +3838,16 @@ object SparkEntry {
         "sum(a.n_chars + b.n_chars)::BIGINT AS sum_chars " +
         "FROM a JOIN b ON a.part = b.part AND a.doc_id = b.doc_id " +
         "GROUP BY 1 ORDER BY 1"),
+    // the runtime-pruned join regenerated whole: if pruning ever
+    // half-applied (dropping rows instead of partitions), the hash dies
+    "s21_dpp_v2" -> (
+      "WITH f AS (SELECT i % 8 AS part, (i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(0, 99999) t(i)), " +
+        "d AS (SELECT i AS dpart, 'seg' || i AS segname " +
+        "FROM generate_series(0, 7) t(i) WHERE i < 2) " +
+        "SELECT segname, count(*)::BIGINT AS cnt, " +
+        "sum(n_chars)::BIGINT AS sum_chars " +
+        "FROM f JOIN d ON f.part = d.dpart GROUP BY 1 ORDER BY 1"),
     // the filtered grid regenerated from scratch: the twin applies the
     // SAME equality the server applied, so a pushdown bug (wrong param,
     // wrong filtered count, wrong page plan) breaks the hash

@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.types._
@@ -44,6 +45,40 @@ object SynthPartedV2 {
     StructField("part", LongType, nullable = false),
     StructField("lang", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
+
+  /** Test/plan-audit visibility: how many partitions the most recent
+    * planInputPartitions actually planned (after any runtime prune). */
+  val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Extract the kept `part` values from a runtime predicate: the DPP
+    * machinery pushes `part IN (v1, ...)` (or a single equality).
+    * Anything unrecognized yields None — the scan then plans ALL
+    * partitions, which is always correct (pruning is an optimization,
+    * never a filter the source may half-apply). */
+  private[v2] def inSetOnPart(p: Predicate): Option[Seq[Long]] = {
+    def isPartRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("part"))
+      case _ => false
+    }
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case n: java.lang.Number => Some(n.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isPartRef(p.children()(0)) =>
+        val vals = p.children().drop(1).map(longOf)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSeq) else None
+      case "=" if p.children().length == 2 && isPartRef(p.children()(0)) =>
+        longOf(p.children()(1)).map(Seq(_))
+      case _ => None
+    }
+  }
 }
 
 class SynthPartedTable(numRows: Long, parts: Int)
@@ -67,7 +102,12 @@ class SynthPartedScanBuilder(numRows: Long, parts: Int)
 }
 
 class SynthPartedScan(numRows: Long, parts: Int, required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
+  // runtime (DPP) restriction on the partition key — None until Spark
+  // pushes a join-derived filter at execution time
+  private var keep: Option[Set[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -78,10 +118,28 @@ class SynthPartedScan(numRows: Long, parts: Int, required: StructType)
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.identity("part")), parts)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until parts)
+  /** Runtime filtering (the DSv2 face of dynamic partition pruning):
+    * `part` is the attribute Spark may derive a runtime IN-set for from
+    * the other side of a join; partitions outside the set are never
+    * planned — the connector analogue of hive-dir DPP. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("part"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val vals: Set[Long] =
+      predicates.flatMap(SynthPartedV2.inSetOnPart).flatten.toSet
+    if (vals.nonEmpty)
+      keep = Some(keep.fold(vals)(_ intersect vals))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = (0 until parts)
+      .filter(p => keep.forall(_.contains(p.toLong)))
       .map(p => SynthPartedPartition(p, numRows, parts): InputPartition)
       .toArray
+    SynthPartedV2.lastPlannedPartitions.set(planned.length)
+    planned
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthPartedReaderFactory(required)

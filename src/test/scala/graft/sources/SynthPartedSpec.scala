@@ -82,4 +82,24 @@ class SynthPartedSpec extends SparkSpec {
       assert(rows.map(_.getLong(1)).sum == 2500L)
     }
   }
+
+  test("runtime V2 filtering: only the dim-matched partitions are planned") {
+    import graft.sources.v2.SynthPartedV2
+    def run(dppOn: Boolean): (Seq[String], Int) =
+      withConfs(Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" ->
+          dppOn.toString)) {
+        SynthPartedV2.lastPlannedPartitions.set(-1)
+        val rows = graft.SparkEntry
+          .queries("s21_dpp_v2")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        (rows, SynthPartedV2.lastPlannedPartitions.get)
+      }
+    val (rowsOn, plannedOn) = run(dppOn = true)
+    val (rowsOff, plannedOff) = run(dppOn = false)
+    assert(rowsOn == rowsOff)        // pruning must never change rows
+    assert(rowsOn.size == 2)
+    assert(plannedOn == 2, s"runtime prune expected 2 of 8, got $plannedOn")
+    assert(plannedOff == 8, s"without DPP all partitions plan, got $plannedOff")
+  }
 }
