@@ -3188,6 +3188,38 @@ object SparkEntry {
           .orderBy("user_id", "start_ms"))
     }),
 
+    // st20: the foreachBatch sink — streaming's batch-writer reuse
+    // (the production pattern for sinks Spark has no connector for):
+    // an UPDATE-mode aggregate emits, per micro-batch, exactly the
+    // keys whose cumulative profile changed — an upsert feed — and
+    // foreachBatch merges each batch into a parquet materialized view
+    // with the idempotent anti-join upsert (replayed batches cannot
+    // double-apply; StreamSpec drives the multi-batch + idempotency
+    // story through MemoryStream). The drained view must equal the
+    // plain batch GROUP BY — the materialized-view invariant.
+    "st20_foreachbatch_upsert" -> ((s, dir) => withStreamShuffle(s) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = Files.createTempDirectory("graft_st20")
+      deleteRecursivelyOnExit(streamDir)
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val view = Files.createTempDirectory("graft_st20_view")
+        .resolve("view").toString
+      deleteRecursivelyOnExit(java.nio.file.Paths.get(view).getParent)
+      val ckpt = Files.createTempDirectory("graft_st20_ck")
+      deleteRecursivelyOnExit(ckpt)
+      val agg = s.readStream.schema(schema).parquet(streamDir.toString)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("sum_value"))
+      val q = graft.streaming.StreamIngest.foreachBatchUpsert(
+        agg, Seq("user_id"), view, ckpt.toString)
+      q.awaitTermination()
+      s.read.parquet(view).orderBy("user_id").localCheckpoint(true)
+    }),
+
     // st18: dropDuplicatesWithinWatermark — st3's dedup with BOUNDED
     // state: a key's entry is evicted once the event-time watermark
     // passes its expiry, so state is sized by the watermark horizon,
@@ -5053,6 +5085,12 @@ object SparkEntry {
         "(epoch_ms(max(ts)) + 1800000)::BIGINT AS end_ms, " +
         "count(*) AS n_events FROM s GROUP BY user_id, sid " +
         "ORDER BY user_id, start_ms"),
+    // the materialized-view invariant: the drained upsert view equals
+    // the plain batch aggregate
+    "st20_foreachbatch_upsert" -> (
+      "SELECT user_id, count(*)::BIGINT AS cnt, " +
+        "((sum(CAST(value AS DECIMAL(18,6))))::VARCHAR)::DOUBLE " +
+        "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
     "st2_sessionize" -> (
       "WITH x AS (SELECT event_id % 50 AS user_id, ts FROM events), " +
         "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +

@@ -364,4 +364,56 @@ object StreamIngest {
     df.writeStream.outputMode(OutputMode.Append)
       .format("parquet").option("path", path)
       .option("checkpointLocation", checkpoint).start()
+
+  /** One upsert of `changes` into the parquet view at `dir`: changed
+    * keys replaced (anti-join pass, applyCdc's shape minus deletes),
+    * everything else carried, swapped in whole. Idempotent — replaying
+    * the same change set reproduces the same view, which is what makes
+    * the foreachBatch sink below exactly-once under micro-batch
+    * retries. Exposed for the spec to drive directly. */
+  def upsertView(spark: SparkSession, changes: DataFrame,
+                 keyCols: Seq[String], dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    val merged =
+      if (java.nio.file.Files.exists(p)) {
+        val base = spark.read.parquet(dir)
+        changes.unionByName(
+          base.join(changes.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti"))
+      } else changes
+    val tmp = dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // local-FS swap: the view is only ever read between upserts (the
+    // micro-batch sink is the sole writer, serialized by the stream)
+    def rm(root: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(_.getNameCount)(Ordering[Int].reverse)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rm(p)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+  }
+
+  /** The foreachBatch pattern (the production sink: reuse BATCH writers
+    * from a stream, one call per micro-batch with the batch id):
+    * update-mode aggregate rows — each micro-batch emits the keys whose
+    * aggregate CHANGED, with cumulative values — upserted into a
+    * parquet materialized view. Update mode means every batch's output
+    * is exactly an upsert feed; batchId-keyed retries land on the
+    * idempotent upsertView, so replays cannot double-apply. */
+  def foreachBatchUpsert(aggregated: DataFrame, keyCols: Seq[String],
+                         dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        upsertView(batch.sparkSession, batch.localCheckpoint(true),
+          keyCols, dir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -318,4 +318,47 @@ class StreamSpec extends SparkSpec {
       spark.catalog.dropTempView(qn)
     }
   }
+
+  test("foreachBatch upsert: multi-batch merge, untouched keys kept, idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("fbu").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("fbu_ck").toString
+    val agg = mem.toDF.toDF("user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def drain(): Unit = {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            StreamIngest.upsertView(b.sparkSession,
+              b.localCheckpoint(true), Seq("user_id"), dir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def view() = spark.read.parquet(dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    drain()
+    assert(view() == Seq((1L, 2L, 3.0), (2L, 1L, 10.0)))
+
+    // batch 2 touches user 1 only: its row is REPLACED with the
+    // cumulative aggregate (update mode re-emits it), user 2 carried
+    mem.addData((1L, 4.0))
+    drain()
+    assert(view() == Seq((1L, 3L, 7.0), (2L, 1L, 10.0)))
+
+    // idempotency — the exactly-once lever under micro-batch retries:
+    // re-applying the last change set leaves the view unchanged
+    val replay = Seq((1L, 3L, 7.0)).toDF("user_id", "cnt", "sum_value")
+    StreamIngest.upsertView(spark, replay, Seq("user_id"), dir)
+    assert(view() == Seq((1L, 3L, 7.0), (2L, 1L, 10.0)))
+  }
 }
