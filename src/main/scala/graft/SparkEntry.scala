@@ -496,6 +496,20 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    // S22 TopN/LIMIT pushdown into the DSv2 scan (SupportsPushDownTopN
+    // /Limit): ORDER BY doc_id LIMIT k over the id-ordered grid is
+    // answered by the SOURCE — the plan is a bare BatchScan of exactly
+    // k rows (pushedRange narrows, one partition, no Sort, no
+    // TakeOrdered; SynthV2Spec pins the fully-pushed ASC, the
+    // partially-pushed DESC where Spark re-sorts just k rows, the bare
+    // LIMIT, and composition with filter pushdown). At 100 TB this is
+    // "give me the first k after this key" answered by an index-shaped
+    // source instead of a cluster-wide TakeOrdered.
+    "s22_topn_push" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 50000).option("slices", 4).load()
+        .filter(col("doc_id") >= 25000)
+        .orderBy("doc_id").limit(7)),
     // S21 runtime V2 filtering (dynamic partition pruning for
     // connectors): the scan declares `part` as a runtime-filterable
     // attribute (SupportsRuntimeV2Filtering); when the dim side's
@@ -3870,6 +3884,12 @@ object SparkEntry {
         "sum(a.n_chars + b.n_chars)::BIGINT AS sum_chars " +
         "FROM a JOIN b ON a.part = b.part AND a.doc_id = b.doc_id " +
         "GROUP BY 1 ORDER BY 1"),
+    // the pushed top-7-after-key regenerated from the grid formula
+    "s22_topn_push" -> (
+      "SELECT i AS doc_id, " +
+        "['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "(i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(25000, 25006) t(i) ORDER BY doc_id"),
     // the runtime-pruned join regenerated whole: if pruning ever
     // half-applied (dropping rows instead of partitions), the hash dies
     "s21_dpp_v2" -> (

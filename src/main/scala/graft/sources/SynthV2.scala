@@ -70,12 +70,56 @@ class SynthTable(numRows: Long, slices: Int) extends Table with SupportsRead {
 
 class SynthScanBuilder(numRows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = numRows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SynthV2.Schema
+  // a fully-accepted LIMIT/TopN collapses the scan to one partition of
+  // at most `limit` rows (slicing k rows is pointless and would break
+  // the sorted-emission contract a fully-pushed TopN carries)
+  private var singleSlice = false
+
+  /** LIMIT k without ordering: ANY k rows satisfy it — the first k of
+    * the (already filter-narrowed) id range do. Fully pushed: Spark
+    * drops its own GlobalLimit. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    singleSlice = true
+    true
+  }
+
+  /** ORDER BY doc_id LIMIT k: the grid is generated in doc_id order,
+    * so ASC top-k is the range's first k (emitted sorted — fully
+    * pushed, Spark drops sort AND limit) and DESC top-k is its last k
+    * but still emitted ascending — pushed with isPartiallyPushed, so
+    * Spark re-sorts just those k rows. Any other ordering is refused
+    * and Spark keeps the whole TopN. */
+  private var descPartial = false
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (orders.length != 1) return false
+    val o = orders(0)
+    val onDocId = o.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+    if (!onDocId) return false
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (o.direction() == SortDirection.ASCENDING) {
+      hi = math.min(hi, lo + limit)
+    } else {
+      lo = math.max(lo, hi - limit)
+      descPartial = true
+    }
+    singleSlice = true
+    true
+  }
+  override def isPartiallyPushed: Boolean = descPartial
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Only exact INTEGRAL literals are absorbed — a fractional Number
@@ -110,7 +154,8 @@ class SynthScanBuilder(numRows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(lo, hi, slices, required)
+  override def build(): Scan =
+    new SynthScan(lo, hi, if (singleSlice) 1 else slices, required)
 }
 
 class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)

@@ -56,4 +56,48 @@ class SynthV2Spec extends SparkSpec {
     assert(plan.contains("cols=lang"), plan)
     assert(df.distinct().count() == 5)
   }
+
+  test("TopN/LIMIT pushdown: ASC fully pushed, DESC partial, filter composes") {
+    import org.apache.spark.sql.functions._
+    def synth = spark.read.format("graft.sources.v2.SynthSource")
+      .option("numRows", 50000).option("slices", 4).load()
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    // ASC: the source answers the whole TopN — bare BatchScan of k
+    // rows, no Sort/TakeOrdered anywhere, range narrowed to [0,3)
+    val asc = synth.orderBy("doc_id").limit(3)
+    val ascPlan = planOf(asc)
+    assert(ascPlan.contains("pushedRange=[0,3)"), ascPlan)
+    assert(!ascPlan.contains("TakeOrdered") && !ascPlan.contains("Sort"),
+      ascPlan)
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+
+    // DESC: range narrows to the LAST k, but rows still emit ascending
+    // — partially pushed, Spark re-sorts exactly those k rows
+    val desc = synth.orderBy(col("doc_id").desc).limit(3)
+    val descPlan = planOf(desc)
+    assert(descPlan.contains("pushedRange=[49997,50000)"), descPlan)
+    assert(descPlan.contains("TakeOrdered"), descPlan)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(49999L, 49998L, 49997L))
+
+    // bare LIMIT: any k rows satisfy it — the first k do, one partition
+    val lim = synth.limit(5)
+    assert(planOf(lim).contains("pushedRange=[0,5)"), planOf(lim))
+    assert(lim.collect().length == 5)
+    assert(lim.rdd.getNumPartitions == 1)
+
+    // composition: the filter narrows lo FIRST, TopN caps on top of it
+    val both = synth.filter(col("doc_id") >= 100).orderBy("doc_id").limit(2)
+    assert(planOf(both).contains("pushedRange=[100,102)"), planOf(both))
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(100L, 101L))
+
+    // an ordering the grid can't answer is refused whole: Spark keeps
+    // its own TopN and the range stays unnarrowed
+    val other = synth.orderBy("n_chars").limit(3)
+    val otherPlan = planOf(other)
+    assert(otherPlan.contains("pushedRange=[0,50000)"), otherPlan)
+    assert(otherPlan.contains("TakeOrdered"), otherPlan)
+  }
 }
