@@ -37,11 +37,25 @@ object PlanAudit {
       "partial aggregation before exchange" -> (_.contains("partial_")),
       "column-pruned read schema" ->
         (p => p.contains("ReadSchema") && !p.contains("l_shipdate")),
-      // AQE prints codegen ids only after execution; accept either marker
-      "whole-stage codegen (or AQE runtime plan)" ->
-        (p => p.contains("WholeStageCodegen") || p.contains("codegen id") ||
-          p.contains("AdaptiveSparkPlan"))))(
+      // codegen is checked below on the EXECUTED final plan — the
+      // formatted string of an unexecuted AQE plan hides the spans,
+      // and the old `|| AdaptiveSparkPlan` escape made the check
+      // unfailable (r12 vacuity sweep)
+      "two-phase aggregate (final agg above the exchange)" ->
+        (p => "\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2)))(
       SparkEntry.queries("q1_pricing")(spark, dir))
+
+    // whole-stage codegen only materializes in the FINAL adaptive plan
+    // — execute, then inspect
+    locally {
+      val df = SparkEntry.queries("q1_pricing")(spark, dir)
+      df.collect()
+      // compact plan strings mark codegen stages as `*(n) Op`
+      val ep = df.queryExecution.executedPlan.toString
+      println("CHECK[q1_pricing] whole-stage codegen (executed final plan): " +
+        (if (ep.contains("WholeStageCodegen") || ep.contains("*(")) "OK"
+         else "MISSING"))
+    }
 
     audit("o3_topk (no global sort)", Seq(
       "TakeOrderedAndProject" -> (_.contains("TakeOrderedAndProject"))))(
@@ -67,9 +81,10 @@ object PlanAudit {
       "left semi" -> (_.toLowerCase.contains("leftsemi"))))(
       SparkEntry.queries("j1_semi_top")(spark, dir))
 
+    // the initial adaptive plan already prints the join strategy — no
+    // AQE escape (it made this gate unfailable; r12 vacuity sweep)
     audit("j2_label_attach (broadcast equi-join)", Seq(
-      "broadcast or AQE-planned join" ->
-        (p => p.contains("BroadcastHashJoin") || p.contains("AdaptiveSparkPlan"))))(
+      "broadcast hash join" -> (_.contains("BroadcastHashJoin"))))(
       SparkEntry.queries("j2_label_attach")(spark, dir))
 
     // The p3 predicate parses JSON per row — unpushable by definition; the
