@@ -40,9 +40,19 @@ object PlanAudit {
       // codegen is checked below on the EXECUTED final plan — the
       // formatted string of an unexecuted AQE plan hides the spans,
       // and the old `|| AdaptiveSparkPlan` escape made the check
-      // unfailable (r12 vacuity sweep)
-      "two-phase aggregate (final agg above the exchange)" ->
-        (p => "\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2)))(
+      // unfailable (r12 vacuity sweep). POSITIONAL: the partial agg's
+      // node number must sit below the key exchange, the final above
+      // (a bare node count can't see ordering and breaks on unrelated
+      // extra aggregates)
+      "partial agg BELOW the key exchange BELOW the final agg" -> { p =>
+        val aggs = "\\((\\d+)\\) HashAggregate".r
+          .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+        val exch = ("\\((\\d+)\\) Exchange\\nInput[^\\n]*\\n" +
+          "Arguments: hashpartitioning\\(l_returnflag").r
+          .findFirstMatchIn(p).map(_.group(1).toInt)
+        aggs.nonEmpty && exch.exists(e =>
+          aggs.min < e && aggs.max > e)
+      }))(
       SparkEntry.queries("q1_pricing")(spark, dir))
 
     // whole-stage codegen only materializes in the FINAL adaptive plan
@@ -975,13 +985,23 @@ object PlanAudit {
     // a TopKPerGroupPartial node BELOW the group-key exchange caps
     // every mapper at k rows per group, so the shuffle carries
     // k·groups·mappers rows, never the table.
+    // POSITIONAL gate (r12 review: presence-only checks could not
+    // detect phase inversion): formatted node numbers grow from the
+    // leaf up, so partial < exchange < final is exactly "the map-side
+    // cap sits below the shuffle".
     audit("w1_top_per_group (two-phase TopKPerGroup)", Seq(
-      "map-side partial top-k below the exchange" ->
-        (p => "\\(\\d+\\) TopKPerGroupPartial".r.findFirstIn(p).isDefined),
-      "final top-k above the exchange" ->
-        (p => "\\(\\d+\\) TopKPerGroup\\b".r.findFirstIn(p).isDefined),
-      "group-key exchange between the phases" ->
-        (_.contains("hashpartitioning(event_type"))))(
+      "partial BELOW the group-key exchange BELOW the final" -> { p =>
+        def node(re: String) =
+          re.r.findFirstMatchIn(p).map(_.group(1).toInt)
+        val partial = node("\\((\\d+)\\) TopKPerGroupPartial")
+        val final_ = node("\\((\\d+)\\) TopKPerGroup\\n")
+        val exch = node("\\((\\d+)\\) Exchange\\nInput[^\\n]*\\n" +
+          "Arguments: hashpartitioning\\(event_type")
+        (partial, exch, final_) match {
+          case (Some(a), Some(b), Some(c)) => a < b && b < c
+          case _ => false
+        }
+      }))(
       SparkEntry.queries("w1_top_per_group")(spark, dir))
 
     // RANGE frame: one hash exchange on user_id feeds BOTH frame

@@ -178,11 +178,7 @@ object SparkEntry {
     String, graft.sources.v2.RestFixture.Sink]()
   private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq
-          .sortBy(_.getNameCount)(Ordering[Int].reverse)
-          .foreach(p => Files.deleteIfExists(p))
+      graft.core.Util.deleteRecursively(root)
     }))
 
   /** Whitespace tokens of the documents table (the corpus test fixture). */
@@ -470,15 +466,12 @@ object SparkEntry {
     // every conf restored. SynthPartedSpec gates the zero-Exchange
     // plan, parity vs the shuffled path, and the mismatched-layout
     // fallback; the DuckDB twin regenerates both grids.
-    "s20_spj_join" -> ((s, dir) => {
-      val confs = Seq(
+    "s20_spj_join" -> ((s, dir) =>
+      graft.core.Util.withConfs(s, Seq(
         "spark.sql.sources.v2.bucketing.enabled" -> "true",
         "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
         val a = s.read.format("graft.sources.v2.SynthPartedSource")
           .option("numRows", 10000).option("parts", 8).load()
         val b = s.read.format("graft.sources.v2.SynthPartedSource")
@@ -491,11 +484,7 @@ object SparkEntry {
             sum(col("a.n_chars") + col("b.n_chars")).as("sum_chars"))
           .orderBy("part")
           .localCheckpoint(true)
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
-    }),
+      }),
     // S22 TopN/LIMIT pushdown into the DSv2 scan (SupportsPushDownTopN
     // /Limit): ORDER BY doc_id LIMIT k over the id-ordered grid is
     // answered by the SOURCE — the plan is a bare BatchScan of exactly

@@ -125,12 +125,16 @@ class SynthPartedScan(numRows: Long, parts: Int, required: StructType)
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("part"))
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    val vals: Set[Long] =
-      predicates.flatMap(SynthPartedV2.inSetOnPart).flatten.toSet
-    if (vals.nonEmpty)
-      keep = Some(keep.fold(vals)(_ intersect vals))
-  }
+  override def filter(predicates: Array[Predicate]): Unit =
+    // the predicate array is a CONJUNCTION: every recognized predicate
+    // is its own constraint and they intersect — including the empty
+    // IN-set an empty dim side produces, which must prune to ZERO
+    // partitions (the strongest prune), never fall through as
+    // "no constraint". Unrecognized predicates contribute nothing.
+    predicates.flatMap(SynthPartedV2.inSetOnPart).foreach { vs =>
+      val s = vs.toSet
+      keep = Some(keep.fold(s)(_ intersect s))
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val planned = (0 until parts)

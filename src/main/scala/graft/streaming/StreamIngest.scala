@@ -374,26 +374,32 @@ object StreamIngest {
   def upsertView(spark: SparkSession, changes: DataFrame,
                  keyCols: Seq[String], dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
-    val merged =
-      if (java.nio.file.Files.exists(p)) {
-        val base = spark.read.parquet(dir)
-        changes.unionByName(
-          base.join(changes.select(keyCols.map(col): _*).distinct(),
-            keyCols, "left_anti"))
-      } else changes
-    val tmp = dir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    // local-FS swap: the view is only ever read between upserts (the
-    // micro-batch sink is the sole writer, serialized by the stream)
-    def rm(root: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(_.getNameCount)(Ordering[Int].reverse)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+    val old = java.nio.file.Paths.get(dir + ".old")
+    // crash recovery: a previous upsert that died between the
+    // move-aside and the move-in leaves only `.old` — that IS the
+    // current view (the exactly-once contract needs the base to
+    // survive every crash window; delete-then-move would lose it)
+    val base =
+      if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(dir))
+      else if (java.nio.file.Files.exists(old))
+        Some(spark.read.parquet(old.toString))
+      else None
+    val merged = base.fold(changes)(b =>
+      changes.unionByName(
+        b.join(changes.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")))
+    val tmp = java.nio.file.Paths.get(dir + ".tmp")
+    graft.core.Util.deleteRecursively(tmp)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // move-aside swap: at every instant either `dir` or `dir.old`
+    // holds a complete view (the micro-batch sink is the sole writer,
+    // serialized by the stream)
+    if (java.nio.file.Files.exists(p)) {
+      graft.core.Util.deleteRecursively(old)
+      java.nio.file.Files.move(p, old)
     }
-    rm(p)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    java.nio.file.Files.move(tmp, p)
+    graft.core.Util.deleteRecursively(old)
   }
 
   /** The foreachBatch pattern (the production sink: reuse BATCH writers

@@ -841,63 +841,38 @@ object Scale9 {
     // bitmap/bloom, local[32] hides exchange cost in wall-clock, so
     // shuffle WRITE records are the 1000-executor metric.
     if (sections("spj")) {
-      val shufRecords = new java.util.concurrent.atomic.AtomicLong
-      val shufBytes = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      for ((nA, nB, xn) <- Seq((100000L, 50000L, 1),
+                               (1000000L, 500000L, 10),
+                               (10000000L, 5000000L, 100))) {
+        def parted(n: Long) = spark.read
+          .format("graft.sources.v2.SynthPartedSource")
+          .option("numRows", n).option("parts", 32).load()
+        def run(tag: String, spj: Boolean): Unit =
+          graft.core.Util.withConfs(spark, Seq(
+            "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.sources.v2.bucketing.enabled" -> spj.toString)) {
+            val (_, records, bytes) =
+              graft.core.Util.measureShuffleWrites(spark) {
+                timed(f"spj-join $tag%-14s x$xn") {
+                  parted(nA).as("a").join(parted(nB).as("b"),
+                      col("a.part") === col("b.part") &&
+                        col("a.doc_id") === col("b.doc_id"))
+                    .groupBy(col("a.part").as("part"))
+                    .agg(count(lit(1)).as("cnt"),
+                      sum(col("a.n_chars") + col("b.n_chars")).as("sc"))
+                    .write.format("noop").mode("overwrite").save()
+                }
+              }
+            println(f"[scale9]   shuffle written: $records%,d" +
+              f" records, ${bytes / 1048576.0}%.1f MiB")
           }
+        for (round <- 1 to 2) {
+          run(s"SHUFFLED r$round", spj = false)
+          run(s"SPJ      r$round", spj = true)
         }
       }
-      spark.sparkContext.addSparkListener(listener)
-      val spjConfs = Seq(
-        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-      try {
-        for ((nA, nB, xn) <- Seq((100000L, 50000L, 1),
-                                 (1000000L, 500000L, 10),
-                                 (10000000L, 5000000L, 100))) {
-          def parted(n: Long) = spark.read
-            .format("graft.sources.v2.SynthPartedSource")
-            .option("numRows", n).option("parts", 32).load()
-          def run(tag: String, spj: Boolean): Unit = {
-            spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-            spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
-              spj.toString)
-            try {
-              timed(f"spj-join $tag%-14s x$xn") {
-                parted(nA).as("a").join(parted(nB).as("b"),
-                    col("a.part") === col("b.part") &&
-                      col("a.doc_id") === col("b.doc_id"))
-                  .groupBy(col("a.part").as("part"))
-                  .agg(count(lit(1)).as("cnt"),
-                    sum(col("a.n_chars") + col("b.n_chars")).as("sc"))
-                  .write.format("noop").mode("overwrite").save()
-              }
-              var last = -1L
-              var spins = 0
-              while (spins < 25 && shufRecords.get != last) {
-                last = shufRecords.get; spins += 1; Thread.sleep(200)
-              }
-              println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
-                f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
-            } finally {
-              shufRecords.set(0); shufBytes.set(0)
-              spjConfs.foreach { case (k, _) => spark.conf.unset(k) }
-              spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-            }
-          }
-          for (round <- 1 to 2) {
-            run(s"SHUFFLED r$round", spj = false)
-            run(s"SPJ      r$round", spj = true)
-          }
-        }
-      } finally spark.sparkContext.removeSparkListener(listener)
     }
 
     // Event-time timer sessionization at scale (r12, st17): the scaled

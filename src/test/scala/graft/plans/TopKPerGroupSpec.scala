@@ -91,35 +91,18 @@ class TopKPerGroupSpec extends SparkSpec {
         (col("id") % 4).cast("string").as("event_type"),
         (col("id") * 48271 % 997).cast("double").as("value"))
       .repartition(8).localCheckpoint(true)
-    val shufRecords = new java.util.concurrent.atomic.AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null)
-          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+    def measured(partialOn: Boolean): (Seq[String], Long) =
+      graft.core.Util.withConfs(spark,
+        Seq("spark.graft.topk.partialEnabled" -> partialOn.toString)) {
+        val (rows, records, _) =
+          graft.core.Util.measureShuffleWrites(spark) {
+            TopKPerGroup(big, Seq("event_type"),
+                Seq(("value", false), ("event_id", true)), k = 3)
+              .orderBy(col("event_type"), desc("value"), col("event_id"))
+              .collect().map(_.toString).toSeq
+          }
+        (rows, records)
       }
-    }
-    def measured(partialOn: Boolean): (Seq[String], Long) = {
-      spark.conf.set("spark.graft.topk.partialEnabled", partialOn.toString)
-      try {
-        spark.sparkContext.addSparkListener(listener)
-        shufRecords.set(0)
-        val rows = TopKPerGroup(big, Seq("event_type"),
-            Seq(("value", false), ("event_id", true)), k = 3)
-          .orderBy(col("event_type"), desc("value"), col("event_id"))
-          .collect().map(_.toString).toSeq
-        var last = -1L
-        var spins = 0
-        while (spins < 25 && shufRecords.get != last) {
-          last = shufRecords.get; spins += 1; Thread.sleep(200)
-        }
-        (rows, shufRecords.get)
-      } finally {
-        spark.sparkContext.removeSparkListener(listener)
-        spark.conf.unset("spark.graft.topk.partialEnabled")
-      }
-    }
     val (rowsOn, shuffledOn) = measured(partialOn = true)
     val (rowsOff, shuffledOff) = measured(partialOn = false)
     assert(rowsOn == rowsOff)                 // semilattice: exact

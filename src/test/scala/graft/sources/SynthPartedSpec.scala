@@ -17,15 +17,8 @@ class SynthPartedSpec extends SparkSpec {
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
 
-  private def withConfs[A](confs: Seq[(String, String)])(body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withConfs[A](confs: Seq[(String, String)])(body: => A): A =
+    graft.core.Util.withConfs(spark, confs)(body)
 
   private def parted(n: Long, parts: Int): DataFrame =
     spark.read.format("graft.sources.v2.SynthPartedSource")
@@ -101,5 +94,34 @@ class SynthPartedSpec extends SparkSpec {
     assert(rowsOn.size == 2)
     assert(plannedOn == 2, s"runtime prune expected 2 of 8, got $plannedOn")
     assert(plannedOff == 8, s"without DPP all partitions plan, got $plannedOff")
+  }
+
+  test("runtime filter semantics: conjunctive intersect, empty set prunes ALL") {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def planned(preds: Array[Predicate]): Int = {
+      val scan = new graft.sources.v2.SynthPartedScanBuilder(1000L, 8)
+        .build().asInstanceOf[graft.sources.v2.SynthPartedScan]
+      scan.filter(preds)
+      scan.planInputPartitions().length
+    }
+    val part = E.column("part")
+    def in(vs: Long*) =
+      new Predicate("IN", (part +: vs.map(v => E.literal(v))).toArray)
+    def eq(v: Long) = new Predicate("=", Array(part, E.literal(v)))
+
+    assert(planned(Array(in(1L, 2L))) == 2)
+    // conjunction in ONE call intersects: IN (1,2) AND part = 5 -> {}
+    assert(planned(Array(in(1L, 2L), eq(5L))) == 0)
+    // the empty IN an empty dim produces is the STRONGEST prune
+    assert(planned(Array(in())) == 0)
+    // unrecognized predicates prune nothing (never half-applied)
+    assert(planned(Array(new Predicate(">=", Array(part, E.literal(3L))))) == 8)
+    // successive filter() calls intersect too
+    val scan = new graft.sources.v2.SynthPartedScanBuilder(1000L, 8)
+      .build().asInstanceOf[graft.sources.v2.SynthPartedScan]
+    scan.filter(Array(in(1L, 2L, 3L)))
+    scan.filter(Array(in(2L, 3L, 4L)))
+    assert(scan.planInputPartitions().length == 2)
   }
 }

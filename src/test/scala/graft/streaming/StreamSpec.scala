@@ -360,5 +360,16 @@ class StreamSpec extends SparkSpec {
     val replay = Seq((1L, 3L, 7.0)).toDF("user_id", "cnt", "sum_value")
     StreamIngest.upsertView(spark, replay, Seq("user_id"), dir)
     assert(view() == Seq((1L, 3L, 7.0), (2L, 1L, 10.0)))
+
+    // crash window: a JVM death between the move-aside and the move-in
+    // leaves only `dir.old` — the replayed batch must recover the base
+    // from it (a delete-then-move swap would silently drop every key
+    // the replay doesn't touch)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".old"))
+    StreamIngest.upsertView(spark, replay, Seq("user_id"), dir)
+    assert(view() == Seq((1L, 3L, 7.0), (2L, 1L, 10.0)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".old")))
   }
 }
