@@ -3340,6 +3340,29 @@ object SparkEntry {
           "SELECT spine.d AS d, COALESCE(daily.n, 0) AS n " +
           "FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY d")
     }),
+    // SQL PIVOT clause (the a17 API pivot's SQL-syntax face): pinned
+    // IN-list keeps it one partial-agg pass, two aggregates per cell
+    // (count + decimal-exact sum) fan out as <bucket>_<agg> columns;
+    // the twin replays every cell as a conditional aggregate.
+    "sql_pivot_clause" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT * FROM (SELECT event_type, user_id % 4 AS ub, " +
+        "value FROM events) " +
+        "PIVOT (count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,6))) " +
+        "AS DOUBLE) AS sv " +
+        "FOR ub IN (0 AS b0, 1 AS b1, 2 AS b2, 3 AS b3)) " +
+        "ORDER BY event_type")
+    }),
+    // SQL UNPIVOT clause (p12's API melt as SQL syntax): wide metric
+    // columns back to (metric, val) rows — still a pure per-row Expand.
+    "sql_unpivot_clause" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT event_type, metric, val FROM (" +
+        "SELECT event_type, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1) " +
+        "UNPIVOT (val FOR metric IN (n_events, n_users)) " +
+        "ORDER BY event_type, metric")
+    }),
     // Collated equality (Spark 4, SPARK-46830): UTF8_LCASE makes the
     // JOIN itself case-insensitive — no lower() normalization column,
     // the hash exchange keys on the collation key. Even partkeys carry
@@ -5760,6 +5783,24 @@ object SparkEntry {
         "AS BIGINT) + 1 END AS bucket, count(*)::BIGINT AS cnt, " +
         "(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR)::DOUBLE " +
         "AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // every pivot cell as a conditional aggregate; decimal sums cross
+    // the varchar bridge
+    "sql_pivot_clause" -> {
+      val cells = (0 to 3).map { b =>
+        s"count(*) FILTER (ub = $b)::BIGINT AS b${b}_cnt, " +
+          s"(sum(CAST(value AS DECIMAL(18,6))) FILTER (ub = $b)" +
+          s"::VARCHAR)::DOUBLE AS b${b}_sv"
+      }.mkString(", ")
+      "SELECT event_type, " + cells + " FROM (SELECT event_type, " +
+        "user_id % 4 AS ub, value FROM events) GROUP BY 1 ORDER BY 1"
+    },
+    "sql_unpivot_clause" -> (
+      "WITH a AS (SELECT event_type, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1) " +
+        "SELECT event_type, 'n_events' AS metric, n_events::BIGINT " +
+        "AS val FROM a UNION ALL " +
+        "SELECT event_type, 'n_users', n_users::BIGINT FROM a " +
+        "ORDER BY event_type, metric"),
     "sql_not_in" -> PortableNotInSql,
     "q1_pricing" -> (
       "SELECT l_returnflag, l_linestatus, " +
