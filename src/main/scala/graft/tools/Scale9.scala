@@ -875,6 +875,38 @@ object Scale9 {
       }
     }
 
+    // Two-phase TopKPerGroup at scale (r12 operator fix): the w1 shape
+    // (top-3 per event_type) over the scaled events tables, partial
+    // phase on vs off. Shuffle-write records are the honest metric:
+    // single-phase ships the whole table into the group exchange,
+    // two-phase ships ≤ k·groups·mappers rows.
+    if (sections("topk")) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10),
+                            ("benchdata/sf10", 100))) {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def run(tag: String, partial: Boolean): Unit =
+          graft.core.Util.withConfs(spark, Seq(
+            "spark.graft.topk.partialEnabled" -> partial.toString)) {
+            val (_, records, bytes) =
+              graft.core.Util.measureShuffleWrites(spark) {
+                timed(f"topk $tag%-16s x$xn") {
+                  graft.plans.TopKPerGroup(ev, Seq("event_type"),
+                      Seq(("value", false), ("event_id", true)), k = 3)
+                    .write.format("noop").mode("overwrite").save()
+                }
+              }
+            println(f"[scale9]   shuffle written: $records%,d" +
+              f" records, ${bytes / 1048576.0}%.1f MiB")
+          }
+        for (round <- 1 to 2) {
+          run(s"SINGLE r$round", partial = false)
+          run(s"TWO-PHASE r$round", partial = true)
+        }
+      }
+    }
+
     // Event-time timer sessionization at scale (r12, st17): the scaled
     // events tables grow KEY CARDINALITY (user copies) under a fixed
     // time horizon — exactly the axis transformWithState state (one
