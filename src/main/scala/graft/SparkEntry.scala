@@ -5786,9 +5786,13 @@ object SparkEntry {
     // every pivot cell as a conditional aggregate; decimal sums cross
     // the varchar bridge
     "sql_pivot_clause" -> {
+      // NULLIF mirrors Spark's PIVOT semantics for an EMPTY cell: a
+      // (type, bucket) combo with no rows pivots to NULL, never 0 —
+      // count(*) FILTER would say 0 and hash-mismatch on sparser data
       val cells = (0 to 3).map { b =>
-        s"count(*) FILTER (ub = $b)::BIGINT AS b${b}_cnt, " +
-          s"(sum(CAST(value AS DECIMAL(18,6))) FILTER (ub = $b)" +
+        s"NULLIF(count(*) FILTER (WHERE ub = $b), 0)::BIGINT " +
+          s"AS b${b}_cnt, " +
+          s"(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ub = $b)" +
           s"::VARCHAR)::DOUBLE AS b${b}_sv"
       }.mkString(", ")
       "SELECT event_type, " + cells + " FROM (SELECT event_type, " +

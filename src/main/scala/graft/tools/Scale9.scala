@@ -22,6 +22,9 @@ object Scale9 {
     val spark = graft.core.Tables.session("graft-scale9",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    def printShuffle(records: Long, bytes: Long): Unit =
+      println(f"[scale9]   shuffle written: $records%,d records, " +
+        f"${bytes / 1048576.0}%.1f MiB")
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -739,8 +742,7 @@ object Scale9 {
               }
               // listener events drain asynchronously; settle before read
               Thread.sleep(500)
-              println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
-                f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
+              printShuffle(shufRecords.get, shufBytes.get)
             } finally {
               shufRecords.set(0); shufBytes.set(0)
               bloomConfs.foreach { case (k, _) => spark.conf.unset(k) }
@@ -811,8 +813,7 @@ object Scale9 {
             while (spins < 25 && shufRecords.get != last) {
               last = shufRecords.get; spins += 1; Thread.sleep(200)
             }
-            println(f"[scale9]   shuffle written: ${shufRecords.get}%,d" +
-              f" records, ${shufBytes.get / 1048576.0}%.1f MiB")
+            printShuffle(shufRecords.get, shufBytes.get)
             shufRecords.set(0); shufBytes.set(0)
           }
           for (round <- 1 to 2) {
@@ -865,8 +866,7 @@ object Scale9 {
                     .write.format("noop").mode("overwrite").save()
                 }
               }
-            println(f"[scale9]   shuffle written: $records%,d" +
-              f" records, ${bytes / 1048576.0}%.1f MiB")
+            printShuffle(records, bytes)
           }
         for (round <- 1 to 2) {
           run(s"SHUFFLED r$round", spj = false)
@@ -897,8 +897,7 @@ object Scale9 {
                     .write.format("noop").mode("overwrite").save()
                 }
               }
-            println(f"[scale9]   shuffle written: $records%,d" +
-              f" records, ${bytes / 1048576.0}%.1f MiB")
+            printShuffle(records, bytes)
           }
         for (round <- 1 to 2) {
           run(s"SINGLE r$round", partial = false)
