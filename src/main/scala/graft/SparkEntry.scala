@@ -485,6 +485,22 @@ object SparkEntry {
           .orderBy("part")
           .localCheckpoint(true)
       }),
+    // S23 COMPLETE aggregate pushdown with GROUP BY
+    // (SupportsPushDownAggregates): count(*)+sum(n_chars) GROUP BY lang
+    // over the filtered grid is answered by the SOURCE in O(period)
+    // driver arithmetic — the plan has NO HashAggregate at all, the
+    // scan returns the 5 result rows (SynthV2Spec pins the no-agg plan,
+    // off-arm parity, and that avg() is REFUSED whole so Spark keeps
+    // its own aggregate). Filters push before aggregation, so the two
+    // compose. The 100 TB read: an index/metadata-shaped source answers
+    // the rollup, the cluster never scans.
+    "s23_agg_push" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 50000).option("slices", 4).load()
+        .filter(col("doc_id") >= 10000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")),
     // S22 TopN/LIMIT pushdown into the DSv2 scan (SupportsPushDownTopN
     // /Limit): ORDER BY doc_id LIMIT k over the id-ordered grid is
     // answered by the SOURCE — the plan is a bare BatchScan of exactly
@@ -3895,6 +3911,15 @@ object SparkEntry {
         "SELECT a.part::BIGINT AS part, count(*)::BIGINT AS cnt, " +
         "sum(a.n_chars + b.n_chars)::BIGINT AS sum_chars " +
         "FROM a JOIN b ON a.part = b.part AND a.doc_id = b.doc_id " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the source-computed rollup regenerated row by row — a wrong
+    // period shortcut or filter composition in the pushed arithmetic
+    // breaks the hash
+    "s23_agg_push" -> (
+      "SELECT ['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "count(*)::BIGINT AS cnt, " +
+        "sum((i * 48271) % 1000)::BIGINT AS sum_chars " +
+        "FROM generate_series(10000, 49999) t(i) " +
         "GROUP BY 1 ORDER BY 1"),
     // the pushed top-7-after-key regenerated from the grid formula
     "s22_topn_push" -> (

@@ -37,7 +37,8 @@ class SynthSource extends TableProvider {
     // properties keep the caller's original key case — re-wrap
     val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(opts.getLong("numRows", 1000L),
-      opts.getInt("slices", 4))
+      opts.getInt("slices", 4),
+      opts.getBoolean("aggPush", true))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -55,7 +56,8 @@ object SynthV2 {
   def nCharsOf(id: Long): Long = (id * 48271L) % 1000L
 }
 
-class SynthTable(numRows: Long, slices: Int) extends Table with SupportsRead {
+class SynthTable(numRows: Long, slices: Int, aggPush: Boolean = true)
+    extends Table with SupportsRead {
   require(numRows >= 0, s"numRows must be nonnegative, got $numRows")
   // slices=0 would divide by zero at planning; a negative value would
   // silently plan ZERO partitions and return an empty (wrong) result
@@ -65,13 +67,117 @@ class SynthTable(numRows: Long, slices: Int) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(numRows, slices)
+    new SynthScanBuilder(numRows, slices, aggPush)
 }
 
-class SynthScanBuilder(numRows: Long, slices: Int)
+class SynthScanBuilder(numRows: Long, slices: Int,
+                       aggPush: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
+
+  /** COMPLETE aggregate pushdown (GROUP BY included): the grid's row
+    * is a pure function of doc_id with joint period 1000 (n_chars =
+    * (i·48271) % 1000 depends on i % 1000; lang on i % 5; 5 | 1000),
+    * so count(*) / sum(n_chars) [GROUP BY lang] over the pushed
+    * [lo, hi) range is answered in O(period) DRIVER work — full cycles
+    * contribute `cycles ×` one period's class totals, the remainder is
+    * walked directly. No row is ever generated: the scan returns the
+    * ≤5 result rows. The index-shaped-source contract at 100 TB —
+    * metadata answers the aggregate, the cluster never scans. Filters
+    * push BEFORE aggregation, so the two compose ([lo,hi) is the
+    * filtered range). Refused (return false → Spark keeps its own
+    * aggregate) for anything but CountStar / non-distinct
+    * Sum(n_chars), a non-[lang] grouping, or when disabled via the
+    * `aggPush` option (the spec's off-arm). */
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Sum}
+  private var pushedAgg: Option[(StructType, Array[InternalRow])] = None
+
+  private def langRef(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+      r.fieldNames.sameElements(Array("lang"))
+    case _ => false
+  }
+  private def nCharsSum(f: AggregateFunc): Boolean = f match {
+    case s: Sum => !s.isDistinct && langRef2(s.column, "n_chars")
+    case _ => false
+  }
+  private def langRef2(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String): Boolean = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+      r.fieldNames.sameElements(Array(name))
+    case _ => false
+  }
+  private def canPush(agg: Aggregation): Boolean =
+    aggPush &&
+      (agg.groupByExpressions.isEmpty ||
+        (agg.groupByExpressions.length == 1 &&
+          langRef(agg.groupByExpressions.apply(0)))) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(f =>
+        f.isInstanceOf[CountStar] || nCharsSum(f))
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    val byLang = agg.groupByExpressions.nonEmpty
+    // one period's per-class (lang) count and n_chars sum
+    val period = 1000
+    val cnt = Array.fill(5)(0L)
+    val sum1 = Array.fill(5)(0L)
+    def cls(i: Long): Int = (i % 5).toInt
+    // full cycles: every residue of [0, period) appears `cycles` times
+    val n = math.max(0L, hi - lo)
+    val cycles = n / period
+    if (cycles > 0) {
+      var r = 0
+      while (r < period) {
+        val c = cls(r)
+        cnt(c) += cycles
+        sum1(c) += cycles * SynthV2.nCharsOf(r)
+        r += 1
+      }
+    }
+    // remainder: walk the actual ids (their residues matter)
+    var i = lo + cycles * period
+    while (i < hi) {
+      val c = cls(i)
+      cnt(c) += 1
+      sum1(c) += SynthV2.nCharsOf(i)
+      i += 1
+    }
+    def resultRow(c: Option[Int]): InternalRow = {
+      val counts = c.fold(cnt.sum)(cnt(_))
+      val sums = c.fold(sum1.sum)(sum1(_))
+      val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => counts: java.lang.Long
+        case _ => sums: java.lang.Long
+      }
+      val all: Seq[Any] =
+        c.map(i => UTF8String.fromString(SynthV2.Langs(i)))
+          .toSeq ++ aggVals
+      InternalRow.fromSeq(all)
+    }
+    val rows =
+      if (byLang) (0 until 5).filter(cnt(_) > 0)
+        .map(c => resultRow(Some(c))).toArray
+      else Array(resultRow(None))
+    val fields =
+      (if (byLang) Seq(StructField("lang", StringType, nullable = false))
+       else Nil) ++
+        agg.aggregateExpressions.zipWithIndex.map {
+          case (_: CountStar, i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+        }
+    pushedAgg = Some((StructType(fields), rows))
+    true
+  }
 
   private var lo = 0L
   private var hi = numRows // exclusive
@@ -154,9 +260,40 @@ class SynthScanBuilder(numRows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SynthScan(lo, hi, if (singleSlice) 1 else slices, required)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, rows)) => new SynthAggScan(lo, hi, schema, rows)
+    case None =>
+      new SynthScan(lo, hi, if (singleSlice) 1 else slices, required)
+  }
 }
+
+/** The ≤5 pre-aggregated result rows, computed at planning time. */
+class SynthAggScan(lo: Long, hi: Long, schema: StructType,
+                   rows: Array[InternalRow]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSynthAggScan pushedRange=[$lo,$hi) pushedAggregation=complete " +
+      s"rows=${rows.length}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthAggPartition(rows.map(_.copy())))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val rs = p.asInstanceOf[SynthAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = rs(i)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class SynthAggPartition(rows: Array[InternalRow])
+    extends InputPartition
 
 class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)
     extends Scan with Batch {

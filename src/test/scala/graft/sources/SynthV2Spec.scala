@@ -100,4 +100,38 @@ class SynthV2Spec extends SparkSpec {
     assert(otherPlan.contains("pushedRange=[0,50000)"), otherPlan)
     assert(otherPlan.contains("TakeOrdered"), otherPlan)
   }
+
+  test("aggregate pushdown: complete (no Spark agg), off-arm parity, avg refused") {
+    import org.apache.spark.sql.functions._
+    def synth(aggPush: Boolean) = spark.read
+      .format("graft.sources.v2.SynthSource")
+      .option("numRows", 50000).option("slices", 4)
+      .option("aggPush", aggPush.toString).load()
+    def rollup(aggPush: Boolean) = synth(aggPush)
+      .filter(col("doc_id") >= 10000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sc"))
+      .orderBy("lang")
+
+    val on = rollup(aggPush = true)
+    val onPlan = on.queryExecution.executedPlan.toString
+    assert(onPlan.contains("pushedAggregation=complete"), onPlan)
+    assert(!onPlan.contains("HashAggregate"),
+      "complete pushdown must leave NO Spark-side aggregate:\n" + onPlan)
+
+    // parity: the source's O(period) arithmetic equals the real scan+agg
+    val off = rollup(aggPush = false)
+    assert(off.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    assert(on.collect().map(_.toString).toSeq ==
+      off.collect().map(_.toString).toSeq)
+
+    // an unsupported aggregate is refused WHOLE — Spark keeps its own
+    // two-phase agg over the plain scan, never a half-pushed hybrid
+    val refused = synth(aggPush = true).groupBy("lang")
+      .agg(avg("n_chars").as("a"))
+    val rp = refused.queryExecution.executedPlan.toString
+    assert(rp.contains("HashAggregate"), rp)
+    assert(!rp.contains("pushedAggregation"), rp)
+  }
 }
