@@ -156,7 +156,9 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       val sums = c.fold(sum1.sum)(sum1(_))
       val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => counts: java.lang.Long
-        case _ => sums: java.lang.Long
+        // SQL: sum over the empty set is NULL, never 0 — a pushed
+        // global aggregate over a fully-filtered-out range must say so
+        case _ => if (counts == 0) null else sums: java.lang.Long
       }
       val all: Seq[Any] =
         c.map(i => UTF8String.fromString(SynthV2.Langs(i)))

@@ -133,5 +133,15 @@ class SynthV2Spec extends SparkSpec {
     val rp = refused.queryExecution.executedPlan.toString
     assert(rp.contains("HashAggregate"), rp)
     assert(!rp.contains("pushedAggregation"), rp)
+
+    // empty-range edges: a grouped rollup vanishes (0 rows); a GLOBAL
+    // aggregate keeps SQL semantics — count 0, sum NULL (never 0)
+    val none = synth(aggPush = true).filter(col("doc_id") >= 50000)
+    assert(none.groupBy("lang").agg(count(lit(1))).count() == 0)
+    val globalRow = none
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sc"))
+      .collect()(0)
+    assert(globalRow.getLong(0) == 0L)
+    assert(globalRow.isNullAt(1), "sum over the empty set must be NULL")
   }
 }
