@@ -601,9 +601,14 @@ object SparkEntry {
     // pruning reaches the reader. Rows are a DuckDB-re-derivable pure
     // function of doc_id, so the WHOLE source is hash-gated by a
     // generate_series twin — plan-audited pushedRange in the scan
+    // aggPush=false here ON PURPOSE: s13 demonstrates filter-pushdown
+    // partition pruning + column pruning with Spark's own two-phase
+    // aggregate on top (the plan-audited shape); s23 owns the
+    // complete-aggregate-pushdown demonstration of the same rollup
     "s13_dsv2_scan" -> ((s, dir) =>
       s.read.format("graft.sources.v2.SynthSource")
-        .option("numRows", 100000L).option("slices", 8).load()
+        .option("numRows", 100000L).option("slices", 8)
+        .option("aggPush", "false").load()
         .filter(col("doc_id") >= 25000L && col("doc_id") < 50000L)
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
