@@ -91,7 +91,7 @@ class SynthScanBuilder(numRows: Long, slices: Int,
     * aggregate) for anything but CountStar / non-distinct
     * Sum(n_chars), a non-[lang] grouping, or when disabled via the
     * `aggPush` option (the spec's off-arm). */
-  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Sum}
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
   private var pushedAgg: Option[(StructType, Array[InternalRow])] = None
 
   private def langRef(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -111,6 +111,17 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       r.fieldNames.sameElements(Array(name))
     case _ => false
   }
+  // min/max(doc_id) are closed-form on the range ends — GLOBAL only
+  // (per-lang extremes depend on residue alignment; refuse rather than
+  // re-derive what a walk would cost)
+  private def docIdMin(f: AggregateFunc): Boolean = f match {
+    case m: Min => langRef2(m.column, "doc_id")
+    case _ => false
+  }
+  private def docIdMax(f: AggregateFunc): Boolean = f match {
+    case m: Max => langRef2(m.column, "doc_id")
+    case _ => false
+  }
   private def canPush(agg: Aggregation): Boolean =
     aggPush &&
       (agg.groupByExpressions.isEmpty ||
@@ -118,7 +129,9 @@ class SynthScanBuilder(numRows: Long, slices: Int,
           langRef(agg.groupByExpressions.apply(0)))) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(f =>
-        f.isInstanceOf[CountStar] || nCharsSum(f))
+        f.isInstanceOf[CountStar] || nCharsSum(f) ||
+          (agg.groupByExpressions.isEmpty &&
+            (docIdMin(f) || docIdMax(f))))
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canPush(agg)
@@ -156,8 +169,12 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       val sums = c.fold(sum1.sum)(sum1(_))
       val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => counts: java.lang.Long
-        // SQL: sum over the empty set is NULL, never 0 — a pushed
-        // global aggregate over a fully-filtered-out range must say so
+        case f if docIdMin(f) =>
+          if (counts == 0) null else lo: java.lang.Long
+        case f if docIdMax(f) =>
+          if (counts == 0) null else (hi - 1): java.lang.Long
+        // SQL: sum/min/max over the empty set are NULL, never 0 — a
+        // pushed global aggregate over a filtered-out range says so
         case _ => if (counts == 0) null else sums: java.lang.Long
       }
       val all: Seq[Any] =

@@ -143,5 +143,19 @@ class SynthV2Spec extends SparkSpec {
       .collect()(0)
     assert(globalRow.getLong(0) == 0L)
     assert(globalRow.isNullAt(1), "sum over the empty set must be NULL")
+
+    // global min/max(doc_id) are closed-form on the pushed range ends;
+    // per-lang extremes are REFUSED (residue-dependent)
+    val mm = synth(aggPush = true)
+      .filter(col("doc_id") >= 123 && col("doc_id") < 4567)
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("n"))
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("pushedAggregation=complete"))
+    assert(mm.collect()(0).toString == "[123,4566,4444]")
+    val perLang = synth(aggPush = true).groupBy("lang")
+      .agg(min("doc_id").as("lo"))
+    assert(perLang.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
   }
 }
