@@ -784,6 +784,42 @@ object PlanAudit {
       "partial aggregation" -> (_.contains("partial_"))))(
       SparkEntry.queries("s13_dsv2_scan")(spark, dir))
 
+    // DESC TopN must push WHOLE: the reader walks the last-k range
+    // backward, so there is no Sort and no TakeOrderedAndProject left
+    // in Spark's plan — just the single-partition reversed scan
+    audit("s22b_topn_desc_push (DESC TopN fully pushed)", Seq(
+      "range narrowed to the last k" ->
+        (_.contains("pushedRange=[24993,25000)")),
+      "reversed emission marked" -> (_.contains("order=desc")),
+      "no Spark-side TopN" ->
+        (p => !p.contains("TakeOrderedAndProject") &&
+          !"\\(\\d+\\) Sort\\b".r.findFirstIn(p).isDefined)))(
+      SparkEntry.queries("s22b_topn_desc_push")(spark, dir))
+
+    // per-group min/max answered by the SOURCE in O(groups) residue
+    // arithmetic: no HashAggregate anywhere, the scan emits the ≤5
+    // result rows directly
+    audit("s23b_agg_push_minmax (grouped min/max pushed complete)", Seq(
+      "complete aggregate pushdown" ->
+        (_.contains("pushedAggregation=complete")),
+      "filtered range composed in" ->
+        (_.contains("pushedRange=[123,4567)")),
+      "no Spark-side aggregate" -> (p => !p.contains("HashAggregate"))))(
+      SparkEntry.queries("s23b_agg_push_minmax")(spark, dir))
+
+    // the refused post-aggregate limit: Spark must KEEP a limit node
+    // above the pushed agg scan (the r12 advisory bug dropped it) and
+    // the scan's printed range must stay unmutated
+    audit("s23c_agg_push_limit (limit kept above pushed agg)", Seq(
+      "complete aggregate pushdown" ->
+        (_.contains("pushedAggregation=complete")),
+      "range unmutated by the refused limit" ->
+        (_.contains("pushedRange=[0,50000)")),
+      "Spark keeps the TopN/limit" ->
+        (p => p.contains("TakeOrderedAndProject") ||
+          p.contains("GlobalLimit"))))(
+      SparkEntry.queries("s23c_agg_push_limit")(spark, dir))
+
     // the REST DSv2 scan must print its planned page span (parallel
     // executor-side fetch, not the sequential driver pager) and a column
     // list pruned to what the aggregate reads — title/id token-skipped

@@ -515,6 +515,41 @@ object SparkEntry {
         .option("numRows", 50000).option("slices", 4).load()
         .filter(col("doc_id") >= 25000)
         .orderBy("doc_id").limit(7)),
+    // S22b DESC TopN FULLY pushed (r12 left it isPartiallyPushed): the
+    // reader walks the pushed range BACKWARD, so ORDER BY doc_id DESC
+    // LIMIT k is a bare single-partition BatchScan of exactly k rows —
+    // no Sort, no TakeOrderedAndProject (SynthV2Spec pins the plan;
+    // PlanAudit gates order=desc + absence of TakeOrdered). "Last k
+    // before this key" answered by the index-shaped source.
+    "s22b_topn_desc_push" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 50000).option("slices", 4).load()
+        .filter(col("doc_id") < 25000)
+        .orderBy(col("doc_id").desc).limit(7)),
+    // S23b per-GROUP min/max(doc_id) pushdown (r12 refused it): the
+    // first/last id of residue class c inside [lo,hi) is a range end
+    // shifted ≤4 steps — O(groups) driver arithmetic, no walk, no
+    // HashAggregate in the plan (SynthV2Spec pins plan + residue math
+    // + off-arm parity). Closes the verdict-r12 item 3.
+    "s23b_agg_push_minmax" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 50000).option("slices", 4).load()
+        .filter(col("doc_id") >= 123 && col("doc_id") < 4567)
+        .groupBy("lang")
+        .agg(min("doc_id").as("lo_id"), max("doc_id").as("hi_id"),
+          count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+    // S23c LIMIT over a pushed aggregate: regression query for the
+    // r12 advisory bug — Spark 4.1 pushes the limit AFTER the complete
+    // aggregate on the same ScanBuilder; the source must REFUSE it
+    // (accepting made Spark drop its GlobalLimit while the agg scan
+    // ignored it → 5 rows for a .limit(2)). The twin's LIMIT hashes
+    // the fix.
+    "s23c_agg_push_limit" -> ((s, dir) =>
+      s.read.format("graft.sources.v2.SynthSource")
+        .option("numRows", 50000).option("slices", 4).load()
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang").limit(2)),
     // S21 runtime V2 filtering (dynamic partition pruning for
     // connectors): the scan declares `part` as a runtime-filterable
     // attribute (SupportsRuntimeV2Filtering); when the dim side's
@@ -3932,6 +3967,29 @@ object SparkEntry {
         "['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
         "(i * 48271) % 1000 AS n_chars " +
         "FROM generate_series(25000, 25006) t(i) ORDER BY doc_id"),
+    // the fully-pushed DESC top-7-before-key: the reader's backward
+    // walk must equal the grid's last 7 ids under 25000, descending
+    "s22b_topn_desc_push" -> (
+      "SELECT i AS doc_id, " +
+        "['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "(i * 48271) % 1000 AS n_chars " +
+        "FROM generate_series(24993, 24999) t(i) ORDER BY doc_id DESC"),
+    // per-lang extremes recomputed the honest way: a wrong residue
+    // shift in the pushed closed form breaks the hash
+    "s23b_agg_push_minmax" -> (
+      "SELECT ['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "min(i)::BIGINT AS lo_id, max(i)::BIGINT AS hi_id, " +
+        "count(*)::BIGINT AS cnt " +
+        "FROM generate_series(123, 4566) t(i) " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the twin's LIMIT is the regression gate: if the source ever
+    // accepts the post-aggregate limit again, Spark returns 5 rows
+    // here and the row-count check dies
+    "s23c_agg_push_limit" -> (
+      "SELECT ['de','en','es','fr','zh'][(i % 5) + 1] AS lang, " +
+        "count(*)::BIGINT AS cnt " +
+        "FROM generate_series(0, 49999) t(i) " +
+        "GROUP BY 1 ORDER BY 1 LIMIT 2"),
     // the runtime-pruned join regenerated whole: if pruning ever
     // half-applied (dropping rows instead of partitions), the hash dies
     "s21_dpp_v2" -> (

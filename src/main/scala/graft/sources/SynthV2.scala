@@ -84,12 +84,14 @@ class SynthScanBuilder(numRows: Long, slices: Int,
     * [lo, hi) range is answered in O(period) DRIVER work — full cycles
     * contribute `cycles ×` one period's class totals, the remainder is
     * walked directly. No row is ever generated: the scan returns the
-    * ≤5 result rows. The index-shaped-source contract at 100 TB —
-    * metadata answers the aggregate, the cluster never scans. Filters
-    * push BEFORE aggregation, so the two compose ([lo,hi) is the
-    * filtered range). Refused (return false → Spark keeps its own
-    * aggregate) for anything but CountStar / non-distinct
-    * Sum(n_chars), a non-[lang] grouping, or when disabled via the
+    * ≤5 result rows. min/max(doc_id) are closed-form too: range ends
+    * globally, residue-shifted range ends per lang. The
+    * index-shaped-source contract at 100 TB — metadata answers the
+    * aggregate, the cluster never scans. Filters push BEFORE
+    * aggregation, so the two compose ([lo,hi) is the filtered range).
+    * Refused (return false → Spark keeps its own aggregate) for
+    * anything but CountStar / non-distinct Sum(n_chars) /
+    * Min/Max(doc_id), a non-[lang] grouping, or when disabled via the
     * `aggPush` option (the spec's off-arm). */
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
   private var pushedAgg: Option[(StructType, Array[InternalRow])] = None
@@ -111,9 +113,10 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       r.fieldNames.sameElements(Array(name))
     case _ => false
   }
-  // min/max(doc_id) are closed-form on the range ends — GLOBAL only
-  // (per-lang extremes depend on residue alignment; refuse rather than
-  // re-derive what a walk would cost)
+  // min/max(doc_id) are closed-form: on the range ends globally, and
+  // per lang via residue arithmetic — the first/last id in [lo, hi)
+  // with id % 5 == c is lo/hi-1 shifted by at most 4, O(groups) driver
+  // work with no walk at all
   private def docIdMin(f: AggregateFunc): Boolean = f match {
     case m: Min => langRef2(m.column, "doc_id")
     case _ => false
@@ -130,8 +133,7 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(f =>
         f.isInstanceOf[CountStar] || nCharsSum(f) ||
-          (agg.groupByExpressions.isEmpty &&
-            (docIdMin(f) || docIdMax(f))))
+          docIdMin(f) || docIdMax(f))
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canPush(agg)
@@ -164,15 +166,21 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       sum1(c) += SynthV2.nCharsOf(i)
       i += 1
     }
+    // the first/last id of residue class c inside [lo, hi): shift the
+    // range end to the nearest id with id % 5 == c (≤4 steps, no walk)
+    def classMin(c: Int): Long = lo + (((c - lo) % 5) + 5) % 5
+    def classMax(c: Int): Long = (hi - 1) - ((((hi - 1) - c) % 5) + 5) % 5
     def resultRow(c: Option[Int]): InternalRow = {
       val counts = c.fold(cnt.sum)(cnt(_))
       val sums = c.fold(sum1.sum)(sum1(_))
       val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => counts: java.lang.Long
         case f if docIdMin(f) =>
-          if (counts == 0) null else lo: java.lang.Long
+          if (counts == 0) null
+          else c.fold(lo)(classMin): java.lang.Long
         case f if docIdMax(f) =>
-          if (counts == 0) null else (hi - 1): java.lang.Long
+          if (counts == 0) null
+          else c.fold(hi - 1)(classMax): java.lang.Long
         // SQL: sum/min/max over the empty set are NULL, never 0 — a
         // pushed global aggregate over a filtered-out range says so
         case _ => if (counts == 0) null else sums: java.lang.Long
@@ -209,23 +217,34 @@ class SynthScanBuilder(numRows: Long, slices: Int,
 
   /** LIMIT k without ordering: ANY k rows satisfy it — the first k of
     * the (already filter-narrowed) id range do. Fully pushed: Spark
-    * drops its own GlobalLimit. */
+    * drops its own GlobalLimit.
+    *
+    * REFUSED after a complete aggregate pushdown: Spark 4.1 runs limit
+    * pushdown AFTER aggregate pushdown on the same builder, and an
+    * accepted limit here would (a) mutate lo/hi, corrupting the
+    * already-computed agg rows' printed range, and (b) make Spark drop
+    * its GlobalLimit while [[SynthAggScan]] ignores it — returning all
+    * ≤5 agg rows for a `.limit(2)`. A refused limit stays in Spark's
+    * plan and costs nothing on ≤5 rows. */
   override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
     hi = math.min(hi, lo + limit)
     singleSlice = true
     true
   }
 
   /** ORDER BY doc_id LIMIT k: the grid is generated in doc_id order,
-    * so ASC top-k is the range's first k (emitted sorted — fully
-    * pushed, Spark drops sort AND limit) and DESC top-k is its last k
-    * but still emitted ascending — pushed with isPartiallyPushed, so
-    * Spark re-sorts just those k rows. Any other ordering is refused
-    * and Spark keeps the whole TopN. */
-  private var descPartial = false
+    * so ASC top-k is the range's first k (emitted sorted) and DESC
+    * top-k is its last k with the reader walking the range BACKWARD —
+    * both fully pushed, Spark drops sort AND limit in either
+    * direction. Any other ordering is refused and Spark keeps the
+    * whole TopN. Refused after a complete aggregate pushdown for the
+    * same reason as [[pushLimit]]. */
+  private var descending = false
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
     if (orders.length != 1) return false
     val o = orders(0)
     val onDocId = o.expression() match {
@@ -239,12 +258,12 @@ class SynthScanBuilder(numRows: Long, slices: Int,
       hi = math.min(hi, lo + limit)
     } else {
       lo = math.max(lo, hi - limit)
-      descPartial = true
+      descending = true
     }
     singleSlice = true
     true
   }
-  override def isPartiallyPushed: Boolean = descPartial
+  override def isPartiallyPushed: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Only exact INTEGRAL literals are absorbed — a fractional Number
@@ -282,7 +301,8 @@ class SynthScanBuilder(numRows: Long, slices: Int,
   override def build(): Scan = pushedAgg match {
     case Some((schema, rows)) => new SynthAggScan(lo, hi, schema, rows)
     case None =>
-      new SynthScan(lo, hi, if (singleSlice) 1 else slices, required)
+      new SynthScan(lo, hi, if (singleSlice) 1 else slices, required,
+        descending)
   }
 }
 
@@ -314,12 +334,20 @@ class SynthAggScan(lo: Long, hi: Long, schema: StructType,
 case class SynthAggPartition(rows: Array[InternalRow])
     extends InputPartition
 
-class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)
+class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType,
+                descending: Boolean = false)
     extends Scan with Batch {
+  // a reversed scan only exists as a fully-pushed DESC TopN, which
+  // collapses to one partition — multi-slice reverse would interleave
+  // the global order across splits
+  require(!descending || slices == 1,
+    s"descending emission requires a single slice, got $slices")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSynthScan pushedRange=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"GraftSynthScan pushedRange=[$lo,$hi) " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      (if (descending) " order=desc" else "")
 
   /** Slices cover ONLY the pushed range — pruning happens at planning
     * time, so a filtered query never even creates the skipped splits. */
@@ -330,7 +358,7 @@ class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)
     (0 until n).map { i =>
       val s = lo + i * step
       val e = if (i == n - 1) hi else s + step
-      SynthPartition(s, e): InputPartition
+      SynthPartition(s, e, descending): InputPartition
     }.toArray
   }
 
@@ -338,15 +366,22 @@ class SynthScan(lo: Long, hi: Long, slices: Int, required: StructType)
     new SynthReaderFactory(required)
 }
 
-case class SynthPartition(start: Long, end: Long) extends InputPartition
+case class SynthPartition(start: Long, end: Long,
+                          descending: Boolean = false)
+    extends InputPartition
 
 class SynthReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SynthPartition]
+    val (first, stride) =
+      if (part.descending) (part.end - 1, -1L) else (part.start, 1L)
     new PartitionReader[InternalRow] {
-      private var id = part.start - 1
-      override def next(): Boolean = { id += 1; id < part.end }
+      private var id = first - stride
+      private var remaining = math.max(0L, part.end - part.start)
+      override def next(): Boolean = {
+        id += stride; remaining -= 1; remaining >= 0
+      }
       override def get(): InternalRow = {
         val values = required.fieldNames.map {
           case "doc_id" => id: java.lang.Long

@@ -57,7 +57,7 @@ class SynthV2Spec extends SparkSpec {
     assert(df.distinct().count() == 5)
   }
 
-  test("TopN/LIMIT pushdown: ASC fully pushed, DESC partial, filter composes") {
+  test("TopN/LIMIT pushdown: ASC and DESC fully pushed, filter composes") {
     import org.apache.spark.sql.functions._
     def synth = spark.read.format("graft.sources.v2.SynthSource")
       .option("numRows", 50000).option("slices", 4).load()
@@ -73,12 +73,14 @@ class SynthV2Spec extends SparkSpec {
       ascPlan)
     assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
 
-    // DESC: range narrows to the LAST k, but rows still emit ascending
-    // — partially pushed, Spark re-sorts exactly those k rows
+    // DESC: range narrows to the LAST k and the reader walks the range
+    // BACKWARD — fully pushed like ASC, no Sort/TakeOrdered anywhere
     val desc = synth.orderBy(col("doc_id").desc).limit(3)
     val descPlan = planOf(desc)
     assert(descPlan.contains("pushedRange=[49997,50000)"), descPlan)
-    assert(descPlan.contains("TakeOrdered"), descPlan)
+    assert(descPlan.contains("order=desc"), descPlan)
+    assert(!descPlan.contains("TakeOrdered") && !descPlan.contains("Sort"),
+      descPlan)
     assert(desc.collect().map(_.getLong(0)).toSeq ==
       Seq(49999L, 49998L, 49997L))
 
@@ -144,8 +146,7 @@ class SynthV2Spec extends SparkSpec {
     assert(globalRow.getLong(0) == 0L)
     assert(globalRow.isNullAt(1), "sum over the empty set must be NULL")
 
-    // global min/max(doc_id) are closed-form on the pushed range ends;
-    // per-lang extremes are REFUSED (residue-dependent)
+    // global min/max(doc_id) are closed-form on the pushed range ends
     val mm = synth(aggPush = true)
       .filter(col("doc_id") >= 123 && col("doc_id") < 4567)
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
@@ -153,9 +154,51 @@ class SynthV2Spec extends SparkSpec {
     assert(mm.queryExecution.executedPlan.toString
       .contains("pushedAggregation=complete"))
     assert(mm.collect()(0).toString == "[123,4566,4444]")
-    val perLang = synth(aggPush = true).groupBy("lang")
-      .agg(min("doc_id").as("lo"))
-    assert(perLang.queryExecution.executedPlan.toString
-      .contains("HashAggregate"))
+  }
+
+  test("per-group min/max(doc_id) push complete via residue arithmetic") {
+    import org.apache.spark.sql.functions._
+    def rollup(aggPush: Boolean) = spark.read
+      .format("graft.sources.v2.SynthSource")
+      .option("numRows", 50000).option("slices", 4)
+      .option("aggPush", aggPush.toString).load()
+      .filter(col("doc_id") >= 123 && col("doc_id") < 4567)
+      .groupBy("lang")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+    val on = rollup(aggPush = true)
+    val onPlan = on.queryExecution.executedPlan.toString
+    assert(onPlan.contains("pushedAggregation=complete"), onPlan)
+    assert(!onPlan.contains("HashAggregate"), onPlan)
+    // parity with the real scan + Spark aggregate
+    assert(on.collect().map(_.toString).toSeq ==
+      rollup(aggPush = false).collect().map(_.toString).toSeq)
+    // spot-check the residue math: lang 'de' is residue 0 — first
+    // multiple of 5 at/after 123 is 125, last before 4567 is 4565
+    assert(on.collect().head.toString == "[de,125,4565,889]")
+  }
+
+  test("LIMIT after a complete aggregate pushdown is refused, not dropped") {
+    import org.apache.spark.sql.functions._
+    // Spark 4.1 pushes the limit AFTER the aggregate on the same
+    // builder; accepting it would make Spark drop its GlobalLimit while
+    // the agg scan ignores it → 5 rows for a .limit(2)
+    def agged = spark.read.format("graft.sources.v2.SynthSource")
+      .option("numRows", 50000).option("slices", 4).load()
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val lim = agged.limit(2)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("pushedAggregation=complete"))
+    assert(lim.collect().length == 2,
+      "limit over a pushed aggregate must still limit")
+    // ordered variant (TopN path) and the printed range must stay the
+    // UNMUTATED full range
+    val top = agged.orderBy(col("lang").desc).limit(2)
+    assert(top.collect().map(_.getString(0)).toSeq == Seq("zh", "fr"))
+    val topDoc = agged.orderBy(col("cnt"), col("lang")).limit(3)
+    assert(topDoc.collect().length == 3)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("pushedRange=[0,50000)"))
   }
 }
