@@ -692,6 +692,49 @@ object PlanAudit {
         SparkEntry.dedupNaiveProjection(spark, dir))
     }
 
+    // r13 cost-based gating: in the default `auto` mode the rewrite
+    // must fire on the stats-proven win regime (quadratic kernel ×
+    // high dup factor × long keys) and decline the Scale9-measured
+    // loss regimes (cheap kernel; near-unique key) — both directions
+    // checked on ANALYZE'd fixtures with cbo on, no conf force
+    locally {
+      import org.apache.spark.sql.functions.{call_function, col, lit}
+      graft.expr.GraftFunctions.ensureRegistered(spark)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
+        spark.range(10000).selectExpr("id",
+          "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
+          "concat(repeat('pad ', 300), cast(id as string)) AS utext")
+          .write.mode("overwrite").saveAsTable("dcr_audit_r13")
+        spark.sql("ANALYZE TABLE dcr_audit_r13 COMPUTE STATISTICS " +
+          "FOR COLUMNS text, utext")
+        val tbl = spark.table("dcr_audit_r13")
+        val fire = tbl.select(col("id"), call_function("graft_seq_ratio",
+          col("text"), lit("tok0 tok1")).as("r"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_auto] fires on win regime " +
+          "(dup 1000 x quadratic kernel): " +
+          (if (fire.contains("Join") && fire.contains("Aggregate")) "OK"
+           else "MISSING"))
+        val cheap = tbl.select(col("id"), call_function("graft_levenshtein",
+          col("text"), lit("tok0 tok1")).as("d"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_auto] declines cheap kernel " +
+          "(measured loss): " + (if (!cheap.contains("Join")) "OK"
+           else "MISSING"))
+        val uniq = tbl.select(col("id"), call_function("graft_seq_ratio",
+          col("utext"), lit("pad pad")).as("r"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_auto] declines near-unique key " +
+          "(no savings): " + (if (!uniq.contains("Join")) "OK"
+           else "MISSING"))
+      } finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
+      }
+    }
+
     // the fuzzy join's length prefilter must ride the binned equi-join
     // (shared with j7), never an all-pairs cross product; the exact
     // kernel decides candidates after the join

@@ -2641,7 +2641,14 @@ object SparkEntry {
     // on the live non-blank doc count. Since r12 the float stats are
     // hash-gated too (m_flagship_w2v_dbscan above, same shared fit);
     // this projection remains because it is the reference's
-    // actually-recorded surface (cluster size + first message)
+    // actually-recorded surface (cluster size + first message).
+    // COST ASYMMETRY BY DESIGN: `m_flagship_shape` sorts FIRST in the
+    // suite's alphabetical order, so IT pays the whole fit (~7 s at
+    // sf0.1) and `m_flagship_w2v_dbscan` reads the memo (~0.07 s) —
+    // benchReset only clears the memo before the fit-payer. If a
+    // future rename/reorder swaps which query runs first, the ~100x
+    // time swap between the pair is the memo relocating, not a
+    // regression: the PAIR TOTAL is the number to compare.
     "m_flagship_shape" -> ((s, dir) =>
       flagshipStats(s, dir)
         .select(col("label").cast("long").as("label"),

@@ -31,10 +31,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the key alone, so at 100 TB the second scan reads one column and the
   * expensive kernel runs once per distinct value instead of per row.
   *
-  * Fires only when `spark.graft.dedupCompute.enabled` is true — whether
-  * distinct(k) ≪ n is a DATA decision (over a near-unique key the
-  * rewrite is a pure loss), the same reasoning that keeps the range-join
-  * rewrite behind its width conf.
+  * Gating (`spark.graft.dedupCompute.enabled`): whether distinct(k) ≪ n
+  * is a DATA decision (over a near-unique key the rewrite is a pure
+  * loss), so the default mode is COST-BASED (`auto`): the rule fires
+  * only when Catalyst column statistics prove the Scale9-measured
+  * break-even —
+  *
+  *   (n − d) · kernelNs  >  n · ProbeNs + FixedNs
+  *
+  * where n = child rowCount, d = estimated distinct keys
+  * (min(∏ per-column distinctCount, n)), kernelNs = per-row cost of the
+  * hoisted expressions estimated from the kernel class × the key
+  * columns' avgLen, and ProbeNs/FixedNs are the rewrite's own measured
+  * costs (one extra exchange + key-pruned rescan + join probe — Scale9
+  * `dedupc` rows, COVERAGE.md). Missing statistics (no ANALYZE, or
+  * spark.sql.cbo.enabled=false, so attributeStats don't propagate)
+  * decline conservatively. `true` forces the rewrite regardless of
+  * stats (the pre-r13 behavior, and the j3b query's arm); `false`
+  * disables it. Calibration (Scale9 `dedupc` at ×1/×10/×100): the
+  * quadratic difflib kernel over 5k-distinct text wins 2–3× at dup
+  * factor 100 but LOSES at ≤10 (fixed two-exchange cost), bit-parallel
+  * levenshtein (~0.6 µs/row) and single-path probes of 9-char JSON
+  * lose at every dup factor — the auto gate reproduces all five
+  * verdicts from stats alone (DedupComputeRewriteSpec).
   *
   * Guards (all must hold, else the plan is untouched):
   *  - the expensive alias is deterministic, references at least one and
@@ -55,9 +74,67 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object DedupComputeRewrite extends Rule[LogicalPlan] {
 
-  private def enabled: Boolean =
-    conf.getConfString("spark.graft.dedupCompute.enabled", "false")
-      .equalsIgnoreCase("true")
+  /** "auto" (default) = cost-based on column stats; "true" = force;
+    * anything else = off. */
+  private def mode: String =
+    conf.getConfString("spark.graft.dedupCompute.enabled", "auto")
+      .toLowerCase(java.util.Locale.ROOT)
+
+  /** Scale9 `dedupc` calibration (local[32], COVERAGE.md): the rewrite
+    * adds ~1.2 s of fixed cost (the distinct exchange + the key-pruned
+    * rescan's extra stage) plus ~1.5 µs/row of hash-join probe. At
+    * cluster scale the fixed term is pessimistic (it amortizes over
+    * executors), which only makes the auto gate more conservative. */
+  private val ProbeNs = 1500.0
+  private val FixedNs = 1.2e9
+
+  /** Estimated per-row cost (ns) of one kernel node over key columns of
+    * total average length `len` chars. Coefficients are backed out of
+    * the Scale9 `dedupc` measurements: the difflib-parity SeqRatio ran
+    * ~22 µs/row on ~300-char text (quadratic, ~0.25 ns/char²); the
+    * bit-parallel levenshtein ~0.6 µs/row on the same text
+    * (~0.007 ns/char²); single-path JSON probes are a linear scan.
+    * Unmeasured classes get conservative linear estimates — the conf
+    * override exists for data that defies them. */
+  private def nodeCostNs(e: Expression, len: Double): Double = e match {
+    case _: graft.expr.GraftSeqRatio => 0.25 * len * len
+    case _: graft.expr.GraftLevenshtein | _: Levenshtein =>
+      0.007 * len * len
+    case _: ScalaUDF => 5000.0 + 20.0 * len
+    case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll =>
+      20.0 * len
+    case _: GetJsonObject | _: JsonTuple => 15.0 * len
+    case _: JsonToStructs => 25.0 * len
+    case other if other.getClass.getName.startsWith("graft.") =>
+      30.0 * len
+    case _ => 0.0
+  }
+
+  /** The auto-mode decision for one candidate group: do the statistics
+    * prove the kernel savings clear the rewrite's own cost? Requires
+    * rowCount and per-key-column distinctCount+avgLen (ANALYZE TABLE …
+    * FOR COLUMNS with spark.sql.cbo.enabled); anything missing
+    * declines. */
+  private def costJustified(child: LogicalPlan, refs: AttributeSet,
+                            aliases: Seq[Alias]): Boolean = {
+    val st = child.stats
+    val colStats = refs.toSeq.map(a => st.attributeStats.get(a))
+    (for {
+      nBig <- st.rowCount
+      if colStats.forall(cs =>
+        cs.exists(c => c.distinctCount.isDefined && c.avgLen.isDefined))
+    } yield {
+      val n = nBig.toDouble
+      val stats = colStats.flatten
+      val d = math.min(
+        stats.map(_.distinctCount.get.toDouble).product, n)
+      val len = stats.map(_.avgLen.get.toDouble).sum
+      val kernelNs = aliases.map(_.child.collect {
+        case e if expensiveNode(e) => nodeCostNs(e, len)
+      }.sum).sum
+      (n - d) * kernelNs > n * ProbeNs + FixedNs
+    }).getOrElse(false)
+  }
 
   /** One node that justifies hoisting the whole expression behind a
     * distinct: a graft native kernel (tokenization cascades, fuzzy
@@ -94,7 +171,9 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    val m = mode
+    if (m != "true" && m != "auto") return plan
+    val forced = m == "true"
     plan.transformUp {
       case p @ Project(list, child)
           if !child.isStreaming &&
@@ -115,37 +194,48 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
         }
         if (expensive.isEmpty) p
         else {
-          // one join-back per distinct key set (usually exactly one)
+          // one join-back per distinct key set (usually exactly one);
+          // in auto mode each group must clear the measured break-even
           val groups = expensive.groupBy(_.references)
-          val joined = groups.foldLeft(child: LogicalPlan) {
-            case (left, (refs, aliases)) =>
-              val keys = refs.toSeq
-              // fresh ids for the compute branch so the join's two sides
-              // never share attributes
-              val keyAliases = keys.map(k => Alias(k, k.name)())
-              val agg = Aggregate(keys, keyAliases, child)
-              val mapping = keys.map(_.exprId).zip(keyAliases.map(_.toAttribute)).toMap
-              val computed = aliases.map { a =>
-                val remapped = a.child.transform {
-                  case ar: AttributeReference if mapping.contains(ar.exprId) =>
-                    mapping(ar.exprId)
-                }
-                Alias(remapped, a.name)(exprId = a.exprId,
-                  qualifier = a.qualifier)
-              }
-              val dim = Project(keyAliases.map(_.toAttribute) ++ computed, agg)
-              val cond = keys.zip(keyAliases.map(_.toAttribute))
-                .map { case (l, r) => EqualNullSafe(l, r) }
-                .reduceLeft[Expression](And)
-              Join(left, dim, Inner, Some(cond), JoinHint.NONE)
-          }
-          val expensiveIds = expensive.map(_.exprId).toSet
-          val outList = list.map {
-            case a: Alias if expensiveIds.contains(a.exprId) => a.toAttribute
-            case other => other
-          }
-          Project(outList, joined)
+            .filter { case (refs, aliases) =>
+              forced || costJustified(child, refs, aliases) }
+          if (groups.isEmpty) p
+          else rewriteGroups(list, child, groups)
         }
     }
+  }
+
+  /** The mechanical rewrite once the candidate groups are decided. */
+  private def rewriteGroups(list: Seq[NamedExpression],
+      child: LogicalPlan,
+      groups: Map[AttributeSet, Seq[Alias]]): LogicalPlan = {
+    val joined = groups.foldLeft(child: LogicalPlan) {
+      case (left, (refs, aliases)) =>
+        val keys = refs.toSeq
+        // fresh ids for the compute branch so the join's two sides
+        // never share attributes
+        val keyAliases = keys.map(k => Alias(k, k.name)())
+        val agg = Aggregate(keys, keyAliases, child)
+        val mapping = keys.map(_.exprId).zip(keyAliases.map(_.toAttribute)).toMap
+        val computed = aliases.map { a =>
+          val remapped = a.child.transform {
+            case ar: AttributeReference if mapping.contains(ar.exprId) =>
+              mapping(ar.exprId)
+          }
+          Alias(remapped, a.name)(exprId = a.exprId,
+            qualifier = a.qualifier)
+        }
+        val dim = Project(keyAliases.map(_.toAttribute) ++ computed, agg)
+        val cond = keys.zip(keyAliases.map(_.toAttribute))
+          .map { case (l, r) => EqualNullSafe(l, r) }
+          .reduceLeft[Expression](And)
+        Join(left, dim, Inner, Some(cond), JoinHint.NONE)
+    }
+    val expensiveIds = groups.values.flatten.map(_.exprId).toSet
+    val outList = list.map {
+      case a: Alias if expensiveIds.contains(a.exprId) => a.toAttribute
+      case other => other
+    }
+    Project(outList, joined)
   }
 }

@@ -78,6 +78,64 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE skew handling actually splits the hot partition " +
+    "(isSkewJoin pinned), and the salted twin needs no split") {
+    // the Scale9 `skew` section's comparison (salted 2.5 s vs AQE-split
+    // 5.1 s vs plain 5.3 s at x100) is only meaningful if the AQE arm
+    // demonstrably splits — pin it on the executed plan's SMJ flag, not
+    // on timing. 90% of fact rows on one key, broadcast disabled,
+    // thresholds scaled down so the spec fixture trips the same
+    // factor/threshold/advisory machinery the big run relies on.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
+      // splitting must beat re-coalescing, and SMJ must not broadcast
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 300000).select(
+        when(col("id") % 10 < 9, lit(1L)).otherwise(col("id") % 100)
+          .as("k"), (col("id") * 3).as("v"))
+      val dim = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 7).as("w"))
+      // AQE decides skew at runtime; query-stage nodes hide their plans
+      // from tree collect, so pin on the executed FINAL plan's string —
+      // SortMergeJoinExec prints its isSkewJoin flag as "(skew=true)"
+      // and the split reader as "AQEShuffleRead skewed"
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect() // execute first
+        (df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }).toString
+      }
+      val aqe = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val aqePlan = finalPlan(aqe)
+      assert(aqePlan.contains("SortMergeJoin"), aqePlan)
+      assert(aqePlan.contains("(skew=true)") &&
+        aqePlan.contains("AQEShuffleRead skewed"),
+        "AQE did not split the hot partition:\n" + aqePlan)
+      // the salted form spreads the hot key BY CONSTRUCTION — same
+      // answer, no skew split needed even with the machinery armed
+      val salted = Relational.skewSafeJoin(fact, dim, "k", salt = 16)
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val saltedPlan = finalPlan(salted)
+      assert(!saltedPlan.contains("(skew=true)"), saltedPlan)
+      assert(salted.collect().toSeq.map(_.toString) ==
+        aqe.collect().toSeq.map(_.toString))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("quantiles returns monotone approx percentiles") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val q = Relational.quantiles(df, "x").head().getSeq[Double](0)

@@ -103,8 +103,78 @@ class DedupComputeRewriteSpec extends SparkSpec {
     }
   }
 
-  test("off by default") {
+  test("auto default: declines when no column statistics exist") {
+    // default mode is cost-based ("auto"); the path-read parquet fixture
+    // has no ANALYZE stats, so the gate declines conservatively — the
+    // pre-r13 "off by default" behavior for un-analyzed data
+    assert(spark.conf.getOption(Key).isEmpty)
     assert(!optimized(expensiveProj()).contains("Join"))
+  }
+
+  test("explicit false disables even under force-worthy shapes") {
+    spark.conf.set(Key, "false")
+    try assert(!optimized(expensiveProj()).contains("Join"))
+    finally spark.conf.unset(Key)
+  }
+
+  test("auto mode: stats-proven win fires, measured-loss regimes decline") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS dcr_auto_r13")
+      // 10k rows, 10 distinct ~1.2KB texts (dup factor 1000) plus a
+      // near-unique long column — the Scale9 `dedupc` regimes in
+      // fixture form
+      spark.range(10000).selectExpr(
+        "id",
+        "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
+        "concat(repeat('pad ', 300), cast(id as string)) AS utext")
+        .write.mode("overwrite").saveAsTable("dcr_auto_r13")
+      spark.sql("ANALYZE TABLE dcr_auto_r13 COMPUTE STATISTICS " +
+        "FOR COLUMNS text, utext")
+      val tbl = spark.table("dcr_auto_r13")
+
+      // WIN: quadratic difflib kernel × dup factor 1000 × 1.2KB keys —
+      // (n-d)·0.25·len² ≈ 3.6 s clears n·probe + fixed ≈ 1.2 s
+      def win = tbl.select(col("id"),
+        call_function("graft_seq_ratio", col("text"),
+          lit("tok0 tok1 tok2")).as("r"))
+      val winPlan = optimized(win)
+      assert(winPlan.contains("Join") && winPlan.contains("Aggregate"),
+        winPlan)
+      // and the fired rewrite returns the naive rows exactly
+      val naive = {
+        spark.conf.set(Key, "false")
+        try win.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        finally spark.conf.unset(Key)
+      }
+      assert(win.collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSet == naive)
+
+      // LOSS 1: the bit-parallel levenshtein kernel (~0.007 ns/char²)
+      // never clears the break-even — measured 0.3 s naive vs 1.8 s
+      // rewritten at x100
+      def cheap = tbl.select(col("id"),
+        call_function("graft_levenshtein", col("text"),
+          lit("tok0 tok1 tok2")).as("d"))
+      assert(!optimized(cheap).contains("Join"), optimized(cheap))
+
+      // LOSS 2: expensive kernel over a NEAR-UNIQUE key — savings
+      // (n-d)·c ≈ 0, the rewrite would recompute everything anyway
+      def uniq = tbl.select(col("id"),
+        call_function("graft_seq_ratio", col("utext"),
+          lit("pad pad")).as("r"))
+      assert(!optimized(uniq).contains("Join"), optimized(uniq))
+
+      // the conf override still forces the loss shapes (data may defy
+      // the estimate — the user keeps the last word)
+      withRule {
+        assert(optimized(cheap).contains("Join"))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS dcr_auto_r13")
+    }
   }
 
   test("per-row JSON parsing counts as expensive and rewrites") {

@@ -153,7 +153,81 @@ def build_events(name: str, copies: int) -> None:
     print(f"{name}: {got[0]} events -> {out}/events.parquet")
 
 
+def build_tpch(name: str, copies: int) -> None:
+    """Scaled TPC-H-ish tables with CONSISTENT key offsets: every copy is
+    a self-similar shard (its lineitem joins its orders joins its
+    customers), so join fan-out and selectivity are preserved exactly and
+    a full-suite run at the scaled size measures the linear-growth axis,
+    not a distorted join graph. nation/region stay fixed small dims —
+    the realistic 100 TB shape, where dimension tables remain
+    broadcast-sized while facts grow. Key strides are the dense [0, N)
+    key ranges (asserted dense at the source).
+
+    Also REWRITES orders with the o_custkey offset build_orders omits
+    (build_orders only offsets o_orderkey — fine for the per-column
+    distribution work it serves, wrong for customer-join structure)."""
+    out = f"benchdata/{name}"
+    os.makedirs(out, exist_ok=True)
+    d = "/root/testdata/sf0.1"
+    strides = {}
+    for t, k in [("orders", "o_orderkey"), ("customer", "c_custkey"),
+                 ("supplier", "s_suppkey"), ("part", "p_partkey")]:
+        lo, hi, n = duckdb.sql(
+            f"SELECT min({k}), max({k}), count(*) FROM '{d}/{t}.parquet'"
+        ).fetchone()
+        assert lo == 0 and hi == n - 1, (t, k, lo, hi, n)
+        strides[t] = n
+
+    def scaled(table: str, repl: dict) -> None:
+        reps = ", ".join(f"{c} + {{i}}*{s} AS {c}" for c, s in repl.items())
+        selects = [
+            f"SELECT * REPLACE ({reps.format(i=i)}) FROM src"
+            for i in range(copies)
+        ]
+        q = (
+            f"COPY (WITH src AS (SELECT * FROM '{d}/{table}.parquet') "
+            + " UNION ALL ".join(selects)
+            + f") TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        duckdb.sql(q)
+        n = duckdb.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows -> {out}/{table}.parquet")
+
+    no, nc, ns, np_ = (strides["orders"], strides["customer"],
+                       strides["supplier"], strides["part"])
+    scaled("customer", {"c_custkey": nc})
+    scaled("supplier", {"s_suppkey": ns})
+    scaled("part", {"p_partkey": np_})
+    scaled("orders", {"o_orderkey": no, "o_custkey": nc})
+    scaled("lineitem", {"l_orderkey": no, "l_partkey": np_,
+                        "l_suppkey": ns})
+    for dim in ("nation", "region"):
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{d}/{dim}.parquet') "
+            f"TO '{out}/{dim}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{name}: {dim} copied verbatim (fixed dim)")
+    # referential spot-checks: every fact key resolves in its dimension
+    for fact, fk, dim, dk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]:
+        dangling = duckdb.sql(
+            f"SELECT count(*) FROM '{out}/{fact}.parquet' f "
+            f"WHERE {fk} IS NOT NULL AND NOT EXISTS (SELECT 1 FROM "
+            f"'{out}/{dim}.parquet' d WHERE d.{dk} = f.{fk})"
+        ).fetchone()[0]
+        assert dangling == 0, (fact, fk, dangling)
+    print(f"{name}: referential integrity OK")
+
+
 if __name__ == "__main__":
-    build(sys.argv[1], int(sys.argv[2]))
-    build_orders(sys.argv[1], int(sys.argv[2]))
-    build_events(sys.argv[1], int(sys.argv[2]))
+    which = sys.argv[3] if len(sys.argv) > 3 else "all"
+    if which in ("all", "docs"):
+        build(sys.argv[1], int(sys.argv[2]))
+        build_orders(sys.argv[1], int(sys.argv[2]))
+        build_events(sys.argv[1], int(sys.argv[2]))
+    if which in ("all", "tpch"):
+        build_tpch(sys.argv[1], int(sys.argv[2]))
