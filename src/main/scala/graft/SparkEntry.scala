@@ -142,7 +142,7 @@ object SparkEntry {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val streamDir = Files.createTempDirectory(s"graft_$tag")
     Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
     val stream = s.readStream.schema(schema).parquet(streamDir.toString)
     val qname = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = transform(stream).writeStream.format("memory").queryName(qname)
@@ -2666,7 +2666,7 @@ object SparkEntry {
       // parquet fixture through a temp dir symlink
       val streamDir = Files.createTempDirectory("graft_st1")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val stream = streamEventTs(
         s.readStream.schema(schema).parquet(streamDir.toString))
       val agg = stream
@@ -2691,7 +2691,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st2")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val stream = streamEventTs(
           s.readStream.schema(schema).parquet(streamDir.toString))
         .select(pmod(col("event_id"), lit(50L)).as("userId"), col("ts"))
@@ -2825,7 +2825,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st7")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       def src() = streamEventTs(
         s.readStream.schema(schema).parquet(streamDir.toString))
       val clicks = src().filter(col("event_type") === "click")
@@ -2869,7 +2869,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = Files.createTempDirectory("graft_st8")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
         .filter(col("event_type") === "purchase")
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
@@ -3026,7 +3026,7 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st12")
       deleteRecursivelyOnExit(streamDir)
       Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
       val ckpt = Files.createTempDirectory("graft_st12_ckpt")
       deleteRecursivelyOnExit(ckpt)
       val dedup = s.readStream.schema(schema).parquet(streamDir.toString)
@@ -3060,7 +3060,7 @@ object SparkEntry {
         val streamDir = Files.createTempDirectory("graft_st13")
         deleteRecursivelyOnExit(streamDir)
         Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
         val ev = s.readStream.schema(schema).parquet(streamDir.toString)
           .select(col("user_id"), col("event_id"))
           .as[graft.streaming.Tws.UserEvent]
@@ -3100,7 +3100,7 @@ object SparkEntry {
         val streamDir = Files.createTempDirectory("graft_st14")
         deleteRecursivelyOnExit(streamDir)
         Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
         val ev = s.readStream.schema(schema).parquet(streamDir.toString)
           .filter(!isHist)
           .select(col("user_id"), col("event_id"))
@@ -3130,7 +3130,7 @@ object SparkEntry {
         val streamDir = Files.createTempDirectory("graft_st15")
         deleteRecursivelyOnExit(streamDir)
         Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
         val ev = s.readStream.schema(schema).parquet(streamDir.toString)
           .select(col("user_id"), col("event_id"))
           .as[graft.streaming.Tws.UserEvent]
@@ -3159,7 +3159,7 @@ object SparkEntry {
         val streamDir = Files.createTempDirectory("graft_st16")
         deleteRecursivelyOnExit(streamDir)
         Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
         val ev = s.readStream.schema(schema).parquet(streamDir.toString)
           .select(col("user_id"), col("event_type"))
           .as[graft.streaming.Tws.TypedEvent]
@@ -3196,7 +3196,7 @@ object SparkEntry {
         val streamDir = Files.createTempDirectory("graft_st17")
         deleteRecursivelyOnExit(streamDir)
         Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
         val ev = s.readStream.schema(schema).parquet(streamDir.toString)
           .filter(col("ts").isNotNull && col("user_id").isNotNull)
           // ntz → instant under the session's UTC zone: same wall-µs
@@ -3236,7 +3236,7 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st19")
       deleteRecursivelyOnExit(streamDir)
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val stream = streamEventTs(
         s.readStream.schema(schema).parquet(streamDir.toString))
       val agg = stream
@@ -3268,7 +3268,7 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st20")
       deleteRecursivelyOnExit(streamDir)
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val view = Files.createTempDirectory("graft_st20_view")
         .resolve("view").toString
       deleteRecursivelyOnExit(java.nio.file.Paths.get(view).getParent)
@@ -3300,7 +3300,7 @@ object SparkEntry {
       val streamDir = Files.createTempDirectory("graft_st18")
       deleteRecursivelyOnExit(streamDir)
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val ev = s.readStream.schema(schema).parquet(streamDir.toString)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"))
