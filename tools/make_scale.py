@@ -21,7 +21,6 @@ import sys
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
 EMB = "/root/testdata/sf0.1/embeddings.parquet"
-ORD = "/root/testdata/sf0.1/orders.parquet"
 N = duckdb.sql(f"SELECT count(*) FROM '{SRC}'").fetchone()[0]
 NE = duckdb.sql(f"SELECT count(*) FROM '{EMB}'").fetchone()[0]
 DIM = duckdb.sql(f"SELECT len(embedding) FROM '{EMB}' LIMIT 1").fetchone()[0]
@@ -96,29 +95,6 @@ def build(name: str, copies: int) -> None:
     print(f"{name}: {egot[0]} vecs -> {out}/embeddings.parquet")
 
 
-def build_orders(name: str, copies: int) -> None:
-    """Scaled orders for the a6 family: row duplication with offset keys
-    preserves every per-column value distribution (percentile work grows
-    linearly in n, which is the thing being measured)."""
-    out = f"benchdata/{name}"
-    no = duckdb.sql(f"SELECT count(*) FROM '{ORD}'").fetchone()[0]
-    selects = [
-        f"SELECT * REPLACE (o_orderkey + {i * no} AS o_orderkey) FROM osrc"
-        for i in range(copies)
-    ]
-    q = (
-        f"COPY (WITH osrc AS (SELECT * FROM '{ORD}') "
-        + " UNION ALL ".join(selects)
-        + f") TO '{out}/orders.parquet' (FORMAT PARQUET)"
-    )
-    duckdb.sql(q)
-    got = duckdb.sql(
-        f"SELECT count(*), count(DISTINCT o_orderkey) FROM '{out}/orders.parquet'"
-    ).fetchone()
-    assert got[0] == got[1] == no * copies, got
-    print(f"{name}: {got[0]} orders -> {out}/orders.parquet")
-
-
 EVT = "/root/testdata/sf0.1/events.parquet"
 
 
@@ -163,9 +139,10 @@ def build_tpch(name: str, copies: int) -> None:
     broadcast-sized while facts grow. Key strides are the dense [0, N)
     key ranges (asserted dense at the source).
 
-    Also REWRITES orders with the o_custkey offset build_orders omits
-    (build_orders only offsets o_orderkey — fine for the per-column
-    distribution work it serves, wrong for customer-join structure)."""
+    Sole owner of orders.parquet (the retired docs-mode builder offset
+    only o_orderkey, leaving o_custkey pointing at copy-0 customers —
+    keys still resolved, so nothing errored, but the orders-per-customer
+    fan-out was silently x`copies`)."""
     out = f"benchdata/{name}"
     os.makedirs(out, exist_ok=True)
     d = "/root/testdata/sf0.1"
@@ -224,10 +201,13 @@ def build_tpch(name: str, copies: int) -> None:
 
 
 if __name__ == "__main__":
+    # orders is owned by build_tpch ALONE (r13): the old docs-mode
+    # builder offset only o_orderkey, leaving every copy's o_custkey
+    # pointing at copy-0 customers — a silently 10x-skewed join graph
+    # that nothing would catch (the keys still resolve)
     which = sys.argv[3] if len(sys.argv) > 3 else "all"
     if which in ("all", "docs"):
         build(sys.argv[1], int(sys.argv[2]))
-        build_orders(sys.argv[1], int(sys.argv[2]))
         build_events(sys.argv[1], int(sys.argv[2]))
     if which in ("all", "tpch"):
         build_tpch(sys.argv[1], int(sys.argv[2]))

@@ -55,11 +55,18 @@ for name, t in sorted(sf1_run["queries"].items()):
         flag = "SUPER-LINEAR"
     rows.append((name, t, b, ratio, flag))
 
-total_sf1 = sum(t for _, t, _, _, _ in rows if t is not None)
-total_base = sum(b for _, _, b, _, _ in rows if b is not None)
-print(f"sf1 total: {total_sf1:.1f} s over {sum(1 for r in rows if r[1] is not None)} queries "
-      f"(sf0.1 median total {total_base:.1f} s -> suite ratio "
-      f"{total_sf1 / total_base:.2f}x for 10x rows)")
+# suite ratio over the MATCHED set only: a failed-at-sf1 query must not
+# leave its baseline in the denominator, nor a history-less query its
+# sf1 time in the numerator
+matched = [(t, b) for _, t, b, _, _ in rows if t is not None and b]
+total_sf1 = sum(t for t, _ in matched)
+total_base = sum(b for _, b in matched)
+all_sf1 = sum(t for _, t, _, _, _ in rows if t is not None)
+ratio_txt = (f"{total_sf1 / total_base:.2f}x" if total_base else "n/a")
+print(f"sf1 total: {all_sf1:.1f} s over "
+      f"{sum(1 for r in rows if r[1] is not None)} queries; matched-set "
+      f"ratio {total_sf1:.1f}/{total_base:.1f} s = {ratio_txt} "
+      f"for 10x rows ({len(matched)} queries in both)")
 print(f"failures: {[r[0] for r in rows if r[4] == 'FAILED']}")
 print()
 flagged = [r for r in rows if r[4] == "SUPER-LINEAR"]
