@@ -319,13 +319,15 @@ object Dedup {
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bands: Int = 8,
                      combine: Int = 1,
-                     materialize: Boolean = true): DataFrame = {
+                     materialize: Boolean = true,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands > 0 && 64 % bands == 0)
     require(combine >= 1 && combine <= bands)
     require(maxHamming <= bands - combine,
       s"maxHamming ($maxHamming) must be <= bands - combine " +
         s"(${bands - combine}): banded exact-match only guarantees candidate " +
         "collision when a fully-clean combine-subset of slices exists")
+    require(maxBucketSize > 0)
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     def slice(b: Int): Column =
@@ -344,7 +346,7 @@ object Dedup {
       .select("id", "simhash")
     val hashed =
       if (materialize) hashedBase.localCheckpoint(true) else hashedBase
-    val keyed = hashed.select(col("id"), col("simhash"),
+    val keyedRaw = hashed.select(col("id"), col("simhash"),
         explode(array(combos.zipWithIndex.map { case (c, i) =>
           struct(lit(i).as("band"),
             c.map(slice).reduce((hi, lo) =>
@@ -352,6 +354,22 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // hot-bucket cap, same contract as nearDupPairs: the 16-bit key
+    // space per combo is FIXED, so once n outgrows it in-bucket
+    // candidates go quadratic (Scale9 `simhashq`: 23x candidates for
+    // 10x docs). Overflowing buckets drop from CANDIDATE GENERATION
+    // only — members still pair through their other C(bands,combine)-1
+    // keys, so recall degrades gracefully instead of the join
+    // degenerating. Default uncapped: the oracled query keeps exact
+    // full-recall semantics; the 100 TB path sets a cap.
+    val keyed =
+      if (maxBucketSize == Int.MaxValue) keyedRaw
+      else keyedRaw.join(
+        keyedRaw.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucketSize)
+          .select("band", "bucket"),
+        Seq("band", "bucket"))
     keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

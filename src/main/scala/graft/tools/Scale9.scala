@@ -57,6 +57,47 @@ object Scale9 {
       }
     }
 
+    // llm_simhash_neardup sf1-sweep triage (r13): the full-suite sf1 run
+    // flagged the query at 12.2x for 10x rows (the flag line is 12x).
+    // This section decomposes the growth: CANDIDATE pairs (sum of
+    // C(occupancy,2) over the (band,bucket) keys — the join's true work)
+    // vs VERIFIED pairs (hamming <= 6 survivors, which the query's
+    // orderBy then sorts). Each scaled copy carries its own hot buckets
+    // (the per-copy letter permutation rewrites every token, so slice
+    // votes decorrelate across copies), so candidates should grow ~10x
+    // plus cross-copy chance collisions in the 16-bit key space.
+    if (sections("simhashq")) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val hashed = graft.dedup.Dedup.simHashFrame(
+          docs.select(col("doc_id").as("id"), col("text")), "text")
+          .select("id", "simhash").localCheckpoint(true)
+        val bits = 64 / 8
+        val mask = (1L << bits) - 1
+        def slice(b: Int) =
+          shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+        val combos = (0 until 8).combinations(2).toSeq
+        val keyed = hashed.select(col("id"),
+          explode(array(combos.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("band"),
+              c.map(slice).reduce((hi, lo) =>
+                shiftleft(hi, bits).bitwiseOR(lo)).as("bucket"))
+          }: _*)).as("bk"))
+        val cand = keyed.groupBy(col("bk.band"), col("bk.bucket"))
+          .agg(count(lit(1)).as("m"))
+          .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"),
+            max("m").as("hottest")).head()
+        timed(s"simhashq neardup(h<=6)+sort x$xn") {
+          val verified = graft.dedup.Dedup.simHashNearDup(
+            docs, "doc_id", "text", maxHamming = 6, bands = 8,
+            combine = 2).orderBy("id_a", "id_b")
+          println(s"[scale9] simhashq x$xn candidates=${cand.get(0)} " +
+            s"hottest=${cand.get(1)} verified=${verified.count()}")
+        }
+      }
+    }
+
     // M3 exact-vs-approx crossover probe (r10, VERDICT r9 #4): the exact
     // curve rides the reference set as a plan literal (O(n²d) compute,
     // NO pair shuffle); the approx path shuffles LSH candidate pairs.

@@ -124,6 +124,29 @@ class DedupSpec extends SparkSpec {
     assert(ck == rc, s"diff=${(ck diff rc) ++ (rc diff ck)}")
   }
 
+  test("simHashNearDup hot-bucket cap drops only single-band-covered " +
+    "pairs; multi-band pairs survive") {
+    // the 100 TB knob (r13, Scale9 `simhashq`: 23x candidates for 10x
+    // docs once the fixed 16-bit key space saturates): an overflowing
+    // bucket leaves candidate generation, but a true near-pair collides
+    // in MANY of the C(8,2)=28 keys, so a moderate cap keeps it. Cap at
+    // 1: every bucket with >1 doc is dropped — pairs vanish entirely
+    // (each pair needs a shared bucket of >= 2). Uncapped (default) is
+    // bitwise-identical to the pre-cap behavior.
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(500)
+    def run(cap: Int) = Dedup.simHashNearDup(corpus, "doc_id", "text",
+        maxHamming = 6, bands = 8, combine = 2, maxBucketSize = cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    // a generous cap keeps the full pair set (no bucket on this fixture
+    // is hotter than the cap... asserted, so the test fails loudly if
+    // the fixture ever densifies past it)
+    assert(run(100000) == uncapped)
+    assert(run(1).isEmpty)
+  }
+
   test("ngramJaccard: identity 1, near-dup high, distinct low") {
     val r = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") === 0)
