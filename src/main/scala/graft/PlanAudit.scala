@@ -729,6 +729,16 @@ object PlanAudit {
         println("CHECK[dedup_cost_auto] declines near-unique key " +
           "(no savings): " + (if (!uniq.contains("Join")) "OK"
            else "MISSING"))
+        // the REGISTRY query's own projection (shared helper, the
+        // cmsBuild precedent): its hash gate can't distinguish a fired
+        // rewrite from a declined one — this check pins that the
+        // oracled j3c row exercises the FIRED plan
+        val j3c = SparkEntry.j3cAutoProjection(spark)
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[j3c_dedup_auto_cost] auto-fired in the registry " +
+          "query (stats only, no conf force): " +
+          (if (j3c.contains("Join") && j3c.contains("Aggregate")) "OK"
+           else "MISSING"))
       } finally {
         spark.conf.unset("spark.sql.cbo.enabled")
         spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
