@@ -700,8 +700,10 @@ object PlanAudit {
     locally {
       import org.apache.spark.sql.functions.{call_function, col, lit}
       graft.expr.GraftFunctions.ensureRegistered(spark)
-      spark.conf.set("spark.sql.cbo.enabled", "true")
-      try {
+      // withConfs restores the PRIOR cbo value — a bare unset would
+      // clobber a session-level setting for every later audit
+      graft.core.Util.withConfs(spark,
+        Seq("spark.sql.cbo.enabled" -> "true")) {
         spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
         spark.range(10000).selectExpr("id",
           "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
@@ -710,24 +712,33 @@ object PlanAudit {
         spark.sql("ANALYZE TABLE dcr_audit_r13 COMPUTE STATISTICS " +
           "FOR COLUMNS text, utext")
         val tbl = spark.table("dcr_audit_r13")
+        // the kernel cost model is per char-PAIR: the fire arm needs a
+        // LONG reference (long-vs-short is correctly cheap)
+        val longRef = "tok0 tok1 " * 120
         val fire = tbl.select(col("id"), call_function("graft_seq_ratio",
-          col("text"), lit("tok0 tok1")).as("r"))
+          col("text"), lit(longRef)).as("r"))
           .queryExecution.optimizedPlan.toString
         println("CHECK[dedup_cost_auto] fires on win regime " +
-          "(dup 1000 x quadratic kernel): " +
+          "(dup 1000 x pairwise kernel, long-vs-long): " +
           (if (fire.contains("Join") && fire.contains("Aggregate")) "OK"
            else "MISSING"))
         val cheap = tbl.select(col("id"), call_function("graft_levenshtein",
-          col("text"), lit("tok0 tok1")).as("d"))
+          col("text"), lit(longRef)).as("d"))
           .queryExecution.optimizedPlan.toString
         println("CHECK[dedup_cost_auto] declines cheap kernel " +
           "(measured loss): " + (if (!cheap.contains("Join")) "OK"
            else "MISSING"))
         val uniq = tbl.select(col("id"), call_function("graft_seq_ratio",
-          col("utext"), lit("pad pad")).as("r"))
+          col("utext"), lit(longRef)).as("r"))
           .queryExecution.optimizedPlan.toString
         println("CHECK[dedup_cost_auto] declines near-unique key " +
           "(no savings): " + (if (!uniq.contains("Join")) "OK"
+           else "MISSING"))
+        val shortRef = tbl.select(col("id"), call_function(
+          "graft_seq_ratio", col("text"), lit("tok0 tok1")).as("r"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_auto] declines short reference " +
+          "(per-char-pair cost): " + (if (!shortRef.contains("Join")) "OK"
            else "MISSING"))
         // the REGISTRY query's own projection (shared helper, the
         // cmsBuild precedent): its hash gate can't distinguish a fired
@@ -739,8 +750,6 @@ object PlanAudit {
           "query (stats only, no conf force): " +
           (if (j3c.contains("Join") && j3c.contains("Aggregate")) "OK"
            else "MISSING"))
-      } finally {
-        spark.conf.unset("spark.sql.cbo.enabled")
         spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
       }
     }

@@ -240,26 +240,39 @@ object SparkEntry {
     * cmsBuild precedent) so the plan gate can prove the auto-mode
     * rewrite actually FIRED inside the registry query — the hash gate
     * alone can't tell a fired rewrite from a declined one (both return
-    * the same rows; that equality is the rewrite's contract). Builds +
-    * ANALYZEs the catalog fixture; caller scopes cbo on. */
+    * the same rows; that equality is the rewrite's contract). The
+    * catalog fixture is built + ANALYZEd ONCE per session (the
+    * flagshipStats memo precedent): the fixture is the query's INPUT,
+    * like a parquet dir, so a timed run must not pay the write —
+    * min-of-2 then stamps the projection itself. Caller scopes cbo
+    * on. The reference is LONG ("w " × 500): kernel cost is per
+    * char-PAIR, so a short ref would (correctly) decline the gate. */
+  private val j3cBuilt = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   def j3cAutoProjection(s: SparkSession): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(s)
-    // a FRESH session's catalog doesn't know the table, but a previous
-    // JVM's warehouse dir survives — saveAsTable then fails with
-    // LOCATION_ALREADY_EXISTS. Drop what the catalog knows, then clear
-    // any orphaned location.
-    s.sql("DROP TABLE IF EXISTS graft_j3c_docs")
-    val loc = java.nio.file.Paths.get(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-        .getPath).resolve("graft_j3c_docs")
-    graft.core.Util.deleteRecursively(loc)
-    s.range(10000).selectExpr("id",
-      "repeat('w ', 500 + 25 * cast(id % 10 AS int)) AS text")
-      .write.mode("overwrite").saveAsTable("graft_j3c_docs")
-    s.sql("ANALYZE TABLE graft_j3c_docs COMPUTE STATISTICS FOR COLUMNS text")
+    j3cBuilt.synchronized {
+      if (!Option(j3cBuilt.get(s)).exists(_.booleanValue)) {
+        // a FRESH session's catalog doesn't know the table, but a
+        // previous JVM's warehouse dir survives — saveAsTable then
+        // fails with LOCATION_ALREADY_EXISTS. Drop what the catalog
+        // knows, then clear any orphaned location.
+        s.sql("DROP TABLE IF EXISTS graft_j3c_docs")
+        val loc = java.nio.file.Paths.get(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath).resolve("graft_j3c_docs")
+        graft.core.Util.deleteRecursively(loc)
+        s.range(10000).selectExpr("id",
+          "repeat('w ', 500 + 25 * cast(id % 10 AS int)) AS text")
+          .write.mode("overwrite").saveAsTable("graft_j3c_docs")
+        s.sql("ANALYZE TABLE graft_j3c_docs COMPUTE STATISTICS " +
+          "FOR COLUMNS text")
+        j3cBuilt.put(s, java.lang.Boolean.TRUE)
+      }
+    }
     s.table("graft_j3c_docs")
       .select(col("id"), call_function("graft_seq_ratio",
-        col("text"), lit("w w w w w")).as("ratio"))
+        col("text"), lit("w " * 500)).as("ratio"))
   }
 
   /** Scope the RangeJoinRewrite width conf to `body`. */
@@ -980,13 +993,13 @@ object SparkEntry {
     // distinct ~1.2KB texts × the quadratic difflib kernel clears the
     // Scale9-calibrated break-even ((n−d)·0.25·len² ≈ 3.7 s > 1.2 s).
     // The fixture is built so the ratio has a CLOSED FORM the twin
-    // re-derives exactly: text_g = "w " × (500+25g) fully contains the
-    // 9-char reference, so difflib matches = 9 (autojunk junks popular
-    // chars of the SHORT side only, which is < 200 chars — no junking;
-    // SeqRatioSpec pins kernel parity) and ratio = 2·9/(len_g+9), a
-    // bit-exact double division of small ints in both engines. The
-    // hash gate therefore proves the REWRITTEN plan's rows — a
-    // dropped/duplicated row through the join-back dies here.
+    // re-derives exactly: the 1000-char reference "w "×500 is a prefix
+    // of every text_g = "w " × (500+25g), so difflib matches = 1000
+    // (cross-checked against python difflib, autojunk included) and
+    // ratio = 2·1000/(len_g+1000), a bit-exact double division of
+    // small ints in both engines. The hash gate therefore proves the
+    // REWRITTEN plan's rows — a dropped/duplicated row through the
+    // join-back dies here.
     "j3c_dedup_auto_cost" -> ((s, dir) =>
       graft.core.Util.withConfs(s, Seq("spark.sql.cbo.enabled" -> "true")) {
         j3cAutoProjection(s).orderBy("id").localCheckpoint(true)
@@ -4032,13 +4045,13 @@ object SparkEntry {
         "count(*)::BIGINT AS cnt " +
         "FROM generate_series(123, 4566) t(i) " +
         "GROUP BY 1 ORDER BY 1"),
-    // the auto-fired rewrite re-derived closed-form: matches=9 (the
-    // short ref is a substring of every text), ratio = 2*9/(len+9)
-    // with len = 1000+50*(i%10) — bit-exact double division in both
-    // engines, so a row lost or doubled through the join-back, or a
-    // kernel/autojunk divergence, breaks the hash
+    // the auto-fired rewrite re-derived closed-form: matches=1000 (the
+    // 1000-char ref is a prefix of every text), ratio = 2*1000/(len +
+    // 1000) with len = 1000+50*(i%10) — bit-exact double division in
+    // both engines, so a row lost or doubled through the join-back, or
+    // a kernel/autojunk divergence, breaks the hash
     "j3c_dedup_auto_cost" -> (
-      "SELECT i AS id, 2.0*9/(9 + 1000 + 50*(i % 10)) AS ratio " +
+      "SELECT i AS id, 2.0*1000/(1000 + 1000 + 50*(i % 10)) AS ratio " +
         "FROM generate_series(0, 9999) t(i) ORDER BY id"),
     // the twin's LIMIT is the regression gate: if the source ever
     // accepts the post-aggregate limit again, Spark returns 5 rows

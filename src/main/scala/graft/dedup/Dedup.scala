@@ -316,6 +316,28 @@ object Dedup {
     * (6.76M → 1.98M, hottest bucket 1460 → 458 docs) at identical recall.
     * This is Manku et al.'s multi-block permutation scheme (WWW'07)
     * expressed as an explode + equi-join. */
+  /** The banded keying of [[simHashNearDup]], exposed so diagnostics
+    * (Scale9 `simhashq` candidate counting) decompose the SAME keying
+    * the production join uses instead of re-implementing it: each row
+    * of `hashed` (id, simhash) explodes into one (band, bucket) key per
+    * `combine`-subset of the 64/bands-bit slices. */
+  def simHashKeyed(hashed: DataFrame, bands: Int, combine: Int)
+      : DataFrame = {
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def slice(b: Int): Column =
+      shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+    val combos = (0 until bands).combinations(combine).toSeq
+    hashed.select(col("id"), col("simhash"),
+        explode(array(combos.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("band"),
+            c.map(slice).reduce((hi, lo) =>
+              shiftleft(hi, bits).bitwiseOR(lo)).as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bands: Int = 8,
                      combine: Int = 1,
@@ -328,11 +350,6 @@ object Dedup {
         s"(${bands - combine}): banded exact-match only guarantees candidate " +
         "collision when a fully-clean combine-subset of slices exists")
     require(maxBucketSize > 0)
-    val bits = 64 / bands
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    def slice(b: Int): Column =
-      shiftright(col("simhash"), b * bits).bitwiseAND(mask)
-    val combos = (0 until bands).combinations(combine).toSeq
     // the simhash (64 bit-vote folds) feeds BOTH sides of the self-join;
     // materialize once instead of recomputing. The checkpointed frame is
     // 16 B/doc (id + hash), NOT the corpus — at 100 TB / ~100 B docs
@@ -346,14 +363,7 @@ object Dedup {
       .select("id", "simhash")
     val hashed =
       if (materialize) hashedBase.localCheckpoint(true) else hashedBase
-    val keyedRaw = hashed.select(col("id"), col("simhash"),
-        explode(array(combos.zipWithIndex.map { case (c, i) =>
-          struct(lit(i).as("band"),
-            c.map(slice).reduce((hi, lo) =>
-              shiftleft(hi, bits).bitwiseOR(lo)).as("bucket"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keyedRaw = simHashKeyed(hashed, bands, combine)
     // hot-bucket cap, same contract as nearDupPairs: the 16-bit key
     // space per combo is FIXED, so once n outgrows it in-bucket
     // candidates go quadratic (Scale9 `simhashq`: 23x candidates for

@@ -91,15 +91,29 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
   /** Estimated per-row cost (ns) of one kernel node over key columns of
     * total average length `len` chars. Coefficients are backed out of
     * the Scale9 `dedupc` measurements: the difflib-parity SeqRatio ran
-    * ~22 µs/row on ~300-char text (quadratic, ~0.25 ns/char²); the
-    * bit-parallel levenshtein ~0.6 µs/row on the same text
-    * (~0.007 ns/char²); single-path JSON probes are a linear scan.
+    * ~22 µs/row on ~300-char-per-side pairs (pairwise, ~0.25 ns per
+    * char-PAIR — its cost is O(|a|·|b|), so each operand contributes
+    * its OWN length: a long column against a short literal is cheap,
+    * and squaring the column length alone would fire the rewrite on a
+    * measured-loss shape); the bit-parallel levenshtein ~0.6 µs/row on
+    * the same pairs; single-path JSON probes are a linear scan.
     * Unmeasured classes get conservative linear estimates — the conf
     * override exists for data that defies them. */
+  private def operandLen(e: Expression, colLen: Double): Double =
+    if (e.references.nonEmpty) colLen
+    else e match {
+      // foldable literal side: its length is statically known
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.numChars.toDouble
+      case _ => 64.0
+    }
   private def nodeCostNs(e: Expression, len: Double): Double = e match {
-    case _: graft.expr.GraftSeqRatio => 0.25 * len * len
-    case _: graft.expr.GraftLevenshtein | _: Levenshtein =>
-      0.007 * len * len
+    case r: graft.expr.GraftSeqRatio =>
+      0.25 * operandLen(r.left, len) * operandLen(r.right, len)
+    case l: graft.expr.GraftLevenshtein =>
+      0.007 * operandLen(l.left, len) * operandLen(l.right, len)
+    case l: Levenshtein =>
+      0.007 * operandLen(l.left, len) * operandLen(l.right, len)
     case _: ScalaUDF => 5000.0 + 20.0 * len
     case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll =>
       20.0 * len
@@ -149,7 +163,8 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     // p3 query's predicate is unpushable for exactly this reason).
     // Pays when the documents are real log JSON (KBs); measured
     // breakeven-to-loss on toy single-key strings (Scale9 `dedupc`
-    // cheapJson rows) — part of why the rule is opt-in per session
+    // cheapJson rows) — which is exactly what the auto gate's
+    // avgLen-scaled linear cost distinguishes
     case _: GetJsonObject | _: JsonTuple | _: JsonToStructs => true
     case other => other.getClass.getName.startsWith("graft.")
   }

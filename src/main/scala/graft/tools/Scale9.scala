@@ -73,28 +73,24 @@ object Scale9 {
         val hashed = graft.dedup.Dedup.simHashFrame(
           docs.select(col("doc_id").as("id"), col("text")), "text")
           .select("id", "simhash").localCheckpoint(true)
-        val bits = 64 / 8
-        val mask = (1L << bits) - 1
-        def slice(b: Int) =
-          shiftright(col("simhash"), b * bits).bitwiseAND(mask)
-        val combos = (0 until 8).combinations(2).toSeq
-        val keyed = hashed.select(col("id"),
-          explode(array(combos.zipWithIndex.map { case (c, i) =>
-            struct(lit(i).as("band"),
-              c.map(slice).reduce((hi, lo) =>
-                shiftleft(hi, bits).bitwiseOR(lo)).as("bucket"))
-          }: _*)).as("bk"))
-        val cand = keyed.groupBy(col("bk.band"), col("bk.bucket"))
+        // the PRODUCTION keying (shared helper), not a re-implementation
+        val keyed = graft.dedup.Dedup.simHashKeyed(hashed, bands = 8,
+          combine = 2)
+        val cand = keyed.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("m"))
           .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"),
             max("m").as("hottest")).head()
+        // time the registered query's FULL shape with the noop sink —
+        // a count() would let EliminateSorts delete the orderBy and
+        // under-measure exactly the part being triaged
+        def neardup = graft.dedup.Dedup.simHashNearDup(
+          docs, "doc_id", "text", maxHamming = 6, bands = 8,
+          combine = 2).orderBy("id_a", "id_b")
         timed(s"simhashq neardup(h<=6)+sort x$xn") {
-          val verified = graft.dedup.Dedup.simHashNearDup(
-            docs, "doc_id", "text", maxHamming = 6, bands = 8,
-            combine = 2).orderBy("id_a", "id_b")
-          println(s"[scale9] simhashq x$xn candidates=${cand.get(0)} " +
-            s"hottest=${cand.get(1)} verified=${verified.count()}")
+          neardup.write.format("noop").mode("overwrite").save()
         }
+        println(s"[scale9] simhashq x$xn candidates=${cand.get(0)} " +
+          s"hottest=${cand.get(1)} verified=${neardup.count()}")
       }
     }
 
@@ -537,10 +533,12 @@ object Scale9 {
       // cheap to amortize the join-back — single-path get_json_object
       // on events.props (9-char JSON, 100 distinct over 10M rows at
       // x100). Parsing ~= hashing the string for the broadcast probe,
-      // so the second scan + distinct agg is pure overhead. This is the
-      // measured reason the rule is conf-gated opt-in rather than
-      // always-on: "expensive" is a data property (real log JSON runs
-      // KBs, where the parse dominates), not an operator property.
+      // so the second scan + distinct agg is pure overhead. This is
+      // the measured loss regime the r13 COST GATE auto-declines (the
+      // default `auto` mode scales JSON parse cost by the column's
+      // ANALYZE'd avgLen): "expensive" is a data property (real log
+      // JSON runs KBs, where the parse dominates), not an operator
+      // property.
       val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
         .select(col("event_id"), col("props"))
       val ev = (0 until 100).map(c => base.select(

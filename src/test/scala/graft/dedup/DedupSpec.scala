@@ -133,8 +133,10 @@ class DedupSpec extends SparkSpec {
     // 1: every bucket with >1 doc is dropped — pairs vanish entirely
     // (each pair needs a shared bucket of >= 2). Uncapped (default) is
     // bitwise-identical to the pre-cap behavior.
+    // filter, not limit: LIMIT without ORDER BY can hand each of the
+    // three independent executions a different 500-row subset
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id", $"text").limit(500)
+      .select($"doc_id", $"text").filter($"doc_id" < 500)
     def run(cap: Int) = Dedup.simHashNearDup(corpus, "doc_id", "text",
         maxHamming = 6, bands = 8, combine = 2, maxBucketSize = cap)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

@@ -134,11 +134,14 @@ class DedupComputeRewriteSpec extends SparkSpec {
         "FOR COLUMNS text, utext")
       val tbl = spark.table("dcr_auto_r13")
 
-      // WIN: quadratic difflib kernel × dup factor 1000 × 1.2KB keys —
-      // (n-d)·0.25·len² ≈ 3.6 s clears n·probe + fixed ≈ 1.2 s
+      // WIN: pairwise difflib kernel × dup factor 1000 × ~1.2KB on BOTH
+      // sides — (n-d)·0.25·lenA·lenB ≈ 3.7 s clears n·probe + fixed
+      // ≈ 1.2 s. The reference must be LONG: the cost model is
+      // per-char-PAIR, so a short literal is correctly cheap
+      val longRef = "tok0 tok1 " * 120
       def win = tbl.select(col("id"),
         call_function("graft_seq_ratio", col("text"),
-          lit("tok0 tok1 tok2")).as("r"))
+          lit(longRef)).as("r"))
       val winPlan = optimized(win)
       assert(winPlan.contains("Join") && winPlan.contains("Aggregate"),
         winPlan)
@@ -151,20 +154,29 @@ class DedupComputeRewriteSpec extends SparkSpec {
       assert(win.collect().map(r =>
         (r.getLong(0), r.getDouble(1))).toSet == naive)
 
-      // LOSS 1: the bit-parallel levenshtein kernel (~0.007 ns/char²)
-      // never clears the break-even — measured 0.3 s naive vs 1.8 s
-      // rewritten at x100
+      // LOSS 1: the bit-parallel levenshtein kernel (~0.007 ns per
+      // char-pair) never clears the break-even even on long-vs-long —
+      // measured 0.3 s naive vs 1.8 s rewritten at x100
       def cheap = tbl.select(col("id"),
         call_function("graft_levenshtein", col("text"),
-          lit("tok0 tok1 tok2")).as("d"))
+          lit(longRef)).as("d"))
       assert(!optimized(cheap).contains("Join"), optimized(cheap))
 
       // LOSS 2: expensive kernel over a NEAR-UNIQUE key — savings
       // (n-d)·c ≈ 0, the rewrite would recompute everything anyway
       def uniq = tbl.select(col("id"),
         call_function("graft_seq_ratio", col("utext"),
-          lit("pad pad")).as("r"))
+          lit(longRef)).as("r"))
       assert(!optimized(uniq).contains("Join"), optimized(uniq))
+
+      // LOSS 3: a SHORT reference against the long column — the kernel
+      // cost is per char-PAIR (O(|a|·|b|)), so long-vs-short is CHEAP
+      // even though the column is 1.2KB; squaring the column length
+      // alone would fire on this measured-loss shape
+      def shortRef = tbl.select(col("id"),
+        call_function("graft_seq_ratio", col("text"),
+          lit("tok0 tok1 tok2")).as("r"))
+      assert(!optimized(shortRef).contains("Join"), optimized(shortRef))
 
       // the conf override still forces the loss shapes (data may defy
       // the estimate — the user keeps the last word)

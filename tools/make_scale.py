@@ -155,7 +155,7 @@ def build_tpch(name: str, copies: int) -> None:
         assert lo == 0 and hi == n - 1, (t, k, lo, hi, n)
         strides[t] = n
 
-    def scaled(table: str, repl: dict) -> None:
+    def scaled(table: str, repl: dict, pk: str = None) -> None:
         reps = ", ".join(f"{c} + {{i}}*{s} AS {c}" for c, s in repl.items())
         selects = [
             f"SELECT * REPLACE ({reps.format(i=i)}) FROM src"
@@ -167,17 +167,29 @@ def build_tpch(name: str, copies: int) -> None:
             + f") TO '{out}/{table}.parquet' (FORMAT PARQUET)"
         )
         duckdb.sql(q)
+        base_n = duckdb.sql(
+            f"SELECT count(*) FROM '{d}/{table}.parquet'").fetchone()[0]
         n = duckdb.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        # a wrong stride would collide copies' keys — and the referential
+        # spot-checks below CANNOT see it (collided fact keys still
+        # resolve in the equally-collided dimension), so assert key
+        # uniqueness here, where the collision actually happens
+        assert n == base_n * copies, (table, n, base_n, copies)
+        if pk is not None:
+            dk = duckdb.sql(
+                f"SELECT count(DISTINCT {pk}) FROM '{out}/{table}.parquet'"
+            ).fetchone()[0]
+            assert dk == n, (table, pk, dk, n)
         print(f"{name}: {n} rows -> {out}/{table}.parquet")
 
     no, nc, ns, np_ = (strides["orders"], strides["customer"],
                        strides["supplier"], strides["part"])
-    scaled("customer", {"c_custkey": nc})
-    scaled("supplier", {"s_suppkey": ns})
-    scaled("part", {"p_partkey": np_})
-    scaled("orders", {"o_orderkey": no, "o_custkey": nc})
+    scaled("customer", {"c_custkey": nc}, pk="c_custkey")
+    scaled("supplier", {"s_suppkey": ns}, pk="s_suppkey")
+    scaled("part", {"p_partkey": np_}, pk="p_partkey")
+    scaled("orders", {"o_orderkey": no, "o_custkey": nc}, pk="o_orderkey")
     scaled("lineitem", {"l_orderkey": no, "l_partkey": np_,
-                        "l_suppkey": ns})
+                        "l_suppkey": ns})  # no single-column pk
     for dim in ("nation", "region"):
         duckdb.sql(
             f"COPY (SELECT * FROM '{d}/{dim}.parquet') "
