@@ -843,7 +843,10 @@ object SparkEntry {
         .orderBy("name")),
     "s7_catalog" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      Sources.catalogTables(s).orderBy("name")
+      // the fixtures are TEMP VIEWS; restrict to them so the listing is
+      // deterministic even when engine-internal MANAGED tables exist in
+      // the warehouse (j3c's ANALYZE'd fixture lives there — r13)
+      Sources.catalogTables(s).filter(col("isTemporary")).orderBy("name")
     }),
     // S8 collect-to-local bridge, driver-checked (r10 — previously the
     // one §2 row with no registered query): head() after an explicit
