@@ -9,8 +9,15 @@ parquet tables, and compares: row count, column names (sorted), and
 cell values (rows sorted, columns sorted by name). Exact equality for
 ints/strings; doubles compared exactly first, then with rel-tol 1e-12
 reported separately so hash-risk is visible.
+
+ORACLE_TIMEOUT_S (env, optional): per-query watchdog for scale sweeps —
+some twins are deliberately join-form differential oracles whose DuckDB
+cost explodes at 10x rows (that cost is why the Spark scan forms
+exist). A timed-out twin is reported as TIMEOUT, counted separately,
+and never counted as pass or fail. Unset (the driver's gate) = no
+timeout, identical behavior to before.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -26,7 +33,23 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
-    n_pass = n_fail = n_noq = 0
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
+
+    def run_oracle(sql):
+        """Execute with an optional interrupt watchdog; returns
+        (df, timed_out)."""
+        if timeout_s <= 0:
+            return con.execute(sql).fetchdf(), False
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf(), False
+        except duckdb.InterruptException:
+            return None, True
+        finally:
+            timer.cancel()
+
+    n_pass = n_fail = n_noq = n_to = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -37,9 +60,14 @@ def main():
             print(f"ROWS {name}: rows={len(got)} (no oracle)"); n_noq += 1
             continue
         try:
-            exp = con.execute(oracles[name]).fetchdf()
+            exp, timed_out = run_oracle(oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        if timed_out:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s "
+                  f"(spark rows={len(got)})")
+            n_to += 1
+            continue
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             print(f"FAIL {name}: cols {gc} vs {ec}"); n_fail += 1; continue
@@ -107,7 +135,11 @@ def main():
         else:
             print(f"PASS {name}: rows={len(got)}")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_noq} rows-only ==")
+    summary = f"== {n_pass} pass, {n_fail} fail, {n_noq} rows-only =="
+    if n_to:
+        summary = (f"== {n_pass} pass, {n_fail} fail, {n_noq} rows-only, "
+                   f"{n_to} oracle-timeout ==")
+    print(summary)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
