@@ -704,7 +704,8 @@ object PlanAudit {
       // clobber a session-level setting for every later audit
       graft.core.Util.withConfs(spark,
         Seq("spark.sql.cbo.enabled" -> "true")) {
-        spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
+        graft.core.Util.dropTableAndLocation(spark, "dcr_audit_r13")
+        try {
         spark.range(10000).selectExpr("id",
           "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
           "concat(repeat('pad ', 300), cast(id as string)) AS utext")
@@ -750,7 +751,7 @@ object PlanAudit {
           "query (stats only, no conf force): " +
           (if (j3c.contains("Join") && j3c.contains("Aggregate")) "OK"
            else "MISSING"))
-        spark.sql("DROP TABLE IF EXISTS dcr_audit_r13")
+        } finally graft.core.Util.dropTableAndLocation(spark, "dcr_audit_r13")
       }
     }
 

@@ -257,11 +257,7 @@ object SparkEntry {
         // previous JVM's warehouse dir survives — saveAsTable then
         // fails with LOCATION_ALREADY_EXISTS. Drop what the catalog
         // knows, then clear any orphaned location.
-        s.sql("DROP TABLE IF EXISTS graft_j3c_docs")
-        val loc = java.nio.file.Paths.get(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-            .getPath).resolve("graft_j3c_docs")
-        graft.core.Util.deleteRecursively(loc)
+        graft.core.Util.dropTableAndLocation(s, "graft_j3c_docs")
         s.range(10000).selectExpr("id",
           "repeat('w ', 500 + 25 * cast(id % 10 AS int)) AS text")
           .write.mode("overwrite").saveAsTable("graft_j3c_docs")

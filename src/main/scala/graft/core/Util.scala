@@ -34,6 +34,20 @@ object Util {
       } finally walk.close()
     }
 
+  /** Drop a managed table AND clear its (possibly orphaned) warehouse
+    * directory. A fresh session's catalog doesn't know tables a
+    * previous JVM materialized, but the warehouse dir survives —
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS, and one
+    * mid-block failure wedges every later run. (The j3cAutoProjection
+    * pattern, shared so audit/spec fixtures can't re-derive it wrong.) */
+  def dropTableAndLocation(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath).resolve(name)
+    deleteRecursively(loc)
+  }
+
   /** Run `job` with a temporary listener summing shuffle WRITE volume,
     * then spin until the async listener bus goes quiet (fixed sleeps
     * race with stragglers — the r12 bitmap lesson). Returns

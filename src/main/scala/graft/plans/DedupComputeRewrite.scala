@@ -99,29 +99,39 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     * the same pairs; single-path JSON probes are a linear scan.
     * Unmeasured classes get conservative linear estimates — the conf
     * override exists for data that defies them. */
-  private def operandLen(e: Expression, colLen: Double): Double =
-    if (e.references.nonEmpty) colLen
-    else e match {
+  private def operandLen(e: Expression, avgLen: Map[ExprId, Double],
+                         groupLen: Double): Double =
+    if (e.references.nonEmpty) {
+      // length of the columns THIS operand actually touches — a binary
+      // kernel's cost is |a|·|b|, so graft_seq_ratio(longCol, shortCol)
+      // must cost lenA·lenB, not (lenA+lenB)² (summing both into each
+      // side overestimated by orders of magnitude and fired the gate on
+      // the measured-loss long-vs-short shape)
+      val lens = e.references.toSeq.map(r => avgLen.get(r.exprId))
+      if (lens.forall(_.isDefined)) lens.flatten.sum else groupLen
+    } else e match {
       // foldable literal side: its length is statically known
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
         s.numChars.toDouble
       case _ => 64.0
     }
-  private def nodeCostNs(e: Expression, len: Double): Double = e match {
-    case r: graft.expr.GraftSeqRatio =>
-      0.25 * operandLen(r.left, len) * operandLen(r.right, len)
-    case l: graft.expr.GraftLevenshtein =>
-      0.007 * operandLen(l.left, len) * operandLen(l.right, len)
-    case l: Levenshtein =>
-      0.007 * operandLen(l.left, len) * operandLen(l.right, len)
-    case _: ScalaUDF => 5000.0 + 20.0 * len
-    case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll =>
-      20.0 * len
-    case _: GetJsonObject | _: JsonTuple => 15.0 * len
-    case _: JsonToStructs => 25.0 * len
-    case other if other.getClass.getName.startsWith("graft.") =>
-      30.0 * len
-    case _ => 0.0
+  private def nodeCostNs(e: Expression, avgLen: Map[ExprId, Double],
+                         groupLen: Double): Double = {
+    def len(op: Expression) = operandLen(op, avgLen, groupLen)
+    e match {
+      case r: graft.expr.GraftSeqRatio => 0.25 * len(r.left) * len(r.right)
+      case l: graft.expr.GraftLevenshtein =>
+        0.007 * len(l.left) * len(l.right)
+      case l: Levenshtein => 0.007 * len(l.left) * len(l.right)
+      case _: ScalaUDF => 5000.0 + 20.0 * len(e)
+      case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll =>
+        20.0 * len(e)
+      case _: GetJsonObject | _: JsonTuple => 15.0 * len(e)
+      case _: JsonToStructs => 25.0 * len(e)
+      case other if other.getClass.getName.startsWith("graft.") =>
+        30.0 * len(e)
+      case _ => 0.0
+    }
   }
 
   /** The auto-mode decision for one candidate group: do the statistics
@@ -142,9 +152,12 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
       val stats = colStats.flatten
       val d = math.min(
         stats.map(_.distinctCount.get.toDouble).product, n)
-      val len = stats.map(_.avgLen.get.toDouble).sum
+      val groupLen = stats.map(_.avgLen.get.toDouble).sum
+      val avgLen = refs.toSeq.flatMap(a =>
+        st.attributeStats.get(a).flatMap(_.avgLen)
+          .map(l => a.exprId -> l.toDouble)).toMap
       val kernelNs = aliases.map(_.child.collect {
-        case e if expensiveNode(e) => nodeCostNs(e, len)
+        case e if expensiveNode(e) => nodeCostNs(e, avgLen, groupLen)
       }.sum).sum
       (n - d) * kernelNs > n * ProbeNs + FixedNs
     }).getOrElse(false)

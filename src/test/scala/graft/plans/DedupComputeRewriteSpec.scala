@@ -121,17 +121,18 @@ class DedupComputeRewriteSpec extends SparkSpec {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
-      spark.sql("DROP TABLE IF EXISTS dcr_auto_r13")
+      graft.core.Util.dropTableAndLocation(spark, "dcr_auto_r13")
       // 10k rows, 10 distinct ~1.2KB texts (dup factor 1000) plus a
-      // near-unique long column — the Scale9 `dedupc` regimes in
-      // fixture form
+      // near-unique long column and a 10-distinct SHORT column — the
+      // Scale9 `dedupc` regimes in fixture form
       spark.range(10000).selectExpr(
         "id",
         "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
-        "concat(repeat('pad ', 300), cast(id as string)) AS utext")
+        "concat(repeat('pad ', 300), cast(id as string)) AS utext",
+        "concat('s', cast(id % 10 as string)) AS stext")
         .write.mode("overwrite").saveAsTable("dcr_auto_r13")
       spark.sql("ANALYZE TABLE dcr_auto_r13 COMPUTE STATISTICS " +
-        "FOR COLUMNS text, utext")
+        "FOR COLUMNS text, utext, stext")
       val tbl = spark.table("dcr_auto_r13")
 
       // WIN: pairwise difflib kernel × dup factor 1000 × ~1.2KB on BOTH
@@ -178,6 +179,16 @@ class DedupComputeRewriteSpec extends SparkSpec {
           lit("tok0 tok1 tok2")).as("r"))
       assert(!optimized(shortRef).contains("Join"), optimized(shortRef))
 
+      // LOSS 4: long COLUMN vs short COLUMN — each operand must be
+      // costed from the avgLen of the columns IT references; summing
+      // the whole key group's avgLen into both sides would estimate
+      // 0.25·(lenA+lenB)² instead of 0.25·lenA·lenB and fire on this
+      // measured-loss shape (r13 ADVICE)
+      def twoCol = tbl.select(col("id"),
+        call_function("graft_seq_ratio", col("text"),
+          col("stext")).as("r"))
+      assert(!optimized(twoCol).contains("Join"), optimized(twoCol))
+
       // the conf override still forces the loss shapes (data may defy
       // the estimate — the user keeps the last word)
       withRule {
@@ -185,7 +196,7 @@ class DedupComputeRewriteSpec extends SparkSpec {
       }
     } finally {
       spark.conf.unset("spark.sql.cbo.enabled")
-      spark.sql("DROP TABLE IF EXISTS dcr_auto_r13")
+      graft.core.Util.dropTableAndLocation(spark, "dcr_auto_r13")
     }
   }
 

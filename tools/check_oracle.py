@@ -37,17 +37,41 @@ def main():
 
     def run_oracle(sql):
         """Execute with an optional interrupt watchdog; returns
-        (df, timed_out)."""
+        (df, timed_out).
+
+        Race guard (r13 ADVICE): if the query finishes right at the
+        deadline, the timer can interrupt AFTER fetchdf returned but
+        before cancel — the interrupt then aborts the NEXT query, which
+        would be misreported as an oracle SQL error. The timer sets an
+        Event before interrupting, so an InterruptException counts as
+        TIMEOUT only when THIS query's timer flagged it (a stale one is
+        retried once); after a flagged-but-successful run the pending
+        interrupt is drained so it can't leak into the next query."""
         if timeout_s <= 0:
             return con.execute(sql).fetchdf(), False
-        timer = threading.Timer(timeout_s, con.interrupt)
-        timer.start()
-        try:
-            return con.execute(sql).fetchdf(), False
-        except duckdb.InterruptException:
-            return None, True
-        finally:
-            timer.cancel()
+        for _attempt in range(2):
+            fired = threading.Event()
+            def _interrupt():
+                fired.set()
+                con.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
+            timer.start()
+            try:
+                df = con.execute(sql).fetchdf()
+                return df, False
+            except duckdb.InterruptException:
+                if fired.is_set():
+                    return None, True
+                continue  # stale interrupt from a prior query: retry once
+            finally:
+                timer.cancel()
+                timer.join()  # ensure _interrupt isn't mid-flight
+                if fired.is_set():
+                    try:
+                        con.execute("SELECT 1")
+                    except duckdb.InterruptException:
+                        pass  # drained the late interrupt
+        raise RuntimeError("two unflagged interrupts in a row")
 
     n_pass = n_fail = n_noq = n_to = 0
     for name in names:

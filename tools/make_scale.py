@@ -218,6 +218,11 @@ if __name__ == "__main__":
     # pointing at copy-0 customers — a silently 10x-skewed join graph
     # that nothing would catch (the keys still resolve)
     which = sys.argv[3] if len(sys.argv) > 3 else "all"
+    if which not in ("all", "docs", "tpch"):
+        # a typo'd mode must not exit 0 having built nothing — a sweep
+        # against stale/absent benchdata would look like a clean build
+        sys.exit(f"make_scale.py: unknown mode {which!r} "
+                 f"(expected all|docs|tpch)")
     if which in ("all", "docs"):
         build(sys.argv[1], int(sys.argv[2]))
         build_events(sys.argv[1], int(sys.argv[2]))
