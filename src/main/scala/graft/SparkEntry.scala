@@ -416,6 +416,24 @@ object SparkEntry {
           "label", "text", "doc_id").localCheckpoint(true))
     }
 
+  /** Off-fixture flagship gate: (total docs labeled, shape flag). The
+    * flag is 1 when the pipeline produced ≥1 real cluster, every label
+    * group is non-empty, and noise stays under 90% — loose by design:
+    * the cross-engine cell is the TOTAL (the twin recounts the
+    * non-blank corpus); the flag guards that the whole
+    * w2v→kNN→Kneedle→DBSCAN chain still runs and yields a sane labeling
+    * at scales where the frozen sf0.01 goldens cannot apply. */
+  private def flagshipGateRows(st: DataFrame): (Long, Double) = {
+    val rows = st.select(col("label").cast("long"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    val nClusters = rows.count(_._1 >= 0)
+    val noise = rows.filter(_._1 < 0).map(_._2).sum
+    val ok = nClusters >= 1 && rows.forall(_._2 > 0) &&
+      noise.toDouble <= 0.9 * math.max(total, 1L)
+    (total, if (ok) 1.0 else 0.0)
+  }
+
   /** Bench hook, called before every TIMED run: the flagship pair share
     * one fit via [[flagshipStatsCache]], so without a reset min-of-2
     * would stamp `m_flagship_shape`'s second run — a memo read, ~ms —
@@ -1842,19 +1860,42 @@ object SparkEntry {
     // implementation of the same greedy (scores 1e-6-quantized)
     "llm_mmr_rerank" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = emb.count()
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      Similarity.mmrRerank(emb, "vec_id", "embedding", q, kCand = 30, k = 10)
+      val reranked =
+        Similarity.mmrRerank(emb, "vec_id", "embedding", q, kCand = 30, k = 10)
+      if (n == graft.gates.ScaleGates.FixtureRows) reranked
+      // off-fixture: structural invariants (see ScaleGates.mmrGate) +
+      // the live corpus count — the frozen goldens stay sf0.01-exact
+      else graft.gates.ScaleGates.mmrGate(emb, "vec_id", "embedding",
+        reranked, n, k = 10)
     }),
     // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
     // codes, integer-MAC cosine kernel; rows-only (quantization rounding
     // has no SQL twin) — recall@10 vs the float path spec-gated ≥ 0.9
     "llm_cosine_topk_i8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
       val quant = Similarity.quantizeInt8(
-        t(s, dir, "embeddings"), "vec_id", "embedding", withScale = false)
-      val q = quant.filter(col("vec_id") === 0)
-        .select("codes").head().getSeq[Byte](0)
-      Similarity.quantizedTopK(quant, "vec_id", "codes", q, 10)
+        emb, "vec_id", "embedding", withScale = false)
+      def topk(qid: Long) = {
+        val q = quant.filter(col("vec_id") === qid)
+          .select("codes").head().getSeq[Byte](0)
+        Similarity.quantizedTopK(quant, "vec_id", "codes", q, 10)
+      }
+      if (n == graft.gates.ScaleGates.FixtureRows) topk(0L)
+      // off-fixture: the SimilaritySpec recall gate at the live scale
+      else {
+        val qc = quant.cache()
+        try graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
+          qid => {
+            val q = qc.filter(col("vec_id") === qid)
+              .select("codes").head().getSeq[Byte](0)
+            Similarity.quantizedTopK(qc, "vec_id", "codes", q, 10)
+          }, n)
+        finally qc.unpersist()
+      }
     }),
     // embedding-cosine near-dup pairs, EXACT bounded form: scan × scan
     // with the fused native cosine kernel, threshold chosen where the
@@ -1894,22 +1935,40 @@ object SparkEntry {
         threshold = 0.3).orderBy("id_a", "id_b")),
     "llm_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val n = emb.count()
       // 12 bands × 3 bits: the recall-gated config — SimilaritySpec
       // measures mean recall@10 = 0.95 vs brute force on the fixture
-      Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
-        bands = 12, bitsPerBand = 3)
+      def ann(q: Seq[Float]) = Similarity.annTopK(emb, "vec_id",
+        "embedding", q, 10, bands = 12, bitsPerBand = 3)
+      def qvec(qid: Long) = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      if (n == graft.gates.ScaleGates.FixtureRows) ann(qvec(0L))
+      // off-fixture: the SimilaritySpec recall gate at the live scale
+      else graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
+        qid => ann(qvec(qid)), n)
     }),
     "llm_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val n = emb.count()
       // nprobe=4 of nlist=8: the recall-gated config — SimilaritySpec
       // measures mean recall@10 = 0.92 vs brute force on the fixture
-      val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nlist = 8, cache = false, nprobe = 4)
-      search(q)(10)
+      def qvec(qid: Long) = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      if (n == graft.gates.ScaleGates.FixtureRows) {
+        val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = 8, cache = false, nprobe = 4)
+        search(qvec(0L))(10)
+      } else {
+        // off-fixture: IVF must be RETUNED as the corpus grows (the
+        // faiss rule of thumb nlist ~ sqrt(n)); the fixture's 8/4 grid
+        // measured recall 0.81 at 2000 vectors — a real scale finding,
+        // answered by retuning, not by lowering the floor
+        val nlist = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = nlist, cache = false, nprobe = (nlist + 1) / 2)
+        graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
+          qid => search(qvec(qid))(10), n)
+      }
     }),
     // product-quantized serving path: 8-byte codes (32× less than
     // float32), ADC table-lookup scan + exact rerank of the top 100
@@ -1918,12 +1977,25 @@ object SparkEntry {
     // float brute-force path)
     "llm_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val n = emb.count()
       val (encoded, books) = Similarity.pqIndex(emb, "vec_id", "embedding",
         m = 8, ksub = 32)
-      Similarity.pqTopK(encoded, books, "vec_id", "embedding", q, 10,
-        rerank = 100)
+      def qvec(qid: Long) = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      def topk(qid: Long) = Similarity.pqTopK(encoded, books, "vec_id",
+        "embedding", qvec(qid), 10, rerank = 100)
+      if (n == graft.gates.ScaleGates.FixtureRows) topk(0L)
+      else {
+        // off-fixture: the rerank depth must track the corpus (fixed
+        // 100 covered 20% of the fixture but 5% at 2000 vectors —
+        // measured recall 0.77); keep the coverage fraction instead
+        val depth = math.max(100, (n / 5).toInt)
+        val enc = encoded.cache()
+        try graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
+          qid => Similarity.pqTopK(enc, books, "vec_id", "embedding",
+            qvec(qid), 10, rerank = depth), n)
+        finally enc.unpersist()
+      }
     }),
     "a2_distinct_approx" -> ((s, dir) =>
       Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
@@ -2057,7 +2129,9 @@ object SparkEntry {
     // L-BFGS fit has no SQL twin) — held-out AUC vs the weak labels is
     // spec-gated in QualityClassifierSpec
     "llm_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
+      val n = docs.count()
       val labels = Filters.gopherRules(docs, "doc_id", "text")
         .select(col("doc_id"), col("keep").cast("double").as("label"))
       val toks = docs.select(col("doc_id"),
@@ -2067,9 +2141,26 @@ object SparkEntry {
         "tokens", "label")
       // prob quantized 1e-6 (r10): absorbs any LBFGS aggregate-order ulp
       // so the golden-VALUES twin pins the model's scores stably
-      graft.ml.QualityClassifier.score(model, toks, "doc_id", "tokens")
-        .withColumn("quality_prob", round(col("quality_prob") * 1e6) / 1e6)
-        .orderBy("doc_id")
+      if (n == graft.gates.ScaleGates.FixtureRows)
+        graft.ml.QualityClassifier.score(model, toks, "doc_id", "tokens")
+          .withColumn("quality_prob", round(col("quality_prob") * 1e6) / 1e6)
+          .orderBy("doc_id")
+      else {
+        // off-fixture: the QualityClassifierSpec held-out AUC gate at
+        // the live scale + the corpus count the twin recomputes
+        val heldOut = graft.ml.QualityClassifier.score(model,
+            toks.filter(col("doc_id") % 2 === 1), "doc_id", "tokens")
+          .join(labels, "doc_id")
+        val auc =
+          new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+            .setRawPredictionCol("quality_prob").setLabelCol("label")
+            .setMetricName("areaUnderROC")
+            .evaluate(heldOut.withColumn("quality_prob",
+              col("quality_prob").cast("double")))
+        Seq((-1L, graft.gates.ScaleGates.flag(auc, 0.8), 1L),
+            (-2L, n.toDouble, 1L))
+          .toDF("doc_id", "quality_prob", "quality_pred")
+      }
     }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     // doc with the CharLm scan kernel, then head/middle/tail by the
@@ -2523,8 +2614,27 @@ object SparkEntry {
         .select(p(1, "p25"), p(2, "p50"), p(3, "p75"))
     }),
     // one-pass approximate variant — the bounded-memory one-pass path
-    "a6_quantiles_approx" -> ((s, dir) =>
-      Relational.quantiles(t(s, dir, "orders"), "o_totalprice")),
+    "a6_quantiles_approx" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val approx = Relational.quantiles(orders, "o_totalprice")
+      if (graft.gates.ScaleGates.atFixture(orders,
+          graft.gates.ScaleGates.FixtureOrders)) approx
+      else {
+        // off-fixture: per-percentile rank-error check vs the exact
+        // order statistic — the approx_percentile contract is rank
+        // error <= n/accuracy (accuracy=10000); a violated bound emits
+        // the measured error instead of 1.0
+        val qs = approx.select(col("quantiles")).head().getSeq[Double](0)
+        val n = orders.filter(col("o_totalprice").isNotNull).count()
+        val flags = Seq(0.25, 0.5, 0.75).zip(qs).map { case (p, v) =>
+          val rank = orders.filter(col("o_totalprice") <= v).count()
+          val err = math.abs(rank - p * n) / n
+          if (err <= 2e-4) 1.0 else math.round(err * 1e4) / 1e4.toDouble
+        }
+        Seq(Tuple1(flags)).toDF("quantiles")
+      }
+    }),
     // distributed EXACT variant — iterated histogram refinement: exact
     // percentile values (same oracle as a6_quantiles) in ≤ ~4 pruned
     // single-column scans with NO single-task column materialization;
@@ -2607,11 +2717,17 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", eps = 1.2, minPts = 5).orderBy("vec_id")),
     "m5_dbscan_dist" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id"),
-          graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
-      graft.ml.Dbscan.distributed(emb, "vec_id", "features",
-        eps = 1.2, minPts = 5).orderBy("vec_id")
+      val all = t(s, dir, "embeddings")
+      val raw = all.filter(col("vec_id") < 300)
+      val emb = raw.select(col("vec_id"),
+        graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+      val labels = graft.ml.Dbscan.distributed(emb, "vec_id", "features",
+        eps = 1.2, minPts = 5)
+      if (graft.gates.ScaleGates.atFixture(all)) labels.orderBy("vec_id")
+      // off-fixture: ARI vs the exact driver DBSCAN on the same sample
+      else graft.gates.ScaleGates.dbscanAriGate(
+        raw.select("vec_id", "embedding"), "vec_id", "embedding",
+        labels, eps = 1.2, minPts = 5)
     }),
     // M7+M9 with a HASH oracle (r10 verdict #4): the stochastic part of
     // the pipeline is the KMeans assignment, not the frame shape — the
@@ -2625,13 +2741,24 @@ object SparkEntry {
     // projection. The full ClusterStats frame stays spec-gated
     // (PipelineSpec flagship) and exercised by the a13 queries.
     "m7_m9_cluster_pipeline" -> ((s, dir) => {
+      import s.implicits._
       val clustered = graft.ml.TextPipeline.clusterDocuments(
         pinnedDocs(s, dir), "text", k = 5, nInit = 1)
-      clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
-        .withColumn("size_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(desc("n_docs"))))
-        .select(col("size_rank").cast("long").as("size_rank"), col("n_docs"))
-        .orderBy("size_rank")
+      val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        sizes.withColumn("size_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(desc("n_docs"))))
+          .select(col("size_rank").cast("long").as("size_rank"),
+            col("n_docs"))
+          .orderBy("size_rank")
+      else {
+        // off-fixture: total clustered docs (cross-engine: the twin
+        // recounts the non-blank corpus) + the effective cluster count
+        // (k=5 — an empty cluster would fail loudly and is worth a look)
+        val szs = sizes.select(col("n_docs").cast("long")).as[Long].collect()
+        Seq((0L, szs.sum), (-1L, szs.length.toLong))
+          .toDF("size_rank", "n_docs")
+      }
     }),
     "m8_lsa" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -2679,14 +2806,33 @@ object SparkEntry {
     // golden VALUES gated on the live non-blank doc count — the m7_m9
     // recipe, closing the repo's last no_oracle row.
     "m_flagship_w2v_dbscan" -> ((s, dir) => {
+      import s.implicits._
       val st = flagshipStats(s, dir)
-      st.select(col("label").cast("long").as("label"), col("n"),
-          col("first_msg"),
-          (round(col("mean_len") * 1e6) / 1e6).as("mean_len"),
-          (round(col("std_len") * 1e6) / 1e6).as("std_len"),
-          (round(col("mean_similarity") * 1e6) / 1e6).as("mean_similarity"),
-          (round(col("std_similarity") * 1e6) / 1e6).as("std_similarity"))
-        .orderBy("label")
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        st.select(col("label").cast("long").as("label"), col("n"),
+            col("first_msg"),
+            (round(col("mean_len") * 1e6) / 1e6).as("mean_len"),
+            (round(col("std_len") * 1e6) / 1e6).as("std_len"),
+            (round(col("mean_similarity") * 1e6) / 1e6).as("mean_similarity"),
+            (round(col("std_similarity") * 1e6) / 1e6).as("std_similarity"))
+          .orderBy("label")
+      else {
+        // off-fixture: corpus length stats with verbatim-mirrored
+        // arithmetic (cross-engine vs the twin's recomputation) + the
+        // pipeline-shape flag in mean_similarity (see flagshipGateRows)
+        val (total, okFlag) = flagshipGateRows(st)
+        val r = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+          .select(length(col("text")).cast("long").as("len"))
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("sl"),
+            sum(col("len") * col("len")).as("sq"))
+          .head()
+        val (nn, sl, sq) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val mean = sl.toDouble / nn
+        val std = math.sqrt(math.max(sq.toDouble / nn - mean * mean, 0.0))
+        Seq((-100L, total, null.asInstanceOf[String], mean, std, okFlag, 0.0))
+          .toDF("label", "n", "first_msg", "mean_len", "std_len",
+            "mean_similarity", "std_similarity")
+      }
     }),
     // HASH-gated integer/string surface of the flagship (the m7_m9
     // move): the w2v→kneedle→DBSCAN→stats pipeline is deterministic
@@ -2704,11 +2850,22 @@ object SparkEntry {
     // future rename/reorder swaps which query runs first, the ~100x
     // time swap between the pair is the memo relocating, not a
     // regression: the PAIR TOTAL is the number to compare.
-    "m_flagship_shape" -> ((s, dir) =>
-      flagshipStats(s, dir)
-        .select(col("label").cast("long").as("label"),
-          col("n").as("n_docs"), col("first_msg"))
-        .orderBy("label")),
+    "m_flagship_shape" -> ((s, dir) => {
+      import s.implicits._
+      val st = flagshipStats(s, dir)
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        st.select(col("label").cast("long").as("label"),
+            col("n").as("n_docs"), col("first_msg"))
+          .orderBy("label")
+      else {
+        // off-fixture: the clustered-docs total (cross-engine: the twin
+        // recounts the non-blank corpus) + the pipeline-shape flag
+        val (total, okFlag) = flagshipGateRows(st)
+        Seq((-100L, total, null.asInstanceOf[String]),
+            (-101L, okFlag.toLong, null.asInstanceOf[String]))
+          .toDF("label", "n_docs", "first_msg")
+      }
+    }),
     // Streaming ingest of the events table via the file source with an
     // availableNow-style bounded run: same aggregation as the batch twin,
     // so it gets a REAL correctness row (the streaming plan must produce
@@ -3674,6 +3831,20 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus"))
   )
 
+  /** Off-fixture oracle arms for the golden-VALUES family (r14, VERDICT
+    * r13 #1): the frozen VALUES stay gated to the 500-row sf0.01
+    * fixture; off it the twin expects the [[graft.gates.ScaleGates]]
+    * rows — the promoted self-check flag (1.0/100) plus the live count
+    * DuckDB recomputes, so every sweep scale gets a correctness signal
+    * instead of a designed-to-fail golden. Both engines branch on the
+    * same live count. */
+  private val EmbN = "(SELECT count(*) FROM embeddings)"
+  private val DocN = "(SELECT count(*) FROM documents)"
+  private val annOracleGate: String =
+    s" WHERE $EmbN = 500" +
+    s" UNION ALL SELECT -1::BIGINT, 1.0::DOUBLE WHERE $EmbN <> 500" +
+    s" UNION ALL SELECT -2::BIGINT, $EmbN::DOUBLE WHERE $EmbN <> 500"
+
   def oracleSql: Map[String, String] = Map(
     // golden-VALUES twin (s4_file_listing precedent): the pHash of each
     // synthesized PNG is a pure function of doc_id (SynthAssetsSpec pins
@@ -4224,25 +4395,25 @@ object SparkEntry {
       "0.3689088729918231), (2, 334, 0.36367295909667985), (3, 387, 0.3308947866508894), (4, " +
       "423, 0.2973617808828588), (5, 73, 0.29492089798420373), (6, 7, 0.29274067502351964), (7, " +
       "320, 0.2865093773268233), (8, 190, 0.28339786819893575), (9, 388, 0.2784241255689562)) " +
-      "AS t(rk, vec_id, cs) ORDER BY rk"),
+      "AS t(rk, vec_id, cs)" + annOracleGate),
     "llm_ann_topk" -> (
       "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
       "'0.3699935965460897'), (2, 334, '0.3627220558741131'), (3, 387, '0.33113871888314317'), " +
       "(4, 423, '0.2969335986409863'), (5, 73, '0.29543411523164853'), (6, 7, " +
       "'0.29284215147436643'), (7, 320, '0.2878605122093518'), (8, 190, '0.2817947192081154'), " +
-      "(9, 388, '0.2763005476699542')) AS t(rk, vec_id, cs) ORDER BY rk"),
+      "(9, 388, '0.2763005476699542')) AS t(rk, vec_id, cs)" + annOracleGate),
     "llm_ivf_topk" -> (
       "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
       "'0.3699935965460897'), (2, 423, '0.2969335986409863'), (3, 7, '0.29284215147436643'), " +
       "(4, 190, '0.2817947192081154'), (5, 464, '0.2766279302075019'), (6, 388, " +
       "'0.2763005476699542'), (7, 483, '0.2567003982986254'), (8, 498, '0.25072556674447577'), " +
-      "(9, 257, '0.24812659547139493')) AS t(rk, vec_id, cs) ORDER BY rk"),
+      "(9, 257, '0.24812659547139493')) AS t(rk, vec_id, cs)" + annOracleGate),
     "llm_pq_topk" -> (
       "SELECT vec_id, cs::DOUBLE AS cos_sim FROM (VALUES (0, 0, '1.0000000000000002'), (1, 365, " +
       "'0.3699935965460897'), (2, 334, '0.3627220558741131'), (3, 387, '0.33113871888314317'), " +
       "(4, 423, '0.2969335986409863'), (5, 73, '0.29543411523164853'), (6, 7, " +
       "'0.29284215147436643'), (7, 320, '0.2878605122093518'), (8, 190, '0.2817947192081154'), " +
-      "(9, 464, '0.2766279302075019')) AS t(rk, vec_id, cs) ORDER BY rk"),
+      "(9, 464, '0.2766279302075019')) AS t(rk, vec_id, cs)" + annOracleGate),
     // golden-VALUES twin (r10): deterministic LSH candidates (hash-based
     // hyperplanes) + the 1e-6 curve quantization the exact sibling uses
     "m3_knn_curve_approx" -> (
@@ -4344,7 +4515,10 @@ object SparkEntry {
     // or sketch change fails loudly (`quantile_disc` cross-check: each
     // pinned value IS an o_totalprice row within rsd of its rank).
     "a6_quantiles_approx" -> (
-      "SELECT [125239.36, 251477.71, 374343.44]::DOUBLE[] AS quantiles"),
+      "SELECT [125239.36, 251477.71, 374343.44]::DOUBLE[] AS quantiles " +
+      "WHERE (SELECT count(*) FROM orders) = 15000 " +
+      "UNION ALL SELECT [1.0, 1.0, 1.0]::DOUBLE[] " +
+      "WHERE (SELECT count(*) FROM orders) <> 15000"),
     // the distributed exact path must land on the SAME numbers
     "a6_quantiles_exact_dist" -> (
       "SELECT round(quantile_cont(o_totalprice, 0.25)*1e6)/1e6 AS p25, " +
@@ -5062,8 +5236,12 @@ object SparkEntry {
       "'0.039691', 0), (484, '0.0', 0), (485, '0.0', 0), (486, '0.0', 0), (487, '0.0', 0), " +
       "(488, '2e-06', 0), (489, '0.0', 0), (490, '0.163207', 0), (491, '1.0', 1), (492, '0.0', " +
       "0), (493, '1.0', 1), (494, '0.0', 0), (495, '0.000817', 0), (496, '1.0', 1), (497, " +
-      "'0.0', 0), (498, '0.035854', 0), (499, '0.923214', 1)) AS t(doc_id, p, pred) ORDER BY " +
-      "doc_id"),
+      "'0.0', 0), (498, '0.035854', 0), (499, '0.923214', 1)) AS t(doc_id, p, pred) " +
+      "WHERE " + DocN + " = 500" +
+      " UNION ALL SELECT -1::BIGINT, 1.0::DOUBLE, 1::BIGINT WHERE " +
+      DocN + " <> 500" +
+      " UNION ALL SELECT -2::BIGINT, " + DocN + "::DOUBLE, 1::BIGINT WHERE " +
+      DocN + " <> 500"),
     // golden-VALUES twin (r10): the LSH-distributed DBSCAN is
     // deterministic end to end — hash-based hyperplane buckets, integer
     // min-label component propagation, integer output; verified
@@ -5106,7 +5284,10 @@ object SparkEntry {
       "(276, 1), (277, 1), (278, 1), (279, 1), (280, 1), (281, 1), (282, 1), (283, 1), (284, " +
       "1), (285, 1), (286, -1), (287, 1), (288, 1), (289, 1), (290, -1), (291, 1), (292, 1), " +
       "(293, 1), (294, 1), (295, 1), (296, -1), (297, 1), (298, 1), (299, 299)) AS t(vec_id, " +
-      "label) ORDER BY vec_id"),
+      "label) WHERE " + EmbN + " = 500" +
+      " UNION ALL SELECT -1::BIGINT, 100::BIGINT WHERE " + EmbN + " <> 500" +
+      " UNION ALL SELECT -2::BIGINT, (SELECT count(*) FROM embeddings " +
+      "WHERE vec_id < 300)::BIGINT WHERE " + EmbN + " <> 500"),
     // INDEPENDENT exact DBSCAN: ε-pairs (strict <), degree≥minPts cores,
     // connected components via recursive min-label propagation (UNION
     // dedups; labels decrease monotonically → fixpoint), border points
@@ -5227,9 +5408,17 @@ object SparkEntry {
         "mean_len::DOUBLE AS mean_len, std_len::DOUBLE AS std_len, " +
         "mean_similarity::DOUBLE AS mean_similarity, " +
         "std_similarity::DOUBLE AS std_similarity " +
-        "FROM g WHERE (SELECT sum(n) FROM g) = " +
+        "FROM g WHERE " + DocN + " = 500 AND (SELECT sum(n) FROM g) = " +
         "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
-        "ORDER BY label"),
+        "UNION ALL SELECT -100::BIGINT, s.n::BIGINT, NULL::VARCHAR, " +
+        "s.sl::DOUBLE / s.n, " +
+        "sqrt(greatest(s.sq::DOUBLE / s.n - " +
+        "(s.sl::DOUBLE / s.n) * (s.sl::DOUBLE / s.n), 0)), " +
+        "1.0::DOUBLE, 0.0::DOUBLE FROM (SELECT count(*) AS n, " +
+        "sum(length(text))::BIGINT AS sl, " +
+        "sum(length(text)::BIGINT * length(text)::BIGINT)::BIGINT AS sq " +
+        "FROM documents WHERE trim(text) <> '') s WHERE " +
+        DocN + " <> 500"),
     "m_flagship_shape" -> (
       "WITH g(label, n_docs, first_msg) AS (VALUES " +
         "(-1, 16, 'line vector order slow data column fast line batch " +
@@ -5238,9 +5427,14 @@ object SparkEntry {
         "value table part a row fast merge batch part value fast spark " +
         "a a the line sort table window table table key')) " +
         "SELECT label::BIGINT AS label, n_docs::BIGINT AS n_docs, " +
-        "first_msg FROM g WHERE (SELECT sum(n_docs) FROM g) = " +
+        "first_msg FROM g WHERE " + DocN + " = 500 AND " +
+        "(SELECT sum(n_docs) FROM g) = " +
         "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
-        "ORDER BY label"),
+        "UNION ALL SELECT -100::BIGINT, (SELECT count(*) FROM documents " +
+        "WHERE trim(text) <> '')::BIGINT, NULL::VARCHAR WHERE " +
+        DocN + " <> 500 " +
+        "UNION ALL SELECT -101::BIGINT, 1::BIGINT, NULL::VARCHAR WHERE " +
+        DocN + " <> 500"),
     // golden-VALUES twin of the seeded nInit=1 KMeans size multiset (the
     // reference's pinned shape, TF-IDF_K-Means_approach.ipynb:7983),
     // measured under the query's pinned repartition(8)+sort input and
@@ -5252,9 +5446,11 @@ object SparkEntry {
       "WITH g(size_rank, n_docs) AS (VALUES " +
         "(1, 141), (2, 133), (3, 101), (4, 100), (5, 25)) " +
         "SELECT size_rank::BIGINT AS size_rank, n_docs::BIGINT AS n_docs " +
-        "FROM g WHERE (SELECT sum(n_docs) FROM g) = " +
+        "FROM g WHERE " + DocN + " = 500 AND (SELECT sum(n_docs) FROM g) = " +
         "(SELECT count(*) FROM documents WHERE trim(text) <> '') " +
-        "ORDER BY size_rank"),
+        "UNION ALL SELECT 0::BIGINT, (SELECT count(*) FROM documents " +
+        "WHERE trim(text) <> '')::BIGINT WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -1::BIGINT, 5::BIGINT WHERE " + DocN + " <> 500"),
     // batch twin of the streaming gap sessionizer: lag+cumsum session ids,
     // then keep only sessions the 0s-watermark stream has provably CLOSED
     // (strictly: max event time > session end + gap)
@@ -5744,7 +5940,10 @@ object SparkEntry {
         "(3, 334, 0.145089), (4, 387, 0.132455), (5, 423, 0.118773), " +
         "(6, 73, 0.118174), (7, 320, 0.115144), (8, 464, 0.110651), " +
         "(9, 190, 0.104891), (10, 483, 0.10268)) AS v(rank, doc_id, mmr_score) " +
-        "ON e.vec_id = v.doc_id ORDER BY v.rank"),
+        "ON e.vec_id = v.doc_id WHERE " + EmbN + " = 500" +
+        " UNION ALL SELECT -1, -1::BIGINT, 1.0::DOUBLE WHERE " + EmbN + " <> 500" +
+        " UNION ALL SELECT -2, " + EmbN + "::BIGINT, 0.0::DOUBLE WHERE " +
+        EmbN + " <> 500"),
     // same 1e-6 micro-unit integer sums (round of the identical double,
     // half-away ties match Spark's HALF_UP for both signs), same division
     "llm_source_centroids" -> (
