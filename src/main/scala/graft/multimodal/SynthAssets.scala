@@ -31,13 +31,29 @@ object SynthAssets {
     * id space). */
   private[multimodal] def nonneg(x: Long): Long = math.abs(x) max 0L
 
+  /** The id-derived dark-block position of [[pngBytes]] — the ONLY
+    * image parameter, so two assets with equal (bx, by) render
+    * identical pixels (and must hash/encode identically). Shared with
+    * the off-fixture per-combo consistency gates (ScaleGates), whose
+    * DuckDB twins re-derive the same pair via the mix SQL chain. */
+  private[graft] def imageBlock(id: Long): (Int, Int) = {
+    val w = 48; val h = 32
+    val m = mix(id, 1)
+    ((nonneg(m) % (w / 2)).toInt + w / 4,
+      ((m >>> 8) % (h / 2)).toInt + h / 4)
+  }
+
+  /** The id-derived pure-tone frequency of [[wavBytes]] — the only
+    * audio parameter; the spectral centroid must track hz/4000
+    * (fraction of the 4 kHz Nyquist). */
+  private[graft] def toneHz(id: Long): Double =
+    500.0 + (nonneg(mix(id, 2)) % 3000L).toDouble
+
   /** 48×32 PNG: horizontal gradient + an id-placed dark block (structure
     * in the low frequencies, where pHash looks). */
   def pngBytes(id: Long): Array[Byte] = {
     val w = 48; val h = 32
-    val m = mix(id, 1)
-    val bx = (nonneg(m) % (w / 2)).toInt + w / 4
-    val by = ((m >>> 8) % (h / 2)).toInt + h / 4
+    val (bx, by) = imageBlock(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -57,7 +73,7 @@ object SynthAssets {
   def wavBytes(id: Long): Array[Byte] = {
     import javax.sound.sampled._
     val rate = 8000f
-    val hz = 500.0 + (nonneg(mix(id, 2)) % 3000L).toDouble
+    val hz = toneHz(id)
     val n = 4096
     val samples = new Array[Byte](n * 2)
     for (i <- 0 until n) {
