@@ -1716,10 +1716,37 @@ object SparkEntry {
     // pinned counts in sync if the kernel level/strategy or the fixture
     // changes; ordering semantics additionally spec-gated
     "llm_compression_ratio" -> ((s, dir) => {
+      import s.implicits._
       graft.expr.GraftFunctions.ensureRegistered(s)
-      t(s, dir, "documents").select(col("doc_id"),
-          call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))
-        .orderBy("doc_id")
+      val docs = t(s, dir, "documents")
+      val ratios = docs.select(col("doc_id"),
+        call_function("graft_deflate_ratio", col("text")).as("deflate_ratio"))
+      if (graft.gates.ScaleGates.atFixture(docs)) ratios.orderBy("doc_id")
+      else {
+        // off-fixture: the kernel runs over three FIXED probe strings
+        // whose deflated sizes are scale-invariant cross-derived
+        // constants (the twin mirrors them as dlen/len) — repetitive ≪
+        // prose < random stays pinned at any scale — plus the live
+        // corpus count and an all-ratios-in-(0,2] bounds flag
+        val probes = Seq(
+          (-1L, "spark row batch " * 40),
+          (-2L, "The quick brown fox jumps over the lazy dog while the " +
+            "distributed engine shuffles partitions across the cluster " +
+            "and writes compact parquet files."),
+          (-3L, "q7x!Rz@9Lk#2Vm$5Wp^8Tn&1Yb*4Hc(6Jd)3Fg_0Sa-eU+iO=zQ~wX:" +
+            "vN;mK,lP.hB/rD?tG[yJ]cM{aZ}bW|dV"))
+        val probeDf = probes.toDF("doc_id", "text")
+          .select(col("doc_id"), call_function("graft_deflate_ratio",
+            col("text")).as("deflate_ratio"))
+        val st = ratios.agg(count(lit(1)).as("n"),
+          sum(when(col("deflate_ratio") > 0 && col("deflate_ratio") <= 2.0,
+            0L).otherwise(1L)).as("oob")).head()
+        probeDf.unionAll(Seq(
+          (-4L, st.getLong(0).toDouble),
+          (-5L, if (st.getLong(1) == 0L) 1.0 else 0.0))
+          .toDF("doc_id", "deflate_ratio"))
+          .orderBy("doc_id")
+      }
     }),
     // percentile-threshold filter: keep the top quartile by quality —
     // the exact threshold comes from the bounded-memory DistQuantile
@@ -1997,19 +2024,61 @@ object SparkEntry {
         finally enc.unpersist()
       }
     }),
-    "a2_distinct_approx" -> ((s, dir) =>
-      Relational.distinctCountApprox(t(s, dir, "documents"), "text")),
+    "a2_distinct_approx" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val approxDf = Relational.distinctCountApprox(docs, "text")
+      if (graft.gates.ScaleGates.atFixture(docs)) approxDf
+      else {
+        // off-fixture: the HLL estimate checked against the exact
+        // distinct count (which DuckDB recomputes live) — within 3x the
+        // configured rsd the gate emits the exact count (hash-equal to
+        // the twin); outside it emits the estimate, failing loudly with
+        // the measured value
+        val approx = approxDf
+          .select(col("n_distinct_approx").cast("long")).as[Long].head()
+        val exact = docs.select(countDistinct(col("text")).as("d"))
+          .as[Long].head()
+        val ok = exact > 0 && math.abs(approx - exact).toDouble / exact <= 0.15
+        Seq(if (ok) exact else approx).toDF("n_distinct_approx")
+      }
+    }),
     // SemDeDup semantic dedup: cluster-scoped near-dup groups over the
     // embedding table (rows-only — the KMeans cells have no SQL twin;
     // SemanticDedupSpec gates exact-duplicate catch = deterministic,
     // keeper uniqueness, and measured dropped-set recall 1.00 vs the
     // exact all-pairs answer with planted near-dups)
     "llm_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      Similarity.semanticDedup(emb, "vec_id", "embedding",
-          k = 16, threshold = 0.9)
-        .orderBy("vec_id")
+      val groups = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        k = 16, threshold = 0.9)
+      if (graft.gates.ScaleGates.atFixture(emb)) groups.orderBy("vec_id")
+      else {
+        // off-fixture (the KMeans cells have no SQL twin at any scale):
+        // the SemanticDedupSpec invariants promoted to the live corpus —
+        // row count (cross-engine), exactly-one-keeper-per-group +
+        // group_size consistency, and exact-duplicate embeddings never
+        // split across groups
+        val g = groups.cache()
+        try {
+          val n = g.count()
+          val badGroups = g.groupBy("group_id").agg(
+              sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"),
+              count(lit(1)).as("c"), first(col("group_size")).as("gs"))
+            .filter(col("k") =!= 1L || col("c") =!= col("gs")).count()
+          val dupSplit = emb
+            .join(g.select(col("vec_id"), col("group_id")), "vec_id")
+            .groupBy(col("embedding"))
+            .agg(countDistinct(col("group_id")).as("ng"))
+            .filter(col("ng") > 1).count()
+          Seq((-1L, n, n, true),
+              (-2L, if (badGroups == 0) 1L else 0L,
+                if (dupSplit == 0) 1L else 0L, true))
+            .toDF("vec_id", "group_id", "group_size", "is_keeper")
+        } finally g.unpersist()
+      }
     }),
 
     // ---- curation layer (post-dedup pipeline stages) ----------------
@@ -2368,17 +2437,51 @@ object SparkEntry {
           round(element_at(col("qs"), 2), 6).as("q50"),
           round(element_at(col("qs"), 3), 6).as("q75"))
         .orderBy("source")),
-    "llm_source_quantiles_approx" -> ((s, dir) =>
-      t(s, dir, "documents")
+    "llm_source_quantiles_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs
         .select(col("source"), TextStats.qualityScore(col("text")).as("q"))
-        .groupBy("source")
+      val approx = scored.groupBy("source")
         .agg(approx_percentile(col("q"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
-        .select(col("source"),
-          round(element_at(col("qs"), 1), 6).as("q25"),
-          round(element_at(col("qs"), 2), 6).as("q50"),
-          round(element_at(col("qs"), 3), 6).as("q75"))
-        .orderBy("source")),
+      if (graft.gates.ScaleGates.atFixture(docs))
+        approx.select(col("source"),
+            round(element_at(col("qs"), 1), 6).as("q25"),
+            round(element_at(col("qs"), 2), 6).as("q50"),
+            round(element_at(col("qs"), 3), 6).as("q75"))
+          .orderBy("source")
+      else {
+        // off-fixture: per-source tie-aware rank-error gate — for each
+        // percentile p the returned value v must satisfy
+        // count(q < v) <= p*n + eps*n  AND  count(q <= v) >= p*n - eps*n
+        // (the GK-sketch contract at accuracy 10000; the two-sided form
+        // is required because quality scores tie heavily). The twin
+        // re-derives the live source set; each cell is 1.0 or the
+        // failing approx value
+        val eps = 2e-4
+        val j = scored.join(broadcast(approx), "source")
+        val agg = j.groupBy("source").agg(
+          first(element_at(col("qs"), 1)).as("v25"),
+          first(element_at(col("qs"), 2)).as("v50"),
+          first(element_at(col("qs"), 3)).as("v75"),
+          sum(when(col("q") < element_at(col("qs"), 1), 1L).otherwise(0L)).as("b25"),
+          sum(when(col("q") <= element_at(col("qs"), 1), 1L).otherwise(0L)).as("a25"),
+          sum(when(col("q") < element_at(col("qs"), 2), 1L).otherwise(0L)).as("b50"),
+          sum(when(col("q") <= element_at(col("qs"), 2), 1L).otherwise(0L)).as("a50"),
+          sum(when(col("q") < element_at(col("qs"), 3), 1L).otherwise(0L)).as("b75"),
+          sum(when(col("q") <= element_at(col("qs"), 3), 1L).otherwise(0L)).as("a75"),
+          count(lit(1)).as("n"))
+        def fl(p: Double, b: String, a: String, v: String) =
+          when(col(b) <= lit(p) * col("n") + lit(eps) * col("n") + 1 &&
+               col(a) >= lit(p) * col("n") - lit(eps) * col("n") - 1,
+            lit(1.0)).otherwise(round(col(v), 6))
+        agg.select(col("source"),
+            fl(0.25, "b25", "a25", "v25").as("q25"),
+            fl(0.50, "b50", "a50", "v50").as("q50"),
+            fl(0.75, "b75", "a75", "v75").as("q75"))
+          .orderBy("source")
+      }
+    }),
     // exact corpus heavy hitters (count·100 > N): Misra–Gries candidate
     // sketch (one shuffle-free pass, k counters per partition) + exact
     // recount of candidates only — never a full-vocabulary shuffle
@@ -2721,22 +2824,57 @@ object SparkEntry {
     // pinned values in sync if the kernel or fixture changes; parity is
     // also spec-gated against captured difflib ground truth)
     "f9_fuzz_ratio_exact" -> ((s, dir) => {
+      import s.implicits._
       val d = t(s, dir, "documents")
       val a = d.select(col("doc_id"), col("text"))
       val b = d.select((col("doc_id") - 1).as("doc_id"),
         col("text").as("text_b"))
-      a.join(b, "doc_id")
+      val pairs = a.join(b, "doc_id")
         .select(col("doc_id"),
           Clean.fuzzRatioExact(col("text"), col("text_b")).as("fuzz"))
-        .orderBy("doc_id")
+      if (graft.gates.ScaleGates.atFixture(d)) pairs.orderBy("doc_id")
+      else {
+        // off-fixture (difflib parity has no SQL twin): the pair count
+        // is cross-engine (the twin mirrors the adjacent-id join); the
+        // kernel is gated by range [0,100] over every live pair and by
+        // the identity ratio(t,t)=100 over every doc
+        val stats = pairs.agg(count(lit(1)).as("n"),
+          sum(when(col("fuzz") >= 0 && col("fuzz") <= 100, 0L)
+            .otherwise(1L)).as("oob")).head()
+        val selfOk = d.select(
+            Clean.fuzzRatioExact(col("text"), col("text")).as("r"))
+          .agg(sum(when(col("r") === 100, 0L).otherwise(1L)).as("bad"))
+          .head().getLong(0) == 0L
+        Seq((-1L, stats.getLong(0).toInt),
+            (-2L, if (stats.getLong(1) == 0L) 1 else 0),
+            (-3L, if (selfOk) 100 else 0))
+          .toDF("doc_id", "fuzz")
+      }
     }),
     // curve quantized 1e-6 like the exact sibling (avg() sum-order ulp),
     // so the r10 golden-VALUES twin can pin the 300 rows exactly
-    "m3_knn_curve_approx" -> ((s, dir) =>
-      graft.ml.Embed.knnDistanceCurveApprox(
-        t(s, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", k = 17)
-        .withColumn("curve", round(col("curve") * 1e6) / 1e6)),
+    "m3_knn_curve_approx" -> ((s, dir) => {
+      val sample = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val approx = graft.ml.Embed.knnDistanceCurveApprox(
+        sample, "vec_id", "embedding", k = 17)
+        .withColumn("curve", round(col("curve") * 1e6) / 1e6)
+      if (graft.gates.ScaleGates.atFixture(t(s, dir, "embeddings"))) approx
+      else {
+        // off-fixture: per-point tolerance vs the EXACT curve (the
+        // m3_knn_curve sibling's computation on the same sample) — the
+        // approx path must stay within 1% relative everywhere; a
+        // violating point emits its approx value instead of 1.0
+        val exact = graft.ml.Embed.knnDistanceCurve(
+          sample, "vec_id", "embedding", k = 17)
+          .select(col("i"), col("curve").as("c_exact"))
+        approx.join(exact, "i")
+          .select(col("i"),
+            when(abs(col("curve") - col("c_exact")) <=
+                 lit(0.01) * abs(col("c_exact")), lit(1.0))
+              .otherwise(col("curve")).as("curve"))
+          .orderBy("i")
+      }
+    }),
     // curve quantized 1e-6: avg() sums 17 doubles in shuffle-arrival
     // order, so the last ulp is nondeterministic vs the oracle.
     // vec_id < 300 bounds the input independent of SF, so the default
@@ -4134,7 +4272,15 @@ object SparkEntry {
         "(478, 8), (479, 3), (480, 26), (481, 39), (482, 1), (483, 5), (484, 26), (485," +
         " 23), (486, 13), (487, 1), (488, 5), (489, 1), (490, 5), (491, 14), (492, 7), " +
         "(493, 4), (494, 0), (495, 5), (496, 24), (497, 4), (498, 28)) AS v(did, fuzz) " +
-        "ON d.doc_id = v.did ORDER BY d.doc_id"),
+        "ON d.doc_id = v.did WHERE " + DocN + " = 500 " +
+        // off-fixture (difflib parity has no SQL twin): pair count
+        // cross-engine (mirror of the adjacent-id join), range flag,
+        // and the ratio(t,t)=100 identity over every live doc
+        "UNION ALL SELECT -1::BIGINT, (SELECT count(*) FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1)::INT WHERE " +
+        DocN + " <> 500 " +
+        "UNION ALL SELECT -2::BIGINT, 1::INT WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -3::BIGINT, 100::INT WHERE " + DocN + " <> 500"),
     // golden deflated-byte-counts cross-derived from an INDEPENDENT zlib
     // (python, raw deflate level 6 — java.util.zip emits byte-identical
     // streams, verified for every doc). The ratio divides the pinned
@@ -4218,7 +4364,18 @@ object SparkEntry {
         "167), (480, 158), (481, 61), (482, 98), (483, 133), (484, 123), (485, 91), " +
         "(486, 108), (487, 155), (488, 115), (489, 149), (490, 141), (491, 170), (492, " +
         "62), (493, 195), (494, 111), (495, 172), (496, 190), (497, 81), (498, 198), " +
-        "(499, 98)) AS v(did, dlen) ON d.doc_id = v.did ORDER BY d.doc_id"),
+        "(499, 98)) AS v(did, dlen) ON d.doc_id = v.did " +
+        "WHERE " + DocN + " = 500 " +
+        // off-fixture: three FIXED probe strings whose deflated byte
+        // counts are scale-invariant constants (python zlib raw level 6,
+        // byte-identical to java.util.zip — the r10 cross-check),
+        // mirrored as the same dlen/len division; plus the live corpus
+        // count and the all-ratios-in-bounds flag
+        "UNION ALL SELECT -1, 25::DOUBLE / 640 WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -2, 108::DOUBLE / 145 WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -3, 89::DOUBLE / 87 WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -4, " + DocN + "::DOUBLE WHERE " + DocN + " <> 500 " +
+        "UNION ALL SELECT -5, 1.0::DOUBLE WHERE " + DocN + " <> 500"),
     "s2_multiline_json" -> (
       "SELECT doc_id, lang FROM documents WHERE doc_id < 5 ORDER BY doc_id"),
     "s12_zorder_scan" -> (
@@ -4446,7 +4603,10 @@ object SparkEntry {
     // sits inside the rsd=0.05 contract; a fixture content change fails
     // loudly, same as the mm_* goldens.
     "a2_distinct_approx" -> (
-      "SELECT CAST(510 AS BIGINT) AS n_distinct_approx"),
+      "SELECT CAST(510 AS BIGINT) AS n_distinct_approx " +
+      "WHERE " + DocN + " = 500 " +
+      "UNION ALL SELECT d FROM (SELECT count(DISTINCT text)::BIGINT AS d " +
+      "FROM documents) WHERE " + DocN + " <> 500"),
     // golden-VALUES twins (r10) for the deterministic similarity-serving
     // paths: per-row integer/float kernels + (cos_sim, id) sort — no
     // cross-row float aggregation, so the top-10 is bit-stable (verified
@@ -4538,7 +4698,14 @@ object SparkEntry {
       "1.179322), (283, 1.179795), (284, 1.180148), (285, 1.180641), (286, 1.181193), (287, " +
       "1.182024), (288, 1.182853), (289, 1.183636), (290, 1.18405), (291, 1.185007), (292, " +
       "1.185451), (293, 1.186283), (294, 1.187253), (295, 1.188493), (296, 1.190426), (297, " +
-      "1.192434), (298, 1.194608), (299, 1.200303)) AS t(i, c) ORDER BY i"),
+      "1.192434), (298, 1.194608), (299, 1.200303)) AS t(i, c) " +
+      "WHERE " + EmbN + " = 500 " +
+      // off-fixture: the approx curve is gated per point against the
+      // exact sibling within 1% relative — one flag row per sample
+      // point, the point count re-derived live
+      "UNION ALL SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT, " +
+      "1.0::DOUBLE FROM embeddings WHERE vec_id < 300 AND " +
+      EmbN + " <> 500"),
     "a3_value_counts" -> (
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag " +
         "ORDER BY cnt DESC, l_returnflag"),
@@ -5186,7 +5353,15 @@ object SparkEntry {
       "(487, 487, 1, true), (488, 488, 1, true), (489, 489, 1, true), (490, 490, 1, true), " +
       "(491, 491, 1, true), (492, 492, 1, true), (493, 493, 1, true), (494, 494, 1, true), " +
       "(495, 495, 1, true), (496, 496, 1, true), (497, 497, 1, true), (498, 498, 1, true), " +
-      "(499, 499, 1, true)) AS t(vec_id, g, n, k) ORDER BY vec_id"),
+      "(499, 499, 1, true)) AS t(vec_id, g, n, k) " +
+      "WHERE " + EmbN + " = 500 " +
+      // off-fixture: SemanticDedupSpec invariants at the live scale —
+      // row count cross-engine, one-keeper/size-consistency flag,
+      // exact-duplicate-embeddings-never-split flag
+      "UNION ALL SELECT -1::BIGINT, " + EmbN + "::BIGINT, " + EmbN +
+      "::BIGINT, true WHERE " + EmbN + " <> 500 " +
+      "UNION ALL SELECT -2::BIGINT, 1::BIGINT, 1::BIGINT, true WHERE " +
+      EmbN + " <> 500"),
     "llm_quality_classifier" -> (
       "SELECT doc_id::BIGINT AS doc_id, p::DOUBLE AS quality_prob, pred::BIGINT AS quality_pred " +
       "FROM (VALUES (0, '0.0', 0), (1, '8e-06', 0), (2, '2e-05', 0), (3, '0.0', 0), (4, " +
@@ -5539,15 +5714,22 @@ object SparkEntry {
       "SELECT user_id, count(*)::BIGINT AS cnt, " +
         "((sum(CAST(value AS DECIMAL(18,6))))::VARCHAR)::DOUBLE " +
         "AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // windows ordered by (ts, event_id): ts ALONE is not a total order
+    // once the self-similar scale shards duplicate timestamps, and an
+    // underdetermined ROWS cumsum splits a session boundary arbitrarily
+    // among tied rows (found by the r14 sf1 sweep: the engine put all
+    // ties in the new session — the gap-0 contract — while DuckDB's
+    // arbitrary tie order left 7 of 10 tied rows in the old one)
     "st2_sessionize" -> (
-      "WITH x AS (SELECT event_id % 50 AS user_id, ts FROM events), " +
-        "l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
-        "ORDER BY ts NULLS FIRST) AS prev FROM x), " +
-        "g AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR " +
+      "WITH x AS (SELECT event_id % 50 AS user_id, event_id, ts FROM events), " +
+        "l AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY " +
+        "user_id ORDER BY ts NULLS FIRST, event_id) AS prev FROM x), " +
+        "g AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR " +
         "epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS brk " +
         "FROM l), " +
         "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
-        "ORDER BY ts NULLS FIRST ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "ORDER BY ts NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) " +
+        "AS sid FROM g) " +
         "SELECT user_id, epoch_ms(min(ts))::BIGINT AS session_start_ms, " +
         "count(*) AS n_events, " +
         "(epoch_ms(max(ts)) - epoch_ms(min(ts)))::BIGINT AS duration_ms " +
@@ -5795,7 +5977,12 @@ object SparkEntry {
         "('src7', 0.775641, 0.805556, 0.826923), " +
         "('src8', 0.705, 0.789216, 0.824074), " +
         "('src9', 0.777027, 0.811728, 0.843023)) " +
-        "AS t(source, q25d, q50d, q75d) ORDER BY source"),
+        "AS t(source, q25d, q50d, q75d) WHERE " + DocN + " = 500 " +
+        // off-fixture: per-source tie-aware rank-error flags over the
+        // live source set (see the query's GK-contract gate)
+        "UNION ALL SELECT source, 1.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE " +
+        "FROM (SELECT DISTINCT source FROM documents) WHERE " +
+        DocN + " <> 500"),
     "llm_heavy_hitters" -> (
       s"WITH tok AS (SELECT unnest($sqlToksLower) AS token FROM documents), " +
         "n AS (SELECT count(*)::BIGINT AS total FROM tok) " +
