@@ -1951,9 +1951,19 @@ object SparkEntry {
         .select("doc_id", "simhash").orderBy("doc_id")),
     // 8 slices of 8 bits keyed on all C(8,2)=28 slice-PAIRS (16-bit
     // buckets): pigeonhole still guarantees FULL recall at hamming<=6
-    // (>=2 clean slices exist), and the wider keys shatter the hot
-    // buckets the clustered vocabulary produces — 6.76M -> 1.98M
-    // candidate pairs, hottest bucket 1460 -> 458 docs (quadratic win)
+    // (>=2 clean slices exist). KEPT at the fixed keying after the r14
+    // ladder measurement (Scale9 `simhashq` hit decomposition): widening
+    // to (9,3) — 32x the key space — cut false candidate hits only 22%
+    // (25.9M -> 20.1M at sf1) while tripling the explode fan-out and
+    // DOUBLING wall time (9.7 -> 19.2 s), because the candidate mass is
+    // near-threshold hamming-7..16 pairs sharing whole slices (a data
+    // property of the duplication-heavy corpus), not random key-space
+    // collisions. The r13 "16-bit saturation" hypothesis is REFUTED:
+    // falseHits grew x22 for x10 rows while VERIFIED pairs grew x49 —
+    // candidate cost tracks output (the j7 contract). 100 TB levers stay
+    // `maxBucketSize` + sharding; Dedup.simHashBandsFor keeps the
+    // recall-preserving ladder for corpora whose false hits ARE
+    // random-collision-dominated (spec-gated identical pair set)
     "llm_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6, bands = 8, combine = 2).orderBy("id_a", "id_b")),

@@ -321,6 +321,33 @@ object Dedup {
     * the production join uses instead of re-implementing it: each row
     * of `hashed` (id, simhash) explodes into one (band, bucket) key per
     * `combine`-subset of the 64/bands-bit slices. */
+  /** Corpus-size-adaptive (bands, combine) for [[simHashNearDup]] at a
+    * fixed hamming radius. Each ladder step adds one band AND one
+    * combine slice, so `bands − combine` — and with it the pigeonhole
+    * full-recall guarantee `maxHamming ≤ bands − combine` — is
+    * PRESERVED while the bucket keys widen: for maxHamming = 6 the key
+    * grows 16 → 21 → 24 bits (combine·⌊64/bands⌋) and the per-doc
+    * explode fan-out stays modest (C(bands,combine) = 28 → 84 → 210).
+    * Slices are ⌊64/bands⌋ bits, so off-ladder band counts leave high
+    * bits uncovered — harmless for recall (an uncovered flipped bit
+    * dirties NO slice).
+    *
+    * WHEN TO USE (r14 measurement, Scale9 `simhashq` hit
+    * decomposition): wider keys prune RANDOM key-space collisions, not
+    * near-threshold pairs that share whole slices. On the
+    * duplication-heavy sf1 corpus (9,3) cut false candidate hits only
+    * 22% while tripling explode fan-out — a net wall-time LOSS — so the
+    * registered query keeps (8,2) and the 100 TB levers for clustered
+    * corpora remain `maxBucketSize` + sharding. Reach for the ladder
+    * when candidates are dominated by random collisions (high-entropy
+    * hash populations at very large n) — the pair set is
+    * keying-invariant either way (DedupSpec gates (8,2)==(9,3)==(10,4)
+    * == brute force). */
+  def simHashBandsFor(n: Long, maxHamming: Int = 6): (Int, Int) = {
+    val step = if (n <= 10000L) 0 else if (n <= 1000000L) 1 else 2
+    (maxHamming + 2 + step, 2 + step)
+  }
+
   def simHashKeyed(hashed: DataFrame, bands: Int, combine: Int)
       : DataFrame = {
     val bits = 64 / bands
@@ -343,7 +370,11 @@ object Dedup {
                      combine: Int = 1,
                      materialize: Boolean = true,
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(bands > 0 && 64 % bands == 0)
+    // bands need not divide 64: slices are ⌊64/bands⌋ bits from offset
+    // b·bits, leaving ≤ bands−1 high bits unkeyed — recall is unharmed
+    // (an unkeyed flipped bit dirties no slice), and the non-dividing
+    // counts are what the adaptive ladder (simHashBandsFor) widens into
+    require(bands > 0 && 64 / bands >= 1)
     require(combine >= 1 && combine <= bands)
     require(maxHamming <= bands - combine,
       s"maxHamming ($maxHamming) must be <= bands - combine " +

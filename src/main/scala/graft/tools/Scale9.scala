@@ -73,24 +73,45 @@ object Scale9 {
         val hashed = graft.dedup.Dedup.simHashFrame(
           docs.select(col("doc_id").as("id"), col("text")), "text")
           .select("id", "simhash").localCheckpoint(true)
-        // the PRODUCTION keying (shared helper), not a re-implementation
-        val keyed = graft.dedup.Dedup.simHashKeyed(hashed, bands = 8,
-          combine = 2)
-        val cand = keyed.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("m"))
-          .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"),
-            max("m").as("hottest")).head()
-        // time the registered query's FULL shape with the noop sink —
-        // a count() would let EliminateSorts delete the orderBy and
-        // under-measure exactly the part being triaged
-        def neardup = graft.dedup.Dedup.simHashNearDup(
-          docs, "doc_id", "text", maxHamming = 6, bands = 8,
-          combine = 2).orderBy("id_a", "id_b")
-        timed(s"simhashq neardup(h<=6)+sort x$xn") {
-          neardup.write.format("noop").mode("overwrite").save()
+        // the PRODUCTION keying (shared helper), not a re-implementation;
+        // r14: measured at BOTH the fixed fixture keying (8,2) and the
+        // adaptive-ladder keying the registered query now picks for this
+        // corpus size — the saturation fix is the candidates column
+        val nDocs = docs.count()
+        val (aBands, aCombine) = graft.dedup.Dedup.simHashBandsFor(nDocs)
+        for ((bands, combine) <- Seq((8, 2), (aBands, aCombine)).distinct) {
+          val keyed = graft.dedup.Dedup.simHashKeyed(hashed, bands, combine)
+          val cand = keyed.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("m"))
+            .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"),
+              max("m").as("hottest")).head()
+          // time the registered query's FULL shape with the noop sink —
+          // a count() would let EliminateSorts delete the orderBy and
+          // under-measure exactly the part being triaged
+          def neardup = graft.dedup.Dedup.simHashNearDup(
+            docs, "doc_id", "text", maxHamming = 6, bands = bands,
+            combine = combine).orderBy("id_a", "id_b")
+          timed(s"simhashq neardup(h<=6)+sort x$xn ($bands,$combine)") {
+            neardup.write.format("noop").mode("overwrite").save()
+          }
+          // decomposition (r14): candidate HITS split into true-pair
+          // hits (hamming<=6 — mandatory multiplicity: a true pair
+          // collides in every clean combo, so this floor GROWS with
+          // C(bands,combine)) vs false hits (the waste the keying
+          // width actually controls)
+          val hits = keyed.as("a").join(keyed.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.id") < col("b.id"))
+            .select(graft.dedup.Dedup.hammingDist(
+              col("a.simhash"), col("b.simhash")).as("h"))
+            .agg(sum(when(col("h") <= 6, 1L).otherwise(0L)).as("t"),
+              sum(when(col("h") > 6, 1L).otherwise(0L)).as("f")).head()
+          println(s"[scale9] simhashq x$xn keying=($bands,$combine) " +
+            s"candidates=${cand.get(0)} " +
+            s"hottest=${cand.get(1)} trueHits=${hits.get(0)} " +
+            s"falseHits=${hits.get(1)} verified=${neardup.count()}")
         }
-        println(s"[scale9] simhashq x$xn candidates=${cand.get(0)} " +
-          s"hottest=${cand.get(1)} verified=${neardup.count()}")
       }
     }
 

@@ -110,6 +110,30 @@ class DedupSpec extends SparkSpec {
       s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("adaptive keying ladder: (9,3) and (10,4) keep FULL recall and " +
+    "the exact pair set of (8,2)") {
+    // the r14 saturation playbook: each ladder step widens the bucket
+    // keys (16 -> 21 -> 24 bits) while bands-combine stays == maxHamming,
+    // so the pigeonhole contract is preserved and the verified pair set
+    // is KEYING-INVARIANT — proven here against both the base keying and
+    // the brute-force hamming scan (including the non-dividing bands=9,
+    // whose 7-bit slices leave bit 63 unkeyed: harmless for recall)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    def pairsAt(bands: Int, combine: Int) =
+      Dedup.simHashNearDup(corpus, "doc_id", "text",
+          maxHamming = 6, bands = bands, combine = combine)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val base = pairsAt(8, 2)
+    assert(pairsAt(9, 3) == base)
+    assert(pairsAt(10, 4) == base)
+    // the ladder itself: fixture stays on the frozen-golden config,
+    // sf0.1..sf1 widen one step, >1M docs widen two
+    assert(Dedup.simHashBandsFor(500L) == ((8, 2)))
+    assert(Dedup.simHashBandsFor(50000L) == ((9, 3)))
+    assert(Dedup.simHashBandsFor(5000000L) == ((10, 4)))
+  }
+
   test("simHashNearDup: materialize=false returns the identical pair set") {
     // the zero-storage recompute form (r10) must be a pure plan change —
     // same hashes, same buckets, same pairs
