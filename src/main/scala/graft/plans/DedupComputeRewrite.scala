@@ -45,8 +45,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * columns' avgLen, and ProbeNs/FixedNs are the rewrite's own measured
   * costs (one extra exchange + key-pruned rescan + join probe — Scale9
   * `dedupc` rows, COVERAGE.md). Missing statistics (no ANALYZE, or
-  * spark.sql.cbo.enabled=false, so attributeStats don't propagate)
-  * decline conservatively. `true` forces the rewrite regardless of
+  * spark.sql.cbo.enabled=false, so attributeStats don't propagate) fall
+  * back to a bounded LIVE PROBE of the same inputs for scan-shaped
+  * children under `probeMaxBytes` whose kernels have measured win
+  * potential (r14 — see the probe block below); when neither source
+  * knows the data, decline conservatively. `true` forces the rewrite
+  * regardless of
   * stats (the pre-r13 behavior, and the j3b query's arm); `false`
   * disables it. Calibration (Scale9 `dedupc` at ×1/×10/×100): the
   * quadratic difflib kernel over 5k-distinct text wins 2–3× at dup
@@ -134,16 +138,14 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The auto-mode decision for one candidate group: do the statistics
-    * prove the kernel savings clear the rewrite's own cost? Requires
-    * rowCount and per-key-column distinctCount+avgLen (ANALYZE TABLE …
-    * FOR COLUMNS with spark.sql.cbo.enabled); anything missing
-    * declines. */
-  private def costJustified(child: LogicalPlan, refs: AttributeSet,
-                            aliases: Seq[Alias]): Boolean = {
+  /** Catalog-statistics inputs for the cost decision: rowCount plus
+    * per-key-column distinctCount+avgLen (ANALYZE TABLE … FOR COLUMNS
+    * with spark.sql.cbo.enabled). Returns (n, d, avgLen by exprId). */
+  private def statsInputs(child: LogicalPlan, refs: AttributeSet)
+      : Option[(Double, Double, Map[ExprId, Double])] = {
     val st = child.stats
     val colStats = refs.toSeq.map(a => st.attributeStats.get(a))
-    (for {
+    for {
       nBig <- st.rowCount
       if colStats.forall(cs =>
         cs.exists(c => c.distinctCount.isDefined && c.avgLen.isDefined))
@@ -152,16 +154,127 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
       val stats = colStats.flatten
       val d = math.min(
         stats.map(_.distinctCount.get.toDouble).product, n)
-      val groupLen = stats.map(_.avgLen.get.toDouble).sum
       val avgLen = refs.toSeq.flatMap(a =>
         st.attributeStats.get(a).flatMap(_.avgLen)
           .map(l => a.exprId -> l.toDouble)).toMap
-      val kernelNs = aliases.map(_.child.collect {
-        case e if expensiveNode(e) => nodeCostNs(e, avgLen, groupLen)
-      }.sum).sum
-      (n - d) * kernelNs > n * ProbeNs + FixedNs
-    }).getOrElse(false)
+      (n, d, avgLen)
+    }
   }
+
+  // --- stats-less fallback (r14, VERDICT r13 #4) --------------------
+  // Plain `spark.read.parquet` without ANALYZE carries no
+  // attributeStats, so the auto gate silently never benefited the most
+  // common real shape. When stats are missing, a bounded PROBE job
+  // computes the same inputs live — count, approx distinct, average
+  // string length of the key columns, one column-pruned pass over
+  // `child` — under tight eligibility so the probe itself can't become
+  // the regression:
+  //  * `spark.graft.dedupCompute.probe` on (default) and not already
+  //    inside a probe (thread-local — the probe's own optimization
+  //    would otherwise recurse);
+  //  * `child` is a scan-shaped subtree (leaf/Filter/Project only):
+  //    probing a join or aggregate would RUN it, doubling the work the
+  //    gate is supposed to save;
+  //  * the relation's size estimate is within
+  //    `spark.graft.dedupCompute.probeMaxBytes` (default 1 GiB): above
+  //    it the deciding scan costs a material fraction of what it could
+  //    save — ANALYZE or the conf force remain the warehouse-scale
+  //    levers;
+  //  * the candidate aliases contain a kernel class with measured WIN
+  //    potential (the quadratic pairwise kernels or a ScalaUDF): the
+  //    linear regexp/JSON classes lost at every measured dup factor, so
+  //    spending a probe scan on them would be pure overhead — they keep
+  //    requiring ANALYZE'd stats.
+  // Results are cached per (canonicalized child, key names) so the
+  // optimizer's fixpoint re-runs and repeated queries over the same
+  // relation don't re-scan.
+  private val probing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(LogicalPlan, Seq[String]),
+        Option[(Double, Seq[(String, Double, Double)])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, Seq[String]),
+            Option[(Double, Seq[(String, Double, Double)])]]): Boolean =
+        size() > 64
+    })
+
+  private def scanShaped(p: LogicalPlan): Boolean = !p.exists {
+    case _: Project | _: org.apache.spark.sql.catalyst.plans.logical.Filter
+         | _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => false
+    case _ => true
+  }
+
+  private def probeWorthy(aliases: Seq[Alias]): Boolean =
+    aliases.exists(_.child.exists {
+      case _: graft.expr.GraftSeqRatio | _: ScalaUDF => true
+      case _ => false
+    })
+
+  private def probeInputs(child: LogicalPlan, refs: AttributeSet,
+                          aliases: Seq[Alias])
+      : Option[(Double, Double, Map[ExprId, Double])] = {
+    val enabled = conf.getConfString(
+      "spark.graft.dedupCompute.probe", "true").toBoolean
+    val maxBytes = conf.getConfString(
+      "spark.graft.dedupCompute.probeMaxBytes", (1L << 30).toString).toLong
+    val keys = refs.toSeq.sortBy(_.name)
+    if (!enabled || probing.get() || !probeWorthy(aliases) ||
+        !scanShaped(child) || keys.map(_.name).distinct.size != keys.size ||
+        child.stats.sizeInBytes > maxBytes) return None
+    val spark = org.apache.spark.sql.classic.SparkSession.getActiveSession
+      .getOrElse(return None)
+    val cacheKey = (child.canonicalized, keys.map(_.name))
+    val cached = Option(probeCache.get(cacheKey)).getOrElse {
+      val computed = try {
+        probing.set(java.lang.Boolean.TRUE)
+        import org.apache.spark.sql.catalyst.expressions.aggregate._
+        def agg(f: AggregateFunction, name: String) =
+          Alias(AggregateExpression(f, Complete, isDistinct = false), name)()
+        val aggs = agg(Count(Seq(Literal(1))), "n") +: keys.flatMap { k =>
+          Seq(agg(HyperLogLogPlusPlus(k), s"d_${k.name}"),
+            agg(Average(Coalesce(Seq(
+              Cast(Length(Cast(k, org.apache.spark.sql.types.StringType)),
+                org.apache.spark.sql.types.DoubleType),
+              Literal(0.0)))), s"l_${k.name}"))
+        }
+        val row = org.apache.spark.sql.classic.GraftBridge
+          .ofRows(spark, Aggregate(Nil, aggs, child)).head()
+        val n = row.getLong(0).toDouble
+        val perKey = keys.zipWithIndex.map { case (k, i) =>
+          (k.name, row.getLong(1 + 2 * i).toDouble,
+            Option(row.get(2 + 2 * i)).map(_.toString.toDouble)
+              .getOrElse(0.0))
+        }
+        Some((n, perKey))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally probing.set(java.lang.Boolean.FALSE)
+      probeCache.put(cacheKey, computed)
+      computed
+    }
+    cached.map { case (n, perKey) =>
+      val byName = perKey.map(p => p._1 -> p).toMap
+      val d = math.min(perKey.map(_._2).product, n)
+      val avgLen = keys.map(k => k.exprId -> byName(k.name)._3).toMap
+      (n, d, avgLen)
+    }
+  }
+
+  /** The auto-mode decision for one candidate group: do the statistics
+    * (catalog stats, else the bounded live probe) prove the kernel
+    * savings clear the rewrite's own cost? Unknown inputs decline. */
+  private def costJustified(child: LogicalPlan, refs: AttributeSet,
+                            aliases: Seq[Alias]): Boolean =
+    statsInputs(child, refs).orElse(probeInputs(child, refs, aliases))
+      .exists { case (n, d, avgLen) =>
+        val groupLen = avgLen.values.sum
+        val kernelNs = aliases.map(_.child.collect {
+          case e if expensiveNode(e) => nodeCostNs(e, avgLen, groupLen)
+        }.sum).sum
+        (n - d) * kernelNs > n * ProbeNs + FixedNs
+      }
 
   /** One node that justifies hoisting the whole expression behind a
     * distinct: a graft native kernel (tokenization cascades, fuzzy
@@ -201,6 +314,7 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val m = mode
     if (m != "true" && m != "auto") return plan
+    if (probing.get()) return plan // never rewrite our own probe job
     val forced = m == "true"
     plan.transformUp {
       case p @ Project(list, child)

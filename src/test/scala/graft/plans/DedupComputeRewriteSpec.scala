@@ -200,6 +200,52 @@ class DedupComputeRewriteSpec extends SparkSpec {
     }
   }
 
+  test("auto mode probes stats-less parquet (r14): win fires, losses " +
+    "decline, linear classes and oversized relations stay out") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    // NO ANALYZE, NO cbo: the shape the catalog-stats gate could never
+    // see — the bounded probe job supplies (n, d, avgLen) instead
+    val p = java.nio.file.Files.createTempDirectory("graft_dcr_probe")
+      .resolve("docs").toString
+    spark.range(10000).selectExpr(
+      "id",
+      "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
+      "concat(repeat('pad ', 300), cast(id as string)) AS utext")
+      .write.mode("overwrite").parquet(p)
+    val tbl = spark.read.parquet(p)
+    val longRef = "tok0 tok1 " * 120
+    def win = tbl.select(col("id"),
+      call_function("graft_seq_ratio", col("text"), lit(longRef)).as("r"))
+    val winPlan = optimized(win)
+    assert(winPlan.contains("Join") && winPlan.contains("Aggregate"), winPlan)
+    // and the fired rewrite returns the naive rows exactly
+    val naive = {
+      spark.conf.set(Key, "false")
+      try win.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      finally spark.conf.unset(Key)
+    }
+    assert(win.collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSet == naive)
+    // near-unique key: the probe MEASURES d ~ n and declines
+    def uniq = tbl.select(col("id"),
+      call_function("graft_seq_ratio", col("utext"), lit(longRef)).as("r"))
+    assert(!optimized(uniq).contains("Join"), optimized(uniq))
+    // linear kernel classes (regexp/JSON/levenshtein) lost at every
+    // measured dup factor — they stay ANALYZE-gated, no probe scan
+    def lev = tbl.select(col("id"),
+      call_function("graft_levenshtein", col("text"), lit(longRef)).as("d"))
+    assert(!optimized(lev).contains("Join"), optimized(lev))
+    // a size cap below the relation declines WITHOUT scanning (checked
+    // before the cache, so the earlier win probe can't leak through)
+    spark.conf.set("spark.graft.dedupCompute.probeMaxBytes", "1")
+    try assert(!optimized(win).contains("Join"))
+    finally spark.conf.unset("spark.graft.dedupCompute.probeMaxBytes")
+    // probe off restores the conservative decline
+    spark.conf.set("spark.graft.dedupCompute.probe", "false")
+    try assert(!optimized(win).contains("Join"))
+    finally spark.conf.unset("spark.graft.dedupCompute.probe")
+  }
+
   test("per-row JSON parsing counts as expensive and rewrites") {
     val p = java.nio.file.Files.createTempDirectory("graft_dcr_json")
       .resolve("ev").toString
