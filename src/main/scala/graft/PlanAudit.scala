@@ -762,27 +762,29 @@ object PlanAudit {
     locally {
       import org.apache.spark.sql.functions.{call_function, col, lit}
       graft.expr.GraftFunctions.ensureRegistered(spark)
-      val p = java.nio.file.Files.createTempDirectory("graft_dcr_probe_audit")
-        .resolve("docs").toString
-      spark.range(10000).selectExpr("id",
-        "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
-        "concat(repeat('pad ', 300), cast(id as string)) AS utext")
-        .write.mode("overwrite").parquet(p)
-      val tbl = spark.read.parquet(p)
-      val longRef = "tok0 tok1 " * 120
-      val fire = tbl.select(col("id"), call_function("graft_seq_ratio",
-        col("text"), lit(longRef)).as("r"))
-        .queryExecution.optimizedPlan.toString
-      println("CHECK[dedup_cost_probe] stats-less parquet (no ANALYZE) " +
-        "fires via the live probe on the win regime: " +
-        (if (fire.contains("Join") && fire.contains("Aggregate")) "OK"
-         else "MISSING"))
-      val uniq = tbl.select(col("id"), call_function("graft_seq_ratio",
-        col("utext"), lit(longRef)).as("r"))
-        .queryExecution.optimizedPlan.toString
-      println("CHECK[dedup_cost_probe] probe measures the near-unique " +
-        "key and declines: " + (if (!uniq.contains("Join")) "OK"
-         else "MISSING"))
+      val root = java.nio.file.Files.createTempDirectory("graft_dcr_probe_audit")
+      try {
+        val p = root.resolve("docs").toString
+        spark.range(10000).selectExpr("id",
+          "repeat(concat('tok', cast(id % 10 as string), ' '), 240) AS text",
+          "concat(repeat('pad ', 300), cast(id as string)) AS utext")
+          .write.mode("overwrite").parquet(p)
+        val tbl = spark.read.parquet(p)
+        val longRef = "tok0 tok1 " * 120
+        val fire = tbl.select(col("id"), call_function("graft_seq_ratio",
+          col("text"), lit(longRef)).as("r"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_probe] stats-less parquet (no ANALYZE) " +
+          "fires via the live probe on the win regime: " +
+          (if (fire.contains("Join") && fire.contains("Aggregate")) "OK"
+           else "MISSING"))
+        val uniq = tbl.select(col("id"), call_function("graft_seq_ratio",
+          col("utext"), lit(longRef)).as("r"))
+          .queryExecution.optimizedPlan.toString
+        println("CHECK[dedup_cost_probe] probe measures the near-unique " +
+          "key and declines: " + (if (!uniq.contains("Join")) "OK"
+           else "MISSING"))
+      } finally graft.core.Util.deleteRecursively(root)
     }
 
     // the fuzzy join's length prefilter must ride the binned equi-join

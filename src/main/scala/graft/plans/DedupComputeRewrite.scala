@@ -249,9 +249,15 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
         }
         Some((n, perKey))
       } catch {
-        case scala.util.control.NonFatal(_) => None
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"dedupCompute probe failed (rewrite declines " +
+            s"this time; not cached — a transient failure must not " +
+            s"disable the gate for the relation's lifetime): $e")
+          None
       } finally probing.set(java.lang.Boolean.FALSE)
-      probeCache.put(cacheKey, computed)
+      // cache successes only: a cached None would silently pin the
+      // decline for the whole JVM on a transient failure
+      computed.foreach(_ => probeCache.put(cacheKey, computed))
       computed
     }
     cached.map { case (n, perKey) =>

@@ -66,6 +66,106 @@ object Scale9 {
     // (the per-copy letter permutation rewrites every token, so slice
     // votes decorrelate across copies), so candidates should grow ~10x
     // plus cross-copy chance collisions in the 16-bit key space.
+    // Streaming sustained-rate measurement (r14, VERDICT r13 #7): the
+    // st* queries gate CORRECTNESS end-to-end at fixed input sizes; a
+    // 100 TB ingest design needs ROWS/SECOND and per-batch state growth.
+    // The feed splits the fixture into 8 event-time/id-ordered files and
+    // maxFilesPerTrigger=1 forces one micro-batch per file, so
+    // recentProgress yields per-batch input rows, trigger wall, and
+    // state-store rows — st1 (windowed agg: state = open windows, bounded
+    // by the watermark horizon) and st6 (stateful MinHash near-dedup:
+    // state = seen docs per (band,bucket), grows with corpus — the
+    // capacity number an ingest design must budget).
+    if (sections("streamrate")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      def convTs(df: org.apache.spark.sql.DataFrame) =
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        }
+      def feedDir(src: org.apache.spark.sql.DataFrame, orderCol: String,
+                  tag: String, chunks: Int = 8): java.nio.file.Path = {
+        val feed = java.nio.file.Files.createTempDirectory(s"graft_sr_$tag")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+        val withB = src.withColumn("_b", ntile(chunks).over(w))
+          .localCheckpoint(true)
+        for (b <- 1 to chunks) {
+          val stage = java.nio.file.Files.createTempDirectory(s"sr_stage_$b")
+          withB.filter(col("_b") === b).drop("_b")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try listing.iterator.asScala.find(_.toString.endsWith(".parquet")).get
+            finally listing.close()
+          val dst = feed.resolve(f"b$b%02d.parquet")
+          java.nio.file.Files.move(part, dst)
+          // distinct, increasing mtimes: the file source orders batches
+          // by modification time, so the feed replays in event-time order
+          dst.toFile.setLastModified(1700000000000L + b * 60000L)
+          graft.core.Util.deleteRecursively(stage)
+        }
+        feed
+      }
+      def drainAndReport(name: String, q: org.apache.spark.sql.streaming
+          .StreamingQuery): Unit = {
+        q.awaitTermination()
+        val prog = q.recentProgress.filter(_.numInputRows > 0)
+        var totRows = 0L; var totMs = 0L
+        prog.foreach { p =>
+          val ms: Long = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          val state = Option(p.stateOperators).filter(_.nonEmpty)
+            .map(_.head.numRowsTotal).getOrElse(-1L)
+          totRows += p.numInputRows; totMs += ms
+          println(f"[scale9] $name batch=${p.batchId}%2d " +
+            f"rows=${p.numInputRows}%,9d wall=${ms / 1000.0}%6.2f s " +
+            f"rate=${p.numInputRows * 1000.0 / math.max(ms, 1)}%,10.0f rows/s " +
+            f"stateRows=$state%,10d")
+        }
+        println(f"[scale9] $name SUSTAINED ${totRows * 1000.0 / math.max(totMs, 1)}%,.0f rows/s " +
+          f"over ${prog.length} batches (${totRows}%,d rows, ${totMs / 1000.0}%.1f s busy)")
+        q.stop()
+      }
+      try {
+        for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                              ("benchdata/sf1", 10))) {
+          // st1 shape: watermarked hourly counts over events
+          val ev = spark.read.parquet(s"$dir/events.parquet")
+          val evFeed = feedDir(ev, "ts", "ev")
+          // st6 shape: stateful MinHash near-dedup over documents
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          val docFeed = feedDir(docs, "doc_id", "doc")
+          try {
+            val evStream = convTs(spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(evFeed.toString))
+            val agg = evStream.withWatermark("ts", "0 seconds")
+              .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("cnt"))
+            drainAndReport(s"streamrate st1-shape x$xn",
+              agg.writeStream.format("noop").outputMode("update")
+                .trigger(Trigger.AvailableNow()).start())
+            val docStream = spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(docFeed.toString)
+            val hits = graft.streaming.StreamIngest.streamingNearDup(
+              docStream, "doc_id", "text", threshold = 0.3).toDF()
+            drainAndReport(s"streamrate st6-shape x$xn",
+              hits.writeStream.format("noop").outputMode("append")
+                .trigger(Trigger.AvailableNow()).start())
+          } finally {
+            graft.core.Util.deleteRecursively(evFeed)
+            graft.core.Util.deleteRecursively(docFeed)
+          }
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+
     if (sections("simhashq")) {
       for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
                             ("benchdata/sf1", 10))) {
