@@ -1983,9 +1983,10 @@ object SparkEntry {
       def qvec(qid: Long) = emb.filter(col("vec_id") === qid)
         .select("embedding").head().getSeq[Float](0)
       if (n == graft.gates.ScaleGates.FixtureRows) ann(qvec(0L))
-      // off-fixture: the SimilaritySpec recall gate at the live scale
-      else graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
-        qid => ann(qvec(qid)), n)
+      // off-fixture: the SimilaritySpec recall gate at the live scale,
+      // all 10 query vectors batched through ONE LSH join
+      else graft.gates.ScaleGates.annRecallGateBatched(emb, "vec_id",
+        "embedding", n, bands = 12, bitsPerBand = 3)
     }),
     "llm_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
