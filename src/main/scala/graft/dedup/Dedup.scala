@@ -316,11 +316,6 @@ object Dedup {
     * (6.76M → 1.98M, hottest bucket 1460 → 458 docs) at identical recall.
     * This is Manku et al.'s multi-block permutation scheme (WWW'07)
     * expressed as an explode + equi-join. */
-  /** The banded keying of [[simHashNearDup]], exposed so diagnostics
-    * (Scale9 `simhashq` candidate counting) decompose the SAME keying
-    * the production join uses instead of re-implementing it: each row
-    * of `hashed` (id, simhash) explodes into one (band, bucket) key per
-    * `combine`-subset of the 64/bands-bit slices. */
   /** Corpus-size-adaptive (bands, combine) for [[simHashNearDup]] at a
     * fixed hamming radius. Each ladder step adds one band AND one
     * combine slice, so `bands − combine` — and with it the pigeonhole
@@ -348,6 +343,11 @@ object Dedup {
     (maxHamming + 2 + step, 2 + step)
   }
 
+  /** The banded keying of [[simHashNearDup]], exposed so diagnostics
+    * (Scale9 `simhashq` candidate counting) decompose the SAME keying
+    * the production join uses instead of re-implementing it: each row
+    * of `hashed` (id, simhash) explodes into one (band, bucket) key per
+    * `combine`-subset of the ⌊64/bands⌋-bit slices. */
   def simHashKeyed(hashed: DataFrame, bands: Int, combine: Int)
       : DataFrame = {
     val bits = 64 / bands

@@ -83,12 +83,11 @@ object ScaleGates {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       val qdf = qvecs.toSeq.toDF(idCol, vecCol)
         .withColumn(vecCol, col(vecCol).cast("array<float>"))
-      val approxAll = Similarity.annCosineJoin(qdf, cached, idCol, vecCol,
-          threshold = -1.0, bands, bitsPerBand, excludeSelf = false)
-        .withColumn("_rk", row_number().over(Window.partitionBy("id_l")
-          .orderBy(desc("cos_sim"), col("id_r"))))
-        .filter(col("_rk") <= k)
-        .select(col("id_l"), col("id_r")).as[(Long, Long)].collect()
+      // the PRODUCTION path: annTopK delegates to the same batch form,
+      // so the gate exercises exactly what serving runs
+      val approxAll = Similarity.annTopKBatch(cached, idCol, vecCol,
+          qdf, k, bands, bitsPerBand)
+        .select(col("query_id"), col(idCol)).as[(Long, Long)].collect()
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
       val recalls = qvecs.map { case (qid, qv) =>
         val exact = Similarity.bruteForceTopK(cached, idCol, vecCol, qv, k)

@@ -232,10 +232,14 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
         import org.apache.spark.sql.catalyst.expressions.aggregate._
         def agg(f: AggregateFunction, name: String) =
           Alias(AggregateExpression(f, Complete, isDistinct = false), name)()
+        // OctetLength (BYTES), not Length (chars): catalog
+        // ColumnStat.avgLen is byte-based, and the kernel coefficients
+        // were calibrated against it — a chars-based probe would flip
+        // the decision vs the ANALYZE path on multi-byte text
         val aggs = agg(Count(Seq(Literal(1))), "n") +: keys.flatMap { k =>
           Seq(agg(HyperLogLogPlusPlus(k), s"d_${k.name}"),
             agg(Average(Coalesce(Seq(
-              Cast(Length(Cast(k, org.apache.spark.sql.types.StringType)),
+              Cast(OctetLength(Cast(k, org.apache.spark.sql.types.StringType)),
                 org.apache.spark.sql.types.DoubleType),
               Literal(0.0)))), s"l_${k.name}"))
         }

@@ -174,9 +174,10 @@ object Scale9 {
           docs.select(col("doc_id").as("id"), col("text")), "text")
           .select("id", "simhash").localCheckpoint(true)
         // the PRODUCTION keying (shared helper), not a re-implementation;
-        // r14: measured at BOTH the fixed fixture keying (8,2) and the
-        // adaptive-ladder keying the registered query now picks for this
-        // corpus size — the saturation fix is the candidates column
+        // r14: measured at BOTH the fixed (8,2) keying — which the
+        // registered query KEEPS (the ladder was a measured net loss on
+        // this corpus, see Dedup.simHashBandsFor) — and the ladder's
+        // pick for this corpus size, to quantify exactly that verdict
         val nDocs = docs.count()
         val (aBands, aCombine) = graft.dedup.Dedup.simHashBandsFor(nDocs)
         for ((bands, combine) <- Seq((8, 2), (aBands, aCombine)).distinct) {
