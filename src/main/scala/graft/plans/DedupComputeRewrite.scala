@@ -206,11 +206,23 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
     case _ => true
   }
 
-  private def probeWorthy(aliases: Seq[Alias]): Boolean =
+  /** ScalaUDF probing is OPT-IN (`spark.graft.dedupCompute.probeUdfs`):
+    * spark.ml pipelines and renderer helpers wrap nearly every
+    * transform in a UDF over a near-unique key, so default-on UDF
+    * probing taxed EVERY ml/multimodal query with a probe scan that
+    * always declined (measured +1.7 s on m8_lsa, +1.5 s on
+    * mm_audio_features at sf0.1 — r14 bench sweep). The quadratic
+    * graft_seq_ratio kernel — the one measured-WIN class — stays
+    * probe-worthy by default. */
+  private def probeWorthy(aliases: Seq[Alias]): Boolean = {
+    val udfsOk = conf.getConfString(
+      "spark.graft.dedupCompute.probeUdfs", "false").toBoolean
     aliases.exists(_.child.exists {
-      case _: graft.expr.GraftSeqRatio | _: ScalaUDF => true
+      case _: graft.expr.GraftSeqRatio => true
+      case _: ScalaUDF => udfsOk
       case _ => false
     })
+  }
 
   private def probeInputs(child: LogicalPlan, refs: AttributeSet,
                           aliases: Seq[Alias])
