@@ -133,15 +133,21 @@ object Scale9 {
         q.stop()
       }
       try {
+        // x100 runs the agg shape only: the dedup state machine at 500k
+        // docs is minutes of single-feed wall for no new insight (state
+        // growth is already measured linear at x1/x10)
         for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
-                              ("benchdata/sf1", 10))) {
+                              ("benchdata/sf1", 10),
+                              ("benchdata/sf10", 100))) {
           // st1 shape: watermarked hourly counts over events
           val ev = spark.read.parquet(s"$dir/events.parquet")
           val evFeed = feedDir(ev, "ts", "ev")
           // st6 shape: stateful MinHash near-dedup over documents
           val docs = spark.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("text"))
-          val docFeed = feedDir(docs, "doc_id", "doc")
+          val docFeed =
+            if (xn <= 10) feedDir(docs, "doc_id", "doc")
+            else java.nio.file.Files.createTempDirectory("graft_sr_skip")
           try {
             val evStream = convTs(spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(evFeed.toString))
@@ -151,13 +157,15 @@ object Scale9 {
             drainAndReport(s"streamrate st1-shape x$xn",
               agg.writeStream.format("noop").outputMode("update")
                 .trigger(Trigger.AvailableNow()).start())
-            val docStream = spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", "1").parquet(docFeed.toString)
-            val hits = graft.streaming.StreamIngest.streamingNearDup(
-              docStream, "doc_id", "text", threshold = 0.3).toDF()
-            drainAndReport(s"streamrate st6-shape x$xn",
-              hits.writeStream.format("noop").outputMode("append")
-                .trigger(Trigger.AvailableNow()).start())
+            if (xn <= 10) {
+              val docStream = spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1").parquet(docFeed.toString)
+              val hits = graft.streaming.StreamIngest.streamingNearDup(
+                docStream, "doc_id", "text", threshold = 0.3).toDF()
+              drainAndReport(s"streamrate st6-shape x$xn",
+                hits.writeStream.format("noop").outputMode("append")
+                  .trigger(Trigger.AvailableNow()).start())
+            }
           } finally {
             graft.core.Util.deleteRecursively(evFeed)
             graft.core.Util.deleteRecursively(docFeed)
