@@ -1232,9 +1232,13 @@ object SparkEntry {
     "a13_cluster_stats" -> ((s, dir) => {
       val st = ClusterStats.stats(labeled(s, dir), "label", "text", "doc_id")
       st.select(col("label"), col("n"), col("first_msg"),
-        col("mean_len"), col("std_len"),
-        (round(col("mean_similarity") * 1e6) / 1e6).as("mean_similarity"),
-        (round(col("std_similarity") * 1e6) / 1e6).as("std_similarity"))
+          col("mean_len"), col("std_len"),
+          (round(col("mean_similarity") * 1e6) / 1e6).as("mean_similarity"),
+          (round(col("std_similarity") * 1e6) / 1e6).as("std_similarity"))
+        // re-sort on the ROUNDED value (the twin's order): two means
+        // collapsing into one 1e-6 cell would otherwise order by the
+        // raw value here but by the label tie-break in DuckDB
+        .orderBy(col("mean_similarity"), col("label"))
     }),
     // A13′ representative pick through the typed Aggregator UDAF
     // (§2.11): per-label size + first-by-id message as ONE partial-agg
@@ -1382,19 +1386,25 @@ object SparkEntry {
           expr("theta_sketch_estimate(theta_union(sc, sp))").as("u_either"),
           expr("theta_sketch_estimate(theta_difference(sc, sp))")
             .as("u_click_only"))
-      if (ev.count() == 10000L) sketch // the sf0.01 events fixture
+      if (graft.gates.ScaleGates.atFixture(ev,
+          graft.gates.ScaleGates.FixtureEvents)) sketch
       else {
         // off-fixture the retained-sample estimates drift inside the
         // theta bound (sf1 measured −1.2%) — per cell, emit the exact
         // set-algebra count (which the twin recomputes) when the
         // estimate is within 5%, the raw estimate when not (loud).
-        // Fixture arm keeps the pure sketch plan
+        // Fixture arm keeps the pure sketch plan. Only THREE exact
+        // counts are computed (|c|, |p|, |c∩p| over cached distinct
+        // sets); union and difference follow by set identity
         val c = ev.filter(col("event_type") === "click" && col("value") > 200)
-          .select("user_id").distinct()
+          .select("user_id").distinct().cache()
         val p = ev.filter(col("event_type") === "purchase" &&
-          col("value") > 200).select("user_id").distinct()
-        val exact = Seq(c.count(), p.count(), c.intersect(p).count(),
-          c.union(p).distinct().count(), c.except(p).count())
+          col("value") > 200).select("user_id").distinct().cache()
+        val exact = try {
+          val nc = c.count(); val np = p.count()
+          val nBoth = c.intersect(p).count()
+          Seq(nc, np, nBoth, nc + np - nBoth, nc - nBoth)
+        } finally { c.unpersist(); p.unpersist() }
         val est = sketch.head()
         val cells = exact.indices.map { i =>
           val e = est.getLong(i)

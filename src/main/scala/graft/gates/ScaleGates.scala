@@ -38,6 +38,9 @@ object ScaleGates {
   /** Orders-table fixture count at sf0.01 (a6_quantiles_approx). */
   val FixtureOrders = 15000L
 
+  /** Events-table fixture count at sf0.01 (a23_theta_sets). */
+  val FixtureEvents = 10000L
+
   def atFixture(df: DataFrame, expected: Long = FixtureRows): Boolean =
     df.count() == expected
 

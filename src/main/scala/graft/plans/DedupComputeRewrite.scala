@@ -181,10 +181,13 @@ object DedupComputeRewrite extends Rule[LogicalPlan] {
   //    save — ANALYZE or the conf force remain the warehouse-scale
   //    levers;
   //  * the candidate aliases contain a kernel class with measured WIN
-  //    potential (the quadratic pairwise kernels or a ScalaUDF): the
-  //    linear regexp/JSON classes lost at every measured dup factor, so
-  //    spending a probe scan on them would be pure overhead — they keep
-  //    requiring ANALYZE'd stats.
+  //    potential — by default only the quadratic graft_seq_ratio
+  //    kernel; ScalaUDF probing is OPT-IN via `probeUdfs` (see
+  //    probeWorthy: default-on UDF probing taxed every ml/multimodal
+  //    query, measured +1.7 s on m8_lsa), and the linear regexp/JSON
+  //    classes lost at every measured dup factor, so spending a probe
+  //    scan on them would be pure overhead — they keep requiring
+  //    ANALYZE'd stats.
   // Results are cached per (canonicalized child, key names) so the
   // optimizer's fixpoint re-runs and repeated queries over the same
   // relation don't re-scan.

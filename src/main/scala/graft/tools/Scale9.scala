@@ -143,11 +143,12 @@ object Scale9 {
           val ev = spark.read.parquet(s"$dir/events.parquet")
           val evFeed = feedDir(ev, "ts", "ev")
           // st6 shape: stateful MinHash near-dedup over documents
-          val docs = spark.read.parquet(s"$dir/documents.parquet")
-            .select(col("doc_id"), col("text"))
+          // (x1/x10 only — state growth is already measured linear)
           val docFeed =
-            if (xn <= 10) feedDir(docs, "doc_id", "doc")
-            else java.nio.file.Files.createTempDirectory("graft_sr_skip")
+            if (xn <= 10) Some(feedDir(
+              spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text")), "doc_id", "doc"))
+            else None
           try {
             val evStream = convTs(spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1").parquet(evFeed.toString))
@@ -157,9 +158,11 @@ object Scale9 {
             drainAndReport(s"streamrate st1-shape x$xn",
               agg.writeStream.format("noop").outputMode("update")
                 .trigger(Trigger.AvailableNow()).start())
-            if (xn <= 10) {
-              val docStream = spark.readStream.schema(docs.schema)
-                .option("maxFilesPerTrigger", "1").parquet(docFeed.toString)
+            docFeed.foreach { feed =>
+              val docSchema = spark.read.parquet(
+                s"$dir/documents.parquet").select("doc_id", "text").schema
+              val docStream = spark.readStream.schema(docSchema)
+                .option("maxFilesPerTrigger", "1").parquet(feed.toString)
               val hits = graft.streaming.StreamIngest.streamingNearDup(
                 docStream, "doc_id", "text", threshold = 0.3).toDF()
               drainAndReport(s"streamrate st6-shape x$xn",
@@ -168,7 +171,7 @@ object Scale9 {
             }
           } finally {
             graft.core.Util.deleteRecursively(evFeed)
-            graft.core.Util.deleteRecursively(docFeed)
+            docFeed.foreach(graft.core.Util.deleteRecursively)
           }
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
