@@ -445,8 +445,16 @@ object SparkEntry {
     * stamped time the real pipeline cost, while `m_flagship_w2v_dbscan`
     * stamps the memo read — the suite total records fit-once + read,
     * exactly what one suite pass pays. */
-  def benchReset(name: String): Unit =
+  def benchReset(name: String): Unit = {
     if (name == "m_flagship_shape") flagshipStatsCache.clear()
+    // the ANN gate family shares one memoized exact top-k table
+    // (ScaleGates.annCtx); resetting before each timed run of the
+    // alphabetically-FIRST member (which therefore runs first in both
+    // Verify and Bench) makes it the payer: its stamp is the real
+    // one-pass exact cost, the other four stamp memo reads — the suite
+    // total records exactly what one sweep pays
+    if (name == "llm_ann_topk") graft.gates.ScaleGates.annGateResetAll()
+  }
 
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
   private def labeled(s: SparkSession, dir: String): DataFrame =
@@ -1961,9 +1969,13 @@ object SparkEntry {
         Similarity.mmrRerank(emb, "vec_id", "embedding", q, kCand = 30, k = 10)
       if (n == graft.gates.ScaleGates.FixtureRows) reranked
       // off-fixture: structural invariants (see ScaleGates.mmrGate) +
-      // the live corpus count — the frozen goldens stay sf0.01-exact
+      // the live corpus count — the frozen goldens stay sf0.01-exact;
+      // the brute-force top-1 comes from the SHARED memoized exact
+      // table when it covers the full corpus (r14 VERDICT #1)
       else graft.gates.ScaleGates.mmrGate(emb, "vec_id", "embedding",
-        reranked, n, k = 10)
+        reranked,
+        graft.gates.ScaleGates.annCtx(emb, "vec_id", "embedding", dir, n),
+        k = 10)
     }),
     // int8-quantized serving path: same TakeOrdered scan over 4×-smaller
     // codes, integer-MAC cosine kernel; rows-only (quantization rounding
@@ -1971,24 +1983,39 @@ object SparkEntry {
     "llm_cosine_topk_i8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
-      val quant = Similarity.quantizeInt8(
-        emb, "vec_id", "embedding", withScale = false)
-      def topk(qid: Long) = {
-        val q = quant.filter(col("vec_id") === qid)
+      if (n == graft.gates.ScaleGates.FixtureRows) {
+        val quant = Similarity.quantizeInt8(
+          emb, "vec_id", "embedding", withScale = false)
+        val q = quant.filter(col("vec_id") === 0L)
           .select("codes").head().getSeq[Byte](0)
         Similarity.quantizedTopK(quant, "vec_id", "codes", q, 10)
       }
-      if (n == graft.gates.ScaleGates.FixtureRows) topk(0L)
-      // off-fixture: the SimilaritySpec recall gate at the live scale
+      // off-fixture: the SimilaritySpec recall gate at the live scale —
+      // exact side from the SHARED memoized one-pass table, approx side
+      // quantized over the (possibly capped) gate corpus and served by
+      // the BATCHED integer-MAC scan (one job for all 10 queries; the
+      // query codes come from the same graft_quantize_i8 kernel applied
+      // driver-side to the ctx's query vectors, so query and corpus
+      // quantize identically)
       else {
-        val qc = quant.cache()
-        try graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
-          qid => {
-            val q = qc.filter(col("vec_id") === qid)
-              .select("codes").head().getSeq[Byte](0)
-            Similarity.quantizedTopK(qc, "vec_id", "codes", q, 10)
-          }, n)
-        finally qc.unpersist()
+        import s.implicits._
+        val ctx = graft.gates.ScaleGates.annCtx(
+          emb, "vec_id", "embedding", dir, n)
+        val quant = Similarity.quantizeInt8(
+          ctx.corpus, "vec_id", "embedding", withScale = false)
+        val qCodes = ctx.qids.map(q => (q, ctx.qvec(q)))
+          .toDF("q_id", "v")
+          .withColumn("v", col("v").cast("array<float>"))
+          .select(col("q_id"),
+            call_function("graft_quantize_i8", col("v")).as("codes"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toSeq
+        val approx = Similarity.quantizedTopKBatch(
+            quant, "vec_id", "codes", qCodes, 10)
+          .select(col("q_id"), col("vec_id").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        graft.gates.ScaleGates.recallFlagFrame(ctx,
+          q => approx.getOrElse(q, Set.empty))
       }
     }),
     // embedding-cosine near-dup pairs, EXACT bounded form: scan × scan
@@ -2048,9 +2075,11 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0)
       if (n == graft.gates.ScaleGates.FixtureRows) ann(qvec(0L))
       // off-fixture: the SimilaritySpec recall gate at the live scale,
-      // all 10 query vectors batched through ONE LSH join
-      else graft.gates.ScaleGates.annRecallGateBatched(emb, "vec_id",
-        "embedding", n, bands = 12, bitsPerBand = 3)
+      // all 10 query vectors batched through ONE LSH join over the gate
+      // corpus; exact side from the SHARED memoized one-pass table
+      else graft.gates.ScaleGates.annRecallGateBatched(
+        graft.gates.ScaleGates.annCtx(emb, "vec_id", "embedding", dir, n),
+        "vec_id", "embedding", bands = 12, bitsPerBand = 3)
     }),
     "llm_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2067,12 +2096,23 @@ object SparkEntry {
         // off-fixture: IVF must be RETUNED as the corpus grows (the
         // faiss rule of thumb nlist ~ sqrt(n)); the fixture's 8/4 grid
         // measured recall 0.81 at 2000 vectors — a real scale finding,
-        // answered by retuning, not by lowering the floor
-        val nlist = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-        val (_, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-          nlist = nlist, cache = false, nprobe = (nlist + 1) / 2)
-        graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
-          qid => search(qvec(qid))(10), n)
+        // answered by retuning, not by lowering the floor. Index built
+        // over the gate corpus (nlist from ITS size), exact side from
+        // the SHARED memoized one-pass table, all 10 probes through ONE
+        // cell-keyed join (ivfTopKBatch)
+        import s.implicits._
+        val ctx = graft.gates.ScaleGates.annCtx(
+          emb, "vec_id", "embedding", dir, n)
+        val nlist = math.max(8,
+          math.ceil(math.sqrt(ctx.gateN.toDouble)).toInt)
+        val approx = Similarity.ivfTopKBatch(ctx.corpus, "vec_id",
+            "embedding", ctx.qids.map(q => (q, ctx.qvec(q))), 10,
+            nlist = nlist, nprobe = (nlist + 1) / 2)
+          .select(col("q_id"), col("vec_id").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        graft.gates.ScaleGates.recallFlagFrame(ctx,
+          q => approx.getOrElse(q, Set.empty))
       }
     }),
     // product-quantized serving path: 8-byte codes (32× less than
@@ -2083,27 +2123,37 @@ object SparkEntry {
     "llm_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
-      val (encoded, books) = Similarity.pqIndex(emb, "vec_id", "embedding",
-        m = 8, ksub = 32)
-      def qvec(qid: Long) = emb.filter(col("vec_id") === qid)
-        .select("embedding").head().getSeq[Float](0)
-      def topk(qid: Long) = Similarity.pqTopK(encoded, books, "vec_id",
-        "embedding", qvec(qid), 10, rerank = 100)
-      if (n == graft.gates.ScaleGates.FixtureRows) topk(0L)
-      else {
+      if (n == graft.gates.ScaleGates.FixtureRows) {
+        val (encoded, books) = Similarity.pqIndex(emb, "vec_id",
+          "embedding", m = 8, ksub = 32)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.pqTopK(encoded, books, "vec_id", "embedding",
+          q, 10, rerank = 100)
+      } else {
         // off-fixture: the rerank depth must track the corpus (fixed
         // 100 covered 20% of the fixture but 5% at 2000 vectors —
         // measured recall 0.77); keep the coverage fraction, capped at
         // 5000 so the gate's exact-rerank work stays bounded past sf1 —
         // if ADC ordering quality ever makes the capped depth miss, the
         // recall flag reports the measured value instead of silently
-        // paying unbounded gate cost
-        val depth = math.max(100, math.min(n / 5, 5000L).toInt)
-        val enc = encoded.cache()
-        try graft.gates.ScaleGates.annRecallGate(emb, "vec_id", "embedding",
-          qid => Similarity.pqTopK(enc, books, "vec_id", "embedding",
-            qvec(qid), 10, rerank = depth), n)
-        finally enc.unpersist()
+        // paying unbounded gate cost. Codebook fit + encode over the
+        // gate corpus; exact side from the SHARED memoized table; all
+        // 10 ADC scans fused into ONE corpus pass (pqTopKBatch)
+        import s.implicits._
+        val ctx = graft.gates.ScaleGates.annCtx(
+          emb, "vec_id", "embedding", dir, n)
+        val (encoded, books) = Similarity.pqIndex(ctx.corpus, "vec_id",
+          "embedding", m = 8, ksub = 32)
+        val depth = math.max(100, math.min(ctx.gateN / 5, 5000L).toInt)
+        val approx = Similarity.pqTopKBatch(encoded, books, "vec_id",
+            "embedding", ctx.qids.map(q => (q, ctx.qvec(q))), 10,
+            rerank = depth)
+          .select(col("q_id"), col("vec_id").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        graft.gates.ScaleGates.recallFlagFrame(ctx,
+          q => approx.getOrElse(q, Set.empty))
       }
     }),
     "a2_distinct_approx" -> ((s, dir) => {
@@ -2134,9 +2184,20 @@ object SparkEntry {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      // k ∝ n off-fixture (n/k ≈ 1000, the published SemDeDup cell
+      // sizing): with FIXED k the per-cell pair work grows n²/k —
+      // measured ×9.4 super-linear at ×10→×100 (161 s at sf10) vs
+      // 32 s with k∝n (Scale9 `semdedupk`, r14). The fixture arm keeps
+      // k=16 so the sf0.01 golden hash is untouched; at sf0.1
+      // (2000 vecs) the formula still yields 16, so that scale's
+      // behavior is unchanged too.
+      val kCells =
+        if (n == graft.gates.ScaleGates.FixtureRows) 16
+        else math.max(16, math.round(n / 1000.0).toInt)
       val groups = Similarity.semanticDedup(emb, "vec_id", "embedding",
-        k = 16, threshold = 0.9)
-      if (graft.gates.ScaleGates.atFixture(emb)) groups.orderBy("vec_id")
+        k = kCells, threshold = 0.9)
+      if (n == graft.gates.ScaleGates.FixtureRows) groups.orderBy("vec_id")
       else {
         // off-fixture (the KMeans cells have no SQL twin at any scale):
         // the SemanticDedupSpec invariants promoted to the live corpus —
@@ -2145,13 +2206,20 @@ object SparkEntry {
         // split across groups
         val g = groups.cache()
         try {
-          val n = g.count()
-          val badGroups = g.groupBy("group_id").agg(
+          // row count + per-group invariants in ONE aggregation job
+          // (three sequential actions over the cached frame measured as
+          // a visible share of the gate's wall at sf0.1)
+          val inv = g.groupBy("group_id").agg(
               sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"),
               count(lit(1)).as("c"), max(col("group_size")).as("gs"),
               countDistinct(col("group_size")).as("nds"))
-            .filter(col("k") =!= 1L || col("c") =!= col("gs") ||
-              col("nds") =!= 1L).count()
+            .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+              coalesce(sum(when(col("k") =!= 1L ||
+                col("c") =!= col("gs") || col("nds") =!= 1L, 1L)
+                .otherwise(0L)), lit(0L)).as("bad"))
+            .head()
+          val n = inv.getLong(0)
+          val badGroups = inv.getLong(1)
           val dupSplit = emb
             .join(g.select(col("vec_id"), col("group_id")), "vec_id")
             .groupBy(col("embedding"))

@@ -191,6 +191,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched [[quantizedTopK]]: every query rides ONE corpus pass (the
+    * query codes are a foldable struct-array literal each row explodes
+    * over — same graft_cos_sim_i8 serving kernel), then top-k per query
+    * by a q_id-partitioned window. n separate quantizedTopK calls each
+    * pay a full scan + job; a 10-query batch at sf0.1 measured the
+    * difference as the dominant share of the i8 recall gate's wall.
+    * Returns (q_id, idCol, cos_sim), top-k per q_id. */
+  def quantizedTopKBatch(df: DataFrame, idCol: String, codesCol: String,
+                         queries: Seq[(Long, Seq[Byte])],
+                         k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(queries.nonEmpty, "quantizedTopKBatch: no queries")
+    val qlit = array(queries.map { case (qid, qc) =>
+      struct(lit(qid).as("q_id"),
+        array(qc.map(v => lit(v)): _*).as("q_codes"))
+    }: _*)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col(idCol))
+    df.select(col(idCol), explode(qlit).as("_q"), col(codesCol))
+      .select(col("_q.q_id").as("q_id"), col(idCol),
+        call_function("graft_cos_sim_i8", col(codesCol), col("_q.q_codes"))
+          .as("cos_sim"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"))
+  }
+
   /** Banded random-hyperplane LSH keys: `bands` keys of `bitsPerBand` sign
     * bits each, sliced from one packed-bits code computed by the native
     * graft_rhp_bits expression (graft.expr.RhpBits — one compiled loop
@@ -291,17 +316,40 @@ object Similarity {
                nlist: Int = 16, seed: Long = 42L, cache: Boolean = true,
                nprobe: Int = 0, fitCap: Long = 100000L)
       : (DataFrame, Seq[Float] => Int => DataFrame) = {
+    val (assigned, centroids) =
+      ivfFit(df, idCol, vecCol, nlist, seed, cache, fitCap)
+    val search: Seq[Float] => Int => DataFrame = q => k => {
+      // recall/cost knob: more probed cells → higher recall, more data
+      // touched; nlist/4 is the usual starting point
+      val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
+      val cells = probeCells(centroids, q, np)
+      val qc = array(q.map(v => lit(v)): _*)
+      assigned.filter(col("_cell").isin(cells.toIndexedSeq: _*))
+        .select(col(idCol), cosine(col(vecCol), qc).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col(idCol))
+        .limit(k)
+    }
+    (assigned, search)
+  }
+
+  /** The shared IVF build: capped seeded centroid fit + one full-corpus
+    * assignment pass. Centroid fit is capped to a seeded sample
+    * (Embed.word2vec / the standard IVF practice — faiss trains on
+    * ~max(10k·nlist, sample)): KMeans.fit is an iterative FULL scan per
+    * iteration, so an uncapped fit makes the index build the
+    * corpus-scale bottleneck. Cell ASSIGNMENT stays full-corpus — one
+    * linear transform pass. (fitCap = Long.MaxValue means explicitly
+    * uncapped: skip the sizing count entirely — the cap statically
+    * cannot bind.) Cache only when the caller will issue repeated
+    * searches — a cached frame with no owner to unpersist it leaks
+    * executor storage. */
+  private def ivfFit(df: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, seed: Long, cache: Boolean,
+                     fitCap: Long): (DataFrame, Array[Array[Double]]) = {
     val spark = df.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val vecs = df.select(col(idCol), col(vecCol),
       graft.ml.VectorOps.toMlVector(col(vecCol)).as("_mlvec"))
-    // Centroid fit is capped to a seeded sample (Embed.word2vec / the
-    // standard IVF practice — faiss trains on ~max(10k·nlist, sample)):
-    // KMeans.fit is an iterative FULL scan per iteration, so an uncapped
-    // fit makes the index build the corpus-scale bottleneck. Cell
-    // ASSIGNMENT below stays full-corpus — one linear transform pass.
-    // (fitCap = Long.MaxValue means explicitly uncapped: skip the sizing
-    // count entirely — the cap statically cannot bind.)
     val fitVecs =
       if (fitCap == Long.MaxValue) vecs
       else {
@@ -314,30 +362,49 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_mlvec")
       .setPredictionCol("_cell").fit(fitVecs)
-    // cache only when the caller will issue repeated searches — a cached
-    // frame with no owner to unpersist it leaks executor storage
     val assignedRaw = km.transform(vecs).drop("_mlvec")
     val assigned = if (cache) assignedRaw.cache() else assignedRaw
-    val centroids = km.clusterCenters.map(_.toArray)
-    val search: Seq[Float] => Int => DataFrame = q => k => {
-      val qa = q.map(_.toDouble).toArray
-      def d2(c: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < c.length) { val d = c(i) - qa(i); s += d * d; i += 1 }
-        s
-      }
-      // recall/cost knob: more probed cells → higher recall, more data
-      // touched; nlist/4 is the usual starting point
-      val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
-      val cells = centroids.zipWithIndex.sortBy(p => d2(p._1))
-        .take(np).map(_._2)
-      val qc = array(q.map(v => lit(v)): _*)
-      assigned.filter(col("_cell").isin(cells.toIndexedSeq: _*))
-        .select(col(idCol), cosine(col(vecCol), qc).as("cos_sim"))
-        .orderBy(desc("cos_sim"), col(idCol))
-        .limit(k)
+    (assigned, km.clusterCenters.map(_.toArray))
+  }
+
+  /** Indices of the `np` centroids nearest (L2) to the query. */
+  private def probeCells(centroids: Array[Array[Double]], q: Seq[Float],
+                         np: Int): Array[Int] = {
+    val qa = q.map(_.toDouble).toArray
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - qa(i); s += d * d; i += 1 }
+      s
     }
-    (assigned, search)
+    centroids.zipWithIndex.sortBy(p => d2(p._1)).take(np).map(_._2)
+  }
+
+  /** Batched IVF search: builds the index once, routes EVERY query's
+    * probe list through ONE join keyed on the cell id — (q_id, cell)
+    * rows broadcast against the assignment, exact cosine inside the
+    * probed cells, top-k per query by window. n separate search() calls
+    * each pay a filter+scan job over the assignment; the batch pays one.
+    * Returns (q_id, idCol, cos_sim), top-k per q_id. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Float])], k: Int,
+                   nlist: Int = 16, nprobe: Int = 0, seed: Long = 42L,
+                   fitCap: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "ivfTopKBatch: no queries")
+    val (assigned, centroids) =
+      ivfFit(df, idCol, vecCol, nlist, seed, cache = false, fitCap)
+    val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
+    val probes = queries.flatMap { case (qid, q) =>
+      probeCells(centroids, q, np).map(c => (qid, c, q))
+    }.toDF("q_id", "_cell", "_qvec")
+      .withColumn("_qvec", col("_qvec").cast("array<float>"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col(idCol))
+    assigned.join(broadcast(probes), Seq("_cell"))
+      .select(col("q_id"), col(idCol),
+        cosine(col(vecCol), col("_qvec")).as("cos_sim"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"))
   }
 
   /** Semantic dedup — the SemDeDup pattern (Abbas et al. 2023,
@@ -529,6 +596,66 @@ object Similarity {
       .orderBy(desc("adc_score"), col(idCol)).limit(rn)
       .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol)).limit(k)
+  }
+
+  /** Batched [[pqTopK]]: every query's ADC lookup table rides the SAME
+    * corpus pass as a foldable literal (one (q_id, adc) struct per
+    * query, exploded per row), ADC top-`rerank` per query by window
+    * over NARROW (q_id, id, adc) rows — the full vectors are
+    * re-attached only for the rerank candidates via a broadcast
+    * semi-join, so the window never shuffles vector payloads — then
+    * exact-cosine rerank to top-k. Same two-stage serving contract as
+    * the single-query form, one job instead of n.
+    * Returns (q_id, idCol, cos_sim), top-k per q_id. */
+  def pqTopKBatch(encoded: DataFrame, books: Array[Array[Array[Double]]],
+                  idCol: String, vecCol: String,
+                  queries: Seq[(Long, Seq[Float])], k: Int,
+                  rerank: Int = 0): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    require(queries.nonEmpty, "pqTopKBatch: no queries")
+    val m = books.length
+    def lutOf(query: Seq[Float]): Array[Array[Double]] = {
+      val qa = query.map(_.toDouble).toArray
+      val qn = math.sqrt(qa.map(x => x * x).sum)
+      val qh = if (qn == 0.0) qa else qa.map(_ / qn)
+      val dsub = qh.length / m
+      Array.tabulate(m) { j =>
+        books(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += c(i) * qh(j * dsub + i); i += 1 }
+          s
+        }
+      }
+    }
+    val adcStructs = array(queries.map { case (qid, qv) =>
+      val lut = lutOf(qv)
+      val adc = (0 until m).map { j =>
+        element_at(typedlit(lut(j).toSeq),
+          col("codes").getItem(j).cast("int") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("q_id"), adc.as("adc_score"))
+    }: _*)
+    val rn = if (rerank > 0) rerank else 5 * k
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(desc("adc_score"), col(idCol))
+    val cands = encoded
+      .select(col(idCol), explode(adcStructs).as("_q"))
+      .select(col("_q.q_id").as("q_id"), col(idCol),
+        col("_q.adc_score").as("adc_score"))
+      .withColumn("_rn", row_number().over(wAdc)).filter(col("_rn") <= rn)
+      .select(col("q_id"), col(idCol))
+    val qdf = queries.toDF("q_id", "_qvec")
+      .withColumn("_qvec", col("_qvec").cast("array<float>"))
+    val wCos = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col(idCol))
+    broadcast(cands)
+      .join(encoded.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qdf), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine(col(vecCol), col("_qvec")).as("cos_sim"))
+      .withColumn("_rn", row_number().over(wCos)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"))
   }
 
   /** L2-normalize a float-array column (zero vectors pass through

@@ -54,88 +54,167 @@ object ScaleGates {
       if (r == 1.0) 0.9999 else r
     }
 
-  /** Strided sample of `nq` ids present in the frame (works for any
-    * roughly-uniform id domain; deterministic given the data). */
-  private def sampleIds(df: DataFrame, idCol: String, n: Long,
-                        nq: Int): Seq[Long] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val stride = math.max(1L, n / nq)
-    df.filter(col(idCol) % stride === 0)
-      .select(col(idCol).cast("long")).orderBy(col(idCol)).limit(nq)
-      .as[Long].collect().toSeq
+  /** Cap on the exact side of the ANN recall gates (r14 VERDICT #1):
+    * past this many vectors the gate evaluates recall on a
+    * deterministic hash-sampled sub-corpus of roughly this size (the
+    * strided query ids always included), instead of paying a
+    * full-corpus brute-force pass per sweep — r13 #1's "capped seeded
+    * sample" as originally specified. Below the cap the gate corpus IS
+    * the corpus, so sf0.1/sf1 behavior is unchanged; the cap first
+    * binds at the sf10 200k-vector sweep. */
+  val AnnGateCap = 100000L
+
+  /** Shared exact side of every ANN recall gate — computed ONCE per
+    * (session, dir, n) and reused by the LSH/IVF/PQ/int8/MMR gates
+    * (r14 measured each gate paying ~10 sequential brute-force corpus
+    * scans of its own: ~40 O(n) passes per sweep across the family).
+    *
+    *  - `corpus`: the CACHED gate corpus (capped seeded sample past
+    *    [[AnnGateCap]], the full frame below it). Callers build their
+    *    approximate index over THIS frame and must not unpersist it —
+    *    the memo owns it for the session ([[annGateReset]] drops it).
+    *  - `exact`: ordered exact cosine top-k per query id over the gate
+    *    corpus, computed in ONE corpus pass for all `nq` queries (a
+    *    10-row broadcast join + per-query top-k window, not 10 scans).
+    */
+  final case class AnnGateCtx(n: Long, gateN: Long, corpus: DataFrame,
+                              qids: Seq[Long],
+                              qvec: Map[Long, Seq[Float]],
+                              exact: Map[Long, Seq[Long]]) {
+    /** The (q_id, q_vec) frame for batched approx paths. */
+    def queryFrame(idCol: String, vecCol: String): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      qids.map(q => (q, qvec(q))).toDF(idCol, vecCol)
+        .withColumn(vecCol, col(vecCol).cast("array<float>"))
+    }
   }
 
-  /** Batched LSH recall gate for the annTopK path: all `nq` strided
-    * query vectors ride ONE annCosineJoin against the corpus (nq
-    * separate annTopK calls each pay the full explode+join — measured
-    * +13.4 s at sf0.1 for 10 calls vs ~1.5 s batched). Same emission
-    * contract as [[annRecallGate]]. */
-  def annRecallGateBatched(emb: DataFrame, idCol: String, vecCol: String,
-                           n: Long, bands: Int, bitsPerBand: Int,
-                           floor: Double = 0.9, nq: Int = 10,
-                           k: Int = 10): DataFrame = {
+  private val annCtxCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Long, Int, Int), AnnGateCtx]]())
+
+  /** Drops the memoized exact table (and its cached corpus) for the
+    * session — Bench calls this before each timed run of the family's
+    * alphabetically-first member so the official record stamps the
+    * real one-pass exact cost on the payer and memo reads on the rest
+    * (the flagshipStatsCache pattern). */
+  def annGateReset(spark: SparkSession): Unit = annCtxCache.synchronized {
+    Option(annCtxCache.get(spark)).foreach { m =>
+      m.values.foreach(c => c.corpus.unpersist(blocking = false))
+      m.clear()
+    }
+  }
+
+  /** Session-agnostic reset for Bench's hook (which only has the query
+    * name): drops every session's memo. */
+  def annGateResetAll(): Unit = annCtxCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    annCtxCache.values.asScala.foreach { m =>
+      m.values.foreach(c => c.corpus.unpersist(blocking = false))
+      m.clear()
+    }
+  }
+
+  /** Memoized shared gate context — see [[AnnGateCtx]]. `dirKey` keys
+    * the memo (two fixture dirs can share a count). */
+  def annCtx(emb: DataFrame, idCol: String, vecCol: String, dirKey: String,
+             n: Long, nq: Int = 10, k: Int = 10,
+             cap: Long = AnnGateCap): AnnGateCtx =
+    annCtxCache.synchronized {
+      val perKey = Option(annCtxCache.get(emb.sparkSession)).getOrElse {
+        val m = scala.collection.mutable.Map
+          .empty[(String, Long, Int, Int), AnnGateCtx]
+        annCtxCache.put(emb.sparkSession, m); m
+      }
+      perKey.getOrElseUpdate((s"$dirKey#$cap", n, nq, k),
+        buildAnnCtx(emb, idCol, vecCol, n, nq, k, cap))
+    }
+
+  private def buildAnnCtx(emb: DataFrame, idCol: String, vecCol: String,
+                          n: Long, nq: Int, k: Int,
+                          cap: Long): AnnGateCtx = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cached = emb.cache()
-    try {
-      val qids = sampleIds(cached, idCol, n, nq)
-      val qvecs = cached.filter(col(idCol).isin(qids.map(Long.box): _*))
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val qdf = qvecs.toSeq.toDF(idCol, vecCol)
-        .withColumn(vecCol, col(vecCol).cast("array<float>"))
-      // the PRODUCTION path: annTopK delegates to the same batch form,
-      // so the gate exercises exactly what serving runs
-      val approxAll = Similarity.annTopKBatch(cached, idCol, vecCol,
-          qdf, k, bands, bitsPerBand)
-        .select(col("query_id"), col(idCol)).as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-      val recalls = qvecs.map { case (qid, qv) =>
-        val exact = Similarity.bruteForceTopK(cached, idCol, vecCol, qv, k)
-          .select(col(idCol).cast("long")).as[Long].collect().toSet
-        if (exact.isEmpty) 1.0
-        else approxAll.getOrElse(qid, Set.empty)
-          .intersect(exact).size.toDouble / exact.size
+    val base = emb.select(col(idCol), col(vecCol))
+    // one job yields BOTH the strided query ids and their vectors
+    // (sampleIds + a second vector-fetch scan was two)
+    val stride = math.max(1L, n / nq)
+    val qrows = base.filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol)).limit(nq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    val qids = qrows.map(_._1).toSeq
+    val qvec = qrows.toMap
+    val gate =
+      if (n <= cap) base
+      else {
+        // seeded deterministic sub-corpus, query ids always in
+        val mod = math.ceil(n.toDouble / cap).toLong
+        base.filter(
+          pmod(xxhash64(col(idCol).cast("long"), lit(42L)), lit(mod)) === 0 ||
+          col(idCol).isin(qids.map(Long.box): _*))
       }
-      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.length
-      Seq((-1L, flag(mean, floor)), (-2L, n.toDouble))
-        .toDF("vec_id", "cos_sim")
-    } finally cached.unpersist()
+    val corpus = gate.cache()
+    // below the cap the gate corpus IS the corpus: skip the count job
+    val gateN = if (n <= cap) n else corpus.count()
+    // ONE corpus pass scores every query: 10-row broadcast join, then
+    // top-k per q_id (the window shuffles n×nq (long,long,double) rows
+    // — 1M at the capped max, nothing like the 40 O(n·dim) scans the
+    // per-gate per-qid brute force paid in r14)
+    val qdf = qids.map(q => (q, qvec(q))).toDF("q_id", "q_vec")
+      .withColumn("q_vec", col("q_vec").cast("array<float>"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("c"), col("cand"))
+    val exact = corpus.crossJoin(broadcast(qdf))
+      .select(col("q_id"), col(idCol).cast("long").as("cand"),
+        Similarity.cosine(col(vecCol), col("q_vec")).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("cand"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    AnnGateCtx(n, gateN, corpus, qids, qvec, exact.toMap)
   }
 
-  /** Mean recall@k of an approximate top-k path vs the exact
-    * brute-force cosine scan, over `nq` strided query ids — the
-    * SimilaritySpec fixture gate promoted to any scale. Emits rows in
-    * the ANN queries' (vec_id, cos_sim) schema:
+  /** Emits the gate frame in the ANN queries' (vec_id, cos_sim) schema
+    * from approximate result sets vs the ctx's shared exact table:
     *   (-1, recall flag)   — self-check, 1.0 expected
-    *   (-2, corpus count)  — cross-engine (DuckDB recomputes the count)
+    *   (-2, corpus count)  — cross-engine (DuckDB recomputes the count;
+    *                         always the FULL count, capped gate or not)
     */
-  def annRecallGate(emb: DataFrame, idCol: String, vecCol: String,
-                    approxOf: Long => DataFrame, n: Long,
-                    floor: Double = 0.9, nq: Int = 10,
-                    k: Int = 10): DataFrame = {
-    val spark = emb.sparkSession
+  def recallFlagFrame(ctx: AnnGateCtx, approx: Long => Set[Long],
+                      floor: Double = 0.9): DataFrame = {
+    val spark = ctx.corpus.sparkSession
     import spark.implicits._
-    val cached = emb.cache()
-    try {
-      val qids = sampleIds(cached, idCol, n, nq)
-      val recalls = qids.map { qid =>
-        val qv = cached.filter(col(idCol) === qid)
-          .select(vecCol).head().getSeq[Float](0)
-        val exact = Similarity.bruteForceTopK(cached, idCol, vecCol, qv, k)
-          .select(col(idCol).cast("long")).as[Long].collect().toSet
-        val approx = approxOf(qid)
-          .select(col(idCol).cast("long")).as[Long].collect().toSet
-        if (exact.isEmpty) 1.0
-        else approx.intersect(exact).size.toDouble / exact.size
-      }
-      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
-      Seq((-1L, flag(mean, floor)), (-2L, n.toDouble))
-        .toDF("vec_id", "cos_sim")
-    } finally cached.unpersist()
+    val recalls = ctx.qids.map { qid =>
+      val exact = ctx.exact.getOrElse(qid, Seq.empty).toSet
+      if (exact.isEmpty) 1.0
+      else approx(qid).intersect(exact).size.toDouble / exact.size
+    }
+    val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    Seq((-1L, flag(mean, floor)), (-2L, ctx.n.toDouble))
+      .toDF("vec_id", "cos_sim")
   }
+
+  /** Batched LSH recall gate for the annTopK path: all `nq` query
+    * vectors ride ONE annCosineJoin against the (possibly capped) gate
+    * corpus — the PRODUCTION path, since annTopK delegates to the same
+    * batch form. Exact side comes from the shared memoized table. */
+  def annRecallGateBatched(ctx: AnnGateCtx, idCol: String, vecCol: String,
+                           bands: Int, bitsPerBand: Int,
+                           floor: Double = 0.9, k: Int = 10): DataFrame = {
+    val spark = ctx.corpus.sparkSession
+    import spark.implicits._
+    val approxAll = Similarity.annTopKBatch(ctx.corpus, idCol, vecCol,
+        ctx.queryFrame(idCol, vecCol), k, bands, bitsPerBand)
+      .select(col("query_id"), col(idCol)).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    recallFlagFrame(ctx, q => approxAll.getOrElse(q, Set.empty), floor)
+  }
+
 
   /** One-row gate frame in the MMR query's (rank, doc_id, mmr_score)
     * schema: (-1, -1, invariants flag), (-2, corpus count, 0.0). The
@@ -143,7 +222,7 @@ object ScaleGates {
     * first pick is the brute-force top-1 (lambda-damping never changes
     * pick #1 — the greedy's first step is pure relevance). */
   def mmrGate(emb: DataFrame, idCol: String, vecCol: String,
-              reranked: DataFrame, n: Long, k: Int): DataFrame = {
+              reranked: DataFrame, ctx: AnnGateCtx, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val picks = reranked.select(col("rank"), col("doc_id")).collect()
@@ -151,12 +230,23 @@ object ScaleGates {
     val ids = picks.map(_._2)
     val inCorpus = emb.filter(col(idCol).isin(ids.map(Long.box): _*))
       .count() == ids.distinct.length
-    val q = emb.orderBy(col(idCol)).select(vecCol).head().getSeq[Float](0)
-    val top1 = Similarity.bruteForceTopK(emb, idCol, vecCol, q, 1)
-      .select(col(idCol).cast("long")).as[Long].head()
+    val minRow = emb.orderBy(col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol)).head()
+    val (minId, q) = (minRow.getLong(0), minRow.getSeq[Float](1))
+    // the rerank's query is the min-id vector, which is also the first
+    // strided ctx query id whenever ids start at a stride multiple — in
+    // that (uncapped) case the shared exact table already holds the
+    // brute-force top-1 and the extra corpus scan is skipped; a capped
+    // ctx's exact side covers only the gate sub-corpus while the rerank
+    // ran over the full frame, so it cannot arbitrate here
+    val top1 =
+      if (ctx.gateN == ctx.n && ctx.exact.get(minId).exists(_.nonEmpty))
+        ctx.exact(minId).head
+      else Similarity.bruteForceTopK(emb, idCol, vecCol, q, 1)
+        .select(col(idCol).cast("long")).as[Long].head()
     val ok = picks.length == k && ids.distinct.length == k &&
       inCorpus && picks.minBy(_._1)._2 == top1
-    Seq((-1, -1L, if (ok) 1.0 else 0.0), (-2, n, 0.0))
+    Seq((-1, -1L, if (ok) 1.0 else 0.0), (-2, ctx.n, 0.0))
       .toDF("rank", "doc_id", "mmr_score")
   }
 

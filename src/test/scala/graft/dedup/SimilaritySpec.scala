@@ -136,6 +136,59 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("batched serving forms (i8/ivf/pq) return exactly the per-query " +
+    "loop's rows — same ids, same scores, same tie order") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val qids = Seq(0L, 7L, 23L, 101L, 200L)
+    val qvecs = qids.map(id => id ->
+      emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select($"vec_id".cast("long"), $"cos_sim")
+        .as[(Long, Double)].collect().toSeq
+    def batchRows(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      df.select($"q_id", $"vec_id".cast("long"), $"cos_sim")
+        .as[(Long, Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.map(r => (r._2, r._3))
+            .sortBy { case (id, c) => (-c, id) }
+        }
+    // int8: same kernel, one pass
+    val quant = Similarity.quantizeInt8(
+      emb, "vec_id", "embedding", withScale = false).cache()
+    val qcodes = qids.map(id => id ->
+      quant.filter($"vec_id" === id).select("codes").head().getSeq[Byte](0))
+    val i8b = batchRows(Similarity.quantizedTopKBatch(
+      quant, "vec_id", "codes", qcodes, 10))
+    qcodes.foreach { case (qid, qc) =>
+      assert(i8b(qid) == rows(
+        Similarity.quantizedTopK(quant, "vec_id", "codes", qc, 10)),
+        s"i8 qid=$qid")
+    }
+    quant.unpersist()
+    // ivf: same seeded fit → same centroids → same probe sets
+    val (idx, search) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8, nprobe = 4)
+    val ivfb = batchRows(Similarity.ivfTopKBatch(emb, "vec_id",
+      "embedding", qvecs, 10, nlist = 8, nprobe = 4))
+    qvecs.foreach { case (qid, qv) =>
+      assert(ivfb(qid) == rows(search(qv)(10)), s"ivf qid=$qid")
+    }
+    idx.unpersist()
+    // pq: same books + encoded frame on both paths
+    val (encoded, books) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val enc = encoded.cache()
+    val pqb = batchRows(Similarity.pqTopKBatch(enc, books, "vec_id",
+      "embedding", qvecs, 10, rerank = 100))
+    qvecs.foreach { case (qid, qv) =>
+      assert(pqb(qid) == rows(Similarity.pqTopK(enc, books, "vec_id",
+        "embedding", qv, 10, rerank = 100)), s"pq qid=$qid")
+    }
+    enc.unpersist()
+    emb.unpersist()
+  }
+
   test("ivfTopK: self is top hit; recall vs brute force reasonable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0)

@@ -37,11 +37,56 @@ class ScaleGatesSpec extends SparkSpec {
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    val out = ScaleGates.annRecallGateBatched(emb, "vec_id", "embedding",
-      n = 40L, bands = 12, bitsPerBand = 3, floor = 0.9, nq = 5, k = 5)
+    val ctx = ScaleGates.annCtx(emb, "vec_id", "embedding",
+      dirKey = "spec-batched", n = 40L, nq = 5, k = 5)
+    val out = ScaleGates.annRecallGateBatched(ctx, "vec_id", "embedding",
+      bands = 12, bitsPerBand = 3, floor = 0.9, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(out(-1L) == 1.0, s"recall flag: ${out(-1L)}")
     assert(out(-2L) == 40.0)
+    ScaleGates.annGateReset(spark)
+  }
+
+  test("annCtx: the shared exact table matches per-qid brute force, is " +
+    "memoized per (dir, n), and the capped gate corpus keeps the qids") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 0.83 + d * 1.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val ctx = ScaleGates.annCtx(emb, "vec_id", "embedding",
+      dirKey = "spec-ctx", n = 60L, nq = 4, k = 5)
+    assert(ctx.n == 60L && ctx.gateN == 60L) // below the cap: uncapped
+    assert(ctx.qids.nonEmpty && ctx.qids.forall(ctx.qvec.contains))
+    // the one-pass table == nq independent brute-force scans (order too)
+    ctx.qids.foreach { qid =>
+      val bf = graft.dedup.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", ctx.qvec(qid), 5)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+      assert(ctx.exact(qid) == bf, s"qid=$qid: ${ctx.exact(qid)} vs $bf")
+    }
+    // memoized: the same (dir, n) returns the SAME instance, no rebuild
+    val again = ScaleGates.annCtx(emb, "vec_id", "embedding",
+      dirKey = "spec-ctx", n = 60L, nq = 4, k = 5)
+    assert(again eq ctx)
+    // recallFlagFrame failure path: an approx side that always misses
+    val bad = ScaleGates.recallFlagFrame(ctx, _ => Set(-999L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bad(-1L) == 0.0 && bad(-2L) == 60.0)
+    // capped: the gate corpus shrinks to ~cap but every qid survives,
+    // the exact table covers the SUB-corpus, and the cross-engine cell
+    // still reports the FULL count
+    val capped = ScaleGates.annCtx(emb, "vec_id", "embedding",
+      dirKey = "spec-ctx-cap", n = 60L, nq = 4, k = 5, cap = 20L)
+    assert(capped.gateN < 60L && capped.gateN >= capped.qids.length)
+    val gateIds = capped.corpus.select(col("vec_id").cast("long"))
+      .as[Long].collect().toSet
+    assert(capped.qids.forall(gateIds.contains))
+    assert(capped.exact.values.forall(_.forall(gateIds.contains)))
+    val frame = ScaleGates.recallFlagFrame(capped,
+        q => capped.exact(q).toSet)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(frame(-1L) == 1.0 && frame(-2L) == 60.0)
+    ScaleGates.annGateReset(spark)
   }
 
   test("dbscanAriGate: identical labelings score ARI 100; a corrupted " +
@@ -76,8 +121,10 @@ class ScaleGatesSpec extends SparkSpec {
     val q = emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
     val reranked = graft.dedup.Similarity.mmrRerank(
       emb, "vec_id", "embedding", q, kCand = 15, k = 5)
+    val ctx = ScaleGates.annCtx(emb, "vec_id", "embedding",
+      dirKey = "spec-mmr", n = 20L, nq = 4, k = 5)
     val ok = ScaleGates.mmrGate(emb, "vec_id", "embedding", reranked,
-      n = 20L, k = 5).collect()
+      ctx, k = 5).collect()
       .map(r => (r.getInt(0), r.getDouble(2))).toMap
     assert(ok(-1) == 1.0)
     // swap ranks 1 and 2: pick #1 is no longer the relevance argmax
@@ -85,8 +132,9 @@ class ScaleGatesSpec extends SparkSpec {
       when(col("rank") === 1, 2).when(col("rank") === 2, 1)
         .otherwise(col("rank")))
     val bad = ScaleGates.mmrGate(emb, "vec_id", "embedding", swapped,
-      n = 20L, k = 5).collect()
+      ctx, k = 5).collect()
       .map(r => (r.getInt(0), r.getDouble(2))).toMap
     assert(bad(-1) == 0.0)
+    ScaleGates.annGateReset(spark)
   }
 }
