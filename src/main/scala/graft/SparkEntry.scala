@@ -5757,22 +5757,35 @@ object SparkEntry {
     // the full 5-metric frame: the same four external metrics plus the
     // squared-Euclidean silhouette exactly as ml.ClusteringEvaluator
     // defines it — a(i) over OTHER own-cluster points (singleton → 0),
-    // b(i) = min other-cluster mean, s = (b−a)/max(a,b). All-pairs is
-    // the oracle's luxury at fixture n; Spark's side is the one-pass
-    // norm-formula form. Verified to agree to ~1e-16 before quantizing.
+    // b(i) = min other-cluster mean, s = (b−a)/max(a,b). r15: the
+    // all-pairs oracle (O(n²·d), DuckDB-intractable at sf1) is replaced
+    // by the same norm-formula form the Spark side uses —
+    // Σ_j∈q ||x_i−x_j||² = n_q·||x_i||² + Σ_j∈q ||x_j||² − 2·x_i·S_q
+    // with per-cluster (count, Σ||x||², component-sum vector) aggregates,
+    // O(n·k·d). Verified identical output (post 1e-6 quantize) to the
+    // all-pairs twin at sf0.01 and sf0.1; 0.5 s at sf1 where all-pairs
+    // timed out at 600 s.
     "m10_metrics" -> (
       s"WITH $m10ExternalCtes, " +
         "jj AS (SELECT e.vec_id AS id, d.lang AS p, " +
         "list_transform(e.embedding, x -> x::DOUBLE) AS v " +
         "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), " +
-        "pairs AS (SELECT a.id AS ia, a.p AS pa, b.p AS pb, " +
-        "list_sum(list_transform(range(1, len(a.v)+1), " +
-        "i -> (a.v[i] - b.v[i])^2)) AS d2 " +
-        "FROM jj a JOIN jj b ON a.id <> b.id), " +
-        "percl AS (SELECT ia, pa, pb, avg(d2) AS md FROM pairs " +
-        "GROUP BY ia, pa, pb), " +
-        "ab AS (SELECT ia, max(CASE WHEN pb = pa THEN md END) AS a, " +
-        "min(CASE WHEN pb <> pa THEN md END) AS b FROM percl GROUP BY ia), " +
+        "dimrow AS (SELECT p, unnest(v) AS xv, " +
+        "generate_subscripts(v, 1) AS dim FROM jj), " +
+        "sdim AS (SELECT p, dim, sum(xv) AS sv FROM dimrow GROUP BY p, dim), " +
+        "svec AS (SELECT p, list(sv ORDER BY dim) AS s FROM sdim GROUP BY p), " +
+        "cq AS (SELECT p, count(*) AS np, " +
+        "sum(list_sum(list_transform(v, x -> x*x))) AS q FROM jj GROUP BY p), " +
+        "cl AS (SELECT cq.p, np, q, s FROM cq JOIN svec USING (p)), " +
+        "pt AS (SELECT id, p AS pp, v, " +
+        "list_sum(list_transform(v, x -> x*x)) AS vn FROM jj), " +
+        "d2 AS (SELECT pt.id, pt.pp, cl.p AS cq2, cl.np, " +
+        "cl.np*pt.vn + cl.q - 2*list_sum(list_transform(" +
+        "range(1, len(pt.v)+1), i -> pt.v[i]*cl.s[i])) AS ssum " +
+        "FROM pt CROSS JOIN cl), " +
+        "ab AS (SELECT id, " +
+        "max(CASE WHEN cq2 = pp AND np > 1 THEN ssum/(np-1) END) AS a, " +
+        "min(CASE WHEN cq2 <> pp THEN ssum/np END) AS b FROM d2 GROUP BY id), " +
         "sil AS (SELECT CASE WHEN a IS NULL THEN 0.0 " +
         "ELSE (b - a)/greatest(a, b) END AS s FROM ab) " +
         s"SELECT $m10ExternalSelect, " +
@@ -6003,37 +6016,33 @@ object SparkEntry {
       urlCanonCte + "SELECT url_canon, min(doc_id) AS keep_id, " +
         "count(*) AS dup_cnt FROM c GROUP BY 1 ORDER BY url_canon"),
     "llm_ngram_jaccard" -> ( ngramJaccardSql),
-    // EXACT all-pairs Jaccard over the same (gram=8, stride=4) shingles —
-    // this gates LSH recall: a pair the banded join misses is a red row.
+    // EXACT Jaccard over the same (gram=8, stride=4) shingles — this
+    // gates LSH recall: a pair the banded join misses is a red row.
     // Substring sets stand in for the xxhash64 shingle sets (Jaccard is
     // identical absent hash collisions). Bit-exact: jaccard is a single
-    // int/int division on both sides.
+    // int/int division on both sides. r15: the all-pairs `s a JOIN s b`
+    // form (O(n²), DuckDB-intractable past ~sf0.1) is replaced by the
+    // inverted-index BLOCKED form — exactly equivalent, since any pair
+    // with jaccard >= 0.3 > 0 shares at least one shingle and so
+    // survives blocking, and count(*) over the distinct-shingle join IS
+    // |intersection|. Verified bit-identical to the all-pairs form at
+    // sf0.01 and sf0.1; 580 s -> 11.8 s at sf0.1, 176 s at sf1 (x10)
+    // where the old form timed out at 600 s.
     "llm_near_dedup" -> (
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(""" +
-        """generate_series(1, greatest(length(norm)-7, 1), 4), """ +
-        """i -> substr(norm, i, 8))) AS sh FROM """ +
-        """(SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') """ +
-        """AS norm FROM documents)) """ +
-        """SELECT a.doc_id AS id_a, b.doc_id AS id_b, """ +
-        """len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
-        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
-        """AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id """ +
-        """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
-        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
-        """>= 0.3 ORDER BY id_a, id_b"""),
+      s"WITH $nearDupBlockedCtes " +
+        """SELECT id_a, id_b, """ +
+        """inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) AS jaccard """ +
+        """FROM cand JOIN sl la ON la.doc_id = id_a """ +
+        """JOIN sl lb ON lb.doc_id = id_b """ +
+        """WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3 """ +
+        """ORDER BY id_a, id_b"""),
     // kept set after streaming near-dedup = docs minus any id_b of the
-    // same exact all-pairs Jaccard join llm_near_dedup's twin runs
+    // same blocked exact Jaccard join llm_near_dedup's twin runs
     "st6_stream_near_dedup" -> (
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(""" +
-        """generate_series(1, greatest(length(norm)-7, 1), 4), """ +
-        """i -> substr(norm, i, 8))) AS sh FROM """ +
-        """(SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') """ +
-        """AS norm FROM documents)), """ +
-        """p AS (SELECT b.doc_id AS id_b FROM s a JOIN s b """ +
-        """ON a.doc_id < b.doc_id """ +
-        """WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / """ +
-        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) """ +
-        """>= 0.3) """ +
+      s"WITH $nearDupBlockedCtes, " +
+        """p AS (SELECT id_b FROM cand """ +
+        """JOIN sl la ON la.doc_id = id_a JOIN sl lb ON lb.doc_id = id_b """ +
+        """WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3) """ +
         """SELECT doc_id FROM documents WHERE doc_id NOT IN """ +
         """(SELECT id_b FROM p) ORDER BY doc_id"""),
     "llm_repetition" -> ( repetitionSql),
@@ -7033,21 +7042,38 @@ object SparkEntry {
       "coalesce(hits.n_shared, 0) > 0 AS contaminated " +
       "FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
 
+  /** Shared CTE block for the three near-dup twins: the blocked exact
+    * Jaccard pair relation. `s` = per-doc distinct (gram=8, stride=4)
+    * shingle sets, `sl` = set sizes, `x` = the inverted index, `cand` =
+    * candidate pairs sharing >= 1 shingle with count(*) = EXACT
+    * |intersection| (inputs are distinct per doc). Equivalent to the
+    * all-pairs join for any threshold > 0 — a pair with positive
+    * Jaccard shares a shingle — but Σ df² instead of n² pairs, which is
+    * what makes the twin DuckDB-tractable at sf1 where all-pairs hits
+    * the 600 s watchdog. Verified bit-identical at sf0.01/sf0.1.
+    * MATERIALIZED so the recursive-CC twin doesn't re-evaluate the join
+    * per iteration (487 s -> 109 s at sf1). */
+  private def nearDupBlockedCtes: String =
+    "s AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(length(norm)-7, 1), 4), " +
+      "i -> substr(norm, i, 8))) AS sh FROM " +
+      "(SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') " +
+      "AS norm FROM documents)), " +
+      "sl AS (SELECT doc_id, len(sh) AS l FROM s), " +
+      "x AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+      "cand AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "count(*) AS inter FROM x a JOIN x b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
   /** Oracle twin of Curation.dupGroups over the SAME pair relation as
     * llm_near_dedup (8-gram stride-4 shingle Jaccard >= 0.3): component
     * ids via a recursive min-label reachability CTE — an INDEPENDENT
     * connected-components formulation gating the GraphX one. */
   private def dupGroupsSql: String =
-    "WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_transform(" +
-      "generate_series(1, greatest(length(norm)-7, 1), 4), " +
-      "i -> substr(norm, i, 8))) AS sh FROM " +
-      "(SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') " +
-      "AS norm FROM documents)), " +
-      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a " +
-      "JOIN s b ON a.doc_id < b.doc_id " +
-      "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / " +
-      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE) " +
-      ">= 0.3), " +
+    s"WITH RECURSIVE $nearDupBlockedCtes, " +
+      "p AS MATERIALIZED (SELECT id_a, id_b FROM cand " +
+      "JOIN sl la ON la.doc_id = id_a JOIN sl lb ON lb.doc_id = id_b " +
+      "WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3), " +
       "e AS (SELECT id_a AS src, id_b AS dst FROM p " +
       "UNION ALL SELECT id_b, id_a FROM p), " +
       "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
