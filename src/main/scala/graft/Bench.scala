@@ -23,7 +23,8 @@ object Bench {
     * driver's front-truncated tails, where the `"queries":{` marker may
     * be cut off. */
   private val ReservedKeys =
-    Set("value", "n_ok", "n_fail", "sf", "action", "value_end")
+    Set("value", "n_ok", "n_fail", "sf", "action", "value_end",
+      "load_start", "load_end")
 
   def parsePrevTimes(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
@@ -90,6 +91,16 @@ object Bench {
     // that silently disarms parsePrevTimes and the whole arbitration
     // chain), so pin the JVM to ROOT before any formatting
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // 1-minute loadavg, stamped at start and end of the suite (r14
+    // VERDICT #3): the official BENCH_r14 artifact ran concurrently with
+    // DuckDB oracle sweeps and measured host contention (+10%) that was
+    // indistinguishable from regression in the record itself. With the
+    // markers, a reader of BENCH_r*.json alone can separate
+    // gates-by-design, contention (load >> cpus), and real regressions.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -313,7 +324,11 @@ object Bench {
     // tail-truncation eats (BENCH_r10's "parsed": null) — so the headline
     // total is ALSO stamped at the end as value_end, inside any
     // truncation window, making the shipped artifact self-contained
-    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","value_end":$total}"""
+    // load markers stamped at the END (inside the driver's truncation
+    // window, like action/value_end); ReservedKeys excludes them from
+    // parsePrevTimes so they can never masquerade as query times
+    val loadEnd = loadAvg()
+    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"value_end":$total}"""
     println(line)
     // full-suite runs feed the next run's arbitration via the (complete,
     // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not

@@ -82,13 +82,15 @@ class BenchParseSpec extends AnyFunSuite {
     val line = """{"metric":"total_ok","value":484.123,"unit":"sec",""" +
       """"queries":{"q1_pricing":1.063,"o4_head":0.115},"n_ok":111,""" +
       """"n_fail":0,"sf":"/root/testdata/sf0.1","action":"noop",""" +
-      """"value_end":484.123}"""
+      """"load_start":2.41,"load_end":31.07,"value_end":484.123}"""
     val t = Bench.parsePrevTimes(line)
     assert(t == Map("q1_pricing" -> 1.063, "o4_head" -> 0.115))
     assert(!t.contains("value"))
     // value_end is the tail-stamped headline total (the driver truncates
     // the front-stamped value away) — it must not become a phantom query
     assert(!t.contains("value_end"))
+    // r15 host-load markers (contention forensics) are reserved too
+    assert(!t.contains("load_start") && !t.contains("load_end"))
   }
 
   test("a sweep-field entry can never be parsed as a query time") {
