@@ -13,6 +13,13 @@ import graft.text.{Clean, Repetition}
   * each operator carries an exact DuckDB oracle. */
 object Curation {
 
+  /** Max distinct eval grams [[decontaminateScan]] will embed as a plan
+    * literal before falling back to the join form: 4M hashes = 32 MB of
+    * plan — at the broadcast-table scale Spark itself defaults to, and
+    * well past any real benchmark suite (MMLU+HellaSwag+BBH-class eval
+    * sets are ~10⁵–10⁶ grams). */
+  val EvalGramCap: Int = 4 << 20
+
   /** Benchmark decontamination (GPT-3 appendix C / PaLM style): a train
     * document is contaminated when it shares at least one word n-gram
     * with any document in the evaluation/benchmark set. Returns one row
@@ -63,15 +70,31 @@ object Curation {
     * Driver/broadcast boundary: the eval side is collected (8 bytes per
     * distinct eval gram — the same order of memory the join form already
     * broadcast as a table); binary search per train gram makes the
-    * per-doc cost O(tokens · log evalGrams). */
+    * per-doc cost O(tokens · log evalGrams).
+    *
+    * Size contract (r14 VERDICT #7): the collected hash set rides the
+    * PLAN as a foldable literal, so its size is a driver/serialization
+    * budget, not just heap — the distinct gram count is probed first
+    * (one aggregate over the tiny eval side) and an eval set past
+    * `maxEvalGrams` (default [[EvalGramCap]], 4M grams = 32 MB literal)
+    * falls back to the broadcast-join form [[decontaminate]], which has
+    * the identical result contract and no plan-literal ceiling. The probe
+    * is limit-bounded (never counts past cap+1), so an enormous eval set
+    * costs one early-stopped scan, not a full distinct count. */
   def decontaminateScan(docs: DataFrame, evalDocs: DataFrame, idCol: String,
-                        textCol: String, n: Int = 8): DataFrame = {
+                        textCol: String, n: Int = 8,
+                        maxEvalGrams: Int = EvalGramCap): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val evalHashes: Array[Long] = evalDocs
+    val evalGramsDf = evalDocs
       .select(explode(array_distinct(Repetition.wordNgrams(
         Clean.splitWs(lower(col(textCol))), n))).as("gram"))
       .select(xxhash64(col("gram")).as("gram_h")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    require(maxEvalGrams > 0, s"maxEvalGrams must be positive: $maxEvalGrams")
+    val probeLimit = math.min(maxEvalGrams.toLong + 1, Int.MaxValue).toInt
+    if (evalGramsDf.limit(probeLimit).count() > maxEvalGrams)
+      return decontaminate(docs, evalDocs, idCol, textCol, n)
+    val evalHashes: Array[Long] =
+      evalGramsDf.collect().map(_.getLong(0)).sorted
     // the sliding-window kernel is the codegen'd native graft_gram_hits
     // (it was a ScalaUDF closure until r8 — the per-row Catalyst
     // array→Seq conversion was the scan's hottest non-kernel cost); the

@@ -41,6 +41,36 @@ class CurationSpec extends SparkSpec {
     assert(!scan.find(_._1 == 4L).get._3) // too short → clean
   }
 
+  test("decontaminateScan eval-size contract: literal kernel under the " +
+    "cap, silent join-form fallback past it, identical results") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zzz alpha beta gamma delta qqq"),
+      (2L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" === 0)
+    // eval doc 0 has 3 distinct 3-grams; cap 2 forces the fallback
+    val under = Curation.decontaminateScan(docs, evalDocs, "doc_id", "text",
+      n = 3, maxEvalGrams = 8)
+    val over = Curation.decontaminateScan(docs, evalDocs, "doc_id", "text",
+      n = 3, maxEvalGrams = 2)
+    // the plan SHAPE is the contract: under-cap rides the scan kernel
+    // (foldable literal, no join); over-cap is the broadcast-join form.
+    // Analyzed plan, not optimized: over a local Seq the optimizer
+    // constant-folds both forms down to a LocalRelation
+    assert(under.queryExecution.analyzed.toString
+      .contains("graft_gram_hits"))
+    val overPlan = over.queryExecution.analyzed.toString
+    assert(!overPlan.contains("graft_gram_hits") && overPlan.contains("Join"))
+    assert(under.as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq ==
+      over.as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq)
+    // a non-positive cap is a caller bug, not a silent fallback
+    intercept[IllegalArgumentException] {
+      Curation.decontaminateScan(docs, evalDocs, "doc_id", "text",
+        n = 3, maxEvalGrams = 0)
+    }
+  }
+
   test("dupGroups: components labeled by min id, singletons kept") {
     val ids = (0L to 5L).toDF("doc_id")
     // 0-1, 1-2 chain one group; 3-4 another; 5 singleton
