@@ -121,7 +121,8 @@ object Dbscan {
     * features: ml Vector), un-persisted (callers own caching). */
   private[graft] def epsEdges(pts: DataFrame, eps: Double,
                               bucketLength: Double = 2.0,
-                              numHashTables: Int = 3): DataFrame = {
+                              numHashTables: Int = 3,
+                              hotBucketShard: Int = 4096): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(pts.sparkSession)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
@@ -145,21 +146,57 @@ object Dbscan {
       posexplode(col("hashes")).as(Seq("entry", "hv")))
     val sideA = exploded("a", "fa")
     val sideBRaw = exploded("b", "fb")
-    val sideB = {
-      val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
-      // The hint exists precisely to EXCEED the auto threshold: stats
-      // overestimate the exploded side, so AQE alone would shuffle a
-      // relation we know fits. Gate at a fixed 64 MB — min()-ing with
-      // the session threshold (default 10 MB) would neuter the hint in
-      // every default session. The one user signal respected is the
-      // explicit disable (-1): that IS a driver-memory decision.
-      val disabled = pts.sparkSession.sessionState.conf
-        .autoBroadcastJoinThreshold < 0
-      if (!disabled && est * numHashTables * 6 <= BigInt(64L << 20))
-        broadcast(sideBRaw)
-      else sideBRaw
-    }
-    sideA.join(sideB, Seq("entry", "hv"))
+    val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+    // The hint exists precisely to EXCEED the auto threshold: stats
+    // overestimate the exploded side, so AQE alone would shuffle a
+    // relation we know fits. Gate at a fixed 64 MB — min()-ing with
+    // the session threshold (default 10 MB) would neuter the hint in
+    // every default session. The one user signal respected is the
+    // explicit disable (-1): that IS a driver-memory decision.
+    val disabled = pts.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold < 0
+    val doBroadcast =
+      !disabled && est * numHashTables * 6 <= BigInt(64L << 20)
+    val (joinedA, joinedB, joinKeys) =
+      if (doBroadcast)
+        // broadcast path: map-side join, no bucket-key shuffle — a hot
+        // bucket's pair work is already spread across side-A partitions
+        // by row, so there is nothing to de-skew
+        (sideA, broadcast(sideBRaw), Seq("entry", "hv"))
+      else {
+        // SHUFFLE path (the corpus-scale regime): the join keys on
+        // (entry, hv), and a dense region puts BOTH sides' rows of one
+        // bucket into one task — in-bucket pair work is quadratic in
+        // occupancy and lands on single stragglers (measured at ×100:
+        // ~6 of 32 cores busy for 20+ min on the self-similar fixture).
+        // Occupancy-aware salting: one narrow count over (entry, hv)
+        // finds buckets past `hotBucketShard`; the hot set is tiny
+        // (≤ n·tables/hotBucketShard keys) and broadcasts. Side A rows
+        // of a hot bucket get shard = hash(id) mod k with
+        // k = ceil(occ/hotBucketShard); side B rows replicate to all k
+        // shards — every (a, b) pair still meets in exactly one shard,
+        // so the edge SET is unchanged (spec-pinned) while a hot
+        // bucket's work fans out over k tasks. Cold buckets pay one
+        // broadcast-join probe and a constant shard 0, no replication.
+        val hot = hashed
+          .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
+          .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > hotBucketShard)
+          .select(col("entry"), col("hv"),
+            ceil(col("occ").cast("double") / hotBucketShard)
+              .cast("int").as("nshard"))
+        val a = sideA.join(broadcast(hot), Seq("entry", "hv"), "left")
+          .withColumn("shard", when(col("nshard").isNull, lit(0))
+            .otherwise(pmod(xxhash64(col("a")), col("nshard")).cast("int")))
+          .drop("nshard")
+        val b = sideBRaw.join(broadcast(hot), Seq("entry", "hv"), "left")
+          .withColumn("shard", explode(
+            when(col("nshard").isNull, array(lit(0)))
+              .otherwise(sequence(lit(0), col("nshard") - 1))))
+          .drop("nshard")
+        (a, b, Seq("entry", "hv", "shard"))
+      }
+    joinedA.join(joinedB, joinKeys)
       .filter(col("a") =!= col("b") &&
         call_function("graft_l2_sq", col("fa"), col("fb")) < lit(eps * eps))
       .select("a", "b").distinct()

@@ -516,6 +516,93 @@ object Scale9 {
       }
     }
 
+    // DBSCAN distributed at ×100 (r14 VERDICT #6): 200k vectors is past
+    // smallGraphEdgeCap for any ε that leaves a usable graph, so this is
+    // where the GraphX Pregel CC route actually engages. Two honesty
+    // constraints, both measured rather than asserted:
+    //   1. ε is PROBED, not copied from ×1: the self-similar fixture
+    //      densifies ~linearly in copies (copies overlay in embedding
+    //      space — a signed dim-permutation of the same blob), so ε=1.2
+    //      at ×100 means ~24k nbrs/vec and a ~2.4B-edge ε-graph. The
+    //      probe scores 64 seeded query points against the full corpus
+    //      (one broadcast-join pass, 64·n distances) across a radius
+    //      grid and picks the largest ε with mean degree ≤ ~32 — the
+    //      ε a practitioner would pick for this density.
+    //   2. bucketLength shrinks with ε (in-bucket candidate volume
+    //      tracks bucket width, not ε — the documented ×100 killer at
+    //      bucketLength=2.0).
+    // Gate: the GraphX route's labels must EQUAL the driver union-find
+    // route's labels on the same edge relation (cap forced past the
+    // edge count) — exact equality, stronger than an ARI floor; the
+    // LSH-fit seed is Spark ML's deterministic default so both runs see
+    // the same edges. The bounded-sample ARI-vs-exact gate also fires
+    // at this scale via the registered m5_dbscan_dist (vec_id < 300).
+    if (sections("dbscan100")) {
+      import spark.implicits._
+      val dir = "benchdata/sf10"
+      val embRaw = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val emb = embRaw.select(col("vec_id"),
+        graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+      val n = embRaw.count()
+      // the fixture's degree(ε) onset is SHARP (32-dim concentration:
+      // 0 nbrs at ε=0.9, ~113 at ε=1.1 — measured), so the grid is
+      // fine-stepped across the onset window
+      val grid = Array(0.95, 1.0, 1.05, 1.1)
+      val probes = embRaw.filter(col("vec_id") % (n / 64) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qf"))
+      val degs = timed("dbscan x100 density probe (64 queries x grid)") {
+        // index-keyed names: a literal "e0.5" would parse as struct access
+        val perQ = grid.indices.map(i => sum(when(col("d2") < grid(i) * grid(i)
+          && col("d2") > 0, 1L).otherwise(0L)).as(s"e$i"))
+        val overQ = grid.indices.map(i => avg(s"e$i").as(s"e$i"))
+        val counts = embRaw.crossJoin(broadcast(probes))
+          .select(col("qid"), call_function("graft_l2_sq",
+            col("embedding"), col("qf")).as("d2"))
+          .groupBy("qid").agg(perQ.head, perQ.tail: _*)
+          .drop("qid").agg(overQ.head, overQ.tail: _*)
+          .head()
+        grid.indices.map(i => grid(i) -> counts.getDouble(i))
+      }
+      degs.foreach { case (e, d) =>
+        println(f"[scale9]   x100 mean ε-degree at ε=$e%.2f: $d%.1f") }
+      // largest ε whose mean degree stays join-friendly, but the graph
+      // must be non-trivial (mean degree ≥ minPts, else every point is
+      // noise and the empty edge relation trivially takes the driver
+      // route — gating nothing); fall back to the densest probed ε
+      val eps = degs.filter(d => d._2 <= 64.0 && d._2 >= 5.0)
+        .map(_._1).lastOption.getOrElse(grid.last)
+      val bl = eps / 2
+      println(f"[scale9]   chosen ε=$eps%.2f bucketLength=$bl%.2f")
+      val labelsGraphx = timed(s"dbscan distributed x100 eps=$eps (GraphX CC)") {
+        val l = graft.ml.Dbscan.distributed(
+            emb, "vec_id", "features", eps = eps, minPts = 5,
+            bucketLength = bl)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val r = l.agg(count(lit(1)).as("n"),
+          sum(when(col("label") >= 0, 1L).otherwise(0L)).as("clustered"),
+          countDistinct(when(col("label") >= 0, col("label"))).as("k"))
+          .head()
+        println(s"[scale9]   x100 n=${r.getLong(0)} " +
+          s"clustered=${r.getLong(1)} clusters=${r.getLong(2)}")
+        l
+      }
+      timed("dbscan x100 route equality (driver union-find, same edges)") {
+        // cap forced past any plausible edge count; NOT Int.MaxValue —
+        // the probe's limit(cap+1) would overflow negative
+        val labelsDriver = graft.ml.Dbscan.distributed(
+          emb, "vec_id", "features", eps = eps, minPts = 5,
+          bucketLength = bl, smallGraphEdgeCap = Int.MaxValue - 1)
+        val diff = labelsGraphx.withColumnRenamed("label", "lg")
+          .join(labelsDriver.withColumnRenamed("label", "ld"), "vec_id")
+          .filter(col("lg") =!= col("ld")).count()
+        println(s"[scale9]   route label disagreements: $diff (must be 0)")
+        assert(diff == 0, s"GraphX vs driver CC disagree on $diff labels")
+      }
+      labelsGraphx.unpersist(); embRaw.unpersist()
+    }
+
     // Char-LM NLL: JOIN form vs SCAN form under corpus growth (r11,
     // VERDICT r10 perf note — the join form had become the slowest
     // non-ML query and "earns a Scale9 row or a demotion note"). The

@@ -52,6 +52,27 @@ class DbscanSpec extends SparkSpec {
     assert(viaDriver.values.exists(_ >= 0)) // fixture actually clusters
   }
 
+  test("hot-bucket salting leaves the ε-edge set unchanged (shuffle path)") {
+    // the ×100 skew fix: on the shuffle path, buckets past hotBucketShard
+    // are split A-by-hash / B-replicated — a pure parallelism transform.
+    // Broadcast is disabled so the sharded join actually engages, and
+    // hotBucketShard=2 makes nearly every bucket "hot" on the fixture;
+    // the resulting edge SET must be identical to the unsharded join's.
+    val df = pts.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // default cap: every fixture bucket is cold (shard ≡ 0)
+      val base = Dbscan.epsEdges(df, eps = 0.5)
+        .as[(Long, Long)].collect().toSet
+      // cap=2: nearly every bucket hot → real A-split/B-replicate fan-out
+      val sharded = Dbscan.epsEdges(df, eps = 0.5, hotBucketShard = 2)
+        .as[(Long, Long)].collect().toSet
+      assert(sharded == base && base.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("distributed DBSCAN quality gate: ARI vs exact on border-heavy data") {
     // Adversarial fixture for the LSH path (the r7 verdict's missing
     // contract): two gaussian clusters whose tails approach the eps
