@@ -1402,17 +1402,24 @@ object SparkEntry {
         // set-algebra count (which the twin recomputes) when the
         // estimate is within 5%, the raw estimate when not (loud).
         // Fixture arm keeps the pure sketch plan. Only THREE exact
-        // counts are computed (|c|, |p|, |c∩p| over cached distinct
-        // sets); union and difference follow by set identity
-        val c = ev.filter(col("event_type") === "click" && col("value") > 200)
-          .select("user_id").distinct().cache()
-        val p = ev.filter(col("event_type") === "purchase" &&
-          col("value") > 200).select("user_id").distinct().cache()
-        val exact = try {
-          val nc = c.count(); val np = p.count()
-          val nBoth = c.intersect(p).count()
-          Seq(nc, np, nBoth, nc + np - nBoth, nc - nBoth)
-        } finally { c.unpersist(); p.unpersist() }
+        // counts are needed (|c|, |p|, |c∩p|); union and difference
+        // follow by set identity — and all three come from ONE
+        // scan+shuffle (r15: the previous cached-distinct + intersect
+        // form paid four event scans and three exchanges per sweep):
+        // group the qualifying rows by user, flag click/purchase
+        // membership per user, sum the flags
+        val m = ev.filter((col("event_type") === "click" ||
+            col("event_type") === "purchase") && col("value") > 200)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("isc"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("isp"))
+          .agg(sum("isc").as("nc"), sum("isp").as("np"),
+            sum(col("isc") * col("isp")).as("nboth"))
+          .head()
+        val (nc, np, nBoth) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val exact = Seq(nc, np, nBoth, nc + np - nBoth, nc - nBoth)
         val est = sketch.head()
         val cells = exact.indices.map { i =>
           val e = est.getLong(i)
@@ -2938,13 +2945,19 @@ object SparkEntry {
         // tied more than eps*n times makes the one-sided form fail
         // legitimately); a violated bound emits the approx value
         val qs = approx.select(col("quantiles")).head().getSeq[Double](0)
-        val n = orders.filter(col("o_totalprice").isNotNull).count()
         val eps = 2e-4
-        val flags = Seq(0.25, 0.5, 0.75).zip(qs).map { case (p, v) =>
-          val below = orders.filter(col("o_totalprice") < v).count()
-          val atOrBelow = orders.filter(col("o_totalprice") <= v).count()
-          val ok = below <= p * n + eps * n + 1 &&
-            atOrBelow >= p * n - eps * n - 1
+        val ps = Seq(0.25, 0.5, 0.75)
+        // ONE scan for n and all six rank counts (r15: was 7 scans —
+        // the quantile gate's whole per-sweep bill is this pass)
+        val rankAggs = count(col("o_totalprice")).as("n") +:
+          ps.zip(qs).zipWithIndex.flatMap { case ((_, v), i) => Seq(
+            count(when(col("o_totalprice") < v, 1)).as(s"b$i"),
+            count(when(col("o_totalprice") <= v, 1)).as(s"ab$i")) }
+        val r = orders.agg(rankAggs.head, rankAggs.tail: _*).head()
+        val n = r.getLong(0)
+        val flags = ps.zip(qs).zipWithIndex.map { case ((p, v), i) =>
+          val ok = r.getLong(1 + 2 * i) <= p * n + eps * n + 1 &&
+            r.getLong(2 + 2 * i) >= p * n - eps * n - 1
           if (ok) 1.0 else math.round(v * 1e4) / 1e4.toDouble
         }
         Seq(Tuple1(flags)).toDF("quantiles")
