@@ -1415,8 +1415,9 @@ object SparkEntry {
               .as("isc"),
             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("isp"))
-          .agg(sum("isc").as("nc"), sum("isp").as("np"),
-            sum(col("isc") * col("isp")).as("nboth"))
+          .agg(coalesce(sum("isc"), lit(0L)).as("nc"),
+            coalesce(sum("isp"), lit(0L)).as("np"),
+            coalesce(sum(col("isc") * col("isp")), lit(0L)).as("nboth"))
           .head()
         val (nc, np, nBoth) = (m.getLong(0), m.getLong(1), m.getLong(2))
         val exact = Seq(nc, np, nBoth, nc + np - nBoth, nc - nBoth)

@@ -178,6 +178,14 @@ object Dbscan {
         // so the edge SET is unchanged (spec-pinned) while a hot
         // bucket's work fans out over k tasks. Cold buckets pay one
         // broadcast-join probe and a constant shard 0, no replication.
+        // The broadcast(hot) hints below fire even when the session
+        // threshold is -1: the disable above governs broadcasting the
+        // FULL side-B relation (unbounded, a genuine driver-memory
+        // risk); the hot SET is structurally bounded at
+        // n·tables/hotBucketShard three-int rows (4096 rows per 16M
+        // points at the default shard), so shipping it is a metadata
+        // move, not a memory decision — and shuffling it would defeat
+        // the de-skew it exists to provide.
         val hot = hashed
           .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
           .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))

@@ -526,8 +526,9 @@ object Scale9 {
     //      at ×100 means ~24k nbrs/vec and a ~2.4B-edge ε-graph. The
     //      probe scores 64 seeded query points against the full corpus
     //      (one broadcast-join pass, 64·n distances) across a radius
-    //      grid and picks the largest ε with mean degree ≤ ~32 — the
-    //      ε a practitioner would pick for this density.
+    //      grid and picks the largest ε with mean degree ≤ 64 (and ≥
+    //      minPts, else the graph is trivially empty) — the ε a
+    //      practitioner would pick for this density.
     //   2. bucketLength shrinks with ε (in-bucket candidate volume
     //      tracks bucket width, not ε — the documented ×100 killer at
     //      bucketLength=2.0).
@@ -550,7 +551,7 @@ object Scale9 {
       // 0 nbrs at ε=0.9, ~113 at ε=1.1 — measured), so the grid is
       // fine-stepped across the onset window
       val grid = Array(0.95, 1.0, 1.05, 1.1)
-      val probes = embRaw.filter(col("vec_id") % (n / 64) === 0)
+      val probes = embRaw.filter(col("vec_id") % math.max(n / 64, 1L) === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qf"))
       val degs = timed("dbscan x100 density probe (64 queries x grid)") {
         // index-keyed names: a literal "e0.5" would parse as struct access

@@ -173,6 +173,57 @@ class PipelineSpec extends SparkSpec {
     assert(s >= -1.0 && s <= 1.0)
   }
 
+  test("silhouette norm-formula == retired all-pairs form (M10 oracle independence)") {
+    // r15 re-formed the m10_metrics DuckDB twin from the all-pairs
+    // silhouette (O(n²·d), intractable at sf1) to the same norm-formula
+    // decomposition ClusteringEvaluator uses, which means oracle and
+    // engine now share the formulation. This spec KEEPS the retired
+    // independent form alive: an exact driver-side all-pairs
+    // squared-Euclidean silhouette (a(i) over OTHER own-cluster points,
+    // singleton → 0, b(i) = min other-cluster mean, s = (b−a)/max(a,b))
+    // must match Metrics.silhouette to 1e-9 — so a shared algebraic
+    // mistake in the norm decomposition (e.g. dividing own-cluster sums
+    // by np instead of np−1) fails HERE, not silently at both twins.
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    // two labelings: the clean fixture labels, and one with a forced
+    // singleton cluster (vec_id 0 → its own label) for the a=null path
+    val labelings: Seq[(String, Map[Long, Int])] = Seq(
+      "fixture" -> raw.map(t => t._1 -> t._2).toMap,
+      "singleton" -> raw.map(t =>
+        t._1 -> (if (t._1 == 0L) 9999 else t._2)).toMap)
+    for ((name, lab) <- labelings) {
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val scores = raw.map { case (id, _, v) =>
+        val own = lab(id)
+        val byCluster = raw.groupBy(t => lab(t._1))
+        val np = byCluster(own).length
+        if (np <= 1) 0.0
+        else {
+          val a = byCluster(own).filter(_._1 != id)
+            .map(t => d2(v, t._3)).sum / (np - 1)
+          val b = byCluster.collect { case (c, pts) if c != own =>
+            pts.map(t => d2(v, t._3)).sum / pts.length }.min
+          (b - a) / math.max(a, b)
+        }
+      }
+      val expected = scores.sum / scores.length
+      val withPred = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", VectorOps.toMlVector($"embedding").as("features"))
+        .withColumn("prediction", udf((id: Long) => lab(id)).apply($"vec_id"))
+      val got = Metrics.silhouette(withPred, "features", "prediction")
+      assert(math.abs(got - expected) < 1e-9,
+        s"$name labeling: norm-formula $got != all-pairs $expected")
+    }
+  }
+
   test("external metrics on the labeled embeddings fixture (M10)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // predict = label → perfect scores; shuffle labels → lower
