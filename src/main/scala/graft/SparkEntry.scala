@@ -2069,9 +2069,26 @@ object SparkEntry {
     "llm_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6, bands = 8, combine = 2).orderBy("id_a", "id_b")),
-    "llm_near_dedup" -> ((s, dir) =>
+    // past sf1 (ScaleGates.nearDupStride > 1) the FULL LSH run still
+    // executes — what is verified at ×100 is the real 500k-doc banded
+    // join's output, restricted to pairs touching a sampled id so the
+    // blocked DuckDB recompute stays inside the oracle watchdog
+    "llm_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = graft.gates.ScaleGates.nearDupStride(docs.count())
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.3)
+      (if (stride == 1L) pairs
+       else pairs.filter(col("id_a") % stride === 0 ||
+         col("id_b") % stride === 0)).orderBy("id_a", "id_b")
+    }),
+    // forced-stride-3 gate of the sampled form at fixture scale (see
+    // the twin comment): full pairs filtered to sampled endpoints
+    "llm_near_dedup_sampled" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.3).orderBy("id_a", "id_b")),
+          threshold = 0.3)
+        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .orderBy("id_a", "id_b")),
     "llm_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
@@ -2491,8 +2508,23 @@ object SparkEntry {
     // exactly verified), labeled min-doc-id, one keeper per group
     "llm_dup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.3)
-      Curation.dupGroups(docs.select("doc_id"), pairs, "doc_id")
+      // group ids depend on global connectivity, so past sf1 the
+      // operator runs on the induced sampled sub-corpus (both engine
+      // and twin) rather than filtering full output — see dupGroupsSql
+      val stride = graft.gates.ScaleGates.nearDupStride(docs.count())
+      val sampled = if (stride == 1L) docs
+        else docs.filter(col("doc_id") % stride === 0)
+      val pairs = Dedup.nearDupPairs(sampled, "doc_id", "text",
+        threshold = 0.3)
+      Curation.dupGroups(sampled.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+    // forced-stride-3 gate of the induced-sub-corpus form
+    "llm_dup_groups_sampled" -> ((s, dir) => {
+      val sampled = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val pairs = Dedup.nearDupPairs(sampled, "doc_id", "text",
+        threshold = 0.3)
+      Curation.dupGroups(sampled.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
     // count-min-sketch point frequencies: the bounded-memory companion
@@ -3386,10 +3418,15 @@ object SparkEntry {
         graft.streaming.StreamIngest.streamingNearDup(
           stream, "doc_id", "text", threshold = 0.3).toDF()
       }
-      t(s, dir, "documents").select(col("doc_id"))
+      val docs = t(s, dir, "documents")
+      // past sf1: the full streaming pass still runs; only the sampled
+      // docs' kept-status is emitted (matching the sampled twin)
+      val stride = graft.gates.ScaleGates.nearDupStride(docs.count())
+      val kept = docs.select(col("doc_id"))
         .join(hits.select(col("id").as("doc_id")), Seq("doc_id"),
           "left_anti")
-        .orderBy("doc_id")
+      (if (stride == 1L) kept
+       else kept.filter(col("doc_id") % stride === 0)).orderBy("doc_id")
     }),
 
     // watermarked STREAM-STREAM inner join — the remaining Structured
@@ -6042,22 +6079,24 @@ object SparkEntry {
     // |intersection|. Verified bit-identical to the all-pairs form at
     // sf0.01 and sf0.1; 580 s -> 11.8 s at sf0.1, 176 s at sf1 (x10)
     // where the old form timed out at 600 s.
-    "llm_near_dedup" -> (
-      s"WITH $nearDupBlockedCtes " +
-        """SELECT id_a, id_b, """ +
-        """inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) AS jaccard """ +
-        """FROM cand JOIN sl la ON la.doc_id = id_a """ +
-        """JOIN sl lb ON lb.doc_id = id_b """ +
-        """WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3 """ +
-        """ORDER BY id_a, id_b"""),
+    "llm_near_dedup" -> ( nearDupPairsSql()),
+    // the forced-stride-3 twin of the SAMPLED form: pins the one-
+    // endpoint blocked SQL (xa join + orientation normalization)
+    // against the engine's full-pairs-filtered arm at the sf0.01
+    // oracle gate EVERY round, so the sampled path past sf1 rests on
+    // an automated cross-engine check, not a one-time manual diff
+    "llm_near_dedup_sampled" -> ( nearDupPairsSql(Some(3L))),
     // kept set after streaming near-dedup = docs minus any id_b of the
-    // same blocked exact Jaccard join llm_near_dedup's twin runs
+    // same blocked exact Jaccard join llm_near_dedup's twin runs;
+    // past sf1 only the sampled docs' kept-status is emitted (every
+    // pair (a, d) with d sampled is in cand, so membership is exact)
     "st6_stream_near_dedup" -> (
-      s"WITH $nearDupBlockedCtes, " +
+      s"WITH ${nearDupBlockedCtes()}, " +
         """p AS (SELECT id_b FROM cand """ +
         """JOIN sl la ON la.doc_id = id_a JOIN sl lb ON lb.doc_id = id_b """ +
         """WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3) """ +
-        """SELECT doc_id FROM documents WHERE doc_id NOT IN """ +
+        """SELECT d.doc_id FROM documents d CROSS JOIN prm """ +
+        """WHERE d.doc_id % prm.stride = 0 AND d.doc_id NOT IN """ +
         """(SELECT id_b FROM p) ORDER BY doc_id"""),
     "llm_repetition" -> ( repetitionSql),
     "llm_corpus_shuffle" -> (
@@ -6270,7 +6309,11 @@ object SparkEntry {
         "levenshtein(a.t, b.t)::INT AS dist " +
         "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.t, b.t) <= 1 ORDER BY id_a, id_b"),
-    "llm_dup_groups" -> ( dupGroupsSql),
+    "llm_dup_groups" -> ( dupGroupsSql()),
+    // forced-stride-3 twin of the induced-sub-corpus form (see
+    // llm_near_dedup_sampled): gates the sampled dup-groups path at
+    // the fixture scale every round
+    "llm_dup_groups_sampled" -> ( dupGroupsSql(Some(3L))),
     "llm_hash_split" -> ( hashSplitSql),
     "llm_domain_mix" -> ( domainMixSql),
     "llm_dsir_weights" -> ( dsirWeightsSql),
@@ -7067,30 +7110,88 @@ object SparkEntry {
     * the 600 s watchdog. Verified bit-identical at sf0.01/sf0.1.
     * MATERIALIZED so the recursive-CC twin doesn't re-evaluate the join
     * per iteration (487 s -> 109 s at sf1). */
-  private def nearDupBlockedCtes: String =
-    "s AS (SELECT doc_id, list_distinct(list_transform(" +
+  /** The scale-adaptive sampling stride, derived from the live doc
+    * count with the same formula the engine arms use
+    * (ScaleGates.nearDupStride) so both engines always pick the same
+    * arm; `forcedStride` pins it for the fixture-scale twins that gate
+    * the sampled form itself. */
+  private def nearDupPrmCte(forcedStride: Option[Long] = None): String =
+    forcedStride match {
+      case Some(k) => s"prm AS (SELECT $k::BIGINT AS stride)"
+      case None =>
+        s"prm AS (SELECT CASE WHEN n > ${graft.gates.ScaleGates.NearDupFullCap} " +
+          s"THEN greatest(n // ${graft.gates.ScaleGates.NearDupSampleTarget}, 1) " +
+          "ELSE 1 END AS stride " +
+          "FROM (SELECT count(*)::BIGINT AS n FROM documents))"
+    }
+
+  /** r16: `xa` restricts one join side to the sampled docs and `cand`
+    * normalizes pair orientation (both-sampled pairs keep only the
+    * a < b orientation, one-sampled pairs keep their only orientation),
+    * so cand = ALL pairs with ≥ 1 sampled endpoint, each exactly once,
+    * at Σ df·df/stride join cost. At stride 1 (every doc sampled, the
+    * arm through sf1) this reduces bit-exactly to the r15 full form:
+    * xa = x and the orientation predicate collapses to a < b. */
+  private def nearDupBlockedCtes(forcedStride: Option[Long] = None): String =
+    s"${nearDupPrmCte(forcedStride)}, " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(" +
       "generate_series(1, greatest(length(norm)-7, 1), 4), " +
       "i -> substr(norm, i, 8))) AS sh FROM " +
       "(SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') " +
       "AS norm FROM documents)), " +
       "sl AS (SELECT doc_id, len(sh) AS l FROM s), " +
       "x AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
-      "cand AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "count(*) AS inter FROM x a JOIN x b " +
-      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+      "xa AS (SELECT x.doc_id, x.g FROM x CROSS JOIN prm " +
+      "WHERE x.doc_id % prm.stride = 0), " +
+      "cand AS MATERIALIZED (SELECT least(a.doc_id, b.doc_id) AS id_a, " +
+      "greatest(a.doc_id, b.doc_id) AS id_b, count(*) AS inter " +
+      "FROM xa a JOIN x b ON a.g = b.g CROSS JOIN prm " +
+      "WHERE a.doc_id < b.doc_id " +
+      "OR (a.doc_id > b.doc_id AND b.doc_id % prm.stride <> 0) " +
+      "GROUP BY 1, 2)"
 
   /** Oracle twin of Curation.dupGroups over the SAME pair relation as
     * llm_near_dedup (8-gram stride-4 shingle Jaccard >= 0.3): component
     * ids via a recursive min-label reachability CTE — an INDEPENDENT
     * connected-components formulation gating the GraphX one. */
-  private def dupGroupsSql: String =
-    s"WITH RECURSIVE $nearDupBlockedCtes, " +
+  /** The near-dup pair-relation twin body shared by the live query and
+    * its forced-stride fixture gate. */
+  private def nearDupPairsSql(forcedStride: Option[Long] = None): String =
+    s"WITH ${nearDupBlockedCtes(forcedStride)} " +
+      """SELECT id_a, id_b, """ +
+      """inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) AS jaccard """ +
+      """FROM cand JOIN sl la ON la.doc_id = id_a """ +
+      """JOIN sl lb ON lb.doc_id = id_b """ +
+      """WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3 """ +
+      """ORDER BY id_a, id_b"""
+
+  /** r16: unlike the pair twins, group ids depend on GLOBAL
+    * connectivity (a sampled doc's component can be joined through
+    * unsampled docs), so one-endpoint sampling cannot verify them.
+    * Past sf1 this twin — and its engine arm — instead run the FULL
+    * operator over the induced sampled sub-corpus `sd` (join cost
+    * full/stride², recursion over n/stride docs); at stride 1 sd =
+    * documents and the form is bit-identical to the r15 full twin. */
+  private def dupGroupsSql(forcedStride: Option[Long] = None): String =
+    s"WITH RECURSIVE ${nearDupPrmCte(forcedStride)}, " +
+      "sd AS (SELECT doc_id, text FROM documents CROSS JOIN prm " +
+      "WHERE doc_id % prm.stride = 0), " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(length(norm)-7, 1), 4), " +
+      "i -> substr(norm, i, 8))) AS sh FROM " +
+      "(SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') " +
+      "AS norm FROM sd)), " +
+      "sl AS (SELECT doc_id, len(sh) AS l FROM s), " +
+      "x AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+      "cand AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "count(*) AS inter FROM x a JOIN x b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "p AS MATERIALIZED (SELECT id_a, id_b FROM cand " +
       "JOIN sl la ON la.doc_id = id_a JOIN sl lb ON lb.doc_id = id_b " +
       "WHERE inter::DOUBLE / (la.l + lb.l - inter::DOUBLE) >= 0.3), " +
       "e AS (SELECT id_a AS src, id_b AS dst FROM p " +
       "UNION ALL SELECT id_b, id_a FROM p), " +
-      "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+      "reach(id, r) AS (SELECT doc_id, doc_id FROM sd " +
       "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id), " +
       "cc AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id), " +
       "sz AS (SELECT group_id, count(*) AS group_size FROM cc GROUP BY group_id) " +

@@ -64,6 +64,25 @@ object ScaleGates {
     * binds at the sf10 200k-vector sweep. */
   val AnnGateCap = 100000L
 
+  /** Sampled-endpoint stride for the three blocked near-dup oracle
+    * twins (r15 VERDICT #2). Through sf1 (n ≤ [[NearDupFullCap]]) the
+    * stride is 1 — the FULL blocked inverted-index twin runs (109–176 s
+    * at sf1, inside the watchdog). Past it, stride = n/[[
+    * NearDupSampleTarget]] (31 at the 500k-doc sf10 sweep): the oracle
+    * joins only sampled docs' shingle postings against the full index —
+    * cost full/stride — and the ENGINE's full-corpus run is compared
+    * restricted to pairs touching a sampled id (the dup-groups twin
+    * instead verifies the operator on the induced sampled sub-corpus,
+    * since component ids depend on global connectivity). Both engines
+    * derive the stride from the same live doc count, so they always
+    * pick the same arm; a forced-stride fixture twin
+    * (llm_near_dedup_sampled / llm_dup_groups_sampled) pins the
+    * sampled SQL form against the engine at every driver run. */
+  val NearDupFullCap = 50000L
+  val NearDupSampleTarget = 16000L
+  def nearDupStride(n: Long): Long =
+    if (n > NearDupFullCap) math.max(n / NearDupSampleTarget, 1L) else 1L
+
   /** Shared exact side of every ANN recall gate — computed ONCE per
     * (session, dir, n) and reused by the LSH/IVF/PQ/int8/MMR gates
     * (r14 measured each gate paying ~10 sequential brute-force corpus
