@@ -1029,6 +1029,72 @@ object PlanAudit {
               org.apache.spark.sql.functions.col("embedding")).as("features")),
         eps = 1.2))
 
+    // r16: the SHUFFLE regime of the same join (corpus scale — the
+    // broadcast gate declines, forced here via threshold=-1). The r15
+    // occupancy-aware salting must leave its shape in the plan: the
+    // tiny hot-set relation still BROADCASTS (the one documented
+    // exception to the disabled threshold — it is bounded at
+    // n·tables/hotBucketShard three-int rows), the bucket join keys
+    // carry the shard column so a hot bucket's quadratic pair work
+    // fans out over k tasks, and the B side carries the shard
+    // fan-out Generate (replicate to k shards). Unlike the broadcast
+    // regime, vectors DO ride these exchanges — that is the price of
+    // the shuffle join, paid exactly once per side.
+    locally {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        audit("m5 eps-edges SHUFFLE path (salted hot buckets)", Seq(
+          "hot-set broadcast join survives threshold=-1" ->
+            (_.contains("BroadcastHashJoin")),
+          "bucket join shuffles on (entry, hv, shard)" ->
+            (p => ("hashpartitioning\\(entry#\\d+, hv#\\d+, " +
+              "shard#\\d+").r.findFirstIn(p).isDefined),
+          "bucket join is a shuffle join (no full-side broadcast)" ->
+            (p => p.contains("SortMergeJoin") ||
+              p.contains("ShuffledHashJoin")),
+          "B-side shard replication Generate present" ->
+            (p => "\\(\\d+\\) Generate".r.findAllIn(p).nonEmpty &&
+              p.contains("sequence(0"))))(
+          graft.ml.Dbscan.epsEdges(
+            Tables.table(spark, dir, "embeddings")
+              .filter(org.apache.spark.sql.functions.col("vec_id") < 300)
+              .select(
+                org.apache.spark.sql.functions.col("vec_id").cast("long")
+                  .as("id"),
+                graft.ml.VectorOps.toMlVector(
+                  org.apache.spark.sql.functions.col("embedding"))
+                  .as("features")),
+            eps = 1.2, hotBucketShard = 8))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
+    // r16: the two r15 gate fusions, pinned. a23's exact set-algebra
+    // counts: ONE events scan feeding a user-keyed partial/final agg
+    // and a global reduce — exactly two exchanges, never the old
+    // 4-scan/3-exchange cached-distinct + intersect form.
+    audit("a23 exact-count gate (one scan, two exchanges)", Seq(
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1),
+      "partial aggregation before exchange" -> (_.contains("partial_")),
+      "exactly two exchanges (user-key + global reduce)" ->
+        (p => "\\(\\d+\\) Exchange".r.findAllIn(p).size == 2)))(
+      SparkEntry.a23ExactSetAgg(Tables.table(spark, dir, "events")))
+
+    // a6's tie-aware rank gate: n + all six two-sided rank counts in
+    // ONE orders scan (r15 fused from 7 scans), one global exchange.
+    audit("a6 rank gate (one scan, one exchange)", Seq(
+      "single parquet scan" ->
+        (p => "\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1),
+      "partial aggregation before exchange" -> (_.contains("partial_")),
+      "single global-reduce exchange" ->
+        (p => "\\(\\d+\\) Exchange".r.findAllIn(p).size == 1),
+      "scan pruned to the quantile column" ->
+        (p => p.contains("ReadSchema") && !p.contains("o_orderdate"))))(
+      SparkEntry.a6RankGateAgg(Tables.table(spark, dir, "orders"),
+        Seq(0.25, 0.5, 0.75), Seq(1000.0, 2000.0, 3000.0)))
+
     // FULL OUTER is never broadcastable — both key sets must co-locate,
     // so the only correct plan is a shuffle join partitioned on the key
     audit("j8_full_outer_diff (shuffle full-outer join)", Seq(

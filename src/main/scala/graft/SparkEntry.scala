@@ -285,6 +285,35 @@ object SparkEntry {
       .agg(count_min_sketch(col("token"),
         lit(0.0001), lit(0.99), lit(42)).as("sk"))
 
+  /** The a23 off-fixture exact set-algebra aggregation — the three
+    * exact counts (|c|, |p|, |c∩p|) in ONE scan + one user-keyed
+    * exchange + one global reduce — BEFORE its driver-side head():
+    * shared with PlanAudit so the r15 gate fusion (was 4 scans + 3
+    * exchanges per sweep) stays pinned as a plan gate. */
+  def a23ExactSetAgg(ev: DataFrame): DataFrame =
+    ev.filter((col("event_type") === "click" ||
+        col("event_type") === "purchase") && col("value") > 200)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("isc"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("isp"))
+      .agg(coalesce(sum("isc"), lit(0L)).as("nc"),
+        coalesce(sum("isp"), lit(0L)).as("np"),
+        coalesce(sum(col("isc") * col("isp")), lit(0L)).as("nboth"))
+
+  /** The a6 off-fixture tie-aware rank-gate aggregation — n plus all
+    * six two-sided rank counts in ONE scan (r15 fused from 7) —
+    * shared with PlanAudit for the same reason as [[a23ExactSetAgg]]. */
+  def a6RankGateAgg(orders: DataFrame, ps: Seq[Double],
+                    qs: Seq[Double]): DataFrame = {
+    val rankAggs = count(col("o_totalprice")).as("n") +:
+      ps.zip(qs).zipWithIndex.flatMap { case ((_, v), i) => Seq(
+        count(when(col("o_totalprice") < v, 1)).as(s"b$i"),
+        count(when(col("o_totalprice") <= v, 1)).as(s"ab$i")) }
+    orders.agg(rankAggs.head, rankAggs.tail: _*)
+  }
+
   /** Deterministic 1-in-7 document subset driving the multimodal
     * queries (payload rendering is per-row codec work — the subset keeps
     * the bench proportionate while exercising every kernel). */
@@ -1408,17 +1437,7 @@ object SparkEntry {
         // form paid four event scans and three exchanges per sweep):
         // group the qualifying rows by user, flag click/purchase
         // membership per user, sum the flags
-        val m = ev.filter((col("event_type") === "click" ||
-            col("event_type") === "purchase") && col("value") > 200)
-          .groupBy("user_id")
-          .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
-              .as("isc"),
-            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-              .as("isp"))
-          .agg(coalesce(sum("isc"), lit(0L)).as("nc"),
-            coalesce(sum("isp"), lit(0L)).as("np"),
-            coalesce(sum(col("isc") * col("isp")), lit(0L)).as("nboth"))
-          .head()
+        val m = a23ExactSetAgg(ev).head()
         val (nc, np, nBoth) = (m.getLong(0), m.getLong(1), m.getLong(2))
         val exact = Seq(nc, np, nBoth, nc + np - nBoth, nc - nBoth)
         val est = sketch.head()
@@ -2981,12 +3000,9 @@ object SparkEntry {
         val eps = 2e-4
         val ps = Seq(0.25, 0.5, 0.75)
         // ONE scan for n and all six rank counts (r15: was 7 scans —
-        // the quantile gate's whole per-sweep bill is this pass)
-        val rankAggs = count(col("o_totalprice")).as("n") +:
-          ps.zip(qs).zipWithIndex.flatMap { case ((_, v), i) => Seq(
-            count(when(col("o_totalprice") < v, 1)).as(s"b$i"),
-            count(when(col("o_totalprice") <= v, 1)).as(s"ab$i")) }
-        val r = orders.agg(rankAggs.head, rankAggs.tail: _*).head()
+        // the quantile gate's whole per-sweep bill is this pass);
+        // extracted to a6RankGateAgg so PlanAudit pins the fusion
+        val r = a6RankGateAgg(orders, ps, qs).head()
         val n = r.getLong(0)
         val flags = ps.zip(qs).zipWithIndex.map { case ((p, v), i) =>
           val ok = r.getLong(1 + 2 * i) <= p * n + eps * n + 1 &&
