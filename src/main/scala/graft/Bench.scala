@@ -328,7 +328,14 @@ object Bench {
     // window, like action/value_end); ReservedKeys excludes them from
     // parsePrevTimes so they can never masquerade as query times
     val loadEnd = loadAvg()
-    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"value_end":$total}"""
+    // payer attribution for the shared-gate memos (r15 VERDICT wrong
+    // #2): benchReset makes these queries carry the whole shared build
+    // while their family members stamp memo reads — a reader diffing
+    // per-query rows across rounds needs that stated IN the artifact.
+    // '=' not ':' so parsePrevTimes can never read these as times.
+    val gatePayer = "llm_ann_topk=shared_exact_topk_memo_build," +
+      "m_flagship_shape=flagship_w2v_dbscan_fit"
+    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"gate_payer":"$gatePayer","value_end":$total}"""
     println(line)
     // full-suite runs feed the next run's arbitration via the (complete,
     // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not

@@ -30,6 +30,16 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!t.contains("st1_hourly")) // null time → skipped
   }
 
+  test("parsePrevTimes never reads gate_payer entries as query times") {
+    // the r16 payer-attribution note uses name=tag pairs — the '='
+    // keeps them outside the "name":digits time pattern by construction
+    val line = """{"queries":{"q1_pricing":0.5},""" +
+      """"gate_payer":"llm_ann_topk=shared_exact_topk_memo_build,""" +
+      """m_flagship_shape=flagship_w2v_dbscan_fit","value_end":0.5}"""
+    val t = Bench.parsePrevTimes(line)
+    assert(t == Map("q1_pricing" -> 0.5), s"got $t")
+  }
+
   test("parsePrevTimes is non-empty on the actual BENCH_r05.json") {
     val p = java.nio.file.Paths.get("BENCH_r05.json")
     assume(java.nio.file.Files.exists(p), "repo-root BENCH_r05.json present")
