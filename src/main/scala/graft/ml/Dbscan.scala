@@ -140,12 +140,32 @@ object Dbscan {
       .select(col("id"),
         org.apache.spark.ml.functions
           .vector_to_array(col("features")).as("farr"),
-        col("hashes"))
-    def exploded(idAs: String, fAs: String) = hashed.select(
-      col("id").as(idAs), col("farr").as(fAs),
+        col("hashes"),
+        // all-table hash values as a plain double array (each hash is a
+        // 1-element vector holding floor(proj/bucketLength)): computed
+        // once per INPUT row, consumed by the per-candidate band
+        // prefilter below
+        transform(col("hashes"), h =>
+          element_at(org.apache.spark.ml.functions.vector_to_array(h), 1))
+          .as("hvals"))
+    def exploded(idAs: String, fAs: String, hAs: String) = hashed.select(
+      col("id").as(idAs), col("farr").as(fAs), col("hvals").as(hAs),
       posexplode(col("hashes")).as(Seq("entry", "hv")))
-    val sideA = exploded("a", "fa")
-    val sideBRaw = exploded("b", "fb")
+    val sideA = exploded("a", "fa", "ha")
+    val sideBRaw = exploded("b", "fb", "hb")
+    // Cross-table band prefilter (r16): the projection vectors are UNIT
+    // norm, so a true ε-pair satisfies |proj_u(a) − proj_u(b)| < eps in
+    // EVERY table u, hence |floor_u(a) − floor_u(b)| ≤ ceil(eps/bl) — a
+    // necessary condition costing numHashTables array loads + compares
+    // per candidate, ordered BEFORE the 32-dim graft_l2_sq kernel. The
+    // edge set is provably unchanged (DbscanSpec pins it); what changes
+    // is the per-candidate verify bill in dense buckets, where most
+    // colliding pairs are far apart in some OTHER table's projection.
+    val band = math.ceil(eps / bucketLength + 1e-9)
+    val bandOk = (0 until numHashTables).map { i =>
+      abs(element_at(col("ha"), i + 1) -
+        element_at(col("hb"), i + 1)) <= lit(band)
+    }.reduce(_ && _)
     val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
     // The hint exists precisely to EXCEED the auto threshold: stats
     // overestimate the exploded side, so AQE alone would shuffle a
@@ -205,7 +225,7 @@ object Dbscan {
         (a, b, Seq("entry", "hv", "shard"))
       }
     joinedA.join(joinedB, joinKeys)
-      .filter(col("a") =!= col("b") &&
+      .filter(col("a") =!= col("b") && bandOk &&
         call_function("graft_l2_sq", col("fa"), col("fb")) < lit(eps * eps))
       .select("a", "b").distinct()
   }

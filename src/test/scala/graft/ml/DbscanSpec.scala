@@ -73,6 +73,36 @@ class DbscanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("band prefilter leaves the ε-edge set equal to the co-bucket+verify definition") {
+    // r16 added a cross-table hash-band prefilter before the distance
+    // kernel. This is an INDEPENDENT recompute of epsEdges' contract —
+    // pairs sharing ≥1 (table, bucket) with exact strict-< verify, no
+    // prefilter — built driver-side from the same fitted LSH model, so
+    // an over-aggressive band (dropped true candidate) fails here.
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    val df = pts.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val eps = 0.5
+    val got = Dbscan.epsEdges(df, eps = eps)
+      .as[(Long, Long)].collect().toSet
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+    val rows = lsh.fit(df).transform(df)
+      .select($"id", $"features", $"hashes").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray,
+        r.getSeq[org.apache.spark.ml.linalg.Vector](2).map(_(0))))
+    val expected = (for {
+      (ia, va, ha) <- rows
+      (ib, vb, hb) <- rows
+      if ia != ib
+      if ha.zip(hb).exists { case (x, y) => x == y }
+      if va.zip(vb).map { case (x, y) => (x - y) * (x - y) }.sum < eps * eps
+    } yield (ia, ib)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("distributed DBSCAN quality gate: ARI vs exact on border-heavy data") {
     // Adversarial fixture for the LSH path (the r7 verdict's missing
     // contract): two gaussian clusters whose tails approach the eps
