@@ -371,9 +371,13 @@ object SparkEntry {
       : DataFrame = {
     val docs = docs0
       .select(col("doc_id"), Clean.cleanMessage(col("text")).as("text"))
+    // cached: the clean+tokenize chain is consumed ~3× (w2v vocab pass,
+    // w2v sentence build, sentence2vec) — released once vecs is
+    // materialized below
     val toks = docs.select(col("doc_id"), col("text"),
         Clean.tokenizeTreebankish(lower(col("text"))).as("tokens"))
       .filter(size(col("tokens")) > 0)
+      .cache()
     // cheap pre-clean count (parquet metadata / cached) gates the fit cap
     val n0 = docs0.count()
     val fitToks =
@@ -387,6 +391,7 @@ object SparkEntry {
         graft.ml.VectorOps.toArray(col("sent_vec")).as("v"))
       .cache()
     val n = vecs.count()
+    toks.unpersist()
     val eps = epsOverride.getOrElse {
       val curveInput =
         if (n > curveCap) vecs.sample(withReplacement = false,

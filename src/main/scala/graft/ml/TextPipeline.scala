@@ -126,7 +126,16 @@ object TextPipeline {
       } else (feat, "features", None)
     clusterInput.cache()
     try {
-      val km = kmeansBest(clusterInput, featCol, k, nInit = nInit)
+      // the fit gets an UNCACHED projection on purpose: ml.KMeans only
+      // persists its internally-converted instances RDD when the input
+      // reports StorageLevel.NONE — handing it the cached frame makes
+      // every one of the (up to maxIter) iterations re-deserialize rows
+      // from the DF cache, while the projection lets the fit iterate
+      // over converted vectors directly (conversion paid once). Same
+      // rows, same order, same floats → identical model; the cached
+      // frame still serves the label transform below.
+      val km = kmeansBest(clusterInput.select(featCol), featCol, k,
+        nInit = nInit)
       // localCheckpoint: materialize labels eagerly (while the iteration
       // cache is alive) and truncate lineage — unlike an unowned .cache()
       // the checkpoint blocks are released by the ContextCleaner when the
