@@ -26,6 +26,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # optional thread cap so a scale sweep can run capped alongside other
+    # work; unset (the driver's gate) = DuckDB default, behavior unchanged
+    nthreads = os.environ.get("DUCKDB_THREADS")
+    if nthreads:
+        con.execute(f"SET threads={int(nthreads)}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
