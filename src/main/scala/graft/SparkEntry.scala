@@ -1225,6 +1225,30 @@ object SparkEntry {
         bandJoinNaive(s, dir).localCheckpoint(true)
       }),
 
+    // J7″ the SAME per-interval answer WITHOUT the pair join — the
+    // declared 100 TB path (r16). The band fixture is output-bound
+    // quadratic (1.86M/186M/18.6B qualifying pairs at ×1/×10/×100), so
+    // the pair-enumerating j7/j7b plans — correct, gated, and kept —
+    // pay wall linear in pairs (910 s engine-side at ×100). The
+    // prefix-merge operator answers the count+sum question in
+    // O((n+q) log) with no pair ever materialized; its DuckDB twin is
+    // the same prefix re-form over a window cumsum, so the gate stays
+    // cheap at every scale while j7/j7b keep gating the join operator
+    // itself against DuckDB's IEJoin.
+    "j7c_range_agg_prefix" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(col("o_totalprice").as("price"))
+      graft.ops.RangeAgg.pointsInRangeAgg(points, "price",
+          intervals, "interval_id", "lo", "hi")
+        .select(col("interval_id"), col("cnt"),
+          col("sum").as("sum_price"))
+        .orderBy("interval_id")
+    }),
+
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
@@ -5153,6 +5177,32 @@ object SparkEntry {
     // share one truth, so an edit here cannot silently fork them
     "j7_range_join" -> RangeJoinTruthSql,
     "j7b_range_join_auto" -> RangeJoinTruthSql,
+    // j7c twin: the same answer via DuckDB's window cumsum over the
+    // merged (value, tag) stream — the prefix re-form mirrored in SQL,
+    // exact by the same decimal/tag-order argument (RangeAgg scaladoc),
+    // and INDEPENDENT of the engine's two-pass partitioned form. Probe
+    // rows carry zero weight, so a probe's own running total at its
+    // sorted position is exactly the points at-or-before it.
+    "j7c_range_agg_prefix" -> (
+      "WITH i AS (SELECT o_orderkey AS iid, " +
+        "o_totalprice - 2000.0 AS lo, o_totalprice + 2000.0 AS hi " +
+        "FROM orders WHERE o_orderkey % 97 = 0), " +
+        "ev AS (SELECT o_totalprice AS v, 1 AS tag, NULL::BIGINT AS iid, " +
+        "1::BIGINT AS c, CAST(o_totalprice AS DECIMAL(18,2)) AS s FROM orders " +
+        "UNION ALL SELECT lo, 0, iid, 0, 0 FROM i " +
+        "UNION ALL SELECT hi, 2, iid, 0, 0 FROM i), " +
+        "run AS (SELECT iid, tag, " +
+        "sum(c) OVER (ORDER BY v, tag ROWS UNBOUNDED PRECEDING) AS rc, " +
+        "sum(s) OVER (ORDER BY v, tag ROWS UNBOUNDED PRECEDING) AS rs " +
+        "FROM ev), " +
+        "p AS (SELECT iid, " +
+        "(max(CASE WHEN tag = 2 THEN rc END) - " +
+        "max(CASE WHEN tag = 0 THEN rc END))::BIGINT AS cnt, " +
+        "max(CASE WHEN tag = 2 THEN rs END) - " +
+        "max(CASE WHEN tag = 0 THEN rs END) AS sdec " +
+        "FROM run WHERE iid IS NOT NULL GROUP BY iid) " +
+        "SELECT iid AS interval_id, cnt, (sdec::VARCHAR)::DOUBLE AS sum_price " +
+        "FROM p WHERE cnt > 0 ORDER BY interval_id"),
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
