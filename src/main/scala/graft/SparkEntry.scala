@@ -2114,9 +2114,23 @@ object SparkEntry {
     // `maxBucketSize` + sharding; Dedup.simHashBandsFor keeps the
     // recall-preserving ladder for corpora whose false hits ARE
     // random-collision-dominated (spec-gated identical pair set)
-    "llm_simhash_neardup" -> ((s, dir) =>
+    "llm_simhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = graft.gates.ScaleGates.nearDupStride(docs.count())
+      val pairs = Dedup.simHashNearDup(docs, "doc_id", "text",
+        maxHamming = 6, bands = 8, combine = 2)
+      // past sf1: full banded run, output compared on sampled endpoints
+      // (the llm_near_dedup pattern — its twin's all-pairs join is
+      // O(n²) and timed out the sf10 watchdog unsampled)
+      (if (stride == 1L) pairs
+       else pairs.filter(col("id_a") % stride === 0 ||
+         col("id_b") % stride === 0)).orderBy("id_a", "id_b")
+    }),
+    "llm_simhash_neardup_sampled" -> ((s, dir) =>
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6, bands = 8, combine = 2).orderBy("id_a", "id_b")),
+          maxHamming = 6, bands = 8, combine = 2)
+        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .orderBy("id_a", "id_b")),
     // past sf1 (ScaleGates.nearDupStride > 1) the FULL LSH run still
     // executes — what is verified at ×100 is the real 500k-doc banded
     // join's output, restricted to pairs touching a sampled id so the
@@ -6412,7 +6426,10 @@ object SparkEntry {
         "FROM d LEFT JOIN o USING (doc_id) ORDER BY d.doc_id"),
     "llm_curation_pipeline" -> ( curationPipelineSql),
     "llm_simhash" -> ( simhashSql),
-    "llm_simhash_neardup" -> ( simhashNearDupSql),
+    "llm_simhash_neardup" -> ( simhashNearDupSql()),
+    // forced-stride-3 fixture gate of the sampled simhash form (the
+    // llm_near_dedup_sampled pattern)
+    "llm_simhash_neardup_sampled" -> ( simhashNearDupSql(Some(3L))),
     "llm_gopher_filter" -> ( gopherSql),
     "llm_c4_clean" -> ( c4CleanSql),
     // same injection; first occurrence = row_number over (doc_id, pos)
@@ -7611,12 +7628,25 @@ object SparkEntry {
 
   /** Brute-force twin of simHashNearDup: full recall is structural at
     * maxHamming=6 ≤ bands-combine (the pigeonhole `require`), so the banded
-    * operator's output equals all-pairs hamming ≤ 6 exactly. */
-  private def simhashNearDupSql: String =
-    s"WITH s AS ($simhashSelect) " +
-      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+    * operator's output equals all-pairs hamming ≤ 6 exactly. r16: the
+    * all-pairs join is O(n²) — 1.25e11 pairs at the 500k-doc sf10 sweep
+    * timed out the 600 s watchdog — so past sf1 the same
+    * sampled-endpoint machinery as the near-dup twins applies (stride
+    * from the live count, one side restricted to sampled ids,
+    * orientation normalized so each qualifying pair appears once; at
+    * stride 1 this is bit-exactly the all-pairs form). The engine's
+    * full banded run is compared restricted to pairs touching a
+    * sampled id. */
+  private def simhashNearDupSql(forcedStride: Option[Long] = None): String =
+    s"WITH ${nearDupPrmCte(forcedStride)}, s AS ($simhashSelect), " +
+      "sa AS (SELECT s.* FROM s CROSS JOIN prm " +
+      "WHERE s.doc_id % prm.stride = 0) " +
+      "SELECT least(a.doc_id, b.doc_id) AS id_a, " +
+      "greatest(a.doc_id, b.doc_id) AS id_b, " +
       "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
-      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "FROM sa a JOIN s b ON (a.doc_id < b.doc_id " +
+      "OR (a.doc_id > b.doc_id AND b.doc_id % " +
+      "(SELECT stride FROM prm) <> 0)) " +
       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 " +
       "ORDER BY id_a, id_b"
 
