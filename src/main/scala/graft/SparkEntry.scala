@@ -2126,11 +2126,14 @@ object SparkEntry {
        else pairs.filter(col("id_a") % stride === 0 ||
          col("id_b") % stride === 0)).orderBy("id_a", "id_b")
     }),
-    "llm_simhash_neardup_sampled" -> ((s, dir) =>
-      Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
+    "llm_simhash_neardup_sampled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = 3L * graft.gates.ScaleGates.nearDupStride(docs.count())
+      Dedup.simHashNearDup(docs, "doc_id", "text",
           maxHamming = 6, bands = 8, combine = 2)
-        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
-        .orderBy("id_a", "id_b")),
+        .filter(col("id_a") % stride === 0 || col("id_b") % stride === 0)
+        .orderBy("id_a", "id_b")
+    }),
     // past sf1 (ScaleGates.nearDupStride > 1) the FULL LSH run still
     // executes — what is verified at ×100 is the real 500k-doc banded
     // join's output, restricted to pairs touching a sampled id so the
@@ -2145,12 +2148,16 @@ object SparkEntry {
          col("id_b") % stride === 0)).orderBy("id_a", "id_b")
     }),
     // forced-stride-3 gate of the sampled form at fixture scale (see
-    // the twin comment): full pairs filtered to sampled endpoints
-    "llm_near_dedup_sampled" -> ((s, dir) =>
-      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.3)
-        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
-        .orderBy("id_a", "id_b")),
+    // the twin comment): full pairs filtered to sampled endpoints.
+    // Stride COMPOSES with the live formula past sf1 (3 × live), so
+    // the gate stays watchdog-safe at any scale
+    "llm_near_dedup_sampled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = 3L * graft.gates.ScaleGates.nearDupStride(docs.count())
+      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+        .filter(col("id_a") % stride === 0 || col("id_b") % stride === 0)
+        .orderBy("id_a", "id_b")
+    }),
     "llm_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
@@ -2581,9 +2588,12 @@ object SparkEntry {
       Curation.dupGroups(sampled.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
-    // forced-stride-3 gate of the induced-sub-corpus form
+    // forced-stride-3 gate of the induced-sub-corpus form (stride
+    // composes with the live formula past sf1, like the pair gate)
     "llm_dup_groups_sampled" -> ((s, dir) => {
-      val sampled = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val docs = t(s, dir, "documents")
+      val stride = 3L * graft.gates.ScaleGates.nearDupStride(docs.count())
+      val sampled = docs.filter(col("doc_id") % stride === 0)
       val pairs = Dedup.nearDupPairs(sampled, "doc_id", "text",
         threshold = 0.3)
       Curation.dupGroups(sampled.select("doc_id"), pairs, "doc_id")
@@ -7203,15 +7213,23 @@ object SparkEntry {
     * (ScaleGates.nearDupStride) so both engines always pick the same
     * arm; `forcedStride` pins it for the fixture-scale twins that gate
     * the sampled form itself. */
-  private def nearDupPrmCte(forcedStride: Option[Long] = None): String =
-    forcedStride match {
-      case Some(k) => s"prm AS (SELECT $k::BIGINT AS stride)"
-      case None =>
-        s"prm AS (SELECT CASE WHEN n > ${graft.gates.ScaleGates.NearDupFullCap} " +
-          s"THEN greatest(n // ${graft.gates.ScaleGates.NearDupSampleTarget}, 1) " +
-          "ELSE 1 END AS stride " +
-          "FROM (SELECT count(*)::BIGINT AS n FROM documents))"
+  /** `forcedStride` twins COMPOSE with the live formula (k × live
+    * stride): fixture through sf1 sees exactly k (the pinned gate), and
+    * past sf1 the forced twin scales like its parent — a flat k would
+    * itself blow the watchdog at sf10 (measured: the simhash forced-3
+    * twin is n²/3 there). */
+  private def nearDupPrmCte(forcedStride: Option[Long] = None): String = {
+    val live =
+      s"CASE WHEN n > ${graft.gates.ScaleGates.NearDupFullCap} " +
+        s"THEN greatest(n // ${graft.gates.ScaleGates.NearDupSampleTarget}, 1) " +
+        "ELSE 1 END"
+    val expr = forcedStride match {
+      case Some(k) => s"$k * ($live)"
+      case None => live
     }
+    s"prm AS (SELECT $expr AS stride " +
+      "FROM (SELECT count(*)::BIGINT AS n FROM documents))"
+  }
 
   /** r16: `xa` restricts one join side to the sampled docs and `cand`
     * normalizes pair orientation (both-sampled pairs keep only the
