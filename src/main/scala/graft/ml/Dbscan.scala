@@ -161,7 +161,11 @@ object Dbscan {
     // edge set is provably unchanged (DbscanSpec pins it); what changes
     // is the per-candidate verify bill in dense buckets, where most
     // colliding pairs are far apart in some OTHER table's projection.
-    val band = math.ceil(eps / bucketLength + 1e-9)
+    // tight bound: Δfloor ≥ m forces |Δproj| > (m−1)·bl, so a true
+    // pair (|Δproj| < eps) reaches at most m < eps/bl + 1 — at the
+    // common eps/bl = 2 regime this is 2, not ceil+1's 3. The 1e-9
+    // guards float rounding on exact-integer ratios (looser-safe).
+    val band = math.ceil(eps / bucketLength + 1 - 1e-9) - 1
     val bandOk = (0 until numHashTables).map { i =>
       abs(element_at(col("ha"), i + 1) -
         element_at(col("hb"), i + 1)) <= lit(band)
