@@ -516,6 +516,44 @@ object Scale9 {
       }
     }
 
+    // r16: the ×100 candidate-volume lever — fewer hash tables. With
+    // bl = eps/2, per-table recall of a true ε-pair is high (proj delta
+    // concentrates near dist/√32 ≪ bl), so table 3 mostly re-finds
+    // pairs tables 1–2 already found while paying a full extra bucket
+    // join. Measure 2-table vs 3-table at ×10: wall + edge recall via
+    // label agreement (exact disagreement count, since CC labels are
+    // min-id-deterministic given the edge set).
+    if (sections("dbscan2t")) {
+      val dir = "benchdata/sf1"
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      def run(tables: Int) = {
+        val l = timed(s"dbscan distributed x10 eps=1.2 tables=$tables") {
+          val lab = graft.ml.Dbscan.distributed(
+            emb, "vec_id", "features", eps = 1.2, minPts = 5,
+            numHashTables = tables)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val r = lab.agg(count(lit(1)).as("n"),
+            sum(when(col("label") >= 0, 1L).otherwise(0L)).as("clustered"))
+            .head()
+          println(s"[scale9]   tables=$tables n=${r.getLong(0)} " +
+            s"clustered=${r.getLong(1)}")
+          lab
+        }
+        l
+      }
+      val l3 = run(3)
+      val l2 = run(2)
+      val diff = l3.withColumnRenamed("label", "l3")
+        .join(l2.withColumnRenamed("label", "l2"), "vec_id")
+        .filter(col("l3") =!= col("l2")).count()
+      println(s"[scale9]   2-table vs 3-table label disagreements: $diff")
+      emb.unpersist(); l3.unpersist(); l2.unpersist()
+    }
+
     // DBSCAN distributed at ×100 (r14 VERDICT #6): 200k vectors is past
     // smallGraphEdgeCap for any ε that leaves a usable graph, so this is
     // where the GraphX Pregel CC route actually engages. Two honesty
@@ -575,11 +613,18 @@ object Scale9 {
       val eps = degs.filter(d => d._2 <= 64.0 && d._2 >= 5.0)
         .map(_._1).lastOption.getOrElse(grid.last)
       val bl = eps / 2
-      println(f"[scale9]   chosen ε=$eps%.2f bucketLength=$bl%.2f")
-      val labelsGraphx = timed(s"dbscan distributed x100 eps=$eps (GraphX CC)") {
+      // tuning probes (r16): table count override + route-stage skip,
+      // so a single-lever measurement doesn't pay the full 2×-join
+      // route recompute every time
+      val nTables = sys.env.getOrElse("SPARK_GRAFT_DBSCAN100_TABLES", "3").toInt
+      val skipRoute = sys.env.get("SPARK_GRAFT_DBSCAN100_SKIP_ROUTE").nonEmpty
+      println(f"[scale9]   chosen ε=$eps%.2f bucketLength=$bl%.2f " +
+        s"tables=$nTables")
+      val labelsGraphx = timed(
+          s"dbscan distributed x100 eps=$eps tables=$nTables (GraphX CC)") {
         val l = graft.ml.Dbscan.distributed(
             emb, "vec_id", "features", eps = eps, minPts = 5,
-            bucketLength = bl)
+            bucketLength = bl, numHashTables = nTables)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r = l.agg(count(lit(1)).as("n"),
           sum(when(col("label") >= 0, 1L).otherwise(0L)).as("clustered"),
@@ -589,12 +634,13 @@ object Scale9 {
           s"clustered=${r.getLong(1)} clusters=${r.getLong(2)}")
         l
       }
-      timed("dbscan x100 route equality (driver union-find, same edges)") {
+      if (!skipRoute) timed("dbscan x100 route equality (driver union-find, same edges)") {
         // cap forced past any plausible edge count; NOT Int.MaxValue —
         // the probe's limit(cap+1) would overflow negative
         val labelsDriver = graft.ml.Dbscan.distributed(
           emb, "vec_id", "features", eps = eps, minPts = 5,
-          bucketLength = bl, smallGraphEdgeCap = Int.MaxValue - 1)
+          bucketLength = bl, numHashTables = nTables,
+          smallGraphEdgeCap = Int.MaxValue - 1)
         val diff = labelsGraphx.withColumnRenamed("label", "lg")
           .join(labelsDriver.withColumnRenamed("label", "ld"), "vec_id")
           .filter(col("lg") =!= col("ld")).count()
