@@ -490,6 +490,14 @@ object SparkEntry {
     if (name == "llm_ann_topk") graft.gates.ScaleGates.annGateResetAll()
   }
 
+  /** Stride-sampled documents for the per-doc winnow dumps (full table
+    * through sf1; doc_id % stride past it — see winnowCte scaladoc). */
+  private def winnowSampledDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stride = graft.gates.ScaleGates.nearDupStride(docs.count())
+    if (stride == 1L) docs else docs.filter(col("doc_id") % stride === 0)
+  }
+
   /** documents ⋈ embeddings on id — the J2 label-attach fixture. */
   private def labeled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").join(
@@ -2536,8 +2544,13 @@ object SparkEntry {
     // window-min md5 gram hashes per doc — the local, position-robust
     // overlap primitive (two docs sharing a k+w-1 substring share a
     // fingerprint); exact DuckDB window-function twin
+    // per-doc fingerprint dumps verify the stride-sampled docs' FULL
+    // streams past sf1 (winnowing is doc-local, so per-doc sampling is
+    // exact); stride 1 through sf1 keeps the fixture hashes unchanged.
+    // At sf10 this cuts the oracle's md5 bill and the 54M-row compare
+    // by the stride (31)
     "llm_winnow_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      winnowSampledDocs(s, dir).select(col("doc_id"),
         explode(call_function("graft_winnow",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
@@ -2546,7 +2559,7 @@ object SparkEntry {
     // closed per-position polynomial form (winnowKrSql), plus
     // WinnowSpec's guarantee + brute-force parity
     "llm_winnow_kr_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      winnowSampledDocs(s, dir).select(col("doc_id"),
         explode(call_function("graft_winnow_kr",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
@@ -2556,7 +2569,7 @@ object SparkEntry {
     // orderBy of ~n·fingerprint rows; the sorted sibling stays as the
     // deterministic row-dump
     "llm_winnow_kr_core" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      winnowSampledDocs(s, dir).select(col("doc_id"),
         explode(call_function("graft_winnow_kr",
           col("text"), lit(8), lit(4))).as("fp"))),
     // MOSS-style overlap pairs: docs sharing >=3 winnowing fingerprints
@@ -7314,13 +7327,23 @@ object SparkEntry {
     * consecutive positions, DISTINCT selected values per doc. The
     * selected-hash SET is tie-break-invariant, so plain window min
     * reproduces the kernel's monotonic-deque selection exactly. */
-  private def winnowCte: String = {
+  /** `sampled = true` arms (the per-doc fingerprint dumps) restrict to
+    * the stride-sampled docs past sf1: winnowing is doc-local, so the
+    * sampled twin verifies the sampled docs' FULL fingerprint streams
+    * exactly while the oracle's per-position md5 bill — and the 54M-row
+    * compare at sf10 — shrinks by the stride. The cross-doc overlap
+    * twin stays unsampled. Stride 1 through sf1: bit-identical forms. */
+  private def winnowCte(sampled: Boolean = false): String = {
     val digits = "0123456789abcdef"
     val parse = (1 to 15).map { j =>
       s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
     }.mkString(" + ")
-    "WITH pos AS (SELECT doc_id, text, " +
-      "unnest(generate_series(1, length(text) - 7)) AS i FROM documents), " +
+    val src =
+      if (sampled) "documents CROSS JOIN prm WHERE doc_id % prm.stride = 0"
+      else "documents"
+    val prm = if (sampled) s"${nearDupPrmCte()}, " else ""
+    s"WITH $prm pos AS (SELECT doc_id, text, " +
+      s"unnest(generate_series(1, length(text) - 7)) AS i FROM $src), " +
       "g AS (SELECT doc_id, i, md5(substr(text, i::INTEGER, 8)) AS h " +
       "FROM pos), " +
       s"p AS (SELECT doc_id, i, CAST($parse AS BIGINT) AS hv FROM g), " +
@@ -7357,7 +7380,8 @@ object SparkEntry {
       "GROUP BY doc_id ORDER BY doc_id"
 
   private def winnowSql: String =
-    winnowCte + " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+    winnowCte(sampled = true) +
+      " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
 
   /** CDC twin: the gear recurrence h' = (2h + g) mod 2^k is CLOSED over
     * the low k bits the boundary test reads, so the replay runs on tiny
@@ -7436,8 +7460,9 @@ object SparkEntry {
       val w = B.pow(8 - j).mod(m64)
       s"ord(substr(text, (i+${j - 1})::INTEGER, 1))::HUGEINT * $w::HUGEINT"
     }.mkString(" + ")
-    "WITH pos AS (SELECT doc_id, text, " +
-      "unnest(generate_series(1, length(text) - 7)) AS i FROM documents), " +
+    s"WITH ${nearDupPrmCte()}, pos AS (SELECT doc_id, text, " +
+      "unnest(generate_series(1, length(text) - 7)) AS i FROM documents " +
+      "CROSS JOIN prm WHERE doc_id % prm.stride = 0), " +
       "p AS (SELECT doc_id, i, " +
       "CASE WHEN m > 9223372036854775807::HUGEINT " +
       "THEN (m - 18446744073709551616::HUGEINT)::BIGINT " +
@@ -7455,7 +7480,7 @@ object SparkEntry {
   /** Overlap twin: same df-capped shared-fingerprint join as
     * Dedup.winnowOverlapPairs (df in [2, 50], ≥3 shared). */
   private def winnowOverlapSql: String =
-    winnowCte +
+    winnowCte() +
       ", rare AS (SELECT fp FROM fps GROUP BY fp " +
       "HAVING count(*) >= 2 AND count(*) <= 50), " +
       "k AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)) " +
