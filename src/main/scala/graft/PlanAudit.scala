@@ -631,16 +631,41 @@ object PlanAudit {
       "containment filter after the join" -> (_.contains("Filter"))))(
       SparkEntry.queries("j7_range_join")(spark, dir))
 
-    // the injected optimizer rule must turn the NAIVE inequality form
-    // into the binned equi-join — audited on the exact frame j7b runs
+    // r17: the injected optimizer rule must turn the NAIVE
+    // aggregate-over-band-join into the JOIN-FREE prefix plan — the
+    // fixture's qualifying pairs grow ×100 per ×10 rows, so at ×100 the
+    // binned pair join pays 1502 s where this plan pays ~26 s. Audited
+    // on the exact frame j7b runs (width conf armed, as the registry
+    // query arms it — the agg rewrite itself needs no width).
     SparkEntry.withRangeJoinWidth(spark, "4000.0") {
-      audit("j7b_range_join_auto (rule rewrites bare band join)", Seq(
+      audit("j7b_range_join_auto (agg-over-band-join plans join-free prefix)",
+        Seq(
+          "join-free prefix operator planned" ->
+            (_.contains("RangeAggPrefix")),
+          "NO join of any kind (pairs never enumerated)" ->
+            (p => !p.contains("Join")),
+          "one range exchange feeds the prefix stitch" ->
+            (_.contains("rangepartitioning")),
+          "no bin replication (prefix replaced the bin join)" ->
+            (p => !p.contains("_graft_bin"))))(
+        SparkEntry.bandJoinNaive(spark, dir))
+      // the BIN-JOIN rewrite still owns the no-aggregate shape (the
+      // pairs ARE the output there) and the declined-aggregate shapes;
+      // gate it on the same naive frame with the agg rewrite off so
+      // the fallback path stays pinned
+      val prev = spark.conf.getOption("spark.graft.rangeJoin.aggPrefix")
+      spark.conf.set("spark.graft.rangeJoin.aggPrefix", "false")
+      try audit("j7b fallback (aggPrefix off → binned equi-join)", Seq(
         "no BroadcastNestedLoopJoin" ->
           (p => !p.contains("BroadcastNestedLoopJoin")),
         "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
         "rewritten bin key present" -> (_.contains("_graft_bin")),
         "band filter kept after the bin join" -> (_.contains("Filter"))))(
         SparkEntry.bandJoinNaive(spark, dir))
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.rangeJoin.aggPrefix", v)
+        case None => spark.conf.unset("spark.graft.rangeJoin.aggPrefix")
+      }
     }
 
     // the injected DedupComputeRewrite must turn the NAIVE per-row
@@ -1095,12 +1120,13 @@ object PlanAudit {
       SparkEntry.a6RankGateAgg(Tables.table(spark, dir, "orders"),
         Seq(0.25, 0.5, 0.75), Seq(1000.0, 2000.0, 3000.0)))
 
-    // r16: the prefix-merge range aggregate (j7c) must never enumerate
-    // point×interval pairs — its plan is union → range exchange →
-    // per-partition prefix (mapPartitions) → probe aggregation. The
-    // output frame is a localCheckpoint scan, so audit the OPERATOR's
-    // pre-checkpoint pipeline directly: probes flow through a range
-    // partitioning, and no Join node exists anywhere.
+    // r16 (re-gated r17): the prefix range aggregate (j7c) must never
+    // enumerate point×interval pairs. r17 rebased the operator onto the
+    // RangeAggPrefix plan, so the frame's OWN executed plan is the full
+    // pipeline (no localCheckpoint indirection — the r16 advice noted
+    // the old "no Join" check was vacuous against a checkpoint scan):
+    // union → range exchange → sort → RangeAggPrefix → aggregate, and
+    // no Join node anywhere.
     locally {
       import org.apache.spark.sql.functions.{col => c}
       val o = Tables.table(spark, dir, "orders")
@@ -1111,15 +1137,11 @@ object PlanAudit {
       val points = o.select(c("o_totalprice").as("price"))
       val out = graft.ops.RangeAgg.pointsInRangeAgg(points, "price",
         intervals, "interval_id", "lo", "hi")
-      // the operator already ran (localCheckpoint is eager); assert on
-      // the result AND rebuild the merged-stream plan shape by hand is
-      // NOT done — instead gate the user-visible contract: checkpoint
-      // scan only, no join, and the row count matches the join form
-      val plan = out.queryExecution.executedPlan.toString
-      println(s"\n===== j7c range-agg prefix (join-free) =====")
-      val noJoin = !plan.contains("Join")
-      println(s"CHECK[j7c range-agg] no join in result plan: " +
-        (if (noJoin) "OK" else "MISSING"))
+      audit("j7c_range_agg_prefix (operator plans the prefix exec)", Seq(
+        "RangeAggPrefix exec in plan" -> (_.contains("RangeAggPrefix")),
+        "no join of any kind" -> (p => !p.contains("Join")),
+        "range exchange feeds the prefix stitch" ->
+          (_.contains("rangepartitioning"))))(out)
       val joinForm = SparkEntry.queries("j7_range_join")(spark, dir)
       val same = out.count() == joinForm.count()
       println(s"CHECK[j7c range-agg] row count equals join-form j7: " +

@@ -163,9 +163,12 @@ object Dbscan {
     // colliding pairs are far apart in some OTHER table's projection.
     // tight bound: Δfloor ≥ m forces |Δproj| > (m−1)·bl, so a true
     // pair (|Δproj| < eps) reaches at most m < eps/bl + 1 — at the
-    // common eps/bl = 2 regime this is 2, not ceil+1's 3. The 1e-9
-    // guards float rounding on exact-integer ratios (looser-safe).
-    val band = math.ceil(eps / bucketLength + 1 - 1e-9) - 1
+    // common eps/bl = 2 regime this is 2, not ceil+1's 3. No float
+    // guard: plain ceil is already exact at integer ratios (m < k+1
+    // implies m ≤ k) and float over-rounding can only WIDEN the band;
+    // a subtractive guard could tighten it and drop a real edge (r16
+    // advice).
+    val band = math.ceil(eps / bucketLength + 1) - 1
     val bandOk = (0 until numHashTables).map { i =>
       abs(element_at(col("ha"), i + 1) -
         element_at(col("hb"), i + 1)) <= lit(band)

@@ -1,95 +1,67 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** Join-free per-interval range aggregation (r16, the j7 ×100 finding).
+/** Join-free per-interval range aggregation (r16 operator; r17 re-based
+  * onto the shared [[graft.plans.RangeAggPrefix]] plan builder — the
+  * same machinery the optimizer's aggregate-over-range-join rewrite
+  * emits, so the explicit operator and the auto path cannot drift).
   *
-  * The band-join fixture is OUTPUT-BOUND quadratic: every ×10 in rows is
-  * ×100 in qualifying (point, interval) pairs (1.86M → 186M → 18.6B at
-  * sf0.1/sf1/sf10), so ANY pair-enumerating plan — the binned equi-join,
-  * DuckDB's IEJoin, a 1000-executor cluster's shuffle join — pays wall
-  * time linear in the pair count (measured: 910 s engine-side at ×100).
-  * When the downstream question is a per-interval COUNT + exact SUM, the
-  * pairs are never needed: merge points and interval endpoints into one
-  * value-ordered stream and read two prefix sums per interval —
-  * O((n+q) log) with output linear in q, at any density.
+  * Why it exists: the band fixture is OUTPUT-BOUND quadratic — every
+  * ×10 in rows is ×100 in qualifying (point, interval) pairs
+  * (1.86M → 186M → 18.6B at sf0.1/sf1/sf10) — so ANY pair-enumerating
+  * plan pays wall time linear in pairs (measured 910–1502 s at ×100).
+  * When the question is per-interval COUNT + exact SUM, the prefix form
+  * answers in O((n+q) log) at any density (26 s at ×100). Algorithm,
+  * exactness (long/decimal-cents accumulation, bit-identical under any
+  * partitioning), inclusivity tag order, duplicate-id safety (signed
+  * probes), and the loud 2^63 overflow contract are documented on
+  * RangeAggPrefix.
   *
-  * Distributed two-pass prefix sum (the llm_token_pack pattern):
-  * range-partition the merged stream by (value, tag), local running
-  * (count, centsSum) per partition, collect the per-partition totals
-  * (bounded: one row per partition) to compute exclusive offsets, then a
-  * second pass emits each probe's global prefix. Tag order pins the
-  * inclusive-[lo, hi] semantics at equal values: lo-probe (0) sorts
-  * BEFORE points (1), hi-probe (2) AFTER, so cnt(hi) − cnt(lo) counts
-  * lo ≤ v ≤ hi exactly. Sums accumulate as LONG CENTS (exact for
-  * 2-decimal money doubles, order-independent — the dsum contract), so
-  * the answer is bit-identical under any partitioning.
-  *
-  * Intervals with zero qualifying points are dropped, matching the
-  * join-then-aggregate form this replaces. */
+  * r17 note: the r16 implementation's localCheckpoint / broadcast-var /
+  * persist lifecycle (and its undocumented unique-id requirement) are
+  * gone — the plan is now a single declarative pipeline whose physical
+  * shape PlanAudit inspects directly, duplicate interval ids aggregate
+  * correctly by construction, and the only driver state is one tiny
+  * per-partition totals row inside the exec. */
 object RangeAgg {
 
-  /** Per-interval (cnt, sum) of `ptCol` values in [loCol, hiCol].
-    * Output: (idCol, cnt: long, sum: double — exact cents/100). */
+  /** Per-interval (cnt, sum) of `ptCol` values in [loCol, hiCol]
+    * (inclusive both ends). Output columns: (idCol — original type
+    * preserved, cnt: long, sum: double — exact decimal(18,2) sum).
+    * Intervals with zero qualifying points are dropped, matching the
+    * join-then-aggregate form this replaces; interval rows sharing an
+    * id value aggregate together, exactly as that form would. */
   def pointsInRangeAgg(points: DataFrame, ptCol: String,
                        intervals: DataFrame, idCol: String,
                        loCol: String, hiCol: String): DataFrame = {
     val spark = points.sparkSession
-    import spark.implicits._
-    // merged event stream: (v, tag, iid, c, cents)
-    val pts = points.select(col(ptCol).cast("double").as("v"),
-      lit(1).as("tag"), lit(-1L).as("iid"), lit(1L).as("c"),
-      round(col(ptCol).cast("double") * 100).cast("long").as("cents"))
-    def probe(vCol: String, tag: Int) = intervals
-      .filter(col(loCol) <= col(hiCol))
-      .select(col(vCol).cast("double").as("v"), lit(tag).as("tag"),
-        col(idCol).cast("long").as("iid"), lit(0L).as("c"),
-        lit(0L).as("cents"))
-    val merged = pts.unionByName(probe(loCol, 0)).unionByName(probe(hiCol, 2))
-      .as[(Double, Int, Long, Long, Long)]
-    val prepared = merged
-      .repartitionByRange(col("v"), col("tag"))
-      .sortWithinPartitions("v", "tag")
-      .persist()
-    try {
-      // pass 1: per-partition totals — one tiny row per partition
-      val partials = prepared.mapPartitions { it =>
-        var c = 0L; var s = 0L
-        it.foreach { r => c += r._4; s += r._5 }
-        Iterator.single((TaskContext.getPartitionId(), c, s))
-      }.collect().sortBy(_._1)
-      val nPart = prepared.rdd.getNumPartitions
-      val offC = new Array[Long](nPart)
-      val offS = new Array[Long](nPart)
-      var accC = 0L; var accS = 0L
-      partials.foreach { case (pid, c, s) =>
-        offC(pid) = accC; offS(pid) = accS; accC += c; accS += s
-      }
-      val bcC = spark.sparkContext.broadcast(offC)
-      val bcS = spark.sparkContext.broadcast(offS)
-      // pass 2: emit each probe's global running (cnt, cents)
-      val probes = prepared.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var c = bcC.value(pid); var s = bcS.value(pid)
-        it.flatMap { r =>
-          c += r._4; s += r._5
-          if (r._2 == 1) Iterator.empty
-          else Iterator.single((r._3, r._2, c, s))
-        }
-      }.toDF("iid", "tag", "rc", "rs")
-      val out = probes.groupBy("iid")
-        .agg(
-          (max(when(col("tag") === 2, col("rc"))) -
-            max(when(col("tag") === 0, col("rc")))).as("cnt"),
-          (max(when(col("tag") === 2, col("rs"))) -
-            max(when(col("tag") === 0, col("rs")))).as("cents"))
-        .filter(col("cnt") > 0)
-        .select(col("iid").as(idCol), col("cnt"),
-          (col("cents").cast("double") / 100.0).as("sum"))
-      // materialize before unpersisting the prepared stream
-      out.localCheckpoint(true)
-    } finally prepared.unpersist()
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ptPlan = points.queryExecution.analyzed
+    val ivPlan = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, what: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: no $what column '$n' in ${p.output.map(_.name)}"))
+    val pt = attr(ptPlan, ptCol, "point")
+    val id = attr(ivPlan, idCol, "interval id")
+    val lo = attr(ivPlan, loCol, "interval lo")
+    val hi = attr(ivPlan, hiCol, "interval hi")
+    val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "cnt")()
+    val sum = Alias(Cast(AggregateExpression(
+      Sum(Cast(pt, DecimalType(18, 2))), Complete, isDistinct = false),
+      DoubleType), "sum")()
+    val plan = graft.plans.RangeAggPrefix.tryBuild(
+      Seq(id), Seq(id, cnt, sum), pt, lo, hi,
+      loStrict = false, hiStrict = false, ptPlan, ivPlan)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be numeric types " +
+          "whose double image is order-exact (double/float/int or " +
+          s"narrower); got ${pt.dataType}/${lo.dataType}/${hi.dataType}"))
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
   }
 }

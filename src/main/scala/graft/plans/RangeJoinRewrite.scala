@@ -2,54 +2,78 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-/** Optimizer rule: rewrite a pure band (interval-containment) inner join
+/** Optimizer rule for pure band (interval-containment) inner joins,
+  * with two rewrites tried in order of strength:
   *
-  *   Join(points, intervals, Inner, pt >= lo AND pt <= hi)
+  * 1. AGGREGATE-OVER-BAND-JOIN → join-free prefix (r17, default ON):
   *
-  * into the bin-bucketed equi-join `Relational.rangeJoinPoints` builds by
-  * hand — Spark plans the bare inequality condition as
-  * BroadcastNestedLoopJoin (O(points × intervals) comparisons), while the
-  * rewritten join hash-partitions on `floor(x / W)` and keeps the
-  * original band predicate as the exact post-join filter:
+  *      Aggregate(interval keys, count/exact-sum over points,
+  *        Join(points, intervals, Inner, pt >= lo AND pt <= hi))
   *
-  *   Project(original output)
-  *     Join(..., Inner, binL = binR AND pt >= lo AND pt <= hi)
-  *       Project(points + binL := floor(pt / W))
-  *       Generate(explode(sequence(floor(lo/W), floor(hi/W))) as binR,
-  *         Filter(lo <= hi, intervals))
+  *    becomes the [[RangeAggPrefix]] plan — merged value-ordered event
+  *    stream, one range exchange, two linear passes, NO pair ever
+  *    materialized. The band fixture's qualifying pairs grow ×100 per
+  *    ×10 rows, so every pair-enumerating plan (binned or not) pays
+  *    wall linear in pairs (910–1502 s at ×100) where the prefix form
+  *    answers the same 155-row aggregate in ~26 s. The rewrite is
+  *    EXACT (long/decimal-cents accumulation, duplicate-key-safe by
+  *    signed probes — see RangeAggPrefix's scaladoc) and needs no
+  *    tuning knob, so it defaults on; disable with
+  *    `spark.graft.rangeJoin.aggPrefix=false`. Guards are strict
+  *    (count / exact decimal or integral sums only; double sums and
+  *    min/max stay on the join path — running extrema are not
+  *    differences of prefixes).
   *
-  * The rewrite fires only when `spark.graft.rangeJoin.binWidth` is set to
-  * a positive width (bin sizing is a data decision — a width far below
-  * the interval length explodes replication, far above it degrades to a
-  * few giant bins; no safe universal default exists).
+  * 2. BARE BAND JOIN → bin-bucketed equi-join (the join's pairs ARE the
+  *    requested output, so enumeration is irreducible — the rewrite
+  *    just replaces the BroadcastNestedLoopJoin O(points × intervals)
+  *    plan with a hash join on `floor(x / W)`):
   *
-  * Guards (all must hold, else the plan is untouched):
+  *      Project(original output)
+  *        Join(..., Inner, binL = binR AND pt >= lo AND pt <= hi)
+  *          Project(points + binL := floor(pt / W))
+  *          Generate(explode(sequence(floor(lo/W), floor(hi/W))) as binR,
+  *            Filter(lo <= hi, intervals))
+  *
+  *    This form fires only when `spark.graft.rangeJoin.binWidth` is set
+  *    to a positive width (bin sizing is a data decision — a width far
+  *    below the interval length explodes replication, far above it
+  *    degrades to a few giant bins; no safe universal default exists).
+  *
+  * Band-shape guards (both rewrites):
   *  - inner join whose condition is EXACTLY two conjuncts, one lower and
   *    one upper bound on the same point expression (any of >=, >, <=, <
   *    in either literal order);
   *  - the point expression references exactly one join side, both bounds
   *    the other side — and the two bounds the SAME side;
-  *  - every involved expression is numeric (cast-to-double safe).
+  *  - every involved expression is numeric.
   *
-  * Strict bounds are accepted because the ORIGINAL condition is kept
-  * verbatim after the bin equality: binning only prunes candidates, the
-  * band predicate still decides membership.
+  * Strict bounds are accepted: the binned form keeps the ORIGINAL
+  * condition verbatim after the bin equality (binning only prunes
+  * candidates), and the prefix form encodes strictness in probe tag
+  * order.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
-  /** One conjunct decomposed as (point, bound, pointIsLowerBounded). */
-  private def asBound(e: Expression): Option[(Expression, Expression, Boolean)] =
-    e match {
-      case GreaterThanOrEqual(a, b) => Some((a, b, true))
-      case GreaterThan(a, b) => Some((a, b, true))
-      case LessThanOrEqual(a, b) => Some((a, b, false))
-      case LessThan(a, b) => Some((a, b, false))
-      case _ => None
-    }
+  /** A detected band: point expr, bounds with strictness, and which
+    * join side holds the point. */
+  private case class Band(pt: Expression, lo: Expression, hi: Expression,
+                          loStrict: Boolean, hiStrict: Boolean,
+                          ptOnLeft: Boolean)
+
+  /** One conjunct decomposed as (point, bound, pointIsLower, strict). */
+  private def asBound(e: Expression)
+      : Option[(Expression, Expression, Boolean, Boolean)] = e match {
+    case GreaterThanOrEqual(a, b) => Some((a, b, true, false))
+    case GreaterThan(a, b) => Some((a, b, true, true))
+    case LessThanOrEqual(a, b) => Some((a, b, false, false))
+    case LessThan(a, b) => Some((a, b, false, true))
+    case _ => None
+  }
 
   private def sideOf(e: Expression, left: LogicalPlan,
                      right: LogicalPlan): Option[Boolean] = {
@@ -63,60 +87,99 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def numeric(e: Expression): Boolean =
     e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
+  /** Detect the band shape over the two conjuncts of an inner-join
+    * condition. Both orientations of a conjunct can be side-valid (the
+    * point and the bound each reference exactly one side), so the right
+    * pairing is only decidable jointly: try every orientation
+    * combination and take the first that forms a band (same point, one
+    * lower + one upper bound, bounds on the opposite side of the
+    * point). */
+  private def detectBand(left: LogicalPlan, right: LogicalPlan,
+                         c1: Expression, c2: Expression): Option[Band] = {
+    val raw = Seq(asBound(c1), asBound(c2)).flatten
+    if (raw.length != 2) return None
+    def orientations(dec: (Expression, Expression, Boolean, Boolean))
+        : Seq[(Expression, Expression, Boolean, Boolean)] = {
+      val (a, b, lower, strict) = dec
+      Seq((a, b, lower, strict), (b, a, !lower, strict)).filter {
+        case (pt, bound, _, _) =>
+          (sideOf(pt, left, right), sideOf(bound, left, right)) match {
+            case (Some(sa), Some(sb)) => sa != sb
+            case _ => false
+          }
+      }
+    }
+    val o1 = orientations(raw.head)
+    val o2 = orientations(raw(1))
+    val combos = for {
+      a <- o1; b <- o2
+      if a._1.semanticEquals(b._1) && a._3 != b._3
+    } yield if (a._3) Band(a._1, a._2, b._2, a._4, b._4, ptOnLeft = true)
+            else Band(a._1, b._2, a._2, b._4, a._4, ptOnLeft = true)
+    combos.headOption.flatMap { band =>
+      if (!Seq(band.pt, band.lo, band.hi).forall(numeric)) None
+      else sideOf(band.pt, left, right).flatMap { ptOnLeft =>
+        // both bounds must live on the side opposite the point
+        if (sideOf(band.lo, left, right).contains(ptOnLeft) ||
+          sideOf(band.hi, left, right).contains(ptOnLeft)) None
+        else Some(band.copy(ptOnLeft = ptOnLeft))
+      }
+    }
+  }
+
   private def binOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    val aggOn = conf
+      .getConfString("spark.graft.rangeJoin.aggPrefix", "true") == "true"
+    val p1 = if (!aggOn) plan else plan.transformDown {
+      case agg @ Aggregate(g, a, child, _) =>
+        tryAggRewrite(g, a, child).getOrElse(agg)
+    }
     val w = conf.getConfString("spark.graft.rangeJoin.binWidth", "")
       .toDoubleOption.getOrElse(0.0)
     // `w <= 0` alone lets NaN/Infinity through ("NaN".toDouble parses,
     // NaN <= 0 is false) — floor(x/NaN) puts EVERYTHING in one bin, a
     // plan strictly worse than the nested loop being replaced
-    if (!(w > 0) || w.isNaN || w.isInfinite) return plan
-    plan.transformUp {
+    if (!(w > 0) || w.isNaN || w.isInfinite) return p1
+    p1.transformUp {
       case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
-        val rewritten = for {
-          b1 <- asBound(c1)
-          b2 <- asBound(c2)
-          r <- rewriteIfBand(j, left, right, hint, w, Seq(b1, b2))
-        } yield r
-        rewritten.getOrElse(j)
+        detectBand(left, right, c1, c2)
+          .flatMap(b => rewriteBinned(j, left, right, hint, w, b))
+          .getOrElse(j)
     }
   }
 
-  /** Given the two decomposed conjuncts of an Inner join, build the
-    * binned join when they form a band over one point expression. */
-  private def rewriteIfBand(j: Join, left: LogicalPlan, right: LogicalPlan,
-                            hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
-                            w: Double,
-                            raw: Seq[(Expression, Expression, Boolean)])
-      : Option[LogicalPlan] = {
-    // Both orientations of a conjunct can be side-valid (the point and
-    // the bound each reference exactly one side), so the right pairing
-    // is only decidable jointly: try every orientation combination and
-    // take the first that forms a band (same point, one lower + one
-    // upper bound, bounds on the opposite side of the point).
-    def orientations(dec: (Expression, Expression, Boolean))
-        : Seq[(Expression, Expression, Boolean)] = {
-      val (a, b, lower) = dec
-      Seq((a, b, lower), (b, a, !lower)).filter { case (pt, bound, _) =>
-        (sideOf(pt, left, right), sideOf(bound, left, right)) match {
-          case (Some(sa), Some(sb)) => sa != sb
-          case _ => false
-        }
-      }
+  /** Rewrite 1: aggregate directly over a band join (an attrs-only
+    * Project between them is looked through). */
+  private def tryAggRewrite(groupExprs: Seq[Expression],
+                            aggExprs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    val join = child match {
+      case j: Join => Some(j)
+      case Project(pl, j: Join) if pl.forall(_.isInstanceOf[Attribute]) =>
+        Some(j)
+      case _ => None
     }
-    val bands = for {
-      (ptA, boundA, lowerA) <- orientations(raw.head)
-      (ptB, boundB, lowerB) <- orientations(raw(1))
-      if ptA.semanticEquals(ptB) && lowerA != lowerB
-    } yield if (lowerA) (ptA, boundA, boundB) else (ptA, boundB, boundA)
-    if (bands.isEmpty) return None
-    val (ptA, lo, hi) = bands.head
-    if (!Seq(ptA, lo, hi).forall(numeric)) return None
-    val ptOnLeft = sideOf(ptA, left, right).getOrElse(return None)
-    if (sideOf(lo, left, right).contains(ptOnLeft) ||
-      sideOf(hi, left, right).contains(ptOnLeft)) return None
+    join.flatMap {
+      case Join(left, right, Inner, Some(And(c1, c2)), _) =>
+        detectBand(left, right, c1, c2).flatMap { b =>
+          val (ptPlan, ivPlan) =
+            if (b.ptOnLeft) (left, right) else (right, left)
+          RangeAggPrefix.tryBuild(groupExprs, aggExprs, b.pt, b.lo, b.hi,
+            b.loStrict, b.hiStrict, ptPlan, ivPlan)
+        }
+      case _ => None
+    }
+  }
+
+  /** Rewrite 2: the binned equi-join over a detected band. */
+  private def rewriteBinned(j: Join, left: LogicalPlan, right: LogicalPlan,
+                            hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+                            w: Double, band: Band): Option[LogicalPlan] = {
+    val (ptA, lo, hi) = (band.pt, band.lo, band.hi)
+    val ptOnLeft = band.ptOnLeft
     val (ptPlan, ivPlan) = if (ptOnLeft) (left, right) else (right, left)
 
     val binL = Alias(binOf(ptA, w), "_graft_bin_pt")()

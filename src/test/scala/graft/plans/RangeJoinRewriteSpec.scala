@@ -115,4 +115,125 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(plan(bandJoin()).contains("BroadcastNestedLoopJoin"))
     }
   }
+
+  // ---- r17: aggregate-over-band-join → join-free prefix -------------
+
+  private val PrefixKey = "spark.graft.rangeJoin.aggPrefix"
+
+  private def withPrefixOff[T](body: => T): T = {
+    spark.conf.set(PrefixKey, "false")
+    try body finally spark.conf.unset(PrefixKey)
+  }
+
+  private def aggOverBand(pts: DataFrame, ivs: DataFrame): DataFrame =
+    pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid")
+      .agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.dsum(col("p")).as("s"))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("aggregate over a band join auto-plans the join-free prefix form") {
+    val df = aggOverBand(points, intervals)
+    val p = plan(df)
+    assert(p.contains("RangeAggPrefix"), p)
+    assert(!p.contains("Join"), p)
+    // ground truth: the pair-enumerating plan with BOTH rewrites off
+    val truth = withPrefixOff(rows(aggOverBand(points, intervals)))
+    assert(rows(df) == truth && truth.nonEmpty)
+    // no width conf needed: the prefix form has no tuning knob
+    assert(!spark.conf.getOption(WidthKey).isDefined)
+  }
+
+  test("prefix rewrite is duplicate-interval-id safe (signed probes)") {
+    // two interval ROWS share iid 20: the group must hold the SUM of
+    // both instances' answers, exactly as aggregate-over-join computes
+    val dup = Seq((20L, 0.0, 10.0), (20L, 12.0, 30.0), (30L, 24.0, 26.0))
+      .toDF("iid", "lo", "hi")
+    val df = aggOverBand(points, dup)
+    assert(plan(df).contains("RangeAggPrefix"))
+    assert(rows(df) == withPrefixOff(rows(aggOverBand(points, dup))))
+  }
+
+  test("prefix rewrite keeps strict-bound semantics, incl. lo == hi") {
+    // boundary-equal point (5.0 == lo of [5,25]) plus a strict-strict
+    // degenerate [7,7] interval (matches nothing, must not go negative)
+    val ivs = Seq((1L, 5.0, 25.0), (2L, 7.0, 7.0), (3L, 25.0, 47.0))
+      .toDF("iid", "lo", "hi")
+    def q() = points.join(ivs, col("p") > col("lo") && col("p") < col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.dsum(col("p")).as("s"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    assert(rows(q()) == withPrefixOff(rows(q())))
+    // inclusive form on the same data disagrees with strict (boundary
+    // rows) and must also match its own join-form truth
+    def qi() = aggOverBand(points, ivs)
+    assert(rows(qi()) == withPrefixOff(rows(qi())))
+    assert(rows(qi()) != rows(q()))
+  }
+
+  test("prefix rewrite: null points and null bounds match join semantics") {
+    val pts = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, 25.0)).toDF("pid", "p")
+    val ivs = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (10L, 0.0, 10.0), (20L, null, 30.0), (30L, 20.0, 30.0))
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.dsum(col("p")).as("s"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    assert(rows(q()) == withPrefixOff(rows(q())))
+  }
+
+  test("prefix rewrite handles the GLOBAL aggregate, incl. zero matches") {
+    def q(ivs: DataFrame) = points
+      .join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .agg(count(lit(1)).as("cnt"), graft.core.Tables.dsum(col("p")).as("s"))
+    val some = q(intervals)
+    assert(plan(some).contains("RangeAggPrefix"))
+    assert(some.collect().toSeq == withPrefixOff(q(intervals).collect().toSeq))
+    // zero qualifying pairs: ONE row (0, null) — inner-join-then-global-agg
+    val none = Seq((9L, 100.0, 200.0)).toDF("iid", "lo", "hi")
+    val got = q(none).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 0L && got(0).isNullAt(1))
+    assert(got.toSeq == withPrefixOff(q(none).collect().toSeq))
+  }
+
+  test("avg falls out of the prefix form (exact sum / count)") {
+    def q() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid")
+      .agg(graft.core.Tables.davg(col("p")).as("a"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    val got = q().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == withPrefixOff(
+      q().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet))
+  }
+
+  test("double sums decline the prefix form and fall back to the bin join") {
+    // plain sum(double) is order-dependent — prefix re-association could
+    // drift a ulp, so the agg rewrite must decline; with a width set the
+    // binned JOIN rewrite still rescues the plan from the nested loop
+    def q() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(sum(col("p")).as("s"))
+    assert(!plan(q()).contains("RangeAggPrefix"))
+    withWidth("10.0") {
+      val p = plan(q())
+      assert(!p.contains("RangeAggPrefix") && p.contains("_graft_bin"), p)
+    }
+    // min/max stay on the join path too: running extrema are not
+    // differences of prefixes (order-dependent across boundaries)
+    def qm() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(max(col("p")).as("m"))
+    assert(!plan(qm()).contains("RangeAggPrefix"))
+  }
+
+  test("spark.graft.rangeJoin.aggPrefix=false disables the agg rewrite") {
+    withPrefixOff {
+      assert(!plan(aggOverBand(points, intervals)).contains("RangeAggPrefix"))
+    }
+  }
 }
