@@ -2563,6 +2563,19 @@ object SparkEntry {
         explode(call_function("graft_winnow_kr",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
+    // forced-stride-3 gate of the sampled winnow-dump path itself (r17,
+    // symmetry with llm_near_dedup_sampled): the live stride is 1
+    // through sf1, so without this twin the sampling arm the dumps take
+    // past sf1 would only ever run off-gate. Stride composes with the
+    // live formula (3 × live), so the twin scales like its parent
+    "llm_winnow_fingerprint_sampled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = 3L * graft.gates.ScaleGates.nearDupStride(docs.count())
+      docs.filter(col("doc_id") % stride === 0).select(col("doc_id"),
+        explode(call_function("graft_winnow",
+          col("text"), lit(8), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
     // the KR kernel WITHOUT the presentation sort (llm_hash_split
     // precedent): pure scan+explode, zero Exchange — this is the form
     // whose time reflects the O(1)-per-slide kernel rather than a global
@@ -6357,6 +6370,9 @@ object SparkEntry {
         "WHERE d.doc_id % 97 = 0 ORDER BY eval_id"),
     "llm_decontaminate_scan" -> ( decontaminateSql),
     "llm_winnow_fingerprint" -> ( winnowSql),
+    // forced-stride-3 fixture gate of the winnow dump's sampling arm
+    // (oracle-gated every driver run — the r16 verdict's Next #4)
+    "llm_winnow_fingerprint_sampled" -> ( winnowSampledSql),
     "llm_cdc_chunks" -> ( cdcChunksSql),
     "llm_cdc_dedup" -> ( cdcDedupSql),
     // both KR forms share one twin: core is the same row SET without the
@@ -7333,7 +7349,8 @@ object SparkEntry {
     * exactly while the oracle's per-position md5 bill — and the 54M-row
     * compare at sf10 — shrinks by the stride. The cross-doc overlap
     * twin stays unsampled. Stride 1 through sf1: bit-identical forms. */
-  private def winnowCte(sampled: Boolean = false): String = {
+  private def winnowCte(sampled: Boolean = false,
+                        forcedStride: Option[Long] = None): String = {
     val digits = "0123456789abcdef"
     val parse = (1 to 15).map { j =>
       s"(strpos('$digits', substr(h, $j, 1))-1)*${BigInt(16).pow(15 - j)}"
@@ -7341,7 +7358,7 @@ object SparkEntry {
     val src =
       if (sampled) "documents CROSS JOIN prm WHERE doc_id % prm.stride = 0"
       else "documents"
-    val prm = if (sampled) s"${nearDupPrmCte()}, " else ""
+    val prm = if (sampled) s"${nearDupPrmCte(forcedStride)}, " else ""
     s"WITH $prm pos AS (SELECT doc_id, text, " +
       s"unnest(generate_series(1, length(text) - 7)) AS i FROM $src), " +
       "g AS (SELECT doc_id, i, md5(substr(text, i::INTEGER, 8)) AS h " +
@@ -7381,6 +7398,13 @@ object SparkEntry {
 
   private def winnowSql: String =
     winnowCte(sampled = true) +
+      " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+  /** Forced-stride twin of the sampled winnow dump (the
+    * llm_near_dedup_sampled pattern): pins the doc-sampling arm at
+    * fixture scale, composing with the live formula past sf1. */
+  private def winnowSampledSql: String =
+    winnowCte(sampled = true, forcedStride = Some(3L)) +
       " SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
 
   /** CDC twin: the gear recurrence h' = (2h + g) mod 2^k is CLOSED over
