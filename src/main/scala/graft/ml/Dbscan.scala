@@ -122,7 +122,9 @@ object Dbscan {
   private[graft] def epsEdges(pts: DataFrame, eps: Double,
                               bucketLength: Double = 2.0,
                               numHashTables: Int = 3,
-                              hotBucketShard: Int = 4096): DataFrame = {
+                              hotBucketShard: Int = 4096,
+                              denseBucketCap: Int = 16384,
+                              denseChunk: Int = 2048): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(pts.sparkSession)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
@@ -151,8 +153,36 @@ object Dbscan {
     def exploded(idAs: String, fAs: String, hAs: String) = hashed.select(
       col("id").as(idAs), col("farr").as(fAs), col("hvals").as(hAs),
       posexplode(col("hashes")).as(Seq("entry", "hv")))
+    // DENSE-BUCKET ROUTE (r17): the ×100 candidate census (Scale9
+    // `dbscancand`) measured the operating point's bucket structure as
+    // DEGENERATE — 2-3 buckets per table, max occupancy ~n/2, so ~87%
+    // of ALL pairs are candidates (6e10 enumerations at n=200k) and
+    // every lossless 1-D window passes 100% of them (sub-split window
+    // survival 1.000 at bl2 = eps/2, eps/4, eps/8 — the
+    // occupancy-adaptive SPLIT is refuted by direct measurement: eps
+    // spans the whole corpus' projection spread). At that density the
+    // bill is not pruning but ENUMERATION OVERHEAD: the hash join
+    // materializes ~500-byte joined rows per candidate just to feed a
+    // 32-dim kernel. Buckets past `denseBucketCap` are therefore routed
+    // OUT of the join entirely: members are chunked (`denseChunk` rows,
+    // pmod(xxhash64(id))), chunk PAIRS meet through one bounded join
+    // (replication factor occ/denseChunk, no driver state), and a
+    // blocked double loop verifies pairs at array-access cost — same
+    // exact contract (share ≥1 (table, bucket), a ≠ b, strict dist² <
+    // eps², first-colliding-table dedup), ~50× lower constant. Cold
+    // buckets keep the join (it prunes when geometry lets it).
+    val occCounts = hashed
+      .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
+      .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
+    val denseKeys = occCounts.filter(col("occ") > denseBucketCap)
+      .select(col("entry"), col("hv"),
+        ceil(col("occ").cast("double") / denseChunk).cast("int").as("nchunk"))
     val sideA = exploded("a", "fa", "ha")
+      .join(broadcast(denseKeys.select("entry", "hv")),
+        Seq("entry", "hv"), "left_anti")
     val sideBRaw = exploded("b", "fb", "hb")
+      .join(broadcast(denseKeys.select("entry", "hv")),
+        Seq("entry", "hv"), "left_anti")
     // Cross-table band prefilter (r16): the projection vectors are UNIT
     // norm, so a true ε-pair satisfies |proj_u(a) − proj_u(b)| < eps in
     // EVERY table u, hence |floor_u(a) − floor_u(b)| ≤ ceil(eps/bl) — a
@@ -231,10 +261,104 @@ object Dbscan {
           .drop("nshard")
         (a, b, Seq("entry", "hv", "shard"))
       }
-    joinedA.join(joinedB, joinKeys)
-      .filter(col("a") =!= col("b") && bandOk &&
+    // First-colliding-table dedup (r17): a pair colliding in m tables is
+    // enumerated m times by the bucket join and m−1 copies survive all
+    // the way to the distinct() — at bl = eps/2 per-table recall is high
+    // (the r16 2-vs-3-table finding), so m ≈ tables for most true
+    // candidates and the kernel + dedup bill carries a ~m× multiplicity.
+    // Keep a candidate only in its FIRST colliding table: for every
+    // earlier table w < entry, require hash values to differ. Integer
+    // compares on the already-carried hvals arrays, ordered BEFORE the
+    // band prefilter and the 32-dim kernel. Lossless by construction —
+    // every colliding pair still surfaces exactly once, at its minimal
+    // colliding table (the edge-set recompute spec pins this).
+    val firstTable = (0 until numHashTables - 1).map { w =>
+      col("entry") <= w ||
+        element_at(col("ha"), w + 1) =!= element_at(col("hb"), w + 1)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val coldEdges = joinedA.join(joinedB, joinKeys)
+      .filter(col("a") =!= col("b") && firstTable && bandOk &&
         call_function("graft_l2_sq", col("fa"), col("fb")) < lit(eps * eps))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    // blocked verify of the dense buckets: chunk members, join chunk
+    // pairs (cx <= cy so each unordered chunk pair meets once), double
+    // loop with the first-colliding-table skip (a cheap per-earlier-
+    // table compare on the carried hash values — path-independent, so
+    // a pair whose first colliding table's bucket is COLD surfaces
+    // from the join and vice versa, never twice). Both orientations
+    // are emitted, matching the join's ordered-pair relation.
+    val denseEdges = {
+      import pts.sparkSession.implicits._
+      val members = exploded("a", "fa", "ha")
+        .join(broadcast(denseKeys), Seq("entry", "hv"))
+        .withColumn("chunk",
+          pmod(xxhash64(col("a")), col("nchunk")).cast("int"))
+        .select(col("entry"), col("hv"), col("chunk"),
+          struct(col("a"), col("fa"), col("ha")).as("r"))
+      val chunks = members.groupBy("entry", "hv", "chunk")
+        .agg(collect_list(col("r")).as("rows"))
+      val xs = chunks.select(col("entry"), col("hv"),
+        col("chunk").as("cx"), col("rows").as("rx"))
+      val ys = chunks.select(col("entry"), col("hv"),
+        col("chunk").as("cy"), col("rows").as("ry"))
+      val eps2 = eps * eps
+      xs.join(ys, Seq("entry", "hv")).filter(col("cx") <= col("cy"))
+        .select(col("entry"), (col("cx") === col("cy")).as("same"),
+          col("rx"), col("ry"))
+        .flatMap { row =>
+          val entry = row.getInt(0)
+          val same = row.getBoolean(1)
+          def unpack(i: Int): (Array[Long], Array[Array[Double]], Array[Array[Double]]) = {
+            val rs = row.getSeq[org.apache.spark.sql.Row](i)
+            val ids = new Array[Long](rs.length)
+            val fs = new Array[Array[Double]](rs.length)
+            val hs = new Array[Array[Double]](rs.length)
+            var k = 0
+            rs.foreach { r =>
+              ids(k) = r.getLong(0)
+              fs(k) = r.getSeq[Double](1).toArray
+              hs(k) = r.getSeq[Double](2).toArray
+              k += 1
+            }
+            (ids, fs, hs)
+          }
+          val (ia, fa, ha) = unpack(2)
+          val (ib, fb, hb) = unpack(3)
+          val dim = if (fa.nonEmpty) fa(0).length else 0
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < ia.length) {
+            var j = if (same) i + 1 else 0
+            while (j < ib.length) {
+              // a =!= b like the join (drops same-ID row pairs too),
+              // first-colliding-table dedup, then exact strict verify
+              if (ia(i) != ib(j)) {
+              var w = 0
+              var earlier = false
+              while (w < entry && !earlier) {
+                if (ha(i)(w) == hb(j)(w)) earlier = true
+                w += 1
+              }
+              if (!earlier) {
+                var s = 0.0
+                var d = 0
+                val x = fa(i); val y = fb(j)
+                while (d < dim) {
+                  val t = x(d) - y(d); s += t * t; d += 1
+                }
+                if (s < eps2) {
+                  out += ((ia(i), ib(j))); out += ((ib(j), ia(i)))
+                }
+              }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }.toDF("a", "b")
+    }
+    coldEdges.unionByName(denseEdges).distinct()
   }
 
   def distributed(df: DataFrame, idCol: String, featuresCol: String,

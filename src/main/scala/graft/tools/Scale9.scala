@@ -650,6 +650,187 @@ object Scale9 {
       labelsGraphx.unpersist(); embRaw.unpersist()
     }
 
+    // r17 (VERDICT r16 #2): candidate-composition measurement at the
+    // ×100 DBSCAN operating point — measure BEFORE building (the r16
+    // band-prefilter lesson, applied one step earlier). Three
+    // quantities bound the two candidate-volume levers:
+    //  (a) per-table Σ occ² — the enumerated-candidate bill;
+    //  (b) cross-table multiplicity of colliding pairs — the factor
+    //      the r17 first-colliding-table dedup removes from the
+    //      kernel/band/dedup bill (a pair colliding in m tables used
+    //      to pay the verify m times);
+    //  (c) secondary-projection sub-window survival — the fraction of
+    //      in-bucket candidates an occupancy-adaptive LOSSLESS bucket
+    //      split (sub-key on an independent projection, side-B
+    //      replicated ±band) could NOT prune: its maximum enumeration
+    //      cut is 1 − survival, bought at (2·band+1)× hot-side
+    //      replication.
+    // (b)/(c) run on a seeded id-sample (pairs with both endpoints
+    // sampled — unbiased for pair-level fractions; exact enumeration
+    // is the very bill being measured).
+    if (sections("dbscancand")) {
+      import spark.implicits._
+      val eps = 1.05 // the dbscan100 probed operating point (r15/r16)
+      val bl = eps / 2
+      val nTables = 3
+      val emb = spark.read.parquet("benchdata/sf10/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          graft.ml.VectorOps.toMlVector(col("embedding")).as("features"))
+      val lsh = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(bl).setNumHashTables(nTables).setSeed(42L)
+      val hashed = lsh.fit(emb).transform(emb)
+        .select(col("id"),
+          org.apache.spark.ml.functions
+            .vector_to_array(col("features")).as("farr"),
+          transform(col("hashes"), h =>
+            element_at(org.apache.spark.ml.functions.vector_to_array(h), 1))
+            .as("hvals"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = hashed.count()
+      timed("dbscancand (a) per-table sum(occ^2)") {
+        val occ2 = hashed
+          .select(posexplode(col("hvals")).as(Seq("entry", "hv")))
+          .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
+          .groupBy("entry").agg(
+            sum(col("occ") * col("occ")).as("cand"),
+            max("occ").as("occ_max"),
+            count(lit(1)).as("buckets"))
+          .orderBy("entry").collect()
+        occ2.foreach(r => println(
+          f"[scale9]   table ${r.getInt(0)}: enumerated=${r.getLong(1)}%,d " +
+            f"max_occ=${r.getLong(2)}%,d buckets=${r.getLong(3)}%,d"))
+        println(f"[scale9]   total enumerated candidates (n=$n%,d): " +
+          f"${occ2.map(_.getLong(1)).sum}%,d")
+      }
+      // (b)+(c): sampled pair-level composition. id % 13 keeps ~1/169
+      // of in-bucket pairs — still millions at this occupancy.
+      val dim = emb.select(org.apache.spark.ml.functions
+        .vector_to_array(col("features"))).head().getSeq[Double](0).length
+      val rng = new scala.util.Random(4242)
+      val u = Array.fill(dim)(rng.nextGaussian())
+      val norm = math.sqrt(u.map(x => x * x).sum)
+      val uLit = typedlit(u.map(_ / norm).toSeq)
+      val sub = hashed.filter(col("id") % 13 === 0)
+        .withColumn("p2", call_function("graft_dot",
+          col("farr"), uLit))
+      val ex = sub.select(col("id").as("a"), col("farr").as("fa"),
+        col("hvals").as("ha"), col("p2").as("pa"),
+        posexplode(col("hvals")).as(Seq("entry", "hv")))
+      val ex2 = sub.select(col("id").as("b"), col("farr").as("fb"),
+        col("hvals").as("hb"), col("p2").as("pb"),
+        posexplode(col("hvals")).as(Seq("entry", "hv")))
+      timed("dbscancand (b,c) sampled pair composition") {
+        val mult = aggregate(
+          zip_with(col("ha"), col("hb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        def survive(bl2: Double): org.apache.spark.sql.Column = {
+          val band = math.ceil(eps / bl2 + 1) - 1
+          (abs(floor(col("pa") / bl2) - floor(col("pb") / bl2))
+            <= lit(band)).cast("long")
+        }
+        val pairs = ex.join(ex2, Seq("entry", "hv"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), mult.as("m"),
+            (call_function("graft_l2_sq", col("fa"), col("fb"))
+              < lit(eps * eps)).cast("long").as("is_edge"),
+            survive(eps / 2).as("s2"), survive(eps / 4).as("s4"),
+            survive(eps / 8).as("s8"))
+          .groupBy("a", "b").agg(max("m").as("m"),
+            max("is_edge").as("is_edge"), max("s2").as("s2"),
+            max("s4").as("s4"), max("s8").as("s8"))
+        val r = pairs.agg(count(lit(1)).as("pairs"),
+          sum("m").as("enum"), avg("m").as("avg_mult"),
+          avg("is_edge").as("edge_frac"),
+          avg("s2").as("surv2"), avg("s4").as("surv4"),
+          avg("s8").as("surv8")).head()
+        println(f"[scale9]   sampled distinct colliding pairs: " +
+          f"${r.getLong(0)}%,d enumerations: ${r.getLong(1)}%,d " +
+          f"avg multiplicity: ${r.getDouble(2)}%.3f (first-table dedup " +
+          "removes (avg_mult-1)/avg_mult of the verify bill)")
+        println(f"[scale9]   true-edge fraction of candidates: " +
+          f"${r.getDouble(3)}%.4f")
+        println(f"[scale9]   sub-split window survival " +
+          f"bl2=eps/2: ${r.getDouble(4)}%.3f  eps/4: ${r.getDouble(5)}%.3f" +
+          f"  eps/8: ${r.getDouble(6)}%.3f (max enumeration cut = " +
+          "1 - survival; replication cost 5x/9x/17x hot-side rows)")
+      }
+      hashed.unpersist()
+    }
+
+    // r17 (VERDICT r16 #2): the 2-vs-3-table DEFAULT decided from
+    // measured recall on adversarial geometry, not one fixture's
+    // zero-miss. The DbscanSpec border-heavy geometry (8-dim gaussian
+    // blobs with near-ε tails + sparse bridges) scaled to ~12k points
+    // as a GRID of spec-sized blobs — preserving the borderline degree
+    // profile rather than densifying one blob — over 3 seeds; exact
+    // ε-edge baseline from a full pairwise pass (bounded: 12k² = 144M
+    // kernel evals); per table count 1..4: missed-edge rate (LSH edges
+    // are exact-verified, so missed = exact − found) and ARI of the
+    // full distributed clustering vs exact DBSCAN.
+    if (sections("dbscanrecall")) {
+      import spark.implicits._
+      val dim = 8
+      val eps = 0.55
+      for (seed <- Seq(7, 17, 27)) {
+        val rng = new scala.util.Random(seed)
+        val blobs = 40
+        val all = (0 until blobs).flatMap { bIdx =>
+          val cx = (bIdx % 8) * 6.0
+          val cy = (bIdx / 8) * 6.0
+          val base = bIdx * 10000L
+          val pts = (0 until 280).map { i =>
+            val a = Array.fill(dim)(rng.nextGaussian() * 0.35)
+            a(0) += cx; a(1) += cy
+            (base + i, a.toSeq)
+          }
+          val bridge = (0 until 20).map { i =>
+            val a = Array.fill(dim)(rng.nextDouble() * 0.5)
+            a(0) = cx + 2.0 + rng.nextDouble() * 2.0; a(1) = cy
+            (base + 5000L + i, a.toSeq)
+          }
+          pts ++ bridge
+        }
+        val df = all.toDF("id", "vec")
+          .select(col("id"), col("vec"),
+            graft.ml.VectorOps.toMlVector(col("vec")).as("features"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPts = df.count()
+        val exactEdges = timed(f"dbscanrecall seed=$seed exact edges " +
+            f"(n=$nPts%,d full pairwise)") {
+          df.select(col("id").as("a"), col("vec").as("va")).crossJoin(
+              df.select(col("id").as("b"), col("vec").as("vb")))
+            .filter(col("a") =!= col("b") &&
+              call_function("graft_l2_sq", col("va"), col("vb"))
+                < lit(eps * eps))
+            .count()
+        }
+        val exactL = graft.ml.Dbscan.exactOnFrame(
+          df.select("id", "vec"), "id", "vec", eps = eps, minPts = 5)
+          .as[(Long, Long)].collect().toMap
+        for (tables <- 1 to 4) {
+          val found = graft.ml.Dbscan.epsEdges(
+            df.select("id", "features"), eps = eps,
+            numHashTables = tables).count()
+          val dist = graft.ml.Dbscan.distributed(
+            df.select("id", "features"), "id", "features", eps = eps,
+            minPts = 5, numHashTables = tables)
+            .as[(Long, Long)].collect().toMap
+          val ari = graft.ml.Metrics.external(
+            all.map(_._1).map(id => (exactL(id), dist(id)))
+              .toDF("label", "prediction"),
+            "label", "prediction").adjustedRand
+          val missed = exactEdges - found
+          println(f"[scale9]   seed=$seed tables=$tables " +
+            f"edges=$found%,d/$exactEdges%,d " +
+            f"missed=${missed}%,d (${100.0 * missed / exactEdges}%.3f%%) " +
+            f"ARI vs exact=$ari%.4f")
+        }
+        df.unpersist()
+      }
+    }
+
     // Char-LM NLL: JOIN form vs SCAN form under corpus growth (r11,
     // VERDICT r10 perf note — the join form had become the slowest
     // non-ML query and "earns a Scale9 row or a demotion note"). The

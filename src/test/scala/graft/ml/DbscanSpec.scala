@@ -73,6 +73,28 @@ class DbscanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dense-bucket blocked route leaves the ε-edge set unchanged") {
+    // r17: buckets past denseBucketCap bypass the hash join for a
+    // chunked blocked verify. Cap 2 makes every fixture bucket dense
+    // and chunk 3 forces real same-chunk AND cross-chunk pair loops;
+    // the edge SET must equal the default (all-cold) join's.
+    val df = pts.map { case (id, a) => (id, Vectors.dense(a)) }
+      .toDF("id", "features")
+    val base = Dbscan.epsEdges(df, eps = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val dense = Dbscan.epsEdges(df, eps = 0.5,
+        denseBucketCap = 2, denseChunk = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(dense == base && base.nonEmpty)
+    // mixed regime: a cap that splits the fixture into cold AND dense
+    // buckets must still reproduce the set (the first-colliding-table
+    // dedup is path-independent)
+    val mixed = Dbscan.epsEdges(df, eps = 0.5,
+        denseBucketCap = 4, denseChunk = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(mixed == base)
+  }
+
   test("band prefilter leaves the ε-edge set equal to the co-bucket+verify definition") {
     // r16 added a cross-table hash-band prefilter before the distance
     // kernel. This is an INDEPENDENT recompute of epsEdges' contract —
