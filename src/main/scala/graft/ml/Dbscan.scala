@@ -380,7 +380,9 @@ object Dbscan {
                   eps: Double, minPts: Int,
                   bucketLength: Double = 2.0,
                   numHashTables: Int = 3,
-                  smallGraphEdgeCap: Int = 200000): DataFrame = {
+                  smallGraphEdgeCap: Int = 200000,
+                  denseBucketCap: Int = 16384,
+                  denseChunk: Int = 2048): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // phase timings to stderr when GRAFT_TIMING is set (perf triage aid)
@@ -398,7 +400,8 @@ object Dbscan {
     // and the border-attach join) — without the persist each one
     // re-executes the whole bucket join; explicitly unpersisted right
     // after its last consumer materializes on either route.
-    val joined = epsEdges(pts, eps, bucketLength, numHashTables)
+    val joined = epsEdges(pts, eps, bucketLength, numHashTables,
+        denseBucketCap = denseBucketCap, denseChunk = denseChunk)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // SMALL-REGIME ROUTE (r10 verdict #3): past the LSH join, the
     // distributed pipeline is 6+ tiny Spark jobs (degree agg, core

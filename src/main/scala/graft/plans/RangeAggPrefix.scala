@@ -151,6 +151,14 @@ object RangeAggPrefix {
     def countOf(a: Attribute): Expression =
       Coalesce(Seq(sumOf(a), Literal(0L)))
     def mapAggFn(ae: AggregateExpression): Option[Expression] = {
+      // DISTINCT aggregates are declined BY DESIGN, not omission: a
+      // deduplicated-points prefix would make count(DISTINCT pt) exact
+      // per interval INSTANCE, but instances sharing a group key SUM
+      // their prefix differences while SQL's DISTINCT unions values
+      // across them — exact support needs per-group interval-union
+      // merging (and per-accumulator probe classes), which is not a
+      // prefix difference. Same for FILTER clauses: the filter may
+      // reference both sides.
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case Count(cs) if cs.nonEmpty &&

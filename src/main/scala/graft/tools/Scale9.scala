@@ -618,13 +618,14 @@ object Scale9 {
       // route recompute every time
       val nTables = sys.env.getOrElse("SPARK_GRAFT_DBSCAN100_TABLES", "3").toInt
       val skipRoute = sys.env.get("SPARK_GRAFT_DBSCAN100_SKIP_ROUTE").nonEmpty
+      val chunk = sys.env.getOrElse("SPARK_GRAFT_DBSCAN100_CHUNK", "2048").toInt
       println(f"[scale9]   chosen ε=$eps%.2f bucketLength=$bl%.2f " +
-        s"tables=$nTables")
+        s"tables=$nTables denseChunk=$chunk")
       val labelsGraphx = timed(
           s"dbscan distributed x100 eps=$eps tables=$nTables (GraphX CC)") {
         val l = graft.ml.Dbscan.distributed(
             emb, "vec_id", "features", eps = eps, minPts = 5,
-            bucketLength = bl, numHashTables = nTables)
+            bucketLength = bl, numHashTables = nTables, denseChunk = chunk)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r = l.agg(count(lit(1)).as("n"),
           sum(when(col("label") >= 0, 1L).otherwise(0L)).as("clustered"),

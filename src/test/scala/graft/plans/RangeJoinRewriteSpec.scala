@@ -231,6 +231,41 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!plan(qm()).contains("RangeAggPrefix"))
   }
 
+  test("the SQL surface gets the prefix plan too (BETWEEN band join)") {
+    points.createOrReplaceTempView("rj_pts")
+    intervals.createOrReplaceTempView("rj_ivs")
+    val q = spark.sql(
+      "SELECT iid, count(*) AS cnt, " +
+        "CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+        "FROM rj_pts JOIN rj_ivs ON p BETWEEN lo AND hi " +
+        "GROUP BY iid")
+    val pl = plan(q)
+    assert(pl.contains("RangeAggPrefix") && !pl.contains("Join"), pl)
+    val got = rows(q)
+    assert(got == withPrefixOff(rows(spark.sql(
+      "SELECT iid, count(*) AS cnt, " +
+        "CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+        "FROM rj_pts JOIN rj_ivs ON p BETWEEN lo AND hi " +
+        "GROUP BY iid"))) && got.nonEmpty)
+  }
+
+  test("count(DISTINCT pt) declines the prefix form (duplicate-key semantics)") {
+    // per-instance prefix diffs SUM across duplicate group keys while
+    // SQL's DISTINCT unions across them — the rewrite must decline
+    def q() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(countDistinct(col("p")).as("d"))
+    assert(!plan(q()).contains("RangeAggPrefix"))
+    // and the duplicate-key case is exactly why: two instances of one
+    // key with overlapping bands must count shared values ONCE
+    val dup = Seq((20L, 0.0, 30.0), (20L, 10.0, 50.0)).toDF("iid", "lo", "hi")
+    val got = points
+      .join(dup, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(countDistinct(col("p")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 4L))) // 5,15,25,47 each once, not summed
+  }
+
   test("spark.graft.rangeJoin.aggPrefix=false disables the agg rewrite") {
     withPrefixOff {
       assert(!plan(aggOverBand(points, intervals)).contains("RangeAggPrefix"))
