@@ -42,6 +42,70 @@ class RangeAggSpec extends SparkSpec {
     assert(got(4L) == ((5L, 18.0)))
   }
 
+  test("prefix range-agg equals driver brute force on adversarial randoms") {
+    // negatives, duplicates, -0.0, NaN points, duplicate interval ids,
+    // inverted/degenerate intervals — across seeds. Brute force uses
+    // the same SQL comparison semantics (NaN fails the band; -0.0 ==
+    // 0.0) and exact decimal(18,2) cents accumulation.
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val vals: Seq[Double] = (0 until 400).map { _ =>
+        math.floor((rng.nextDouble() - 0.5) * 20000) / 100.0
+      } ++ Seq(-0.0, 0.0, Double.NaN, Double.NaN)
+      val ivs: Seq[(Long, Double, Double)] = (0 until 60).map { i =>
+        val lo = math.floor((rng.nextDouble() - 0.5) * 16000) / 100.0
+        val span = (rng.nextDouble() - 0.2) * 30 // some inverted
+        // duplicate ids every third interval
+        ((i / 3 * 3).toLong, lo, math.floor((lo + span) * 100) / 100.0)
+      } :+ ((999L, 5.0, 5.0)) // degenerate lo == hi
+      val got = RangeAgg.pointsInRangeAgg(
+          vals.toDF("v"), "v", ivs.toDF("id", "lo", "hi"), "id", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val expected = ivs.groupBy(_._1).flatMap { case (id, rows) =>
+        var cnt = 0L
+        var cents = BigInt(0)
+        rows.foreach { case (_, lo, hi) =>
+          vals.foreach { v =>
+            if (lo <= v && v <= hi) { // NaN anywhere -> false, like SQL
+              cnt += 1
+              cents += java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .unscaledValue()
+            }
+          }
+        }
+        if (cnt > 0)
+          Some((id, cnt, (BigDecimal(cents) / 100).toDouble))
+        else None
+      }.toSet
+      assert(got == expected, s"seed=$seed")
+      assert(expected.nonEmpty, s"seed=$seed produced an empty oracle")
+    }
+  }
+
+  test("prefix range-agg on FLOAT points and empty inputs") {
+    val fpts = Seq(1.5f, 2.25f, 7.0f).toDF("v")
+    val ivs = Seq((1L, 1.0, 3.0), (2L, 8.0, 9.0)).toDF("id", "lo", "hi")
+    val got = RangeAgg.pointsInRangeAgg(fpts, "v", ivs, "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3.75)))
+    // empty points -> every interval drops; empty intervals -> no rows
+    assert(RangeAgg.pointsInRangeAgg(fpts.limit(0), "v", ivs,
+      "id", "lo", "hi").count() == 0)
+    assert(RangeAgg.pointsInRangeAgg(fpts, "v", ivs.limit(0),
+      "id", "lo", "hi").count() == 0)
+  }
+
+  test("prefix range-agg rejects order-inexact types with a named error") {
+    val pts = Seq(1L, 2L).toDF("v") // LongType: double image not exact
+    val ivs = Seq((1L, 1.0, 3.0)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeAgg.pointsInRangeAgg(pts, "v", ivs, "id", "lo", "hi")
+    }
+    assert(e.getMessage.contains("order-exact"))
+  }
+
   test("prefix range-agg is partitioning-invariant (exact cents sums)") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val intervals = o.filter($"o_orderkey" % 97 === 0)
