@@ -2576,6 +2576,15 @@ object SparkEntry {
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")
     }),
+    // forced-stride-3 gate of the KR dump's sampling arm (same pattern)
+    "llm_winnow_kr_fingerprint_sampled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stride = 3L * graft.gates.ScaleGates.nearDupStride(docs.count())
+      docs.filter(col("doc_id") % stride === 0).select(col("doc_id"),
+        explode(call_function("graft_winnow_kr",
+          col("text"), lit(8), lit(4))).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
     // the KR kernel WITHOUT the presentation sort (llm_hash_split
     // precedent): pure scan+explode, zero Exchange — this is the form
     // whose time reflects the O(1)-per-slide kernel rather than a global
@@ -6373,6 +6382,10 @@ object SparkEntry {
     // forced-stride-3 fixture gate of the winnow dump's sampling arm
     // (oracle-gated every driver run — the r16 verdict's Next #4)
     "llm_winnow_fingerprint_sampled" -> ( winnowSampledSql),
+    // same gate for the Karp-Rabin dump's sampling arm (r17 symmetry:
+    // the KR twin shares winnowSampledDocs' live stride, so its
+    // sampled form deserves its own pinned fixture gate too)
+    "llm_winnow_kr_fingerprint_sampled" -> ( winnowKrSqlAt(Some(3L))),
     "llm_cdc_chunks" -> ( cdcChunksSql),
     "llm_cdc_dedup" -> ( cdcDedupSql),
     // both KR forms share one twin: core is the same row SET without the
@@ -7477,14 +7490,16 @@ object SparkEntry {
     * inside). The HUGEINT sum is folded mod 2^64 and re-signed to match
     * the JVM's wraparound long. Same codepoint-vs-UTF-16 caveat as the
     * md5 twin (identical on ASCII fixtures). */
-  private def winnowKrSql: String = {
+  private def winnowKrSql: String = winnowKrSqlAt(None)
+
+  private def winnowKrSqlAt(forcedStride: Option[Long]): String = {
     val B = BigInt(1000003)
     val m64 = BigInt(2).pow(64)
     val terms = (1 to 8).map { j =>
       val w = B.pow(8 - j).mod(m64)
       s"ord(substr(text, (i+${j - 1})::INTEGER, 1))::HUGEINT * $w::HUGEINT"
     }.mkString(" + ")
-    s"WITH ${nearDupPrmCte()}, pos AS (SELECT doc_id, text, " +
+    s"WITH ${nearDupPrmCte(forcedStride)}, pos AS (SELECT doc_id, text, " +
       "unnest(generate_series(1, length(text) - 7)) AS i FROM documents " +
       "CROSS JOIN prm WHERE doc_id % prm.stride = 0), " +
       "p AS (SELECT doc_id, i, " +
