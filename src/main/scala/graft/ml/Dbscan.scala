@@ -173,15 +173,21 @@ object Dbscan {
     // buckets keep the join (it prunes when geometry lets it).
     // The census + routing anti-joins cost a few extra tiny jobs per
     // call — real overhead for reference-scale fixtures (hundreds of
-    // rows), where no bucket can possibly exceed the cap. Gate on the
-    // optimizer's free size estimate (same source as the broadcast
-    // gate below): a bucket over the cap needs > denseBucketCap input
-    // ROWS, and a row is ≥ 40 bytes (id + vector), so inputs estimated
-    // under cap × 40 bytes skip the machinery entirely. An
-    // underestimate only skips the optimization (the join is still
-    // exact); an overestimate only pays the cheap census.
+    // rows), where no bucket can possibly exceed the cap. Two gates:
+    // (1) the optimizer's FREE size estimate (same source as the
+    // broadcast gate below) — a bucket over the cap needs >
+    // denseBucketCap input ROWS, and a row is ≥ 40 bytes (id +
+    // vector), so inputs estimated under cap × 40 bytes skip
+    // everything at zero cost; (2) when the estimate says "big", one
+    // BOUNDED limit-probe (the smallGraphEdgeCap pattern) settles it
+    // exactly — stats pass through filters un-shrunk, so a 300-row
+    // filtered fixture otherwise pays the census for nothing
+    // (measured +0.4 s on m5_dbscan_dist), while at corpus scale the
+    // probe early-exits after cap+1 rows. An underestimate anywhere
+    // only skips the optimization (the join stays exact).
     val estBytes = pts.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maybeDense = estBytes > BigInt(denseBucketCap) * 40
+    val maybeDense = estBytes > BigInt(denseBucketCap) * 40 &&
+      pts.limit(denseBucketCap + 1).count() > denseBucketCap
     val denseKeys =
       if (!maybeDense) null
       else hashed
