@@ -1148,6 +1148,18 @@ object PlanAudit {
         (if (same) "OK" else "MISSING"))
     }
 
+    // r17: the distinct-in-range operator (j7d) must also plan
+    // join-free — interval-union merge (one keyed window), point
+    // dedup, prefix stitch; never a pair join (its IEJoin+DISTINCT
+    // truth enumerates 18.6B pairs at ×100 where this runs in 15 s)
+    audit("j7d_range_distinct (merged-segment distinct, join-free)", Seq(
+      "RangeAggPrefix exec in plan" -> (_.contains("RangeAggPrefix")),
+      "no join of any kind" -> (p => !p.contains("Join")),
+      "range exchange feeds the prefix stitch" ->
+        (_.contains("rangepartitioning")),
+      "per-key island window merges the bands" -> (_.contains("Window"))))(
+      SparkEntry.queries("j7d_range_distinct")(spark, dir))
+
     // FULL OUTER is never broadcastable — both key sets must co-locate,
     // so the only correct plan is a shuffle join partitioned on the key
     audit("j8_full_outer_diff (shuffle full-outer join)", Seq(

@@ -1257,6 +1257,25 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
 
+    // J7‴ exact count-DISTINCT-in-range (r17): the aggregate the prefix
+    // REWRITE must decline (per-instance prefix diffs SUM across
+    // duplicate keys while SQL's DISTINCT unions) made exact join-free
+    // by construction — per-key interval-union merging (island window),
+    // point dedup, then the shared prefix plan. Keys duplicate
+    // naturally here (o_custkey of the probe orders), so the merge path
+    // is exercised by the fixture, not just the spec.
+    "j7d_range_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(col("o_totalprice").as("price"))
+      graft.ops.RangeAgg.distinctPointsInRangeAgg(points, "price",
+          intervals, "cust_id", "lo", "hi")
+        .orderBy("cust_id")
+    }),
+
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
@@ -5262,6 +5281,16 @@ object SparkEntry {
         "FROM run WHERE iid IS NOT NULL GROUP BY iid) " +
         "SELECT iid AS interval_id, cnt, (sdec::VARCHAR)::DOUBLE AS sum_price " +
         "FROM p WHERE cnt > 0 ORDER BY interval_id"),
+    // j7d twin: DuckDB's native IEJoin + count(DISTINCT) — the
+    // pair-enumerating truth for the merged-segment prefix form,
+    // including the duplicate-key union semantics (o_custkey repeats)
+    "j7d_range_distinct" -> (
+      "SELECT i.o_custkey AS cust_id, " +
+        "count(DISTINCT p.o_totalprice) AS distinct_cnt " +
+        "FROM orders i JOIN orders p " +
+        "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Join-free per-interval range aggregation (r16 operator; r17 re-based
@@ -73,6 +75,60 @@ object RangeAgg {
         s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be numeric types " +
           "whose double image is order-exact (double/float/int or " +
           s"narrower); got ${pt.dataType}/${lo.dataType}/${hi.dataType}"))
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
+  }
+
+  /** Exact per-interval-KEY count of DISTINCT `ptCol` values in the
+    * UNION of that key's [loCol, hiCol] intervals (inclusive) — the
+    * aggregate the prefix REWRITE must decline (count(DISTINCT) over a
+    * band join unions values across duplicate-key instances, which is
+    * not a sum of per-instance prefix differences). This operator makes
+    * it exact by construction, join-free:
+    *
+    *  1. intervals MERGE per key (sort by lo, running-max hi, the
+    *     classic island pattern — a window over each key's handful of
+    *     rows, one exchange on the key): the union of a key's bands
+    *     becomes disjoint segments, so distinct counts ADD across them;
+    *  2. points DEDUPE by value (one exchange);
+    *  3. the shared RangeAggPrefix plan counts deduped points per
+    *     segment and sums segments per key.
+    *
+    * Touching segments ([1,2] + [2,3]) merge — a value at the shared
+    * endpoint is in both bands and must count once. Inverted/null
+    * bands drop, keys with zero qualifying values drop — matching
+    * count-distinct-over-inner-join. Output: (idCol, distinct_cnt). */
+  def distinctPointsInRangeAgg(points: DataFrame, ptCol: String,
+                               intervals: DataFrame, idCol: String,
+                               loCol: String, hiCol: String): DataFrame = {
+    val spark = points.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val byId = Window.partitionBy(idCol).orderBy(col(loCol))
+    val prevMax = max(col(hiCol)).over(
+      byId.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_graft_new_seg",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_graft_seg", sum(col("_graft_new_seg")).over(byId))
+      .groupBy(col(idCol), col("_graft_seg"))
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol))
+      .select(col(idCol), col(loCol), col(hiCol))
+    val deduped = points.select(col(ptCol)).distinct()
+    val ptPlan = deduped.queryExecution.analyzed
+    val ivPlan = merged.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).get
+    val pt = attr(ptPlan, ptCol)
+    val id = attr(ivPlan, idCol)
+    val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "distinct_cnt")()
+    val plan = graft.plans.RangeAggPrefix.tryBuild(
+      Seq(id), Seq(id, cnt), pt, attr(ivPlan, loCol), attr(ivPlan, hiCol),
+      loStrict = false, hiStrict = false, ptPlan, ivPlan)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be numeric types " +
+          "whose double image is order-exact (double/float/int or " +
+          "narrower)"))
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
   }
 }

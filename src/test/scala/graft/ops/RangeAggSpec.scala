@@ -106,6 +106,41 @@ class RangeAggSpec extends SparkSpec {
     assert(e.getMessage.contains("order-exact"))
   }
 
+  test("distinct-in-range: merged-segment prefix equals SQL count(DISTINCT)") {
+    // duplicate interval keys with OVERLAPPING, TOUCHING, and DISJOINT
+    // bands, plus duplicate point values — the exact case the rewrite
+    // declines (prefix diffs sum per instance; DISTINCT unions). The
+    // operator merges each key's bands first, so counts are exact.
+    val pts = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0, 10.0).toDF("v")
+    val ivs = Seq(
+      (1L, 1.0, 3.0), (1L, 2.0, 5.0),   // overlap: union [1,5] -> {1,2,3,5}
+      (2L, 1.0, 2.0), (2L, 2.0, 3.0),   // touching: union [1,3] -> {1,2,3}
+      (3L, 1.0, 2.0), (3L, 8.0, 10.0),  // disjoint -> {1,2} + {8,10}
+      (4L, 6.0, 7.0),                   // empty -> dropped
+      (5L, 9.0, 4.0)                    // inverted -> dropped
+    ).toDF("id", "lo", "hi")
+    val got = RangeAgg.distinctPointsInRangeAgg(pts, "v", ivs,
+        "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 4L))
+    // differential vs the SQL truth on the orders fixture (duplicate
+    // keys arise naturally from o_custkey)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val intervals = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_custkey".as("cust_id"),
+        ($"o_totalprice" - 2000.0).as("lo"),
+        ($"o_totalprice" + 2000.0).as("hi"))
+    val points = o.select($"o_totalprice".as("price"))
+    val mine = RangeAgg.distinctPointsInRangeAgg(points, "price",
+        intervals, "cust_id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = points
+      .join(intervals, $"price" >= $"lo" && $"price" <= $"hi")
+      .groupBy("cust_id").agg(countDistinct($"price").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mine == truth && truth.nonEmpty)
+  }
+
   test("prefix range-agg is partitioning-invariant (exact cents sums)") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val intervals = o.filter($"o_orderkey" % 97 === 0)
