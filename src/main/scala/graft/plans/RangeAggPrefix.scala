@@ -294,7 +294,12 @@ case class RangeAggPrefixNode(nKeys: Int, accOut: Seq[AttributeReference],
   * exchange + per-partition sort. Two passes over the SAME shuffled
   * child: job 1 per-partition contribution totals (one tiny row per
   * partition to the driver), job 2 emits each probe's key columns plus
-  * sign × (partition offset + local running total). */
+  * sign × (partition offset + local running total). Job 1 re-runs the
+  * per-partition SORT it doesn't strictly need (totals are
+  * order-free) — deliberate: the expensive range EXCHANGE is reused
+  * across both jobs (shuffle files persist), and routing job 1 around
+  * the sort would need a second exchange of the full stream, which
+  * costs far more than re-sorting each partition in memory. */
 case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
                               child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] =

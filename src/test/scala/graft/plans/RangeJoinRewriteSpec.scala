@@ -249,6 +249,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
         "GROUP BY iid"))) && got.nonEmpty)
   }
 
+  test("HAVING above the band-join aggregate keeps the prefix plan") {
+    points.createOrReplaceTempView("rj_pts")
+    intervals.createOrReplaceTempView("rj_ivs")
+    def q() = spark.sql(
+      "SELECT iid, count(*) AS cnt FROM rj_pts JOIN rj_ivs " +
+        "ON p BETWEEN lo AND hi GROUP BY iid HAVING count(*) >= 2")
+    val pl = plan(q())
+    assert(pl.contains("RangeAggPrefix") && !pl.contains("Join"), pl)
+    val got = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == withPrefixOff(
+      q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+    assert(got == Set((20L, 2L))) // iid 20 holds points 15 and 25
+  }
+
   test("count(DISTINCT pt) declines the prefix form (duplicate-key semantics)") {
     // per-instance prefix diffs SUM across duplicate group keys while
     // SQL's DISTINCT unions across them — the rewrite must decline
