@@ -280,6 +280,29 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == Set((20L, 4L))) // 5,15,25,47 each once, not summed
   }
 
+  test("non-attribute group keys and outer band joins decline the prefix") {
+    // grouping by a COMPUTED interval-side expression — correct answers
+    // require carrying the expression through; v1 declines (documented
+    // guard), and without a width conf the plan stays the nested loop
+    def qExpr() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy((col("iid") % 7).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!plan(qExpr()).contains("RangeAggPrefix"))
+    assert(rows2(qExpr()) == withPrefixOff(rows2(qExpr())))
+    // LEFT OUTER band join: unmatched intervals survive with nulls —
+    // not inner-join-over-band semantics; the rewrite must not touch it
+    def qOuter() = points
+      .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"),
+        "left_outer")
+      .groupBy("pid").agg(count(col("iid")).as("cnt"))
+    assert(!plan(qOuter()).contains("RangeAggPrefix"))
+    assert(rows2(qOuter()) == withPrefixOff(rows2(qOuter())))
+  }
+
+  private def rows2(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("spark.graft.rangeJoin.aggPrefix=false disables the agg rewrite") {
     withPrefixOff {
       assert(!plan(aggOverBand(points, intervals)).contains("RangeAggPrefix"))
