@@ -188,15 +188,27 @@ object Dbscan {
     val estBytes = pts.queryExecution.optimizedPlan.stats.sizeInBytes
     val maybeDense = estBytes > BigInt(denseBucketCap) * 40 &&
       pts.limit(denseBucketCap + 1).count() > denseBucketCap
+    // the dense-key census feeds THREE joins (two cold-side routing
+    // anti-joins + the dense-member join); collected ONCE into a local
+    // relation so the aggregation runs a single job instead of once
+    // per consumer. The collect is bounded BY CONSTRUCTION: dense
+    // buckets hold > denseBucketCap members and are disjoint within a
+    // table, so there are at most n·tables/denseBucketCap rows (~36 at
+    // the ×100 fixture) — a metadata move, like the salting hot set.
     val denseKeys =
       if (!maybeDense) null
-      else hashed
-        .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
-        .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > denseBucketCap)
-        .select(col("entry"), col("hv"),
-          ceil(col("occ").cast("double") / denseChunk).cast("int")
-            .as("nchunk"))
+      else {
+        val census = hashed
+          .select(posexplode(col("hashes")).as(Seq("entry", "hv")))
+          .groupBy("entry", "hv").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > denseBucketCap)
+          .select(col("entry"), col("hv"),
+            ceil(col("occ").cast("double") / denseChunk).cast("int")
+              .as("nchunk"))
+        val rows = census.collect()
+        pts.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), census.schema)
+      }
     def routeCold(df: DataFrame): DataFrame =
       if (!maybeDense) df
       else df.join(broadcast(denseKeys.select("entry", "hv")),
