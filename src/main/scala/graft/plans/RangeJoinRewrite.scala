@@ -151,23 +151,52 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Rewrite 1: aggregate directly over a band join (an attrs-only
-    * Project between them is looked through). */
+  /** Rewrite 1: aggregate directly over a band join. A pruning or
+    * RENAMING Project between them (the shape SQL subqueries produce:
+    * `SELECT id2, count(*) FROM (SELECT iid AS id2, p FROM ... band
+    * join ...) GROUP BY id2`) is looked through by inlining its
+    * attribute aliases into the grouping and aggregate expressions —
+    * output names and exprIds are preserved by re-aliasing, so parents
+    * never notice. Projects computing non-attribute expressions still
+    * decline (a computed group key isn't a carried interval column). */
   private def tryAggRewrite(groupExprs: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] = {
-    val join = child match {
-      case j: Join => Some(j)
-      case Project(pl, j: Join) if pl.forall(_.isInstanceOf[Attribute]) =>
-        Some(j)
-      case _ => None
-    }
-    join.flatMap {
-      case Join(left, right, Inner, Some(And(c1, c2)), _) =>
+    val unwrapped: Option[(Join, Seq[Expression], Seq[NamedExpression])] =
+      child match {
+        case j: Join => Some((j, groupExprs, aggExprs))
+        case Project(pl, j: Join) if pl.forall {
+              case _: Attribute => true
+              case Alias(_: Attribute, _) => true
+              case _ => false
+            } =>
+          val sub: Map[ExprId, Attribute] = pl.collect {
+            case al @ Alias(underlying: Attribute, _) =>
+              al.exprId -> underlying
+          }.toMap
+          def inline(e: Expression): Expression = e.transformUp {
+            case a: Attribute if sub.contains(a.exprId) => sub(a.exprId)
+          }
+          val g2 = groupExprs.map(inline)
+          // a pure-Attribute output that the project RENAMED must keep
+          // its name and exprId: re-alias the underlying column
+          val a2 = aggExprs.map {
+            case a: Attribute if sub.contains(a.exprId) =>
+              Alias(sub(a.exprId), a.name)(a.exprId)
+            case al: Alias =>
+              Alias(inline(al.child), al.name)(al.exprId, al.qualifier,
+                al.explicitMetadata, al.nonInheritableMetadataKeys)
+            case other => other
+          }
+          Some((j, g2, a2))
+        case _ => None
+      }
+    unwrapped.flatMap {
+      case (Join(left, right, Inner, Some(And(c1, c2)), _), g, a) =>
         detectBand(left, right, c1, c2).flatMap { b =>
           val (ptPlan, ivPlan) =
             if (b.ptOnLeft) (left, right) else (right, left)
-          RangeAggPrefix.tryBuild(groupExprs, aggExprs, b.pt, b.lo, b.hi,
+          RangeAggPrefix.tryBuild(g, a, b.pt, b.lo, b.hi,
             b.loStrict, b.hiStrict, ptPlan, ivPlan)
         }
       case _ => None

@@ -263,6 +263,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == Set((20L, 2L))) // iid 20 holds points 15 and 25
   }
 
+  test("a renaming subquery between the aggregate and the band join inlines") {
+    // the SQL-subquery shape: a Project that only prunes/renames sits
+    // between GROUP BY and the band join; its aliases inline and the
+    // prefix plan still fires with names/exprIds preserved
+    points.createOrReplaceTempView("rj_pts")
+    intervals.createOrReplaceTempView("rj_ivs")
+    def q() = spark.sql(
+      "SELECT id2, count(*) AS cnt, " +
+        "CAST(sum(CAST(pp AS DECIMAL(18,2))) AS DOUBLE) AS s FROM " +
+        "(SELECT iid AS id2, p AS pp FROM rj_pts JOIN rj_ivs " +
+        "ON p >= lo AND p <= hi) GROUP BY id2")
+    val pl = plan(q())
+    assert(pl.contains("RangeAggPrefix") && !pl.contains("Join"), pl)
+    assert(q().columns.toSeq == Seq("id2", "cnt", "s"))
+    val got = rows(q())
+    assert(got == withPrefixOff(rows(q())) && got.nonEmpty)
+    // a COMPUTED projection still declines (the guard, not an oversight)
+    def qc() = spark.sql(
+      "SELECT id2, count(*) AS cnt FROM " +
+        "(SELECT iid + 1 AS id2, p FROM rj_pts JOIN rj_ivs " +
+        "ON p >= lo AND p <= hi) GROUP BY id2")
+    assert(!plan(qc()).contains("RangeAggPrefix"))
+  }
+
   test("count(DISTINCT pt) declines the prefix form (duplicate-key semantics)") {
     // per-instance prefix diffs SUM across duplicate group keys while
     // SQL's DISTINCT unions across them — the rewrite must decline
