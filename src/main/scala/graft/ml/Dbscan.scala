@@ -339,59 +339,93 @@ object Dbscan {
         .select(col("entry"), (col("cx") === col("cy")).as("same"),
           col("rx"), col("ry"))
         .flatMap { row =>
-          val entry = row.getInt(0)
-          val same = row.getBoolean(1)
-          def unpack(i: Int): (Array[Long], Array[Array[Double]], Array[Array[Double]]) = {
-            val rs = row.getSeq[org.apache.spark.sql.Row](i)
-            val ids = new Array[Long](rs.length)
-            val fs = new Array[Array[Double]](rs.length)
-            val hs = new Array[Array[Double]](rs.length)
-            var k = 0
-            rs.foreach { r =>
-              ids(k) = r.getLong(0)
-              fs(k) = r.getSeq[Double](1).toArray
-              hs(k) = r.getSeq[Double](2).toArray
-              k += 1
-            }
-            (ids, fs, hs)
-          }
-          val (ia, fa, ha) = unpack(2)
-          val (ib, fb, hb) = unpack(3)
-          val dim = if (fa.nonEmpty) fa(0).length else 0
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var i = 0
-          while (i < ia.length) {
-            var j = if (same) i + 1 else 0
-            while (j < ib.length) {
-              // a =!= b like the join (drops same-ID row pairs too),
-              // first-colliding-table dedup, then exact strict verify
-              if (ia(i) != ib(j)) {
-              var w = 0
-              var earlier = false
-              while (w < entry && !earlier) {
-                if (ha(i)(w) == hb(j)(w)) earlier = true
-                w += 1
-              }
-              if (!earlier) {
-                var s = 0.0
-                var d = 0
-                val x = fa(i); val y = fb(j)
-                while (d < dim) {
-                  val t = x(d) - y(d); s += t * t; d += 1
-                }
-                if (s < eps2) {
-                  out += ((ia(i), ib(j))); out += ((ib(j), ia(i)))
-                }
-              }
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out
+          denseChunkPairs(row.getInt(0), row.getBoolean(1),
+            row.getSeq[org.apache.spark.sql.Row](2),
+            row.getSeq[org.apache.spark.sql.Row](3), eps2)
         }.toDF("a", "b")
     }
     coldEdges.unionByName(denseEdges).distinct()
+  }
+
+  /** Blocked verify of one dense-bucket chunk pair: emits every ordered
+    * ε-pair (a, b) AND (b, a) between `ra` and `rb` (rows of
+    * struct(id: long, farr: array<double>, hvals: array<double>)) under
+    * the same contract as the bucket join — a ≠ b,
+    * first-colliding-table dedup against tables < `entry`, strict
+    * dist² < `eps2`.
+    *
+    * ORDER-INDEPENDENT BY CONSTRUCTION (r17 advice, high): collect_list
+    * order after a shuffle is non-deterministic, and the chunk
+    * self-join's two sides can re-execute the aggregation independently
+    * (exchange reuse off, broadcast plans, multi-executor fetch order) —
+    * so ra and rb of a SAME-chunk block may arrive as different
+    * permutations of the same multiset, and a positional j = i + 1 skip
+    * would compare a row against itself and silently MISS its real
+    * partner. Both sides are therefore sorted by id before pairing,
+    * making same-chunk blocks see an identical sequence regardless of
+    * physical order (ids are unique within a (table, bucket, chunk): one
+    * exploded row per (id, table)). O(k log k) per ≤`denseChunk` block —
+    * noise next to the k² verify loop. DbscanSpec pins permutation
+    * invariance directly on this method.
+    *
+    * LAZY per-row emit (r17 verdict #4a): the old whole-block
+    * ArrayBuffer held up to denseChunk² pairs (~4.2M tuples of two
+    * longs) in task memory before Spark saw the first row; this
+    * iterator keeps at most one row's matches (≤ 2·denseChunk tuples)
+    * buffered. The inner verify loop is untouched — branch-free distance
+    * accumulation is the JIT-fast form (the per-dim early-exit variant
+    * measured 305–309 s vs 221–242 s at ×100 and was refuted in r17). */
+  private[graft] def denseChunkPairs(entry: Int, same: Boolean,
+      ra: Seq[org.apache.spark.sql.Row], rb: Seq[org.apache.spark.sql.Row],
+      eps2: Double): Iterator[(Long, Long)] = {
+    def unpack(rs: Seq[org.apache.spark.sql.Row])
+        : (Array[Long], Array[Array[Double]], Array[Array[Double]]) = {
+      val perm = rs.indices.toArray.sortBy(k => rs(k).getLong(0))
+      val ids = new Array[Long](rs.length)
+      val fs = new Array[Array[Double]](rs.length)
+      val hs = new Array[Array[Double]](rs.length)
+      var k = 0
+      while (k < perm.length) {
+        val r = rs(perm(k))
+        ids(k) = r.getLong(0)
+        fs(k) = r.getSeq[Double](1).toArray
+        hs(k) = r.getSeq[Double](2).toArray
+        k += 1
+      }
+      (ids, fs, hs)
+    }
+    val (ia, fa, ha) = unpack(ra)
+    val (ib, fb, hb) = unpack(rb)
+    val dim = if (fa.nonEmpty) fa(0).length else 0
+    (0 until ia.length).iterator.flatMap { i =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var j = if (same) i + 1 else 0
+      while (j < ib.length) {
+        // a =!= b like the join (drops same-ID row pairs too),
+        // first-colliding-table dedup, then exact strict verify
+        if (ia(i) != ib(j)) {
+          var w = 0
+          var earlier = false
+          while (w < entry && !earlier) {
+            if (ha(i)(w) == hb(j)(w)) earlier = true
+            w += 1
+          }
+          if (!earlier) {
+            var s = 0.0
+            var d = 0
+            val x = fa(i); val y = fb(j)
+            while (d < dim) {
+              val t = x(d) - y(d); s += t * t; d += 1
+            }
+            if (s < eps2) {
+              out += ((ia(i), ib(j))); out += ((ib(j), ia(i)))
+            }
+          }
+        }
+        j += 1
+      }
+      out
+    }
   }
 
   def distributed(df: DataFrame, idCol: String, featuresCol: String,

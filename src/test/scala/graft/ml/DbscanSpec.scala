@@ -95,6 +95,48 @@ class DbscanSpec extends SparkSpec {
     assert(mixed == base)
   }
 
+  test("denseChunkPairs is invariant to input row permutation (order-independent pairing)") {
+    // r17 advice (high): the chunk self-join's two sides can re-execute
+    // the collect_list aggregation independently, so a same-chunk block
+    // can see rx and ry as DIFFERENT permutations of the same multiset.
+    // The positional j = i + 1 skip is only sound because denseChunkPairs
+    // sorts both sides by id first — pin that directly: every permutation
+    // pairing of a block must yield the identical edge set, including the
+    // adversarial rx=[A,B] / ry=[B,A] shape from the advice.
+    import org.apache.spark.sql.Row
+    def mk(id: Long, f: Seq[Double], h: Seq[Double]): Row = Row(id, f, h)
+    // distinct hvals(0) so entry=1 pairs are NOT owned by table 0
+    val a = mk(1L, Seq(0.0, 0.0), Seq(0.0, 1.0))
+    val b = mk(2L, Seq(0.1, 0.0), Seq(2.0, 1.0)) // within eps of a
+    val c = mk(3L, Seq(9.0, 9.0), Seq(5.0, 6.0)) // far from both
+    val eps2 = 0.25
+    // the advice's exact failure shape: same-chunk, opposite orders —
+    // an unsorted positional loop compares a-with-a only and misses {a,b}
+    val adversarial = Dbscan
+      .denseChunkPairs(0, same = true, Seq(a, b), Seq(b, a), eps2)
+      .toSet
+    assert(adversarial == Set((1L, 2L), (2L, 1L)))
+    // exhaustive: all permutations of both sides, same-chunk and cross-
+    // chunk, produce one canonical set
+    val block = Seq(a, b, c)
+    val sameSets = block.permutations.flatMap(p1 =>
+      block.permutations.map(p2 =>
+        Dbscan.denseChunkPairs(1, same = true, p1, p2, eps2).toSet)).toSet
+    assert(sameSets.size == 1 && sameSets.head == Set((1L, 2L), (2L, 1L)))
+    val other = Seq(mk(4L, Seq(0.2, 0.0), Seq(3.0, 1.0)))
+    val crossSets = block.permutations.map(p =>
+      Dbscan.denseChunkPairs(1, same = false, p, other, eps2).toSet).toSet
+    assert(crossSets.size == 1 &&    // a and b both within eps of 4; c far
+      crossSets.head == Set((1L, 4L), (4L, 1L), (2L, 4L), (4L, 2L)))
+    // first-colliding-table dedup still honored post-sort: entry=1 with
+    // table-0 hashes equal drops the pair (it belongs to table 0)
+    val a0 = mk(1L, Seq(0.0, 0.0), Seq(7.0, 1.0))
+    val b0 = mk(2L, Seq(0.1, 0.0), Seq(7.0, 1.0)) // shares hvals(0) with a0
+    val collide0 = Dbscan
+      .denseChunkPairs(1, same = true, Seq(a0, b0), Seq(b0, a0), eps2).toSet
+    assert(collide0.isEmpty) // a0,b0 share hvals(0)=7.0 → earlier table wins
+  }
+
   test("band prefilter leaves the ε-edge set equal to the co-bucket+verify definition") {
     // r16 added a cross-table hash-band prefilter before the distance
     // kernel. This is an INDEPENDENT recompute of epsEdges' contract —
