@@ -34,7 +34,7 @@ import scala.collection.mutable.ArrayBuffer
   *           Union                              // merged event stream
   *             Project(lo-probe)  Filter(nonempty band, intervals)
   *             Project(hi-probe)  Filter(nonempty band, intervals)
-  *             Project(point)     Filter(pt not null/NaN, points)
+  *             Project(point)     Filter(pt not null, points)
   *
   * The custom exec declares `OrderedDistribution(v, tag)`, so
   * EnsureRequirements inserts the stock RANGE ShuffleExchange + SortExec
@@ -66,13 +66,26 @@ import scala.collection.mutable.ArrayBuffer
   * as LONGS (unscaled cents for `sum(cast(x as decimal(p ≤ 18, s)))`),
   * so every prefix is order- and partitioning-independent and the
   * answer is bit-identical to the join form. Plain DOUBLE sums are
-  * declined (re-association drifts); 64-bit accumulator overflow —
-  * reachable only past ~9.2e18 total unscaled units — raises a named
-  * error rather than wrapping. Values are ordered by their DOUBLE
-  * image, so the rewrite only fires for types whose double cast is
-  * order- and equality-exact (double/float/int and narrower); −0.0 is
-  * normalized to +0.0 (SQL comparison says they're equal, IEEE sort
-  * says they're not).
+  * declined (re-association drifts). 64-bit accumulator overflow raises
+  * a named error rather than wrapping — note the bound is the
+  * CORPUS-WIDE running prefix (every point's contribution across the
+  * whole stream passes through one running total), not the per-group
+  * sum: a query whose per-group answers are tiny still fails loudly
+  * once the corpus total of a sum column passes ~9.2e18 unscaled
+  * units, where the pair-join plan would have succeeded — the error
+  * names spark.graft.rangeJoin.aggPrefix=false as the escape hatch.
+  * (A wrapped-mod-2^64 prefix would be bit-identical to the join form
+  * for INTEGRAL sums in non-ANSI mode, but silently wrong for decimal
+  * sums whose per-group totals exceed a long — loud is the only
+  * answer that is never silently wrong for every supported shape.)
+  * Values are ordered by their DOUBLE image, so the rewrite only fires
+  * for types whose double cast is order- and equality-exact
+  * (double/float/int and narrower); −0.0 is normalized to +0.0 (SQL
+  * comparison says they're equal, IEEE sort says they're not); NaN
+  * needs no normalization — Spark's nan-safe sort (NaN greatest,
+  * NaN = NaN) makes probe tag order reproduce SQL's NaN comparison
+  * semantics exactly, so NaN points and NaN bounds both take the
+  * prefix path.
   *
   * 100 TB story: one range exchange of n+2q skinny rows, two linear
   * passes, driver state = numPartitions × nAcc longs. No pair is ever
@@ -241,9 +254,19 @@ object RangeAggPrefix {
         accs.indices.map(i => Alias(zero, s"_graft_c$i")()), ivF)
     val probesLo = probeChild(lo, loTag, -1)
     val probesHi = probeChild(hi, hiTag, 1)
-    // points whose value is null or NaN never satisfy the band
-    val ptF = Filter(And(IsNotNull(pt), Not(IsNaN(Cast(pt, DoubleType)))),
-      ptPlan)
+    // null point values never satisfy the band (SQL: NULL comparison is
+    // NULL). NaN points STAY in the stream (r17 advice): under Spark's
+    // TOTAL order NaN is greater than every value and equal to itself,
+    // so a NaN point satisfies pt >= lo for ANY lo and pt <= hi exactly
+    // when hi is NaN — and because the range sort places NaN rows after
+    // all finite rows (mutually equal, tag breaking ties), the probe
+    // tag order yields precisely that membership: an inclusive hi = NaN
+    // probe (tag 2) sorts after NaN points and counts them, a strict
+    // one (tag 0) sorts before and doesn't, and every finite probe
+    // sorts before all NaN points. Dropping NaN points here would
+    // silently undercount (NaN point, NaN hi) pairs vs the join form
+    // (RangeAggSpec pins the parity with a nan-safe brute force).
+    val ptF = Filter(IsNotNull(pt), ptPlan)
     val ptsChild = Project(Seq(Alias(dbl(pt), "_graft_v")(),
       Alias(Literal(1), "_graft_tag")(),
       Alias(Literal(0), "_graft_sign")()) ++
@@ -404,14 +427,22 @@ case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
 
 object RangeAggPrefixExec {
   /** Exact add: a silent wrap would corrupt every downstream prefix, so
-    * overflow (total |unscaled units| past 2^63) fails loudly with the
-    * escape hatch named. */
+    * overflow fails loudly with the escape hatch named. The bound is
+    * the CORPUS-WIDE running total — every point's contribution passes
+    * through one global prefix, so a query whose per-GROUP sums are
+    * tiny still trips this once the whole corpus' sum column passes
+    * 2^63 unscaled units (where the pair-join plan would succeed).
+    * Deliberate: wrapping mod 2^64 would match the join form for
+    * integral sums in non-ANSI mode but be silently wrong for decimal
+    * sums whose group totals exceed a long, and loud-never-wrong wins. */
   private[plans] def addX(a: Long, b: Long): Long =
     try Math.addExact(a, b)
     catch {
       case _: ArithmeticException => throw new ArithmeticException(
-        "graft range-agg prefix: 64-bit accumulator overflow (total " +
-          "unscaled sum past 2^63) - set " +
+        "graft range-agg prefix: 64-bit accumulator overflow - the " +
+          "CORPUS-WIDE total of a sum column passed 2^63 unscaled " +
+          "units (the running prefix is global, so this can fire even " +
+          "when every per-group sum is small); set " +
           "spark.graft.rangeJoin.aggPrefix=false to fall back to the " +
           "pair-join plan")
     }

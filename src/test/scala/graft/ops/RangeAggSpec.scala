@@ -43,44 +43,66 @@ class RangeAggSpec extends SparkSpec {
   }
 
   test("prefix range-agg equals driver brute force on adversarial randoms") {
-    // negatives, duplicates, -0.0, NaN points, duplicate interval ids,
-    // inverted/degenerate intervals — across seeds. Brute force uses
-    // the same SQL comparison semantics (NaN fails the band; -0.0 ==
-    // 0.0) and exact decimal(18,2) cents accumulation.
+    // negatives, duplicates, -0.0, NaN points AND NaN bounds, duplicate
+    // interval ids, inverted/degenerate intervals — across seeds. The
+    // brute force uses Spark SQL's TOTAL-ORDER comparison semantics
+    // (NaN is greater than everything and equal to itself — so a NaN
+    // point qualifies exactly when hi is NaN; -0.0 == 0.0) and exact
+    // decimal(18,2) cents accumulation with the null-skip a SQL sum
+    // applies (cast(NaN as decimal) is null, so NaN points count but
+    // don't sum).
+    def sqlLe(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
     for (seed <- Seq(1, 2, 3)) {
       val rng = new scala.util.Random(seed)
       val vals: Seq[Double] = (0 until 400).map { _ =>
         math.floor((rng.nextDouble() - 0.5) * 20000) / 100.0
       } ++ Seq(-0.0, 0.0, Double.NaN, Double.NaN)
-      val ivs: Seq[(Long, Double, Double)] = (0 until 60).map { i =>
+      val ivs: Seq[(Long, Double, Double)] = ((0 until 60).map { i =>
         val lo = math.floor((rng.nextDouble() - 0.5) * 16000) / 100.0
         val span = (rng.nextDouble() - 0.2) * 30 // some inverted
         // duplicate ids every third interval
         ((i / 3 * 3).toLong, lo, math.floor((lo + span) * 100) / 100.0)
-      } :+ ((999L, 5.0, 5.0)) // degenerate lo == hi
+      } :+ ((999L, 5.0, 5.0))                // degenerate lo == hi
+        :+ ((996L, Double.NaN, 3.0))         // NaN lo: only a NaN pt passes
+                                             //   lo, and NaN <= 3 fails -> empty
+        :+ ((997L, 5.0, Double.NaN))         // NaN hi: every pt >= 5 + NaN pts
+        :+ ((998L, Double.NaN, Double.NaN))) // [NaN, NaN]: exactly the NaN pts
+      // sum is Option: a group whose every qualifying point is NaN sums
+      // to NULL (each cast(NaN as decimal) is null), exactly like the
+      // join form — getDouble would silently fold that to 0.0
       val got = RangeAgg.pointsInRangeAgg(
           vals.toDF("v"), "v", ivs.toDF("id", "lo", "hi"), "id", "lo", "hi")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         .toSet
       val expected = ivs.groupBy(_._1).flatMap { case (id, rows) =>
         var cnt = 0L
+        var nonNan = 0L
         var cents = BigInt(0)
         rows.foreach { case (_, lo, hi) =>
           vals.foreach { v =>
-            if (lo <= v && v <= hi) { // NaN anywhere -> false, like SQL
+            if (sqlLe(lo, v) && sqlLe(v, hi)) {
               cnt += 1
-              cents += java.math.BigDecimal.valueOf(v)
-                .setScale(2, java.math.RoundingMode.HALF_UP)
-                .unscaledValue()
+              if (!v.isNaN) { // sum skips the null a NaN->decimal cast makes
+                nonNan += 1
+                cents += java.math.BigDecimal.valueOf(v)
+                  .setScale(2, java.math.RoundingMode.HALF_UP)
+                  .unscaledValue()
+              }
             }
           }
         }
         if (cnt > 0)
-          Some((id, cnt, (BigDecimal(cents) / 100).toDouble))
+          Some((id, cnt,
+            if (nonNan > 0) Some((BigDecimal(cents) / 100).toDouble) else None))
         else None
       }.toSet
       assert(got == expected, s"seed=$seed")
       assert(expected.nonEmpty, s"seed=$seed produced an empty oracle")
+      // the NaN-bound intervals actually exercised the NaN tag paths
+      assert(expected.exists(_._1 == 997L) && expected.exists(_._1 == 998L)
+        && !expected.exists(_._1 == 996L), s"seed=$seed NaN fixture")
     }
   }
 

@@ -186,6 +186,42 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(rows(q()) == withPrefixOff(rows(q())))
   }
 
+  test("prefix rewrite: NaN points and NaN bounds match join semantics") {
+    // r17 advice: Spark's total order makes NaN greater than everything
+    // and equal to itself, so a NaN point satisfies pt >= lo for any lo
+    // and pt <= hi exactly when hi is NaN. The prefix form must keep
+    // NaN points (they sort last, tag order fixes membership) — the old
+    // drop-NaN-points filter undercounted (NaN point, NaN hi) pairs.
+    val nan = Double.NaN
+    val pts = Seq((1L, 5.0), (2L, nan), (3L, 25.0), (4L, nan))
+      .toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 0.0, 10.0),  // finite: NaN points excluded (NaN <= 10 false)
+      (20L, 20.0, nan),  // NaN hi: 25.0 and both NaN points qualify
+      (30L, nan, nan),   // [NaN, NaN]: exactly the NaN points
+      (40L, nan, 30.0))  // NaN lo, finite hi: empty
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.dsum(col("p")).as("s"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    val got = q().collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    val truth = withPrefixOff(q().collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet)
+    assert(got == truth)
+    // the fixture actually exercised the NaN memberships
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((10L, 1L), (20L, 3L), (30L, 2L)))
+    // strict NaN bounds: pt < NaN admits every finite point, NaN < NaN
+    // none — the strict probe tag must sort BEFORE the NaN points
+    def qs() = pts.join(ivs, col("p") > col("lo") && col("p") < col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("cnt"))
+    assert(plan(qs()).contains("RangeAggPrefix"))
+    assert(qs().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      withPrefixOff(qs().collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
   test("prefix rewrite handles the GLOBAL aggregate, incl. zero matches") {
     def q(ivs: DataFrame) = points
       .join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
