@@ -127,4 +127,42 @@ class BenchParseSpec extends AnyFunSuite {
     assert(math.abs(med("b") - 2.1) < 1e-9)
     assert(Bench.medianTimes(Seq.empty).isEmpty)
   }
+
+  test("bestRowRatio anchors on the single best row, unmoved by contamination") {
+    // r17 VERDICT Next #1: the median anchor drifted up when its window
+    // held contended runs; the best-row anchor is a floor contamination
+    // can only sit above. Three history rows — one idle (10.0 total) and
+    // two contended (12.0, 13.0): a 10.5-total capture must read 1.05x
+    // regardless of how many contended rows the history holds.
+    val idle = Map("a" -> 4.0, "b" -> 6.0)
+    val contended1 = Map("a" -> 5.0, "b" -> 7.0)
+    val contended2 = Map("a" -> 5.5, "b" -> 7.5)
+    val cur = Map("a" -> 4.2, "b" -> 6.3) // 10.5 total
+    val r = Bench.bestRowRatio(cur, Seq(contended1, idle, contended2))
+    assert(r.exists(v => math.abs(v - 1.05) < 1e-9))
+    // the contaminated-only history still anchors (on its best row)
+    val r2 = Bench.bestRowRatio(cur, Seq(contended1, contended2))
+    assert(r2.exists(v => math.abs(v - 10.5 / 12.0) < 1e-9))
+    // comparability gate: a history row missing >5% of the current
+    // query set cannot anchor (20-query current vs 18-query row)
+    val cur20 = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    val row18 = (1 to 18).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.bestRowRatio(cur20, Seq(row18)).isEmpty)
+    // ...but a row missing 1 of 20 (95%) compares over the intersection
+    val row19 = (1 to 19).map(i => s"q$i" -> 0.5).toMap
+    assert(Bench.bestRowRatio(cur20, Seq(row19)).exists(v =>
+      math.abs(v - 2.0) < 1e-9))
+    // no history, empty current: no verdict
+    assert(Bench.bestRowRatio(cur, Seq.empty).isEmpty)
+    assert(Bench.bestRowRatio(Map.empty, Seq(idle)).isEmpty)
+  }
+
+  test("minTimes is the per-query historical floor") {
+    val runs = Seq(
+      Map("a" -> 0.5, "b" -> 2.2),
+      Map("a" -> 0.45, "b" -> 2.0),
+      Map("a" -> 5.79))
+    assert(Bench.minTimes(runs) == Map("a" -> 0.45, "b" -> 2.0))
+    assert(Bench.minTimes(Seq.empty).isEmpty)
+  }
 }
