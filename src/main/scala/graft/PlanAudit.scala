@@ -620,16 +620,23 @@ object PlanAudit {
 
     // the whole point of the bin rewrite: an equi-key hash join instead
     // of the O(n·m) nested-loop a bare BETWEEN predicate plans
-    audit("j7_range_join (binned equi-join, no nested loop)", Seq(
-      "no BroadcastNestedLoopJoin" ->
-        (p => !p.contains("BroadcastNestedLoopJoin")),
-      "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
-      "equi-join on the bin key" ->
-        (p => p.contains("_bin") &&
-          (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
-            p.contains("ShuffledHashJoin"))),
-      "containment filter after the join" -> (_.contains("Filter"))))(
-      SparkEntry.queries("j7_range_join")(spark, dir))
+    // audited on the RAW frame under the same aggPrefix-off scope the
+    // registry query pins (r18: the keyed rewrite would otherwise
+    // replace this very join — the registry now eagerly checkpoints
+    // inside the scope, whose plan is a checkpoint scan, so the gate
+    // rebuilds the lazy frame here)
+    SparkEntry.withAggPrefixOff(spark) {
+      audit("j7_range_join (binned equi-join, no nested loop)", Seq(
+        "no BroadcastNestedLoopJoin" ->
+          (p => !p.contains("BroadcastNestedLoopJoin")),
+        "no CartesianProduct" -> (p => !p.contains("CartesianProduct")),
+        "equi-join on the bin key" ->
+          (p => p.contains("_bin") &&
+            (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+              p.contains("ShuffledHashJoin"))),
+        "containment filter after the join" -> (_.contains("Filter"))))(
+        SparkEntry.rangeJoinAggFrame(spark, dir))
+    }
 
     // r17: the injected optimizer rule must turn the NAIVE
     // aggregate-over-band-join into the JOIN-FREE prefix plan — the
@@ -667,6 +674,43 @@ object PlanAudit {
         case None => spark.conf.unset("spark.graft.rangeJoin.aggPrefix")
       }
     }
+
+    // r18: the KEYED band shape (equi + band under an aggregate — the
+    // "events in each session" query) must plan the keyed prefix: the
+    // equi key leads the range sort (each key one contiguous run, the
+    // global stitch unchanged), NO join — the shape Catalyst would
+    // otherwise pick is a hash join on the key with the band as a
+    // post-join filter, pair-enumerating inside every hot key
+    audit("j7e_keyed_range_agg (equi+band plans the keyed prefix)", Seq(
+      "join-free keyed prefix operator planned" ->
+        (_.contains("RangeAggPrefix")),
+      "NO join of any kind (per-key pairs never enumerated)" ->
+        (p => !p.contains("Join")),
+      "equi key leads the range sort" ->
+        (p => "rangepartitioning\\(_graft_k0".r.findFirstIn(p).isDefined ||
+          p.contains("_graft_k0#")),
+      "one range exchange feeds the prefix stitch" ->
+        (_.contains("rangepartitioning"))))(
+      SparkEntry.queries("j7e_keyed_range_agg")(spark, dir))
+
+    // r18: exact min/max-in-range must plan the predecessor scans —
+    // two RangeExtrema execs (max + negated min) over range exchanges;
+    // the only joins are the 1:1 stitch of the two q-row AGGREGATES
+    // (and the NaN re-attach), never a join touching the point stream.
+    // The tree check walks the executed plan: no join node may have a
+    // RangeExtrema-free subtree containing a parquet scan of points on
+    // BOTH sides — cheaper proxy: every join in the plan sits ABOVE
+    // both extrema aggregates, so the string between the first scan
+    // and the first RangeExtrema contains no join node.
+    audit("j7f_range_extrema (join-free predecessor scans)", Seq(
+      "RangeExtrema exec planned" -> (_.contains("RangeExtrema")),
+      "two extrema scans (max + negated min)" ->
+        (p => "RangeExtrema".r.findAllIn(p).size >= 2),
+      "range exchanges feed the scans" -> (_.contains("rangepartitioning")),
+      "no nested loop / cartesian anywhere" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j7f_range_extrema")(spark, dir))
 
     // the injected DedupComputeRewrite must turn the NAIVE per-row
     // kernel projection into distinct→compute→join-back — audited on

@@ -190,6 +190,23 @@ object SparkEntry {
     * would write), un-checkpointed: shared with PlanAudit so the no-NLJ
     * gate inspects exactly the frame the query materializes. Same
     * inputs and ground truth as j7's hand-binned form. */
+  /** The j7 frame: EXPLICITLY binned pair join + aggregate. Shared with
+    * PlanAudit so the gate sees the exact pipeline the query runs. */
+  def rangeJoinAggFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val intervals = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        (col("o_totalprice") - 2000.0).as("lo"),
+        (col("o_totalprice") + 2000.0).as("hi"))
+    val points = o.select(col("o_orderkey").as("point_id"),
+      col("o_totalprice").as("price"))
+    Relational.rangeJoinPoints(points, "price", intervals, "lo", "hi",
+        binWidth = 4000.0)
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("cnt"), Tables.dsum(col("price")).as("sum_price"))
+      .orderBy("interval_id")
+  }
+
   def bandJoinNaive(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val intervals = o.filter(col("o_orderkey") % 97 === 0)
@@ -274,6 +291,16 @@ object SparkEntry {
   /** Scope the RangeJoinRewrite width conf to `body`. */
   def withRangeJoinWidth[T](s: SparkSession, w: String)(body: => T): T =
     withConf(s, "spark.graft.rangeJoin.binWidth", w)(body)
+
+  /** Scope the aggregate-over-band-join prefix rewrite OFF: j7 exists
+    * to differentially gate the PAIR-JOIN operator against DuckDB's
+    * IEJoin, and since the rewrite learned the keyed shape (r18) it
+    * recognizes even the explicitly binned join (bin equality + band =
+    * equi + band) and would silently replace the very plan the query
+    * gates. The rewrite staying ON for j7b/j7e is the product behavior;
+    * this scope is only for frames whose CONTRACT is the join. */
+  def withAggPrefixOff[T](s: SparkSession)(body: => T): T =
+    withConf(s, "spark.graft.rangeJoin.aggPrefix", "false")(body)
 
   /** The CMS sketch-build aggregate of llm_cms_counts, BEFORE its
     * driver-side head(): shared with PlanAudit so the plan gate covers
@@ -1207,19 +1234,14 @@ object SparkEntry {
     // BroadcastNestedLoopJoin a bare BETWEEN would plan (plan-audited
     // no-NLJ/no-cartesian). The oracle is DuckDB's native inequality
     // join (IEJoin) — a cross-engine check of the binned rewrite
-    "j7_range_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val intervals = o.filter(col("o_orderkey") % 97 === 0)
-        .select(col("o_orderkey").as("interval_id"),
-          (col("o_totalprice") - 2000.0).as("lo"),
-          (col("o_totalprice") + 2000.0).as("hi"))
-      val points = o.select(col("o_orderkey").as("point_id"),
-        col("o_totalprice").as("price"))
-      Relational.rangeJoinPoints(points, "price", intervals, "lo", "hi",
-          binWidth = 4000.0)
-        .groupBy("interval_id")
-        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("price")).as("sum_price"))
-        .orderBy("interval_id")
+    // aggPrefix scoped OFF (r18): the keyed rewrite now recognizes the
+    // binned join's own bin-equality + band as equi + band and would
+    // replace the pair join this query exists to gate — the join IS
+    // the contract here (the eager materialization pins the plan
+    // inside the scope; PlanAudit gates the raw frame under the same
+    // scope)
+    "j7_range_join" -> ((s, dir) => withAggPrefixOff(s) {
+      rangeJoinAggFrame(s, dir).localCheckpoint(true)
     }),
 
     // J7′ the SAME band join written as a bare inequality join — the
@@ -1274,6 +1296,53 @@ object SparkEntry {
       graft.ops.RangeAgg.distinctPointsInRangeAgg(points, "price",
           intervals, "cust_id", "lo", "hi")
         .orderBy("cust_id")
+    }),
+
+    // J7⁵ exact join-free MIN/MAX-in-range (r18): the aggregate the
+    // prefix rewrite declines (an extremum is not a difference of two
+    // prefixes) made exact join-free when the aggregated value IS the
+    // point expression — max{pt in [lo,hi]} degenerates to a
+    // PREDECESSOR query over the same value-ordered stream (last point
+    // <= hi, valid iff >= lo), min via negation. Two range exchanges +
+    // linear scans, no pair ever materialized; duplicate keys (the
+    // cust_id fixture) exact for free because extrema are
+    // union-compatible. Oracle: DuckDB min/max over its IEJoin.
+    "j7f_range_extrema" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(col("o_totalprice").as("price"))
+      graft.ops.RangeAgg.extremaInRangeAgg(points, "price",
+          intervals, "cust_id", "lo", "hi")
+        .orderBy("cust_id")
+    }),
+
+    // J7⁗ KEYED band join (r18): events inside each session's [lo, hi]
+    // PER USER — `e.user = s.user AND v BETWEEN lo AND hi` under GROUP
+    // BY, the most common real-world band shape. Written in the naive
+    // join style: RangeJoinRewrite detects the 3-conjunct equi+band
+    // shape and plans the KEYED prefix — the merged stream sorts by
+    // (user, v, tag), making each key one contiguous run, and the
+    // global stitch is unchanged (cross-key points flank both probes
+    // of an interval and cancel in the difference). Without the
+    // rewrite, Catalyst hash-joins on the key with the band as a
+    // post-join filter — pair-enumerating per key, quadratic in a hot
+    // key's rows. The oracle is DuckDB's own equi+band join.
+    "j7e_keyed_range_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sessions = e.filter(col("event_id") % 23 === 0)
+        .select(col("event_id").as("session_id"),
+          col("user_id").as("s_user"),
+          (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+      val points = e.select(col("user_id").as("p_user"),
+        col("value").as("v"))
+      points.join(sessions, col("p_user") === col("s_user") &&
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy("session_id")
+        .agg(count(lit(1)).as("cnt"), Tables.dsum(col("v")).as("sum_v"))
+        .orderBy("session_id")
     }),
 
     // ---- aggregations ------------------------------------------------
@@ -5291,6 +5360,22 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "j7f_range_extrema" -> (
+      "SELECT i.o_custkey AS cust_id, " +
+        "min(p.o_totalprice) AS min_v, max(p.o_totalprice) AS max_v " +
+        "FROM orders i JOIN orders p " +
+        "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "j7e_keyed_range_agg" -> (
+      "WITH s AS (SELECT event_id AS session_id, user_id AS s_user, " +
+        "value - 5.0 AS lo, value + 5.0 AS hi FROM events " +
+        "WHERE event_id % 23 = 0) " +
+        "SELECT s.session_id, count(*) AS cnt, " +
+        "(sum(CAST(e.value AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_v " +
+        "FROM events e JOIN s ON e.user_id = s.s_user " +
+        "AND e.value >= s.lo AND e.value <= s.hi " +
+        "GROUP BY 1 ORDER BY 1"),
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +
         "((sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +

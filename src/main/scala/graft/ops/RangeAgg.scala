@@ -78,6 +78,93 @@ object RangeAgg {
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
   }
 
+  /** Exact per-interval-key (min_v, max_v) of `ptCol` values in
+    * [loCol, hiCol] (inclusive both ends), JOIN-FREE (r18 — the r17
+    * VERDICT's "ship it or refute" item). The prefix rewrite correctly
+    * declines extrema (a per-interval max is not a difference of two
+    * prefixes), but when the aggregated value IS the point expression
+    * the answer degenerates to a PREDECESSOR query over the same
+    * value-ordered stream: max{pt ∈ [lo, hi]} = last point ≤ hi
+    * (valid iff ≥ lo), min by negation — see
+    * [[graft.plans.RangeExtrema]]. Two range exchanges (one per
+    * extreme), two linear scans each, driver state = partitions ×
+    * (bool, double); no pair ever materialized, cost independent of
+    * band density. Duplicate key values aggregate together exactly as
+    * min/max-over-join would (extrema are union-compatible — the SQL
+    * group extreme over duplicate-key instances is the extreme over
+    * the union of their point sets). Keys with zero qualifying points
+    * drop (inner semantics).
+    *
+    * NaN handling matches the join form under Spark's total order: a
+    * NaN point qualifies exactly when hi is NaN; such groups have
+    * max = NaN (NaN is SQL-max-greatest) and min = NaN only when no
+    * finite point qualifies. The finite extremes come from the scan
+    * plans; the NaN-qualifying groups are re-attached here from two
+    * tiny aggregates (intervals with NaN hi × whether any NaN point
+    * exists). Zero signs are normalized (−0.0 in, +0.0 out — SQL
+    * equality treats them as the same value).
+    *
+    * Output: (idCol — original type preserved, min_v: double,
+    * max_v: double). */
+  def extremaInRangeAgg(points: DataFrame, ptCol: String,
+                        intervals: DataFrame, idCol: String,
+                        loCol: String, hiCol: String): DataFrame = {
+    val spark = points.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ptPlan = points.queryExecution.analyzed
+    val ivPlan = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, what: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: no $what column '$n' in ${p.output.map(_.name)}"))
+    val pt = attr(ptPlan, ptCol, "point")
+    val id = attr(ivPlan, idCol, "interval id")
+    val lo = attr(ivPlan, loCol, "interval lo")
+    val hi = attr(ivPlan, hiCol, "interval hi")
+    def build(neg: Boolean, name: String): DataFrame =
+      org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+        graft.plans.RangeExtrema.tryBuildSingle(Seq(id), pt, lo, hi,
+          neg, ptPlan, ivPlan, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be numeric " +
+              "types whose double image is order-exact " +
+              "(double/float/int or narrower); got " +
+              s"${pt.dataType}/${lo.dataType}/${hi.dataType}")))
+    val maxDf = build(neg = false, "max_v")
+    val minDf = build(neg = true, "min_v").withColumnRenamed(idCol, "_gx_id")
+    // identical membership (both = keys with ≥1 FINITE qualifying
+    // point), so this is a 1:1 stitch of two q-row aggregates
+    val finite = maxDf.join(minDf, col(idCol) <=> col("_gx_id"))
+      .select(col(idCol), col("min_v"), col("max_v"))
+    // NaN-qualifying groups: a NaN point satisfies pt >= lo for any lo
+    // and pt <= hi exactly when hi is NaN (Spark total order) — extra
+    // membership = (keys with a NaN-hi interval) × (any NaN point
+    // exists). TYPE-GATED: only floating types can hold NaN, so the
+    // common integral/decimal case returns the finite stitch with zero
+    // extra work. When both types are floating, existence is settled
+    // by ONE bounded probe job (limit(1) before the count — the
+    // repo's cap-probe pattern: early-exits on the first NaN, and the
+    // no-NaN full scan reads one pruned column, no heavier than the
+    // in-plan filter it replaces) — a scalar join here would plan a
+    // nested loop, which the j7f plan gate forbids near the streams.
+    def floating(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
+    val nanPossible = floating(pt.dataType) && floating(hi.dataType)
+    val nanExists = nanPossible && points
+      .filter(isnan(col(ptCol).cast("double"))).limit(1).count() > 0
+    if (!nanExists) return finite
+    val nanKeys = intervals.filter(isnan(col(hiCol).cast("double")))
+      .select(col(idCol)).distinct()
+      .select(col(idCol), lit(Double.NaN).as("_gx_nan"))
+      .withColumnRenamed(idCol, "_gx_id")
+    finite.join(nanKeys, col(idCol) <=> col("_gx_id"), "full")
+      .select(coalesce(col(idCol), col("_gx_id")).as(idCol),
+        // min: the finite minimum when any finite point qualifies,
+        // else NaN (the group is then NaN-only); max: NaN dominates
+        coalesce(col("min_v"), col("_gx_nan")).as("min_v"),
+        when(col("_gx_nan").isNotNull, Double.NaN)
+          .otherwise(col("max_v")).as("max_v"))
+  }
+
   /** Exact per-interval-KEY count of DISTINCT `ptCol` values in the
     * UNION of that key's [loCol, hiCol] intervals (inclusive) — the
     * aggregate the prefix REWRITE must decline (count(DISTINCT) over a

@@ -109,11 +109,55 @@ object RangeAggPrefix {
     case _ => false
   }
 
+  /** Types an equi-key column may have: the keyed prefix turns `=` into
+    * sort CONTIGUITY, so sort equality must coincide with SQL equality.
+    * That holds for every fixed-width atomic, binary-collated strings,
+    * and decimals; floats/doubles need −0.0 normalized (Double.compare
+    * distinguishes −0.0 < 0.0 where SQL says equal — NaN is fine: all
+    * NaNs compare equal in both orders, and Spark SQL's `=` says
+    * NaN = NaN too). Anything else (collated strings, arrays, structs,
+    * intervals) declines to the join path. */
+  private def sortKeyExact(e: Expression): Boolean = e.dataType match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType => true
+    case s: StringType => s == StringType // UTF8_BINARY default only
+    case _ => false
+  }
+
+  /** Sort image of an equi key: float/double get the −0.0 → +0.0
+    * normalization (the [[dbl]] trick, in the key's own type so the
+    * value set is unchanged); every other allowed type already sorts
+    * exactly as SQL compares. */
+  private def normKey(e: Expression): Expression = e.dataType match {
+    case DoubleType => Add(e, Literal(0.0))
+    case FloatType => Add(e, Literal(0.0f))
+    case _ => e
+  }
+
   /** Build the join-free prefix plan for
     * `Aggregate(groupExprs, aggExprs)` over the band join
-    * `ptPlan ⋈ ivPlan ON lo (<|<=) pt AND pt (<|<=) hi`, or None when
-    * any guard fails (caller falls back to the pair join):
-    *  - pt/lo/hi double-exact types;
+    * `ptPlan ⋈ ivPlan ON lo (<|<=) pt AND pt (<|<=) hi`
+    * — optionally KEYED: with `equiKeys = Seq((ptK, ivK), ...)` the
+    * join is `ptK = ivK AND ... AND lo (<|<=) pt AND pt (<|<=) hi`
+    * (the "events inside each session's [start, end]" shape). The
+    * stream sorts by (key..., v, tag) instead of (v, tag): each key's
+    * rows become one contiguous run, and the UNCHANGED global-prefix
+    * stitch is still exact — points of a smaller key sort before BOTH
+    * probes of any interval of this key (contributing equally to
+    * P(lo) and P(hi), cancelling in the difference), points of a
+    * larger key sort after both (contributing to neither), so
+    * P(hi) − P(lo) counts exactly the same-key in-band points. Rows
+    * with a NULL key are filtered on both sides (SQL `=` never
+    * matches null); NaN keys match each other (Spark `=` says
+    * NaN = NaN, and every sort puts all NaNs in one run); −0.0 keys
+    * are normalized to +0.0 in the sort image (Double.compare would
+    * split the run SQL equality says is one).
+    *
+    * Returns None when any guard fails (caller falls back to the pair
+    * join):
+    *  - pt/lo/hi double-exact types; equi keys sort-exact types (see
+    *    [[sortKeyExact]]), both sides of a pair the same type;
     *  - every group key an interval-side Attribute;
     *  - every aggregate one of: count(non-null literal), count(pt-side
     *    expr), sum(cast(pt-side expr as decimal(p ≤ 18, s))), sum of an
@@ -124,9 +168,15 @@ object RangeAggPrefix {
   def tryBuild(groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
                pt: Expression, lo: Expression, hi: Expression,
                loStrict: Boolean, hiStrict: Boolean,
-               ptPlan: LogicalPlan, ivPlan: LogicalPlan): Option[LogicalPlan] = {
+               ptPlan: LogicalPlan, ivPlan: LogicalPlan,
+               equiKeys: Seq[(Expression, Expression)] = Nil)
+      : Option[LogicalPlan] = {
     if (!Seq(pt, lo, hi).forall(orderExact)) return None
     if (!Seq(pt, lo, hi).forall(_.deterministic)) return None
+    if (!equiKeys.forall { case (pk, ik) =>
+          pk.deterministic && ik.deterministic &&
+          sortKeyExact(pk) && sortKeyExact(ik) &&
+          pk.dataType == ik.dataType }) return None
     val ivOut = ivPlan.outputSet
     val ptOut = ptPlan.outputSet
     val keyAttrs: Seq[Attribute] = groupExprs.map {
@@ -231,18 +281,32 @@ object RangeAggPrefix {
     val legal = AttributeSet(carryKeys ++ accs.map(_.out))
     if (!mapped.forall(_.references.subsetOf(legal))) return None
 
+    // equi keys: each pair must reference its own side only (the caller
+    // decides orientation; this re-checks it)
+    if (!equiKeys.forall { case (pk, ik) =>
+          pk.references.nonEmpty && pk.references.subsetOf(ptOut) &&
+          ik.references.nonEmpty && ik.references.subsetOf(ivOut) })
+      return None
+
     // ---- merged event stream --------------------------------------
     // layout (positional contract with the exec):
     //   [0] v: double  [1] tag: int  [2] sign: int
-    //   [3 .. 3+m) carried interval key columns
-    //   [3+m .. 3+m+k) per-point contribution columns (long)
+    //   [3 .. 3+e) equi-key sort columns (iv side on probes, pt side
+    //              on points — the columns `=` turns into contiguity)
+    //   [3+e .. 3+e+m) carried interval key columns
+    //   [3+e+m .. 3+e+m+k) per-point contribution columns (long)
     val zero = Literal(0L)
     // a strict-strict band with lo == hi matches nothing but would
     // telescope negative; every other empty/inverted/null band is
     // dropped by the same comparison going false-or-null
-    val keepProbe =
+    val keepProbe0 =
       if (loStrict && hiStrict) LessThan(dbl(lo), dbl(hi))
       else LessThanOrEqual(dbl(lo), dbl(hi))
+    // a null equi key never matches (SQL `=`): drop those rows up front
+    // on BOTH sides — a kept null-key row would sort into the
+    // nulls-first run and pair with other null-key rows
+    val keepProbe = equiKeys.map(_._2).map(IsNotNull)
+      .foldLeft[Expression](keepProbe0)(And(_, _))
     val loTag = Literal(if (loStrict) 2 else 0)
     val hiTag = Literal(if (hiStrict) 0 else 2)
     val ivF = Filter(keepProbe, ivPlan)
@@ -250,6 +314,8 @@ object RangeAggPrefix {
       Project(Seq(Alias(dbl(bound), "_graft_v")(),
         Alias(tag, "_graft_tag")(),
         Alias(Literal(sign), "_graft_sign")()) ++
+        equiKeys.zipWithIndex.map { case ((_, ik), i) =>
+          Alias(normKey(ik), s"_graft_k$i")() } ++
         carryKeys ++
         accs.indices.map(i => Alias(zero, s"_graft_c$i")()), ivF)
     val probesLo = probeChild(lo, loTag, -1)
@@ -266,10 +332,13 @@ object RangeAggPrefix {
     // sorts before all NaN points. Dropping NaN points here would
     // silently undercount (NaN point, NaN hi) pairs vs the join form
     // (RangeAggSpec pins the parity with a nan-safe brute force).
-    val ptF = Filter(IsNotNull(pt), ptPlan)
+    val ptF = Filter(equiKeys.map(_._1).map(IsNotNull)
+      .foldLeft[Expression](IsNotNull(pt))(And(_, _)), ptPlan)
     val ptsChild = Project(Seq(Alias(dbl(pt), "_graft_v")(),
       Alias(Literal(1), "_graft_tag")(),
       Alias(Literal(0), "_graft_sign")()) ++
+      equiKeys.zipWithIndex.map { case ((pk, _), i) =>
+        Alias(normKey(pk), s"_graft_k$i")() } ++
       carryKeys.map(ka => Alias(Literal(null, ka.dataType), ka.name)()) ++
       accs.map(a => Alias(a.contrib, a.out.name)()), ptF)
     // probesLo FIRST: Union takes output attrs from its head child, so
@@ -278,7 +347,7 @@ object RangeAggPrefix {
     val union = Union(Seq(probesLo, probesHi, ptsChild), byName = false,
       allowMissingCol = false)
 
-    val node = RangeAggPrefixNode(carryKeys.length,
+    val node = RangeAggPrefixNode(equiKeys.length, carryKeys.length,
       accs.map(_.out).toSeq, union)
     val hidden = Alias(countOf(pairAcc), "_graft_pair_cnt")()
     val agg = Aggregate(keyAttrs, mapped :+ hidden, node)
@@ -294,19 +363,22 @@ object RangeAggPrefix {
 }
 
 /** Merged-event-stream prefix node. Child layout (positional):
-  * [v: double, tag: int, sign: int, key_0..m-1, c_0..k-1: long].
+  * [v: double, tag: int, sign: int, ek_0..e-1, key_0..m-1,
+  *  c_0..k-1: long] — ek are the equi-key SORT columns (keyed form;
+  * e = 0 for the plain band), key the carried interval columns.
   * Output: the m carried key columns (same attributes — pass-through)
   * followed by k signed-prefix columns, ONE ROW PER PROBE. */
-case class RangeAggPrefixNode(nKeys: Int, accOut: Seq[AttributeReference],
+case class RangeAggPrefixNode(nEquiKeys: Int, nKeys: Int,
+                              accOut: Seq[AttributeReference],
                               child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] =
-    child.output.slice(3, 3 + nKeys) ++ accOut
+    child.output.slice(3 + nEquiKeys, 3 + nEquiKeys + nKeys) ++ accOut
   // the signed-prefix columns are BORN here (the child's contribution
   // columns are inputs, not the same attributes)
   override def producedAttributes: AttributeSet = AttributeSet(accOut)
-  // the exec reads the child POSITIONALLY ([v, tag, sign, keys, contribs])
-  // — every child column is required, or ColumnPruning would slim the
-  // union under a count()-style parent and break the layout
+  // the exec reads the child POSITIONALLY ([v, tag, sign, ekeys, keys,
+  // contribs]) — every child column is required, or ColumnPruning would
+  // slim the union under a count()-style parent and break the layout
   override def references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan)
       : RangeAggPrefixNode = copy(child = newChild)
@@ -323,16 +395,23 @@ case class RangeAggPrefixNode(nKeys: Int, accOut: Seq[AttributeReference],
   * across both jobs (shuffle files persist), and routing job 1 around
   * the sort would need a second exchange of the full stream, which
   * costs far more than re-sorting each partition in memory. */
-case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
+case class RangeAggPrefixExec(nEquiKeys: Int, nKeys: Int,
+                              accOut: Seq[AttributeReference],
                               child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] =
-    child.output.slice(3, 3 + nKeys) ++ accOut
+    child.output.slice(3 + nEquiKeys, 3 + nEquiKeys + nKeys) ++ accOut
 
   override def producedAttributes: AttributeSet = AttributeSet(accOut)
 
   override def nodeName: String = "RangeAggPrefix"
 
-  private def streamOrder: Seq[SortOrder] = Seq(
+  // KEYED form: equi keys lead the sort, making each key one contiguous
+  // run — the global prefix stitch below is then exact with NO code
+  // change (other keys' points flank both probes of an interval and
+  // cancel in the difference, or follow both and touch neither)
+  private def streamOrder: Seq[SortOrder] =
+    (0 until nEquiKeys).map(i =>
+      SortOrder(child.output(3 + i), Ascending)) ++ Seq(
     SortOrder(child.output(0), Ascending),
     SortOrder(child.output(1), Ascending))
 
@@ -351,12 +430,14 @@ case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
   override protected def doExecute(): RDD[InternalRow] = {
     val k = accOut.length
     val m = nKeys
+    val base = 3 + nEquiKeys // first carried-key ordinal
+    val cBase = base + m     // first contribution ordinal
     val childOut = child.output
     require(childOut(0).dataType == DoubleType &&
       childOut(1).dataType == IntegerType &&
       childOut(2).dataType == IntegerType,
       s"RangeAggPrefix child layout violated: ${childOut.take(3)}")
-    val keyTypes = childOut.slice(3, 3 + m).map(_.dataType).toArray
+    val keyTypes = childOut.slice(base, base + m).map(_.dataType).toArray
     val outTypes = (keyTypes ++ Array.fill(k)(LongType: DataType)).toArray
     val rdd = child.execute()
     val nParts = rdd.getNumPartitions
@@ -368,7 +449,7 @@ case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
         if (row.getInt(2) == 0) {
           var i = 0
           while (i < k) {
-            acc(i) = RangeAggPrefixExec.addX(acc(i), row.getLong(3 + m + i))
+            acc(i) = RangeAggPrefixExec.addX(acc(i), row.getLong(cBase + i))
             i += 1
           }
         }
@@ -399,15 +480,15 @@ case class RangeAggPrefixExec(nKeys: Int, accOut: Seq[AttributeReference],
         if (sign == 0) {
           var i = 0
           while (i < k) {
-            run(i) = RangeAggPrefixExec.addX(run(i), row.getLong(3 + m + i))
+            run(i) = RangeAggPrefixExec.addX(run(i), row.getLong(cBase + i))
             i += 1
           }
           Iterator.empty
         } else {
           var i = 0
           while (i < m) {
-            out.update(i,
-              if (row.isNullAt(3 + i)) null else row.get(3 + i, keyTypes(i)))
+            out.update(i, if (row.isNullAt(base + i)) null
+              else row.get(base + i, keyTypes(i)))
             i += 1
           }
           var j = 0

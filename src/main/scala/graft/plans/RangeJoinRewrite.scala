@@ -44,13 +44,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    below the interval length explodes replication, far above it
   *    degrades to a few giant bins; no safe universal default exists).
   *
-  * Band-shape guards (both rewrites):
-  *  - inner join whose condition is EXACTLY two conjuncts, one lower and
-  *    one upper bound on the same point expression (any of >=, >, <=, <
-  *    in either literal order);
+  * Band-shape guards:
+  *  - one lower and one upper bound on the same point expression (any
+  *    of >=, >, <=, < in either literal order);
   *  - the point expression references exactly one join side, both bounds
   *    the other side — and the two bounds the SAME side;
   *  - every involved expression is numeric.
+  *
+  * Conjunct count: the BINNED rewrite (2) requires the condition to be
+  * EXACTLY the two band conjuncts. The AGG rewrite (1) additionally
+  * accepts the KEYED band shape (r18) — `ptK = ivK AND ... AND lo <=
+  * pt AND pt <= hi`, the "events inside each session's [start, end]"
+  * query: every non-band conjunct must be a plain EqualTo with one
+  * side on each plan (null-safe <=> declines: it matches null = null,
+  * which the keyed stream's null-key filter deliberately drops). The
+  * keys join the prefix stream's sort ((key..., v, tag)); see
+  * RangeAggPrefix for why the global stitch stays exact. Without the
+  * rewrite, Catalyst plans the equi key as a hash join with the band
+  * as a post-join filter — pair-enumerating again for dense bands.
   *
   * Strict bounds are accepted: the binned form keeps the ORIGINAL
   * condition verbatim after the bin equality (binning only prunes
@@ -130,6 +141,42 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def binOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitAnd(a) ++ splitAnd(b)
+    case x => Seq(x)
+  }
+
+  /** Keyed-band detection over ALL conjuncts of an inner-join condition:
+    * some pair of conjuncts forms the band, and every remaining conjunct
+    * is a plain EqualTo with one side referencing the point plan and the
+    * other the interval plan (oriented (ptSide, ivSide)). Returns the
+    * band plus the oriented key pairs, or None. */
+  private def detectKeyedBand(left: LogicalPlan, right: LogicalPlan,
+                              conjuncts: Seq[Expression])
+      : Option[(Band, Seq[(Expression, Expression)])] = {
+    val idx = conjuncts.indices
+    val candidates = for {
+      i <- idx; j <- idx if i < j
+      b <- detectBand(left, right, conjuncts(i), conjuncts(j))
+    } yield (b, idx.filterNot(x => x == i || x == j).map(conjuncts))
+    candidates.flatMap { case (b, rest) =>
+      val (ptPlan, ivPlan) = if (b.ptOnLeft) (left, right) else (right, left)
+      def onPt(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.subsetOf(ptPlan.outputSet)
+      def onIv(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.subsetOf(ivPlan.outputSet)
+      val keys = rest.map {
+        case EqualTo(a, c) if onPt(a) && onIv(c) => Some((a, c))
+        case EqualTo(a, c) if onIv(a) && onPt(c) => Some((c, a))
+        case _ => None
+      }
+      if (keys.nonEmpty && keys.forall(_.isDefined))
+        Some((b, keys.flatten))
+      else if (keys.isEmpty) Some((b, Nil))
+      else None
+    }.headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val aggOn = conf
       .getConfString("spark.graft.rangeJoin.aggPrefix", "true") == "true"
@@ -192,12 +239,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
     unwrapped.flatMap {
-      case (Join(left, right, Inner, Some(And(c1, c2)), _), g, a) =>
-        detectBand(left, right, c1, c2).flatMap { b =>
-          val (ptPlan, ivPlan) =
-            if (b.ptOnLeft) (left, right) else (right, left)
-          RangeAggPrefix.tryBuild(g, a, b.pt, b.lo, b.hi,
-            b.loStrict, b.hiStrict, ptPlan, ivPlan)
+      case (Join(left, right, Inner, Some(cond), _), g, a) =>
+        val conjuncts = splitAnd(cond)
+        if (conjuncts.length < 2) None
+        else detectKeyedBand(left, right, conjuncts).flatMap {
+          case (b, keys) =>
+            val (ptPlan, ivPlan) =
+              if (b.ptOnLeft) (left, right) else (right, left)
+            RangeAggPrefix.tryBuild(g, a, b.pt, b.lo, b.hi,
+              b.loStrict, b.hiStrict, ptPlan, ivPlan, keys)
         }
       case _ => None
     }

@@ -1103,17 +1103,95 @@ object Scale9 {
             col("o_totalprice").as("price"))
         for (round <- 1 to 2)
           timed(s"rangeJoin binned x$xn r$round") {
-            graft.ops.Relational.rangeJoinPoints(points, "price",
-                ivals, "lo", "hi", binWidth = 4000.0)
-              .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
-              .write.format("noop").mode("overwrite").save()
+            // aggPrefix OFF (r18): the keyed rewrite recognizes the bin
+            // equality + band as equi + band — this row's contract is
+            // the PAIR JOIN's scaling, so pin the join plan
+            graft.SparkEntry.withAggPrefixOff(spark) {
+              graft.ops.Relational.rangeJoinPoints(points, "price",
+                  ivals, "lo", "hi", binWidth = 4000.0)
+                .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
+                .write.format("noop").mode("overwrite").save()
+            }
           }
         if (xn == 1)
           timed(s"rangeJoin naive-NLJ x$xn") {
-            points.join(ivals,
-                col("price") >= col("lo") && col("price") <= col("hi"))
-              .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
-              .write.format("noop").mode("overwrite").save()
+            graft.SparkEntry.withAggPrefixOff(spark) {
+              points.join(ivals,
+                  col("price") >= col("lo") && col("price") <= col("hi"))
+                .groupBy("interval_id").agg(count(lit(1)).as("cnt"))
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+      }
+    }
+
+    // KEYED band join scaling (r18, j7e): events inside each session's
+    // [lo, hi] PER USER — the equi+band shape the extended rewrite
+    // plans as the keyed prefix (sort by (key, v, tag), no join). The
+    // comparison row runs the SAME query with the rewrite off:
+    // Catalyst's hash join on the key with the band as a post-join
+    // filter — per-key pair enumeration, the plan every user gets
+    // without the rewrite.
+    if (sections("rjoinkeyed")) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        def q() = graft.SparkEntry
+          .queries("j7e_keyed_range_agg")(spark, dir)
+        for (round <- 1 to 2)
+          timed(s"keyed range-agg prefix x$xn r$round") {
+            q().write.format("noop").mode("overwrite").save()
+          }
+        timed(s"keyed range-agg join-form x$xn") {
+          graft.SparkEntry.withAggPrefixOff(spark) {
+            q().write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      // SKEW — the regime the keyed prefix exists for. Folding user_id
+      // into 50 keys makes the hash join's per-key candidate set
+      // quadratic (events/50 × sessions/50 per key meet in one task's
+      // build side) while the prefix cost stays (n + 2q) log n,
+      // density-independent. The join form runs at ×1/×10 only — at
+      // ×100 its ~87B candidate enumerations are the 910-s-class bill
+      // by construction (the uniform rows above already show the two
+      // forms within ~30% when density is benign; this shows what
+      // happens when it is not).
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        def q() = {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+          val sessions = e.filter(col("event_id") % 23 === 0)
+            .select(col("event_id").as("session_id"),
+              pmod(col("user_id"), lit(50)).as("s_user"),
+              (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+          val points = e.select(
+            pmod(col("user_id"), lit(50)).as("p_user"),
+            col("value").as("v"))
+          points.join(sessions, col("p_user") === col("s_user") &&
+              col("v") >= col("lo") && col("v") <= col("hi"))
+            .groupBy("session_id").agg(count(lit(1)).as("cnt"))
+        }
+        for (round <- 1 to 2)
+          timed(s"keyed SKEW prefix x$xn r$round") {
+            q().write.format("noop").mode("overwrite").save()
+          }
+        if (xn <= 10)
+          timed(s"keyed SKEW join-form x$xn") {
+            graft.SparkEntry.withAggPrefixOff(spark) {
+              q().write.format("noop").mode("overwrite").save()
+            }
+          }
+      }
+      // j7f extrema (r18): predecessor-scan min/max — the same
+      // density-independence story; the join form pays the full j7
+      // pair bill (omitted past ×10 for the same reason as above)
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        def q() = graft.SparkEntry
+          .queries("j7f_range_extrema")(spark, dir)
+        for (round <- 1 to 2)
+          timed(s"range extrema prefix x$xn r$round") {
+            q().write.format("noop").mode("overwrite").save()
           }
       }
     }

@@ -16,12 +16,19 @@ class RangeAggSpec extends SparkSpec {
     val got = RangeAgg.pointsInRangeAgg(points, "price",
         intervals, "interval_id", "lo", "hi")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val expected = Relational.rangeJoinPoints(points, "price",
-        intervals, "lo", "hi", binWidth = 4000.0)
-      .groupBy("interval_id")
-      .agg(count(lit(1)).as("cnt"),
-        graft.core.Tables.dsum($"price").as("sum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // truth pinned to the JOIN plan: since the rewrite learned the
+    // keyed shape (r18) it recognizes the binned join's bin equality +
+    // band as equi + band and would make this prefix-vs-prefix
+    val expected = {
+      spark.conf.set("spark.graft.rangeJoin.aggPrefix", "false")
+      try Relational.rangeJoinPoints(points, "price",
+          intervals, "lo", "hi", binWidth = 4000.0)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("cnt"),
+          graft.core.Tables.dsum($"price").as("sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.rangeJoin.aggPrefix")
+    }
     assert(got == expected && got.nonEmpty)
   }
 
@@ -161,6 +168,100 @@ class RangeAggSpec extends SparkSpec {
       .groupBy("cust_id").agg(countDistinct($"price").as("d"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mine == truth && truth.nonEmpty)
+  }
+
+  test("extrema-in-range equals min/max-over-join on the orders fixture") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val intervals = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_custkey".as("cust_id"), // duplicate keys natural here
+        ($"o_totalprice" - 2000.0).as("lo"),
+        ($"o_totalprice" + 2000.0).as("hi"))
+    val points = o.select($"o_totalprice".as("price"))
+    val got = RangeAgg.extremaInRangeAgg(points, "price",
+        intervals, "cust_id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val truth = points
+      .join(intervals, $"price" >= $"lo" && $"price" <= $"hi")
+      .groupBy("cust_id")
+      .agg(min($"price").as("min_v"), max($"price").as("max_v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth && truth.nonEmpty)
+    // the plan is join-free: two RangeExtrema scans + a tiny stitch of
+    // two q-row aggregates — no join node touches the point stream
+    val p = RangeAgg.extremaInRangeAgg(points, "price",
+      intervals, "cust_id", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RangeExtrema"), p)
+  }
+
+  test("extrema-in-range equals brute force on adversarial randoms (NaN/inf/-0.0)") {
+    // Spark-total-order brute force: NaN greater than everything and
+    // equal to itself; max over a NaN-containing set is NaN, min is the
+    // smallest finite unless only NaN qualifies. ±0.0 compare equal.
+    def sqlLe(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
+    for (seed <- Seq(7, 8, 9)) {
+      val rng = new scala.util.Random(seed)
+      val vals: Seq[Double] = (0 until 300).map { _ =>
+        math.floor((rng.nextDouble() - 0.5) * 20000) / 100.0
+      } ++ Seq(-0.0, 0.0, Double.NaN, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity)
+      val ivs: Seq[(Long, Double, Double)] = ((0 until 50).map { i =>
+        val lo = math.floor((rng.nextDouble() - 0.5) * 16000) / 100.0
+        val span = (rng.nextDouble() - 0.2) * 30
+        ((i / 3 * 3).toLong, lo, math.floor((lo + span) * 100) / 100.0)
+      } :+ ((995L, 5.0, 5.0))                       // degenerate
+        :+ ((996L, Double.NaN, 3.0))                // empty
+        :+ ((997L, 5.0, Double.NaN))                // finite + NaN pts
+        :+ ((998L, Double.NaN, Double.NaN))         // NaN pts only
+        :+ ((994L, Double.NegativeInfinity, Double.PositiveInfinity)))
+      val got = RangeAgg.extremaInRangeAgg(
+          vals.toDF("v"), "v", ivs.toDF("id", "lo", "hi"), "id", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+      val expected = ivs.groupBy(_._1).flatMap { case (id, rows) =>
+        val qual = for {
+          (_, lo, hi) <- rows
+          v <- vals if sqlLe(lo, v) && sqlLe(v, hi)
+        } yield v
+        if (qual.isEmpty) None
+        else {
+          // Spark total order: NaN greatest, so max = NaN if any NaN
+          val mx = if (qual.exists(_.isNaN)) Double.NaN else qual.max
+          val fin = qual.filterNot(_.isNaN)
+          val mn = if (fin.isEmpty) Double.NaN else fin.min
+          // normalize zero signs like the operator (and compare via
+          // java.lang.Double so NaN == NaN in the set equality)
+          Some((id, mn + 0.0, mx + 0.0))
+        }
+      }.toSet
+      def canon(s: Set[(Long, Double, Double)]) =
+        s.map { case (i, a, b) =>
+          (i, java.lang.Double.doubleToLongBits(a + 0.0),
+            java.lang.Double.doubleToLongBits(b + 0.0)) }
+      assert(canon(got) == canon(expected), s"seed=$seed")
+      assert(expected.exists(_._1 == 997L) &&
+        expected.exists(_._1 == 998L), s"seed=$seed NaN fixture")
+    }
+  }
+
+  test("extrema-in-range is partitioning-invariant and handles empties") {
+    val pts = Seq(1.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
+    val ivs = Seq((1L, 2.0, 3.0), (2L, 4.0, 9.0), (3L, 0.0, 100.0))
+      .toDF("id", "lo", "hi")
+    def run(np: Int) = RangeAgg.extremaInRangeAgg(
+        pts.repartition(np), "v", ivs, "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+    assert(run(1) == Seq((1L, 2.0, 3.0), (3L, 1.0, 10.0)))
+    // empty sides
+    assert(RangeAgg.extremaInRangeAgg(pts.limit(0), "v", ivs,
+      "id", "lo", "hi").count() == 0)
+    assert(RangeAgg.extremaInRangeAgg(pts, "v", ivs.limit(0),
+      "id", "lo", "hi").count() == 0)
   }
 
   test("prefix range-agg is partitioning-invariant (exact cents sums)") {

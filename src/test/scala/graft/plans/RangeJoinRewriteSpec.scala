@@ -368,4 +368,151 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(!plan(aggOverBand(points, intervals)).contains("RangeAggPrefix"))
     }
   }
+
+  // ---- keyed band (equi + band, r18) --------------------------------
+
+  // events(user, ts, amount) inside each session(user, start, end) —
+  // the canonical keyed-band fixture. Duplicate users on both sides,
+  // a user with events but no sessions (u4), a session user with no
+  // events (u9), overlapping same-user sessions, boundary-equal ts.
+  private def events = Seq(
+    ("u1", 5.0, 10L), ("u1", 15.0, 20L), ("u1", 25.0, 30L),
+    ("u2", 5.0, 40L), ("u2", 47.0, 50L),
+    ("u4", 7.0, 60L)).toDF("euser", "ts", "amount")
+  private def sessions = Seq(
+    ("u1", 100L, 0.0, 10.0), ("u1", 101L, 5.0, 30.0), // overlap: ts=5 in both
+    ("u2", 102L, 0.0, 10.0), ("u2", 103L, 40.0, 50.0),
+    ("u9", 104L, 0.0, 100.0)).toDF("suser", "sid", "lo", "hi")
+
+  private def keyedAgg(ev: DataFrame, se: DataFrame): DataFrame =
+    ev.join(se, col("euser") === col("suser") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("sid")
+      .agg(count(lit(1)).as("cnt"), sum(col("amount")).as("s"))
+
+  private def rows3n(df: DataFrame): Set[(Long, Long, Option[Long])] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+  test("keyed band join (equi + band) plans the keyed prefix, matches join truth") {
+    val df = keyedAgg(events, sessions)
+    val p = plan(df)
+    assert(p.contains("RangeAggPrefix"), p)
+    assert(!p.contains("Join"), p)
+    val got = rows3n(df)
+    assert(got == withPrefixOff(rows3n(keyedAgg(events, sessions))))
+    // cross-key isolation: u2's ts=5 event must NOT count into u1's
+    // [0,10] session and vice versa; u9's session drops (no events)
+    assert(got == Set((100L, 1L, Some(10L)), (101L, 3L, Some(60L)),
+      (102L, 1L, Some(40L)), (103L, 1L, Some(50L))))
+  }
+
+  test("keyed prefix: null keys never match, NaN keys match each other") {
+    val nan = Double.NaN
+    val ev = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (null, 5.0), (nan, 5.0), (-0.0, 5.0))
+      .toDF("ek", "ts")
+    val se = Seq[(java.lang.Long, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1L, 1.0, 0.0, 10.0), (2L, null, 0.0, 10.0),
+      (3L, nan, 0.0, 10.0), (4L, 0.0, 0.0, 10.0))
+      .toDF("sid", "sk", "lo", "hi")
+    def q() = ev.join(se, col("ek") === col("sk") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("sid").agg(count(lit(1)).as("cnt"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    val got = rows2(q())
+    assert(got == withPrefixOff(rows2(q())))
+    // null = null never matches (sid 2 drops); NaN = NaN matches
+    // (Spark SQL equality); −0.0 point key meets the +0.0 session key
+    // (the sort-image normalization — Double.compare would split them)
+    assert(got == Set((1L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("keyed prefix: multi-key (two equi conjuncts) and string keys") {
+    val ev = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 1L, 5.0))
+      .toDF("r", "g", "ts")
+    val se = Seq(("a", 1L, 10L, 0.0, 10.0), ("a", 2L, 20L, 6.0, 10.0),
+      ("b", 1L, 30L, 0.0, 10.0), ("b", 2L, 40L, 0.0, 10.0))
+      .toDF("sr", "sg", "sid", "lo", "hi")
+    def q() = ev.join(se, col("r") === col("sr") && col("g") === col("sg") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("sid").agg(count(lit(1)).as("cnt"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    val got = rows2(q())
+    assert(got == withPrefixOff(rows2(q())))
+    assert(got == Set((10L, 1L), (30L, 1L))) // (a,2) band misses; (b,2) empty
+  }
+
+  test("keyed prefix: grouping by the equi key itself works (iv-side attr)") {
+    def q() = events.join(sessions, col("euser") === col("suser") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("suser").agg(count(lit(1)).as("cnt"))
+    assert(plan(q()).contains("RangeAggPrefix"))
+    val got = q().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == withPrefixOff(
+      q().collect().map(r => (r.getString(0), r.getLong(1))).toSet))
+    assert(got == Set(("u1", 4L), ("u2", 2L)))
+  }
+
+  test("keyed band declines: pt-side group key, same-side equi, null-safe <=>") {
+    // grouping by the POINT-side key attribute: equal on qualifying
+    // pairs but a pt-side attr is not a carried interval column — v1
+    // declines (documented), answers still correct via the join
+    def qPt() = events.join(sessions, col("euser") === col("suser") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("euser").agg(count(lit(1)).as("cnt"))
+    assert(!plan(qPt()).contains("RangeAggPrefix"))
+    // an equi conjunct INSIDE one side is not a cross-side key — but
+    // Catalyst pushes it into that side as a Filter before this rule
+    // runs, leaving a clean two-conjunct band: the prefix legitimately
+    // fires WITH the pushed filter, so the gate here is parity (and
+    // that detectKeyedBand itself would decline the raw shape — the
+    // pushdown, not the key path, is what keeps it rewritable)
+    def qSame() = events.join(sessions, col("lo") === col("hi") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("sid").agg(count(lit(1)).as("cnt"))
+    assert(rows2(qSame()) == withPrefixOff(rows2(qSame())))
+    // null-safe equality matches null <=> null — different semantics
+    // from the keyed stream's null-key drop; must decline
+    def qNs() = events.join(sessions, col("euser") <=> col("suser") &&
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy("sid").agg(count(lit(1)).as("cnt"))
+    assert(!plan(qNs()).contains("RangeAggPrefix"))
+    assert(rows2(qNs()) == withPrefixOff(rows2(qNs())))
+  }
+
+  test("keyed band SQL surface: equi + BETWEEN under GROUP BY gets the prefix") {
+    events.createOrReplaceTempView("r18_events")
+    sessions.createOrReplaceTempView("r18_sessions")
+    def q() = spark.sql(
+      """SELECT sid, count(*) AS cnt FROM r18_events e
+        |JOIN r18_sessions s
+        |  ON e.euser = s.suser AND e.ts BETWEEN s.lo AND s.hi
+        |GROUP BY sid""".stripMargin)
+    assert(plan(q()).contains("RangeAggPrefix"), plan(q()))
+    assert(rows2(q()) == withPrefixOff(rows2(q())))
+  }
+
+  test("keyed prefix equals join truth on adversarial randoms") {
+    // many keys × many duplicate sessions per key, boundary-heavy
+    // values, inverted/degenerate bands — across seeds; truth is the
+    // join form with the rewrite disabled
+    for (seed <- Seq(11, 12)) {
+      val rng = new scala.util.Random(seed)
+      val ev = (0 until 300).map { i =>
+        (rng.nextInt(12).toLong, rng.nextInt(40).toDouble, i.toLong)
+      }.toDF("ek", "ts", "amount")
+      val se = (0 until 80).map { i =>
+        val lo = rng.nextInt(40).toDouble
+        (rng.nextInt(14).toLong, i.toLong, lo,
+          lo + rng.nextInt(12) - 2) // some inverted
+      }.toDF("sk", "sid", "lo", "hi")
+      def q() = ev.join(se, col("ek") === col("sk") &&
+          col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .groupBy("sid").agg(count(lit(1)).as("cnt"),
+          sum(col("amount")).as("s"))
+      assert(plan(q()).contains("RangeAggPrefix"))
+      assert(rows3n(q()) == withPrefixOff(rows3n(q())), s"seed=$seed")
+    }
+  }
 }
