@@ -246,7 +246,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           case (b, keys) =>
             val (ptPlan, ivPlan) =
               if (b.ptOnLeft) (left, right) else (right, left)
-            RangeAggPrefix.tryBuild(g, a, b.pt, b.lo, b.hi,
+            // GROUP BY the POINT-side key attribute (`GROUP BY
+            // e.user_id` instead of `s.user_id`) is the same query: on
+            // every qualifying pair the two sides of an equi key are
+            // EQUAL, so the pt-side attr can be swapped for its iv-side
+            // twin — carried through the probes like any interval
+            // column — with an exprId-preserving alias so parents never
+            // notice. Only plain attr = attr keys substitute (an
+            // expression key has no single output attr to stand in).
+            val sub: Map[ExprId, Attribute] = keys.collect {
+              case (pk: Attribute, ik: Attribute) => pk.exprId -> ik
+            }.toMap
+            val g2 = g.map {
+              case attr: Attribute if sub.contains(attr.exprId) =>
+                sub(attr.exprId)
+              case other => other
+            }
+            val a2 = a.map {
+              case attr: Attribute if sub.contains(attr.exprId) =>
+                Alias(sub(attr.exprId), attr.name)(attr.exprId)
+              case other => other
+            }
+            RangeAggPrefix.tryBuild(g2, a2, b.pt, b.lo, b.hi,
               b.loStrict, b.hiStrict, ptPlan, ivPlan, keys)
         }
       case _ => None

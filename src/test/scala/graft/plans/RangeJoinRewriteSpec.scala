@@ -454,14 +454,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == Set(("u1", 4L), ("u2", 2L)))
   }
 
-  test("keyed band declines: pt-side group key, same-side equi, null-safe <=>") {
-    // grouping by the POINT-side key attribute: equal on qualifying
-    // pairs but a pt-side attr is not a carried interval column — v1
-    // declines (documented), answers still correct via the join
+  test("keyed prefix: grouping by the POINT-side key substitutes the iv twin") {
+    // GROUP BY e.user (point side) is the same query as GROUP BY
+    // s.user: the two sides of an equi key are equal on every
+    // qualifying pair, so the rewrite swaps in the iv-side attr with
+    // an exprId-preserving alias and the prefix still fires
     def qPt() = events.join(sessions, col("euser") === col("suser") &&
         col("ts") >= col("lo") && col("ts") <= col("hi"))
       .groupBy("euser").agg(count(lit(1)).as("cnt"))
-    assert(!plan(qPt()).contains("RangeAggPrefix"))
+    assert(plan(qPt()).contains("RangeAggPrefix"), plan(qPt()))
+    val got = qPt().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == withPrefixOff(
+      qPt().collect().map(r => (r.getString(0), r.getLong(1))).toSet))
+    assert(got == Set(("u1", 4L), ("u2", 2L)))
+    // the output column keeps its NAME and can be referenced upstream
+    assert(qPt().columns.toSeq == Seq("euser", "cnt"))
+    assert(qPt().filter(col("euser") === "u1").count() == 1)
+  }
+
+  test("keyed band declines: same-side equi, null-safe <=>") {
     // an equi conjunct INSIDE one side is not a cross-side key — but
     // Catalyst pushes it into that side as a Filter before this rule
     // runs, leaving a clean two-conjunct band: the prefix legitimately
