@@ -712,6 +712,20 @@ object PlanAudit {
           !p.contains("CartesianProduct"))))(
       SparkEntry.queries("j7f_range_extrema")(spark, dir))
 
+    // r18: KEYED extrema — the equi key must lead the predecessor
+    // scans' range sort (per-key runs contiguous; the exec carries the
+    // last point's key), and the NaN re-attach is a per-key semi join,
+    // never a nested loop
+    audit("j7g_keyed_extrema (keyed predecessor scans)", Seq(
+      "two RangeExtrema scans planned" ->
+        (p => "RangeExtrema".r.findAllIn(p).size >= 2),
+      "equi key leads the range sort" -> (_.contains("_graft_k0")),
+      "range exchanges feed the scans" -> (_.contains("rangepartitioning")),
+      "no nested loop / cartesian anywhere" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j7g_keyed_extrema")(spark, dir))
+
     // the injected DedupComputeRewrite must turn the NAIVE per-row
     // kernel projection into distinct→compute→join-back — audited on
     // the exact frame j3b runs. The kernel must be evaluated in the

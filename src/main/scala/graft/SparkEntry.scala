@@ -1319,6 +1319,25 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // J7⁶ KEYED extrema (r18): min/max event value inside each
+    // session's [lo, hi] PER USER — the predecessor scan with the equi
+    // key leading the sort; a probe's predecessor is valid iff the
+    // last point's key equals the probe's (key runs are contiguous, so
+    // no reset machinery — the scan just carries the last point's
+    // key). NaN-point re-attach is a per-key semi join, fully in-plan.
+    "j7g_keyed_extrema" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sessions = e.filter(col("event_id") % 23 === 0)
+        .select(col("event_id").as("session_id"),
+          col("user_id").as("s_user"),
+          (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+      val points = e.select(col("user_id").as("p_user"),
+        col("value").as("v"))
+      graft.ops.RangeAgg.keyedExtremaInRangeAgg(points, "v", "p_user",
+          sessions, "session_id", "s_user", "lo", "hi")
+        .orderBy("session_id")
+    }),
+
     // J7⁗ KEYED band join (r18): events inside each session's [lo, hi]
     // PER USER — `e.user = s.user AND v BETWEEN lo AND hi` under GROUP
     // BY, the most common real-world band shape. Written in the naive
@@ -5367,6 +5386,15 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "j7g_keyed_extrema" -> (
+      "WITH s AS (SELECT event_id AS session_id, user_id AS s_user, " +
+        "value - 5.0 AS lo, value + 5.0 AS hi FROM events " +
+        "WHERE event_id % 23 = 0) " +
+        "SELECT s.session_id, min(e.value) AS min_v, " +
+        "max(e.value) AS max_v " +
+        "FROM events e JOIN s ON e.user_id = s.s_user " +
+        "AND e.value >= s.lo AND e.value <= s.hi " +
+        "GROUP BY 1 ORDER BY 1"),
     "j7e_keyed_range_agg" -> (
       "WITH s AS (SELECT event_id AS session_id, user_id AS s_user, " +
         "value - 5.0 AS lo, value + 5.0 AS hi FROM events " +

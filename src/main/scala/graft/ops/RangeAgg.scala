@@ -165,6 +165,74 @@ object RangeAgg {
           .otherwise(col("max_v")).as("max_v"))
   }
 
+  /** KEYED exact per-interval (min_v, max_v): extrema of `ptCol` over
+    * points whose `ptKeyCol` equals the interval's `ivKeyCol` AND whose
+    * value lies in [loCol, hiCol] — "largest/smallest event value in
+    * each session's window, per user", join-free (r18). The stream
+    * sorts by (key, v, tag) and the predecessor scan carries the last
+    * point's key: the predecessor is valid exactly when that key
+    * equals the probe's (the last point before a probe has key ≤ the
+    * probe's key, equal iff same run — no reset machinery needed).
+    * Null keys never match (SQL `=`); NaN keys match each other
+    * (bit-image compare in the exec, matching Spark's `=`); the
+    * NaN-POINT branch is a per-key semi join here (fully in-plan — a
+    * NaN point qualifies an interval iff the keys match and hi is
+    * NaN), no driver probe needed. Groups are per `idCol` (duplicate
+    * ids exact — extrema are union-compatible); keys with zero
+    * qualifying points drop. Output: (idCol, min_v, max_v). */
+  def keyedExtremaInRangeAgg(points: DataFrame, ptCol: String,
+                             ptKeyCol: String,
+                             intervals: DataFrame, idCol: String,
+                             ivKeyCol: String,
+                             loCol: String, hiCol: String): DataFrame = {
+    val spark = points.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ptPlan = points.queryExecution.analyzed
+    val ivPlan = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, what: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: no $what column '$n' in ${p.output.map(_.name)}"))
+    val pt = attr(ptPlan, ptCol, "point")
+    val pk = attr(ptPlan, ptKeyCol, "point key")
+    val id = attr(ivPlan, idCol, "interval id")
+    val ik = attr(ivPlan, ivKeyCol, "interval key")
+    val lo = attr(ivPlan, loCol, "interval lo")
+    val hi = attr(ivPlan, hiCol, "interval hi")
+    def build(neg: Boolean, name: String): DataFrame =
+      org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+        graft.plans.RangeExtrema.tryBuildSingle(Seq(id), pt, lo, hi,
+          neg, ptPlan, ivPlan, name, equiKeys = Seq((pk, ik)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be order-exact " +
+              s"numeric and '$ptKeyCol'/'$ivKeyCol' sort-exact equal " +
+              s"types; got ${pt.dataType}/${lo.dataType}/" +
+              s"${hi.dataType}, keys ${pk.dataType}/${ik.dataType}")))
+    val maxDf = build(neg = false, "max_v")
+    val minDf = build(neg = true, "min_v").withColumnRenamed(idCol, "_gx_id")
+    val finite = maxDf.join(minDf, col(idCol) <=> col("_gx_id"))
+      .select(col(idCol), col("min_v"), col("max_v"))
+    def floatingDt(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
+    if (!(floatingDt(pt.dataType) && floatingDt(hi.dataType)))
+      return finite
+    // NaN-qualifying groups, per key: a NaN point with key k qualifies
+    // interval (id, k', [lo, NaN]) iff k = k' — a LEFT SEMI hash join
+    // of the (tiny) NaN-hi interval set against the NaN points' keys
+    val nanKeys = intervals
+      .filter(isnan(col(hiCol).cast("double")) && col(ivKeyCol).isNotNull)
+      .join(points.filter(isnan(col(ptCol).cast("double")))
+          .select(col(ptKeyCol).as("_gx_pk")),
+        col(ivKeyCol) === col("_gx_pk"), "left_semi")
+      .select(col(idCol)).distinct()
+      .select(col(idCol), lit(Double.NaN).as("_gx_nan"))
+      .withColumnRenamed(idCol, "_gx_id")
+    finite.join(nanKeys, col(idCol) <=> col("_gx_id"), "full")
+      .select(coalesce(col(idCol), col("_gx_id")).as(idCol),
+        coalesce(col("min_v"), col("_gx_nan")).as("min_v"),
+        when(col("_gx_nan").isNotNull, Double.NaN)
+          .otherwise(col("max_v")).as("max_v"))
+  }
+
   /** Exact per-interval-KEY count of DISTINCT `ptCol` values in the
     * UNION of that key's [loCol, hiCol] intervals (inclusive) — the
     * aggregate the prefix REWRITE must decline (count(DISTINCT) over a

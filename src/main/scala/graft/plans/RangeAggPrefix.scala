@@ -117,7 +117,7 @@ object RangeAggPrefix {
     * NaNs compare equal in both orders, and Spark SQL's `=` says
     * NaN = NaN too). Anything else (collated strings, arrays, structs,
     * intervals) declines to the join path. */
-  private def sortKeyExact(e: Expression): Boolean = e.dataType match {
+  private[plans] def sortKeyExact(e: Expression): Boolean = e.dataType match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | _: DecimalType => true
@@ -129,7 +129,7 @@ object RangeAggPrefix {
     * normalization (the [[dbl]] trick, in the key's own type so the
     * value set is unchanged); every other allowed type already sorts
     * exactly as SQL compares. */
-  private def normKey(e: Expression): Expression = e.dataType match {
+  private[plans] def normKey(e: Expression): Expression = e.dataType match {
     case DoubleType => Add(e, Literal(0.0))
     case FloatType => Add(e, Literal(0.0f))
     case _ => e

@@ -99,7 +99,9 @@ object RangeExtrema {
                             upper: Expression, lowerStrict: Boolean,
                             upperStrict: Boolean, neg: Boolean,
                             ptPlan: LogicalPlan, ivPlan: LogicalPlan,
-                            extName: String): (LogicalPlan, Alias) = {
+                            extName: String,
+                            equiKeys: Seq[(Expression, Expression)] = Nil)
+      : (LogicalPlan, Alias) = {
     def img(e: Expression): Expression =
       if (neg) UnaryMinus(dbl(e)) else dbl(e)
     // domain mapping: the negated stream's UPPER end is the original
@@ -115,9 +117,12 @@ object RangeExtrema {
     val probeTag = Literal(if (probeStrict) 0 else 2)
     // non-empty band filter, same as the prefix plan: strict-strict
     // degenerate [x, x] matches nothing
-    val keep =
+    val keep0 =
       if (lowerStrict && upperStrict) LessThan(dbl(lower), dbl(upper))
       else LessThanOrEqual(dbl(lower), dbl(upper))
+    // a null equi key never matches (SQL `=`): drop on both sides
+    val keep = equiKeys.map(_._2).map(IsNotNull)
+      .foldLeft[Expression](keep0)(And(_, _))
     val ivF = Filter(keep, ivPlan)
     // the validity bound carried on the probe: in the negated (min)
     // plan the original constraint is pt ≤ hi, whose image would be
@@ -127,15 +132,24 @@ object RangeExtrema {
       if (neg) If(IsNaN(dbl(validSrc)), Literal(Double.NegativeInfinity),
         UnaryMinus(dbl(validSrc)))
       else dbl(validSrc)
+    // equi keys are NOT negated in the min plan: they provide run
+    // contiguity (equality), not order, and ascending key order is the
+    // same partition of the stream either way
     val probes = Project(Seq(Alias(img(probeSrc), "_graft_v")(),
       Alias(probeTag, "_graft_tag")(),
       Alias(Literal(1), "_graft_probe")()) ++
+      equiKeys.zipWithIndex.map { case ((_, ik), i) =>
+        Alias(RangeAggPrefix.normKey(ik), s"_graft_k$i")() } ++
       carryKeys ++
       Seq(Alias(carriedLower, "_graft_lo")()), ivF)
-    val ptF = Filter(And(IsNotNull(pt), Not(IsNaN(dbl(pt)))), ptPlan)
+    val ptF = Filter(equiKeys.map(_._1).map(IsNotNull)
+      .foldLeft[Expression](And(IsNotNull(pt), Not(IsNaN(dbl(pt)))))(
+        And(_, _)), ptPlan)
     val points = Project(Seq(Alias(img(pt), "_graft_v")(),
       Alias(Literal(1), "_graft_tag")(),
       Alias(Literal(0), "_graft_probe")()) ++
+      equiKeys.zipWithIndex.map { case ((pk, _), i) =>
+        Alias(RangeAggPrefix.normKey(pk), s"_graft_k$i")() } ++
       carryKeys.map(ka => Alias(Literal(null, ka.dataType), ka.name)()) ++
       Seq(Alias(Literal(null, DoubleType), "_graft_lo")()), ptF)
     // probes FIRST: Union takes output attributes from its head child,
@@ -144,7 +158,8 @@ object RangeExtrema {
       allowMissingCol = false)
     val predOut = AttributeReference("_graft_pred", DoubleType,
       nullable = true)()
-    val node = RangeExtremaNode(carryKeys.length, predOut, union)
+    val node = RangeExtremaNode(equiKeys.length, carryKeys.length,
+      predOut, union)
     // row-local validity: pred within the lower bound (in the possibly
     // negated image); invalid/empty probes contribute null, which Max
     // ignores — exactly the join form's membership
@@ -172,24 +187,43 @@ object RangeExtrema {
   def tryBuildSingle(keyAttrs: Seq[Attribute], pt: Expression,
                      lo: Expression, hi: Expression, neg: Boolean,
                      ptPlan: LogicalPlan, ivPlan: LogicalPlan,
-                     extName: String): Option[LogicalPlan] = {
+                     extName: String,
+                     equiKeys: Seq[(Expression, Expression)] = Nil)
+      : Option[LogicalPlan] = {
     if (!Seq(pt, lo, hi).forall(orderExact)) return None
     if (!Seq(pt, lo, hi).forall(_.deterministic)) return None
+    if (!equiKeys.forall { case (pk, ik) =>
+          pk.deterministic && ik.deterministic &&
+          RangeAggPrefix.sortKeyExact(pk) &&
+          RangeAggPrefix.sortKeyExact(ik) &&
+          pk.dataType == ik.dataType &&
+          pk.references.nonEmpty &&
+          pk.references.subsetOf(ptPlan.outputSet) &&
+          ik.references.nonEmpty &&
+          ik.references.subsetOf(ivPlan.outputSet) }) return None
     val (plan, ext) = singleExtreme(keyAttrs, pt, lo, hi,
       lowerStrict = false, upperStrict = false, neg = neg,
-      ptPlan, ivPlan, extName)
+      ptPlan, ivPlan, extName, equiKeys)
     Some(Filter(IsNotNull(ext.toAttribute), plan))
   }
 }
 
 /** Merged-stream predecessor node. Child layout (positional):
-  * [v: double, tag: int, probe: int, key_0..m-1, lo: double].
-  * Output: the m carried keys + lo (pass-through) followed by the
-  * running last point value (`pred`), ONE ROW PER PROBE. */
-case class RangeExtremaNode(nKeys: Int, predOut: AttributeReference,
+  * [v: double, tag: int, probe: int, ek_0..e-1, key_0..m-1,
+  *  lo: double] — ek are the equi-key sort columns (keyed form; e = 0
+  * for the plain band). Output: the m carried keys + lo
+  * (pass-through) followed by the running last point value (`pred`),
+  * ONE ROW PER PROBE. In the keyed form the stream sorts by
+  * (ek…, v, tag), and a probe's predecessor is valid exactly when the
+  * LAST POINT'S equi key equals the probe's — the last point before a
+  * probe in this order has key ≤ the probe's key, with equality iff
+  * it belongs to the same key run, so no run-boundary reset is needed:
+  * the exec just carries the last point's key in its scan state. */
+case class RangeExtremaNode(nEquiKeys: Int, nKeys: Int,
+                            predOut: AttributeReference,
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] =
-    child.output.slice(3, 3 + nKeys + 1) :+ predOut
+    child.output.slice(3 + nEquiKeys, 3 + nEquiKeys + nKeys + 1) :+ predOut
   override def producedAttributes: AttributeSet = AttributeSet(Seq(predOut))
   // positional layout: every child column is required (see
   // RangeAggPrefixNode for why ColumnPruning must be blocked)
@@ -199,19 +233,31 @@ case class RangeExtremaNode(nKeys: Int, predOut: AttributeReference,
 }
 
 /** Physical predecessor scan: requires the child range-sorted on
-  * (v, tag); job 1 collects one (hasPoint, lastV) per partition, job 2
-  * re-reads the same shuffle output seeded with each partition's
-  * predecessor-so-far and emits one row per probe. */
-case class RangeExtremaExec(nKeys: Int, predOut: AttributeReference,
+  * (ek…, v, tag); job 1 collects one (hasPoint, lastKey…, lastV) per
+  * partition, job 2 re-reads the same shuffle output seeded with each
+  * partition's predecessor-so-far and emits one row per probe. In the
+  * keyed form the scan additionally carries the LAST POINT'S equi key:
+  * a probe's predecessor is valid iff that key equals the probe's own
+  * (the last point before a probe has key ≤ the probe's key in the
+  * lexicographic sort, equal exactly within the probe's run). Key
+  * equality is bit-exact per type — doubles/floats compare via their
+  * raw-bits image so every NaN equals every NaN (Spark `=` semantics;
+  * a boxed `==` would say NaN ≠ NaN) and −0.0 was already normalized
+  * to +0.0 in the stream image; strings are copied out of the reused
+  * UnsafeRow buffer before being held across rows. */
+case class RangeExtremaExec(nEquiKeys: Int, nKeys: Int,
+                            predOut: AttributeReference,
                             child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] =
-    child.output.slice(3, 3 + nKeys + 1) :+ predOut
+    child.output.slice(3 + nEquiKeys, 3 + nEquiKeys + nKeys + 1) :+ predOut
 
   override def producedAttributes: AttributeSet = AttributeSet(Seq(predOut))
 
   override def nodeName: String = "RangeExtrema"
 
-  private def streamOrder: Seq[SortOrder] = Seq(
+  private def streamOrder: Seq[SortOrder] =
+    (0 until nEquiKeys).map(i =>
+      SortOrder(child.output(3 + i), Ascending)) ++ Seq(
     SortOrder(child.output(0), Ascending),
     SortOrder(child.output(1), Ascending))
 
@@ -226,59 +272,105 @@ case class RangeExtremaExec(nKeys: Int, predOut: AttributeReference,
     UnknownPartitioning(0)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val e = nEquiKeys
     val m = nKeys + 1 // carried keys + the lo column
+    val base = 3 + e  // first carried-key ordinal
     val childOut = child.output
     require(childOut(0).dataType == DoubleType &&
       childOut(1).dataType == IntegerType &&
       childOut(2).dataType == IntegerType,
       s"RangeExtrema child layout violated: ${childOut.take(3)}")
-    val keyTypes = childOut.slice(3, 3 + m).map(_.dataType).toArray
+    val ekTypes = childOut.slice(3, 3 + e).map(_.dataType).toArray
+    val keyTypes = childOut.slice(base, base + m).map(_.dataType).toArray
     val outTypes = (keyTypes :+ (DoubleType: DataType)).toArray
     val rdd = child.execute()
     val nParts = rdd.getNumPartitions
 
-    // job 1: per-partition last point value (order matters here, unlike
-    // the prefix totals — the per-partition sort re-runs; the expensive
-    // range exchange is reused, same trade as RangeAggPrefix job 1)
-    val partLast: Array[(Int, Boolean, Double)] = rdd.mapPartitions { it =>
-      var has = false
-      var last = 0.0
-      it.foreach { row =>
-        if (row.getInt(2) == 0) { has = true; last = row.getDouble(0) }
+    // read + own an equi-key value: rows from a shuffle iterator reuse
+    // their backing buffer, so variable-length values must be copied
+    // before being held across rows
+    def readKey(row: InternalRow, i: Int): Any =
+      row.get(3 + i, ekTypes(i)) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case other => other
       }
-      Iterator.single((TaskContext.getPartitionId(), has, last))
-    }.collect()
+    // bit-exact per-type equality matching Spark's `=`: NaN = NaN
+    // (raw-bits compare; −0.0 already normalized in the stream image)
+    def keyEq(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case DoubleType => java.lang.Double.doubleToLongBits(
+        a.asInstanceOf[Double]) == java.lang.Double.doubleToLongBits(
+        b.asInstanceOf[Double])
+      case FloatType => java.lang.Float.floatToIntBits(
+        a.asInstanceOf[Float]) == java.lang.Float.floatToIntBits(
+        b.asInstanceOf[Float])
+      case _ => a == b
+    }
 
-    // seed for partition p = last point value in any preceding partition
+    // job 1: per-partition last point (key…, value) — order matters
+    // here, unlike the prefix totals: the per-partition sort re-runs;
+    // the expensive range exchange is reused, same trade as
+    // RangeAggPrefix job 1
+    val partLast: Array[(Int, Boolean, Array[Any], Double)] =
+      rdd.mapPartitions { it =>
+        var has = false
+        var last = 0.0
+        var keys: Array[Any] = null
+        it.foreach { row =>
+          if (row.getInt(2) == 0) {
+            has = true; last = row.getDouble(0)
+            if (e > 0) keys = Array.tabulate[Any](e)(readKey(row, _))
+          }
+        }
+        Iterator.single((TaskContext.getPartitionId(), has, keys, last))
+      }.collect()
+
+    // seed for partition p = last point (key…, value) in any preceding
+    // partition (driver state: nParts × (e + 1) values)
     val seedHas = new Array[Boolean](nParts)
+    val seedKeys = new Array[Array[Any]](nParts)
     val seedVal = new Array[Double](nParts)
     var runHas = false
+    var runKeys: Array[Any] = null
     var runVal = 0.0
-    partLast.sortBy(_._1).foreach { case (pid, has, last) =>
+    partLast.sortBy(_._1).foreach { case (pid, has, keys, last) =>
       seedHas(pid) = runHas
+      seedKeys(pid) = runKeys
       seedVal(pid) = runVal
-      if (has) { runHas = true; runVal = last }
+      if (has) { runHas = true; runKeys = keys; runVal = last }
     }
 
     // job 2: same shuffle output, seeded running last; emit per probe
     rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var has = seedHas(pid)
+      var lastKeys = seedKeys(pid)
       var last = seedVal(pid)
       val proj = UnsafeProjection.create(outTypes)
       val out = new GenericInternalRow(m + 1)
       it.flatMap { row =>
         if (row.getInt(2) == 0) {
           has = true; last = row.getDouble(0)
+          if (e > 0) lastKeys = Array.tabulate[Any](e)(readKey(row, _))
           Iterator.empty
         } else {
           var i = 0
           while (i < m) {
-            out.update(i, if (row.isNullAt(3 + i)) null
-              else row.get(3 + i, keyTypes(i)))
+            out.update(i, if (row.isNullAt(base + i)) null
+              else row.get(base + i, keyTypes(i)))
             i += 1
           }
-          out.update(m, if (has) last else null)
+          // keyed validity: the predecessor belongs to this probe's
+          // key run iff the last point's key equals the probe's
+          var sameRun = has
+          if (sameRun && e > 0) {
+            var k = 0
+            while (sameRun && k < e) {
+              sameRun = keyEq(ekTypes(k), lastKeys(k),
+                row.get(3 + k, ekTypes(k)))
+              k += 1
+            }
+          }
+          out.update(m, if (sameRun) last else null)
           Iterator.single[InternalRow](proj(out))
         }
       }

@@ -63,6 +63,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * rewrite, Catalyst plans the equi key as a hash join with the band
   * as a post-join filter — pair-enumerating again for dense bands.
   *
+  * min/max(pt) is deliberately NOT auto-rewritten even though the
+  * join-free plan exists ([[graft.ops.RangeAgg.extremaInRangeAgg]] /
+  * RangeExtrema): the extrema plan's NaN contract needs to know
+  * whether any NaN point exists — a bounded DATA probe the operator
+  * layer runs at build time, which a pure logical rewrite cannot
+  * (and silently diverging on (NaN point, NaN hi) inputs is exactly
+  * the class of default-ON rewrite bug the r17 advice flagged).
+  * Users reach the fast plan by calling the operator.
+  *
   * Strict bounds are accepted: the binned form keeps the ORIGINAL
   * condition verbatim after the bin equality (binning only prunes
   * candidates), and the prefix form encodes strictness in probe tag

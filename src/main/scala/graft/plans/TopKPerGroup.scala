@@ -187,8 +187,8 @@ object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RangeAggPrefixNode(nEquiKeys, nKeys, accOut, child) =>
       RangeAggPrefixExec(nEquiKeys, nKeys, accOut, planLater(child)) :: Nil
-    case RangeExtremaNode(nKeys, predOut, child) =>
-      RangeExtremaExec(nKeys, predOut, planLater(child)) :: Nil
+    case RangeExtremaNode(nEquiKeys, nKeys, predOut, child) =>
+      RangeExtremaExec(nEquiKeys, nKeys, predOut, planLater(child)) :: Nil
     case TopKPerGroupNode(g, o, k, child, budget) =>
       // two-phase by default: the partial exec caps each mapper at k
       // rows per group, EnsureRequirements puts the group-key exchange

@@ -1194,6 +1194,16 @@ object Scale9 {
             q().write.format("noop").mode("overwrite").save()
           }
       }
+      // j7g keyed extrema (r18): the keyed predecessor scan
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        def q() = graft.SparkEntry
+          .queries("j7g_keyed_extrema")(spark, dir)
+        for (round <- 1 to 2)
+          timed(s"keyed extrema prefix x$xn r$round") {
+            q().write.format("noop").mode("overwrite").save()
+          }
+      }
     }
     // Streaming state-store provider at high key cardinality (r12): the
     // same AvailableNow dedup, 1.5M/15M DISTINCT keys of state, heap

@@ -247,6 +247,96 @@ class RangeAggSpec extends SparkSpec {
     }
   }
 
+  test("keyed extrema-in-range equals min/max-over-keyed-join (orders fixture)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    // key = order priority: few distinct values, so every key run is
+    // long and probes genuinely interleave with other keys' points
+    val intervals = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey".as("iid"), $"o_orderpriority".as("ikey"),
+        ($"o_totalprice" - 2000.0).as("lo"),
+        ($"o_totalprice" + 2000.0).as("hi"))
+    val points = o.select($"o_orderpriority".as("pkey"),
+      $"o_totalprice".as("price"))
+    val got = RangeAgg.keyedExtremaInRangeAgg(points, "price", "pkey",
+        intervals, "iid", "ikey", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val truth = points
+      .join(intervals, $"pkey" === $"ikey" &&
+        $"price" >= $"lo" && $"price" <= $"hi")
+      .groupBy("iid")
+      .agg(min($"price").as("min_v"), max($"price").as("max_v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth && truth.nonEmpty)
+    // cross-key isolation actually matters on this fixture: the
+    // UNKEYED answer must differ (else the key tested nothing)
+    val unkeyed = RangeAgg.extremaInRangeAgg(
+        points.select("price"),
+        "price", intervals.select("iid", "lo", "hi"), "iid", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(unkeyed != got)
+  }
+
+  test("keyed extrema: null keys drop, NaN keys match, NaN points per-key") {
+    val nan = Double.NaN
+    val pts = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (1.0, 8.0), (2.0, 3.0), (null, 4.0),
+      (nan, 7.0), (2.0, nan), (1.0, nan))
+      .toDF("pkey", "v")
+    val ivs2 = Seq[(java.lang.Long, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (10L, 1.0, 0.0, 10.0),  // key 1 finite: {5, 8}
+      (20L, 2.0, 0.0, 10.0),  // key 2 finite: {3}
+      (30L, null, 0.0, 10.0), // null key: never matches
+      (40L, nan, 0.0, 10.0),  // NaN key matches NaN-key point: {7}
+      (50L, 2.0, 1.0, nan),   // NaN hi, key 2: {3} + key-2 NaN point
+      (60L, 3.0, 0.0, 10.0))  // no such key
+      .toDF("iid", "ikey", "lo", "hi")
+    val got = RangeAgg.keyedExtremaInRangeAgg(pts, "v", "pkey",
+        ivs2, "iid", "ikey", "lo", "hi")
+      .collect().map(r => r.getLong(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))).toMap
+    def b(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(got.keySet == Set(10L, 20L, 40L, 50L))
+    assert(got(10L) == ((b(5.0), b(8.0)))) // min 5, max 8
+    assert(got(20L) == ((b(3.0), b(3.0))))
+    assert(got(40L) == ((b(7.0), b(7.0)))) // NaN key matched NaN key
+    // key-2 NaN point qualifies iid 50 (hi NaN, same key): max = NaN,
+    // min = finite 3.0
+    assert(got(50L) == ((b(3.0), b(nan))))
+    // truth cross-check vs the join form (Spark handles NaN the same)
+    val truth = pts.join(ivs2, col("pkey") === col("ikey") &&
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("iid").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))).toMap
+    assert(got == truth)
+  }
+
+  test("keyed extrema is partitioning-invariant (key runs span partitions)") {
+    val pts = (0 until 400).map(i => ((i % 7).toLong, (i % 50).toDouble))
+      .toDF("pkey", "v")
+    val ivs = (0 until 40).map { i =>
+      (i.toLong, (i % 9).toLong, (i % 30).toDouble, (i % 30 + 8).toDouble)
+    }.toDF("iid", "ikey", "lo", "hi")
+    def run(np: Int) = RangeAgg.keyedExtremaInRangeAgg(
+        pts.repartition(np), "v", "pkey", ivs, "iid", "ikey", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val r1 = run(1)
+    assert(r1 == run(13) && r1.nonEmpty)
+    // truth
+    val truth = pts.join(ivs, col("pkey") === col("ikey") &&
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("iid").agg(min(col("v")), max(col("v")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(r1 == truth)
+  }
+
   test("extrema-in-range is partitioning-invariant and handles empties") {
     val pts = Seq(1.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
     val ivs = Seq((1L, 2.0, 3.0), (2L, 4.0, 9.0), (3L, 0.0, 100.0))
