@@ -726,6 +726,18 @@ object PlanAudit {
           !p.contains("CartesianProduct"))))(
       SparkEntry.queries("j7g_keyed_extrema")(spark, dir))
 
+    // r18: interval-overlap agg — two one-sided prefix counts, never
+    // an interval join (the join form's bill is the output volume)
+    audit("j7h_interval_overlap (two one-sided prefix counts)", Seq(
+      "two RangeAggPrefix counts planned" ->
+        (p => "RangeAggPrefix".r.findAllIn(p).size >= 2),
+      "range exchanges feed the stitches" ->
+        (_.contains("rangepartitioning")),
+      "no interval join of the two sides" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))))(
+      SparkEntry.queries("j7h_interval_overlap")(spark, dir))
+
     // the injected DedupComputeRewrite must turn the NAIVE per-row
     // kernel projection into distinct→compute→join-back — audited on
     // the exact frame j3b runs. The kernel must be evaluated in the

@@ -1319,6 +1319,27 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // J7⁷ interval-overlap aggregation (r18): per A-interval count of
+    // OVERLAPPING B intervals — the interval×interval sibling of the
+    // family, join-free by decomposition: overlap(a) = N − |{b.hi <
+    // a.lo}| − |{b.lo > a.hi}| (valid intervals make the two failure
+    // modes mutually exclusive), each term a one-sided prefix count.
+    // The join form's bill is the output (wide windows overlap almost
+    // everything); this runs two range exchanges + a per-id stitch.
+    "j7h_interval_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val aIv = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("aid"),
+          (col("o_totalprice") - 2000.0).as("alo"),
+          (col("o_totalprice") + 2000.0).as("ahi"))
+      val bIv = o.filter(col("o_orderkey") % 31 === 0)
+        .select((col("o_totalprice") - 1500.0).as("blo"),
+          (col("o_totalprice") + 1500.0).as("bhi"))
+      graft.ops.RangeAgg.intervalOverlapAgg(aIv, "aid", "alo", "ahi",
+          bIv, "blo", "bhi")
+        .orderBy("aid")
+    }),
+
     // J7⁶ KEYED extrema (r18): min/max event value inside each
     // session's [lo, hi] PER USER — the predecessor scan with the equi
     // key leading the sort; a probe's predecessor is valid iff the
@@ -5386,6 +5407,16 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "j7h_interval_overlap" -> (
+      "WITH a AS (SELECT o_orderkey AS aid, " +
+        "o_totalprice - 2000.0 AS alo, o_totalprice + 2000.0 AS ahi " +
+        "FROM orders WHERE o_orderkey % 97 = 0), " +
+        "b AS (SELECT o_totalprice - 1500.0 AS blo, " +
+        "o_totalprice + 1500.0 AS bhi FROM orders " +
+        "WHERE o_orderkey % 31 = 0) " +
+        "SELECT a.aid, count(*) AS overlap_cnt FROM a JOIN b " +
+        "ON a.alo <= b.bhi AND b.blo <= a.ahi " +
+        "GROUP BY 1 ORDER BY 1"),
     "j7g_keyed_extrema" -> (
       "WITH s AS (SELECT event_id AS session_id, user_id AS s_user, " +
         "value - 5.0 AS lo, value + 5.0 AS hi FROM events " +

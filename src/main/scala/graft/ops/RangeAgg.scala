@@ -31,16 +31,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * correctly by construction, and the only driver state is one tiny
   * per-partition totals row inside the exec.
   *
-  * Aggregate coverage contract (r16 VERDICT #6): COUNT and exact SUMS
-  * (decimal p ≤ 18 / integral) are prefix-expressible and supported;
-  * AVG falls out as exact-sum / count (spec-pinned via the auto
-  * rewrite's davg test). MIN/MAX stay on the join path BY DESIGN:
-  * a per-interval extremum is not a difference of two prefix values —
-  * running extrema are order-dependent across interval boundaries
-  * (max over [lo,hi] ≠ f(prefix(hi)) − f(prefix(lo)) for any f), so
-  * the rewrite declines them (spec: "double sums decline ... min/max
-  * stay on the join path") and the binned join answers them. Plain
-  * DOUBLE sums are declined too: float re-association drifts. */
+  * Aggregate coverage contract (r16 VERDICT #6, extended r18): COUNT
+  * and exact SUMS (decimal p ≤ 18 / integral) are prefix-expressible
+  * and supported; AVG falls out as exact-sum / count (spec-pinned via
+  * the auto rewrite's davg test). MIN/MAX correctly DECLINE the
+  * prefix REWRITE (an extremum is not a difference of two prefix
+  * values, and the exact NaN contract needs a data probe a logical
+  * rewrite cannot run) — but when the aggregated value IS the point
+  * expression they are answered join-free by the PREDECESSOR-scan
+  * operators [[extremaInRangeAgg]] / [[keyedExtremaInRangeAgg]]
+  * (r18, plans/RangeExtrema). Plain DOUBLE sums always decline:
+  * float re-association drifts. The family also covers exact
+  * DISTINCT-in-range ([[distinctPointsInRangeAgg]]) and
+  * interval×interval overlap counting ([[intervalOverlapAgg]]). */
 object RangeAgg {
 
   /** Per-interval (cnt, sum) of `ptCol` values in [loCol, hiCol]
@@ -163,6 +166,85 @@ object RangeAgg {
         coalesce(col("min_v"), col("_gx_nan")).as("min_v"),
         when(col("_gx_nan").isNotNull, Double.NaN)
           .otherwise(col("max_v")).as("max_v"))
+  }
+
+  /** Exact per-A-interval count of OVERLAPPING B intervals, join-free
+    * (r18 — the interval×interval sibling of the point-in-interval
+    * family). Overlap is the raw inclusive predicate
+    * `a.lo <= b.hi AND b.lo <= a.hi` over VALID intervals (rows with
+    * lo > hi on either side are dropped up front — for valid rows the
+    * two failure modes "b entirely below a" and "b entirely above a"
+    * are mutually exclusive, so inclusion-exclusion needs no cross
+    * term and the count decomposes into two one-sided PREFIX counts:
+    *
+    *   overlap(a) = N_B − |{b.hi < a.lo}| − |{b.lo > a.hi}|
+    *
+    * Each term is a [[graft.plans.RangeAggPrefix]] count with one
+    * unbounded end — [−∞, a.lo) over the b.hi values and (a.hi, NaN]
+    * over the b.lo values (NaN as the upper literal because Spark's
+    * total order puts NaN above +∞, so an inclusive NaN probe counts
+    * NaN b.lo rows, which the raw predicate correctly rejects as
+    * non-overlapping: NaN <= a.hi is false). Every pair-enumerating
+    * plan pays the output bill (overlap joins are the j7 story
+    * squared — wide windows overlap nearly everything); this runs two
+    * range exchanges + a per-id stitch of three tiny aggregates.
+    * Duplicate A ids sum their instances' counts, exactly as the
+    * join-then-count form does; ids with zero total overlap drop
+    * (inner semantics). Output: (idCol, overlap_cnt: long). */
+  def intervalOverlapAgg(left: DataFrame, idCol: String,
+                         loCol: String, hiCol: String,
+                         right: DataFrame,
+                         loCol2: String, hiCol2: String): DataFrame = {
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val a = left.filter(col(loCol) <= col(hiCol))
+    val b = right.filter(col(loCol2) <= col(hiCol2))
+      .select(col(loCol2), col(hiCol2))
+    val aPlan = a.queryExecution.analyzed
+    val bPlan = b.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"RangeAgg: no column '$n' in ${p.output.map(_.name)}"))
+    val id = attr(aPlan, idCol)
+    val alo = attr(aPlan, loCol)
+    val ahi = attr(aPlan, hiCol)
+    val blo = attr(bPlan, loCol2)
+    val bhi = attr(bPlan, hiCol2)
+    def oneSided(pt: Attribute, lo: org.apache.spark.sql.catalyst.expressions.Expression,
+                 hi: org.apache.spark.sql.catalyst.expressions.Expression,
+                 loStrict: Boolean, hiStrict: Boolean,
+                 name: String): DataFrame = {
+      val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false), name)()
+      val plan = graft.plans.RangeAggPrefix.tryBuild(
+        Seq(id), Seq(id, cnt), pt, lo, hi, loStrict, hiStrict,
+        bPlan, aPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          s"RangeAgg: '$loCol'/'$hiCol'/'$loCol2'/'$hiCol2' must be " +
+            "numeric types whose double image is order-exact " +
+            "(double/float/int or narrower)"))
+      org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
+    }
+    // |{b.hi < a.lo}|: b.hi values in [−∞, a.lo)
+    val below = oneSided(bhi, Literal(Double.NegativeInfinity), alo,
+        loStrict = false, hiStrict = true, "below")
+      .withColumnRenamed(idCol, "_gx_idb")
+    // |{b.lo > a.hi}|: b.lo values in (a.hi, NaN]
+    val above = oneSided(blo, ahi, Literal(Double.NaN),
+        loStrict = true, hiStrict = false, "above")
+      .withColumnRenamed(idCol, "_gx_ida")
+    // valid-instance count per id (all ids, including zero-overlap
+    // ones — the one-sided frames drop ids with zero qualifying rows,
+    // re-attached here via coalesce)
+    val nB = b.count()
+    a.groupBy(col(idCol)).agg(count(lit(1)).as("_gx_k"))
+      .join(below, col(idCol) <=> col("_gx_idb"), "left")
+      .join(above, col(idCol) <=> col("_gx_ida"), "left")
+      .select(col(idCol),
+        (lit(nB) * col("_gx_k") - coalesce(col("below"), lit(0L)) -
+          coalesce(col("above"), lit(0L))).as("overlap_cnt"))
+      .filter(col("overlap_cnt") > 0)
   }
 
   /** KEYED exact per-interval (min_v, max_v): extrema of `ptCol` over

@@ -1204,6 +1204,34 @@ object Scale9 {
             q().write.format("noop").mode("overwrite").save()
           }
       }
+      // j7h interval-overlap (r18): two one-sided prefix counts. The
+      // Spark join form is a two-sided non-equi join — a nested loop
+      // whose predicate evaluations grow ×100 per ×10 (75B at ×100);
+      // measured at ×1 only. The qualifying-pair count the prefix
+      // never materializes is 1.05B at ×100 (DuckDB census).
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        def q() = graft.SparkEntry
+          .queries("j7h_interval_overlap")(spark, dir)
+        for (round <- 1 to 2)
+          timed(s"interval overlap prefix x$xn r$round") {
+            q().write.format("noop").mode("overwrite").save()
+          }
+        if (xn == 1)
+          timed(s"interval overlap join-NLJ x$xn") {
+            val o = spark.read.parquet(s"$dir/orders.parquet")
+            val aIv = o.filter(col("o_orderkey") % 97 === 0)
+              .select(col("o_orderkey").as("aid"),
+                (col("o_totalprice") - 2000.0).as("alo"),
+                (col("o_totalprice") + 2000.0).as("ahi"))
+            val bIv = o.filter(col("o_orderkey") % 31 === 0)
+              .select((col("o_totalprice") - 1500.0).as("blo"),
+                (col("o_totalprice") + 1500.0).as("bhi"))
+            aIv.join(bIv, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+              .groupBy("aid").agg(count(lit(1)).as("overlap_cnt"))
+              .write.format("noop").mode("overwrite").save()
+          }
+      }
     }
     // Streaming state-store provider at high key cardinality (r12): the
     // same AvailableNow dedup, 1.5M/15M DISTINCT keys of state, heap

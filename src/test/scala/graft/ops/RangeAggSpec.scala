@@ -354,6 +354,75 @@ class RangeAggSpec extends SparkSpec {
       "id", "lo", "hi").count() == 0)
   }
 
+  test("interval-overlap agg equals join-then-count (orders fixture + edges)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val aIv = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey".as("aid"),
+        ($"o_totalprice" - 2000.0).as("alo"),
+        ($"o_totalprice" + 2000.0).as("ahi"))
+    val bIv = o.filter($"o_orderkey" % 31 === 0)
+      .select(($"o_totalprice" - 1500.0).as("blo"),
+        ($"o_totalprice" + 1500.0).as("bhi"))
+    val got = RangeAgg.intervalOverlapAgg(aIv, "aid", "alo", "ahi",
+        bIv, "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = aIv.join(bIv, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth && truth.nonEmpty)
+    // edge fixture: duplicate A ids (counts sum), touching endpoints
+    // (inclusive overlap), inverted rows on both sides (dropped),
+    // nested/disjoint B, an A id with zero overlaps (dropped)
+    val a2 = Seq((1L, 0.0, 10.0), (1L, 20.0, 30.0), (2L, 100.0, 200.0),
+      (3L, 5.0, 4.0), (4L, 10.0, 12.0)).toDF("aid", "alo", "ahi")
+    val b2 = Seq((0.0, 1.0), (10.0, 20.0), (-5.0, 50.0), (8.0, 2.0),
+      (25.0, 25.0)).toDF("blo", "bhi")
+    val got2 = RangeAgg.intervalOverlapAgg(a2, "aid", "alo", "ahi",
+        b2, "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val truth2 = a2.filter($"alo" <= $"ahi")
+      .join(b2.filter($"blo" <= $"bhi"),
+        $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == truth2)
+    // hand check: id 1 = [0,10]:{[0,1],[10,20] touch,[-5,50]} +
+    // [20,30]:{[10,20] touch,[-5,50],[25,25]} = 3 + 3; id 4 touches
+    // [10,20] and sits inside [-5,50]
+    assert(got2 == Map(1L -> 6L, 4L -> 2L))
+  }
+
+  test("interval-overlap agg brute force with NaN/infinite bounds") {
+    def sqlLe(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
+    for (seed <- Seq(21, 22)) {
+      val rng = new scala.util.Random(seed)
+      val as = (0 until 60).map { i =>
+        val lo = rng.nextInt(100).toDouble
+        ((i / 2).toLong, lo, lo + rng.nextInt(20) - 4) // some inverted
+      } :+ ((900L, Double.NegativeInfinity, 5.0)) :+
+        ((901L, 5.0, Double.NaN)) // hi NaN: valid, overlaps all b.lo<=NaN
+      val bs = (0 until 80).map { _ =>
+        val lo = rng.nextInt(100).toDouble
+        (lo, lo + rng.nextInt(15) - 3)
+      } :+ ((Double.NaN, Double.NaN)) :+ // valid (NaN<=NaN); b.lo NaN
+        ((-1e18, 1e18))
+      val got = RangeAgg.intervalOverlapAgg(
+          as.toDF("aid", "alo", "ahi"), "aid", "alo", "ahi",
+          bs.toDF("blo", "bhi"), "blo", "bhi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = as.filter(t => sqlLe(t._2, t._3)).groupBy(_._1)
+        .map { case (aid, rows) =>
+          aid -> rows.map { case (_, alo, ahi) =>
+            bs.filter(t => sqlLe(t._1, t._2))
+              .count(t => sqlLe(alo, t._2) && sqlLe(t._1, ahi)).toLong
+          }.sum
+        }.filter(_._2 > 0)
+      assert(got == expected, s"seed=$seed")
+      assert(expected.contains(901L), s"seed=$seed NaN fixture")
+    }
+  }
+
   test("prefix range-agg is partitioning-invariant (exact cents sums)") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val intervals = o.filter($"o_orderkey" % 97 === 0)
