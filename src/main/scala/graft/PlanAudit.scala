@@ -738,6 +738,20 @@ object PlanAudit {
           !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))))(
       SparkEntry.queries("j7h_interval_overlap")(spark, dir))
 
+    // r18: overlap LENGTH — six prefix frames stitched per instance;
+    // never an interval join (the stitches join q-row aggregates on
+    // the synthetic instance id, hash/broadcast, and the instance
+    // frame is a checkpoint scan)
+    audit("j7i_overlap_len (six prefix frames, no interval join)", Seq(
+      "six RangeAggPrefix frames planned" ->
+        (p => "RangeAggPrefix".r.findAllIn(p).size >= 6),
+      "range exchanges feed the stitches" ->
+        (_.contains("rangepartitioning")),
+      "no nested loop / cartesian anywhere" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j7i_overlap_len")(spark, dir))
+
     // the injected DedupComputeRewrite must turn the NAIVE per-row
     // kernel projection into distinct→compute→join-back — audited on
     // the exact frame j3b runs. The kernel must be evaluated in the

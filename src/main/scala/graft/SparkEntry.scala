@@ -1340,6 +1340,27 @@ object SparkEntry {
         .orderBy("aid")
     }),
 
+    // J7⁸ interval-overlap LENGTH (r18): total overlap duration per
+    // A-interval — sum(least(ahi,bhi) − greatest(alo,blo)) over
+    // overlapping pairs — join-free: six one/two-sided prefix frames
+    // over the two endpoint value sets, instance-exact for duplicate
+    // ids via a checkpointed synthetic instance id (the H·count /
+    // L·count terms must pair each instance's own bound with its own
+    // counts). Exact decimal-cents arithmetic end to end.
+    "j7i_overlap_len" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val aIv = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("aid"), // duplicate ids natural
+          (col("o_totalprice") - 2000.0).as("alo"),
+          (col("o_totalprice") + 2000.0).as("ahi"))
+      val bIv = o.filter(col("o_orderkey") % 31 === 0)
+        .select((col("o_totalprice") - 1500.0).as("blo"),
+          (col("o_totalprice") + 1500.0).as("bhi"))
+      graft.ops.RangeAgg.intervalOverlapLenAgg(aIv, "aid", "alo", "ahi",
+          bIv, "blo", "bhi")
+        .orderBy("aid")
+    }),
+
     // J7⁶ KEYED extrema (r18): min/max event value inside each
     // session's [lo, hi] PER USER — the predecessor scan with the equi
     // key leading the sort; a probe's predecessor is valid iff the
@@ -5407,6 +5428,19 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    "j7i_overlap_len" -> (
+      "WITH a AS (SELECT o_custkey AS aid, " +
+        "o_totalprice - 2000.0 AS alo, o_totalprice + 2000.0 AS ahi " +
+        "FROM orders WHERE o_orderkey % 97 = 0), " +
+        "b AS (SELECT o_totalprice - 1500.0 AS blo, " +
+        "o_totalprice + 1500.0 AS bhi FROM orders " +
+        "WHERE o_orderkey % 31 = 0) " +
+        "SELECT a.aid, CAST(sum(" +
+        "CAST(least(a.ahi, b.bhi) AS DECIMAL(18,2)) - " +
+        "CAST(greatest(a.alo, b.blo) AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS overlap_len FROM a JOIN b " +
+        "ON a.alo <= b.bhi AND b.blo <= a.ahi " +
+        "GROUP BY 1 ORDER BY 1"),
     "j7h_interval_overlap" -> (
       "WITH a AS (SELECT o_orderkey AS aid, " +
         "o_totalprice - 2000.0 AS alo, o_totalprice + 2000.0 AS ahi " +

@@ -247,6 +247,125 @@ object RangeAgg {
       .filter(col("overlap_cnt") > 0)
   }
 
+  /** Exact per-A-interval TOTAL OVERLAP LENGTH with the B intervals —
+    * `sum(greatest(0, least(a.hi, b.hi) − greatest(a.lo, b.lo)))` per
+    * A id — join-free (r18, the scheduling/telemetry "how much of each
+    * maintenance window is covered by reservations" query). Per
+    * instance [L, H] over valid B:
+    *
+    *   len = (Σ{b.hi ∈ [L,H]} + H·|{b ∈ O, b.hi > H}|)
+    *       − (Σ{b.lo ∈ [L,H]} + L·|{b ∈ O, b.lo < L}|)
+    *
+    * where |{b∈O, b.hi > H}| = |{b.lo ≤ H}| − |{b.hi ≤ H}| and
+    * |{b∈O, b.lo < L}| = |{b.lo < L}| − |{b.hi < L}| (valid intervals
+    * make the inclusions exact) — SIX one/two-sided prefix frames over
+    * the two endpoint value sets, every one a [[graft.plans
+    * .RangeAggPrefix]] plan. Because the H·count / L·count products
+    * must pair each INSTANCE's own bound with its own counts,
+    * duplicate A ids get a synthetic instance id first (the instance
+    * frame is eagerly checkpointed so all six branches read one
+    * materialization — intervals are the small side of this analytic);
+    * per-id results then sum the instances, exactly like the join
+    * form. Sums are exact: endpoint values accumulate as
+    * decimal(18,2) cents inside the prefix plans and the bound×count
+    * products stay in decimal — bit-stable under any partitioning.
+    *
+    * CONTRACT: finite intervals only — rows with NaN or ±∞ bounds on
+    * EITHER side are excluded up front (length arithmetic is undefined
+    * there; the oracle applies the same filter), as are inverted rows.
+    * A ids whose instances overlap nothing drop (inner semantics);
+    * touching intervals count with length 0. Output:
+    * (idCol, overlap_len: double). */
+  def intervalOverlapLenAgg(left: DataFrame, idCol: String,
+                            loCol: String, hiCol: String,
+                            right: DataFrame,
+                            loCol2: String, hiCol2: String): DataFrame = {
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def finite(c: String) = col(c).cast("double") >
+      lit(Double.NegativeInfinity) &&
+      col(c).cast("double") < lit(Double.PositiveInfinity)
+    val a0 = left.filter(col(loCol) <= col(hiCol) &&
+        finite(loCol) && finite(hiCol))
+      .select(col(idCol), col(loCol), col(hiCol))
+      // synthetic instance identity, materialized ONCE: the six prefix
+      // branches must all see the SAME ids, and
+      // monotonically_increasing_id depends on physical layout
+      .withColumn("_gx_iid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val b0 = right.filter(col(loCol2) <= col(hiCol2) &&
+        finite(loCol2) && finite(hiCol2))
+      .select(col(loCol2), col(hiCol2))
+    val aPlan = a0.queryExecution.analyzed
+    val bPlan = b0.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"RangeAgg: no column '$n' in ${p.output.map(_.name)}"))
+    val iid = attr(aPlan, "_gx_iid")
+    val alo = attr(aPlan, loCol)
+    val ahi = attr(aPlan, hiCol)
+    val blo = attr(bPlan, loCol2)
+    val bhi = attr(bPlan, hiCol2)
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr}
+    def frame(pt: Attribute, lo: CExpr, hi: CExpr, hiStrict: Boolean,
+              wantSum: Boolean, cntName: String, sumName: String)
+        : DataFrame = {
+      val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))),
+        Complete, isDistinct = false), cntName)()
+      val aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+        if (!wantSum) Seq(iid, cnt)
+        else Seq(iid, cnt, Alias(AggregateExpression(
+          Sum(Cast(pt, DecimalType(18, 2))), Complete,
+          isDistinct = false), sumName)())
+      val plan = graft.plans.RangeAggPrefix.tryBuild(
+        Seq(iid), aggs, pt, lo, hi, loStrict = false, hiStrict = hiStrict,
+        bPlan, aPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          s"RangeAgg: '$loCol'/'$hiCol'/'$loCol2'/'$hiCol2' must be " +
+            "numeric types whose double image is order-exact " +
+            "(double/float/int or narrower)"))
+      org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
+    }
+    val negInf = Literal(Double.NegativeInfinity)
+    def ren(df: DataFrame, tag: String): DataFrame =
+      df.withColumnRenamed("_gx_iid", s"_gx_iid_$tag")
+    val f1 = ren(frame(bhi, alo, ahi, hiStrict = false, wantSum = true,
+      "c1", "s1"), "1") // b.hi in [L, H]: cnt + cents sum
+    val f2 = ren(frame(blo, alo, ahi, hiStrict = false, wantSum = true,
+      "c2", "s2"), "2") // b.lo in [L, H]
+    val f3 = ren(frame(blo, negInf, ahi, hiStrict = false,
+      wantSum = false, "c3", ""), "3") // b.lo <= H
+    val f4 = ren(frame(bhi, negInf, ahi, hiStrict = false,
+      wantSum = false, "c4", ""), "4") // b.hi <= H
+    val f5 = ren(frame(blo, negInf, alo, hiStrict = true,
+      wantSum = false, "c5", ""), "5") // b.lo < L
+    val f6 = ren(frame(bhi, negInf, alo, hiStrict = true,
+      wantSum = false, "c6", ""), "6") // b.hi < L
+    val nB = b0.count()
+    def j(acc: DataFrame, f: DataFrame, tag: String): DataFrame =
+      acc.join(f, col("_gx_iid") === col(s"_gx_iid_$tag"), "left")
+        .drop(s"_gx_iid_$tag")
+    val joined = Seq(("1", f1), ("2", f2), ("3", f3), ("4", f4),
+      ("5", f5), ("6", f6)).foldLeft(a0) { case (acc, (tag, f)) =>
+      j(acc, f, tag)
+    }
+    def cnt(n: String) = coalesce(col(n), lit(0L))
+    def cents(n: String) =
+      coalesce(col(n), lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+    val dec = "decimal(18,2)"
+    joined
+      .withColumn("_gx_pairs", cnt("c3") - cnt("c6")) // N-below-above
+      .withColumn("_gx_len",
+        (cents("s1") + col(hiCol).cast(dec) * (cnt("c3") - cnt("c4"))) -
+        (cents("s2") + col(loCol).cast(dec) * (cnt("c5") - cnt("c6"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("_gx_pairs")).as("_gx_tp"),
+        sum(col("_gx_len")).cast("double").as("overlap_len"))
+      .filter(col("_gx_tp") > 0)
+      .select(col(idCol), col("overlap_len"))
+  }
+
   /** KEYED exact per-interval (min_v, max_v): extrema of `ptCol` over
     * points whose `ptKeyCol` equals the interval's `ivKeyCol` AND whose
     * value lies in [loCol, hiCol] — "largest/smallest event value in

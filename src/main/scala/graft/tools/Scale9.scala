@@ -1217,6 +1217,11 @@ object Scale9 {
           timed(s"interval overlap prefix x$xn r$round") {
             q().write.format("noop").mode("overwrite").save()
           }
+        for (round <- 1 to 2)
+          timed(s"overlap length prefix x$xn r$round") {
+            graft.SparkEntry.queries("j7i_overlap_len")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
         if (xn == 1)
           timed(s"interval overlap join-NLJ x$xn") {
             val o = spark.read.parquet(s"$dir/orders.parquet")

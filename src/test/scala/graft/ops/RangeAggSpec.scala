@@ -423,6 +423,90 @@ class RangeAggSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap LENGTH agg equals join-then-sum (orders fixture + edges)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val aIv = o.filter($"o_orderkey" % 97 === 0)
+      .select(($"o_custkey").as("aid"), // duplicate ids: instances sum
+        ($"o_totalprice" - 2000.0).as("alo"),
+        ($"o_totalprice" + 2000.0).as("ahi"))
+    val bIv = o.filter($"o_orderkey" % 31 === 0)
+      .select(($"o_totalprice" - 1500.0).as("blo"),
+        ($"o_totalprice" + 1500.0).as("bhi"))
+    val got = RangeAgg.intervalOverlapLenAgg(aIv, "aid", "alo", "ahi",
+        bIv, "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val truth = aIv.join(bIv, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid")
+      .agg(sum(least($"ahi", $"bhi").cast("decimal(18,2)") -
+          greatest($"alo", $"blo").cast("decimal(18,2)"))
+        .cast("double").as("len"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == truth && truth.nonEmpty)
+    // edge fixture: touching (len 0 but id kept via another instance),
+    // nested, partial overlaps, inverted rows dropped, an id whose
+    // ONLY overlap is a touch (kept, len 0)
+    val a2 = Seq((1L, 0.0, 10.0), (1L, 20.0, 30.0), (2L, 100.0, 200.0),
+      (3L, 5.0, 4.0), (4L, 20.0, 25.0)).toDF("aid", "alo", "ahi")
+    val b2 = Seq((2.0, 8.0), (9.0, 21.0), (-5.0, 0.0), (30.0, 40.0),
+      (7.0, 3.0)).toDF("blo", "bhi")
+    val got2 = RangeAgg.intervalOverlapLenAgg(a2, "aid", "alo", "ahi",
+        b2, "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // id 1: [0,10]∩[2,8]=6, [0,10]∩[9,21]=1, [0,10]∩[-5,0]=0 touch,
+    //       [20,30]∩[9,21]=1, [20,30]∩[30,40]=0 touch → 8
+    // id 4: [20,25]∩[9,21]=1 → 1; id 2: nothing → dropped
+    assert(got2 == Map(1L -> 8.0, 4L -> 1.0))
+    val truth2 = a2.filter($"alo" <= $"ahi")
+      .join(b2.filter($"blo" <= $"bhi"),
+        $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid")
+      .agg(sum(least($"ahi", $"bhi").cast("decimal(18,2)") -
+          greatest($"alo", $"blo").cast("decimal(18,2)"))
+        .cast("double").as("len"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got2 == truth2)
+  }
+
+  test("interval-overlap LENGTH agg brute force (random, non-finite excluded)") {
+    for (seed <- Seq(31, 32, 33)) {
+      val rng = new scala.util.Random(seed)
+      val as = (0 until 70).map { i =>
+        val lo = rng.nextInt(200) / 2.0
+        ((i / 3).toLong, lo, lo + rng.nextInt(30) / 2.0 - 2.0) // some inverted
+      } ++ Seq((800L, Double.NaN, 5.0), (801L, 0.0, Double.PositiveInfinity))
+      val bs = (0 until 90).map { _ =>
+        val lo = rng.nextInt(200) / 2.0
+        (lo, lo + rng.nextInt(24) / 2.0 - 1.5)
+      } ++ Seq((Double.NegativeInfinity, 3.0), (2.0, Double.NaN))
+      val got = RangeAgg.intervalOverlapLenAgg(
+          as.toDF("aid", "alo", "ahi"), "aid", "alo", "ahi",
+          bs.toDF("blo", "bhi"), "blo", "bhi")
+        .collect().map(r => (r.getLong(0),
+          math.round(r.getDouble(1) * 100))).toMap
+      def ok(t: (Double, Double)) = t._1 <= t._2 &&
+        !t._1.isNaN && !t._2.isNaN && !t._1.isInfinite && !t._2.isInfinite
+      val bsv = bs.filter(ok)
+      val expected = as.filter(t => ok((t._2, t._3))).groupBy(_._1)
+        .map { case (aid, rows) =>
+          var pairs = 0L
+          var cents = 0L
+          rows.foreach { case (_, alo, ahi) =>
+            bsv.foreach { case (blo, bhi) =>
+              if (alo <= bhi && blo <= ahi) {
+                pairs += 1
+                cents += math.round((math.min(ahi, bhi) -
+                  math.max(alo, blo)) * 100)
+              }
+            }
+          }
+          (aid, pairs, cents)
+        }.filter(_._2 > 0).map(t => t._1 -> t._3).toMap
+      assert(got == expected, s"seed=$seed")
+      assert(expected.nonEmpty && !expected.contains(800L) &&
+        !expected.contains(801L), s"seed=$seed non-finite fixture")
+    }
+  }
+
   test("prefix range-agg is partitioning-invariant (exact cents sums)") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val intervals = o.filter($"o_orderkey" % 97 === 0)
