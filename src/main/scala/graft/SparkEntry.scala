@@ -186,12 +186,10 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
-  /** The j7b band join in its NAIVE inequality form (the shape a user
-    * would write), un-checkpointed: shared with PlanAudit so the no-NLJ
-    * gate inspects exactly the frame the query materializes. Same
-    * inputs and ground truth as j7's hand-binned form. */
-  /** The j7 frame: EXPLICITLY binned pair join + aggregate. Shared with
-    * PlanAudit so the gate sees the exact pipeline the query runs. */
+  /** The j7 frame: EXPLICITLY binned pair join + aggregate,
+    * un-checkpointed. Shared with PlanAudit so the gate sees the exact
+    * pipeline the query runs (under the same aggPrefix-off scope the
+    * registry query pins). */
   def rangeJoinAggFrame(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val intervals = o.filter(col("o_orderkey") % 97 === 0)
@@ -207,6 +205,10 @@ object SparkEntry {
       .orderBy("interval_id")
   }
 
+  /** The j7b band join in its NAIVE inequality form (the shape a user
+    * would write), un-checkpointed: shared with PlanAudit so the no-NLJ
+    * gate inspects exactly the frame the query materializes. Same
+    * inputs and ground truth as j7's hand-binned form. */
   def bandJoinNaive(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val intervals = o.filter(col("o_orderkey") % 97 === 0)

@@ -111,7 +111,31 @@ object RangeAgg {
     * max_v: double). */
   def extremaInRangeAgg(points: DataFrame, ptCol: String,
                         intervals: DataFrame, idCol: String,
-                        loCol: String, hiCol: String): DataFrame = {
+                        loCol: String, hiCol: String): DataFrame =
+    extremaImpl(points, ptCol, intervals, idCol, loCol, hiCol, None)
+
+  /** Shared implementation of the (keyed) extrema operators: builds
+    * the two predecessor-scan plans, stitches them 1:1 (identical
+    * membership: keys with ≥1 FINITE qualifying point), and
+    * re-attaches the NaN-qualifying groups.
+    *
+    * NaN branch, both forms: a NaN point satisfies pt >= lo for any
+    * lo and pt <= hi exactly when hi is NaN (Spark total order) and —
+    * keyed — when its key matches; intervals with a NULL lo never
+    * match anything (pt >= NULL is NULL — the r18 review's finding),
+    * so they are excluded from the NaN-hi set. TYPE-GATED: only
+    * floating pt/hi types can hold NaN. Existence is settled
+    * CHEAP-SIDE-FIRST: one bounded probe over the already-filtered
+    * NaN-hi interval set (tiny; empty in the overwhelmingly common
+    * case, skipping everything), then — unkeyed — one bounded probe
+    * over the points (limit(1): early-exits on the first NaN) or —
+    * keyed — an in-plan LEFT SEMI hash join of the NaN-hi intervals
+    * against the NaN points' keys (a scalar join would plan a nested
+    * loop, which the plan gates forbid). */
+  private def extremaImpl(points: DataFrame, ptCol: String,
+                          intervals: DataFrame, idCol: String,
+                          loCol: String, hiCol: String,
+                          keyCols: Option[(String, String)]): DataFrame = {
     val spark = points.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ptPlan = points.queryExecution.analyzed
@@ -123,41 +147,51 @@ object RangeAgg {
     val id = attr(ivPlan, idCol, "interval id")
     val lo = attr(ivPlan, loCol, "interval lo")
     val hi = attr(ivPlan, hiCol, "interval hi")
+    val equiKeys = keyCols.toSeq.map { case (pkc, ikc) =>
+      (attr(ptPlan, pkc, "point key"): org.apache.spark.sql.catalyst
+        .expressions.Expression,
+        attr(ivPlan, ikc, "interval key"): org.apache.spark.sql.catalyst
+        .expressions.Expression)
+    }
     def build(neg: Boolean, name: String): DataFrame =
       org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
         graft.plans.RangeExtrema.tryBuildSingle(Seq(id), pt, lo, hi,
-          neg, ptPlan, ivPlan, name)
+          neg, ptPlan, ivPlan, name, equiKeys)
           .getOrElse(throw new IllegalArgumentException(
-            s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be numeric " +
-              "types whose double image is order-exact " +
-              "(double/float/int or narrower); got " +
-              s"${pt.dataType}/${lo.dataType}/${hi.dataType}")))
+            s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be order-exact " +
+              "numeric (double/float/int or narrower)" +
+              keyCols.map { case (pkc, ikc) =>
+                s" and '$pkc'/'$ikc' sort-exact equal types" }
+                .getOrElse("") +
+              s"; got ${pt.dataType}/${lo.dataType}/${hi.dataType}")))
     val maxDf = build(neg = false, "max_v")
     val minDf = build(neg = true, "min_v").withColumnRenamed(idCol, "_gx_id")
     // identical membership (both = keys with ≥1 FINITE qualifying
     // point), so this is a 1:1 stitch of two q-row aggregates
     val finite = maxDf.join(minDf, col(idCol) <=> col("_gx_id"))
       .select(col(idCol), col("min_v"), col("max_v"))
-    // NaN-qualifying groups: a NaN point satisfies pt >= lo for any lo
-    // and pt <= hi exactly when hi is NaN (Spark total order) — extra
-    // membership = (keys with a NaN-hi interval) × (any NaN point
-    // exists). TYPE-GATED: only floating types can hold NaN, so the
-    // common integral/decimal case returns the finite stitch with zero
-    // extra work. When both types are floating, existence is settled
-    // by ONE bounded probe job (limit(1) before the count — the
-    // repo's cap-probe pattern: early-exits on the first NaN, and the
-    // no-NaN full scan reads one pruned column, no heavier than the
-    // in-plan filter it replaces) — a scalar join here would plan a
-    // nested loop, which the j7f plan gate forbids near the streams.
     def floating(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
-    val nanPossible = floating(pt.dataType) && floating(hi.dataType)
-    val nanExists = nanPossible && points
-      .filter(isnan(col(ptCol).cast("double"))).limit(1).count() > 0
-    if (!nanExists) return finite
-    val nanKeys = intervals.filter(isnan(col(hiCol).cast("double")))
-      .select(col(idCol)).distinct()
-      .select(col(idCol), lit(Double.NaN).as("_gx_nan"))
+    if (!(floating(pt.dataType) && floating(hi.dataType))) return finite
+    // NaN-hi intervals that can match at all: lo must be non-null
+    // (and, keyed, the key non-null — SQL `=` never matches null)
+    val nanHi = intervals.filter(isnan(col(hiCol).cast("double")) &&
+      col(loCol).isNotNull &&
+      keyCols.map(k => col(k._2).isNotNull).getOrElse(lit(true)))
+    // cheap side first: no NaN-hi interval ⇒ no NaN membership, skip
+    // the points scan entirely
+    if (nanHi.limit(1).count() == 0) return finite
+    val nanKeys = (keyCols match {
+      case None =>
+        if (points.filter(isnan(col(ptCol).cast("double")))
+            .limit(1).count() == 0) return finite
+        nanHi.select(col(idCol)).distinct()
+      case Some((pkc, _)) =>
+        nanHi.join(points.filter(isnan(col(ptCol).cast("double")))
+            .select(col(pkc).as("_gx_pk")),
+          col(keyCols.get._2) === col("_gx_pk"), "left_semi")
+          .select(col(idCol)).distinct()
+    }).select(col(idCol), lit(Double.NaN).as("_gx_nan"))
       .withColumnRenamed(idCol, "_gx_id")
     finite.join(nanKeys, col(idCol) <=> col("_gx_id"), "full")
       .select(coalesce(col(idCol), col("_gx_id")).as(idCol),
@@ -385,54 +419,9 @@ object RangeAgg {
                              ptKeyCol: String,
                              intervals: DataFrame, idCol: String,
                              ivKeyCol: String,
-                             loCol: String, hiCol: String): DataFrame = {
-    val spark = points.sparkSession
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val ptPlan = points.queryExecution.analyzed
-    val ivPlan = intervals.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String, what: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"RangeAgg: no $what column '$n' in ${p.output.map(_.name)}"))
-    val pt = attr(ptPlan, ptCol, "point")
-    val pk = attr(ptPlan, ptKeyCol, "point key")
-    val id = attr(ivPlan, idCol, "interval id")
-    val ik = attr(ivPlan, ivKeyCol, "interval key")
-    val lo = attr(ivPlan, loCol, "interval lo")
-    val hi = attr(ivPlan, hiCol, "interval hi")
-    def build(neg: Boolean, name: String): DataFrame =
-      org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
-        graft.plans.RangeExtrema.tryBuildSingle(Seq(id), pt, lo, hi,
-          neg, ptPlan, ivPlan, name, equiKeys = Seq((pk, ik)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"RangeAgg: '$ptCol'/'$loCol'/'$hiCol' must be order-exact " +
-              s"numeric and '$ptKeyCol'/'$ivKeyCol' sort-exact equal " +
-              s"types; got ${pt.dataType}/${lo.dataType}/" +
-              s"${hi.dataType}, keys ${pk.dataType}/${ik.dataType}")))
-    val maxDf = build(neg = false, "max_v")
-    val minDf = build(neg = true, "min_v").withColumnRenamed(idCol, "_gx_id")
-    val finite = maxDf.join(minDf, col(idCol) <=> col("_gx_id"))
-      .select(col(idCol), col("min_v"), col("max_v"))
-    def floatingDt(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
-    if (!(floatingDt(pt.dataType) && floatingDt(hi.dataType)))
-      return finite
-    // NaN-qualifying groups, per key: a NaN point with key k qualifies
-    // interval (id, k', [lo, NaN]) iff k = k' — a LEFT SEMI hash join
-    // of the (tiny) NaN-hi interval set against the NaN points' keys
-    val nanKeys = intervals
-      .filter(isnan(col(hiCol).cast("double")) && col(ivKeyCol).isNotNull)
-      .join(points.filter(isnan(col(ptCol).cast("double")))
-          .select(col(ptKeyCol).as("_gx_pk")),
-        col(ivKeyCol) === col("_gx_pk"), "left_semi")
-      .select(col(idCol)).distinct()
-      .select(col(idCol), lit(Double.NaN).as("_gx_nan"))
-      .withColumnRenamed(idCol, "_gx_id")
-    finite.join(nanKeys, col(idCol) <=> col("_gx_id"), "full")
-      .select(coalesce(col(idCol), col("_gx_id")).as(idCol),
-        coalesce(col("min_v"), col("_gx_nan")).as("min_v"),
-        when(col("_gx_nan").isNotNull, Double.NaN)
-          .otherwise(col("max_v")).as("max_v"))
-  }
+                             loCol: String, hiCol: String): DataFrame =
+    extremaImpl(points, ptCol, intervals, idCol, loCol, hiCol,
+      Some((ptKeyCol, ivKeyCol)))
 
   /** Exact per-interval-KEY count of DISTINCT `ptCol` values in the
     * UNION of that key's [loCol, hiCol] intervals (inclusive) — the

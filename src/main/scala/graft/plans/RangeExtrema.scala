@@ -89,9 +89,14 @@ object RangeExtrema {
     * point (correct upper limit = everything) with its validity
     * comparison untouched; in the min plan the carried lower bound
     * maps NaN-hi to −∞ (pt ≤ NaN is vacuously true for finite points),
-    * and a NaN-lo probe self-excludes in both plans (finite pred ≥ NaN
-    * is false — only NaN points satisfy pt ≥ NaN, and those are the
-    * operator layer's branch).
+    * and a NaN-lo probe self-excludes in BOTH plans via a NaN carried
+    * bound (finite pred ≥ NaN is false): naturally in the max plan
+    * (its carried bound IS the lo), explicitly in the min plan —
+    * there lo is the PROBE position, and −NaN = NaN still sorts after
+    * every finite value, so without the explicit mapping a duplicate
+    * id's min would absorb the stream minimum (r18 review finding).
+    * Only NaN points satisfy pt ≥ NaN, and those are the operator
+    * layer's branch.
     *
     * Output: carryKeys ++ [ext: double]. */
   private def singleExtreme(carryKeys: Seq[Attribute],
@@ -127,10 +132,20 @@ object RangeExtrema {
     // the validity bound carried on the probe: in the negated (min)
     // plan the original constraint is pt ≤ hi, whose image would be
     // −NaN = NaN for a NaN hi — map it to −∞ instead (vacuously true
-    // for every finite point, exactly like the original constraint)
+    // for every finite point, exactly like the original constraint).
+    // A NaN PROBE-side bound (lo = NaN in the min plan) must instead
+    // make the row self-exclude: pt ≥ NaN admits no finite point, but
+    // position alone can't encode that here (−NaN = NaN still sorts
+    // after every finite x, so the probe would read the global last
+    // value — for duplicate ids that contaminated min_v with the
+    // stream minimum until r18's review caught it). NaN as the carried
+    // bound kills validity for every finite pred — the max plan
+    // already self-excludes this way because ITS carried bound is the
+    // NaN lo itself.
     val carriedLower: Expression =
-      if (neg) If(IsNaN(dbl(validSrc)), Literal(Double.NegativeInfinity),
-        UnaryMinus(dbl(validSrc)))
+      if (neg) If(IsNaN(dbl(probeSrc)), Literal(Double.NaN),
+        If(IsNaN(dbl(validSrc)), Literal(Double.NegativeInfinity),
+          UnaryMinus(dbl(validSrc))))
       else dbl(validSrc)
     // equi keys are NOT negated in the min plan: they provide run
     // contiguity (equality), not order, and ascending key order is the

@@ -19,15 +19,13 @@ class RangeAggSpec extends SparkSpec {
     // truth pinned to the JOIN plan: since the rewrite learned the
     // keyed shape (r18) it recognizes the binned join's bin equality +
     // band as equi + band and would make this prefix-vs-prefix
-    val expected = {
-      spark.conf.set("spark.graft.rangeJoin.aggPrefix", "false")
-      try Relational.rangeJoinPoints(points, "price",
+    val expected = graft.SparkEntry.withAggPrefixOff(spark) {
+      Relational.rangeJoinPoints(points, "price",
           intervals, "lo", "hi", binWidth = 4000.0)
         .groupBy("interval_id")
         .agg(count(lit(1)).as("cnt"),
           graft.core.Tables.dsum($"price").as("sum"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      finally spark.conf.unset("spark.graft.rangeJoin.aggPrefix")
     }
     assert(got == expected && got.nonEmpty)
   }
@@ -335,6 +333,78 @@ class RangeAggSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1).toSeq
     assert(r1 == truth)
+  }
+
+  test("extrema-in-range: NaN-bound intervals SHARING an id with finite ones (review regression)") {
+    // r18 review finding 1: a [NaN, NaN] instance's min-plan probe read
+    // the global last value with a -inf validity bound, so a duplicate
+    // id mixing [NaN, NaN] with a finite interval absorbed the stream
+    // minimum into min_v. No NaN points: [NaN, NaN] matches NOTHING.
+    val nan = Double.NaN
+    val pts = Seq(-50.0, 5.0, 7.0).toDF("v")
+    val ivs = Seq((1L, 0.0, 10.0), (1L, nan, nan), // same id!
+      (2L, nan, nan),                              // NaN-only id: drops
+      (3L, 6.0, 8.0)).toDF("id", "lo", "hi")
+    val got = RangeAgg.extremaInRangeAgg(pts, "v", ivs, "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val truth = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .groupBy("id").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth)
+    assert(got == Set((1L, 5.0, 7.0), (3L, 7.0, 7.0))) // never -50 for id 1
+    // WITH NaN points, [NaN, NaN] matches exactly those; a duplicate id
+    // mixing finite + [NaN, NaN] gets max = NaN, min = finite min
+    val pts2 = Seq(-50.0, 5.0, nan).toDF("v")
+    val got2 = RangeAgg.extremaInRangeAgg(pts2, "v", ivs, "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val truth2 = pts2.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .groupBy("id").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got2 == truth2)
+  }
+
+  test("extrema-in-range: NULL-lo + NaN-hi intervals never match (review regression)") {
+    // r18 review finding 2: pt >= NULL is NULL, so (id, null, NaN)
+    // matches nothing — but the NaN re-attach keyed only on isnan(hi)
+    // and emitted a spurious (NaN, NaN) group, overriding finite ids.
+    val nan = Double.NaN
+    val pts = Seq[java.lang.Double](1.0, 5.0, nan).toDF("v")
+    val ivs = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (7L, null, nan),   // never matches (NULL lo)
+      (7L, 0.0, 10.0),   // finite: {1, 5} — max must stay 5, not NaN
+      (8L, null, nan))   // never matches; id absent from output
+      .toDF("id", "lo", "hi")
+    val got = RangeAgg.extremaInRangeAgg(pts, "v", ivs, "id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val truth = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .groupBy("id").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth)
+    assert(got == Set((7L, 1.0, 5.0)))
+    // keyed sibling of the same regression
+    val kpts = Seq[(java.lang.Double, java.lang.Double)]((1.0, 5.0),
+      (1.0, nan)).toDF("pk", "v")
+    val kivs = Seq[(java.lang.Long, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (7L, 1.0, null, nan), (7L, 1.0, 0.0, 10.0))
+      .toDF("id", "ik", "lo", "hi")
+    val kgot = RangeAgg.keyedExtremaInRangeAgg(kpts, "v", "pk",
+        kivs, "id", "ik", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val ktruth = kpts.join(kivs, $"pk" === $"ik" &&
+        $"v" >= $"lo" && $"v" <= $"hi")
+      .groupBy("id").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(kgot == ktruth && kgot == Set((7L, 5.0, 5.0)))
   }
 
   test("extrema-in-range is partitioning-invariant and handles empties") {
