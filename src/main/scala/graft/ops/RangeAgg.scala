@@ -46,6 +46,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * interval×interval overlap counting ([[intervalOverlapAgg]]). */
 object RangeAgg {
 
+  /** The operators below attach helper columns under the reserved
+    * `_gx_` / `_graft_` prefixes (rename-then-join stitches, synthetic
+    * instance ids). An input frame already carrying such a name would
+    * produce ambiguous-column failures — or, worse, a silently wrong
+    * self-equality join when a rename becomes a no-op — so reject it
+    * loudly up front (r19, ADVICE item). */
+  private def requireClean(df: DataFrame, side: String): Unit = {
+    val bad = df.columns.filter(c =>
+      c.startsWith("_gx_") || c.startsWith("_graft_"))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"RangeAgg: $side column(s) ${bad.mkString("'", "', '", "'")} use " +
+        "the reserved '_gx_'/'_graft_' prefix - rename them before " +
+        "calling")
+  }
+
   /** Per-interval (cnt, sum) of `ptCol` values in [loCol, hiCol]
     * (inclusive both ends). Output columns: (idCol — original type
     * preserved, cnt: long, sum: double — exact decimal(18,2) sum).
@@ -131,11 +146,27 @@ object RangeAgg {
     * over the points (limit(1): early-exits on the first NaN) or —
     * keyed — an in-plan LEFT SEMI hash join of the NaN-hi intervals
     * against the NaN points' keys (a scalar join would plan a nested
-    * loop, which the plan gates forbid). */
+    * loop, which the plan gates forbid).
+    *
+    * STATIC-SOURCE ASSUMPTION (r19, ADVICE item): those two driver-side
+    * existence probes run ONCE, at operator-build time, and their
+    * verdict is baked into the returned plan. If the underlying source
+    * mutates between build and (re-)execution — e.g. parquet files
+    * appended under the same path — the finite scans re-read the new
+    * data but the NaN re-attach decision does not, and the result can
+    * silently diverge from the join form. This is the standard Spark
+    * source-snapshot contract (cached plans, checkpoints and AQE
+    * broadcasts make the same assumption), and the alternative — an
+    * always-on in-plan existence subquery — would charge every
+    * caller a full extra scan of the points for a probe that
+    * early-exits on the first NaN today. Rebuild the operator after a
+    * source mutation. */
   private def extremaImpl(points: DataFrame, ptCol: String,
                           intervals: DataFrame, idCol: String,
                           loCol: String, hiCol: String,
                           keyCols: Option[(String, String)]): DataFrame = {
+    requireClean(points, "point")
+    requireClean(intervals, "interval")
     val spark = points.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ptPlan = points.queryExecution.analyzed
@@ -228,12 +259,49 @@ object RangeAgg {
   def intervalOverlapAgg(left: DataFrame, idCol: String,
                          loCol: String, hiCol: String,
                          right: DataFrame,
-                         loCol2: String, hiCol2: String): DataFrame = {
+                         loCol2: String, hiCol2: String): DataFrame =
+    overlapImpl(left, idCol, loCol, hiCol, right, loCol2, hiCol2, None)
+
+  /** KEYED exact per-interval overlap count: per A id, how many B
+    * intervals with `keyCol2 = keyCol` overlap each A instance —
+    * "per user, how many of THEIR reservations overlap each of THEIR
+    * windows" (r19, the real-world shape of the overlap query, by the
+    * same argument that motivated the keyed band prefix). The
+    * decomposition is unchanged; each one-sided frame becomes a KEYED
+    * prefix (the equi key leads the range sort — machinery the keyed
+    * band already built) and the global N_B becomes a per-key count
+    * joined to the A instances. Null keys never match (SQL `=`):
+    * null-key A instances contribute zero pairs, null-key B rows count
+    * for nobody. Output: (idCol, overlap_cnt: long). */
+  def keyedIntervalOverlapAgg(left: DataFrame, idCol: String,
+                              keyCol: String,
+                              loCol: String, hiCol: String,
+                              right: DataFrame, keyCol2: String,
+                              loCol2: String, hiCol2: String): DataFrame =
+    overlapImpl(left, idCol, loCol, hiCol, right, loCol2, hiCol2,
+      Some((keyCol, keyCol2)))
+
+  /** Shared implementation of the (keyed) overlap-count operators.
+    * Fully lazy/in-plan (r19): the N_B term is a (per-key) count
+    * AGGREGATE joined back to the A instances — unkeyed through a
+    * constant-key equi join of the one-row global count (a hash join,
+    * never a nested loop) — so re-execution re-reads the sources
+    * consistently, with no baked-in driver count. */
+  private def overlapImpl(left: DataFrame, idCol: String,
+                          loCol: String, hiCol: String,
+                          right: DataFrame,
+                          loCol2: String, hiCol2: String,
+                          keyCols: Option[(String, String)]): DataFrame = {
+    requireClean(left, "left interval")
+    requireClean(right, "right interval")
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val a = left.filter(col(loCol) <= col(hiCol))
-    val b = right.filter(col(loCol2) <= col(hiCol2))
-      .select(col(loCol2), col(hiCol2))
+    val a = left.filter(col(loCol) <= col(hiCol) &&
+      keyCols.map(k => col(k._1).isNotNull).getOrElse(lit(true)))
+    val b = right.filter(col(loCol2) <= col(hiCol2) &&
+        keyCols.map(k => col(k._2).isNotNull).getOrElse(lit(true)))
+      .select(keyCols.toSeq.map(k => col(k._2)) ++
+        Seq(col(loCol2), col(hiCol2)): _*)
     val aPlan = a.queryExecution.analyzed
     val bPlan = b.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -245,6 +313,9 @@ object RangeAgg {
     val ahi = attr(aPlan, hiCol)
     val blo = attr(bPlan, loCol2)
     val bhi = attr(bPlan, hiCol2)
+    val equiKeys: Seq[(org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      keyCols.toSeq.map { case (ak, bk) => (attr(bPlan, bk), attr(aPlan, ak)) }
     def oneSided(pt: Attribute, lo: org.apache.spark.sql.catalyst.expressions.Expression,
                  hi: org.apache.spark.sql.catalyst.expressions.Expression,
                  loStrict: Boolean, hiStrict: Boolean,
@@ -253,30 +324,49 @@ object RangeAgg {
         isDistinct = false), name)()
       val plan = graft.plans.RangeAggPrefix.tryBuild(
         Seq(id), Seq(id, cnt), pt, lo, hi, loStrict, hiStrict,
-        bPlan, aPlan)
+        bPlan, aPlan, equiKeys)
         .getOrElse(throw new IllegalArgumentException(
           s"RangeAgg: '$loCol'/'$hiCol'/'$loCol2'/'$hiCol2' must be " +
             "numeric types whose double image is order-exact " +
-            "(double/float/int or narrower)"))
+            "(double/float/int or narrower)" +
+            keyCols.map { case (ak, bk) =>
+              s" and '$ak'/'$bk' sort-exact equal types" }.getOrElse("")))
       org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
     }
     // |{b.hi < a.lo}|: b.hi values in [−∞, a.lo)
     val below = oneSided(bhi, Literal(Double.NegativeInfinity), alo,
         loStrict = false, hiStrict = true, "below")
       .withColumnRenamed(idCol, "_gx_idb")
-    // |{b.lo > a.hi}|: b.lo values in (a.hi, NaN]
+    // |{b.lo > a.hi}|: b.lo values in (a.hi, NaN] (NaN as the upper
+    // literal: Spark's total order puts NaN above +∞, so NaN b.lo rows
+    // land in "above" — the raw predicate rejects them as
+    // non-overlapping)
     val above = oneSided(blo, ahi, Literal(Double.NaN),
         loStrict = true, hiStrict = false, "above")
       .withColumnRenamed(idCol, "_gx_ida")
-    // valid-instance count per id (all ids, including zero-overlap
-    // ones — the one-sided frames drop ids with zero qualifying rows,
-    // re-attached here via coalesce)
-    val nB = b.count()
-    a.groupBy(col(idCol)).agg(count(lit(1)).as("_gx_k"))
+    // per-instance N_B (the key's B count, or the global count through
+    // a constant-key hash join of the one-row aggregate), summed per
+    // id — all ids kept, including zero-overlap ones (the one-sided
+    // frames drop ids with zero qualifying rows, re-attached via the
+    // left joins + coalesce)
+    val spine = keyCols match {
+      case Some((ak, bk)) =>
+        val bCnt = b.groupBy(col(bk).as("_gx_bk"))
+          .agg(count(lit(1)).as("_gx_nb"))
+        a.join(bCnt, col(ak) === col("_gx_bk"), "left")
+          .groupBy(col(idCol))
+          .agg(sum(coalesce(col("_gx_nb"), lit(0L))).as("_gx_nb"))
+      case None =>
+        val bCnt = b.agg(count(lit(1)).as("_gx_nb"))
+          .withColumn("_gx_j", lit(1))
+        a.withColumn("_gx_j", lit(1)).join(bCnt, Seq("_gx_j"))
+          .groupBy(col(idCol)).agg(sum(col("_gx_nb")).as("_gx_nb"))
+    }
+    spine
       .join(below, col(idCol) <=> col("_gx_idb"), "left")
       .join(above, col(idCol) <=> col("_gx_ida"), "left")
       .select(col(idCol),
-        (lit(nB) * col("_gx_k") - coalesce(col("below"), lit(0L)) -
+        (col("_gx_nb") - coalesce(col("below"), lit(0L)) -
           coalesce(col("above"), lit(0L))).as("overlap_cnt"))
       .filter(col("overlap_cnt") > 0)
   }
@@ -296,13 +386,23 @@ object RangeAgg {
     * the two endpoint value sets, every one a [[graft.plans
     * .RangeAggPrefix]] plan. Because the H·count / L·count products
     * must pair each INSTANCE's own bound with its own counts,
-    * duplicate A ids get a synthetic instance id first (the instance
-    * frame is eagerly checkpointed so all six branches read one
-    * materialization — intervals are the small side of this analytic);
-    * per-id results then sum the instances, exactly like the join
-    * form. Sums are exact: endpoint values accumulate as
-    * decimal(18,2) cents inside the prefix plans and the bound×count
-    * products stay in decimal — bit-stable under any partitioning.
+    * duplicate A ids get a synthetic instance id first — r19: a
+    * CONTENT-DERIVED one, `row_number() OVER (PARTITION BY id ORDER BY
+    * lo, hi)`, so every one of the six branches (and the join spine)
+    * derives the identical id↔(lo, hi) mapping independently, with no
+    * eager materialization: rows tied on the full ordering are
+    * column-identical, hence interchangeable, so any tie-break yields
+    * the same multiset of instances. (The r18 form used
+    * monotonically_increasing_id + localCheckpoint(eager) — layout-
+    * dependent ids held consistent by materializing the A side, an
+    * unbounded executor-storage bill at 100 TB with a large interval
+    * table. The window is one hash exchange on id instead; a single
+    * id with millions of duplicate instances would serialize in one
+    * task, the usual window-skew contract.) Per-id results then sum
+    * the instances, exactly like the join form. Sums are exact:
+    * endpoint values accumulate as decimal(18,2) cents inside the
+    * prefix plans and the bound×count products stay in decimal —
+    * bit-stable under any partitioning.
     *
     * CONTRACT: finite intervals only — rows with NaN or ±∞ bounds on
     * EITHER side are excluded up front (length arithmetic is undefined
@@ -313,34 +413,64 @@ object RangeAgg {
   def intervalOverlapLenAgg(left: DataFrame, idCol: String,
                             loCol: String, hiCol: String,
                             right: DataFrame,
-                            loCol2: String, hiCol2: String): DataFrame = {
+                            loCol2: String, hiCol2: String): DataFrame =
+    overlapLenImpl(left, idCol, loCol, hiCol, right, loCol2, hiCol2, None)
+
+  /** KEYED overlap LENGTH (r19): total overlap duration per A id over
+    * B intervals of the SAME key — `sum(least(a.hi, b.hi) −
+    * greatest(a.lo, b.lo))` over same-key overlapping pairs. Same six
+    * frames, each a KEYED prefix (the equi key leads every range
+    * sort); null keys never match. Output: (idCol, overlap_len). */
+  def keyedIntervalOverlapLenAgg(left: DataFrame, idCol: String,
+                                 keyCol: String,
+                                 loCol: String, hiCol: String,
+                                 right: DataFrame, keyCol2: String,
+                                 loCol2: String, hiCol2: String): DataFrame =
+    overlapLenImpl(left, idCol, loCol, hiCol, right, loCol2, hiCol2,
+      Some((keyCol, keyCol2)))
+
+  private def overlapLenImpl(left: DataFrame, idCol: String,
+                             loCol: String, hiCol: String,
+                             right: DataFrame,
+                             loCol2: String, hiCol2: String,
+                             keyCols: Option[(String, String)]): DataFrame = {
+    requireClean(left, "left interval")
+    requireClean(right, "right interval")
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     def finite(c: String) = col(c).cast("double") >
       lit(Double.NegativeInfinity) &&
       col(c).cast("double") < lit(Double.PositiveInfinity)
+    // content-derived instance identity (see scaladoc): tied rows are
+    // column-identical under this ordering, so the assignment is a
+    // deterministic function of content — every branch re-derives it
+    val ord = keyCols.toSeq.map(k => col(k._1)) ++
+      Seq(col(loCol), col(hiCol))
     val a0 = left.filter(col(loCol) <= col(hiCol) &&
         finite(loCol) && finite(hiCol))
-      .select(col(idCol), col(loCol), col(hiCol))
-      // synthetic instance identity, materialized ONCE: the six prefix
-      // branches must all see the SAME ids, and
-      // monotonically_increasing_id depends on physical layout
-      .withColumn("_gx_iid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .select(Seq(col(idCol)) ++ keyCols.toSeq.map(k => col(k._1)) ++
+        Seq(col(loCol), col(hiCol)): _*)
+      .withColumn("_gx_iid", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(ord: _*)))
     val b0 = right.filter(col(loCol2) <= col(hiCol2) &&
         finite(loCol2) && finite(hiCol2))
-      .select(col(loCol2), col(hiCol2))
+      .select(keyCols.toSeq.map(k => col(k._2)) ++
+        Seq(col(loCol2), col(hiCol2)): _*)
     val aPlan = a0.queryExecution.analyzed
     val bPlan = b0.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"RangeAgg: no column '$n' in ${p.output.map(_.name)}"))
+    val id = attr(aPlan, idCol)
     val iid = attr(aPlan, "_gx_iid")
     val alo = attr(aPlan, loCol)
     val ahi = attr(aPlan, hiCol)
     val blo = attr(bPlan, loCol2)
     val bhi = attr(bPlan, hiCol2)
+    val equiKeys: Seq[(org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      keyCols.toSeq.map { case (ak, bk) => (attr(bPlan, bk), attr(aPlan, ak)) }
     import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr}
     def frame(pt: Attribute, lo: CExpr, hi: CExpr, hiStrict: Boolean,
               wantSum: Boolean, cntName: String, sumName: String)
@@ -348,22 +478,25 @@ object RangeAgg {
       val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))),
         Complete, isDistinct = false), cntName)()
       val aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
-        if (!wantSum) Seq(iid, cnt)
-        else Seq(iid, cnt, Alias(AggregateExpression(
+        if (!wantSum) Seq(id, iid, cnt)
+        else Seq(id, iid, cnt, Alias(AggregateExpression(
           Sum(Cast(pt, DecimalType(18, 2))), Complete,
           isDistinct = false), sumName)())
       val plan = graft.plans.RangeAggPrefix.tryBuild(
-        Seq(iid), aggs, pt, lo, hi, loStrict = false, hiStrict = hiStrict,
-        bPlan, aPlan)
+        Seq(id, iid), aggs, pt, lo, hi, loStrict = false,
+        hiStrict = hiStrict, bPlan, aPlan, equiKeys)
         .getOrElse(throw new IllegalArgumentException(
           s"RangeAgg: '$loCol'/'$hiCol'/'$loCol2'/'$hiCol2' must be " +
             "numeric types whose double image is order-exact " +
-            "(double/float/int or narrower)"))
+            "(double/float/int or narrower)" +
+            keyCols.map { case (ak, bk) =>
+              s" and '$ak'/'$bk' sort-exact equal types" }.getOrElse("")))
       org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
     }
     val negInf = Literal(Double.NegativeInfinity)
     def ren(df: DataFrame, tag: String): DataFrame =
-      df.withColumnRenamed("_gx_iid", s"_gx_iid_$tag")
+      df.withColumnRenamed(idCol, s"_gx_id_$tag")
+        .withColumnRenamed("_gx_iid", s"_gx_iid_$tag")
     val f1 = ren(frame(bhi, alo, ahi, hiStrict = false, wantSum = true,
       "c1", "s1"), "1") // b.hi in [L, H]: cnt + cents sum
     val f2 = ren(frame(blo, alo, ahi, hiStrict = false, wantSum = true,
@@ -376,10 +509,10 @@ object RangeAgg {
       wantSum = false, "c5", ""), "5") // b.lo < L
     val f6 = ren(frame(bhi, negInf, alo, hiStrict = true,
       wantSum = false, "c6", ""), "6") // b.hi < L
-    val nB = b0.count()
     def j(acc: DataFrame, f: DataFrame, tag: String): DataFrame =
-      acc.join(f, col("_gx_iid") === col(s"_gx_iid_$tag"), "left")
-        .drop(s"_gx_iid_$tag")
+      acc.join(f, col(idCol) <=> col(s"_gx_id_$tag") &&
+          col("_gx_iid") === col(s"_gx_iid_$tag"), "left")
+        .drop(s"_gx_id_$tag").drop(s"_gx_iid_$tag")
     val joined = Seq(("1", f1), ("2", f2), ("3", f3), ("4", f4),
       ("5", f5), ("6", f6)).foldLeft(a0) { case (acc, (tag, f)) =>
       j(acc, f, tag)
@@ -423,6 +556,93 @@ object RangeAgg {
     extremaImpl(points, ptCol, intervals, idCol, loCol, hiCol,
       Some((ptKeyCol, ivKeyCol)))
 
+  /** Exact per-interval-key (min_f, max_f) of an ARBITRARY point-side
+    * column `fCol` over points with `ptCol ∈ [loCol, hiCol]`
+    * (inclusive), JOIN-FREE (r19 — the decline RangeExtrema documented,
+    * shipped: "largest transfer size among events in each window").
+    * `max(f)` over the membership is not a predecessor query — it is a
+    * RANGE-MAXIMUM over the value-sorted point run — so the plan is
+    * the [[graft.plans.RangeValueExtrema]] scan: ONE range exchange of
+    * points + two probes per interval, each partition answering its
+    * probes' [lo, hi] queries from a local segment tree, partitions
+    * fully inside a band covered by a per-partition stats table
+    * (driver state: partitions × 6 values). min and max come from the
+    * SAME scan (idempotent combines need no negation trick), so this
+    * is one exchange where the pt-extrema operator needs two. No pair
+    * is ever materialized; cost is independent of band density.
+    *
+    * CONTRACT: rows with null `ptCol` or null `fCol` are excluded —
+    * membership is "qualifying point with non-null f", i.e. the join
+    * form `JOIN ON pt BETWEEN lo AND hi WHERE f IS NOT NULL` (SQL's
+    * min/max skip nulls anyway; the filter only changes which GROUPS
+    * exist, and this operator's groups are those with ≥1 non-null-f
+    * qualifying point). NaN points qualify exactly when hi is NaN
+    * (Spark total order) and are re-attached from two tiny aggregates
+    * exactly like [[extremaInRangeAgg]] — same static-source
+    * assumption (see [[extremaImpl]]). NaN `f` values participate
+    * normally (max of a set containing NaN is NaN; min prefers finite
+    * — both engines' total order). Duplicate interval keys are exact
+    * for free (extrema are union-compatible); keys with zero
+    * qualifying points drop. LongType pt/f decline (order-exactness of
+    * the double image); cast to int/double when the domain allows.
+    *
+    * Output: (idCol, min_f: double, max_f: double). */
+  def valueExtremaInRangeAgg(points: DataFrame, ptCol: String,
+                             fCol: String,
+                             intervals: DataFrame, idCol: String,
+                             loCol: String, hiCol: String): DataFrame = {
+    requireClean(points, "point")
+    requireClean(intervals, "interval")
+    val spark = points.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ptPlan = points.queryExecution.analyzed
+    val ivPlan = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, what: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"RangeAgg: no $what column '$n' in ${p.output.map(_.name)}"))
+    val pt = attr(ptPlan, ptCol, "point")
+    val fv = attr(ptPlan, fCol, "point value")
+    val id = attr(ivPlan, idCol, "interval id")
+    val lo = attr(ivPlan, loCol, "interval lo")
+    val hi = attr(ivPlan, hiCol, "interval hi")
+    val finite = org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+      graft.plans.RangeValueExtrema.tryBuild(Seq(id), pt, fv, lo, hi,
+        ptPlan, ivPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          s"RangeAgg: '$ptCol'/'$fCol'/'$loCol'/'$hiCol' must be " +
+            "numeric types whose double image is order-exact " +
+            "(double/float/int or narrower); got " +
+            s"${pt.dataType}/${fv.dataType}/${lo.dataType}/${hi.dataType}")))
+    def floating(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
+    if (!(floating(pt.dataType) && floating(hi.dataType))) return finite
+    // NaN-point branch (type-gated; static-source assumption as in
+    // extremaImpl): a NaN point qualifies an interval iff hi is NaN
+    // and lo is non-null — those groups union the NaN points' f
+    // extrema into their finite answer
+    val nanHi = intervals.filter(isnan(col(hiCol).cast("double")) &&
+      col(loCol).isNotNull)
+    if (nanHi.limit(1).count() == 0) return finite
+    val nanPts = points.filter(isnan(col(ptCol).cast("double")) &&
+      col(fCol).isNotNull)
+    if (nanPts.limit(1).count() == 0) return finite
+    // −0.0 f normalizes to +0.0 (the finite path's dbl image does the
+    // same); min/max over NaN f follow the engines' shared total order
+    val nf = nanPts.agg(
+        min(col(fCol).cast("double") + lit(0.0)).as("_gx_nmin"),
+        max(col(fCol).cast("double") + lit(0.0)).as("_gx_nmax"))
+      .withColumn("_gx_j", lit(1))
+    val attach = nanHi.select(col(idCol)).distinct()
+      .withColumn("_gx_j", lit(1)).join(nf, Seq("_gx_j")).drop("_gx_j")
+      .withColumnRenamed(idCol, "_gx_id")
+    // least/greatest skip nulls and use the NaN-greatest total order —
+    // exactly min/max-over-the-union semantics for the stitch
+    finite.join(attach, col(idCol) <=> col("_gx_id"), "full")
+      .select(coalesce(col(idCol), col("_gx_id")).as(idCol),
+        least(col("min_f"), col("_gx_nmin")).as("min_f"),
+        greatest(col("max_f"), col("_gx_nmax")).as("max_f"))
+  }
+
   /** Exact per-interval-KEY count of DISTINCT `ptCol` values in the
     * UNION of that key's [loCol, hiCol] intervals (inclusive) — the
     * aggregate the prefix REWRITE must decline (count(DISTINCT) over a
@@ -445,6 +665,8 @@ object RangeAgg {
   def distinctPointsInRangeAgg(points: DataFrame, ptCol: String,
                                intervals: DataFrame, idCol: String,
                                loCol: String, hiCol: String): DataFrame = {
+    requireClean(points, "point")
+    requireClean(intervals, "interval")
     val spark = points.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val byId = Window.partitionBy(idCol).orderBy(col(loCol))

@@ -592,4 +592,213 @@ class RangeAggSpec extends SparkSpec {
     }
     assert(run(1) == run(7))
   }
+
+  // ---- r19: arbitrary pt-side column extrema in range (j7j) ---------
+
+  test("value-extrema-in-range equals min/max-over-join (orders fixture, duplicate ids)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val intervals = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_custkey".as("cust_id"), // duplicate ids: union-exact
+        ($"o_totalprice" - 2000.0).as("lo"),
+        ($"o_totalprice" + 2000.0).as("hi"))
+    val points = o.select($"o_totalprice".as("price"),
+      $"o_orderkey".cast("int").as("okey"))
+    val got = RangeAgg.valueExtremaInRangeAgg(points, "price", "okey",
+        intervals, "cust_id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    // truth via the binned pair join (min/max decline the prefix
+    // rewrite, so the join survives)
+    val truth = Relational.rangeJoinPoints(points, "price",
+        intervals, "lo", "hi", binWidth = 4000.0)
+      .groupBy("cust_id")
+      .agg(min($"okey".cast("double")).as("min_f"),
+        max($"okey".cast("double")).as("max_f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth && truth.nonEmpty)
+    // f ≠ pt genuinely: the pt-extrema operator must disagree
+    val ptExtrema = RangeAgg.extremaInRangeAgg(
+        points.select("price"), "price",
+        intervals, "cust_id", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(ptExtrema != got)
+  }
+
+  test("value-extrema equals brute force on adversarial randoms (NaN/inf/-0.0/null f)") {
+    def sqlLe(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
+    for (seed <- Seq(11, 12, 13)) {
+      val rng = new scala.util.Random(seed)
+      val pts: Seq[(java.lang.Double, java.lang.Double)] =
+        (0 until 300).map { _ =>
+          (java.lang.Double.valueOf(
+            math.floor((rng.nextDouble() - 0.5) * 20000) / 100.0),
+            java.lang.Double.valueOf(
+              math.floor((rng.nextDouble() - 0.5) * 2000) / 100.0))
+        } ++ Seq[(java.lang.Double, java.lang.Double)](
+          (-0.0, -0.0), (0.0, 42.0),          // zero signs both slots
+          (Double.NaN, 7.0), (Double.NaN, Double.NaN), // NaN pts
+          (5.0, Double.NaN), (6.0, Double.NaN),        // NaN f
+          (Double.PositiveInfinity, -9.0),
+          (Double.NegativeInfinity, 9.0),
+          (null, 1.0), (3.0, null))            // nulls excluded
+      val ivs: Seq[(Long, Double, Double)] = ((0 until 50).map { i =>
+        val lo = math.floor((rng.nextDouble() - 0.5) * 16000) / 100.0
+        val span = (rng.nextDouble() - 0.2) * 30
+        ((i / 3 * 3).toLong, lo, math.floor((lo + span) * 100) / 100.0)
+      } :+ ((995L, 5.0, 5.0))                       // degenerate
+        :+ ((996L, Double.NaN, 3.0))                // empty
+        :+ ((997L, 5.0, Double.NaN))                // finite + NaN pts
+        :+ ((998L, Double.NaN, Double.NaN))         // NaN pts only
+        :+ ((994L, Double.NegativeInfinity, Double.PositiveInfinity)))
+      val got = RangeAgg.valueExtremaInRangeAgg(
+          pts.toDF("v", "f"), "v", "f",
+          ivs.toDF("id", "lo", "hi"), "id", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+      val expected = ivs.groupBy(_._1).flatMap { case (id, rows) =>
+        val qual = for {
+          (_, lo, hi) <- rows
+          (v, f) <- pts
+          if v != null && f != null &&
+            sqlLe(lo, v.doubleValue) && sqlLe(v.doubleValue, hi)
+        } yield f.doubleValue
+        if (qual.isEmpty) None
+        else {
+          val mx = if (qual.exists(_.isNaN)) Double.NaN else qual.max
+          val fin = qual.filterNot(_.isNaN)
+          val mn = if (fin.isEmpty) Double.NaN else fin.min
+          Some((id, mn + 0.0, mx + 0.0))
+        }
+      }.toSet
+      def canon(s: Set[(Long, Double, Double)]) =
+        s.map { case (i, a, b) =>
+          (i, java.lang.Double.doubleToLongBits(a + 0.0),
+            java.lang.Double.doubleToLongBits(b + 0.0)) }
+      assert(canon(got) == canon(expected), s"seed=$seed")
+      assert(expected.exists(_._1 == 997L) &&
+        expected.exists(_._1 == 998L), s"seed=$seed NaN fixture")
+    }
+  }
+
+  test("value-extrema is partitioning-invariant and handles empty sides") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val intervals = o.filter($"o_orderkey" % 97 === 0)
+      .select($"o_custkey".as("id"),
+        ($"o_totalprice" - 2000.0).as("lo"),
+        ($"o_totalprice" + 2000.0).as("hi"))
+    def run(np: Int) = {
+      val pts = o.select($"o_totalprice".as("v"),
+        $"o_orderkey".cast("int").as("f")).repartition(np)
+      RangeAgg.valueExtremaInRangeAgg(pts, "v", "f",
+          intervals, "id", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+    assert(run(1) == run(7) && run(1).nonEmpty)
+    val pts = o.select($"o_totalprice".as("v"),
+      $"o_orderkey".cast("int").as("f"))
+    assert(RangeAgg.valueExtremaInRangeAgg(pts.limit(0), "v", "f",
+      intervals, "id", "lo", "hi").count() == 0)
+    assert(RangeAgg.valueExtremaInRangeAgg(pts, "v", "f",
+      intervals.limit(0), "id", "lo", "hi").count() == 0)
+  }
+
+  test("value-extrema type gate and reserved-prefix guard") {
+    val pts = Seq((1.0, 2L)).toDF("v", "f") // long f: not order-exact
+    val ivs = Seq((1L, 0.0, 10.0)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeAgg.valueExtremaInRangeAgg(pts, "v", "f", ivs, "id", "lo", "hi")
+    }
+    assert(e.getMessage.contains("order-exact"))
+    val dirty = Seq((1.0, 2.0, 3.0)).toDF("_gx_id", "lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeAgg.valueExtremaInRangeAgg(Seq((1.0, 2.0)).toDF("v", "f"),
+        "v", "f", dirty, "_gx_id", "lo", "hi")
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  // ---- r19: keyed interval-overlap count + length --------------------
+
+  test("keyed interval-overlap equals count-over-keyed-join (events fixture)") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val aIv = e.filter($"event_id" % 23 === 0)
+      .select($"event_id".as("aid"), $"user_id".as("akey"),
+        ($"value" - 5.0).as("alo"), ($"value" + 5.0).as("ahi"))
+    val bIv = e.filter($"event_id" % 7 === 0)
+      .select($"user_id".as("bkey"),
+        ($"value" - 3.0).as("blo"), ($"value" + 3.0).as("bhi"))
+    val got = RangeAgg.keyedIntervalOverlapAgg(aIv, "aid", "akey",
+        "alo", "ahi", bIv, "bkey", "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = aIv.join(bIv, $"akey" === $"bkey" &&
+        $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth && truth.nonEmpty)
+    // the key must actually bite: unkeyed disagrees
+    val unkeyed = RangeAgg.intervalOverlapAgg(
+        aIv.select("aid", "alo", "ahi"), "aid", "alo", "ahi",
+        bIv.select("blo", "bhi"), "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unkeyed != got)
+  }
+
+  test("keyed interval-overlap edges: null keys, duplicate ids, zero-overlap drop") {
+    val a2 = Seq[(java.lang.Long, java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 10L, 0.0, 10.0), (1L, 10L, 20.0, 30.0), // dup id, same key
+      (2L, 20L, 0.0, 100.0),                       // key nobody has
+      (3L, null, 0.0, 100.0),                      // null key: 0 pairs
+      (4L, 10L, 50.0, 40.0))                       // inverted: dropped
+      .toDF("aid", "akey", "alo", "ahi")
+    val b2 = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (10L, 5.0, 25.0), (10L, 9.0, 2.0), (null, 0.0, 100.0),
+      (30L, 0.0, 100.0)).toDF("bkey", "blo", "bhi")
+    val got = RangeAgg.keyedIntervalOverlapAgg(a2, "aid", "akey",
+        "alo", "ahi", b2, "bkey", "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // id 1: [0,10]∩[5,25] + [20,30]∩[5,25] = 2 (same key 10);
+    // everything else matches nothing
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("keyed overlap LENGTH equals sum-over-keyed-join (events fixture)") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val aIv = e.filter($"event_id" % 23 === 0)
+      .select($"user_id".as("aid"), $"user_id".as("akey"), // dup ids
+        ($"value" - 5.0).as("alo"), ($"value" + 5.0).as("ahi"))
+    val bIv = e.filter($"event_id" % 7 === 0)
+      .select($"user_id".as("bkey"),
+        ($"value" - 3.0).as("blo"), ($"value" + 3.0).as("bhi"))
+    val got = RangeAgg.keyedIntervalOverlapLenAgg(aIv, "aid", "akey",
+        "alo", "ahi", bIv, "bkey", "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val truth = aIv.join(bIv, $"akey" === $"bkey" &&
+        $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .groupBy("aid")
+      .agg(sum(least($"ahi", $"bhi").cast("decimal(18,2)") -
+          greatest($"alo", $"blo").cast("decimal(18,2)"))
+        .cast("double").as("len"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == truth && truth.nonEmpty)
+  }
+
+  test("overlap LENGTH instance ids are content-derived (no eager materialization)") {
+    // six branches must agree on the instance↔(lo,hi) mapping WITHOUT
+    // a checkpoint: the analyzed plan carries the row_number window and
+    // no materialized-RDD scan
+    val a2 = Seq((1L, 0.0, 10.0), (1L, 20.0, 30.0), (1L, 0.0, 10.0))
+      .toDF("aid", "alo", "ahi") // full-duplicate instances: tie-break
+    val b2 = Seq((2.0, 8.0), (9.0, 21.0), (25.0, 40.0)).toDF("blo", "bhi")
+    val df = RangeAgg.intervalOverlapLenAgg(a2, "aid", "alo", "ahi",
+      b2, "blo", "bhi")
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("LogicalRDD") && plan.contains("row_number"))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // [0,10]: 6+1+0; [20,30]: 1+5; duplicate [0,10] again: 7 → 20
+    assert(got == Map(1L -> 20.0))
+  }
 }
