@@ -728,9 +728,9 @@ object PlanAudit {
 
     // r18: interval-overlap agg — two one-sided prefix counts, never
     // an interval join (the join form's bill is the output volume)
-    audit("j7h_interval_overlap (two one-sided prefix counts)", Seq(
-      "two RangeAggPrefix counts planned" ->
-        (p => "RangeAggPrefix".r.findAllIn(p).size >= 2),
+    audit("j7h_interval_overlap (three one-sided prefix counts)", Seq(
+      "three RangeAggPrefix counts planned (total/below/above)" ->
+        (p => "RangeAggPrefix".r.findAllIn(p).size >= 3),
       "range exchanges feed the stitches" ->
         (_.contains("rangepartitioning")),
       "no interval join of the two sides" ->
@@ -747,10 +747,56 @@ object PlanAudit {
         (p => "RangeAggPrefix".r.findAllIn(p).size >= 6),
       "range exchanges feed the stitches" ->
         (_.contains("rangepartitioning")),
+      "instance ids content-derived (window, no checkpoint scan)" ->
+        (p => p.contains("row_number") && !p.contains("Scan ExistingRDD")),
       "no nested loop / cartesian anywhere" ->
         (p => !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct"))))(
       SparkEntry.queries("j7i_overlap_len")(spark, dir))
+
+    // r19: value extrema in range — ONE RangeValueExtrema scan answers
+    // min AND max (segment trees + contained-partition table); the
+    // only join is the NaN re-attach stitch (absent on this fixture),
+    // never a join touching the point stream
+    audit("j7j_value_extrema (join-free range-value scan)", Seq(
+      "RangeValueExtrema exec planned" -> (_.contains("RangeValueExtrema")),
+      // formatted explain names a node twice (tree line + detail
+      // header): one physical scan = at most 2 mentions
+      "ONE scan answers both extremes" ->
+        (p => { val c = "RangeValueExtrema".r.findAllIn(p).size
+          c >= 1 && c <= 2 }),
+      "range exchange feeds the scan" -> (_.contains("rangepartitioning")),
+      "no join of any kind (pairs never enumerated)" ->
+        (p => !p.contains("Join"))))(
+      SparkEntry.queries("j7j_value_extrema")(spark, dir))
+
+    // r19: KEYED overlap count — two KEYED one-sided prefix counts
+    // (equi key leads the range sorts) plus the per-key N_B aggregate;
+    // never an interval join of the two sides
+    audit("j7h_keyed_overlap (three keyed one-sided prefix counts)", Seq(
+      "three RangeAggPrefix counts planned (total/below/above)" ->
+        (p => "RangeAggPrefix".r.findAllIn(p).size >= 3),
+      "equi key leads the range sorts" -> (_.contains("_graft_k0")),
+      "range exchanges feed the stitches" ->
+        (_.contains("rangepartitioning")),
+      "no interval join of the two sides" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))))(
+      SparkEntry.queries("j7h_keyed_overlap")(spark, dir))
+
+    // r19: KEYED overlap length — six KEYED prefix frames, instance
+    // ids from the row_number window (no materialization), never an
+    // interval join
+    audit("j7i_keyed_len (six keyed prefix frames)", Seq(
+      "six RangeAggPrefix frames planned" ->
+        (p => "RangeAggPrefix".r.findAllIn(p).size >= 6),
+      "equi key leads the range sorts" -> (_.contains("_graft_k0")),
+      "instance ids content-derived (window, no checkpoint scan)" ->
+        (p => p.contains("row_number") && !p.contains("Scan ExistingRDD")),
+      "no nested loop / cartesian anywhere" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"))))(
+      SparkEntry.queries("j7i_keyed_len")(spark, dir))
 
     // the injected DedupComputeRewrite must turn the NAIVE per-row
     // kernel projection into distinct→compute→join-back — audited on

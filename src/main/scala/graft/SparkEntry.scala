@@ -1408,6 +1408,66 @@ object SparkEntry {
         .orderBy("session_id")
     }),
 
+    // J7⁹ value extrema in range (r19): min/max of an ARBITRARY
+    // point-side column over points in [lo, hi] — "largest order key
+    // among similarly-priced orders", the most common real analytic
+    // the family previously sent to the pair join (r18 VERDICT Next
+    // #1). Not a predecessor query (the aggregated value isn't the
+    // point), so the plan is the RangeValueExtrema scan: ONE range
+    // exchange, per-partition segment trees answer each probe's
+    // [lo, hi] locally, a per-partition stats table covers fully-
+    // contained partitions; min and max from the same scan. No pair
+    // ever materialized; duplicate ids (cust_id) exact for free.
+    "j7j_value_extrema" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val intervals = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust_id"),
+          (col("o_totalprice") - 2000.0).as("lo"),
+          (col("o_totalprice") + 2000.0).as("hi"))
+      val points = o.select(col("o_totalprice").as("price"),
+        col("o_orderkey").cast("int").as("okey"))
+      graft.ops.RangeAgg.valueExtremaInRangeAgg(points, "price", "okey",
+          intervals, "cust_id", "lo", "hi")
+        .orderBy("cust_id")
+    }),
+
+    // J7¹⁰ KEYED interval-overlap count (r19): per user, how many of
+    // THEIR B intervals overlap each of THEIR A windows — the
+    // real-world shape of the overlap query (the j7e argument). The
+    // same two one-sided decompositions, each now a KEYED prefix (the
+    // equi key leads the range sort), and the global N_B becomes a
+    // per-key count joined to the A instances.
+    "j7h_keyed_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val aIv = e.filter(col("event_id") % 23 === 0)
+        .select(col("event_id").as("aid"), col("user_id").as("akey"),
+          (col("value") - 5.0).as("alo"), (col("value") + 5.0).as("ahi"))
+      val bIv = e.filter(col("event_id") % 7 === 0)
+        .select(col("user_id").as("bkey"),
+          (col("value") - 3.0).as("blo"), (col("value") + 3.0).as("bhi"))
+      graft.ops.RangeAgg.keyedIntervalOverlapAgg(aIv, "aid", "akey",
+          "alo", "ahi", bIv, "bkey", "blo", "bhi")
+        .orderBy("aid")
+    }),
+
+    // J7¹¹ KEYED overlap LENGTH (r19): total same-key overlap duration
+    // per A id — six keyed prefix frames, content-derived instance ids
+    // (row_number per id — layout-independent, no materialization),
+    // exact decimal-cents arithmetic. Duplicate A ids natural (user_id
+    // as the id).
+    "j7i_keyed_len" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val aIv = e.filter(col("event_id") % 23 === 0)
+        .select(col("user_id").as("aid"), col("user_id").as("akey"),
+          (col("value") - 5.0).as("alo"), (col("value") + 5.0).as("ahi"))
+      val bIv = e.filter(col("event_id") % 7 === 0)
+        .select(col("user_id").as("bkey"),
+          (col("value") - 3.0).as("blo"), (col("value") + 3.0).as("bhi"))
+      graft.ops.RangeAgg.keyedIntervalOverlapLenAgg(aIv, "aid", "akey",
+          "alo", "ahi", bIv, "bkey", "blo", "bhi")
+        .orderBy("aid")
+    }),
+
     // ---- aggregations ------------------------------------------------
     "a1_count" -> ((s, dir) =>
       t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
@@ -5470,6 +5530,41 @@ object SparkEntry {
         "(sum(CAST(e.value AS DECIMAL(18,2)))::VARCHAR)::DOUBLE AS sum_v " +
         "FROM events e JOIN s ON e.user_id = s.s_user " +
         "AND e.value >= s.lo AND e.value <= s.hi " +
+        "GROUP BY 1 ORDER BY 1"),
+    // j7j twin: DuckDB's IEJoin with min/max over the non-point column
+    // (the operator contract: membership = qualifying point with
+    // non-null f; okey is non-null here, and the int cast matches the
+    // engine's fixture cast)
+    "j7j_value_extrema" -> (
+      "SELECT i.o_custkey AS cust_id, " +
+        "CAST(min(CAST(p.o_orderkey AS INT)) AS DOUBLE) AS min_f, " +
+        "CAST(max(CAST(p.o_orderkey AS INT)) AS DOUBLE) AS max_f " +
+        "FROM orders i JOIN orders p " +
+        "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
+        "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
+        "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // j7h_keyed twin: DuckDB's own equi+overlap join
+    "j7h_keyed_overlap" -> (
+      "WITH a AS (SELECT event_id AS aid, user_id AS akey, " +
+        "value - 5.0 AS alo, value + 5.0 AS ahi FROM events " +
+        "WHERE event_id % 23 = 0), " +
+        "b AS (SELECT user_id AS bkey, value - 3.0 AS blo, " +
+        "value + 3.0 AS bhi FROM events WHERE event_id % 7 = 0) " +
+        "SELECT a.aid, count(*) AS overlap_cnt FROM a JOIN b " +
+        "ON a.akey = b.bkey AND a.alo <= b.bhi AND b.blo <= a.ahi " +
+        "GROUP BY 1 ORDER BY 1"),
+    // j7i_keyed twin: equi+overlap join with exact decimal length sum
+    "j7i_keyed_len" -> (
+      "WITH a AS (SELECT user_id AS aid, user_id AS akey, " +
+        "value - 5.0 AS alo, value + 5.0 AS ahi FROM events " +
+        "WHERE event_id % 23 = 0), " +
+        "b AS (SELECT user_id AS bkey, value - 3.0 AS blo, " +
+        "value + 3.0 AS bhi FROM events WHERE event_id % 7 = 0) " +
+        "SELECT a.aid, CAST(sum(" +
+        "CAST(least(a.ahi, b.bhi) AS DECIMAL(18,2)) - " +
+        "CAST(greatest(a.alo, b.blo) AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS overlap_len FROM a JOIN b " +
+        "ON a.akey = b.bkey AND a.alo <= b.bhi AND b.blo <= a.ahi " +
         "GROUP BY 1 ORDER BY 1"),
     "w3_rolling_sum" -> (
       "SELECT event_id, user_id, " +

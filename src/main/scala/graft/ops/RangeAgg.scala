@@ -269,8 +269,8 @@ object RangeAgg {
     * same argument that motivated the keyed band prefix). The
     * decomposition is unchanged; each one-sided frame becomes a KEYED
     * prefix (the equi key leads the range sort — machinery the keyed
-    * band already built) and the global N_B becomes a per-key count
-    * joined to the A instances. Null keys never match (SQL `=`):
+    * band already built) and the N_B term becomes a third keyed frame
+    * counting every same-key b row. Null keys never match (SQL `=`):
     * null-key A instances contribute zero pairs, null-key B rows count
     * for nobody. Output: (idCol, overlap_cnt: long). */
   def keyedIntervalOverlapAgg(left: DataFrame, idCol: String,
@@ -282,11 +282,11 @@ object RangeAgg {
       Some((keyCol, keyCol2)))
 
   /** Shared implementation of the (keyed) overlap-count operators.
-    * Fully lazy/in-plan (r19): the N_B term is a (per-key) count
-    * AGGREGATE joined back to the A instances — unkeyed through a
-    * constant-key equi join of the one-row global count (a hash join,
-    * never a nested loop) — so re-execution re-reads the sources
-    * consistently, with no baked-in driver count. */
+    * Fully lazy/in-plan (r19): THREE one-sided prefix frames — total
+    * ([−∞, NaN] covers every valid b under the total order), below,
+    * above — so re-execution re-reads the sources consistently (no
+    * baked-in driver count) and no scalar/count join exists anywhere
+    * in the plan. */
   private def overlapImpl(left: DataFrame, idCol: String,
                           loCol: String, hiCol: String,
                           right: DataFrame,
@@ -344,25 +344,17 @@ object RangeAgg {
     val above = oneSided(blo, ahi, Literal(Double.NaN),
         loStrict = true, hiStrict = false, "above")
       .withColumnRenamed(idCol, "_gx_ida")
-    // per-instance N_B (the key's B count, or the global count through
-    // a constant-key hash join of the one-row aggregate), summed per
-    // id — all ids kept, including zero-overlap ones (the one-sided
-    // frames drop ids with zero qualifying rows, re-attached via the
-    // left joins + coalesce)
-    val spine = keyCols match {
-      case Some((ak, bk)) =>
-        val bCnt = b.groupBy(col(bk).as("_gx_bk"))
-          .agg(count(lit(1)).as("_gx_nb"))
-        a.join(bCnt, col(ak) === col("_gx_bk"), "left")
-          .groupBy(col(idCol))
-          .agg(sum(coalesce(col("_gx_nb"), lit(0L))).as("_gx_nb"))
-      case None =>
-        val bCnt = b.agg(count(lit(1)).as("_gx_nb"))
-          .withColumn("_gx_j", lit(1))
-        a.withColumn("_gx_j", lit(1)).join(bCnt, Seq("_gx_j"))
-          .groupBy(col(idCol)).agg(sum(col("_gx_nb")).as("_gx_nb"))
-    }
-    spine
+    // the N_B term is ITSELF a one-sided prefix frame (r19): count of
+    // b.hi values in [−∞, NaN] inclusive — under the total order that
+    // is EVERY valid b row (keyed: every same-key one), summed over
+    // the id's instances, exactly Σ_instances N_B(k_i). Three uniform
+    // frames, no scalar/count join anywhere (a constant-key join of
+    // the global count constant-folds into a nested loop, which the
+    // plan gates forbid — and per-key counts would add a second join
+    // shape; the frame form is one machine for both)
+    val total = oneSided(bhi, Literal(Double.NegativeInfinity),
+      Literal(Double.NaN), loStrict = false, hiStrict = false, "_gx_nb")
+    total
       .join(below, col(idCol) <=> col("_gx_idb"), "left")
       .join(above, col(idCol) <=> col("_gx_ida"), "left")
       .select(col(idCol),
