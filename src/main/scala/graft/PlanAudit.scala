@@ -784,6 +784,20 @@ object PlanAudit {
           !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))))(
       SparkEntry.queries("j7h_keyed_overlap")(spark, dir))
 
+    // r19: the naive SQL-style count-over-overlap-join must
+    // auto-rewrite to the three prefix frames (validity proven by the
+    // frames' own filters) — the pair join is never planned
+    audit("j7h_overlap_auto (naive overlap join auto-plans prefix frames)",
+      Seq(
+        "three RangeAggPrefix frames planned" ->
+          (p => "RangeAggPrefix".r.findAllIn(p).size >= 3),
+        "no nested loop / cartesian (pairs never enumerated)" ->
+          (p => !p.contains("BroadcastNestedLoopJoin") &&
+            !p.contains("CartesianProduct")),
+        "range exchanges feed the stitches" ->
+          (_.contains("rangepartitioning"))))(
+      SparkEntry.queries("j7h_overlap_auto")(spark, dir))
+
     // r19: KEYED overlap length — six KEYED prefix frames, instance
     // ids from the row_number window (no materialization), never an
     // interval join

@@ -1450,6 +1450,32 @@ object SparkEntry {
         .orderBy("aid")
     }),
 
+    // J7¹⁰ᵇ the overlap COUNT written in the naive SQL-join style
+    // (r19): count(*) over `a.lo <= b.hi AND b.lo <= a.hi` under GROUP
+    // BY — the injected RangeJoinRewrite recognizes the shape and
+    // plans the three one-sided prefix frames AUTOMATICALLY, so SQL
+    // users escape the pair-enumerating join (1.05 B qualifying pairs
+    // at ×100 on this fixture). SOUNDNESS: the rewrite fires only
+    // because both frames carry their validity filters — invalid rows
+    // still satisfy the raw predicate (a=[5,3] matches b=[2,6]), so a
+    // rewrite that injected the filters itself would CHANGE the
+    // answer; RangeJoinRewriteSpec pins the counterexample.
+    "j7h_overlap_auto" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val aIv = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("aid"),
+          (col("o_totalprice") - 2000.0).as("alo"),
+          (col("o_totalprice") + 2000.0).as("ahi"))
+        .filter(col("alo") <= col("ahi"))
+      val bIv = o.filter(col("o_orderkey") % 31 === 0)
+        .select((col("o_totalprice") - 1500.0).as("blo"),
+          (col("o_totalprice") + 1500.0).as("bhi"))
+        .filter(col("blo") <= col("bhi"))
+      aIv.join(bIv, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .groupBy("aid").agg(count(lit(1)).as("overlap_cnt"))
+        .orderBy("aid")
+    }),
+
     // J7¹¹ KEYED overlap LENGTH (r19): total same-key overlap duration
     // per A id — six keyed prefix frames, content-derived instance ids
     // (row_number per id — layout-independent, no materialization),
@@ -5543,6 +5569,19 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // j7h_auto twin: the same naive SQL, validity filters included —
+    // DuckDB enumerates the pairs, the engine's rewrite never does
+    "j7h_overlap_auto" -> (
+      "WITH a AS (SELECT o_orderkey AS aid, " +
+        "o_totalprice - 2000.0 AS alo, o_totalprice + 2000.0 AS ahi " +
+        "FROM orders WHERE o_orderkey % 97 = 0), " +
+        "b AS (SELECT o_totalprice - 1500.0 AS blo, " +
+        "o_totalprice + 1500.0 AS bhi FROM orders " +
+        "WHERE o_orderkey % 31 = 0) " +
+        "SELECT a.aid, count(*) AS overlap_cnt FROM a JOIN b " +
+        "ON a.alo <= b.bhi AND b.blo <= a.ahi " +
+        "WHERE a.alo <= a.ahi AND b.blo <= b.bhi " +
+        "GROUP BY 1 ORDER BY 1"),
     // j7h_keyed twin: DuckDB's own equi+overlap join
     "j7h_keyed_overlap" -> (
       "WITH a AS (SELECT event_id AS aid, user_id AS akey, " +

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -255,6 +256,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           case (b, keys) =>
             val (ptPlan, ivPlan) =
               if (b.ptOnLeft) (left, right) else (right, left)
+            aggRewriteBand(g, a, b, keys, ptPlan, ivPlan)
+        }.orElse(tryOverlapRewrite(g, a, left, right, conjuncts))
+      case _ => None
+    }
+  }
+
+  private def aggRewriteBand(g: Seq[Expression], a: Seq[NamedExpression],
+                             b: Band,
+                             keys: Seq[(Expression, Expression)],
+                             ptPlan: LogicalPlan, ivPlan: LogicalPlan)
+      : Option[LogicalPlan] = {
             // GROUP BY the POINT-side key attribute (`GROUP BY
             // e.user_id` instead of `s.user_id`) is the same query: on
             // every qualifying pair the two sides of an equi key are
@@ -278,8 +290,202 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             }
             RangeAggPrefix.tryBuild(g2, a2, b.pt, b.lo, b.hi,
               b.loStrict, b.hiStrict, ptPlan, ivPlan, keys)
+  }
+
+  /** One conjunct as a NON-STRICT x ≤ y (either spelling). Strict
+    * overlap predicates decline: the count decomposition's two failure
+    * modes are only mutually exclusive for the inclusive predicate
+    * over valid intervals. */
+  private def asNonStrictLe(e: Expression)
+      : Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(x, y) => Some((x, y))
+    case GreaterThanOrEqual(x, y) => Some((y, x))
+    case _ => None
+  }
+
+  /** Validity proof: does `side` ESTABLISH lo ≤ hi — a Filter conjunct
+    * semantically equal to it, chasing Project aliases downward (the
+    * shape predicate pushdown leaves: the join condition references
+    * Project outputs while the pushed filter references their
+    * definitions)? Conservative: stops at any non-Filter/Project
+    * node. */
+  @scala.annotation.tailrec
+  private def provenValid(side: LogicalPlan, lo: Expression,
+                          hi: Expression): Boolean = side match {
+    case Filter(c, child) =>
+      splitAnd(c).exists(x => x.semanticEquals(LessThanOrEqual(lo, hi)) ||
+        x.semanticEquals(GreaterThanOrEqual(hi, lo))) ||
+        provenValid(child, lo, hi)
+    case Project(pl, child) =>
+      val sub: Map[ExprId, Expression] = pl.collect {
+        case al @ Alias(e, _) => al.exprId -> e
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case a: Attribute if sub.contains(a.exprId) => sub(a.exprId)
+      }
+      provenValid(child, inline(lo), inline(hi))
+    case _ => false
+  }
+
+  /** Rewrite 1c (r19): COUNT over an interval-OVERLAP inner join →
+    * three one-sided prefix frames — the auto (SQL-surface) path to
+    * [[graft.ops.RangeAgg.intervalOverlapAgg]]'s decomposition:
+    *
+    *   Aggregate(a keys, count(*),
+    *     Join(A, B, Inner, a.lo <= b.hi AND b.lo <= a.hi
+    *                       [AND aK = bK ...]))
+    *
+    *   overlap(a) = N_B − |{b.hi < a.lo}| − |{b.lo > a.hi}|
+    *
+    * each term a (keyed) [[RangeAggPrefix]] count (N_B as the
+    * [−∞, NaN]-band frame — every valid b row under the total order),
+    * stitched by two left joins of per-group aggregates and the
+    * inner-semantics Filter(overlap > 0). The overlap join's bill is
+    * its OUTPUT (wide windows overlap nearly everything — 1.05 B
+    * qualifying pairs at ×100 on the j7h fixture), which this plan
+    * never enumerates.
+    *
+    * SOUNDNESS PRECONDITION — and why the rewrite does NOT inject the
+    * validity filters itself (refuting the obvious shortcut): the
+    * decomposition requires every surviving row to satisfy lo ≤ hi,
+    * but INVALID rows can still satisfy the raw overlap predicate —
+    * a = [5, 3] matches b = [2, 6] (5 ≤ 6 AND 2 ≤ 3) — so adding
+    * filters the user didn't write CHANGES the answer whenever
+    * inverted rows exist. The rewrite therefore fires only when both
+    * sides' plans already PROVE their validity (a `lo <= hi` Filter
+    * conjunct reached by [[provenValid]]); otherwise the join stands.
+    * RangeJoinRewriteSpec pins the counterexample.
+    *
+    * Guards: group keys are A-side attributes (A = the grouped side);
+    * aggregates are count(*)-shaped only (non-distinct, unfiltered,
+    * foldable non-null args — count(b.x) would need a null-aware
+    * fourth frame, declined for now); non-strict bounds; numeric
+    * order-exact types (re-checked by tryBuild); a GLOBAL aggregate
+    * (no group keys) declines — its stitch would be a scalar cross
+    * join, and the join form is one row anyway. */
+  private def tryOverlapRewrite(groupExprs: Seq[Expression],
+                                aggExprs: Seq[NamedExpression],
+                                left: LogicalPlan, right: LogicalPlan,
+                                conjuncts: Seq[Expression])
+      : Option[LogicalPlan] = {
+    if (groupExprs.isEmpty) return None
+    val gAttrs: Seq[Attribute] = groupExprs.map {
+      case at: Attribute => at
+      case _ => return None
+    }
+    val aOnLeft = gAttrs.forall(left.outputSet.contains)
+    if (!aOnLeft && !gAttrs.forall(right.outputSet.contains)) return None
+    val (aPlan, bPlan) = if (aOnLeft) (left, right) else (right, left)
+    def onA(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(aPlan.outputSet)
+    def onB(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(bPlan.outputSet)
+    // classify conjuncts: the two cross one-sided comparisons forming
+    // the overlap + any equi keys (oriented (bK, aK) for the frames)
+    var low: Option[(Expression, Expression)] = None  // alo <= bhi
+    var high: Option[(Expression, Expression)] = None // blo <= ahi
+    val keys = scala.collection.mutable.ArrayBuffer
+      .empty[(Expression, Expression)]
+    conjuncts.foreach { c =>
+      (c, asNonStrictLe(c)) match {
+        case (EqualTo(x, y), _) if onB(x) && onA(y) => keys += ((x, y))
+        case (EqualTo(x, y), _) if onA(x) && onB(y) => keys += ((y, x))
+        case (_, Some((x, y))) if onA(x) && onB(y) && low.isEmpty =>
+          low = Some((x, y))
+        case (_, Some((x, y))) if onB(x) && onA(y) && high.isEmpty =>
+          high = Some((x, y))
+        case _ => return None
+      }
+    }
+    val ((alo, bhi), (blo, ahi)) = (low, high) match {
+      case (Some(l), Some(h)) => (l, h)
+      case _ => return None
+    }
+    if (!Seq(alo, ahi, blo, bhi).forall(numeric)) return None
+    // SOUNDNESS: validity established in-plan on BOTH sides, or decline
+    if (!provenValid(aPlan, alo, ahi) ||
+        !provenValid(bPlan, blo, bhi)) return None
+    // aggregate shape: count(*)-like only, and nothing else references
+    // the B side
+    def countish(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(cs) => cs.nonEmpty &&
+          cs.forall(c => c.foldable && c.eval() != null)
+        case _ => false
+      })
+    val shapeOk = aggExprs.forall {
+      case at: Attribute => gAttrs.contains(at)
+      case al: Alias =>
+        var ok = true
+        al.child.foreach {
+          case ae: AggregateExpression => if (!countish(ae)) ok = false
+          case _ =>
         }
-      case _ => None
+        ok && al.child.references.subsetOf(AttributeSet(gAttrs))
+      case _ => false
+    }
+    if (!shapeOk) return None
+
+    def frame(pt: Expression, lo: Expression, hi: Expression,
+              loStrict: Boolean, hiStrict: Boolean, name: String)
+        : Option[(LogicalPlan, Attribute)] = {
+      val cnt = Alias(AggregateExpression(Count(Seq(Literal(1L))),
+        Complete, isDistinct = false), name)()
+      RangeAggPrefix.tryBuild(gAttrs,
+        (gAttrs: Seq[NamedExpression]) :+ cnt, pt, lo, hi,
+        loStrict, hiStrict, bPlan, aPlan, keys.toSeq)
+        .map(p => (p, cnt.toAttribute))
+    }
+    for {
+      (tP, tCnt) <- frame(bhi, Literal(Double.NegativeInfinity),
+        Literal(Double.NaN), loStrict = false, hiStrict = false,
+        "_graft_ovl_t")
+      (bP, bCnt) <- frame(bhi, Literal(Double.NegativeInfinity), alo,
+        loStrict = false, hiStrict = true, "_graft_ovl_b")
+      (aP, aCnt) <- frame(blo, ahi, Literal(Double.NaN),
+        loStrict = true, hiStrict = false, "_graft_ovl_a")
+    } yield {
+      // the three frames share the original group attrs: re-alias the
+      // below/above outputs fresh so the stitch joins have disjoint
+      // output attribute sets (the total frame keeps the originals —
+      // parents resolve unchanged)
+      def wrap(p: LogicalPlan, cnt: Attribute)
+          : (LogicalPlan, Seq[Attribute], Attribute) = {
+        val keyAl = gAttrs.map(k => Alias(k, k.name)())
+        val cntAl = Alias(cnt, cnt.name)()
+        (Project(keyAl :+ cntAl, p), keyAl.map(_.toAttribute),
+          cntAl.toAttribute)
+      }
+      val (bW, bKeys, bC) = wrap(bP, bCnt)
+      val (aW, aKeys, aC) = wrap(aP, aCnt)
+      def joinCond(ks: Seq[Attribute]): Expression =
+        gAttrs.zip(ks).map { case (l, r) =>
+          EqualNullSafe(l, r): Expression }.reduce(And(_, _))
+      val j1 = Join(tP, bW, LeftOuter, Some(joinCond(bKeys)), JoinHint.NONE)
+      val j2 = Join(j1, aW, LeftOuter, Some(joinCond(aKeys)), JoinHint.NONE)
+      // reference the JOINS' output attributes, not the pre-join ones:
+      // LeftOuter flips the right side nullable, and an expression
+      // holding the non-nullable originals would let NullPropagation
+      // erase the coalesces and EliminateOuterJoin then flip the
+      // stitches to Inner — silently dropping every group absent from
+      // a one-sided frame (caught by RangeJoinRewriteSpec's keyed test)
+      def outAttr(a: Attribute): Attribute =
+        j2.output.find(_.exprId == a.exprId).get
+      val overlap: Expression = Subtract(
+        Subtract(tCnt, Coalesce(Seq(outAttr(bC), Literal(0L)))),
+        Coalesce(Seq(outAttr(aC), Literal(0L))))
+      val filt = Filter(GreaterThan(overlap, Literal(0L)), j2)
+      val outList = aggExprs.map {
+        case at: Attribute => at
+        case al: Alias =>
+          val nt = al.child.transformUp {
+            case ae: AggregateExpression if countish(ae) => overlap
+          }
+          Alias(nt, al.name)(al.exprId, al.qualifier, al.explicitMetadata,
+            al.nonInheritableMetadataKeys)
+        case other => other
+      }
+      Project(outList, filt)
     }
   }
 

@@ -526,4 +526,117 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(rows3n(q()) == withPrefixOff(rows3n(q())), s"seed=$seed")
     }
   }
+
+  // ---- r19: count-over-overlap-join auto rewrite ---------------------
+  // fixtures go through parquet: a LocalRelation's filters are
+  // constant-folded by ConvertToLocalRelation before the rule could
+  // observe the validity proof (same trick as DedupComputeRewriteSpec)
+
+  private def viaParquet(df: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ovl")
+      .resolve(name).toString
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+  private lazy val aIvRaw = viaParquet(
+    Seq((1L, 0.0, 10.0), (1L, 20.0, 30.0), (2L, 100.0, 200.0),
+      (3L, 5.0, 4.0), (4L, 10.0, 12.0)).toDF("aid", "alo", "ahi"), "a")
+  private lazy val bIvRaw = viaParquet(
+    Seq((0.0, 1.0), (10.0, 20.0), (-5.0, 50.0), (8.0, 2.0),
+      (25.0, 25.0)).toDF("blo", "bhi"), "b") // (8, 2) inverted
+
+  test("count over an overlap join auto-plans three prefix frames when validity is proven") {
+    val a = aIvRaw.filter(col("alo") <= col("ahi"))
+    val b = bIvRaw.filter(col("blo") <= col("bhi"))
+    def q() = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .groupBy("aid").agg(count(lit(1)).as("overlap_cnt"))
+    val p = plan(q())
+    assert("RangeAggPrefix".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val got = rows2(q())
+    assert(got == withPrefixOff(rows2(q())))
+    assert(got == Set((1L, 6L), (4L, 2L))) // hand-checked (RangeAggSpec)
+    // operator parity: the rewrite and the explicit operator are the
+    // same decomposition
+    val op = graft.ops.RangeAgg.intervalOverlapAgg(aIvRaw, "aid",
+        "alo", "ahi", bIvRaw, "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(op == got)
+  }
+
+  test("overlap rewrite declines without proven validity - injection would be WRONG") {
+    // counterexample pinning why the rewrite must NOT inject the
+    // validity filters itself: the inverted a = [5, 3] still satisfies
+    // the raw predicate against b = [2, 6] (5 <= 6 AND 2 <= 3), so the
+    // filtered and unfiltered queries are DIFFERENT queries
+    val a = viaParquet(Seq((7L, 5.0, 3.0)).toDF("aid", "alo", "ahi"),
+      "inv_a") // inverted
+    val b = viaParquet(Seq((2.0, 6.0)).toDF("blo", "bhi"), "inv_b")
+    def naive() = a.join(b,
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+    // the raw join REALLY matches the inverted row...
+    assert(rows2(naive()) == Set((7L, 1L)))
+    // ...so the rewrite must leave the unfiltered shape alone
+    assert(!plan(naive()).contains("RangeAggPrefix"), plan(naive()))
+    // ...and the filtered shape (which DOES rewrite) answers the
+    // different, filtered question
+    def filtered() = a.filter(col("alo") <= col("ahi"))
+      .join(b.filter(col("blo") <= col("bhi")),
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+    assert(plan(filtered()).contains("RangeAggPrefix"), plan(filtered()))
+    assert(rows2(filtered()).isEmpty)
+  }
+
+  test("KEYED overlap count auto-rewrites (equi + overlap conjuncts)") {
+    val a = viaParquet(Seq((1L, 10L, 0.0, 10.0), (1L, 10L, 20.0, 30.0),
+        (2L, 20L, 0.0, 100.0)).toDF("aid", "ak", "alo", "ahi"), "k_a")
+      .filter(col("alo") <= col("ahi"))
+    val b = viaParquet(Seq((10L, 5.0, 25.0), (30L, 0.0, 100.0))
+      .toDF("bk", "blo", "bhi"), "k_b").filter(col("blo") <= col("bhi"))
+    def q() = a.join(b, col("ak") === col("bk") &&
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+    val p = plan(q())
+    assert("RangeAggPrefix".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("_graft_k0"), p) // keys lead the range sorts
+    val got = rows2(q())
+    assert(got == withPrefixOff(rows2(q())))
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("overlap rewrite declines: strict bounds, global aggregate, non-count aggs") {
+    val a = aIvRaw.filter(col("alo") <= col("ahi"))
+    val b = bIvRaw.filter(col("blo") <= col("bhi"))
+    def strictQ() = a.join(b,
+        col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .groupBy("aid").agg(count(lit(1)).as("c"))
+    assert(!plan(strictQ()).contains("RangeAggPrefix"))
+    def globalQ() = a.join(b,
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .agg(count(lit(1)).as("c"))
+    assert(!plan(globalQ()).contains("RangeAggPrefix"))
+    def sumQ() = a.join(b,
+        col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .groupBy("aid").agg(sum(col("bhi")).as("s"))
+    assert(!plan(sumQ()).contains("RangeAggPrefix"))
+    // and each decline still answers correctly through the join
+    assert(rows2(strictQ()).nonEmpty &&
+      globalQ().collect().head.getLong(0) > 0)
+  }
+
+  test("overlap rewrite SQL surface: WHERE-validity subqueries prove it") {
+    aIvRaw.createOrReplaceTempView("r19_aiv")
+    bIvRaw.createOrReplaceTempView("r19_biv")
+    def q() = spark.sql(
+      """SELECT a.aid, count(*) AS c
+        |FROM (SELECT * FROM r19_aiv WHERE alo <= ahi) a
+        |JOIN (SELECT * FROM r19_biv WHERE blo <= bhi) b
+        |  ON a.alo <= b.bhi AND b.blo <= a.ahi
+        |GROUP BY a.aid""".stripMargin)
+    assert(plan(q()).contains("RangeAggPrefix"), plan(q()))
+    assert(rows2(q()) == Set((1L, 6L), (4L, 2L)))
+  }
 }
