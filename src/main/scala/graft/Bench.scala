@@ -24,7 +24,7 @@ object Bench {
     * be cut off. */
   private val ReservedKeys =
     Set("value", "n_ok", "n_fail", "sf", "action", "value_end",
-      "load_start", "load_end", "load_waited_s")
+      "load_start", "load_end", "load_waited_s", "anchor", "idle_retries")
 
   def parsePrevTimes(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
@@ -346,9 +346,13 @@ object Bench {
         // any positive excess over the per-query floor qualifies: the
         // gate exists precisely for broad low-grade contention (every
         // query ~1.2x a sub-second floor), where no single excess
-        // clears an absolute threshold
+        // clears an absolute threshold. Queries ABSENT from history
+        // (first run of a round's new entries) fall back to the
+        // same-session median so they can still be picked (r19 ADVICE:
+        // the r18 form made every new query invisible to this gate)
         val offenders = curMap.toSeq
-          .flatMap { case (n, t) => historyMin.get(n).map(f => (n, t - f)) }
+          .flatMap { case (n, t) => historyMin.get(n)
+            .orElse(sessionMedian.get(n)).map(f => (n, t - f)) }
           .filter(_._2 > 0).sortBy(-_._2).take(12).map(_._1).toSet
         System.err.println(f"[bench] total arbitration pass $pass: " +
           f"${ratio.get}%.3fx the best comparable history row (gate " +
@@ -397,20 +401,52 @@ object Bench {
         }, true)
       }
     }
+    // IDLE-CAPTURE RETRY (r19 — VERDICT r18 Next #5): all three r18
+    // closing captures shipped contended (1.08–1.19× the best idle
+    // row) because every arbitration level above re-measures within
+    // minutes of the first pass — inside the same contention window.
+    // When the record about to ship is still >1.05× the best
+    // comparable history row, wait the load out on a LONGER horizon
+    // (5 min, vs the 1–2 min per-pass waits) and give the whole suite
+    // one more pass — up to 2 attempts, per-query min merged, failures
+    // stay failures. Partial SPARK_GRAFT_ONLY runs skip: only the
+    // official full-suite record justifies the extra passes.
+    def ratioOf(rs: Seq[(String, Double, Boolean)]): Option[Double] =
+      bestRowRatio(rs.collect { case (n, t, true) => n -> t }.toMap,
+        historyRuns)
+    var shipped = finalResults
+    var idleRetries = 0
+    while (only.isEmpty && idleRetries < 2 &&
+        ratioOf(shipped).exists(_ > 1.05)) {
+      idleRetries += 1
+      System.err.println(f"[bench] idle-capture retry $idleRetries: " +
+        f"total ${ratioOf(shipped).get}%.3fx the best comparable " +
+        "history row - waiting out load, then full re-pass")
+      val _ = waitOutLoad(300)
+      val rerun = selected.map { case (name, fn) =>
+        name -> runOnce(name, fn) }.toMap
+      shipped = shipped.map {
+        case (name, t, true) => rerun.get(name) match {
+          case Some((rt, true)) => (name, math.min(t, rt), true)
+          case _ => (name, t, true)
+        }
+        case r => r
+      }
+    }
     // queries whose time STILL exceeds 1.5x the session median after
     // every arbitration level: listed as name=ratio ('=' not ':' so
     // parsePrevTimes' "name":t regex can never mistake a sweep entry for
     // a query time)
-    val sweepNote = finalResults.collect {
+    val sweepNote = shipped.collect {
       case (name, t, true) if outlier(name, t) =>
         f"$name=${t / sessionMedian(name)}%.2fx"
     }.mkString(",")
-    val qs = finalResults.map { case (k, v, ok) =>
+    val qs = shipped.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
-    val okTimes = finalResults.collect { case (_, v, true) => v }
+    val okTimes = shipped.collect { case (_, v, true) => v }
     val total = okTimes.sum
-    val nFail = finalResults.count(!_._3)
+    val nFail = shipped.count(!_._3)
     // `action` stamped at the END: the driver keeps only the tail of this
     // line, and the era tag must survive that truncation (see above)
     // `value` sits at the FRONT of the line, which the driver's
@@ -436,10 +472,14 @@ object Bench {
     // comparable history row after every arbitration level. Two states
     // only — within 5% of the round's best idle row, or contended:true
     // (compare idle history rows, not this artifact, when set).
-    val contended = bestRowRatio(
-      finalResults.collect { case (n, t, true) => n -> t }.toMap,
-      historyRuns).exists(_ > 1.05)
-    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"load_waited_s":$loadWaited,"contended":$contended,"gate_payer":"$gatePayer","value_end":$total}"""
+    // r19 (ADVICE): when NO history row shares enough queries,
+    // contended:false would claim evidence that doesn't exist — the
+    // `anchor` field says which it is ("none" = no comparable anchor,
+    // else the measured ratio the verdict rests on).
+    val anchorRatio = ratioOf(shipped)
+    val contended = anchorRatio.exists(_ > 1.05)
+    val anchor = anchorRatio.map(r => f"$r%.3f").getOrElse("none")
+    val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"load_waited_s":$loadWaited,"contended":$contended,"anchor":"$anchor","idle_retries":$idleRetries,"gate_payer":"$gatePayer","value_end":$total}"""
     println(line)
     // full-suite runs feed the next run's arbitration via the (complete,
     // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not

@@ -301,16 +301,46 @@ case class RangeExtremaExec(nEquiKeys: Int, nKeys: Int,
     val rdd = child.execute()
     val nParts = rdd.getNumPartitions
 
-    // read + own an equi-key value: rows from a shuffle iterator reuse
-    // their backing buffer, so variable-length values must be copied
-    // before being held across rows
-    def readKey(row: InternalRow, i: Int): Any =
-      row.get(3 + i, ekTypes(i)) match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-        case other => other
+    // own a key value for retention across rows: rows from a shuffle
+    // iterator reuse their backing buffer, so variable-length values
+    // must be copied before being HELD — but only when held (see
+    // keyRowEq)
+    def own(v: Any): Any = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+      case other => other
+    }
+    // allocation-free equality of the row's key ordinal against an
+    // OWNED previous value, matching Spark's `=`: NaN = NaN (raw-bits
+    // compare; −0.0 already normalized in the stream image), strings
+    // content-compared in place (UTF8String.equals reads the reused
+    // buffer without copying). Key runs are contiguous in the stream
+    // sort, so the compare-then-copy pattern below copies once per
+    // RUN, not once per row — the r18 form allocated a boxed array +
+    // string copies for EVERY point row (r19 ADVICE item).
+    def keyRowEq(dt: DataType, row: InternalRow, ord: Int, b: Any)
+        : Boolean =
+      if (b == null) row.isNullAt(ord)
+      else if (row.isNullAt(ord)) false
+      else dt match {
+        case DoubleType => java.lang.Double.doubleToLongBits(
+          row.getDouble(ord)) == java.lang.Double.doubleToLongBits(
+          b.asInstanceOf[Double])
+        case FloatType => java.lang.Float.floatToIntBits(
+          row.getFloat(ord)) == java.lang.Float.floatToIntBits(
+          b.asInstanceOf[Float])
+        case _ => row.get(ord, dt) == b
       }
-    // bit-exact per-type equality matching Spark's `=`: NaN = NaN
-    // (raw-bits compare; −0.0 already normalized in the stream image)
+    // compare-then-copy a point row's keys into the owned scratch
+    def updateKeys(row: InternalRow, keys: Array[Any],
+                   valid: Boolean): Unit = {
+      var i = 0
+      while (i < e) {
+        if (!valid || !keyRowEq(ekTypes(i), row, 3 + i, keys(i)))
+          keys(i) = own(row.get(3 + i, ekTypes(i)))
+        i += 1
+      }
+    }
+    // bit-exact per-type equality of two OWNED values (driver fold)
     def keyEq(dt: DataType, a: Any, b: Any): Boolean = dt match {
       case DoubleType => java.lang.Double.doubleToLongBits(
         a.asInstanceOf[Double]) == java.lang.Double.doubleToLongBits(
@@ -329,14 +359,15 @@ case class RangeExtremaExec(nEquiKeys: Int, nKeys: Int,
       rdd.mapPartitions { it =>
         var has = false
         var last = 0.0
-        var keys: Array[Any] = null
+        val keys: Array[Any] = if (e > 0) new Array[Any](e) else null
         it.foreach { row =>
           if (row.getInt(2) == 0) {
+            if (e > 0) updateKeys(row, keys, valid = has)
             has = true; last = row.getDouble(0)
-            if (e > 0) keys = Array.tabulate[Any](e)(readKey(row, _))
           }
         }
-        Iterator.single((TaskContext.getPartitionId(), has, keys, last))
+        Iterator.single((TaskContext.getPartitionId(), has,
+          if (has) keys else null, last))
       }.collect()
 
     // seed for partition p = last point (key…, value) in any preceding
@@ -358,14 +389,19 @@ case class RangeExtremaExec(nEquiKeys: Int, nKeys: Int,
     rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var has = seedHas(pid)
-      var lastKeys = seedKeys(pid)
       var last = seedVal(pid)
+      // local owned scratch, seeded with the preceding partitions'
+      // last key (the seed arrays live in the deserialized closure,
+      // but copying keeps each task's mutation strictly local)
+      val lastKeys: Array[Any] = if (e > 0) new Array[Any](e) else null
+      if (e > 0 && seedKeys(pid) != null)
+        Array.copy(seedKeys(pid), 0, lastKeys, 0, e)
       val proj = UnsafeProjection.create(outTypes)
       val out = new GenericInternalRow(m + 1)
       it.flatMap { row =>
         if (row.getInt(2) == 0) {
+          if (e > 0) updateKeys(row, lastKeys, valid = has)
           has = true; last = row.getDouble(0)
-          if (e > 0) lastKeys = Array.tabulate[Any](e)(readKey(row, _))
           Iterator.empty
         } else {
           var i = 0
@@ -375,13 +411,13 @@ case class RangeExtremaExec(nEquiKeys: Int, nKeys: Int,
             i += 1
           }
           // keyed validity: the predecessor belongs to this probe's
-          // key run iff the last point's key equals the probe's
+          // key run iff the last point's key equals the probe's —
+          // compared in place against the owned scratch, no allocation
           var sameRun = has
           if (sameRun && e > 0) {
             var k = 0
             while (sameRun && k < e) {
-              sameRun = keyEq(ekTypes(k), lastKeys(k),
-                row.get(3 + k, ekTypes(k)))
+              sameRun = keyRowEq(ekTypes(k), row, 3 + k, lastKeys(k))
               k += 1
             }
           }

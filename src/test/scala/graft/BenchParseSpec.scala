@@ -165,4 +165,15 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.minTimes(runs) == Map("a" -> 0.45, "b" -> 2.0))
     assert(Bench.minTimes(Seq.empty).isEmpty)
   }
+
+  test("r19 artifact fields (anchor, idle_retries) never parse as query times") {
+    // anchor is a QUOTED decimal and idle_retries an un-dotted int —
+    // neither matches the "name":1.23 shape — and both sit in
+    // ReservedKeys besides, so a future format change can't leak them
+    val line = """{"metric":"total_ok","value":12.345,""" +
+      """"queries":{"q1":1.500,"q2":2.250},"contended":false,""" +
+      """"anchor":"1.063","idle_retries":2,"load_start":0.95,""" +
+      """"action":"noop","value_end":12.345}"""
+    assert(Bench.parsePrevTimes(line) == Map("q1" -> 1.5, "q2" -> 2.25))
+  }
 }
