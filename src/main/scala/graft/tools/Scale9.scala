@@ -1238,6 +1238,76 @@ object Scale9 {
           }
       }
     }
+
+    // r19 range-family additions: value extrema (j7j — segment-tree
+    // scan), keyed overlap count (j7h_keyed — three keyed frames),
+    // keyed overlap length (j7i_keyed — six keyed frames), and the
+    // auto-rewritten SQL overlap shape. Join forms: the j7j pair join
+    // pays the full j7 output bill (measured at ×1 only, same class
+    // as the 910 s ×100 row); the keyed overlap join is a hash join
+    // on user_id whose per-key candidate sets stay benign at these
+    // key cardinalities — measured at ×1/×10 as the honest comparison
+    // (the skew argument for why the prefix still wins is the keyed
+    // SKEW block above).
+    if (sections("rjoin19")) {
+      for ((dir, xn) <- Seq(("/root/testdata/sf0.1", 1),
+                            ("benchdata/sf1", 10), ("benchdata/sf10", 100))) {
+        for (round <- 1 to 2)
+          timed(s"value extrema scan x$xn r$round") {
+            graft.SparkEntry.queries("j7j_value_extrema")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        if (xn == 1)
+          timed(s"value extrema join-form x$xn") {
+            graft.SparkEntry.withAggPrefixOff(spark) {
+              val o = spark.read.parquet(s"$dir/orders.parquet")
+              val ivals = o.filter(col("o_orderkey") % 97 === 0)
+                .select(col("o_custkey").as("cust_id"),
+                  (col("o_totalprice") - 2000.0).as("lo"),
+                  (col("o_totalprice") + 2000.0).as("hi"))
+              val points = o.select(col("o_totalprice").as("price"),
+                col("o_orderkey").cast("int").as("okey"))
+              graft.ops.Relational.rangeJoinPoints(points, "price",
+                  ivals, "lo", "hi", binWidth = 4000.0)
+                .groupBy("cust_id")
+                .agg(min(col("okey").cast("double")).as("min_f"),
+                  max(col("okey").cast("double")).as("max_f"))
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+        for (round <- 1 to 2)
+          timed(s"keyed overlap count prefix x$xn r$round") {
+            graft.SparkEntry.queries("j7h_keyed_overlap")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        if (xn <= 10)
+          timed(s"keyed overlap count join-form x$xn") {
+            val e = spark.read.parquet(s"$dir/events.parquet")
+            val aIv = e.filter(col("event_id") % 23 === 0)
+              .select(col("event_id").as("aid"), col("user_id").as("akey"),
+                (col("value") - 5.0).as("alo"), (col("value") + 5.0).as("ahi"))
+            val bIv = e.filter(col("event_id") % 7 === 0)
+              .select(col("user_id").as("bkey"),
+                (col("value") - 3.0).as("blo"), (col("value") + 3.0).as("bhi"))
+            graft.SparkEntry.withAggPrefixOff(spark) {
+              aIv.join(bIv, col("akey") === col("bkey") &&
+                  col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+                .groupBy("aid").agg(count(lit(1)).as("overlap_cnt"))
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+        for (round <- 1 to 2)
+          timed(s"keyed overlap length prefix x$xn r$round") {
+            graft.SparkEntry.queries("j7i_keyed_len")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        if (xn == 100)
+          timed(s"overlap auto-rewrite x$xn") {
+            graft.SparkEntry.queries("j7h_overlap_auto")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+      }
+    }
     // Streaming state-store provider at high key cardinality (r12): the
     // same AvailableNow dedup, 1.5M/15M DISTINCT keys of state, heap
     // provider (HDFSBacked: every key a JVM object — the thing that
