@@ -770,6 +770,18 @@ object PlanAudit {
         (p => !p.contains("Join"))))(
       SparkEntry.queries("j7j_value_extrema")(spark, dir))
 
+    // r19: KEYED value extrema — still ONE RangeValueExtrema scan
+    // (composite-order containment makes the keyed form the same
+    // machine); the equi key leads the range sort; no join anywhere
+    audit("j7k_keyed_value_extrema (one keyed range-value scan)", Seq(
+      "ONE RangeValueExtrema scan (tree + detail = ≤2 mentions)" ->
+        (p => { val n = "RangeValueExtrema".r.findAllIn(p).size
+          n >= 1 && n <= 2 }),
+      "equi key leads the range sort" -> (_.contains("_graft_k0")),
+      "range exchange feeds the scan" -> (_.contains("rangepartitioning")),
+      "no join of any kind" -> (p => !p.contains("Join"))))(
+      SparkEntry.queries("j7k_keyed_value_extrema")(spark, dir))
+
     // r19: KEYED overlap count — two KEYED one-sided prefix counts
     // (equi key leads the range sorts) plus the per-key N_B aggregate;
     // never an interval join of the two sides

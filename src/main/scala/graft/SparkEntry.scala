@@ -1431,6 +1431,28 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // J7⁹ᵏ KEYED value extrema (r19): largest/smallest event ID among
+    // THEIR events inside each user's [lo, hi] window — the full
+    // combination of the keyed band (j7g) and the arbitrary-column
+    // extrema (j7j), still ONE RangeValueExtrema scan: the equi key
+    // leads the range sort and every position is read in the
+    // COMPOSITE (key, v) order, under which the unkeyed coverage
+    // argument holds verbatim (a partition fully inside
+    // [(k,lo),(k,hi)] is necessarily pure-key, so whole-partition
+    // stats still answer containment — no per-key partition state).
+    "j7k_keyed_value_extrema" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sessions = e.filter(col("event_id") % 23 === 0)
+        .select(col("event_id").as("session_id"),
+          col("user_id").as("s_user"),
+          (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+      val points = e.select(col("user_id").as("p_user"),
+        col("value").as("v"), col("event_id").cast("int").as("f"))
+      graft.ops.RangeAgg.keyedValueExtremaInRangeAgg(points, "v", "f",
+          "p_user", sessions, "session_id", "s_user", "lo", "hi")
+        .orderBy("session_id")
+    }),
+
     // J7¹⁰ KEYED interval-overlap count (r19): per user, how many of
     // THEIR B intervals overlap each of THEIR A windows — the
     // real-world shape of the overlap query (the j7e argument). The
@@ -5569,6 +5591,18 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // j7k twin: DuckDB's equi+band join with min/max over the non-band
+    // column
+    "j7k_keyed_value_extrema" -> (
+      "WITH s AS (SELECT event_id AS session_id, user_id AS s_user, " +
+        "value - 5.0 AS lo, value + 5.0 AS hi FROM events " +
+        "WHERE event_id % 23 = 0) " +
+        "SELECT s.session_id, " +
+        "CAST(min(CAST(e.event_id AS INT)) AS DOUBLE) AS min_f, " +
+        "CAST(max(CAST(e.event_id AS INT)) AS DOUBLE) AS max_f " +
+        "FROM events e JOIN s ON e.user_id = s.s_user " +
+        "AND e.value >= s.lo AND e.value <= s.hi " +
+        "GROUP BY 1 ORDER BY 1"),
     // j7h_auto twin: the same naive SQL, validity filters included —
     // DuckDB enumerates the pairs, the engine's rewrite never does
     "j7h_overlap_auto" -> (

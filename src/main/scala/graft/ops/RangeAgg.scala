@@ -582,7 +582,38 @@ object RangeAgg {
   def valueExtremaInRangeAgg(points: DataFrame, ptCol: String,
                              fCol: String,
                              intervals: DataFrame, idCol: String,
-                             loCol: String, hiCol: String): DataFrame = {
+                             loCol: String, hiCol: String): DataFrame =
+    valueExtremaImpl(points, ptCol, fCol, intervals, idCol, loCol,
+      hiCol, None)
+
+  /** KEYED value extrema (r19): (min_f, max_f) of `fCol` over points
+    * whose `ptKeyCol` equals the interval's `ivKeyCol` AND whose
+    * `ptCol` lies in [loCol, hiCol] — "largest transfer size among
+    * THEIR events in each user's window", the full combination of the
+    * keyed band and the arbitrary-column extrema. Same single
+    * [[graft.plans.RangeValueExtrema]] scan: the equi key leads the
+    * range sort and every position is read in the COMPOSITE (key, v)
+    * order, under which the unkeyed coverage argument holds verbatim
+    * (a partition fully inside [(k, lo), (k, hi)] is necessarily
+    * pure-key and its whole-partition f extrema apply — no per-key
+    * partition statistics needed). Null keys never match; NaN keys
+    * match each other; the NaN-point branch becomes a per-key
+    * aggregate joined through the interval keys. Output:
+    * (idCol, min_f, max_f). */
+  def keyedValueExtremaInRangeAgg(points: DataFrame, ptCol: String,
+                                  fCol: String, ptKeyCol: String,
+                                  intervals: DataFrame, idCol: String,
+                                  ivKeyCol: String,
+                                  loCol: String, hiCol: String): DataFrame =
+    valueExtremaImpl(points, ptCol, fCol, intervals, idCol, loCol,
+      hiCol, Some((ptKeyCol, ivKeyCol)))
+
+  private def valueExtremaImpl(points: DataFrame, ptCol: String,
+                               fCol: String,
+                               intervals: DataFrame, idCol: String,
+                               loCol: String, hiCol: String,
+                               keyCols: Option[(String, String)])
+      : DataFrame = {
     requireClean(points, "point")
     requireClean(intervals, "interval")
     val spark = points.sparkSession
@@ -597,36 +628,62 @@ object RangeAgg {
     val id = attr(ivPlan, idCol, "interval id")
     val lo = attr(ivPlan, loCol, "interval lo")
     val hi = attr(ivPlan, hiCol, "interval hi")
+    val equiKeys = keyCols.toSeq.map { case (pkc, ikc) =>
+      (attr(ptPlan, pkc, "point key"): org.apache.spark.sql.catalyst
+        .expressions.Expression,
+        attr(ivPlan, ikc, "interval key"): org.apache.spark.sql.catalyst
+        .expressions.Expression)
+    }
     val finite = org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
       graft.plans.RangeValueExtrema.tryBuild(Seq(id), pt, fv, lo, hi,
-        ptPlan, ivPlan)
+        ptPlan, ivPlan, equiKeys)
         .getOrElse(throw new IllegalArgumentException(
           s"RangeAgg: '$ptCol'/'$fCol'/'$loCol'/'$hiCol' must be " +
             "numeric types whose double image is order-exact " +
-            "(double/float/int or narrower); got " +
-            s"${pt.dataType}/${fv.dataType}/${lo.dataType}/${hi.dataType}")))
+            "(double/float/int or narrower)" +
+            keyCols.map { case (pkc, ikc) =>
+              s" and '$pkc'/'$ikc' sort-exact equal types" }
+              .getOrElse("") +
+            s"; got ${pt.dataType}/${fv.dataType}/${lo.dataType}/" +
+            s"${hi.dataType}")))
     def floating(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
     if (!(floating(pt.dataType) && floating(hi.dataType))) return finite
     // NaN-point branch (type-gated; static-source assumption as in
-    // extremaImpl): a NaN point qualifies an interval iff hi is NaN
-    // and lo is non-null — those groups union the NaN points' f
-    // extrema into their finite answer
+    // extremaImpl): a NaN point qualifies an interval iff hi is NaN,
+    // lo is non-null and — keyed — the keys match; those groups union
+    // the (per-key) NaN points' f extrema into their finite answer
     val nanHi = intervals.filter(isnan(col(hiCol).cast("double")) &&
-      col(loCol).isNotNull)
+      col(loCol).isNotNull &&
+      keyCols.map(k => col(k._2).isNotNull).getOrElse(lit(true)))
     if (nanHi.limit(1).count() == 0) return finite
     val nanPts = points.filter(isnan(col(ptCol).cast("double")) &&
-      col(fCol).isNotNull)
+      col(fCol).isNotNull &&
+      keyCols.map(k => col(k._1).isNotNull).getOrElse(lit(true)))
     if (nanPts.limit(1).count() == 0) return finite
     // −0.0 f normalizes to +0.0 (the finite path's dbl image does the
     // same); min/max over NaN f follow the engines' shared total order
-    val nf = nanPts.agg(
-        min(col(fCol).cast("double") + lit(0.0)).as("_gx_nmin"),
-        max(col(fCol).cast("double") + lit(0.0)).as("_gx_nmax"))
-      .withColumn("_gx_j", lit(1))
-    val attach = nanHi.select(col(idCol)).distinct()
-      .withColumn("_gx_j", lit(1)).join(nf, Seq("_gx_j")).drop("_gx_j")
-      .withColumnRenamed(idCol, "_gx_id")
+    val attach = (keyCols match {
+      case None =>
+        val nf = nanPts.agg(
+            min(col(fCol).cast("double") + lit(0.0)).as("_gx_nmin"),
+            max(col(fCol).cast("double") + lit(0.0)).as("_gx_nmax"))
+          .withColumn("_gx_j", lit(1))
+        nanHi.select(col(idCol)).distinct()
+          .withColumn("_gx_j", lit(1)).join(broadcast(nf), Seq("_gx_j"))
+          .drop("_gx_j")
+      case Some((pkc, ikc)) =>
+        // per-key NaN extrema, joined through the interval keys and
+        // re-grouped per id (an id may hold instances of several keys)
+        val nf = nanPts.groupBy(col(pkc).as("_gx_nk"))
+          .agg(min(col(fCol).cast("double") + lit(0.0)).as("_gx_kmin"),
+            max(col(fCol).cast("double") + lit(0.0)).as("_gx_kmax"))
+        nanHi.select(col(idCol), col(ikc)).distinct()
+          .join(nf, col(ikc) === col("_gx_nk"))
+          .groupBy(col(idCol))
+          .agg(min(col("_gx_kmin")).as("_gx_nmin"),
+            max(col("_gx_kmax")).as("_gx_nmax"))
+    }).withColumnRenamed(idCol, "_gx_id")
     // least/greatest skip nulls and use the NaN-greatest total order —
     // exactly min/max-over-the-union semantics for the stitch
     finite.join(attach, col(idCol) <=> col("_gx_id"), "full")

@@ -54,15 +54,13 @@ import org.apache.spark.sql.types._
   * and SQL's max over a set containing NaN is NaN: all consistent with
   * the join form. −0.0 is normalized to +0.0 by the same dbl() image.
   *
-  * Scope (documented, not omission): extrema of an ARBITRARY pt-side
-  * column (`max(amount)` over events in range) are NOT a predecessor
-  * query — they need per-bin sparse tables over the value-sorted f
-  * sequence (O(n log n) build, O(1) query) and a co-partitioned
-  * two-sided exec; that stays on the join path until a fixture demands
-  * it. Keyed (equi + band) extrema also decline here: a running-last
-  * must RESET at key-run boundaries (the count/sum cancellation
-  * argument does not apply to last-value), which needs per-row key
-  * comparison in the exec. */
+  * Scope: extrema of an ARBITRARY pt-side column (`max(amount)` over
+  * events in range) are NOT a predecessor query — r19 ships them as
+  * their own plan, [[RangeValueExtrema]] (per-partition segment trees
+  * + a contained-partition table over the composite (key, v) order),
+  * keyed and unkeyed. This node stays the right machine when the
+  * aggregated value IS the point expression: one running double per
+  * scan vs buffering each partition's points. */
 object RangeExtrema {
 
   private def dbl(e: Expression): Expression =

@@ -189,8 +189,9 @@ object GraftStrategies extends SparkStrategy {
       RangeAggPrefixExec(nEquiKeys, nKeys, accOut, planLater(child)) :: Nil
     case RangeExtremaNode(nEquiKeys, nKeys, predOut, child) =>
       RangeExtremaExec(nEquiKeys, nKeys, predOut, planLater(child)) :: Nil
-    case RangeValueExtremaNode(nKeys, maxOut, minOut, child) =>
-      RangeValueExtremaExec(nKeys, maxOut, minOut, planLater(child)) :: Nil
+    case RangeValueExtremaNode(nEquiKeys, nKeys, maxOut, minOut, child) =>
+      RangeValueExtremaExec(nEquiKeys, nKeys, maxOut, minOut,
+        planLater(child)) :: Nil
     case TopKPerGroupNode(g, o, k, child, budget) =>
       // two-phase by default: the partial exec caps each mapper at k
       // rows per group, EnsureRequirements puts the group-key exchange

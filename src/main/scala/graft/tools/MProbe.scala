@@ -35,6 +35,8 @@ object MProbe {
         graft.ml.TextPipeline.kmeansBest(feat.select("features"),
           "features", 5, nInit = 1)
       }
+      println(s"[mprobe] kmeans iterations: ${km.summary.numIter}, " +
+        s"dim: ${km.clusterCenters.head.size}, n: ${feat.count()}")
       timed("label transform + sizes") {
         km.transform(feat).groupBy("prediction")
           .agg(count(lit(1)).as("n")).collect()

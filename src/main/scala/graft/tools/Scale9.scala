@@ -1306,6 +1306,11 @@ object Scale9 {
             graft.SparkEntry.queries("j7h_overlap_auto")(spark, dir)
               .write.format("noop").mode("overwrite").save()
           }
+        for (round <- 1 to 2)
+          timed(s"keyed value extrema scan x$xn r$round") {
+            graft.SparkEntry.queries("j7k_keyed_value_extrema")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
       }
     }
     // Streaming state-store provider at high key cardinality (r12): the

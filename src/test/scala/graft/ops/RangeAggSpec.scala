@@ -721,6 +721,117 @@ class RangeAggSpec extends SparkSpec {
     assert(e2.getMessage.contains("reserved"))
   }
 
+  test("KEYED value-extrema equals min/max-over-keyed-join (events fixture)") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val sessions = e.filter($"event_id" % 23 === 0)
+      .select($"event_id".as("sid"), $"user_id".as("skey"),
+        ($"value" - 5.0).as("lo"), ($"value" + 5.0).as("hi"))
+    val points = e.select($"user_id".as("pkey"), $"value".as("v"),
+      $"event_id".cast("int").as("f"))
+    val got = RangeAgg.keyedValueExtremaInRangeAgg(points, "v", "f",
+        "pkey", sessions, "sid", "skey", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val truth = points.join(sessions, $"pkey" === $"skey" &&
+        $"v" >= $"lo" && $"v" <= $"hi")
+      .groupBy("sid")
+      .agg(min($"f".cast("double")).as("min_f"),
+        max($"f".cast("double")).as("max_f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == truth && truth.nonEmpty)
+    // the key must bite: the unkeyed answer differs
+    val unkeyed = RangeAgg.valueExtremaInRangeAgg(
+        points.select("v", "f"), "v", "f",
+        sessions.select("sid", "lo", "hi"), "sid", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(unkeyed != got)
+  }
+
+  test("KEYED value-extrema brute force (NaN/null keys, NaN f, NaN bounds, seeds)") {
+    def sqlLe(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
+    def keyEq(a: java.lang.Double, b: java.lang.Double): Boolean =
+      a != null && b != null &&
+        (java.lang.Double.doubleToLongBits(a.doubleValue + 0.0) ==
+         java.lang.Double.doubleToLongBits(b.doubleValue + 0.0))
+    for (seed <- Seq(31, 32, 33)) {
+      val rng = new scala.util.Random(seed)
+      def someKey(): java.lang.Double = rng.nextInt(7) match {
+        case 0 => null
+        case 1 => Double.NaN
+        case 2 => -0.0
+        case _ => rng.nextInt(4).toDouble
+      }
+      val pts: Seq[(java.lang.Double, java.lang.Double, java.lang.Double)] =
+        (0 until 250).map { _ =>
+          (someKey(),
+            java.lang.Double.valueOf(
+              math.floor((rng.nextDouble() - 0.5) * 8000) / 100.0),
+            java.lang.Double.valueOf(
+              math.floor((rng.nextDouble() - 0.5) * 2000) / 100.0))
+        } ++ Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+          (1.0, Double.NaN, 7.5), (Double.NaN, Double.NaN, -3.25),
+          (2.0, 5.0, Double.NaN), (0.0, -0.0, -0.0),
+          (3.0, null, 1.0), (1.0, 3.0, null))
+      val ivs: Seq[(Long, java.lang.Double, Double, Double)] =
+        ((0 until 60).map { i =>
+          val lo = math.floor((rng.nextDouble() - 0.5) * 7000) / 100.0
+          ((i / 3).toLong, someKey(), lo,
+            math.floor((lo + (rng.nextDouble() - 0.2) * 40) * 100) / 100.0)
+        } :+ ((900L, 1.0: java.lang.Double, 5.0, Double.NaN))   // NaN hi
+          :+ ((901L, Double.NaN: java.lang.Double, 0.0, Double.NaN))
+          :+ ((902L, null: java.lang.Double, 0.0, 100.0)))      // null key
+      val got = RangeAgg.keyedValueExtremaInRangeAgg(
+          pts.toDF("pk", "v", "f"), "v", "f", "pk",
+          ivs.toDF("id", "ik", "lo", "hi"), "id", "ik", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+      val expected = ivs.groupBy(_._1).flatMap { case (id, rows) =>
+        val qual = for {
+          (_, ik, lo, hi) <- rows
+          (pk, v, f) <- pts
+          if v != null && f != null && keyEq(pk, ik) &&
+            sqlLe(lo, v.doubleValue) && sqlLe(v.doubleValue, hi)
+        } yield f.doubleValue
+        if (qual.isEmpty) None
+        else {
+          val mx = if (qual.exists(_.isNaN)) Double.NaN else qual.max
+          val fin = qual.filterNot(_.isNaN)
+          val mn = if (fin.isEmpty) Double.NaN else fin.min
+          Some((id, mn + 0.0, mx + 0.0))
+        }
+      }.toSet
+      def canon(s: Set[(Long, Double, Double)]) =
+        s.map { case (i, a, b) =>
+          (i, java.lang.Double.doubleToLongBits(a + 0.0),
+            java.lang.Double.doubleToLongBits(b + 0.0)) }
+      assert(canon(got) == canon(expected), s"seed=$seed")
+      assert(expected.exists(_._1 == 900L) &&
+        expected.exists(_._1 == 901L) && !expected.exists(_._1 == 902L),
+        s"seed=$seed NaN/null-key fixture")
+    }
+  }
+
+  test("KEYED value-extrema is partitioning-invariant (string keys too)") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val sessions = e.filter($"event_id" % 23 === 0)
+      .select($"event_id".as("sid"), $"event_type".as("skey"),
+        ($"value" - 5.0).as("lo"), ($"value" + 5.0).as("hi"))
+    def run(np: Int) = {
+      val points = e.select($"event_type".as("pkey"), $"value".as("v"),
+        $"event_id".cast("int").as("f")).repartition(np)
+      RangeAgg.keyedValueExtremaInRangeAgg(points, "v", "f", "pkey",
+          sessions, "sid", "skey", "lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+    // string keys: few distinct values → long multi-partition key runs,
+    // exercising the composite containment path hard
+    assert(run(1) == run(7) && run(1).nonEmpty)
+  }
+
   // ---- r19: keyed interval-overlap count + length --------------------
 
   test("keyed interval-overlap equals count-over-keyed-join (events fixture)") {
