@@ -440,7 +440,10 @@ object RangeAgg {
       Seq(col(loCol), col(hiCol))
     val a0 = left.filter(col(loCol) <= col(hiCol) &&
         finite(loCol) && finite(hiCol))
-      .select(Seq(col(idCol)) ++ keyCols.toSeq.map(k => col(k._1)) ++
+      // grouping by the key itself (keyCol == idCol) must not select
+      // the column twice — the duplicate name would break the window
+      .select(Seq(col(idCol)) ++ keyCols.toSeq.filter(_._1 != idCol)
+        .map(k => col(k._1)) ++
         Seq(col(loCol), col(hiCol)): _*)
       .withColumn("_gx_iid", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(ord: _*)))
@@ -674,12 +677,14 @@ object RangeAgg {
           .drop("_gx_j")
       case Some((pkc, ikc)) =>
         // per-key NaN extrema, joined through the interval keys and
-        // re-grouped per id (an id may hold instances of several keys)
+        // re-grouped per id (an id may hold instances of several
+        // keys). The key is aliased so idCol == ivKeyCol — grouping
+        // by the key itself — cannot produce a duplicate column name.
         val nf = nanPts.groupBy(col(pkc).as("_gx_nk"))
           .agg(min(col(fCol).cast("double") + lit(0.0)).as("_gx_kmin"),
             max(col(fCol).cast("double") + lit(0.0)).as("_gx_kmax"))
-        nanHi.select(col(idCol), col(ikc)).distinct()
-          .join(nf, col(ikc) === col("_gx_nk"))
+        nanHi.select(col(idCol), col(ikc).as("_gx_ik")).distinct()
+          .join(nf, col("_gx_ik") === col("_gx_nk"))
           .groupBy(col(idCol))
           .agg(min(col("_gx_kmin")).as("_gx_nmin"),
             max(col("_gx_kmax")).as("_gx_nmax"))

@@ -832,6 +832,37 @@ class RangeAggSpec extends SparkSpec {
     assert(run(1) == run(7) && run(1).nonEmpty)
   }
 
+  test("KEYED value-extrema: grouping by the key itself (id == key), NaN attach") {
+    // id column IS the key column — the NaN re-attach must not trip on
+    // the duplicate name (r19 self-review regression)
+    val nan = Double.NaN
+    val pts = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 5.0, 10.0), (1.0, nan, 99.0), (2.0, nan, -7.0), (2.0, 3.0, 1.0))
+      .toDF("pk", "v", "f")
+    val ivs2 = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 0.0, nan),  // key 1, NaN hi: finite {10} + NaN-pt f {99}
+      (2.0, 0.0, 5.0))  // key 2, finite only: {1}
+      .toDF("k", "lo", "hi")
+    val got = RangeAgg.keyedValueExtremaInRangeAgg(pts, "v", "f", "pk",
+        ivs2, "k", "k", "lo", "hi")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1.0, 10.0, 99.0), (2.0, 1.0, 1.0)))
+  }
+
+  test("keyed overlap LENGTH: grouping by the key itself (id == key)") {
+    val a2 = Seq((10L, 0.0, 10.0), (10L, 20.0, 30.0), (20L, 0.0, 50.0))
+      .toDF("k", "alo", "ahi")
+    val b2 = Seq((10L, 2.0, 8.0), (10L, 25.0, 40.0), (30L, 0.0, 100.0))
+      .toDF("bk", "blo", "bhi")
+    val got = RangeAgg.keyedIntervalOverlapLenAgg(a2, "k", "k",
+        "alo", "ahi", b2, "bk", "blo", "bhi")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // key 10: [0,10]∩[2,8]=6; [20,30]∩[25,40]=5 → 11; key 20 matches
+    // no same-key b (30 is a different key) → dropped
+    assert(got == Map(10L -> 11.0))
+  }
+
   // ---- r19: keyed interval-overlap count + length --------------------
 
   test("keyed interval-overlap equals count-over-keyed-join (events fixture)") {
