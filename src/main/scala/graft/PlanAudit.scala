@@ -770,6 +770,20 @@ object PlanAudit {
         (p => !p.contains("Join"))))(
       SparkEntry.queries("j7j_value_extrema")(spark, dir))
 
+    // r19: the naive min/max-over-band-join (int pt — NaN-free by
+    // type) must auto-plan the value scan, with the nullable-f count
+    // frame carrying membership; never the pair join
+    audit("j7j_value_extrema_auto (band join auto-plans value scan)", Seq(
+      "RangeValueExtrema scan planned" -> (_.contains("RangeValueExtrema")),
+      "count frame carries membership (nullable f)" ->
+        (_.contains("RangeAggPrefix")),
+      "no nested loop / cartesian (pairs never enumerated)" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      "range exchanges feed scan + frame" ->
+        (_.contains("rangepartitioning"))))(
+      SparkEntry.queries("j7j_value_extrema_auto")(spark, dir))
+
     // r19: KEYED value extrema — still ONE RangeValueExtrema scan
     // (composite-order containment makes the keyed form the same
     // machine); the equi key leads the range sort; no join anywhere

@@ -1431,6 +1431,27 @@ object SparkEntry {
         .orderBy("cust_id")
     }),
 
+    // J7⁹ᵇ value extrema in the naive SQL-join style (r19): min/max of
+    // the price among orders whose KEY (an int — NaN-free by type, the
+    // rewrite's soundness gate) lies in each probe's ±50 band. The
+    // injected rule plans the ONE RangeValueExtrema scan; the price is
+    // nullable, so membership rides a RangeAggPrefix count frame and
+    // the scan left-joins onto it (all-null groups keep their row with
+    // null extrema, exactly like the join form).
+    "j7j_value_extrema_auto" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ivs = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust_id"),
+          (col("o_orderkey") - 50).cast("int").as("lo"),
+          (col("o_orderkey") + 50).cast("int").as("hi"))
+      val pts = o.select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").as("amount"))
+      pts.join(ivs, col("k") >= col("lo") && col("k") <= col("hi"))
+        .groupBy("cust_id")
+        .agg(min(col("amount")).as("min_f"), max(col("amount")).as("max_f"))
+        .orderBy("cust_id")
+    }),
+
     // J7⁹ᵏ KEYED value extrema (r19): largest/smallest event ID among
     // THEIR events inside each user's [lo, hi] window — the full
     // combination of the keyed band (j7g) and the arbitrary-column
@@ -5591,6 +5612,18 @@ object SparkEntry {
         "ON p.o_totalprice >= i.o_totalprice - 2000.0 " +
         "AND p.o_totalprice <= i.o_totalprice + 2000.0 " +
         "WHERE i.o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"),
+    // j7j_auto twin: DuckDB's IEJoin over the int key band
+    "j7j_value_extrema_auto" -> (
+      "WITH i AS (SELECT o_custkey AS cust_id, " +
+        "CAST(o_orderkey - 50 AS INT) AS lo, " +
+        "CAST(o_orderkey + 50 AS INT) AS hi " +
+        "FROM orders WHERE o_orderkey % 97 = 0) " +
+        "SELECT i.cust_id, min(p.o_totalprice) AS min_f, " +
+        "max(p.o_totalprice) AS max_f " +
+        "FROM orders p JOIN i " +
+        "ON CAST(p.o_orderkey AS INT) >= i.lo " +
+        "AND CAST(p.o_orderkey AS INT) <= i.hi " +
+        "GROUP BY 1 ORDER BY 1"),
     // j7k twin: DuckDB's equi+band join with min/max over the non-band
     // column
     "j7k_keyed_value_extrema" -> (

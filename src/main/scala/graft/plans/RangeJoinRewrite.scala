@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule for pure band (interval-containment) inner joins,
   * with two rewrites tried in order of strength:
@@ -72,6 +72,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * (and silently diverging on (NaN point, NaN hi) inputs is exactly
   * the class of default-ON rewrite bug the r17 advice flagged).
   * Users reach the fast plan by calling the operator.
+  *
+  * min/max of an ARBITRARY pt-side column (r19) IS auto-rewritten —
+  * to the [[RangeValueExtrema]] scan — but ONLY when the POINT
+  * column's type cannot hold NaN (int/short/byte): the NaN-point
+  * re-attach is the one piece that needs a data probe, and a
+  * non-floating pt precludes NaN points entirely while NaN *bounds*
+  * are handled in-plan (a NaN hi maps to +∞, a NaN lo self-excludes —
+  * RangeValueExtrema's scaladoc). Floating pt declines to the join
+  * path with the operator as the user's route, same argument as
+  * min/max(pt) above. Nullable f is exact through a count-frame
+  * stitch: group MEMBERSHIP in the join form is "≥1 qualifying
+  * point" regardless of f's nulls, so a RangeAggPrefix count frame
+  * carries the groups and the value scan left-joins onto it — a group
+  * whose qualifying points all have null f keeps its row with null
+  * extrema, exactly as SQL's min/max-over-nulls does.
   *
   * Strict bounds are accepted: the binned form keeps the ORIGINAL
   * condition verbatim after the bin equality (binning only prunes
@@ -290,6 +305,129 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             }
             RangeAggPrefix.tryBuild(g2, a2, b.pt, b.lo, b.hi,
               b.loStrict, b.hiStrict, ptPlan, ivPlan, keys)
+              .orElse(tryValueExtrema(g2, a2, b, keys, ptPlan, ivPlan))
+  }
+
+  /** Rewrite 1b (r19): min/max of an ARBITRARY pt-side column over a
+    * (keyed) band join → ONE [[RangeValueExtrema]] scan — the auto
+    * path to [[graft.ops.RangeAgg.valueExtremaInRangeAgg]]:
+    *
+    *   Aggregate(iv keys, min(f)/max(f),
+    *     Join(pt, iv, Inner, [ptK = ivK AND] lo <= pt AND pt <= hi))
+    *
+    * Fires only when the POINT column's type cannot hold NaN
+    * (int/short/byte) — see the object scaladoc for the argument —
+    * and for inclusive bounds, grouped aggregates, and Min/Max (non-
+    * distinct, unfiltered) of ONE pt-side order-exact expression.
+    *
+    * Nullable f: the join form keeps a group whose qualifying points
+    * ALL have null f (with null extrema), while the scan's inner
+    * filter would drop it — so membership comes from a
+    * [[RangeAggPrefix]] COUNT frame and the scan left-joins onto it
+    * through fresh aliases (the join's output attributes are
+    * referenced, not the pre-join ones — the EliminateOuterJoin
+    * nullability trap the overlap rewrite documents). A non-nullable
+    * f skips the count frame: scan membership (≥1 non-null-f
+    * qualifying point) coincides with pair membership. Extrema are
+    * computed in the double image and cast back to the aggregate's
+    * own type — exact for every order-exact type. */
+  private def tryValueExtrema(g: Seq[Expression], a: Seq[NamedExpression],
+                              b: Band,
+                              keys: Seq[(Expression, Expression)],
+                              ptPlan: LogicalPlan, ivPlan: LogicalPlan)
+      : Option[LogicalPlan] = {
+    if (b.loStrict || b.hiStrict || g.isEmpty) return None
+    // NaN-point preclusion: only a non-floating pt type is sound for a
+    // pure logical rewrite (the operator's data probe handles the rest)
+    b.pt.dataType match {
+      case IntegerType | ShortType | ByteType =>
+      case _ => return None
+    }
+    val gAttrs: Seq[Attribute] = g.map {
+      case at: Attribute if ivPlan.outputSet.contains(at) => at
+      case _ => return None
+    }
+    // every aggregate: Min/Max of ONE pt-side order-exact expression
+    var fExpr: Option[Expression] = None
+    def fOk(e: Expression): Boolean = {
+      if (!e.deterministic || e.references.isEmpty ||
+        !e.references.subsetOf(ptPlan.outputSet)) false
+      else fExpr match {
+        case Some(f0) => f0.semanticEquals(e)
+        case None => e.dataType match {
+          case DoubleType | FloatType | IntegerType | ShortType |
+               ByteType => fExpr = Some(e); true
+          case _ => false
+        }
+      }
+    }
+    var ok = true
+    a.foreach {
+      case at: Attribute => if (!gAttrs.contains(at)) ok = false
+      case al: Alias => al.child.foreach {
+        case ae: AggregateExpression =>
+          if (ae.isDistinct || ae.filter.isDefined) ok = false
+          else ae.aggregateFunction match {
+            case Min(e) => if (!fOk(e)) ok = false
+            case Max(e) => if (!fOk(e)) ok = false
+            case _ => ok = false
+          }
+        case _ =>
+      }
+      case _ => ok = false
+    }
+    if (!ok) return None
+    val f = fExpr.getOrElse(return None)
+
+    RangeValueExtrema.tryBuild(gAttrs, b.pt, f, b.lo, b.hi,
+      ptPlan, ivPlan, keys).flatMap { scanPlan =>
+      val minA = scanPlan.output(gAttrs.length)
+      val maxA = scanPlan.output(gAttrs.length + 1)
+      // stitch target: (plan providing group rows, min attr, max attr)
+      val stitched: Option[(LogicalPlan, Attribute, Attribute)] =
+        if (!f.nullable) Some((scanPlan, minA, maxA))
+        else {
+          val cntAl = Alias(AggregateExpression(Count(Seq(Literal(1L))),
+            Complete, isDistinct = false), "_graft_vx_cnt")()
+          RangeAggPrefix.tryBuild(gAttrs,
+            (gAttrs: Seq[NamedExpression]) :+ cntAl, b.pt, b.lo, b.hi,
+            loStrict = false, hiStrict = false, ptPlan, ivPlan, keys)
+            .map { cntPlan =>
+              val keyAl = gAttrs.map(k => Alias(k, k.name)())
+              val minAl = Alias(minA, "min_f")()
+              val maxAl = Alias(maxA, "max_f")()
+              val scanW = Project(keyAl ++ Seq(minAl, maxAl), scanPlan)
+              val cond = gAttrs.zip(keyAl.map(_.toAttribute)).map {
+                case (l, r) => EqualNullSafe(l, r): Expression
+              }.reduce(And(_, _))
+              val j = Join(cntPlan, scanW, LeftOuter, Some(cond),
+                JoinHint.NONE)
+              def outAttr(x: Attribute): Attribute =
+                j.output.find(_.exprId == x.exprId).get
+              (j, outAttr(minAl.toAttribute), outAttr(maxAl.toAttribute))
+            }
+        }
+      stitched.flatMap { case (base, minJ, maxJ) =>
+        val outList = a.map {
+          case at: Attribute => at
+          case al: Alias =>
+            val nt = al.child.transformUp {
+              case ae: AggregateExpression => ae.aggregateFunction match {
+                case Min(_) => Cast(minJ, ae.dataType)
+                case Max(_) => Cast(maxJ, ae.dataType)
+                case _ => ae
+              }
+            }
+            Alias(nt, al.name)(al.exprId, al.qualifier,
+              al.explicitMetadata, al.nonInheritableMetadataKeys)
+          case other => other
+        }
+        val legal = AttributeSet(gAttrs ++ Seq(minJ, maxJ))
+        if (outList.forall(_.references.subsetOf(legal)))
+          Some(Project(outList, base))
+        else None
+      }
+    }
   }
 
   /** One conjunct as a NON-STRICT x ≤ y (either spelling). Strict

@@ -527,6 +527,95 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- r19: min/max(f)-over-band-join auto rewrite -------------------
+
+  test("min/max of a NON-point column over an int-pt band join plans the value scan") {
+    val pts = Seq((1, 10.5), (5, -2.0), (7, 99.0), (12, 3.25), (20, 7.0))
+      .toDF("k", "amount")
+    val ivs = Seq((100L, 0, 8), (200L, 6, 15), (300L, 30, 40))
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid")
+      .agg(min(col("amount")).as("mn"), max(col("amount")).as("mx"))
+    val p = plan(q())
+    assert(p.contains("RangeValueExtrema"), p)
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    val got = q().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val truth = withPrefixOff(q().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
+    assert(got == truth)
+    // [0,8]: k∈{1,5,7} → (−2, 99); [6,15]: k∈{7,12} → (3.25, 99)
+    assert(got == Set((100L, -2.0, 99.0), (200L, 3.25, 99.0)))
+  }
+
+  test("value-extrema rewrite: nullable f keeps all-null groups via the count frame") {
+    val pts = Seq[(Integer, java.lang.Double)]((1, null), (2, null),
+      (10, 5.0), (11, null)).toDF("k", "amount")
+    val ivs = Seq((100L, 0, 5), (200L, 9, 12), (300L, 50, 60))
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid").agg(max(col("amount")).as("mx"))
+    val p = plan(q())
+    assert(p.contains("RangeValueExtrema") && p.contains("RangeAggPrefix"), p)
+    val got = q().collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val truth = withPrefixOff(q().collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap)
+    assert(got == truth)
+    // group 100's qualifying points are ALL null-f: row kept, extrema
+    // null — exactly the join form; group 300 matches nothing: dropped
+    assert(got == Map(100L -> None, 200L -> Some(5.0)))
+  }
+
+  test("value-extrema rewrite: KEYED band fires; floating pt and mixed aggs decline") {
+    val pts = Seq((1L, 3, 10.0), (1L, 7, 20.0), (2L, 3, 99.0))
+      .toDF("pk", "k", "amount")
+    val ivs = Seq((100L, 1L, 0, 8), (200L, 2L, 0, 8))
+      .toDF("iid", "ik", "lo", "hi")
+    def keyedQ() = pts.join(ivs, col("pk") === col("ik") &&
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid").agg(max(col("amount")).as("mx"))
+    assert(plan(keyedQ()).contains("RangeValueExtrema"), plan(keyedQ()))
+    assert(keyedQ().collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet == Set((100L, 20.0), (200L, 99.0)))
+    // floating pt: NaN points would need the operator's data probe —
+    // the pure logical rewrite must decline
+    val dpts = Seq((3.0, 10.0), (7.0, 20.0)).toDF("k", "amount")
+    val divs = Seq((100L, 0.0, 8.0)).toDF("iid", "lo", "hi")
+    def dq() = dpts.join(divs,
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid").agg(max(col("amount")).as("mx"))
+    assert(!plan(dq()).contains("RangeValueExtrema"))
+    // mixed count + extrema: neither rewrite owns it — join stands,
+    // answer still correct
+    def mixedQ() = pts.join(ivs, col("pk") === col("ik") &&
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid")
+      .agg(count(lit(1)).as("c"), max(col("amount")).as("mx"))
+    assert(!plan(mixedQ()).contains("RangeValueExtrema") &&
+      !plan(mixedQ()).contains("RangeAggPrefix"))
+    assert(mixedQ().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((100L, 2L, 20.0), (200L, 1L, 99.0)))
+  }
+
+  test("value-extrema rewrite: int f casts back exactly; strict bounds decline") {
+    val pts = Seq((1, 100), (5, -7), (7, 42)).toDF("k", "score")
+    val ivs = Seq((10L, 0, 6), (20L, 6, 9)).toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy("iid").agg(min(col("score")).as("mn"))
+    assert(plan(q()).contains("RangeValueExtrema"))
+    val got = q().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((10L, -7), (20L, 42))) // IntegerType preserved
+    def strictQ() = pts.join(ivs,
+        col("k") > col("lo") && col("k") <= col("hi"))
+      .groupBy("iid").agg(min(col("score")).as("mn"))
+    assert(!plan(strictQ()).contains("RangeValueExtrema"))
+    assert(strictQ().collect().map(r => (r.getLong(0), r.getInt(1)))
+      .toSet == Set((10L, -7), (20L, 42)))
+  }
+
   // ---- r19: count-over-overlap-join auto rewrite ---------------------
   // fixtures go through parquet: a LocalRelation's filters are
   // constant-folded by ConvertToLocalRelation before the rule could
