@@ -170,6 +170,12 @@ object RestFixture {
     // append-only log of every batch ever staged (key → record count):
     // lets specs pin the BATCHING behavior, which published totals can't
     private[RestFixture] val stagedLog = new ConcurrentHashMap[String, Int]()
+    // job tags whose staging scope was aborted: a /staging that races
+    // past its job's /abort (task succeeded after the job failed, or the
+    // HTTP requests reordered) must be dropped, not resurrected — the
+    // tombstone makes "aborted scope is empty" final
+    private[RestFixture] val abortedPrefixes =
+      ConcurrentHashMap.newKeySet[String]()
     def stagedKeys: Set[String] = {
       import scala.jdk.CollectionConverters._
       staged.keySet.asScala.toSet
@@ -183,6 +189,7 @@ object RestFixture {
       * without accumulating (one server context per JVM, not per run). */
     def reset(): Unit = synchronized {
       staged.clear(); stagedLog.clear(); published.clear()
+      abortedPrefixes.clear()
     }
   }
 
@@ -210,9 +217,18 @@ object RestFixture {
             case "/staging" =>
               val key = node.get("key").asText
               val records = node.get("records")
-              sk.staged.put(key, records)
-              sk.stagedLog.put(key, records.size)
-              respond(200, """{"ok":true}""")
+              // under the Sink lock so a concurrent prefix-abort's
+              // sweep + tombstone and this put cannot interleave
+              sk.synchronized {
+                if (sk.abortedPrefixes.stream
+                      .anyMatch(p => key.startsWith(p))) {
+                  respond(200, """{"ok":false,"dropped":"aborted scope"}""")
+                } else {
+                  sk.staged.put(key, records)
+                  sk.stagedLog.put(key, records.size)
+                  respond(200, """{"ok":true}""")
+                }
+              }
             case "/commit" =>
               // atomic publish of the listed keys, idempotent on replay
               // (a missing key was already published or aborted)
@@ -230,8 +246,21 @@ object RestFixture {
               }
               respond(200, """{"ok":true}""")
             case "/abort" =>
-              val ks = node.get("keys")
-              (0 until ks.size).foreach(i => sk.staged.remove(ks.get(i).asText))
+              // two forms: {"keys":[...]} (task-level, exact keys) and
+              // {"prefix":"j<tag>-"} (job-level, whole staging scope +
+              // tombstone so late staging cannot resurrect the scope)
+              sk.synchronized {
+                val ks = node.get("keys")
+                if (ks != null)
+                  (0 until ks.size)
+                    .foreach(i => sk.staged.remove(ks.get(i).asText))
+                val prefix = node.get("prefix")
+                if (prefix != null) {
+                  val p = prefix.asText
+                  sk.abortedPrefixes.add(p)
+                  sk.staged.keySet.removeIf(k => k.startsWith(p))
+                }
+              }
               respond(200, """{"ok":true}""")
             case _ => respond(404, "")
           }

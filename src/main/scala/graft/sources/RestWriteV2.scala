@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.StructType
   * exactly-once recipe for a non-transactional endpoint:
   *
   *  - Each task streams its rows out in `batchRows`-sized staged batches
-  *    under an idempotency key `p<partition>-t<task>-b<seq>` — bounded
-  *    memory per task, and a retried/speculative attempt stages under a
-  *    DIFFERENT task id, so duplicates can never mix.
+  *    under an idempotency key `j<job>-p<partition>-t<task>-b<seq>` —
+  *    bounded memory per task, and a retried/speculative attempt stages
+  *    under a DIFFERENT task id, so duplicates can never mix; the job
+  *    tag scopes ALL of a write's staging for prefix cleanup on abort.
   *  - Spark delivers exactly ONE commit message per partition; the
   *    driver's job commit publishes exactly the keys those winning
   *    attempts staged, in one atomic `/commit`. Staged batches from lost
@@ -43,9 +44,19 @@ case class RestCommitMessage(keys: Seq[String], rows: Long)
 
 class RestBatchWrite(url: String, schema: StructType, batchRows: Int)
     extends BatchWrite {
+  // job-unique staging scope: every key this write stages carries the
+  // tag, so the job-level abort can clear the write's ENTIRE staging by
+  // prefix. Message-listed keys alone are incomplete: a task that
+  // task-commits in the window after the job has already failed never
+  // delivers its message to the driver (null slot in abort()) and never
+  // runs task-level abort — its staged batches would orphan forever
+  // (observed as a RestWriteSpec race under local[32]).
+  private val jobTag: String =
+    java.util.UUID.randomUUID.toString.substring(0, 8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new RestDataWriterFactory(url, schema, batchRows)
+    new RestDataWriterFactory(url, schema, batchRows, jobTag)
 
   private def keysOf(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.toSeq.collect { case RestCommitMessage(ks, _) => ks }.flatten
@@ -57,23 +68,26 @@ class RestBatchWrite(url: String, schema: StructType, batchRows: Int)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     postKeys("commit", keysOf(messages))
 
-  // abort may receive nulls for tasks that never committed — their own
-  // task-level abort already dropped their staging; clean the rest
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val ks = keysOf(messages.filter(_ != null))
-    if (ks.nonEmpty) postKeys("abort", ks)
-  }
+  // abort may receive nulls for tasks that never committed. Their own
+  // task-level abort drops their staging for the usual failure orders,
+  // but NOT when the task succeeded after the job had already failed —
+  // so the job abort clears the write's whole staging scope by prefix
+  // (and the sink tombstones the tag, so staging still in flight when
+  // the abort lands cannot resurrect it).
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RestHttp.postJson(s"$url/abort", s"""{"prefix":"j$jobTag-"}""")
 }
 
-class RestDataWriterFactory(url: String, schema: StructType, batchRows: Int)
+class RestDataWriterFactory(url: String, schema: StructType, batchRows: Int,
+                            jobTag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new RestDataWriter(url, schema, batchRows, partitionId, taskId)
+    new RestDataWriter(url, schema, batchRows, jobTag, partitionId, taskId)
 }
 
 class RestDataWriter(url: String, schema: StructType, batchRows: Int,
-                     partitionId: Int, taskId: Long)
+                     jobTag: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   require(batchRows > 0, s"batchRows must be positive, got $batchRows")
 
@@ -100,7 +114,7 @@ class RestDataWriter(url: String, schema: StructType, batchRows: Int,
 
   private def flushBatch(): Unit = {
     if (inBatch == 0) return
-    val key = s"p$partitionId-t$taskId-b$seq"
+    val key = s"j$jobTag-p$partitionId-t$taskId-b$seq"
     RestHttp.postJson(s"$url/staging",
       s"""{"key":"$key","records":[$batch]}""")
     keys += key

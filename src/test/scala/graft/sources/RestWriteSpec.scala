@@ -43,13 +43,35 @@ class RestWriteSpec extends SparkSpec {
         .otherwise(raise_error(lit("boom"))).as("state"))
     intercept[Exception] { writeTo(sink, df) }
     assert(sink.publishedCount == 0, s"published=${sink.publishedCount}")
-    // the cleanup paths ran too: successful tasks' staged batches were
-    // /abort-ed by the job-level abort, the failed task's by its own —
-    // no orphaned staging left behind
+    // the cleanup paths ran too: the job-level abort clears the write's
+    // whole job-tagged staging scope by prefix — including batches of a
+    // task that task-committed AFTER the job had already failed, whose
+    // message never reaches the driver and whose task abort never runs
+    // (the key-list-only form raced exactly there) — so no orphaned
+    // staging is left behind in ANY completion order
     assert(sink.stagedKeys.isEmpty, sink.stagedKeys)
     // and batches WERE staged before the failure (the assert above isn't
     // vacuous): the three surviving partitions logged their staging
     assert(sink.stagedBatchSizes.nonEmpty)
+  }
+
+  test("prefix abort tombstones the scope: late staging cannot resurrect it") {
+    import graft.sources.v2.RestHttp
+    val sink = RestFixture.sink(pageSize = 10)
+    RestHttp.postJson(s"${sink.url}/staging",
+      """{"key":"jdead-p0-t1-b0","records":[{"id":1,"state":"x"}]}""")
+    assert(sink.stagedKeys == Set("jdead-p0-t1-b0"))
+    RestHttp.postJson(s"${sink.url}/abort", """{"prefix":"jdead-"}""")
+    assert(sink.stagedKeys.isEmpty)
+    // the race the tombstone closes: a task that outlives the job abort
+    // stages another batch — it must be dropped, not stored
+    RestHttp.postJson(s"${sink.url}/staging",
+      """{"key":"jdead-p1-t2-b0","records":[{"id":2,"state":"y"}]}""")
+    assert(sink.stagedKeys.isEmpty, sink.stagedKeys)
+    // an unrelated job's staging is untouched by the tombstone
+    RestHttp.postJson(s"${sink.url}/staging",
+      """{"key":"jlive-p0-t3-b0","records":[{"id":3,"state":"z"}]}""")
+    assert(sink.stagedKeys == Set("jlive-p0-t3-b0"))
   }
 
   test("batching: rows stream out in pageSize-sized staged batches") {
