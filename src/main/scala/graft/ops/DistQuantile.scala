@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *      never values — and the driver walks the (tiny) histogram to find
   *      the bin holding each target rank;
   *   3. when a state's bin population ≤ `collectThreshold`, one final
-  *      pass collects JUST that bin's values (bounded by construction)
-  *      and reads the exact rank values out of the sorted slice.
+  *      pass collects JUST the terminal bins' values (bounded by
+  *      construction; all terminal bins of a level share the one pass)
+  *      and reads the exact rank values out of the sorted slices.
   *
   * Every rank lands in ≤ `maxLevels` + 2 full scans of a single pruned
   * column, all aggregation is map-side partial, the driver holds
@@ -50,16 +51,33 @@ object DistQuantile {
   def valuesAtRanks(df: DataFrame, c: String, ranks: Seq[Long],
                     buckets: Int = 4096, collectThreshold: Int = 100000,
                     maxLevels: Int = 8): Map[Long, Double] = {
-    require(ranks.nonEmpty)
+    val (base, n, lo, hi) = headPass(df, c)
+    resolveRanks(base, c, n, lo, hi, ranks, buckets, collectThreshold,
+      maxLevels)
+  }
+
+  /** The one (count, min, max) pass every search starts from — shared by
+    * [[valuesAtRanks]] and [[quantiles]] so the probability → rank
+    * derivation doesn't pay its own full count pass (it used to: one
+    * count() job plus this head was two scans saying the same n). */
+  private def headPass(df: DataFrame, c: String)
+      : (DataFrame, Long, Double, Double) = {
     val v = col(c).cast("double")
     val base = df.select(v.as("v")).filter(v.isNotNull && !isnan(v))
     val head = base.agg(count(lit(1)).as("n"), min("v").as("lo"),
       max("v").as("hi")).head()
     val n = head.getLong(0)
     require(n > 0, s"no non-null values in $c")
+    (base, n, head.getDouble(1), head.getDouble(2))
+  }
+
+  private def resolveRanks(base: DataFrame, c: String, n: Long,
+                           globalLo: Double, globalHi: Double,
+                           ranks: Seq[Long], buckets: Int,
+                           collectThreshold: Int, maxLevels: Int)
+      : Map[Long, Double] = {
+    require(ranks.nonEmpty)
     ranks.foreach(r => require(r >= 0 && r < n, s"rank $r out of [0,$n)"))
-    val globalLo = head.getDouble(1)
-    val globalHi = head.getDouble(2)
     // ±Inf breaks equal-width bucketing (every value lands in bucket 0 and
     // the range never narrows) — fail fast with a actionable message
     // instead of a non-convergence error 8 levels later
@@ -85,14 +103,27 @@ object DistQuantile {
       flat.foreach { case (s, (lo, _)) => resolved(s.rank) = lo }
       val big = live.filter(_._1.inBin > collectThreshold)
       val small = live.filterNot(_._1.inBin > collectThreshold)
-      // terminal states: collect each bin's (bounded) values once, share
-      // the slice across ranks that landed in the same bin
-      small.groupBy(_._1.pred.toString).foreach { case (_, group) =>
-        val s0 = group.head._1
-        val values = base.filter(s0.pred).select("v")
-          .collect().map(_.getDouble(0)).sorted
-        group.foreach { case (s, _) =>
-          resolved(s.rank) = values((s.rank - s.countBelow).toInt)
+      // terminal states: collect every terminal bin's (bounded) values in
+      // ONE combined pass — each row emits the group ids of the bins it
+      // sits in — instead of one full filtered scan per distinct bin
+      // (three quartile ranks usually land in three bins: that was three
+      // extra column scans per level). The slice is shared across ranks
+      // that landed in the same bin, as before.
+      val groups = small.groupBy(_._1.pred.toString).values.toSeq
+      if (groups.nonEmpty) {
+        val tags = groups.zipWithIndex.map { case (g, i) =>
+          when(g.head._1.pred, lit(i))
+        }
+        val byGid = base
+          .select(explode(array(tags: _*)).as("gid"), col("v"))
+          .filter(col("gid").isNotNull)
+          .collect()
+          .groupBy(_.getInt(0))
+        groups.zipWithIndex.foreach { case (group, i) =>
+          val values = byGid(i).map(_.getDouble(1)).sorted
+          group.foreach { case (s, _) =>
+            resolved(s.rank) = values((s.rank - s.countBelow).toInt)
+          }
         }
       }
       states = big
@@ -150,11 +181,15 @@ object DistQuantile {
   def quantiles(spark: SparkSession, df: DataFrame, c: String,
                 probs: Seq[(Double, String)] = Seq(0.25 -> "p25",
                   0.5 -> "p50", 0.75 -> "p75")): DataFrame = {
-    val n = df.filter(col(c).isNotNull && !isnan(col(c).cast("double"))).count()
+    // n comes from the SAME (count, min, max) head pass the rank search
+    // starts from — a separate count() here was a second full scan of
+    // the column answering the question the head already answers
+    val (base, n, lo, hi) = headPass(df, c)
     val idx = probs.map { case (p, _) => p * (n - 1) }
     val ranks = idx.flatMap(i =>
       Seq(math.floor(i).toLong, math.ceil(i).toLong)).distinct
-    val at = valuesAtRanks(df, c, ranks)
+    val at = resolveRanks(base, c, n, lo, hi, ranks,
+      buckets = 4096, collectThreshold = 100000, maxLevels = 8)
     val cols = probs.zip(idx).map { case ((_, name), i) =>
       val floorV = at(math.floor(i).toLong)
       val ceilV = at(math.ceil(i).toLong)

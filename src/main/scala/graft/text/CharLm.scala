@@ -34,17 +34,33 @@ object CharLm {
         expr("substring(text, i, 2)").as("pre"): _*)
 
   /** Trigram and prefix count tables from a training frame, plus the
-    * training alphabet size: ((tri, n_tri), (pre, n_pre), A). */
+    * training alphabet size: ((tri, n_tri), (pre, n_pre), A).
+    *
+    * ONE corpus pass: only the trigram counts aggregate the corpus; the
+    * prefix counts and the alphabet both derive EXACTLY from that
+    * alphabet-bounded (≤ A³ rows) table —
+    *  - every position i ∈ [1, len−2] carries both a 3-char `tri` and
+    *    its 2-char `pre` = substring(tri, 1, 2), so
+    *    n_pre(p) = Σ n_tri(t) over t with prefix p;
+    *  - every char of a length ≥ 3 doc sits inside at least one trigram
+    *    window (i ≤ j ≤ i+2 has a solution in [1, len−2] for every j),
+    *    and trigram chars ⊆ doc chars, so the distinct-char sets are
+    *    equal.
+    * The previous form paid three full training passes (tri groupBy,
+    * pre groupBy, per-CHAR explode + distinct for A). The aggregate is
+    * localCheckpointed (alphabet-bounded, KBs–MBs) so the corpus pass
+    * runs once even though the table feeds two joins plus the alphabet
+    * count downstream. */
   def train(df: DataFrame, textCol: String)
       : (DataFrame, DataFrame, Long) = {
     val pos = positions(df.select(col(textCol).as("text")), Nil)
     val triCounts = pos.groupBy("tri").agg(count(lit(1)).as("n_tri"))
-    val preCounts = pos.groupBy("pre").agg(count(lit(1)).as("n_pre"))
-    // alphabet over the SAME length>=3 frame the positions come from —
-    // a sub-trigram doc carrying a unique char must not change A (the
-    // DuckDB twin derives A from its length-filtered tr CTE)
-    val alphabet = df.filter(length(col(textCol)) >= 3)
-      .select(explode(split(col(textCol), "")).as("ch"))
+      .localCheckpoint(true)
+    val preCounts = triCounts
+      .groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(sum("n_tri").as("n_pre"))
+    val alphabet = triCounts
+      .select(explode(split(col("tri"), "")).as("ch"))
       .filter(col("ch") =!= "").distinct().count()
     (triCounts, preCounts, alphabet)
   }
