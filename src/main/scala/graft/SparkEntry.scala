@@ -109,6 +109,10 @@ object SparkEntry {
 
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(s)
+    // deliberately NOT fanned out: llm_cdc_chunks pins a zero-Exchange
+    // kernel-scan plan and llm_cdc_dedup pins "no text crosses an
+    // exchange" (PlanAudit) — those 100-TB contracts outrank fixture
+    // parallelism here
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         call_function("graft_cdc_cuts", col("text"),
@@ -183,6 +187,8 @@ object SparkEntry {
 
   /** Whitespace tokens of the documents table (the corpus test fixture). */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
+    // fanOut lives in the Tfidf operators (termFreq/docFreqIdf/tokenLong),
+    // not here — fanning both places would stack two identical exchanges
     t(s, dir, "documents")
       .select(col("doc_id"), Clean.splitWs(col("text")).as("tokens"))
 
@@ -1022,7 +1028,8 @@ object SparkEntry {
     "f16_hof_map" -> ((s, dir) => {
       val toks = array_distinct(
         graft.text.Clean.splitWs(lower(col("text"))))
-      t(s, dir, "documents")
+      // fanOut: per-row map-building HOFs are the whole cost
+      Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
         .where(trim(col("text")) =!= "")
         .select(col("doc_id"),
           map_from_arrays(toks, transform(toks, t => length(t)))
@@ -2830,16 +2837,20 @@ object SparkEntry {
     // At sf10 this cuts the oracle's md5 bill and the 54M-row compare
     // by the stride (31)
     "llm_winnow_fingerprint" -> ((s, dir) =>
-      winnowSampledDocs(s, dir).select(col("doc_id"),
-        explode(call_function("graft_winnow",
-          col("text"), lit(8), lit(4))).as("fp"))
+      // fanOut here, NOT in winnowSampledDocs: llm_winnow_kr_core shares
+      // the helper and pins a zero-Exchange plan (PlanAudit gate)
+      Tables.fanOut(winnowSampledDocs(s, dir), col("doc_id"))
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow",
+            col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
     // Karp-Rabin rolling-hash winnow — the production-constant variant
     // (O(1) per slide vs O(k) md5 digest); exact DuckDB twin via the
     // closed per-position polynomial form (winnowKrSql), plus
     // WinnowSpec's guarantee + brute-force parity
     "llm_winnow_kr_fingerprint" -> ((s, dir) =>
-      winnowSampledDocs(s, dir).select(col("doc_id"),
+      Tables.fanOut(winnowSampledDocs(s, dir), col("doc_id"))
+        .select(col("doc_id"),
         explode(call_function("graft_winnow_kr",
           col("text"), lit(8), lit(4))).as("fp"))
         .orderBy("doc_id", "fp")),
@@ -3402,9 +3413,12 @@ object SparkEntry {
     // the same rule table (Clean.TreebankRules) so they cannot drift;
     // tokens US-joined (array cells don't hash in the comparator)
     "f7_tokenize_full" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        array_join(Clean.tokenizeTreebankFull(col("text")), "")
-          .as("tokens"))
+      // fanOut: the ~30-rule regex cascade per row is the whole cost —
+      // single-task on the unsplittable fixture file otherwise
+      Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          array_join(Clean.tokenizeTreebankFull(col("text")), "")
+            .as("tokens"))
         .orderBy("doc_id")),
     // exact difflib/fuzzywuzzy parity form (native kernel; DuckDB has no
     // SequenceMatcher, so the oracle is a golden-VALUES twin

@@ -42,6 +42,47 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Scale-adaptive fan-out for heavy per-row compute after a scan that
+    * CANNOT be split: a table whose entire input fits inside one scan
+    * split (one small file, one parquet row group — the fixture shape,
+    * and the "one huge unsplittable file" input-skew case in general)
+    * runs its whole map stage as a SINGLE task, serializing explodes,
+    * kernels and joins no matter how many cores the session has. When
+    * that is the case, buy parallelism with ONE exchange of the (by
+    * definition small) input, hash-partitioned on `key` so a downstream
+    * groupBy(key) reuses the partitioning instead of adding a second
+    * exchange — and, because every key group stays whole inside one
+    * partition, per-group aggregation order (hence any floating-point
+    * accumulation) is bit-identical to the single-task plan.
+    *
+    * At scale this is a structural NO-OP: any input bigger than one scan
+    * split (≤ 128 MB by default) already gives the map stage its
+    * parallelism, and the frame is returned untouched — so the exchange
+    * can never become a payload shuffle of a large table. Partition
+    * count comes from spark.sql.shuffle.partitions (session-derived),
+    * not a local constant. */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    // streaming frames (no inputFiles) and non-file sources: no-op —
+    // their parallelism is the source's business
+    val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
+    val bytes = files.map { p =>
+      try new java.io.File(new java.net.URI(p)).length
+      catch { case _: Exception => Long.MaxValue / 1024 }
+    }.sum
+    val oneSplit = try {
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    } catch { case _: Exception => 128L * 1024 * 1024 }
+    if (files.nonEmpty && bytes <= oneSplit) {
+      // explicit partition count: without it AQE treats the exchange as
+      // coalescible and folds the (tiny-bytes, heavy-compute-downstream)
+      // shuffle straight back to ONE partition — the advisory size knows
+      // bytes, not the compute the rows fan into
+      val n = try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+              catch { case _: Exception => df.sparkSession.sparkContext.defaultParallelism }
+      df.repartition(n, key)
+    } else df
+  }
+
   /** Exact decimal image of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

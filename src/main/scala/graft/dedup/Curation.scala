@@ -45,7 +45,11 @@ object Curation {
           Clean.splitWs(lower(col(textCol))), n))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
     val evalGrams = grams(evalDocs).select("gram_h").distinct()
-    val hits = grams(docs)
+    // fanOut keyed on doc_id: on an unsplittable input the train-side
+    // gram explode + broadcast probe would run single-task; the keyed
+    // exchange is reused by groupBy(doc_id), and per-doc counts are
+    // order-independent — identical results
+    val hits = grams(graft.core.Tables.fanOut(docs, col(idCol)))
       .join(broadcast(evalGrams), Seq("gram_h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
@@ -98,8 +102,11 @@ object Curation {
     // the sliding-window kernel is the codegen'd native graft_gram_hits
     // (it was a ScalaUDF closure until r8 — the per-row Catalyst
     // array→Seq conversion was the scan's hottest non-kernel cost); the
-    // sorted hash set rides the plan as a foldable literal
-    docs.select(col(idCol).as("doc_id"),
+    // sorted hash set rides the plan as a foldable literal.
+    // fanOut: pure projection — single-task on an unsplittable input
+    // otherwise (no-op for streaming callers and at scale)
+    graft.core.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         call_function("graft_gram_hits",
           Clean.splitWs(lower(col(textCol))),
           typedlit(evalHashes), lit(n)).as("n_shared"))
@@ -134,7 +141,8 @@ object Curation {
     val evalGrams = grams(
       evalDocs.select(col(idCol).as("eval_id"), col(textCol)), "eval_id")
       .distinct()
-    val matches = grams(flagged, "doc_id")
+    val matches = grams(
+        graft.core.Tables.fanOut(flagged, col("doc_id")), "doc_id")
       .join(broadcast(evalGrams), Seq("gram_h"))
     val agg = matches.groupBy("eval_id").agg(
       countDistinct(col("doc_id")).as("n_train_docs"),

@@ -18,6 +18,9 @@ object Dedup {
     * One shuffle on the 128-bit fingerprint; survivors join back is not
     * needed because min(id) identifies the kept row. */
   def exactDedupKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // deliberately NOT fanned out: llm_exact_dedup pins an at-most-2-
+    // exchange plan (PlanAudit) — the one-hash-exchange contract is the
+    // operator's 100-TB story and outranks fixture parallelism
     df.select(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"),
         col(idCol))
       .groupBy("fingerprint")
@@ -29,7 +32,10 @@ object Dedup {
     * the fingerprint pass is a full-speed scan. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // fanOut: the winnow kernel is the scan's whole cost (no-op past one
+    // scan split)
+    graft.core.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
       explode(call_function("graft_winnow",
         col(textCol), lit(k), lit(w))).as("fp"))
 
@@ -224,7 +230,11 @@ object Dedup {
       s"k ($k) must be a positive multiple of bands ($bands)")
     val rows = k / bands
     graft.expr.GraftFunctions.ensureRegistered(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // fanOut: the minhash signature + shingle-hash kernels below are the
+    // scan's whole cost (no-op past one scan split); every downstream
+    // consumer aggregates exactly (bucket counts, distinct pairs)
+    val base = graft.core.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm", Clean.normWs(lower(col("text"))))
       // native codegen'd signature (graft.expr.MinHashSig) — the
       // interpreted transform/aggregate formulation profiled 40s+ at
@@ -389,8 +399,11 @@ object Dedup {
     // (500k docs, Scale9 `simhash`): checkpoint 5.4 s vs recompute 7.0 s
     // warm — the checkpoint wins ~25% while the hash frame fits storage;
     // recompute trades that for zero storage; both forms stay linear.
-    val hashedBase = simHashFrame(df.select(col(idCol).as("id"),
-      col(textCol).as("text")), "text")
+    // fanOut: the 64-vote simhash kernel is the scan's whole cost and
+    // runs single-task on an unsplittable input (no-op past one split)
+    val hashedBase = simHashFrame(
+      graft.core.Tables.fanOut(df, col(idCol))
+        .select(col(idCol).as("id"), col(textCol).as("text")), "text")
       .select("id", "simhash")
     val hashed =
       if (materialize) hashedBase.localCheckpoint(true) else hashedBase
@@ -471,7 +484,11 @@ object Dedup {
                         win: Int = 40, minCount: Int = 2): DataFrame = {
     require(win >= 1, s"window must be positive, got $win")
     require(minCount >= 2, s"minCount below 2 strips everything: $minCount")
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // fanOut: the per-position window-hash explode below is the scan's
+    // whole cost (no-op past one scan split); groupBy(doc_id) reuses the
+    // keyed exchange and sort_array makes collect_list order-free
+    val base = graft.core.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val wins = base.filter(length(col("text")) >= win)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (win - 1))).as("pos"),

@@ -28,6 +28,8 @@ object Tfidf {
     * (TF-IDF_K-Means_approach.ipynb:5514-5524.) One shuffle on (doc, token);
     * doc length rides along via a group-max instead of a second join. */
   def termFreq(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    // measured NOT worth a fanOut exchange: the whitespace-split explode
+    // is light (a8-a12 regressed ~+0.3 s each fanned at sf0.1)
     df.select(col(idCol), size(col(tokensCol)).as("doc_len"),
         explode(col(tokensCol)).as("token"))
       .groupBy(col(idCol), col("token"))

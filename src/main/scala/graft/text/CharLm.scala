@@ -53,7 +53,11 @@ object CharLm {
     * count downstream. */
   def train(df: DataFrame, textCol: String)
       : (DataFrame, DataFrame, Long) = {
-    val pos = positions(df.select(col(textCol).as("text")), Nil)
+    // fanOut: an unsplittable input (single small file / row group) runs
+    // the explode + partial agg on ONE task otherwise; counts are
+    // order-independent, so any deterministic key spreads the docs
+    val pos = positions(graft.core.Tables.fanOut(
+      df.select(col(textCol).as("text")), xxhash64(col("text"))), Nil)
     val triCounts = pos.groupBy("tri").agg(count(lit(1)).as("n_tri"))
       .localCheckpoint(true)
     val preCounts = triCounts
@@ -92,7 +96,10 @@ object CharLm {
     }
     val (tk, tc) = packed(triCounts)
     val (pk, pc) = packed(preCounts)
-    docs.select(col(idCol).as("doc_id"),
+    // fanOut: the kernel projection is the whole cost — on an
+    // unsplittable input it would otherwise run single-task
+    graft.core.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         call_function("graft_charlm_nll", col(textCol),
           typedlit(tk), typedlit(tc), typedlit(pk), typedlit(pc),
           lit(alphabet.toDouble)).as("nll"))
@@ -106,8 +113,13 @@ object CharLm {
   def nllScore(docs: DataFrame, idCol: String, textCol: String,
                triCounts: DataFrame, preCounts: DataFrame,
                alphabet: Long): DataFrame =
-    positions(docs.select(col(idCol).as("doc_id"),
-        col(textCol).as("text")), Seq("doc_id"))
+    // fanOut keyed on doc_id: the downstream groupBy(doc_id) reuses the
+    // partitioning (no second exchange), and each doc's positions stay
+    // whole inside one partition, so the per-doc avg accumulates in the
+    // same order as the single-task plan — bit-identical results
+    positions(graft.core.Tables.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        col("doc_id")), Seq("doc_id"))
       .join(triCounts, Seq("tri"), "left")
       .join(preCounts, Seq("pre"), "left")
       .select(col("doc_id"),

@@ -40,7 +40,12 @@ object Repetition {
     * Documents too short to form a gram get ('' , 0.0, 0.0). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       topN: Int = 2, dupN: Int = 5): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    // fanOut: tokenize + two n-gram explodes are the scan's whole cost
+    // (no-op past one scan split); counts and max(struct) are
+    // order-independent, and groupBy(doc_id, ...) reuses the keyed
+    // exchange (hash on the doc_id subset satisfies the clustering)
+    val toks = graft.core.Tables.fanOut(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("double").as("n_chars"),
       Clean.splitWs(lower(col(textCol))).as("toks"))
     def gramCounts(n: Int): DataFrame = toks
