@@ -103,6 +103,31 @@ object Bench {
       .map(_.group(1)).getOrElse(if (round >= 7) "noop" else "count")
   }
 
+  /** Headline-only final record (r19 VERDICT Next #1). The driver keeps only
+    * the last ~2 KB of the bench's stdout, and the full one-line JSON
+    * (~8 KB at 261 queries) has overflowed that window since round 2 —
+    * every BENCH_r*.json ships `"parsed": null`, leaving the driver's
+    * per-query table, geomean and scaling block empty. The full per-query
+    * line is still printed FIRST (unchanged contract, and the only line
+    * appended to bench_history.jsonl); this compact line (~400 bytes) is
+    * printed LAST so it lands intact inside any tail window. It carries
+    * every headline field of the full line but NO `queries` map — the key
+    * is omitted entirely (not `{}`) so a parser can never read it as
+    * "zero queries ran"; per-query data lives in the full line and in
+    * bench_history.jsonl, keyed by the shared `value_end` stamp.
+    */
+  def compactLine(total: Double, nOk: Int, nFail: Int, sfDir: String,
+      sweepNote: String, escalated: Boolean, loadStart: Double,
+      loadEnd: Double, loadWaited: Int, contended: Boolean, anchor: String,
+      idleRetries: Int, gatePayer: String): String =
+    s"""{"metric":"total_ok","value":$total,"unit":"sec","n_ok":$nOk,""" +
+      s""""n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote",""" +
+      s""""escalated":$escalated,"action":"$Action","load_start":$loadStart,""" +
+      s""""load_end":$loadEnd,"load_waited_s":$loadWaited,""" +
+      s""""contended":$contended,"anchor":"$anchor",""" +
+      s""""idle_retries":$idleRetries,"gate_payer":"$gatePayer",""" +
+      s""""value_end":$total}"""
+
   /** The newest BENCH_r*.json strictly older than the in-flight round, so a
     * re-run inside a round that already wrote its own BENCH file never
     * arbitrates against itself. The in-flight round is SPARK_GRAFT_ROUND if
@@ -481,8 +506,17 @@ object Bench {
     val anchor = anchorRatio.map(r => f"$r%.3f").getOrElse("none")
     val line = s"""{"metric":"total_ok","value":$total,"unit":"sec","queries":$qs,"n_ok":${okTimes.size},"n_fail":$nFail,"sf":"$sfDir","sweep":"$sweepNote","escalated":$escalated,"action":"$Action","load_start":$loadStart,"load_end":$loadEnd,"load_waited_s":$loadWaited,"contended":$contended,"anchor":"$anchor","idle_retries":$idleRetries,"gate_payer":"$gatePayer","value_end":$total}"""
     println(line)
+    // compact headline-only final line — survives the driver's ~2 KB
+    // stdout-tail capture, which the full line above has overflowed since
+    // round 2 (see compactLine scaladoc). Printed AFTER the full line so
+    // it is the last JSON in any tail window.
+    println(compactLine(total, okTimes.size, nFail, sfDir, sweepNote,
+      escalated, loadStart, loadEnd, loadWaited, contended, anchor,
+      idleRetries, gatePayer))
     // full-suite runs feed the next run's arbitration via the (complete,
-    // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not
+    // untruncated) local history; partial SPARK_GRAFT_ONLY runs do not.
+    // Only the FULL line is appended — a history row without a queries
+    // map would dilute medianTimes/bestRowRatio comparability checks.
     if (only.isEmpty) {
       val w = new java.io.FileWriter("bench_history.jsonl", true)
       try w.write(line + "\n") finally w.close()

@@ -61,14 +61,31 @@ object Tables {
     * can never become a payload shuffle of a large table. Partition
     * count comes from spark.sql.shuffle.partitions (session-derived),
     * not a local constant. */
+  /** Total byte size of a scan's input files, via the Hadoop FileSystem
+    * API so every scheme a Spark scan can read (file://, hdfs://, s3a://)
+    * resolves (r19 VERDICT Next #9: the previous java.io.File probe threw
+    * on every non-`file:` URI, silently disabling fanOut exactly in the
+    * motivating case — a genuinely small REMOTE input). A file that still
+    * fails to resolve counts as huge: fail-safe toward NOT fanning, so a
+    * big input can never be shuffled by a probe error. */
+  private[graft] def inputBytes(files: Array[String],
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    files.map { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(conf).getFileStatus(path).getLen
+      } catch { case _: Exception => Long.MaxValue / 1024 }
+    }.sum
+
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     // streaming frames (no inputFiles) and non-file sources: no-op —
     // their parallelism is the source's business
     val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
-    val bytes = files.map { p =>
-      try new java.io.File(new java.net.URI(p)).length
-      catch { case _: Exception => Long.MaxValue / 1024 }
-    }.sum
+    val bytes =
+      if (files.isEmpty) 0L
+      else inputBytes(files,
+        try df.sparkSession.sessionState.newHadoopConf()
+        catch { case _: Exception => new org.apache.hadoop.conf.Configuration() })
     val oneSplit = try {
       org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
     } catch { case _: Exception => 128L * 1024 * 1024 }

@@ -166,6 +166,35 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.minTimes(Seq.empty).isEmpty)
   }
 
+  test("compact final line: small, headline-complete, no queries map") {
+    // r19 VERDICT Next #1: the driver's ~2 KB stdout-tail capture has
+    // truncated the full per-query line since round 2 ("parsed": null in
+    // every BENCH_r*.json). The compact line printed last must (a) fit any
+    // plausible tail window with room for sbt's trailing lines, (b) carry
+    // every headline field, (c) OMIT the queries key — an empty {} could
+    // read as "zero queries ran" / "261 dropped from bench".
+    val c = Bench.compactLine(total = 192.845667199, nOk = 261, nFail = 0,
+      sfDir = "/root/testdata/sf0.1", sweepNote = "", escalated = true,
+      loadStart = 2.2197265625, loadEnd = 2.33642578125, loadWaited = 30,
+      contended = true, anchor = "1.109", idleRetries = 2,
+      gatePayer = "llm_ann_topk=shared_exact_topk_memo_build," +
+        "m_flagship_shape=flagship_w2v_dbscan_fit")
+    assert(c.length < 600, s"compact line too long: ${c.length}")
+    assert(c.startsWith("{") && c.endsWith("}"))
+    assert(!c.contains("\"queries\""))
+    for (k <- Seq("metric", "value", "unit", "n_ok", "n_fail", "sf", "sweep",
+        "escalated", "action", "load_start", "load_end", "load_waited_s",
+        "contended", "anchor", "idle_retries", "gate_payer", "value_end"))
+      assert(c.contains("\"" + k + "\":"), s"missing key $k")
+    // parseable as one strict JSON object (Spark's JSON reader via a
+    // trivial check: balanced braces, no raw newline, quoted strings)
+    assert(!c.contains("\n"))
+    assert(c.count(_ == '{') == 1 && c.count(_ == '}') == 1)
+    // the compact line must contribute ZERO phantom query times if a
+    // parser ever feeds it through parsePrevTimes (e.g. in a BENCH tail)
+    assert(Bench.parsePrevTimes(c).isEmpty, Bench.parsePrevTimes(c).toString)
+  }
+
   test("r19 artifact fields (anchor, idle_retries) never parse as query times") {
     // anchor is a QUOTED decimal and idle_retries an un-dotted int —
     // neither matches the "name":1.23 shape — and both sit in
