@@ -1351,7 +1351,7 @@ object SparkEntry {
 
     // J7⁸ interval-overlap LENGTH (r18): total overlap duration per
     // A-interval — sum(least(ahi,bhi) − greatest(alo,blo)) over
-    // overlapping pairs — join-free: six one/two-sided prefix frames
+    // overlapping pairs — join-free: four one-sided prefix frames
     // over the two endpoint value sets, instance-exact for duplicate
     // ids via a checkpointed synthetic instance id (the H·count /
     // L·count terms must pair each instance's own bound with its own
@@ -1527,7 +1527,7 @@ object SparkEntry {
     }),
 
     // J7¹¹ KEYED overlap LENGTH (r19): total same-key overlap duration
-    // per A id — six keyed prefix frames, content-derived instance ids
+    // per A id — four keyed prefix frames, content-derived instance ids
     // (row_number per id — layout-independent, no materialization),
     // exact decimal-cents arithmetic. Duplicate A ids natural (user_id
     // as the id).

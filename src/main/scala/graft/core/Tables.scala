@@ -78,6 +78,23 @@ object Tables {
     }.sum
 
   def fanOut(df: DataFrame, key: Column): DataFrame = {
+    // Frames that already shuffle upstream (joins, aggregates, windows,
+    // global sorts, explicit repartitions) are no-ops (r20): their map
+    // stage downstream of the exchange is not pinned to the scan's
+    // split count, so the extra exchange buys no parallelism — it only
+    // adds a pass. Measured (r19→r20 idle 32c rows): fanning the
+    // post-join frames inside the curation pipeline cost
+    // llm_curation_pipeline 1.64→2.35 s and llm_contamination_report
+    // 1.05→1.29 s, while every bare-scan site held its win
+    // (llm_decontaminate 3.69→0.84 s idle-to-idle).
+    val shuffledUpstream = try {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      df.queryExecution.analyzed.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                  _: Distinct | _: Deduplicate | _: RepartitionOperation) => p
+      }.isDefined
+    } catch { case _: Exception => false }
+    if (shuffledUpstream) return df
     // streaming frames (no inputFiles) and non-file sources: no-op —
     // their parallelism is the source's business
     val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }

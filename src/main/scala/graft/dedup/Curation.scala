@@ -158,21 +158,75 @@ object Curation {
     * document gets the id of its duplicate CLUSTER (connected component,
     * labeled by the component's min doc id — so keep_id = group_id keeps
     * exactly one doc per group) and the group size. Docs in no pair are
-    * their own singleton group.
+    * their own singleton group. Pair ids must come from `allIds` (every
+    * caller builds pairs as a self-join of the same id set).
     *
     * Pairs come from any candidate generator — exact Jaccard at test
-    * scale, [[Dedup.nearDupPairs]] (banded LSH) at corpus scale. The CC
-    * itself is GraphX Pregel (O(log n) supersteps over the edge list),
-    * the same machinery the distributed DBSCAN uses. */
-  def dupGroups(allIds: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    * scale, [[Dedup.nearDupPairs]] (banded LSH) at corpus scale.
+    *
+    * CC route (r20, the Dbscan.distributed small-regime move): a pair
+    * relation that fits under `smallGraphEdgeCap` — proved by a
+    * limit(cap+1) probe BEFORE any unbounded collect — is labeled by a
+    * driver union-find (union by MIN root = GraphX
+    * connectedComponents' min-vertex labeling exactly; the r16 DBSCAN
+    * route-equality gate pinned the identical claim on a 200k-vertex/
+    * 1.8M-edge relation) and returns via one broadcast join onto the
+    * id set; the paired-id label table is ≤2·cap entries of driver
+    * state no matter how large `allIds` is, because singletons never
+    * enter it — they coalesce to their own id in-plan. Past the cap,
+    * GraphX Pregel (O(log n) supersteps) engages unchanged. The
+    * measured motivation is the same as DBSCAN's: at reference scale
+    * the RDD conversion + Pregel supersteps are 6+ tiny Spark jobs
+    * whose scheduling overhead IS the operator's cost. */
+  def dupGroups(allIds: DataFrame, pairs: DataFrame, idCol: String,
+                smallGraphEdgeCap: Int = 200000): DataFrame = {
     val spark = allIds.sparkSession
     import spark.implicits._
-    val edgeRdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val vertRdd = allIds.select(col(idCol).cast("long")).as[Long].rdd
-      .map(id => (id, ()))
-    val cc = Graph(vertRdd, edgeRdd).connectedComponents()
-      .vertices.toDF("doc_id", "group_id") // group_id = min id in component
+    // persisted across probe + (past-cap) CC build so the pair
+    // generator never runs twice — the Dbscan.distributed pattern;
+    // released in both branches (connectedComponents is EAGER: Pregel
+    // materializes its own graph cache before returning)
+    val edgePairs = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeSample =
+      edgePairs.as[(Long, Long)].limit(smallGraphEdgeCap + 1).collect()
+    val cc =
+      if (edgeSample.length <= smallGraphEdgeCap) {
+        edgePairs.unpersist(blocking = false)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        // union by MIN root: every union hangs the larger root under the
+        // smaller, so each tree's root is the min id ever merged into it
+        edgeSample.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val labelDf = spark.createDataset(
+            parent.keysIterator.map(id => (id, find(id))).toSeq)
+          .toDF("doc_id", "_gx_gid")
+        allIds.select(col(idCol).cast("long").as("doc_id"))
+          .join(broadcast(labelDf), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_gx_gid"), col("doc_id")).as("group_id"))
+      } else {
+        val edgeRdd =
+          edgePairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+        val vertRdd = allIds.select(col(idCol).cast("long")).as[Long].rdd
+          .map(id => (id, ()))
+        val r = Graph(vertRdd, edgeRdd).connectedComponents()
+          .vertices.toDF("doc_id", "group_id") // group_id = min component id
+        edgePairs.unpersist(blocking = false)
+        r
+      }
     val sizes = cc.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     cc.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"),

@@ -374,13 +374,20 @@ object RangeAgg {
     *
     * where |{b∈O, b.hi > H}| = |{b.lo ≤ H}| − |{b.hi ≤ H}| and
     * |{b∈O, b.lo < L}| = |{b.lo < L}| − |{b.hi < L}| (valid intervals
-    * make the inclusions exact) — SIX one/two-sided prefix frames over
-    * the two endpoint value sets, every one a [[graft.plans
+    * make the inclusions exact) — and the two-sided terms decompose the
+    * same way (r20): Σ{b.hi ∈ [L,H]} = Σ{b.hi ≤ H} − Σ{b.hi < L} and
+    * Σ{b.lo ∈ [L,H]} = Σ{b.lo ≤ H} − Σ{b.lo < L}, exact because every
+    * term is a decimal-cents sum. So FOUR one-sided prefix frames over
+    * the two endpoint value sets — (b.lo ≤ H), (b.hi ≤ H), (b.lo < L),
+    * (b.hi < L), each carrying count AND cents-sum — answer everything
+    * the r18/r19 six-frame form (two extra two-sided frames) computed:
+    * two fewer range exchanges, scans and stitch joins for the same
+    * bit-exact output. Every frame is a [[graft.plans
     * .RangeAggPrefix]] plan. Because the H·count / L·count products
     * must pair each INSTANCE's own bound with its own counts,
     * duplicate A ids get a synthetic instance id first — r19: a
     * CONTENT-DERIVED one, `row_number() OVER (PARTITION BY id ORDER BY
-    * lo, hi)`, so every one of the six branches (and the join spine)
+    * lo, hi)`, so every one of the four branches (and the join spine)
     * derives the identical id↔(lo, hi) mapping independently, with no
     * eager materialization: rows tied on the full ordering are
     * column-identical, hence interchangeable, so any tie-break yields
@@ -410,7 +417,7 @@ object RangeAgg {
 
   /** KEYED overlap LENGTH (r19): total overlap duration per A id over
     * B intervals of the SAME key — `sum(least(a.hi, b.hi) −
-    * greatest(a.lo, b.lo))` over same-key overlapping pairs. Same six
+    * greatest(a.lo, b.lo))` over same-key overlapping pairs. Same four
     * frames, each a KEYED prefix (the equi key leads every range
     * sort); null keys never match. Output: (idCol, overlap_len). */
   def keyedIntervalOverlapLenAgg(left: DataFrame, idCol: String,
@@ -492,23 +499,22 @@ object RangeAgg {
     def ren(df: DataFrame, tag: String): DataFrame =
       df.withColumnRenamed(idCol, s"_gx_id_$tag")
         .withColumnRenamed("_gx_iid", s"_gx_iid_$tag")
-    val f1 = ren(frame(bhi, alo, ahi, hiStrict = false, wantSum = true,
-      "c1", "s1"), "1") // b.hi in [L, H]: cnt + cents sum
-    val f2 = ren(frame(blo, alo, ahi, hiStrict = false, wantSum = true,
-      "c2", "s2"), "2") // b.lo in [L, H]
+    // four one-sided frames, each count + cents-sum (see scaladoc): the
+    // r18/r19 two-sided [L, H] frames are exact decimal differences of
+    // these — Σ/|{b.hi ∈ [L,H]}| = (b.hi ≤ H) − (b.hi < L), same for b.lo
     val f3 = ren(frame(blo, negInf, ahi, hiStrict = false,
-      wantSum = false, "c3", ""), "3") // b.lo <= H
+      wantSum = true, "c3", "s3"), "3") // b.lo <= H
     val f4 = ren(frame(bhi, negInf, ahi, hiStrict = false,
-      wantSum = false, "c4", ""), "4") // b.hi <= H
+      wantSum = true, "c4", "s4"), "4") // b.hi <= H
     val f5 = ren(frame(blo, negInf, alo, hiStrict = true,
-      wantSum = false, "c5", ""), "5") // b.lo < L
+      wantSum = true, "c5", "s5"), "5") // b.lo < L
     val f6 = ren(frame(bhi, negInf, alo, hiStrict = true,
-      wantSum = false, "c6", ""), "6") // b.hi < L
+      wantSum = true, "c6", "s6"), "6") // b.hi < L
     def j(acc: DataFrame, f: DataFrame, tag: String): DataFrame =
       acc.join(f, col(idCol) <=> col(s"_gx_id_$tag") &&
           col("_gx_iid") === col(s"_gx_iid_$tag"), "left")
         .drop(s"_gx_id_$tag").drop(s"_gx_iid_$tag")
-    val joined = Seq(("1", f1), ("2", f2), ("3", f3), ("4", f4),
+    val joined = Seq(("3", f3), ("4", f4),
       ("5", f5), ("6", f6)).foldLeft(a0) { case (acc, (tag, f)) =>
       j(acc, f, tag)
     }
@@ -519,8 +525,10 @@ object RangeAgg {
     joined
       .withColumn("_gx_pairs", cnt("c3") - cnt("c6")) // N-below-above
       .withColumn("_gx_len",
-        (cents("s1") + col(hiCol).cast(dec) * (cnt("c3") - cnt("c4"))) -
-        (cents("s2") + col(loCol).cast(dec) * (cnt("c5") - cnt("c6"))))
+        ((cents("s4") - cents("s6")) +
+          col(hiCol).cast(dec) * (cnt("c3") - cnt("c4"))) -
+        ((cents("s3") - cents("s5")) +
+          col(loCol).cast(dec) * (cnt("c5") - cnt("c6"))))
       .groupBy(col(idCol))
       .agg(sum(col("_gx_pairs")).as("_gx_tp"),
         sum(col("_gx_len")).cast("double").as("overlap_len"))

@@ -133,10 +133,23 @@ object Sources {
     * explicit path = external table: data at `path`, bucketing metadata
     * in the catalog — bucket info only flows through the catalog reader,
     * a bare `spark.read.parquet` would see plain files. */
+  /** Bucketed parquet table write. The input is repartitioned on the
+    * bucket column with EXACTLY `buckets` partitions before the write
+    * (r20): `repartition(buckets, key)` is the same
+    * `pmod(murmur3(key), buckets)` function the bucket-id assignment
+    * uses, so each task owns exactly one bucket — the write runs
+    * `buckets`-wide in parallel (a one-split input otherwise sorts and
+    * writes ALL buckets in a single task) and emits exactly one file
+    * per bucket instead of tasks × buckets (the small-file explosion a
+    * many-task input produces, guide §6). Bucket contents and per-file
+    * sortBy(key) order are identical either way — bucket membership is
+    * a pure function of the key — so readers and the no-exchange
+    * bucketed-join contract are unchanged. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, buckets: Int): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite").option("path", path)
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").option("path", path)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }

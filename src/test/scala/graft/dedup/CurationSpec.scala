@@ -84,6 +84,30 @@ class CurationSpec extends SparkSpec {
     assert(r(0L)._3 == 3L && r(0L)._4 && !r(1L)._4)
   }
 
+  test("dupGroups: driver union-find route == GraphX route (r20)") {
+    // adversarial shapes: a chain whose min arrives LAST in union order
+    // (9-8, 8-7, 7-1), a cycle with duplicate edges, reversed pairs,
+    // and isolated ids — the two routes must be indistinguishable
+    val ids = (0L to 12L).toDF("doc_id")
+    val pairs = Seq(
+      (8L, 9L), (7L, 8L), (1L, 7L),           // chain, min joins last
+      (2L, 3L), (3L, 4L), (2L, 4L), (2L, 4L), // cycle + duplicate edge
+      (11L, 10L),                             // reversed order pair
+      (5L, 5L))                               // self-pair (degenerate)
+      .toDF("id_a", "id_b")
+    def run(cap: Int) =
+      Curation.dupGroups(ids, pairs, "doc_id", smallGraphEdgeCap = cap)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val small = run(200000) // driver union-find (9 edges ≤ cap)
+    val large = run(0)      // cap 0 forces the GraphX Pregel route
+    assert(small == large, s"routes diverged:\n$small\n$large")
+    val byId = small.map(x => x._1 -> x).toMap
+    assert(Seq(1L, 7L, 8L, 9L).forall(byId(_)._2 == 1L))
+    assert(Seq(2L, 3L, 4L).forall(byId(_)._2 == 2L))
+    assert(byId(5L)._2 == 5L && byId(5L)._3 == 1L)
+    assert(Seq(0L, 6L, 12L).forall(i => byId(i)._2 == i && byId(i)._4))
+  }
+
   test("tokenPack: exclusive-prefix shard assignment, docs never split") {
     // force several range partitions so the two-pass offsets are exercised
     val df = spark.range(0, 100).toDF("doc_id")
