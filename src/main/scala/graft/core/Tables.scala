@@ -38,9 +38,26 @@ object Tables {
     else df
   }
 
-  /** Register all tables as temp views (for spark.sql entry points). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+  /** Register all tables as temp views (for spark.sql entry points).
+    * Memoized per (session, dir) — r20: 16 query bodies call this, and
+    * each un-memoized call re-resolved all 10 parquet footers and
+    * re-bound 10 views (~0.3-0.5 s per sql_* query at sf0.1, measured
+    * as the bulk of those queries' wall). A view is a lazy name→plan
+    * binding, not data: every query still computes from parquet. Keyed
+    * on the session OBJECT in a WeakHashMap (the flagshipStatsCache
+    * precedent) with the dir as the value, so a dir switch re-registers
+    * and dead sessions don't pin. `force` re-binds unconditionally —
+    * for callers that shadowed a view and need the fixture back. */
+  private val registeredFor = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  def registerAll(spark: SparkSession, sfDir: String,
+                  force: Boolean = false): Unit =
+    registeredFor.synchronized {
+      if (force || registeredFor.get(spark) != sfDir) {
+        names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+        registeredFor.put(spark, sfDir)
+      }
+    }
 
   /** Scale-adaptive fan-out for heavy per-row compute after a scan that
     * CANNOT be split: a table whose entire input fits inside one scan

@@ -244,9 +244,23 @@ object StreamIngest {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val rows = k / bands
     // identical derivations to the batch nearDupPairs base (projection
-    // boundaries between HOF stages, native minhash kernel)
-    val base = stream.select(col(idCol).cast("long").as("id"),
+    // boundaries between HOF stages, native minhash kernel).
+    // In-batch fan-out (r20, the streaming analog of Tables.fanOut): a
+    // micro-batch's map-stage parallelism is its FILE SPLIT count — a
+    // few-file batch runs the minhash + shingle-hash kernels (the
+    // stage's whole cost; measured 1.5 s of st6's 2.4 s at sf0.1)
+    // single-task no matter the core count. Repartition the (id, norm)
+    // projection on id BEFORE the kernels: the shuffled payload is one
+    // micro-batch's normalized text — bounded by trigger sizing, never
+    // the corpus — and core-count-adaptive (defaultParallelism), while
+    // the stateful stage's store count stays pinned to
+    // spark.sql.shuffle.partitions. Hit set identical: bucket groups
+    // are shuffle-canonicalized by the groupByKey either way.
+    val fanned = stream.select(col(idCol).cast("long").as("id"),
         graft.text.Clean.normWs(lower(col(textCol))).as("norm"))
+      .repartition(stream.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
+    val base = fanned
       .withColumn("sig", call_function("graft_minhash",
         col("norm"), lit(k), lit(gram), lit(stride)))
       .withColumn("hs", array_distinct(transform(

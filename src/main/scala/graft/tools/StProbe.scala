@@ -79,8 +79,13 @@ object StProbe {
         val sd = Files.createTempDirectory("stprobe_st7")
         Files.createSymbolicLink(sd.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-        def ts(df: DataFrame) = df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
+        def ts(df: DataFrame) = df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        }
         def src() = ts(spark.readStream.schema(schema).parquet(sd.toString))
         val clicks = src().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
@@ -118,9 +123,14 @@ object StProbe {
         val inDir = base.resolve("in"); Files.createDirectories(inDir)
         val outDir = base.resolve("out").toString
         val ckpt = base.resolve("ckpt").toString
-        val ts = spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select(col("event_id"), col("ts"))
+        val ev0 = spark.read.parquet(s"$dir/events.parquet")
+        val ts = (ev0.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            ev0.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => ev0
+        }).select(col("event_id"), col("ts"))
         def addBatch(df: DataFrame, tag: String): Unit =
           timed(s"st9 addBatch $tag (parquet write+move)") {
             val tmp = base.resolve(s"stage_$tag")
