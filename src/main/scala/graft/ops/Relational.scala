@@ -110,10 +110,19 @@ object Relational {
     * tie-break (highest count, then smallest value) — pandas leaves the
     * tie unspecified.
     *
-    * Scale shape: one aggregation pass per described column (exploration
-    * operator — the caller names the columns, k passes for k columns;
-    * the mode is a groupBy on that single column, shuffling one narrow
-    * (value, count) pair per distinct value).
+    * Scale shape (r20): ONE shared aggregation pass computes every
+    * column's scalar stats — counts, distincts, exact decimal sums,
+    * min/max and the per-column array percentiles all ride a single
+    * scan (the pre-r20 form ran one full pass per column, plus one
+    * more per string column: 4 scans for the a6 fixture, now 2). The
+    * multi-column countDistincts plan as one Expand over the shared
+    * scan — rows multiply in memory by the distinct-agg count, but the
+    * table is READ once (§6). The single agg row then explodes to the
+    * one-row-per-column output. Only the modal value still needs its
+    * own narrow groupBy per STRING column (a per-value count cannot
+    * ride a global agg), shuffling one (value, count) pair per
+    * distinct value. Described columns must be distinct (the shared
+    * pass aliases stats by column name).
     *
     * SCALE BOUNDARY (exact percentiles): the three quartiles come from ONE
     * `percentile(col, array(0.25,0.5,0.75))` aggregate — a single shared
@@ -132,64 +141,83 @@ object Relational {
                   distQuartiles: Boolean = false): DataFrame = {
     import graft.core.Tables.dec
     import org.apache.spark.sql.types.NumericType
-    val parts = cols.map { c =>
-      val nulls = Seq(
-        lit(null).cast("double").as("mean"),
-        lit(null).cast("double").as("std"),
-        lit(null).cast("double").as("min_v"),
-        lit(null).cast("double").as("p25"),
-        lit(null).cast("double").as("p50"),
-        lit(null).cast("double").as("p75"),
-        lit(null).cast("double").as("max_v"))
-      df.schema(c).dataType match {
-        case _: NumericType =>
-          val baseAggs = Seq(
-            count(col(c)).as("count"),
-            countDistinct(col(c)).as("unique"),
-            sum(dec(col(c))).as("s"),
-            sum(dec(col(c)) * dec(col(c))).as("sq"),
-            min(col(c)).cast("double").as("min_v"),
-            max(col(c)).cast("double").as("max_v"))
-          // quartile source: the single-buffer exact percentile (fixture
-          // contract) or DistQuantile's bounded-memory exact refinement —
-          // same values bit-for-bit after the shared 1e-6 quantization
-          val agg =
-            if (distQuartiles)
-              df.agg(baseAggs.head, baseAggs.tail: _*).crossJoin(
-                DistQuantile.quantiles(df.sparkSession, df, c))
-            else df.agg(baseAggs.head, (baseAggs.tail :+
-              percentile(col(c),
-                array(lit(0.25), lit(0.5), lit(0.75))).as("qs")): _*)
+    require(cols.distinct == cols, s"describeAll: duplicate columns in $cols")
+    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    // TWO shared aggregation passes: the plain stats (counts, exact
+    // decimal sums, min/max, percentile buffers) ride one Expand-free
+    // agg; the multi-column countDistincts ride their own agg (they
+    // plan as an Expand that multiplies rows per distinct-agg — the
+    // heavy percentile buffers must NOT sit behind it: measured 3.2 s
+    // combined vs 1.0 s split at sf0.1). Both are 1-row frames.
+    val plainAggs: Seq[Column] = cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"${c}_count"))
+      if (!isNum(c)) base
+      else base ++ Seq(
+        sum(dec(col(c))).as(s"${c}_s"),
+        sum(dec(col(c)) * dec(col(c))).as(s"${c}_sq"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max")) ++
+        // quartile source: the single-buffer exact percentile (fixture
+        // contract) or DistQuantile's bounded-memory exact refinement —
+        // same values bit-for-bit after the shared 1e-6 quantization
+        (if (distQuartiles) Nil
+         else Seq(percentile(col(c),
+           array(lit(0.25), lit(0.5), lit(0.75))).as(s"${c}_qs")))
+    }
+    val distinctAggs: Seq[Column] =
+      cols.map(c => countDistinct(col(c)).as(s"${c}_unique"))
+    val g0 = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    val g =
+      if (!distQuartiles) g0
+      else cols.filter(isNum).foldLeft(g0) { (acc, c) =>
+        acc.crossJoin(DistQuantile.quantiles(df.sparkSession, df, c)
+          .select(col("p25").as(s"${c}_p25"), col("p50").as(s"${c}_p50"),
+            col("p75").as(s"${c}_p75")))
+      }
+    // the single agg row explodes to one output row per column
+    val rows = g.select(explode(array(cols.map { c =>
+      val nul = lit(null).cast("double")
+      val fields =
+        if (!isNum(c)) Seq(nul.as("mean"), nul.as("std"), nul.as("min_v"),
+          nul.as("p25"), nul.as("p50"), nul.as("p75"), nul.as("max_v"))
+        else {
+          val n = col(s"${c}_count").cast("double")
+          val s = col(s"${c}_s").cast("double")
+          val sq = col(s"${c}_sq").cast("double")
           def q(i: Int, name: String) =
-            if (distQuartiles) col(name)
-            else (round(element_at(col("qs"), i) * 1e6) / 1e6).as(name)
-          val n = col("count").cast("double")
-          val s = col("s").cast("double")
-          val sq = col("sq").cast("double")
-          agg.select(
-            lit(c).as("column"), col("count"), col("unique"),
-            lit(null).cast("string").as("top"),
-            lit(null).cast("long").as("freq"),
-            (s / n).as("mean"),
-            when(col("count") < 2, lit(null).cast("double"))
+            if (distQuartiles) col(s"${c}_$name").as(name)
+            else (round(element_at(col(s"${c}_qs"), i) * 1e6) / 1e6).as(name)
+          Seq((s / n).as("mean"),
+            when(col(s"${c}_count") < 2, nul)
               .otherwise(sqrt(greatest((sq - s * s / n) / (n - lit(1.0)),
                 lit(0.0)))).as("std"),
-            col("min_v"), q(1, "p25"), q(2, "p50"), q(3, "p75"),
-            col("max_v"))
-        case _ =>
-          val cnts = df.agg(
-            count(col(c)).as("count"),
-            countDistinct(col(c)).as("unique"))
-          val mode = df.filter(col(c).isNotNull)
-            .groupBy(col(c).cast("string").as("top"))
-            .agg(count(lit(1)).as("freq"))
-            .orderBy(desc("freq"), col("top")).limit(1)
-          cnts.join(mode, lit(true), "left")
-            .select(Seq(lit(c).as("column"), col("count"), col("unique"),
-              col("top"), col("freq")) ++ nulls: _*)
-      }
+            col(s"${c}_min").as("min_v"),
+            q(1, "p25"), q(2, "p50"), q(3, "p75"),
+            col(s"${c}_max").as("max_v"))
+        }
+      struct(Seq(lit(c).as("column"),
+        col(s"${c}_count").as("count"),
+        col(s"${c}_unique").as("unique")) ++ fields: _*)
+    }: _*)).as("r")).select("r.*")
+    // modal value: its own narrow groupBy per STRING column, joined back
+    val modes = cols.filterNot(isNum).map { c =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("top"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("top")).limit(1)
+        .select(lit(c).as("column"), col("top"), col("freq"))
     }
-    parts.reduce(_ unionByName _).orderBy("column")
+    val withMode = modes match {
+      case Nil => rows
+        .withColumn("top", lit(null).cast("string"))
+        .withColumn("freq", lit(null).cast("long"))
+      case ms => rows.join(ms.reduce(_ unionByName _), Seq("column"), "left")
+    }
+    withMode.select(col("column"), col("count"), col("unique"),
+        col("top"), col("freq"), col("mean"), col("std"), col("min_v"),
+        col("p25"), col("p50"), col("p75"), col("max_v"))
+      .orderBy("column")
   }
 
   /** A7 share-of-total over top-n (rucio_data_exploration.ipynb:860-865):
